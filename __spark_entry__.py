@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001 as a smoke check;
+``queries()`` / ``oracle_sql()`` expose the full operator registry for
+the driver's DuckDB correctness gate (row-count + schema +
+order-insensitive value hash at sf0.01).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from projet_meteo_etl_spark import registry  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Revenue by nation: lineitem ⋈ orders ⋈ broadcast(customer) ⋈
+    broadcast(nation) → hash agg → sort (scan→join→agg→sort end-to-end).
+    """
+    from projet_meteo_etl_spark.plans.relational import revenue_by_nation
+
+    return revenue_by_nation(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    q, _ = registry.collect()
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL equivalent for each hash-checkable query.
+
+    Keys absent here (but present in ``queries()``) are deliberately
+    non-SQL-expressible ops (MinHash-LSH, SimHash, streaming state);
+    the driver records a weaker rows-only check for those.
     """
-    return {}
+    _, o = registry.collect()
+    return o

@@ -1,0 +1,65 @@
+"""Parquet table catalog over the driver-provided TPC-H-ish test data.
+
+Mirrors the reference's "one source per table" manifest pattern
+(``/root/reference/etl_meteo.py:16-34``) but as a declarative catalog:
+paths in, lazily-scanned DataFrames out.  Filters and projections applied
+downstream reach the parquet reader via Catalyst pushdown — check with
+``df.explain()`` for ``PushedFilters`` / ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one catalog table.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a nanosecond
+    BIGINT, which we convert to a microsecond TimestampType here (same
+    truncation DuckDB applies when it casts nanos to its µs timestamps).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    if name == "events":
+        # runtime-settable; required even on externally-supplied sessions
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load several tables; also registers each as a temp view so the
+    same queries can be written in pure SQL (``spark.sql``)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,47 @@
+"""Central query registry: aggregates SPARK_QUERIES / ORACLE_SQL from every
+plan/operator module.  ``__spark_entry__.py`` re-exports this.
+
+Modules are imported defensively so one broken module cannot take down
+the whole driver contract.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (
+    "projet_meteo_etl_spark.plans.relational",
+    "projet_meteo_etl_spark.plans.weather",
+    "projet_meteo_etl_spark.operators.quality_queries",
+    "projet_meteo_etl_spark.operators.dedup",
+    "projet_meteo_etl_spark.operators.similarity",
+    "projet_meteo_etl_spark.operators.text",
+    "projet_meteo_etl_spark.streaming.windows",
+)
+
+
+def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for mod_name in _MODULES:
+        try:
+            mod = importlib.import_module(mod_name)
+        except Exception as exc:  # noqa: BLE001 — keep contract alive
+            print(f"[registry] skipping {mod_name}: {exc}", file=sys.stderr)
+            continue
+        for name, fn in getattr(mod, "SPARK_QUERIES", {}).items():
+            if name in queries:
+                raise ValueError(f"duplicate query name {name!r} from {mod_name}")
+            queries[name] = fn
+        oracles.update(getattr(mod, "ORACLE_SQL", {}))
+    # every oracle must have a query; not vice versa (rows-only checks)
+    orphan = set(oracles) - set(queries)
+    if orphan:
+        raise ValueError(f"oracle_sql without queries(): {sorted(orphan)}")
+    return queries, oracles
