@@ -1,0 +1,217 @@
+"""Quality-audit operators over the catalog tables, with DuckDB oracles.
+
+The reference's audit vocabulary (Q1-Q6, A1-A7 — SURVEY.md §2.3/§2.6)
+applied to the driver's TPC-H-ish tables so the correctness gate can
+hash-check the *semantics* of each audit operator (the weather pipeline
+exercises them on weather data in tests, but that data isn't visible to
+the DuckDB oracle).
+
+Every audit is a FUSED single-scan aggregation — the engine-defining
+improvement over the reference's one-scan-per-check pattern
+(/root/reference/quality_audit.py:42-52 does 5 scans; etl_meteo.py:
+239-274 does 6 more).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+
+
+def range_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4/P14/A7: physical-range violation counts + error rate, ONE scan.
+
+    Constraints mirror the reference's QUALITY_CONSTRAINTS table shape
+    (quality_audit.py:11-16) transposed to lineitem's domain.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def oor(c: str, lo: float, hi: float) -> F.Column:
+        return F.sum(F.when((F.col(c) < lo) | (F.col(c) > hi), 1).otherwise(0))
+
+    return l.agg(
+        F.count(F.lit(1)).alias("total"),
+        oor("l_quantity", 1.0, 50.0).alias("oor_quantity"),
+        oor("l_discount", 0.0, 0.1).alias("oor_discount"),
+        oor("l_tax", 0.0, 0.08).alias("oor_tax"),
+        oor("l_extendedprice", 0.0, 200000.0).alias("oor_price"),
+        F.round(
+            (
+                oor("l_quantity", 1.0, 50.0)
+                + oor("l_discount", 0.0, 0.1)
+                + oor("l_tax", 0.0, 0.08)
+                + oor("l_extendedprice", 0.0, 200000.0)
+            )
+            / F.count(F.lit(1))
+            * 100.0,
+            4,
+        ).alias("error_rate_pct"),
+    )
+
+
+RANGE_AUDIT_SQL = """
+SELECT
+  count(*) AS total,
+  sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END)            AS oor_quantity,
+  sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)             AS oor_discount,
+  sum(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 THEN 1 ELSE 0 END)                      AS oor_tax,
+  sum(CASE WHEN l_extendedprice < 0.0 OR l_extendedprice > 200000.0 THEN 1 ELSE 0 END) AS oor_price,
+  round((sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END)
+       + sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+       + sum(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
+       + sum(CASE WHEN l_extendedprice < 0.0 OR l_extendedprice > 200000.0 THEN 1 ELSE 0 END)
+        ) * 100.0 / count(*), 4) AS error_rate_pct
+FROM lineitem
+"""
+
+
+def null_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/A3/A6: per-column null counts in one pass (fixes the reference's
+    Mongo pipeline bug where only the last $group stage survived,
+    etl_meteo.py:236-250)."""
+    e = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    return e.agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+            for c in cols
+        ],
+    )
+
+
+NULL_AUDIT_SQL = """
+SELECT
+  count(*) AS total,
+  sum(CASE WHEN event_id   IS NULL THEN 1 ELSE 0 END) AS nulls_event_id,
+  sum(CASE WHEN ts         IS NULL THEN 1 ELSE 0 END) AS nulls_ts,
+  sum(CASE WHEN user_id    IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
+  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls_event_type,
+  sum(CASE WHEN value      IS NULL THEN 1 ELSE 0 END) AS nulls_value,
+  sum(CASE WHEN props      IS NULL THEN 1 ELSE 0 END) AS nulls_props
+FROM events
+"""
+
+
+def duplicate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5/A5: duplicate counts over several candidate keys, one scan —
+    ``count(*) − count(distinct key)`` per key (etl_meteo.py:71,118)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("total"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("dups_order_line"),
+        (F.count(F.lit(1)) - F.countDistinct("l_orderkey")).alias(
+            "dups_orderkey"
+        ),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.struct("l_partkey", "l_suppkey"))
+        ).alias("dups_part_supp"),
+    )
+
+
+DUPLICATE_AUDIT_SQL = """
+SELECT
+  count(*) AS total,
+  count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dups_order_line,
+  count(*) - count(DISTINCT l_orderkey)                 AS dups_orderkey,
+  count(*) - count(DISTINCT (l_partkey, l_suppkey))     AS dups_part_supp
+FROM lineitem
+"""
+
+
+def date_range_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6/A4: min/max of every time column (test_etl_meteo.py:68-89)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    od = o.agg(
+        F.lit("o_orderdate").alias("col"),
+        F.min("o_orderdate").alias("min_ts"),
+        F.max("o_orderdate").alias("max_ts"),
+    )
+    sd = l.agg(
+        F.lit("l_shipdate").alias("col"),
+        F.min("l_shipdate").alias("min_ts"),
+        F.max("l_shipdate").alias("max_ts"),
+    )
+    return od.unionByName(sd).orderBy("col")
+
+
+DATE_RANGE_AUDIT_SQL = """
+SELECT 'o_orderdate' AS col, min(o_orderdate) AS min_ts, max(o_orderdate) AS max_ts FROM orders
+UNION ALL
+SELECT 'l_shipdate'  AS col, min(l_shipdate)  AS min_ts, max(l_shipdate)  AS max_ts FROM lineitem
+ORDER BY col
+"""
+
+
+def consistency_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 analogue for a typed engine: cross-field consistency — count
+    rows where the materialized ``n_chars`` disagrees with ``length(text)``
+    (the typed-schema version of 'is this value what it claims to be')."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.when(F.length("text").cast("long") != F.col("n_chars"), 1).otherwise(0)
+        ).alias("n_chars_mismatch"),
+        F.sum(F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)).alias(
+            "empty_docs"
+        ),
+    )
+
+
+CONSISTENCY_AUDIT_SQL = """
+SELECT
+  count(*) AS total,
+  sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS n_chars_mismatch,
+  sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS empty_docs
+FROM documents
+"""
+
+
+def count_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/A1: table-level row counts (the source↔sink reconciliation
+    primitive, etl_meteo.py:201-207) for every catalog fact table."""
+    parts = []
+    for t in ("lineitem", "orders", "customer", "events", "documents"):
+        df = load_table(spark, sf_dir, t)
+        parts.append(df.agg(F.lit(t).alias("tbl"), F.count(F.lit(1)).alias("n")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tbl")
+
+
+COUNT_RECONCILIATION_SQL = """
+SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'customer', count(*) FROM customer
+UNION ALL SELECT 'events', count(*) FROM events
+UNION ALL SELECT 'documents', count(*) FROM documents
+ORDER BY tbl
+"""
+
+
+SPARK_QUERIES = {
+    "range_audit_lineitem": range_audit_lineitem,
+    "null_audit_events": null_audit_events,
+    "duplicate_audit": duplicate_audit,
+    "date_range_audit": date_range_audit,
+    "consistency_audit_documents": consistency_audit_documents,
+    "count_reconciliation": count_reconciliation,
+}
+
+ORACLE_SQL = {
+    "range_audit_lineitem": RANGE_AUDIT_SQL,
+    "null_audit_events": NULL_AUDIT_SQL,
+    "duplicate_audit": DUPLICATE_AUDIT_SQL,
+    "date_range_audit": DATE_RANGE_AUDIT_SQL,
+    "consistency_audit_documents": CONSISTENCY_AUDIT_SQL,
+    "count_reconciliation": COUNT_RECONCILIATION_SQL,
+}
