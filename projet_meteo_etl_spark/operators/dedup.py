@@ -1,0 +1,440 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each in its Spark-native shape:
+
+* **exact** — hash groupBy on the raw text (one shuffle, map-side
+  partial agg);
+* **fingerprint** — exact dedup after normalization (see
+  ``operators.text.fingerprint``);
+* **n-gram Jaccard** — word-shingle inverted index → pair join →
+  exact Jaccard (the verify stage of MinHash, usable standalone at
+  moderate scale);
+* **MinHash + LSH** — k permutations via seeded ``xxhash64``, banded
+  signature join for candidate generation, exact-Jaccard verify:
+  the 100 TB near-dup path (candidate pairs ∝ true dups, not n²);
+* **SimHash** — 64-bit signed-bit-sum signature, 16-bit band join,
+  Hamming-distance verify via ``bit_count(a XOR b)``.
+
+Exact/fingerprint/Jaccard/embedding-cosine have DuckDB oracles; the
+MinHash/SimHash signatures depend on Spark's xxhash64 (not available in
+DuckDB), so those are registered rows-only and validated in tests
+against the exact-Jaccard ground truth instead.
+
+Scale notes: every family avoids the n² trap — candidate pairs come
+from equality joins on shingles / band hashes, which shuffle-partition
+by key.  The classic hot-key hazard (a shingle present in half the
+corpus) is handled by the ``max_df`` stop-shingle cap in the LSH path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.operators.text import fingerprint
+
+_WS = r"\s+"
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared)
+# ---------------------------------------------------------------------------
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document.
+
+    Built with ``transform(sequence(...))`` over the token array: a pure
+    per-row expression (no shuffle, no UDF); ``explode`` then yields the
+    inverted-index rows.
+    """
+    # NB: inside a SQL string literal the backslash is escape-processed,
+    # so the \s+ pattern must be written \\s+ here (a bare '\s+' silently
+    # splits on the letter 's').
+    ws = r"\\s+"
+    # guard: sequence(0, k) with k < 0 is a DESCENDING sequence in Spark,
+    # not empty — short docs must return array() explicitly
+    gram = F.expr(
+        f"case when size(split(trim({text_col}), '{ws}')) >= {n} then "
+        f"transform(sequence(0, size(split(trim({text_col}), '{ws}')) - {n}), "
+        f"i -> concat_ws(' ', slice(split(trim({text_col}), '{ws}'), i + 1, {n}))) "
+        f"else array() end"
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(gram)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact + fingerprint dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: total docs, distinct texts, redundant docs."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("text").alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("redundant_docs"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT count(*) AS total_docs,
+       count(DISTINCT text) AS distinct_texts,
+       count(*) - count(DISTINCT text) AS redundant_docs
+FROM documents
+"""
+
+
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-fingerprint dedup: keep min doc_id per group; emit
+    groups (the survivors list is the anti-join complement)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy("group_size")
+    )
+
+
+DEDUP_FINGERPRINT_SQL = r"""
+SELECT group_size, count(*) AS n_groups FROM (
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS keep_doc_id,
+         count(*) AS group_size
+  FROM documents GROUP BY 1
+) GROUP BY group_size ORDER BY group_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise via inverted index)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.04,
+) -> DataFrame:
+    """Near-dup pairs by exact word-``n``-gram Jaccard ≥ ``threshold``.
+
+    Inverted index join: pairs are generated only for docs sharing ≥1
+    shingle — at corpus scale that's O(Σ per-shingle df²), not O(n²);
+    combine with the LSH path when shingle frequencies are heavy-tailed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return jac
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT doc_id, shingle FROM tri WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0 >= 0.04
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (Spark-only signatures; verified against exact Jaccard)
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, sig array<long>) — k min-hash values per doc.
+
+    Permutation *i* is ``xxhash64(i, shingle)``: seeded 64-bit hashing
+    JVM-side; the groupBy computes all k minima in one shuffle.
+    """
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS) -> DataFrame:
+    """Banded LSH: docs agreeing on any full band become candidates.
+
+    Band key = hash of the band's signature slice; the equality join on
+    (band_idx, band_key) is a plain shuffle join — no n² anywhere.
+    """
+    r = NUM_PERM // bands
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> struct(b as band_idx, xxhash64(slice(sig, b * {r} + 1, {r})) as band_key))"
+    )
+    banded = sigs.select("doc_id", F.explode(band_arr).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_key"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.04,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MinHash→LSH→verify near-dup pipeline (rows-only check; recall
+    vs exact Jaccard asserted in tests/test_dedup.py).
+
+    ``max_df`` drops stop-shingles (present in more than ``max_df``
+    docs) before hashing — the skew guard for web-scale corpora.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = df_counts.filter(F.col("df") <= max_df).select("shingle")
+        sh = sh.join(F.broadcast(keep), "shingle")
+    sigs = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(sigs)
+
+    # verify stage: exact Jaccard on candidates only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash long): per-token xxhash64, signed bit-sum over
+    all 64 bit positions, sign → bit.  64 conditional sums in ONE
+    aggregation pass (term frequency weighting via token multiplicity).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), _WS)).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*sums)
+    bit_terms = [
+        F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    sim = agg.select(
+        "doc_id",
+        sum(bit_terms[1:], bit_terms[0]).alias("simhash"),
+    )
+    return sim
+
+
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band join (any of 4 bands equal →
+    candidate), Hamming verify via ``bit_count(a XOR b)`` ≤ ``max_hamming``.
+    Rows-only check (xxhash64 signatures are Spark-specific)."""
+    sigs = simhash_signatures(spark, sf_dir)
+    chunk = F.expr(
+        "transform(sequence(0, 3), c -> struct(c as band_idx, "
+        "shiftright(simhash, c * 16) & 65535 as band_key))"
+    )
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(chunk).alias("band")
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _cos(a, b):  # Column helper: exact sequential-fold cosine in double
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold.
+
+    Brute-force self-join is the CORRECTNESS baseline (exact); the scale
+    path is :mod:`operators.similarity`'s LSH bucketing.  The smaller
+    side is broadcast so the big side never shuffles.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", pround(_cos(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * 1000000.0 + 0.5) / 1000000.0
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) * 1000000.0 + 0.5) / 1000000.0
+      >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+SPARK_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint_groups": dedup_fingerprint_groups,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_fingerprint_groups": DEDUP_FINGERPRINT_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+}

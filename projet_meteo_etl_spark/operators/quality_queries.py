@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
 
 
 def range_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +38,7 @@ def range_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         oor("l_discount", 0.0, 0.1).alias("oor_discount"),
         oor("l_tax", 0.0, 0.08).alias("oor_tax"),
         oor("l_extendedprice", 0.0, 200000.0).alias("oor_price"),
-        F.round(
+        pround(
             (
                 oor("l_quantity", 1.0, 50.0)
                 + oor("l_discount", 0.0, 0.1)
@@ -58,11 +59,11 @@ SELECT
   sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)             AS oor_discount,
   sum(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 THEN 1 ELSE 0 END)                      AS oor_tax,
   sum(CASE WHEN l_extendedprice < 0.0 OR l_extendedprice > 200000.0 THEN 1 ELSE 0 END) AS oor_price,
-  round((sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END)
+  floor(((sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END)
        + sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
        + sum(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
        + sum(CASE WHEN l_extendedprice < 0.0 OR l_extendedprice > 200000.0 THEN 1 ELSE 0 END)
-        ) * 100.0 / count(*), 4) AS error_rate_pct
+        ) * 100.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS error_rate_pct
 FROM lineitem
 """
 

@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as any vector system at scale needs:
+
+* **brute-force top-k** — exact cosine via JVM-side array expressions
+  (``zip_with`` + ``aggregate`` fold: no UDF, no Python, codegen'd);
+  the query side is broadcast so the corpus never shuffles.  This is
+  the correctness baseline and is already the right *plan* at 100 TB
+  when the query set is small (it's one scan of the corpus).
+* **LSH-bucketed ANN** — random-hyperplane signatures (fixed seed →
+  deterministic literal plane matrix), bucket equality join, top-k
+  within bucket: corpus scan is replaced by a hash-partitioned join on
+  bucket keys.  Approximate (rows-only check; recall vs brute force is
+  asserted in tests).
+
+The centroid operator shows element-wise array aggregation
+(``posexplode`` → per-dimension avg → re-assemble) — the building
+block for IVF coarse quantizers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+DIM = 64
+N_QUERIES = 5
+TOP_K = 10
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine in double precision as a sequential left-fold —
+    bit-identical to an equivalent sequential implementation in any
+    engine (addition order fixed), which keeps oracle hashes stable."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.sqrt(sq(a)) * F.sqrt(sq(b)))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the first N_QUERIES vectors.
+
+    Plan shape: broadcast(queries) nested-loop against the corpus scan →
+    per-query window top-k.  ONE pass over the corpus regardless of
+    query count; ranking tie-broken by vec_id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", pround(cosine(F.col("qv"), F.col("embedding")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         floor((list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))) * 1000000.0 + 0.5) / 1000000.0
+           AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def _hyperplanes(n_planes: int = 4, dim: int = DIM, seed: int = 42) -> list[list[float]]:
+    # 4 planes → 16 buckets: sized for the test corpora (~500-5000
+    # vectors); at real scale raise n_planes so bucket occupancy stays
+    # bounded (and multi-probe neighboring buckets for recall)
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from fixed random hyperplanes — a pure
+    expression (the plane matrix is inlined as array literals), so
+    bucketing happens during the scan with no shuffle and no UDF."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket join (same-bucket
+    candidates only), then exact cosine + window top-k.
+
+    At 100 TB: corpus bucketed once at ingest (a partition/bucket-by
+    column), query buckets computed at plan time → the join touches
+    only matching buckets (plus multi-probe for recall if needed).
+    Rows-only check; recall vs brute force asserted in tests.
+    """
+    planes = _hyperplanes()
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_expr(F.col("embedding"), planes)
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", pround(cosine(F.col("qv"), F.col("embedding")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid stats via element-wise array aggregation:
+    posexplode → avg per (label, dim) → fold back to a norm.  This is
+    the IVF training primitive (compute coarse centroids distributed)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("dims"),
+            pround(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm"),
+        )
+        .join(
+            e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors")),
+            "label",
+        )
+        .select("label", "n_vectors", "dims", "centroid_norm")
+        .orderBy("label")
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH per_dim AS (
+  SELECT label, pos, avg(v) AS c FROM (
+    SELECT label,
+           unnest(embedding::DOUBLE[]) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  ) GROUP BY label, pos
+),
+norms AS (
+  SELECT label, count(*) AS dims, floor((sqrt(sum(c * c))) * 10000.0 + 0.5) / 10000.0 AS centroid_norm
+  FROM per_dim GROUP BY label
+),
+counts AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT n.label AS label, c.n_vectors, CAST(n.dims AS BIGINT) AS dims, n.centroid_norm
+FROM norms n JOIN counts c ON n.label = c.label
+ORDER BY n.label
+"""
+
+
+SPARK_QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_label_centroids": embedding_label_centroids,
+}
+
+ORACLE_SQL = {
+    "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
+}

@@ -1,0 +1,258 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (it has no text ops): language-ID
+(stopword-marker heuristic), quality scoring (length / distinct-ratio /
+stopword-ratio), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (normalized MD5) — all pure Column expressions
+over the ``documents`` table, so they run at full scan speed with zero
+Python in the loop; each has a DuckDB oracle.
+
+Scale: every operator here is a narrow projection + per-row expressions
+— no shuffle at all except the final ORDER BY (and grand-total aggs),
+so they scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+#: language marker words (public-knowledge stopwords, tiny on purpose —
+#: a real pipeline would load fastText lang-ID; the *shape* is what the
+#:  engine provides: vectorized per-language marker counting + argmax).
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "fr": r"\b(le|la|et|les|des)\b",
+    "es": r"\b(el|los|las|una|y)\b",
+    "de": r"\b(der|die|und|das|ein)\b",
+}
+
+_WS = r"\s+"
+#: BPE-ish token pattern: words, numbers, or single non-space symbols —
+#: the pre-tokenizer split GPT-style BPE vocabularies assume.
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, _WS))
+    ).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-pre-tokenizer-style tokens (regexp_count is a
+    codegen'd JVM regex scan — no UDF)."""
+    return F.regexp_count(text, F.lit(_BPE_ISH)).cast("long")
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """|distinct tokens| / |tokens| — the classic repetition signal."""
+    t = F.trim(text)
+    toks = F.split(t, _WS)
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)) / F.size(toks)
+    )
+
+
+def stopword_ratio(text: Column, pattern: str = LANG_MARKERS["en"]) -> Column:
+    """Stopword hits / tokens (English markers by default)."""
+    n = ws_token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(F.lower(text), F.lit(pattern)) / n
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: lowercase, strip
+    non-alphanumerics, collapse whitespace, MD5 — identical in any
+    engine with md5(), which is what makes it an interchange-safe key
+    (vs engine-specific hash64s)."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), _WS, " "
+    )
+    return F.md5(F.trim(norm))
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish counts, char stats."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_actual"),
+            ws_token_count(F.col("text")).alias("n_tokens_ws"),
+            bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+            pround(
+                F.length(F.regexp_replace("text", _WS, ""))
+                / F.greatest(ws_token_count(F.col("text")), F.lit(1)),
+                4,
+            ).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_TOKEN_STATS_SQL = rf"""
+SELECT
+  doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_actual,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_tokens_bpe,
+  floor((length(regexp_replace(text, '\s+', '', 'g'))
+        / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)) * 10000.0 + 0.5) / 10000.0
+    AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + repetition + stopword presence →
+    [0,1] score.  The formula is deliberately simple and portable; the
+    engine contribution is that it runs as one codegen'd projection."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = ws_token_count(F.col("text"))
+    dtr = distinct_token_ratio(F.col("text"))
+    swr = stopword_ratio(F.col("text"))
+    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    score = pround(
+        F.lit(0.4) * length_score + F.lit(0.4) * dtr + F.lit(0.2) * F.least(
+            swr * 5.0, F.lit(1.0)
+        ),
+        4,
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tokens"),
+            pround(dtr, 4).alias("distinct_ratio"),
+            pround(swr, 4).alias("stopword_ratio"),
+            score.alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    CASE WHEN length(trim(text)) = 0 THEN 0.0
+         ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+              * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END AS dtr,
+    CASE WHEN length(trim(text)) = 0 THEN 0.0
+         ELSE len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))
+              * 1.0 / (CASE WHEN length(trim(text)) = 0 THEN 1
+                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) END AS swr
+  FROM documents
+)
+SELECT doc_id, lang,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  floor((dtr) * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+  floor((swr) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+  floor((0.4 * least(n_tokens / 50.0, 1.0) + 0.4 * dtr
+        + 0.2 * least(swr * 5.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality_score
+FROM t
+ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: per-language marker counts + argmax prediction
+    (deterministic tie-break by language code order en>fr>es>de —
+    i.e. first maximum wins in that listing order)."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    counts = {
+        lang: F.regexp_count(lowered, F.lit(pat)).cast("long")
+        for lang, pat in LANG_MARKERS.items()
+    }
+    pred = F.lit("unknown")
+    best = F.lit(0)
+    # fold left in fixed order; strict > keeps the earlier lang on ties
+    for lang in LANG_MARKERS:
+        is_better = counts[lang] > best
+        pred = F.when(is_better, F.lit(lang)).otherwise(pred)
+        best = F.when(is_better, counts[lang]).otherwise(best)
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("lang_label"),
+            *[counts[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+            pred.alias("lang_pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LANGID_SQL = r"""
+WITH c AS (
+  SELECT doc_id, lang AS lang_label,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS BIGINT)  AS hits_en,
+    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS BIGINT)  AS hits_fr,
+    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|una|y)\b')) AS BIGINT)  AS hits_es,
+    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein)\b')) AS BIGINT) AS hits_de
+  FROM documents
+)
+SELECT doc_id, lang_label, hits_en, hits_fr, hits_es, hits_de,
+  CASE
+    WHEN hits_en = 0 AND hits_fr = 0 AND hits_es = 0 AND hits_de = 0 THEN 'unknown'
+    WHEN hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+    WHEN hits_fr >= hits_es AND hits_fr >= hits_de THEN 'fr'
+    WHEN hits_es >= hits_de THEN 'es'
+    ELSE 'de'
+  END AS lang_pred
+FROM c
+ORDER BY doc_id
+"""
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-MD5 keys + per-fingerprint
+    cardinality (the exact-dedup join key at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .orderBy("fp")
+    )
+
+
+TEXT_FINGERPRINTS_SQL = r"""
+SELECT
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                          '\s+', ' ', 'g'))) AS fp,
+  count(*) AS n_docs,
+  min(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY fp
+"""
+
+
+SPARK_QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_langid": text_langid,
+    "text_fingerprints": text_fingerprints,
+}
+
+ORACLE_SQL = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality_score": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprints": TEXT_FINGERPRINTS_SQL,
+}

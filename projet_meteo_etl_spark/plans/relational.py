@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,12 +47,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(
+            pround(
                 F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
@@ -59,9 +60,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -72,13 +73,13 @@ Q1_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  round(sum(l_quantity), 2)                                           AS sum_qty,
-  round(sum(l_extendedprice), 2)                                      AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
-  round(avg(l_quantity), 4)                                           AS avg_qty,
-  round(avg(l_extendedprice), 4)                                      AS avg_price,
-  round(avg(l_discount), 4)                                           AS avg_disc,
+  floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                                           AS sum_qty,
+  floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                                      AS sum_base_price,
+  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0                   AS sum_disc_price,
+  floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0     AS sum_charge,
+  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0                                           AS avg_qty,
+  floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0                                      AS avg_price,
+  floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0                                           AS avg_disc,
   count(*)                                                            AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -106,7 +107,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
+            pround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -120,7 +121,7 @@ SELECT
   l_orderkey,
   o_orderdate,
   o_orderpriority,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -164,7 +165,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            pround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -175,7 +176,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_SQL = """
 SELECT
   n_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -206,7 +207,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            pround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -218,7 +219,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 REVENUE_BY_NATION_SQL = """
 SELECT
   n_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
   count(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -338,13 +339,13 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rank")
+        .select("o_custkey", "o_orderkey", pround("o_totalprice", 2).alias("price"), "rank")
         .orderBy("o_custkey", "rank")
     )
 
 
 TOP_ORDERS_PER_CUSTOMER_SQL = """
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rank
+SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS price, rank
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -370,7 +371,7 @@ def running_revenue_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             "ts",
-            F.round(F.sum("value").over(w), 2).alias("running_value"),
+            pround(F.sum("value").over(w), 2).alias("running_value"),
         )
         .orderBy("user_id", "ts", "event_id")
     )
@@ -378,8 +379,8 @@ def running_revenue_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RUNNING_REVENUE_SQL = """
 SELECT user_id, event_id, ts,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0
          AS running_value
 FROM events
 WHERE event_type = 'purchase'
@@ -416,14 +417,14 @@ def topk_expensive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY + LIMIT — Spark plans TakeOrderedAndProject (no full sort)."""
     p = _t(spark, sf_dir, "part")
     return (
-        p.select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+        p.select("p_partkey", "p_name", pround("p_retailprice", 2).alias("price"))
         .orderBy(F.desc("price"), "p_partkey")
         .limit(25)
     )
 
 
 TOPK_PARTS_SQL = """
-SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+SELECT p_partkey, p_name, floor((p_retailprice) * 100.0 + 0.5) / 100.0 AS price
 FROM part ORDER BY price DESC, p_partkey LIMIT 25
 """
 
@@ -494,7 +495,7 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.col("o_orderpriority")).cast("long").alias("prio_len"),
             F.year("o_orderdate").cast("long").alias("order_year"),
             F.month("o_orderdate").cast("long").alias("order_month"),
-            F.round(F.sqrt(F.col("o_totalprice")), 4).alias("price_sqrt"),
+            pround(F.sqrt(F.col("o_totalprice")), 4).alias("price_sqrt"),
             F.when(F.col("o_totalprice") > 200000, F.lit("high"))
             .when(F.col("o_totalprice") > 100000, F.lit("mid"))
             .otherwise(F.lit("low"))
@@ -516,7 +517,7 @@ SELECT
   CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
   CAST(year(o_orderdate) AS BIGINT)    AS order_year,
   CAST(month(o_orderdate) AS BIGINT)   AS order_month,
-  round(sqrt(o_totalprice), 4)         AS price_sqrt,
+  floor((sqrt(o_totalprice)) * 10000.0 + 0.5) / 10000.0         AS price_sqrt,
   CASE WHEN o_totalprice > 200000 THEN 'high'
        WHEN o_totalprice > 100000 THEN 'mid'
        ELSE 'low' END                  AS price_band,
@@ -542,7 +543,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .rollup("order_year", "o_orderstatus")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            pround(F.sum("o_totalprice"), 2).alias("total_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(
@@ -555,7 +556,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLUP_SQL = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
        o_orderstatus,
-       round(sum(o_totalprice), 2) AS total_price,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price,
        count(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP (order_year, o_orderstatus)

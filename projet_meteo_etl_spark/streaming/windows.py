@@ -1,0 +1,228 @@
+"""Event-time windowing over the ``events`` table (SURVEY.md §2.5 notes
+these as ABSENT in the reference; they're core engine surface here).
+
+Batch forms of the streaming operators — same ``window()`` /
+``session_window()`` expressions Structured Streaming uses, so the
+logic is write-once: :mod:`projet_meteo_etl_spark.streaming.structured`
+wraps the identical transformations around ``readStream``.
+
+Scale: tumbling/sliding windows shuffle once on (window, key); session
+windows shuffle on user_id.  Skewed users are the classic hazard —
+AQE skew-join handling plus salting are the mitigations (the grouping
+key cardinality here is user_id × window, which spreads well).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: count + value sum per event_type."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def events_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in
+    two windows; Spark's ``window()`` explodes them at scan time."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # value is exact-cent data: averaging in integer cents makes the sum
+    # order-independent (long addition is associative), so tiny windows
+    # whose float avg lands exactly on a rounding boundary can't flip
+    # between engines with different summation orders
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(
+                F.sum(cents) / F.lit(100.0) / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH expanded AS (
+  -- each event belongs to the two 1-hour windows sliding by 30 min:
+  -- the one starting at its 30-min floor and the one 30 min earlier
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+  WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT window_start, count(*) AS n_events,
+       floor((sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(*))
+             * 10000.0 + 0.5) / 10000.0 AS avg_value
+FROM expanded
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: 30-min inactivity gap per user —
+    ``session_window()`` is the same construct Structured Streaming's
+    stateful session aggregation uses."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# session reconstruction in ANSI SQL: gap-flag → cumulative session id
+EVENTS_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 30 * 60 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON-ish
+    ``props`` string (JVM-side regex — the pattern works identically
+    in any engine, unlike engine-specific JSON path dialects)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_PROPS_SQL = r"""
+SELECT event_type,
+       count(*) AS n,
+       floor((avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+       max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-style late-data accounting (batch form): mark events
+    arriving more than 10 min behind the running per-user max ts —
+    the batch analogue of ``withWatermark`` drop accounting."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    high_water = F.max(F.unix_micros("ts")).over(w)
+    lateness = (high_water - F.unix_micros("ts")) / 1_000_000.0
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        F.when(lateness > 600.0, 1).otherwise(0).alias("is_late"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_late").alias("n_late"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_LATE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN (max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    - epoch_us(ts)) / 1000000.0 > 600.0
+              THEN 1 ELSE 0 END AS is_late
+  FROM events
+)
+SELECT user_id, count(*) AS n_events, sum(is_late) AS n_late
+FROM flagged GROUP BY user_id ORDER BY user_id
+"""
+
+
+SPARK_QUERIES = {
+    "events_tumbling_counts": events_tumbling_counts,
+    "events_sliding_avg": events_sliding_avg,
+    "events_session_windows": events_session_windows,
+    "events_json_props": events_json_props,
+    "events_late_data_filter": events_late_data_filter,
+}
+
+ORACLE_SQL = {
+    "events_tumbling_counts": EVENTS_TUMBLING_SQL,
+    "events_sliding_avg": EVENTS_SLIDING_SQL,
+    "events_session_windows": EVENTS_SESSION_SQL,
+    "events_json_props": EVENTS_JSON_PROPS_SQL,
+    "events_late_data_filter": EVENTS_LATE_SQL,
+}
