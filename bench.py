@@ -1,0 +1,80 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1}
+
+Each query is executed end-to-end with a ``noop`` sink write — the full
+physical plan runs (scan → shuffle → agg/join/window) without paying
+driver-side collect serialization, which is the honest distributed cost.
+A warmup pass of the flagship query amortizes JVM/codegen startup out of
+the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from projet_meteo_etl_spark import registry  # noqa: E402
+from projet_meteo_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = registry.collect()
+
+    # warmup: flagship plan, absorbs session/codegen startup cost
+    from projet_meteo_etl_spark.plans.relational import revenue_by_nation
+
+    run_query(revenue_by_nation(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            run_query(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not kill bench
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
