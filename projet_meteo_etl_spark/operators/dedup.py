@@ -261,15 +261,22 @@ def dedup_minhash_lsh(
     sigs = minhash_signatures(sh)
     cands = lsh_candidate_pairs(sigs)
 
-    # verify stage: exact Jaccard on candidates only
+    # verify stage: exact Jaccard computed ONLY for candidate pairs —
+    # candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b) on equal shingle.
+    # Cost ∝ Σ_cand |shingles(doc_a)|, not Σ_shingle df² like the exact
+    # inverted-index path: this is where LSH pays off at corpus scale.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cands.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        .join(cands, ["doc_a", "doc_b"], "left_semi")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))

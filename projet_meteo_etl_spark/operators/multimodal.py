@@ -1,0 +1,235 @@
+"""Multimodal (image/audio/video) column handling.
+
+The engine treats media as **opaque ``binary`` columns plus typed
+metadata** — the schema pattern of large-scale multimodal training
+pipelines.  The test corpus has no real media, so payloads are derived
+deterministically from ``documents.text`` (magic-bytes header + UTF-8
+bytes); everything Spark-side — schema, lineage, partitioning, Arrow
+batch shape, UDF signatures — is real and oracle-checked where
+SQL-expressible.
+
+The actual codec step is a STUB (`decode_media`): the container ships
+no image/audio libraries, so decoding raises ``NotImplementedError``
+unless the deterministic fake decoder is requested.  Swapping in a real
+decoder (PIL / torchaudio / pyav) changes only the inner function —
+the ``mapInPandas`` plumbing, batch iteration, and output schema stay
+as-is.
+
+Scale notes: payload bytes ride in the Arrow stream once; metadata-only
+queries (`multimodal_metadata`) never deserialize payloads into Python
+— they are pure JVM expressions over the binary column.  Feature
+extraction streams partition-by-partition through ``mapInPandas`` with
+no shuffle; frame sampling is a per-row generator (`explode`), also
+shuffle-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+# magic-byte prefixes (hex) per media kind — real file signatures
+MAGIC_HEX = {
+    "image": "89504E470D0A1A0A",  # PNG
+    "audio": "52494646",          # RIFF/WAV
+    "video": "000000186674797069736F6D",  # MP4 ftyp isom
+}
+KINDS = ("image", "audio", "video")
+
+
+def with_media_payload(d: DataFrame) -> DataFrame:
+    """documents → (doc_id, kind, payload binary, meta struct).
+
+    Deterministic synthetic media: kind cycles by ``doc_id % 3``; the
+    payload is the kind's magic header + the UTF-8 text bytes; metadata
+    is a typed struct (width/height/sample_rate/duration_ms) derived
+    arithmetically from ``doc_id`` — the exact schema shape a real
+    ingest would carry alongside opaque bytes.
+    """
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    magic = (
+        F.when(kind == "image", F.unhex(F.lit(MAGIC_HEX["image"])))
+        .when(kind == "audio", F.unhex(F.lit(MAGIC_HEX["audio"])))
+        .otherwise(F.unhex(F.lit(MAGIC_HEX["video"])))
+    )
+    meta = F.struct(
+        (F.lit(64) + F.col("doc_id") % 8 * 64).cast("int").alias("width"),
+        (F.lit(64) + F.col("doc_id") % 4 * 64).cast("int").alias("height"),
+        F.when(kind == "audio", F.lit(16000)).otherwise(F.lit(0)).cast("int").alias("sample_rate"),
+        (F.col("doc_id") % 30 * 1000).cast("int").alias("duration_ms"),
+    )
+    return d.select(
+        "doc_id",
+        kind.alias("kind"),
+        F.concat(magic, F.encode("text", "UTF-8")).alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan: per-kind asset counts, byte sizes, distinct
+    payload digests — pure JVM column expressions over binary (no
+    Python touches the bytes)."""
+    m = with_media_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        m.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            pround(F.avg(F.length("payload")), 4).alias("avg_bytes"),
+            F.countDistinct(F.sha2(F.hex("payload"), 256)).alias("distinct_payloads"),
+            F.max(F.col("meta.width")).cast("long").alias("max_width"),
+            pround(F.avg("meta.duration_ms"), 4).alias("avg_duration_ms"),
+        )
+        .orderBy("kind")
+    )
+
+
+MULTIMODAL_METADATA_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+         CASE (doc_id % 3)::INT
+           WHEN 0 THEN from_hex('89504E470D0A1A0A')
+           WHEN 1 THEN from_hex('52494646')
+           ELSE from_hex('000000186674797069736F6D')
+         END || encode(text) AS payload,
+         (64 + (doc_id % 8) * 64)::INT AS width,
+         ((doc_id % 30) * 1000)::INT AS duration_ms
+  FROM documents
+)
+SELECT kind,
+       count(*) AS n_assets,
+       sum(octet_length(payload)) AS total_bytes,
+       floor((avg(octet_length(payload))) * 10000.0 + 0.5) / 10000.0 AS avg_bytes,
+       count(DISTINCT sha256(hex(payload))) AS distinct_payloads,
+       CAST(max(width) AS BIGINT) AS max_width,
+       floor((avg(duration_ms)) * 10000.0 + 0.5) / 10000.0 AS avg_duration_ms
+FROM media
+GROUP BY kind
+ORDER BY kind
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: split each video payload into fixed 256-byte
+    "frames", keep every 4th — a per-row ``explode`` (shuffle-free; at
+    100 TB each executor samples its own scan partitions).
+    """
+    m = with_media_payload(load_table(spark, sf_dir, "documents")).filter(
+        F.col("kind") == "video"
+    )
+    frame_idx = F.explode(
+        F.filter(
+            F.sequence(F.lit(0), F.floor((F.length("payload") - 1) / 256).cast("int")),
+            lambda i: i % 4 == 0,
+        )
+    )
+    return (
+        m.select("doc_id", "payload", frame_idx.alias("frame_idx"))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.length(F.expr("substring(payload, frame_idx * 256 + 1, 256)")).alias(
+                "frame_bytes"
+            ),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MULTIMODAL_FRAME_SQL = """
+WITH media AS (
+  SELECT doc_id, from_hex('000000186674797069736F6D') || encode(text) AS payload
+  FROM documents WHERE (doc_id % 3)::INT = 2
+),
+frames AS (
+  SELECT doc_id, octet_length(payload) AS n_bytes,
+         unnest(generate_series(0, (octet_length(payload) - 1) // 256)) AS i
+  FROM media
+)
+-- DuckDB substring() does not accept BLOB, so the chunk length is
+-- expressed arithmetically (≡ octet_length of the 256-byte slice)
+SELECT doc_id, i AS frame_idx,
+       least(256, n_bytes - i * 256) AS frame_bytes
+FROM frames
+WHERE i % 4 = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# decode / feature-extract (Arrow-batched; codec stubbed)
+# ---------------------------------------------------------------------------
+
+def decode_media(payload: bytes, kind: str, *, fake: bool = False):
+    """Codec stub.  A real deployment plugs PIL/pyav/soundfile in here;
+    this container has none, so only the deterministic fake path works.
+
+    The fake "decode" is a 16-bin byte-value histogram — stable across
+    runs/partitions, so tests can assert exact feature values.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "no media codecs in this environment — pass fake=True for the "
+            "deterministic stub decoder"
+        )
+    counts = [0] * 16
+    for b in payload:
+        counts[b >> 4] += 1
+    return counts
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``:
+    Arrow-batched, partition-local, no shuffle.  Output: normalized
+    16-dim byte-histogram feature vector per asset (the stand-in for an
+    image-embedding / mel-spectrogram stage).  Rows-only check (the
+    fake codec is engine-specific by construction); determinism and
+    shape are asserted in tests/test_multimodal.py.
+    """
+    import pandas as pd
+
+    m = with_media_payload(load_table(spark, sf_dir, "documents"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [c / max(len(p), 1) for c in decode_media(p, k, fake=True)]
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return (
+        m.mapInPandas(
+            extract,
+            "doc_id bigint, kind string, n_bytes bigint, features array<double>",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPARK_QUERIES = {
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLE_SQL = {
+    "multimodal_metadata": MULTIMODAL_METADATA_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
+}

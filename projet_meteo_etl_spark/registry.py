@@ -20,6 +20,7 @@ _MODULES = (
     "projet_meteo_etl_spark.plans.weather",
     "projet_meteo_etl_spark.operators.quality_queries",
     "projet_meteo_etl_spark.operators.dedup",
+    "projet_meteo_etl_spark.operators.multimodal",
     "projet_meteo_etl_spark.operators.similarity",
     "projet_meteo_etl_spark.operators.text",
     "projet_meteo_etl_spark.streaming.windows",
