@@ -24,6 +24,7 @@ _MODULES = (
     "projet_meteo_etl_spark.operators.similarity",
     "projet_meteo_etl_spark.operators.text",
     "projet_meteo_etl_spark.streaming.windows",
+    "projet_meteo_etl_spark.streaming.structured",
 )
 
 

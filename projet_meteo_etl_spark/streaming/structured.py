@@ -1,0 +1,248 @@
+"""Real Structured Streaming over the events table.
+
+:mod:`streaming.windows` defines the window logic in batch form; this
+module runs the SAME constructs through an actual streaming query:
+``readStream`` (file source) → event-time transforms → watermark →
+``writeStream`` into a memory sink, driven to completion with
+``trigger(availableNow=True)``.  Each entry point then returns the
+materialized sink table as a plain DataFrame, so the driver's oracle
+gate can hash a genuinely stream-executed result against DuckDB SQL.
+
+Streaming-specific semantics exercised here:
+
+* **file streaming source** with an explicit schema (required for
+  ``readStream``; schema inference is a batch-only convenience);
+* **event-time watermark** (state eviction bound — in complete/update
+  modes it bounds state, while results remain deterministic for a
+  bounded input);
+* **complete-mode windowed aggregation** into a memory sink;
+* **arbitrary stateful processing** via ``applyInPandasWithState``
+  (per-user running aggregates with explicit GroupState), the escape
+  hatch for operators Spark's built-in aggregates can't express;
+* **integer-cent accumulation** so state merge order can't perturb
+  float sums (long addition is associative → oracle-exact).
+
+At scale the memory sink becomes a real sink (Kafka/Delta); the query
+shape — source partitions → shuffle on (window, key) → stateful store
+— is unchanged.  100 TB/day ≈ the same plan with more source files and
+a bigger state store; watermarks keep state bounded.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from projet_meteo_etl_spark.catalog import table_path
+from projet_meteo_etl_spark.functions.portable import pround
+
+_COUNTER = itertools.count()
+
+# physical schema of events.parquet under nanosAsLong (ts: TIMESTAMP(NANOS)
+# surfaces as nanosecond bigint; converted to a µs timestamp post-read)
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _staged_events_dir(sf_dir: str, n_files: int = 4) -> str:
+    """Stage events.parquet as an N-file directory (the file streaming
+    source requires a directory, and N files → N micro-batches with
+    ``maxFilesPerTrigger=1``, so watermarks genuinely advance between
+    batches).  Row slices are deterministic; staged once per sf_dir.
+    """
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    src = table_path(sf_dir, "events")
+    key = hashlib.md5(src.encode()).hexdigest()[:8]
+    d = f"/tmp/spark_graft_stream_{key}/events"
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(src)
+        n = t.num_rows
+        for i in range(n_files):
+            lo, hi = i * n // n_files, (i + 1) * n // n_files
+            pq.write_table(
+                t.slice(lo, hi - lo),
+                os.path.join(d, f"events_{i}.parquet"),
+                version="2.6",  # keep TIMESTAMP(NANOS) physical type
+            )
+        open(marker, "w").close()
+    return d
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_events_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink and
+    return the sink table (a normal batch DataFrame)."""
+    name = f"stream_sink_{next(_COUNTER)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of :func:`windows.events_tumbling_counts`: 1-hour
+    tumbling windows per event_type with a 1-hour watermark, complete
+    output mode.  For the bounded input the materialized result is
+    exactly the batch answer — hash-checked against the same oracle.
+    """
+    e = _read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    sink = _run_to_memory(agg, "complete")
+    return sink.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
+
+
+STREAM_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op: per-user event count + value total kept in
+    explicit GroupState via ``applyInPandasWithState``, update mode.
+
+    Each micro-batch emits the group's running totals; the final row per
+    user (max n_events — monotone per emission) equals the global
+    aggregate, which is what the oracle checks.  Values accumulate in
+    integer cents so state-merge order is irrelevant to the float sum.
+    """
+    import pandas as pd
+
+    e = _read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, cents bigint"
+
+    def update(key, pdf_iter: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updates = e.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_memory(updates, "update")
+    # final emission per user = the row with the largest running count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )
+
+
+STREAM_USER_TOTALS_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def stream_late_event_dropper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark append-mode drop semantics on a row-level stream:
+    events are streamed file-by-file; with a 10-minute watermark, rows
+    older than (max event time seen in prior batches − 10 min) are
+    dropped by the dedup-with-watermark operator.  Registered rows-only:
+    exactly WHICH rows drop depends on micro-batch boundaries (real
+    streaming semantics, not SQL-expressible); the invariant tests pin
+    subset + determinism properties instead.
+    """
+    e = _read_events_stream(spark, sf_dir)
+    deduped = e.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = _run_to_memory(
+        deduped.select("event_id", "user_id", "ts", "event_type"), "append"
+    )
+    return (
+        sink.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_survived"))
+        .orderBy("event_type")
+    )
+
+
+SPARK_QUERIES = {
+    "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_user_running_totals": stream_user_running_totals,
+    "stream_late_event_dropper": stream_late_event_dropper,
+}
+
+ORACLE_SQL = {
+    "stream_tumbling_counts": STREAM_TUMBLING_SQL,
+    "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
+}
