@@ -1,0 +1,401 @@
+"""Extended relational coverage (TPC-H shapes adapted to the synthetic
+schema — the test tables carry a column subset, so queries needing
+``partsupp``/``l_shipmode``/``c_phone`` are re-expressed on what exists).
+
+Each query demonstrates a distinct plan shape and is oracle-checked:
+
+* ``q6_forecast_revenue``  — pure filter+agg; every predicate reaches the
+  parquet reader (check ``PushedFilters`` in explain), zero joins.
+* ``q7_supplier_nation_volume`` — fact ⋈ dim ⋈ dim with broadcast dims,
+  group by (nation, year).
+* ``q10_returned_items``   — revenue per customer over a filtered fact,
+  deterministic top-20 (rounded measure, key tie-break).
+* ``q12_priority_by_returnflag`` — join + conditional (CASE) aggregates.
+* ``q14_promo_revenue``    — scalar percentage from two conditional sums
+  in ONE pass (the reference's multi-scan anti-pattern, fused).
+* ``q18_large_orders``     — GROUP BY + HAVING as post-agg filter, then
+  join back to dims.
+* ``q19_bracket_predicates`` — OR of conjunctive brackets; Catalyst
+  extracts the common join key so it stays an equi-join with residual.
+* ``q22_idle_customers``   — scalar subquery (global avg) broadcast into
+  a filter + anti join, grouped output.
+* ``orders_above_customer_avg`` — correlated scalar subquery decorrelated
+  into a window average.
+* ``order_status_pivot``   — relational PIVOT via first-class API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q7_supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+        .orderBy("supp_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT n_name AS supp_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+ORDER BY supp_nation, l_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            pround(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * 100.0
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT floor((sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5) / 1000000.0
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-07-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            pround("o_totalprice", 2).alias("o_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_price"), "o_orderkey")
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS o_price,
+       total_qty
+FROM (
+  SELECT l_orderkey, floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 > 150
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_price DESC, o_orderkey
+"""
+
+
+def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    return joined.filter(bracket).agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .select("a")
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            pround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, count(*) AS n_custs,
+       floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each order vs its customer's average
+    order price), decorrelated into a window aggregate — one shuffle on
+    the correlation key instead of a per-row subquery."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    enriched = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.avg("o_totalprice").over(w).alias("cust_avg"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    )
+    return (
+        enriched.filter(
+            (F.col("o_totalprice") > F.col("cust_avg") * 1.5) & (F.col("n_orders") >= 3)
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            pround("o_totalprice", 2).alias("price"),
+            pround("cust_avg", 4).alias("cust_avg"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+WITH e AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg,
+         count(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS price,
+       floor((cust_avg) * 10000.0 + 0.5) / 10000.0 AS cust_avg
+FROM e
+WHERE o_totalprice > cust_avg * 1.5 AND n_orders >= 3
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: order counts per year × status with explicit
+    pivot values (explicit list → no extra distinct-values job)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.year("o_orderdate").cast("long").alias("order_year"), "o_orderstatus")
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .select(
+            "order_year",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+        .orderBy("order_year")
+    )
+
+
+ORDER_STATUS_PIVOT_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
+SPARK_QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_supplier_nation_volume": q7_supplier_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q12_priority_by_returnflag": q12_priority_by_returnflag,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_bracket_predicates": q19_bracket_predicates,
+    "q22_idle_customers": q22_idle_customers,
+    "orders_above_customer_avg": orders_above_customer_avg,
+    "order_status_pivot": order_status_pivot,
+}
+
+ORACLE_SQL = {
+    "q6_forecast_revenue": Q6_SQL,
+    "q7_supplier_nation_volume": Q7_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q12_priority_by_returnflag": Q12_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
+    "q19_bracket_predicates": Q19_SQL,
+    "q22_idle_customers": Q22_SQL,
+    "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
+    "order_status_pivot": ORDER_STATUS_PIVOT_SQL,
+}

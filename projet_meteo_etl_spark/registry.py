@@ -17,7 +17,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES = (
     "projet_meteo_etl_spark.plans.relational",
+    "projet_meteo_etl_spark.plans.relational_ext",
     "projet_meteo_etl_spark.plans.weather",
+    "projet_meteo_etl_spark.plans.temporal",
     "projet_meteo_etl_spark.operators.quality_queries",
     "projet_meteo_etl_spark.operators.dedup",
     "projet_meteo_etl_spark.operators.multimodal",
