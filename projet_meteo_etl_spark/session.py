@@ -46,6 +46,10 @@ def get_spark(
         # cannot read natively; read as long and convert in the catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
     )

@@ -1,0 +1,177 @@
+"""Sinks: partitioned / multi-format writes with count reconciliation.
+
+The reference's only sink is truncate-and-load into MongoDB with a
+post-load count check (``/root/reference/etl_meteo.py:182-218``).  The
+Spark-native generalization:
+
+* ``mode("overwrite")`` parquet/CSV/JSON writes (truncate-and-load);
+* **partitioned layout** (``partitionBy``) so downstream readers get
+  partition pruning — the 100 TB table layout primitive;
+* **read-back reconciliation** as a DataFrame operator rather than a
+  driver-side assert (the oracle hashes source-vs-sink aggregates).
+
+Writes land under a deterministic /tmp staging root keyed by the source
+dir; every query is idempotent (overwrite semantics), matching the
+reference's purge-then-insert contract.
+
+Scale notes: ``partitionBy`` on a low-cardinality column (here
+``l_returnflag``) yields one directory per value — at 100 TB you pick
+partition columns with bounded cardinality (date, region) exactly like
+this, and let AQE coalesce write tasks; CSV/JSON round-trips carry
+timestamps as integer microseconds because text formats have no exact
+timestamp encoding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+
+def staging_root(sf_dir: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/spark_graft_sinks_{key}"
+
+
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem partitioned by l_returnflag (overwrite), read it
+    back, and reconcile per-partition counts and sums against nothing
+    but the sink — the oracle compares with the original source, so a
+    lossy write would hash-mismatch."""
+    out = os.path.join(staging_root(sf_dir), "lineitem_by_flag")
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    src.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SINK_PARTITIONED_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def sink_pruned_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back ONE partition of the partitioned sink — the filter on
+    the partition column never touches the other directories (partition
+    pruning; see tests for the PartitionFilters assertion)."""
+    out = os.path.join(staging_root(sf_dir), "lineitem_by_flag")
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    src.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+SINK_PRUNED_SQL = """
+SELECT count(*) AS n_rows,
+       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+_EVENTS_TXT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("cents", LongType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+
+
+def sink_text_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events through CSV and JSON sinks, read each back with an
+    explicit schema, and emit per-format reconciliation aggregates.
+    Timestamps ride as integer microseconds and money as integer cents —
+    the only exact encodings text formats guarantee."""
+    root = staging_root(sf_dir)
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    csv_path, json_path = os.path.join(root, "events_csv"), os.path.join(root, "events_json")
+    src.write.mode("overwrite").option("header", True).csv(csv_path)
+    src.write.mode("overwrite").json(json_path)
+
+    csv_back = spark.read.schema(_EVENTS_TXT).option("header", True).csv(csv_path)
+    json_back = spark.read.schema(_EVENTS_TXT).json(json_path)
+
+    def recon(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.lit(fmt).alias("format"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+
+    return recon(csv_back, "csv").unionByName(recon(json_back, "json")).orderBy("format")
+
+
+SINK_TEXT_FORMATS_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS ts_us
+  FROM events
+),
+one AS (
+  SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+         sum(cents) AS sum_cents, min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+  FROM base
+)
+SELECT 'csv' AS format, * FROM one
+UNION ALL
+SELECT 'json' AS format, * FROM one
+ORDER BY format
+"""
+
+
+SPARK_QUERIES = {
+    "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
+    "sink_pruned_partition_read": sink_pruned_partition_read,
+    "sink_text_formats_roundtrip": sink_text_formats_roundtrip,
+}
+
+ORACLE_SQL = {
+    "sink_partitioned_roundtrip": SINK_PARTITIONED_SQL,
+    "sink_pruned_partition_read": SINK_PRUNED_SQL,
+    "sink_text_formats_roundtrip": SINK_TEXT_FORMATS_SQL,
+}

@@ -1,0 +1,69 @@
+"""Sink layout behaviors: partition pruning, bucketed co-located joins."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.sources import sinks
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_layout_on_disk(spark):
+    sinks.sink_partitioned_roundtrip(spark, SF).collect()
+    out = os.path.join(sinks.staging_root(SF), "lineitem_by_flag")
+    subdirs = {d for d in os.listdir(out) if d.startswith("l_returnflag=")}
+    assert subdirs == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
+
+
+def test_partition_pruning_in_plan(spark):
+    sinks.sink_partitioned_roundtrip(spark, SF).collect()
+    out = os.path.join(sinks.staging_root(SF), "lineitem_by_flag")
+    df = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+    # non-partition data filters must NOT appear as partition filters
+    assert "l_returnflag#" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """bucketBy co-locates both join sides on the key: the sort-merge
+    join runs with NO Exchange on either side — the bucketing layout a
+    100 TB fact⋈fact join needs.  (Warehouse dir is set statically in
+    session.get_spark.)"""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    l = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    l.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # result sanity: bucketed join row count == plain join row count
+        assert j.count() == load_table(spark, SF, "lineitem").join(
+            load_table(spark, SF, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_text_roundtrip_lossless(spark):
+    rows = sinks.sink_text_formats_roundtrip(spark, SF).collect()
+    assert len(rows) == 2
+    csv_r, json_r = rows
+    assert csv_r.format == "csv" and json_r.format == "json"
+    assert csv_r[1:] == json_r[1:]  # identical aggregates across formats
