@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just
+plans that happen to pass.  Each test pins an optimizer behavior that a
+regression (dropped broadcast hint, broken pushdown, accidental UDF)
+would silently lose."""
+
+from __future__ import annotations
+
+from projet_meteo_etl_spark.plans import relational, relational_ext, temporal
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_are_broadcast(spark):
+    for fn in (relational.q3_shipping_priority, relational.q5_local_supplier_volume,
+               relational.revenue_by_nation, relational_ext.q10_returned_items):
+        plan = _plan(fn(spark, SF))
+        assert "BroadcastHashJoin" in plan, f"{fn.__name__} lost its broadcast"
+
+
+def test_filters_reach_parquet_scan(spark):
+    plan = _plan(relational_ext.q6_forecast_revenue(spark, SF))
+    # the plan string truncates long filter lists, so check the pushed
+    # list is non-empty and starts with the expected predicates
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "GreaterThanOrEqual(l_shipda" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(relational.q1_pricing_summary(spark, SF))
+    # lineitem has 11 columns; Q1 needs 7 — the scan schema must exclude
+    # the unused ones
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema
+    assert "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(relational.topk_expensive_parts(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # no full global sort for LIMIT
+
+
+def test_whole_stage_codegen_active(spark):
+    # codegen spans appear in the FINAL adaptive plan, so execute first
+    df = relational.q1_pricing_summary(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # codegen'd operators render with "*(stageId)" markers
+    assert "*(1) " in plan and "*(2) " in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of union+window implementation must shuffle once on
+    user_id (plus the purchase-dedup agg) — never a join explosion."""
+    plan = _plan(temporal.asof_purchase_before_click(spark, SF))
+    assert "Join" not in plan  # no physical join operator at all
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = _plan(relational.q1_pricing_summary(spark, SF))
+    # two HashAggregate nodes (partial + final) around one exchange:
+    # map-side combine is on
+    assert plan.count("HashAggregate") >= 2
