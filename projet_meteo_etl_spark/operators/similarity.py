@@ -153,6 +153,84 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_centroids_df(e: DataFrame) -> DataFrame:
+    """(label, centroid array<double>) — per-label mean vector via
+    posexplode → per-dimension avg → re-assembled with array_agg in
+    position order.  The coarse-quantizer training step of IVF, fully
+    distributed (one shuffle on (label, pos), one on label)."""
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.col("pc.c").alias("centroid"))
+    )
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = 2
+) -> DataFrame:
+    """IVF-style ANN: coarse centroids (label means) partition the
+    corpus into cells; each query probes only its ``nprobe`` nearest
+    cells and ranks exact cosine within them.
+
+    All joins against the centroid table are broadcasts (k centroids ≪
+    corpus); the corpus is scanned once to assign cells and once to
+    score probed cells — at 100 TB the assignment is precomputed at
+    ingest (a partition column), leaving one pruned scan per query
+    batch.  With ``nprobe = k`` this is EXACTLY brute force (asserted
+    in tests); the registered query uses nprobe=2 (rows-only check).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids_df(e).select(
+        F.col("label").alias("cell_id"), "centroid"
+    )
+
+    # cell assignment: nearest centroid by cosine (corpus ⋈ broadcast(k))
+    scored_cells = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        F.col("cell_id").alias("cell"),
+        cosine(F.col("embedding"), F.col("centroid")).alias("csim"),
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    assigned = (
+        scored_cells.withColumn("r", F.row_number().over(assign_w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+    # query side: probe the nprobe nearest cells
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cell"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id", "qv", F.col("cell_id").alias("cell"),
+            cosine(F.col("qv"), F.col("centroid")).alias("qsim"),
+        )
+        .withColumn("r", F.row_number().over(probe_w))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", pround(cosine(F.col("qv"), F.col("embedding")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid stats via element-wise array aggregation:
     posexplode → avg per (label, dim) → fold back to a norm.  This is
@@ -201,6 +279,7 @@ ORDER BY n.label
 SPARK_QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_label_centroids": embedding_label_centroids,
 }
 

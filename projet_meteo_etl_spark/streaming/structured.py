@@ -236,13 +236,49 @@ def stream_late_event_dropper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched per-batch against a
+    static broadcast dimension (customer), then aggregated by market
+    segment.  The static side is planned as a broadcast into every
+    micro-batch — the standard streaming-enrichment shape (at scale the
+    dim is a slowly-changing Delta table; the join plan is identical).
+    """
+    from projet_meteo_etl_spark.catalog import load_table
+
+    e = _read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = e.join(F.broadcast(dim), "user_id", "left").select(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        "event_type",
+    )
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    sink = _run_to_memory(agg, "complete")
+    return sink.orderBy("segment", "event_type")
+
+
+STREAM_STATIC_SQL = """
+SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+       event_type,
+       count(*) AS n_events
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+ORDER BY segment, event_type
+"""
+
+
 SPARK_QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_user_running_totals": stream_user_running_totals,
     "stream_late_event_dropper": stream_late_event_dropper,
+    "stream_static_segment_counts": stream_static_segment_counts,
 }
 
 ORACLE_SQL = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
+    "stream_static_segment_counts": STREAM_STATIC_SQL,
 }

@@ -1,0 +1,53 @@
+"""ANN paths: IVF exactness at full probe, approximate recall bounds."""
+
+from __future__ import annotations
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def _topk(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+    return out
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """Probing every cell makes IVF exhaustive — must match brute force
+    exactly (same cosines, same order)."""
+    k = load_table(spark, SF, "embeddings").select("label").distinct().count()
+    ivf = _topk(sim.ann_ivf_topk(spark, SF, nprobe=k).collect())
+    bf = _topk(sim.ann_bruteforce_topk(spark, SF).collect())
+    assert ivf == bf
+
+
+def test_ivf_partial_probe_is_subset_with_recall(spark):
+    ivf = _topk(sim.ann_ivf_topk(spark, SF, nprobe=2).collect())
+    bf = _topk(sim.ann_bruteforce_topk(spark, SF).collect())
+    assert set(ivf) == set(bf)  # same query set
+    recalls = []
+    for q, pairs in bf.items():
+        bf_ids = {n for n, _ in pairs}
+        ivf_ids = {n for n, _ in ivf[q]}
+        # approximate results never exceed the true best cosine
+        assert max(c for _, c in ivf[q]) <= max(c for _, c in pairs)
+        recalls.append(len(bf_ids & ivf_ids) / len(bf_ids))
+    assert sum(recalls) / len(recalls) > 0.1  # sanity floor, logged value matters
+    print(f"ivf nprobe=2 mean recall@10: {sum(recalls) / len(recalls):.3f}")
+
+
+def test_lsh_recall_floor(spark):
+    lsh = _topk(sim.ann_lsh_topk(spark, SF).collect())
+    bf = _topk(sim.ann_bruteforce_topk(spark, SF).collect())
+    recalls = []
+    for q, pairs in bf.items():
+        if q not in lsh:
+            recalls.append(0.0)
+            continue
+        recalls.append(
+            len({n for n, _ in pairs} & {n for n, _ in lsh[q]}) / len(pairs)
+        )
+    assert sum(recalls) / len(recalls) > 0.05
