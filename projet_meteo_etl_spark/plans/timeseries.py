@@ -1,0 +1,159 @@
+"""Time-series operators over the events stream table.
+
+* ``user_value_trend`` — per-user OLS trend of purchase value over
+  time, via Spark's built-in regression aggregates (``regr_slope`` /
+  ``regr_intercept`` / ``corr``): single hash-agg shuffle, no Python.
+* ``user_hourly_ffill`` — gap-filling resample: each user's purchase
+  series expanded to a dense 1-hour grid (``sequence`` + ``explode``)
+  with values carried forward (``last(..., ignorenulls)`` window) —
+  the standard Spark shape for as-of/ffill resampling.  Money stays in
+  integer cents end-to-end, so carried values are hash-exact.
+
+Scale: the grid explode multiplies rows by the gap span, bounded here
+to the observed per-user range; at 100 TB you'd bucket the grid per
+(user, day) so a single long-lived user cannot skew one task — noted
+inline where it applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of purchase value vs hours-since-epoch.
+
+    x is integer hours (exact in double), y is exact cents/100; the
+    regression aggregates are JVM built-ins — a single shuffle.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    x = (F.unix_micros("ts") / F.lit(3_600_000_000.0)).alias("x")
+    y = (F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long") / F.lit(100.0))
+    base = e.select("user_id", x, y.alias("y"))
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            pround(F.regr_slope("y", "x"), 6).alias("slope"),
+            pround(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            pround(F.corr("y", "x"), 6).alias("correlation"),
+        )
+        .filter(F.col("n_purchases") >= 3)
+        .orderBy("user_id")
+    )
+
+
+USER_TREND_SQL = """
+WITH base AS (
+  SELECT user_id,
+         epoch_us(ts) / 3600000000.0 AS x,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) / 100.0 AS y
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       count(*) AS n_purchases,
+       floor((regr_slope(y, x)) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+       floor((regr_intercept(y, x)) * 10000.0 + 0.5) / 10000.0 AS intercept,
+       floor((corr(y, x)) * 1000000.0 + 0.5) / 1000000.0 AS correlation
+FROM base
+GROUP BY user_id
+HAVING count(*) >= 3
+ORDER BY user_id
+"""
+
+
+def user_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1-hour resample per user with forward-filled last purchase
+    value (integer cents).  Shape: hourly agg → per-user grid explode →
+    carry-forward window.  Summarized (count + checksum) to keep the
+    result compact at any scale."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hourly = (
+        e.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("hour"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "hour")
+        .agg(F.max("cents").alias("cents"))  # last-known value per hour: max for determinism
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    # at 100 TB: explode per (user, day) instead of the full span so one
+    # long-lived user cannot produce a single giant task
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("cents", ignorenulls=True).over(w).alias("cents_ffill"),
+        )
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(F.col("cents_ffill").isNotNull(), 1).otherwise(0)).alias(
+                "n_filled"
+            ),
+            F.sum("cents_ffill").alias("cents_checksum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_FFILL_SQL = """
+WITH hourly AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour,
+         max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM span
+),
+filled AS (
+  SELECT g.user_id, g.hour,
+         last_value(h.cents IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill
+  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+)
+SELECT user_id,
+       count(*) AS n_hours,
+       sum(CASE WHEN cents_ffill IS NOT NULL THEN 1 ELSE 0 END) AS n_filled,
+       sum(cents_ffill) AS cents_checksum
+FROM filled
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+SPARK_QUERIES = {
+    "user_value_trend": user_value_trend,
+    "user_hourly_ffill": user_hourly_ffill,
+}
+
+ORACLE_SQL = {
+    "user_value_trend": USER_TREND_SQL,
+    "user_hourly_ffill": USER_FFILL_SQL,
+}

@@ -20,10 +20,12 @@ _MODULES = (
     "projet_meteo_etl_spark.plans.relational_ext",
     "projet_meteo_etl_spark.plans.weather",
     "projet_meteo_etl_spark.plans.temporal",
+    "projet_meteo_etl_spark.plans.timeseries",
     "projet_meteo_etl_spark.operators.quality_queries",
     "projet_meteo_etl_spark.sources.sinks",
     "projet_meteo_etl_spark.operators.dedup",
     "projet_meteo_etl_spark.operators.multimodal",
+    "projet_meteo_etl_spark.operators.sketches",
     "projet_meteo_etl_spark.operators.similarity",
     "projet_meteo_etl_spark.operators.text",
     "projet_meteo_etl_spark.streaming.windows",
