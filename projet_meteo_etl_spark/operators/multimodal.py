@@ -187,6 +187,55 @@ def decode_media(payload: bytes, kind: str, *, fake: bool = False):
     return counts
 
 
+def resize_media(payload: bytes, kind: str, side: int = 8, *, fake: bool = False):
+    """Resize stub (images) / frame-thumbnail stub (video).  A real
+    deployment plugs ``PIL.Image.resize`` in here; the deterministic
+    fake emits a side×side "thumbnail" of evenly-strided payload bytes,
+    so tests can assert exact output without a codec.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "no image codecs in this environment — pass fake=True for the "
+            "deterministic stub resizer"
+        )
+    n = side * side
+    if len(payload) == 0:
+        return bytes(n)
+    step = max(len(payload) // n, 1)
+    return bytes(payload[min(i * step, len(payload) - 1)] for i in range(n))
+
+
+def multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over image assets: ``mapInPandas`` batches, 8×8
+    thumbnails, plus an integer checksum so determinism is assertable.
+    Rows-only (the fake resizer is engine-specific by construction)."""
+    import pandas as pd
+
+    m = with_media_payload(load_table(spark, sf_dir, "documents")).filter(
+        F.col("kind") == "image"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [resize_media(p, "image", fake=True) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb_side": [8] * len(pdf),
+                    "thumb_bytes": [len(t) for t in thumbs],
+                    "thumb_checksum": [sum(t) for t in thumbs],
+                }
+            )
+
+    return (
+        m.mapInPandas(
+            resize,
+            "doc_id bigint, thumb_side int, thumb_bytes bigint, thumb_checksum bigint",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``:
     Arrow-batched, partition-local, no shuffle.  Output: normalized
@@ -227,6 +276,7 @@ SPARK_QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_features": multimodal_features,
+    "multimodal_thumbnails": multimodal_thumbnails,
 }
 
 ORACLE_SQL = {

@@ -374,6 +374,51 @@ ORDER BY order_year
 """
 
 
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE: all 4 grouping combinations of (year, status) in
+    one pass — Spark expands grouping sets before the hash agg, so it
+    stays a single shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("order_year"), "o_orderstatus", "o_totalprice"
+        )
+        .cube("order_year", "o_orderstatus")
+        .agg(
+            pround(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       o_orderstatus,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (order_year, o_orderstatus)
+ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def lineitem_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli TABLESAMPLE: reproducible within Spark for a
+    fixed seed/partitioning, but RNG streams differ across engines —
+    registered rows-only; the fraction/determinism contract is tested."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = l.sample(fraction=0.1, seed=42)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        pround(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
 SPARK_QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_supplier_nation_volume": q7_supplier_nation_volume,
@@ -385,6 +430,8 @@ SPARK_QUERIES = {
     "q22_idle_customers": q22_idle_customers,
     "orders_above_customer_avg": orders_above_customer_avg,
     "order_status_pivot": order_status_pivot,
+    "cube_revenue": cube_revenue,
+    "lineitem_sample_stats": lineitem_sample_stats,
 }
 
 ORACLE_SQL = {
@@ -398,4 +445,5 @@ ORACLE_SQL = {
     "q22_idle_customers": Q22_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
     "order_status_pivot": ORDER_STATUS_PIVOT_SQL,
+    "cube_revenue": CUBE_SQL,
 }

@@ -56,3 +56,19 @@ def test_frame_sample_counts(spark):
     for r in rows:
         assert r.frame_idx % 4 == 0
         assert 1 <= r.frame_bytes <= 256
+
+
+def test_resize_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        mm.resize_media(b"\x89PNG", "image")
+
+
+def test_thumbnails_deterministic(spark):
+    a = mm.multimodal_thumbnails(spark, SF).collect()
+    b = mm.multimodal_thumbnails(spark, SF).collect()
+    assert a == b
+    assert len(a) > 0
+    for r in a:
+        assert r.thumb_side == 8
+        assert r.thumb_bytes == 64
+        assert 0 <= r.thumb_checksum <= 64 * 255

@@ -67,3 +67,12 @@ def test_partial_aggregation_before_shuffle(spark):
     # two HashAggregate nodes (partial + final) around one exchange:
     # map-side combine is on
     assert plan.count("HashAggregate") >= 2
+
+
+def test_sample_fraction_and_determinism(spark):
+    a = relational_ext.lineitem_sample_stats(spark, SF).collect()[0]
+    b = relational_ext.lineitem_sample_stats(spark, SF).collect()[0]
+    assert a == b  # fixed seed + same partitioning → reproducible
+    from projet_meteo_etl_spark.catalog import load_table
+    total = load_table(spark, SF, "lineitem").count()
+    assert 0.05 * total < a.n_sampled < 0.15 * total
