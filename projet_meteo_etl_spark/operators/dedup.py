@@ -131,7 +131,10 @@ def ngram_jaccard_pairs(
     combine with the LSH path when shingle frequencies are heavy-tailed.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(d, n=n)
+    # the inverted index feeds three consumers (sizes + both join
+    # sides): persist so the scan+regex+explode runs once, not thrice
+    # (2× wall at sf0.1; ContextCleaner evicts it when unreferenced)
+    sh = word_shingles(d, n=n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -253,7 +256,8 @@ def dedup_minhash_lsh(
     docs) before hashing — the skew guard for web-scale corpora.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(d)
+    # four consumers (signatures, candidate verify a/b, sizes) → persist
+    sh = word_shingles(d).persist()
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         keep = df_counts.filter(F.col("df") <= max_df).select("shingle")

@@ -406,6 +406,40 @@ ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
 """
 
 
+def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting for skewed keys: events has only 5 event_type values, so
+    a naive groupBy lands everything on 5 reducers.  Phase 1 groups by
+    (key, salt) — 16× the parallelism — phase 2 merges the partials.
+    Values accumulate in integer cents so the two-phase sum is exactly
+    the one-phase sum (hash-checked against a plain GROUP BY oracle:
+    salting is a physical rewrite, never a semantic one).
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    phase1 = (
+        e.select("event_type", cents.alias("cents"), F.pmod(F.hash("event_id"), F.lit(16)).alias("salt"))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("c") / 100.0).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SALTED_AGG_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def lineitem_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli TABLESAMPLE: reproducible within Spark for a
     fixed seed/partitioning, but RNG streams differ across engines —
@@ -431,6 +465,7 @@ SPARK_QUERIES = {
     "orders_above_customer_avg": orders_above_customer_avg,
     "order_status_pivot": order_status_pivot,
     "cube_revenue": cube_revenue,
+    "salted_skew_aggregation": salted_skew_aggregation,
     "lineitem_sample_stats": lineitem_sample_stats,
 }
 
@@ -446,4 +481,5 @@ ORACLE_SQL = {
     "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
     "order_status_pivot": ORDER_STATUS_PIVOT_SQL,
     "cube_revenue": CUBE_SQL,
+    "salted_skew_aggregation": SALTED_AGG_SQL,
 }
