@@ -102,19 +102,34 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+#: state-store partition count for the test-scale streams.  Stateful
+#: operators pay a fixed per-(partition × micro-batch) store cost, so
+#: tiny per-batch volumes want few state partitions (5× wall at sf0.1);
+#: a real deployment sizes this to state volume instead.
+STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+
+
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink and
-    return the sink table (a normal batch DataFrame)."""
+    return the sink table (a normal batch DataFrame).  Shuffle-partition
+    count is pinned for the query's lifetime (bound at stream start) and
+    restored afterwards."""
+    spark = df.sparkSession
     name = f"stream_sink_{next(_COUNTER)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,15 +285,63 @@ ORDER BY segment, event_type
 """
 
 
+def stream_stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition: each
+    purchase matched to same-user clicks in the following 10 minutes,
+    both sides watermarked so join state is evicted once the watermark
+    passes the range bound.  For the bounded, time-ordered input every
+    in-range pair is emitted before its state expires, so the appended
+    result equals the batch range join — hash-checked against it.
+    """
+    e = _read_events_stream(spark, sf_dir)
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND c_ts > p_ts "
+            "AND c_ts <= p_ts + interval 10 minutes"
+        ),
+    )
+    sink = _run_to_memory(joined, "append")
+    return (
+        sink.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT p.user_id, count(*) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts
+ AND epoch_us(c.ts) <= epoch_us(p.ts) + 600000000
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
 SPARK_QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_user_running_totals": stream_user_running_totals,
     "stream_late_event_dropper": stream_late_event_dropper,
     "stream_static_segment_counts": stream_static_segment_counts,
+    "stream_stream_purchase_click_join": stream_stream_purchase_click_join,
 }
 
 ORACLE_SQL = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
     "stream_static_segment_counts": STREAM_STATIC_SQL,
+    "stream_stream_purchase_click_join": STREAM_STREAM_JOIN_SQL,
 }
