@@ -1,0 +1,161 @@
+"""Function-surface showcases: ranking windows, GROUPING SETS, and
+complex-type (array/struct) expressions — each a single oracle-checked
+query exercising a family of built-ins end-to-end.
+
+These exist so a user of the reference switching to this engine finds
+the full scalar/window/grouping vocabulary already wired through the
+correctness gate, not just the operators the reference happened to use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+
+def ranking_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every SQL ranking/distribution function in one windowed pass over
+    customers per market segment (deterministic ordering key)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            pround("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            pround(F.percent_rank().over(w), 6).alias("prnk"),
+            pround(F.cume_dist().over(w), 6).alias("cd"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 50)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+RANKING_SQL = """
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey,
+         floor((c_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal,
+         row_number()  OVER w AS rn,
+         rank()        OVER w AS rnk,
+         dense_rank()  OVER w AS drnk,
+         floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS prnk,
+         floor((cume_dist()    OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cd,
+         ntile(4)      OVER w AS quartile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+)
+WHERE rn <= 50
+ORDER BY c_mktsegment, rn
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with ``grouping_id`` disambiguation —
+    three aggregation granularities in one shuffle (via Spark SQL; the
+    DataFrame API exposes only rollup/cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               o_orderpriority,
+               CAST(grouping_id(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
+               -- 100.0D: plain decimal literals are DECIMAL-typed in
+               -- Spark SQL, which would make the division DECIMAL too
+               floor((sum(o_totalprice)) * 100.0D + 0.5D) / 100.0D AS total_price,
+               count(*) AS n_orders
+        FROM orders_v
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+        ORDER BY gid, order_year NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       o_orderpriority,
+       CAST(grouping(year(o_orderdate)) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+ORDER BY gid, order_year NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type pipeline: per-order sorted quantity array, then
+    higher-order functions over it (filter/transform/aggregate), array
+    slicing, and element access — the nested-data vocabulary."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        l.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))).alias("qtys"))
+        .filter(F.size("qtys") >= 4)
+    )
+    return (
+        per_order.select(
+            "l_orderkey",
+            F.size("qtys").cast("long").alias("n_lines"),
+            F.element_at("qtys", 1).alias("min_qty"),
+            F.element_at("qtys", -1).alias("max_qty"),
+            F.size(F.filter("qtys", lambda q: q >= 25)).cast("long").alias("n_big"),
+            F.aggregate("qtys", F.lit(0).cast("long"), lambda acc, q: acc + q).alias(
+                "sum_qty"
+            ),
+            F.slice("qtys", 1, 3).alias("first3"),
+            F.array_distinct("qtys").alias("distinct_qtys"),
+        )
+        .select(
+            "l_orderkey",
+            "n_lines",
+            "min_qty",
+            "max_qty",
+            "n_big",
+            "sum_qty",
+            F.size("distinct_qtys").cast("long").alias("n_distinct"),
+            F.aggregate("first3", F.lit(0).cast("long"), lambda a, q: a + q).alias(
+                "sum_first3"
+            ),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+ARRAY_FUNCS_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+  HAVING len(list(l_quantity)) >= 4
+)
+SELECT l_orderkey,
+       CAST(len(qtys) AS BIGINT) AS n_lines,
+       qtys[1] AS min_qty,
+       qtys[-1] AS max_qty,
+       CAST(len(list_filter(qtys, q -> q >= 25)) AS BIGINT) AS n_big,
+       CAST(list_sum(qtys) AS BIGINT) AS sum_qty,
+       CAST(len(list_distinct(qtys)) AS BIGINT) AS n_distinct,
+       CAST(coalesce(list_sum(qtys[1:3]), 0) AS BIGINT) AS sum_first3
+FROM per_order
+ORDER BY l_orderkey
+"""
+
+
+SPARK_QUERIES = {
+    "ranking_functions_showcase": ranking_functions_showcase,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "array_functions_showcase": array_functions_showcase,
+}
+
+ORACLE_SQL = {
+    "ranking_functions_showcase": RANKING_SQL,
+    "grouping_sets_revenue": GROUPING_SETS_SQL,
+    "array_functions_showcase": ARRAY_FUNCS_SQL,
+}

@@ -148,9 +148,41 @@ ORDER BY user_id
 """
 
 
+def user_value_ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.3) -> DataFrame:
+    """Per-user exponentially-weighted moving average of purchase value.
+
+    EWMA is RECURSIVE (each output depends on the previous output), so
+    no SQL window frame can express it — this is the documented
+    ``applyInPandas`` escape hatch in its intended role: groups are
+    hash-partitioned to executors, each group's series is computed
+    vectorized in pandas, nothing ever gathers on the driver.
+    Rows-only check; tests pin it against an independent pandas
+    reference on collected data.
+    """
+    import pandas as pd
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["ewma_value"] = pdf["value"].ewm(alpha=alpha, adjust=False).mean()
+        return pdf[["user_id", "event_id", "ewma_value"]]
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(ewma, "user_id bigint, event_id bigint, ewma_value double")
+        .orderBy("user_id", "event_id")
+    )
+
+
 SPARK_QUERIES = {
     "user_value_trend": user_value_trend,
     "user_hourly_ffill": user_hourly_ffill,
+    "user_value_ewma": user_value_ewma,
 }
 
 ORACLE_SQL = {
