@@ -440,6 +440,111 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_connected_components(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.04, max_iter: int = 15
+) -> DataFrame:
+    """Transitive near-dup clusters: connected components of the exact
+    n-gram-Jaccard pair graph, as iterative min-label propagation —
+    each round one join+agg (label = min(own, neighbors)), loop until a
+    fixpoint.  The classic Spark iterative-algorithm shape: per-round
+    ``persist`` truncates lineage; rounds needed = graph diameter
+    (≤ log n with doubling in a production variant).
+
+    Output is the cluster-size histogram.  Oracle: a recursive CTE in
+    DuckDB computes the same components by reachability closure.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    fwd = pairs
+    rev = pairs.select(
+        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    )
+    edges = fwd.unionByName(rev).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("n2"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == F.col("n2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_CC_SQL = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT DISTINCT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+    FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+      FROM documents
+    ) toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE shingle IS NOT NULL
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5)
+        / 1000000.0 >= 0.04
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_a, doc_a FROM edges
+  UNION
+  SELECT reach.node, edges.doc_b FROM reach JOIN edges ON reach.r = edges.doc_a
+),
+comps AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+SELECT cluster_size, count(*) AS n_clusters FROM (
+  SELECT comp, count(*) AS cluster_size FROM comps GROUP BY comp
+) GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 SPARK_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
@@ -447,6 +552,7 @@ SPARK_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_connected_components": dedup_connected_components,
 }
 
 ORACLE_SQL = {
@@ -454,4 +560,5 @@ ORACLE_SQL = {
     "dedup_fingerprint_groups": DEDUP_FINGERPRINT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+    "dedup_connected_components": DEDUP_CC_SQL,
 }

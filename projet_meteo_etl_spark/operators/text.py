@@ -243,7 +243,87 @@ ORDER BY fp
 """
 
 
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation DAG — the composition a real
+    training-data pipeline runs, in ONE Catalyst plan:
+
+    quality-score → filter (score ≥ 0.5, ≥ 20 tokens) → exact dedup on
+    normalized fingerprint (keep min doc_id) → per-language yield stats.
+
+    Everything fuses: the quality projection and the fingerprint hash
+    compute in the same scan stage; dedup is one shuffle; the final agg
+    is map-side partial.  Fully oracle-checked.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = ws_token_count(F.col("text"))
+    dtr = distinct_token_ratio(F.col("text"))
+    swr = stopword_ratio(F.col("text"))
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.4) * dtr
+        + F.lit(0.2) * F.least(swr * 5.0, F.lit(1.0))
+    )
+    scored = d.select(
+        "doc_id", "lang", n_tok.alias("n_tokens"), score.alias("score"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).filter((F.col("score") >= 0.5) & (F.col("n_tokens") >= 20))
+    survivors = (
+        scored.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("dup_count") - 1).alias("dups_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+TRAINING_PIPELINE_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                            '\s+', ' ', 'g'))) AS fp,
+    0.4 * least((CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 50.0, 1.0)
+    + 0.4 * (CASE WHEN length(trim(text)) = 0 THEN 0.0
+             ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                  * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END)
+    + 0.2 * least((CASE WHEN length(trim(text)) = 0 THEN 0.0
+                   ELSE len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))
+                        * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END) * 5.0,
+                  1.0) AS score
+  FROM documents
+),
+kept AS (SELECT * FROM scored WHERE score >= 0.5 AND n_tokens >= 20),
+survivors AS (
+  SELECT fp, min(doc_id) AS doc_id,
+         arg_min(lang, doc_id) AS lang,
+         arg_min(n_tokens, doc_id) AS n_tokens,
+         count(*) AS dup_count
+  FROM kept GROUP BY fp
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       sum(dup_count - 1) AS dups_removed
+FROM survivors
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 SPARK_QUERIES = {
+    "training_data_pipeline": training_data_pipeline,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -251,6 +331,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
