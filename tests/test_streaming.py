@@ -46,3 +46,49 @@ def test_late_dropper_subset_and_deterministic(spark):
     assert set(a) == set(totals)
     for et, n in a.items():
         assert 0 < n <= totals[et]
+
+
+def test_checkpoint_exactly_once_across_restarts(spark, tmp_path):
+    """File-sink streaming with a checkpoint: restart after new data
+    arrives must process ONLY the new files — no reprocessing, no loss
+    (exactly-once for the file source + file sink pair)."""
+    import pyarrow.parquet as pq
+
+    from projet_meteo_etl_spark.catalog import table_path
+    from projet_meteo_etl_spark.streaming.structured import _EVENTS_RAW
+
+    src_dir = tmp_path / "src"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir.mkdir()
+    t = pq.read_table(table_path(SF, "events"))
+    half = t.num_rows // 2
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(_EVENTS_RAW)
+            .parquet(str(src_dir))
+            .select("event_id", "user_id", "event_type")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pq.write_table(t.slice(0, half), str(src_dir / "part_a.parquet"), version="2.6")
+    run_once()
+    first = spark.read.parquet(out_dir).count()
+    assert first == half
+
+    pq.write_table(
+        t.slice(half, t.num_rows - half), str(src_dir / "part_b.parquet"), version="2.6"
+    )
+    run_once()  # restart from checkpoint
+    back = spark.read.parquet(out_dir)
+    assert back.count() == t.num_rows              # nothing lost
+    assert back.select("event_id").distinct().count() == t.num_rows  # nothing duplicated
