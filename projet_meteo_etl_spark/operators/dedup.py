@@ -440,6 +440,105 @@ ORDER BY id_a, id_b
 """
 
 
+def winnow_fingerprint_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    w: int = 4,
+    min_common: int = 40,
+) -> DataFrame:
+    """Rolling-hash winnowing (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): character ``k``-gram hashes per document, the minimum
+    hash of each ``w``-window kept as a fingerprint, documents sharing
+    ≥ ``min_common`` fingerprints reported as near-dups.
+
+    The hash is the first 8 hex digits of md5 converted to int — chosen
+    because BOTH engines compute it identically (``conv(...,16,10)`` /
+    ``('0x'||…)::BIGINT``), so the whole algorithm is hash-checked
+    end-to-end against DuckDB.  Plan shape: projection → explode (no
+    shuffle) → window min on (doc, pos) → distinct → self-join on
+    fingerprint — same scale profile as the shingle inverted index.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    base = d.select("doc_id", norm.alias("norm")).filter(
+        F.length("norm") >= k + w - 1
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("norm") - F.lit(k - 1))
+        ).alias("pos"),
+        "norm",
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.expr(f"substr(norm, pos, {k})")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    fps = (
+        grams.withColumn("n_grams", F.max("pos").over(Window.partitionBy("doc_id")))
+        # min must see the tail rows, so compute BEFORE dropping the
+        # trailing partial windows — filtering first truncates the frame
+        .withColumn("minh", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
+        .select("doc_id", "minh")
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.minh") == F.col("b.minh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+WINNOW_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+  FROM documents
+  WHERE length(regexp_replace(lower(text), '\s+', ' ', 'g')) >= 11
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(substr(norm, i::INT, 8)), 1, 8))::BIGINT AS h,
+         length(norm) - 7 AS n_grams
+  FROM (
+    SELECT doc_id, norm,
+           unnest(generate_series(1, length(norm) - 7)) AS i
+    FROM base
+  )
+),
+fps AS (
+  SELECT DISTINCT doc_id, minh FROM (
+    SELECT doc_id, pos, n_grams,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+    FROM grams
+  ) WHERE pos <= n_grams - 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+FROM fps a JOIN fps b ON a.minh = b.minh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 40
+ORDER BY doc_a, doc_b
+"""
+
+
 def dedup_connected_components(
     spark: SparkSession, sf_dir: str, threshold: float = 0.04, max_iter: int = 15
 ) -> DataFrame:
@@ -553,6 +652,7 @@ SPARK_QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_connected_components": dedup_connected_components,
+    "winnow_fingerprint_pairs": winnow_fingerprint_pairs,
 }
 
 ORACLE_SQL = {
@@ -561,4 +661,5 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_connected_components": DEDUP_CC_SQL,
+    "winnow_fingerprint_pairs": WINNOW_SQL,
 }
