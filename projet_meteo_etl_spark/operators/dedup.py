@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Five dedup families, each in its Spark-native shape:
+Eight near-dup/dedup operators, each in its Spark-native shape:
 
 * **exact** — hash groupBy on the raw text (one shuffle, map-side
   partial agg);
@@ -13,7 +13,12 @@ Five dedup families, each in its Spark-native shape:
   signature join for candidate generation, exact-Jaccard verify:
   the 100 TB near-dup path (candidate pairs ∝ true dups, not n²);
 * **SimHash** — 64-bit signed-bit-sum signature, 16-bit band join,
-  Hamming-distance verify via ``bit_count(a XOR b)``.
+  Hamming-distance verify via ``bit_count(a XOR b)``;
+* **embedding cosine** — Arrow block-matmul all-pairs baseline;
+* **winnowing** — rolling-hash k-gram fingerprints (MOSS), portable
+  md5-prefix hashing so the whole algorithm oracle-checks;
+* **connected components** — transitive dup clusters via iterative
+  min-label propagation + pointer jumping over the pair graph.
 
 Exact/fingerprint/Jaccard/embedding-cosine have DuckDB oracles; the
 MinHash/SimHash signatures depend on Spark's xxhash64 (not available in
@@ -490,6 +495,7 @@ def winnow_fingerprint_pairs(
         .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
         .select("doc_id", "minh")
         .distinct()
+        .persist()  # feeds both sides of the overlap self-join
     )
     a, b = fps.alias("a"), fps.alias("b")
     return (
