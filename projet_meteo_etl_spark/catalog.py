@@ -34,6 +34,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def harden_session(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs our plans assume, so queries run
+    identically on an externally-built vanilla session (the driver's
+    correctness gate constructs its own SparkSession, which in Spark 4
+    defaults to ANSI mode and the machine timezone):
+
+    - ANSI off: ``cast('n/a' AS DOUBLE)`` must yield null (the P1
+      unparsable→null contract), not raise;
+    - UTC session timezone: window starts / date parts must agree with
+      the DuckDB oracle regardless of host timezone;
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS).
+    """
+    for k, v in (
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — conf may be fixed; keep going
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one catalog table.
 
@@ -44,9 +67,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    if name == "events":
-        # runtime-settable; required even on externally-supplied sessions
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    harden_session(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -36,13 +36,14 @@ def clean_numeric(col: Column) -> Column:
     (French decimal comma), strip spaces and unit suffixes
     (``°F mph in w/m² %``), ``float()`` cast with unparsable→null.
 
-    Spark's ``cast("double")`` returns null on unparsable input (non-ANSI
-    mode), exactly matching the reference's ``except ValueError: None``.
+    ``try_cast`` returns null on unparsable input in EVERY session mode
+    (plain ``cast`` raises under ANSI, Spark 4's default), exactly
+    matching the reference's ``except ValueError: None``.
     """
     cleaned = F.regexp_replace(
         F.regexp_replace(col.cast("string"), ",", "."), _UNIT_NOISE, ""
     )
-    return cleaned.cast("double")
+    return cleaned.try_cast("double")
 
 
 # ---------------------------------------------------------------------------

@@ -215,9 +215,19 @@ def multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kind") == "image"
     )
 
+    # self-contained closure — see note in multimodal_features
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_resize(payload: bytes, side: int = 8) -> bytes:
+            n = side * side  # keep in sync with resize_media(fake=True)
+            if len(payload) == 0:
+                return bytes(n)
+            step = max(len(payload) // n, 1)
+            return bytes(
+                payload[min(i * step, len(payload) - 1)] for i in range(n)
+            )
+
         for pdf in batches:
-            thumbs = [resize_media(p, "image", fake=True) for p in pdf["payload"]]
+            thumbs = [fake_resize(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -248,11 +258,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = with_media_payload(load_table(spark, sf_dir, "documents"))
 
+    # NB: the closure must be SELF-CONTAINED — a reference to the
+    # module-level decode_media would pickle by module name, and the
+    # driver's Python workers may not have this package on their path
+    # (the driver gate builds its own session from any cwd).
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(p: bytes) -> list:
+            counts = [0] * 16  # keep in sync with decode_media(fake=True)
+            for b in p:
+                counts[b >> 4] += 1
+            return counts
+
         for pdf in batches:
             feats = [
-                [c / max(len(p), 1) for c in decode_media(p, k, fake=True)]
-                for p, k in zip(pdf["payload"], pdf["kind"])
+                [c / max(len(p), 1) for c in fake_decode(p)]
+                for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {

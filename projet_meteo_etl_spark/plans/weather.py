@@ -45,6 +45,9 @@ def weather_etl_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_meteo_etl_spark.sources.weather_csv import read_weather_csv
     from projet_meteo_etl_spark.sources.weather_json import read_weather_json
 
+    from projet_meteo_etl_spark.catalog import harden_session
+
+    harden_session(spark)  # driver gate sessions default to ANSI mode
     fx = _fixtures()
     parts = [
         clean_weather_csv(read_weather_csv(spark, manifest, station_id))

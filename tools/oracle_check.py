@@ -44,7 +44,19 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # mirror the driver: a bare session with NONE of our configs
+        # (Spark 4 defaults: ANSI on, machine tz, 200 shuffle partitions)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
