@@ -173,7 +173,13 @@ def user_value_ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.3) -> Dat
         return pdf[["user_id", "event_id", "ewma_value"]]
 
     return (
-        e.groupBy("user_id")
+        # pre-partition on the group key: the groupBy reuses this hash
+        # distribution, so the Python stage runs 8 tasks instead of
+        # spark.sql.shuffle.partitions (≈6× wall at test scale — each
+        # Arrow task pays worker/serialization overhead).  At real scale
+        # size this to (total group bytes / executor memory), not 8.
+        e.repartition(8, "user_id")
+        .groupBy("user_id")
         .applyInPandas(ewma, "user_id bigint, event_id bigint, ewma_value double")
         .orderBy("user_id", "event_id")
     )

@@ -285,6 +285,56 @@ ORDER BY segment, event_type
 """
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: ``session_window`` with a 30-minute gap
+    per user — the stateful merging-window operator (sessions grow and
+    MERGE as events arrive across micro-batches).  Complete mode on the
+    bounded input reproduces the batch answer; hash-checked against the
+    same oracle as :func:`streaming.windows.events_session_windows`.
+    """
+    e = _read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+    sink = _run_to_memory(agg, "complete")
+    return sink.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "session_value",
+    ).orderBy("user_id", "session_start")
+
+
+STREAM_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 30 * 60 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def stream_stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range condition: each
     purchase matched to same-user clicks in the following 10 minutes,
@@ -337,6 +387,7 @@ SPARK_QUERIES = {
     "stream_late_event_dropper": stream_late_event_dropper,
     "stream_static_segment_counts": stream_static_segment_counts,
     "stream_stream_purchase_click_join": stream_stream_purchase_click_join,
+    "stream_session_windows": stream_session_windows,
 }
 
 ORACLE_SQL = {
@@ -344,4 +395,5 @@ ORACLE_SQL = {
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
     "stream_static_segment_counts": STREAM_STATIC_SQL,
     "stream_stream_purchase_click_join": STREAM_STREAM_JOIN_SQL,
+    "stream_session_windows": STREAM_SESSION_SQL,
 }
