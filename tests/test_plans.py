@@ -76,3 +76,37 @@ def test_sample_fraction_and_determinism(spark):
     from projet_meteo_etl_spark.catalog import load_table
     total = load_table(spark, SF, "lineitem").count()
     assert 0.05 * total < a.n_sampled < 0.15 * total
+
+
+def test_aqe_splits_skewed_join(spark):
+    """A pathologically hot key must be split by AQE's skew-join
+    handling (thresholds lowered to trigger at test scale) — the
+    mechanism that keeps one straggler task from serializing a 100 TB
+    fact-fact join."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # left: 200k rows on ONE key + 2k spread over 1000 keys
+        hot = spark.range(200_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+        cold = spark.range(2_000).select((F.col("id") % 1000 + 1).alias("k"), F.col("id").alias("v"))
+        left = hot.unionByName(cold)
+        right = spark.range(1001).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = left.join(right, "k")
+        # collect on THIS DataFrame so its own query execution finalizes
+        # (count() would plan and execute a separate aggregate query)
+        assert len(j.collect()) == 202_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not mark the skewed join"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

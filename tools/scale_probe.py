@@ -1,0 +1,83 @@
+"""Scale probe: replicate the sf0.1 fact tables in-plan (×N union) and
+time the headline scan/join/agg/window queries against ~N× the rows —
+evidence that plans scale linearly, without generating new test data.
+
+Replication happens through a catalog override: `load_table` returns
+the union of N identical scans for fact tables (lineitem/orders/
+events), dims stay single.  Row counts differ from the real tables, so
+results are NOT oracle-comparable — this is a throughput probe only.
+
+Usage: python tools/scale_probe.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from functools import reduce
+
+from projet_meteo_etl_spark import catalog
+from projet_meteo_etl_spark.session import get_spark
+
+FACTS = {"lineitem", "orders", "events"}
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    real_load = catalog.load_table
+
+    def scaled_load(s, d, name):
+        df = real_load(s, d, name)
+        if name in FACTS and n > 1:
+            df = reduce(lambda a, b: a.unionByName(b), [df] * n)
+        return df
+
+    catalog.load_table = scaled_load
+    try:
+        from projet_meteo_etl_spark.plans import relational, relational_ext, temporal
+
+        probes = {
+            "q1_pricing_summary": relational.q1_pricing_summary,
+            "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+            "revenue_by_nation": relational.revenue_by_nation,
+            "q18_large_orders": relational_ext.q18_large_orders,
+            "top_orders_per_customer": relational.top_orders_per_customer,
+            "asof_purchase_before_click": temporal.asof_purchase_before_click,
+            "salted_skew_aggregation": relational_ext.salted_skew_aggregation,
+        }
+        timings = {}
+        # warmup
+        relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        for name, fn in probes.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_probe_wall_sec",
+                    "replication": n,
+                    "approx_lineitem_rows": 600_000 * n,
+                    "queries": timings,
+                    "total": round(sum(timings.values()), 3),
+                }
+            )
+        )
+    finally:
+        catalog.load_table = real_load
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
