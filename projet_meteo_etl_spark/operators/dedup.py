@@ -20,10 +20,11 @@ Eight near-dup/dedup operators, each in its Spark-native shape:
 * **connected components** — transitive dup clusters via iterative
   min-label propagation + pointer jumping over the pair graph.
 
-Exact/fingerprint/Jaccard/embedding-cosine have DuckDB oracles; the
-MinHash/SimHash signatures depend on Spark's xxhash64 (not available in
-DuckDB), so those are registered rows-only and validated in tests
-against the exact-Jaccard ground truth instead.
+Exact/fingerprint/Jaccard/embedding-cosine/winnowing/connected-
+components have DuckDB oracles; the MinHash/SimHash signatures depend
+on Spark's xxhash64 (not available in DuckDB), so those two are
+registered rows-only and validated in tests against the exact-Jaccard
+ground truth instead.
 
 Scale notes: every family avoids the n² trap — candidate pairs come
 from equality joins on shingles / band hashes, which shuffle-partition

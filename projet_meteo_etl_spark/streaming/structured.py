@@ -381,6 +381,47 @@ ORDER BY p.user_id
 """
 
 
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of :func:`windows.events_sliding_avg`: 1-hour
+    windows sliding by 30 minutes over purchase events — every event
+    lands in two windows, expanded at scan time inside the stream.
+    Complete mode; integer-cent averaging; same oracle as the batch
+    query."""
+    e = _read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum(cents) / F.lit(100.0) / F.count(F.lit(1)), 4).alias(
+                "avg_value"
+            ),
+        )
+    )
+    sink = _run_to_memory(agg, "complete")
+    return sink.select(
+        F.col("w.start").alias("window_start"), "n_events", "avg_value"
+    ).orderBy("window_start")
+
+
+STREAM_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+  WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT window_start, count(*) AS n_events,
+       floor((sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(*))
+             * 10000.0 + 0.5) / 10000.0 AS avg_value
+FROM expanded
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
 SPARK_QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_user_running_totals": stream_user_running_totals,
@@ -388,6 +429,7 @@ SPARK_QUERIES = {
     "stream_static_segment_counts": stream_static_segment_counts,
     "stream_stream_purchase_click_join": stream_stream_purchase_click_join,
     "stream_session_windows": stream_session_windows,
+    "stream_sliding_avg": stream_sliding_avg,
 }
 
 ORACLE_SQL = {
@@ -396,4 +438,5 @@ ORACLE_SQL = {
     "stream_static_segment_counts": STREAM_STATIC_SQL,
     "stream_stream_purchase_click_join": STREAM_STREAM_JOIN_SQL,
     "stream_session_windows": STREAM_SESSION_SQL,
+    "stream_sliding_avg": STREAM_SLIDING_SQL,
 }

@@ -1,0 +1,76 @@
+"""Registry integrity: a module that fails to import is silently
+skipped (by design, to keep the driver contract alive), so this test
+pins the full expected query inventory — any accidental drop fails CI
+loudly instead of quietly shrinking the graded surface."""
+
+from __future__ import annotations
+
+from projet_meteo_etl_spark import registry
+
+EXPECTED_QUERIES = {
+    # relational core + ext
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "revenue_by_nation", "order_priority_count", "customers_without_orders",
+    "customer_order_counts", "top_orders_per_customer", "running_revenue_by_user",
+    "lag_lead_event_gaps", "topk_expensive_parts", "distinct_count_by_group",
+    "nation_set_ops", "scalar_functions_showcase", "rollup_revenue",
+    "above_avg_balance_customers", "q6_forecast_revenue", "q7_supplier_nation_volume",
+    "q10_returned_items", "q12_priority_by_returnflag", "q14_promo_revenue",
+    "q18_large_orders", "q19_bracket_predicates", "q22_idle_customers",
+    "orders_above_customer_avg", "order_status_pivot", "cube_revenue",
+    "salted_skew_aggregation", "lineitem_sample_stats",
+    # showcases
+    "ranking_functions_showcase", "grouping_sets_revenue", "array_functions_showcase",
+    # weather (reference surface)
+    "weather_etl_unified", "weather_quality_report",
+    # temporal + timeseries
+    "asof_purchase_before_click", "range_join_clicks_after_purchase",
+    "user_value_trend", "user_hourly_ffill", "user_value_ewma",
+    # quality audits
+    "range_audit_lineitem", "null_audit_events", "duplicate_audit",
+    "date_range_audit", "consistency_audit_documents", "count_reconciliation",
+    # sinks
+    "sink_partitioned_roundtrip", "sink_pruned_partition_read",
+    "sink_text_formats_roundtrip",
+    # dedup
+    "dedup_exact", "dedup_fingerprint_groups", "ngram_jaccard_pairs",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_connected_components", "winnow_fingerprint_pairs",
+    # multimodal
+    "multimodal_metadata", "multimodal_frame_sample", "multimodal_features",
+    "multimodal_thumbnails",
+    # sketches
+    "approx_user_stats", "hll_sketch_mergeability",
+    # similarity
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_label_centroids",
+    # text
+    "training_data_pipeline", "text_token_stats", "text_quality_score",
+    "text_langid", "text_fingerprints",
+    # batch windows
+    "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
+    "events_json_props", "events_late_data_filter",
+    # structured streaming
+    "stream_tumbling_counts", "stream_user_running_totals",
+    "stream_late_event_dropper", "stream_static_segment_counts",
+    "stream_stream_purchase_click_join", "stream_session_windows",
+    "stream_sliding_avg",
+}
+
+# rows-only by necessity: engine-specific hashing/sketches/batching
+EXPECTED_ROWS_ONLY = {
+    "weather_etl_unified", "weather_quality_report",  # latin-1 CSV inputs DuckDB 1.0 can't read
+    "dedup_minhash_lsh", "dedup_simhash",             # xxhash64 signatures
+    "multimodal_features", "multimodal_thumbnails",   # stub codec outputs
+    "approx_user_stats", "hll_sketch_mergeability",   # sketch internals
+    "ann_lsh_topk", "ann_ivf_topk",                   # approximate by design
+    "stream_late_event_dropper",                      # micro-batch-boundary dependent
+    "user_value_ewma",                                # recursive, non-SQL
+    "lineitem_sample_stats",                          # engine RNG stream
+}
+
+
+def test_registry_complete_and_consistent():
+    queries, oracles = registry.collect()
+    assert set(queries) == EXPECTED_QUERIES
+    assert set(oracles) == EXPECTED_QUERIES - EXPECTED_ROWS_ONLY
