@@ -322,8 +322,82 @@ ORDER BY lang
 """
 
 
+def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify stage: for each n-gram-Jaccard near-dup
+    pair, the Levenshtein distance of the (truncated) texts and a
+    normalized similarity — the precision-checking pass a curation
+    pipeline runs on candidate pairs before dropping documents.
+    Levenshtein runs ONLY on the candidate pairs (never all-pairs:
+    O(len²) per comparison is the most expensive verify in the family).
+    """
+    from projet_meteo_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 128).alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 128).alias("text_b"))
+    return (
+        pairs.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.levenshtein("text_a", "text_b").cast("long").alias("edit_distance"),
+            pround(
+                1.0
+                - F.levenshtein("text_a", "text_b")
+                / F.greatest(F.length("text_a"), F.length("text_b")),
+                6,
+            ).alias("edit_similarity"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NEAR_DUP_EDIT_SQL = NGRAM_JACCARD_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT doc_id, shingle FROM tri WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0 >= 0.04
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       levenshtein(substring(da.text, 1, 128), substring(db.text, 1, 128)) AS edit_distance,
+       floor((1.0 - levenshtein(substring(da.text, 1, 128), substring(db.text, 1, 128))
+             * 1.0 / greatest(length(substring(da.text, 1, 128)),
+                              length(substring(db.text, 1, 128)))) * 1000000.0 + 0.5) / 1000000.0
+         AS edit_similarity
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 SPARK_QUERIES = {
     "training_data_pipeline": training_data_pipeline,
+    "near_dup_edit_distance": near_dup_edit_distance,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -332,6 +406,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
+    "near_dup_edit_distance": NEAR_DUP_EDIT_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,

@@ -211,7 +211,42 @@ FROM flagged GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing with ``from_json`` + an explicit schema (the
+    production path for semi-structured columns — the regex variant in
+    :func:`events_json_props` is the dialect-portable fallback).
+    Integer sums keep the oracle exact."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("p.k").alias("n_with_k"),
+            F.sum("p.k").alias("sum_k"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_TYPED_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
+    "events_json_typed_extract": events_json_typed_extract,
     "events_tumbling_counts": events_tumbling_counts,
     "events_sliding_avg": events_sliding_avg,
     "events_session_windows": events_session_windows,
@@ -220,6 +255,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_json_typed_extract": EVENTS_JSON_TYPED_SQL,
     "events_tumbling_counts": EVENTS_TUMBLING_SQL,
     "events_sliding_avg": EVENTS_SLIDING_SQL,
     "events_session_windows": EVENTS_SESSION_SQL,

@@ -45,10 +45,12 @@ EXPECTED_QUERIES = {
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_label_centroids",
     # text
-    "training_data_pipeline", "text_token_stats", "text_quality_score",
+    "training_data_pipeline", "near_dup_edit_distance",
+    "text_token_stats", "text_quality_score",
     "text_langid", "text_fingerprints",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
+    "events_json_typed_extract",
     "events_json_props", "events_late_data_filter",
     # structured streaming
     "stream_tumbling_counts", "stream_user_running_totals",
