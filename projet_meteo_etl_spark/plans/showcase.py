@@ -148,13 +148,55 @@ ORDER BY l_orderkey
 """
 
 
+def sql_interface_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: catalog tables registered as views,
+    the query submitted as SQL TEXT via ``spark.sql`` — same Catalyst
+    plan as the DataFrame variant of Q1 (identical oracle), proving the
+    two APIs are interchangeable entry points."""
+    from projet_meteo_etl_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          floor((sum(l_quantity)) * 100.0D + 0.5D) / 100.0D        AS sum_qty,
+          floor((sum(l_extendedprice)) * 100.0D + 0.5D) / 100.0D   AS sum_base_price,
+          floor((avg(l_discount)) * 10000.0D + 0.5D) / 10000.0D    AS avg_disc,
+          count(*)                                                 AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+SQL_INTERFACE_Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0        AS sum_qty,
+  floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0   AS sum_base_price,
+  floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0    AS avg_disc,
+  count(*)                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 SPARK_QUERIES = {
+    "sql_interface_q1": sql_interface_q1,
     "ranking_functions_showcase": ranking_functions_showcase,
     "grouping_sets_revenue": grouping_sets_revenue,
     "array_functions_showcase": array_functions_showcase,
 }
 
 ORACLE_SQL = {
+    "sql_interface_q1": SQL_INTERFACE_Q1_SQL,
     "ranking_functions_showcase": RANKING_SQL,
     "grouping_sets_revenue": GROUPING_SETS_SQL,
     "array_functions_showcase": ARRAY_FUNCS_SQL,

@@ -21,6 +21,7 @@ EXPECTED_QUERIES = {
     "salted_skew_aggregation", "lineitem_sample_stats",
     # showcases
     "ranking_functions_showcase", "grouping_sets_revenue", "array_functions_showcase",
+    "sql_interface_q1",
     # weather (reference surface)
     "weather_etl_unified", "weather_quality_report",
     # temporal + timeseries
