@@ -30,17 +30,30 @@ from projet_meteo_etl_spark.functions.portable import pround
 
 def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return (
+    # exact COUNT(DISTINCT) is computed in its OWN aggregation and
+    # joined back: mixing it into the sketch agg forces an Expand
+    # (two-phase distinct) plan that routes every row through the
+    # percentile sketch twice (~2.5× wall measured at sf0.1)
+    sketches_agg = (
         e.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             # accuracy 2500 ≈ 0.04% rank error — 6× cheaper than the
             # 10000 default at sf0.1 with no visible quantile movement
             pround(F.expr("percentile_approx(value, 0.5, 2500)"), 4).alias("p50"),
             pround(F.expr("percentile_approx(value, 0.95, 2500)"), 4).alias("p95"),
             pround(F.expr("percentile_approx(value, 0.99, 2500)"), 4).alias("p99"),
+        )
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        sketches_agg.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type", "n_events", "exact_users", "approx_users",
+            "p50", "p95", "p99",
         )
         .orderBy("event_type")
     )
