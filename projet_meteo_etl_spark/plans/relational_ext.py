@@ -374,6 +374,118 @@ ORDER BY order_year
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue over a quarter, then the
+    supplier(s) achieving the GLOBAL max — a scalar subquery over a
+    derived aggregate (all ties returned, deterministic)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity — correlated aggregate
+    decorrelated into a groupBy + join (the per-part avg is computed
+    once, not per probe row)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(part_avg, l.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            pround(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT floor((sum(l_extendedprice) / 7.0) * 10000.0 + 0.5) / 10000.0 AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#11'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def modern_aggregates_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate vocabulary in one pass: median, mode, min_by/
+    max_by, count_if, bool_and/bool_or — per order status."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.median("o_totalprice"), 4).alias("median_price"),
+            F.mode("o_orderpriority").alias("modal_priority"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.count_if(F.col("o_totalprice") > 200000.0).alias("n_large"),
+            F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+MODERN_AGGS_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       floor((median(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS median_price,
+       mode(o_orderpriority) AS modal_priority,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order,
+       count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_large,
+       bool_and(o_totalprice > 0.0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE: all 4 grouping combinations of (year, status) in
     one pass — Spark expands grouping sets before the hash agg, so it
@@ -464,6 +576,9 @@ SPARK_QUERIES = {
     "q22_idle_customers": q22_idle_customers,
     "orders_above_customer_avg": orders_above_customer_avg,
     "order_status_pivot": order_status_pivot,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "modern_aggregates_showcase": modern_aggregates_showcase,
     "cube_revenue": cube_revenue,
     "salted_skew_aggregation": salted_skew_aggregation,
     "lineitem_sample_stats": lineitem_sample_stats,
@@ -480,6 +595,9 @@ ORACLE_SQL = {
     "q22_idle_customers": Q22_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
     "order_status_pivot": ORDER_STATUS_PIVOT_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "modern_aggregates_showcase": MODERN_AGGS_SQL,
     "cube_revenue": CUBE_SQL,
     "salted_skew_aggregation": SALTED_AGG_SQL,
 }

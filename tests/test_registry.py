@@ -18,6 +18,7 @@ EXPECTED_QUERIES = {
     "q10_returned_items", "q12_priority_by_returnflag", "q14_promo_revenue",
     "q18_large_orders", "q19_bracket_predicates", "q22_idle_customers",
     "orders_above_customer_avg", "order_status_pivot", "cube_revenue",
+    "q15_top_supplier", "q17_small_quantity_revenue", "modern_aggregates_showcase",
     "salted_skew_aggregation", "lineitem_sample_stats",
     # showcases
     "ranking_functions_showcase", "grouping_sets_revenue", "array_functions_showcase",
