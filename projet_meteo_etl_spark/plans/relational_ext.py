@@ -452,14 +452,21 @@ WHERE p_brand = 'Brand#11'
 
 def modern_aggregates_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modern aggregate vocabulary in one pass: median, mode, min_by/
-    max_by, count_if, bool_and/bool_or — per order status."""
+    max_by, count_if, bool_and/bool_or — per order status.
+
+    ``mode`` runs with ``deterministic=True`` (ties → lowest value):
+    frequency ties are real in the data (seen at sf0.001) and the
+    default tie-break is partition-order-dependent, which flips the
+    oracle hash.  The DuckDB side mirrors the same min-of-modal rule
+    explicitly.  min_by/max_by stay plain: o_totalprice min/max ties
+    within a status were checked absent at sf0.001/0.01/0.1."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
             pround(F.median("o_totalprice"), 4).alias("median_price"),
-            F.mode("o_orderpriority").alias("modal_priority"),
+            F.mode("o_orderpriority", deterministic=True).alias("modal_priority"),
             F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
             F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
             F.count_if(F.col("o_totalprice") > 200000.0).alias("n_large"),
@@ -471,17 +478,31 @@ def modern_aggregates_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MODERN_AGGS_SQL = """
-SELECT o_orderstatus,
-       count(*) AS n,
-       floor((median(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS median_price,
-       mode(o_orderpriority) AS modal_priority,
-       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-       arg_max(o_orderkey, o_totalprice) AS priciest_order,
-       count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_large,
-       bool_and(o_totalprice > 0.0) AS all_positive,
-       bool_or(o_orderpriority = '1-URGENT') AS any_urgent
-FROM orders
-GROUP BY o_orderstatus
+WITH freq AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+modal AS (
+  SELECT o_orderstatus, min(o_orderpriority) AS modal_priority
+  FROM freq f
+  WHERE c = (SELECT max(c) FROM freq f2
+             WHERE f2.o_orderstatus = f.o_orderstatus)
+  GROUP BY 1
+),
+base AS (
+  SELECT o_orderstatus,
+         count(*) AS n,
+         floor((median(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS median_price,
+         arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+         arg_max(o_orderkey, o_totalprice) AS priciest_order,
+         count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_large,
+         bool_and(o_totalprice > 0.0) AS all_positive,
+         bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+  FROM orders
+  GROUP BY o_orderstatus
+)
+SELECT base.*, modal.modal_priority
+FROM base JOIN modal USING (o_orderstatus)
 ORDER BY o_orderstatus
 """
 

@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "projet_meteo_etl_spark.plans.relational",
     "projet_meteo_etl_spark.plans.relational_ext",
+    "projet_meteo_etl_spark.plans.tpch_fill",
     "projet_meteo_etl_spark.plans.weather",
     "projet_meteo_etl_spark.plans.temporal",
     "projet_meteo_etl_spark.plans.timeseries",

@@ -110,3 +110,30 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_fill_plan_shapes(spark):
+    """The TPC-H fill queries keep their intended physical shapes:
+    dims broadcast, decorrelated aggregates instead of correlated
+    re-scans (no nested-loop join anywhere in the batch)."""
+    from projet_meteo_etl_spark.plans import tpch_fill
+
+    for fn, want_bcast in (
+        (tpch_fill.q2_min_cost_supplier, True),
+        (tpch_fill.q8_market_share, True),
+        (tpch_fill.q9_product_profit, True),
+        (tpch_fill.q21_waiting_suppliers, True),
+    ):
+        plan = _plan(fn(spark, SF))
+        if want_bcast:
+            assert "BroadcastHashJoin" in plan, f"{fn.__name__} lost its broadcast"
+        assert "CartesianProduct" not in plan, f"{fn.__name__} degenerated"
+
+
+def test_q21_single_fact_shuffle(spark):
+    """Q21's double-EXISTS is decorrelated into one per-order aggregate:
+    lineitem must not be shuffle-joined against itself repeatedly."""
+    from projet_meteo_etl_spark.plans import tpch_fill
+
+    plan = _plan(tpch_fill.q21_waiting_suppliers(spark, SF))
+    assert plan.count("SortMergeJoin") <= 2

@@ -20,6 +20,10 @@ EXPECTED_QUERIES = {
     "orders_above_customer_avg", "order_status_pivot", "cube_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue", "modern_aggregates_showcase",
     "salted_skew_aggregation", "lineitem_sample_stats",
+    # tpch fill (Q2/Q8/Q9/Q11/Q16/Q20/Q21 shapes on the schema subset)
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q16_supplier_part_counts", "q20_excess_suppliers",
+    "q21_waiting_suppliers",
     # showcases
     "ranking_functions_showcase", "grouping_sets_revenue", "array_functions_showcase",
     "sql_interface_q1",
