@@ -17,8 +17,9 @@ Eight near-dup/dedup operators, each in its Spark-native shape:
 * **embedding cosine** — Arrow block-matmul all-pairs baseline;
 * **winnowing** — rolling-hash k-gram fingerprints (MOSS), portable
   md5-prefix hashing so the whole algorithm oracle-checks;
-* **connected components** — transitive dup clusters via iterative
-  min-label propagation + pointer jumping over the pair graph.
+* **connected components** — transitive dup clusters: partition-local
+  union-find contraction, then min-label propagation + pointer jumping
+  over the contracted mapping graph.
 
 Exact/fingerprint/Jaccard/embedding-cosine/winnowing/connected-
 components have DuckDB oracles; the MinHash/SimHash signatures depend
@@ -54,23 +55,53 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     Built with ``transform(sequence(...))`` over the token array: a pure
     per-row expression (no shuffle, no UDF); ``explode`` then yields the
     inverted-index rows.
+
+    The tokenization is a SEPARATE projection below the generator, not
+    inlined into the lambda: an expression inside ``transform``'s lambda
+    is re-evaluated per element, so ``slice(split(text), i, n)`` would
+    re-run the regex split once per shingle (~token-count× per doc —
+    measured 6× wall on the index build at sf0.1).  The explode between
+    the two projects stops Catalyst from collapsing them back together.
     """
-    # NB: inside a SQL string literal the backslash is escape-processed,
-    # so the \s+ pattern must be written \\s+ here (a bare '\s+' silently
-    # splits on the letter 's').
-    ws = r"\\s+"
     # guard: sequence(0, k) with k < 0 is a DESCENDING sequence in Spark,
     # not empty — short docs must return array() explicitly
     gram = F.expr(
-        f"case when size(split(trim({text_col}), '{ws}')) >= {n} then "
-        f"transform(sequence(0, size(split(trim({text_col}), '{ws}')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(trim({text_col}), '{ws}'), i + 1, {n}))) "
+        f"case when size(tk) >= {n} then "
+        f"transform(sequence(0, size(tk) - {n}), "
+        f"i -> concat_ws(' ', slice(tk, i + 1, {n}))) "
         f"else array() end"
     )
     return (
-        df.select("doc_id", F.explode(F.array_distinct(gram)).alias("shingle"))
+        df.select("doc_id", F.split(F.trim(text_col), r"\s+").alias("tk"))
+        .select("doc_id", F.explode(F.array_distinct(gram)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
+
+
+def word_shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, h) — the inverted index keyed by a 60-bit md5-prefix hash
+    of each distinct word n-gram instead of the string itself.
+
+    Joining and shuffling 8-byte longs instead of ~25-byte shingle
+    strings cuts the self-join wall ~40 % at sf0.1 and the shuffle bytes
+    proportionally at any scale.  The hash is portable — DuckDB computes
+    the identical value via ``('0x' || substr(md5(s), 1, 15))::BIGINT``
+    — so oracle checks stay bit-exact even in the (astronomically
+    unlikely) event of a collision: both engines would merge the same
+    two shingles.  Dedup happens on the *string* (``array_distinct``
+    upstream), then the hash is applied, on both engines alike.
+    """
+    return word_shingles(df, text_col=text_col, n=n).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+
+# DuckDB twin of word_shingle_hashes' key expression (applied to a
+# distinct (doc_id, shingle) relation named `tri`):
+_SHINGLE_HASH_SQL = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
 
 
 # ---------------------------------------------------------------------------
@@ -139,13 +170,15 @@ def ngram_jaccard_pairs(
     d = load_table(spark, sf_dir, "documents")
     # the inverted index feeds three consumers (sizes + both join
     # sides): persist so the scan+regex+explode runs once, not thrice
-    # (2× wall at sf0.1; ContextCleaner evicts it when unreferenced)
-    sh = word_shingles(d, n=n).persist()
+    # (2× wall at sf0.1; ContextCleaner evicts it when unreferenced).
+    # Keyed by the portable 60-bit shingle hash, not the string — see
+    # word_shingle_hashes for why this is exact w.r.t. the oracle.
+    sh = word_shingle_hashes(d, n=n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -179,11 +212,12 @@ tri AS (
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
   FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
-sh AS (SELECT doc_id, shingle FROM tri WHERE shingle IS NOT NULL),
+sh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+       FROM tri WHERE shingle IS NOT NULL),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -461,23 +495,41 @@ def winnow_fingerprint_pairs(
     The hash is the first 8 hex digits of md5 converted to int — chosen
     because BOTH engines compute it identically (``conv(...,16,10)`` /
     ``('0x'||…)::BIGINT``), so the whole algorithm is hash-checked
-    end-to-end against DuckDB.  Plan shape: projection → explode (no
-    shuffle) → window min on (doc, pos) → distinct → self-join on
-    fingerprint — same scale profile as the shingle inverted index.
+    end-to-end against DuckDB.
+
+    Plan shape: the one-row-per-document ``base`` is repartitioned by
+    ``doc_id`` BEFORE the explode — hash partitioning propagates
+    through ``Generate``/``Project``, so the sliding-min window and
+    the (doc, fingerprint) distinct both run with NO exchange of the
+    ~300×-larger gram rows (a subset of the grouping keys hash-
+    clustered satisfies their distribution requirement).  The only
+    full-width shuffle left is the self-join on fingerprint, which is
+    the actual data movement of the algorithm.  ``n_grams`` is carried
+    from ``length(norm)`` at the document level instead of a second
+    ``max(pos)`` window pass.
+
+    (An all-array-expression variant with no window at all —
+    ``array_min(slice(...))`` per position — was tried and is 4×
+    SLOWER: Spark evaluates higher-order-function lambdas interpreted,
+    outside codegen, so per-element lambda overhead dwarfs the saved
+    exchange.)
     """
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    base = d.select("doc_id", norm.alias("norm")).filter(
-        F.length("norm") >= k + w - 1
+    base = (
+        d.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") >= k + w - 1)
+        .withColumn("n_grams", F.length("norm") - F.lit(k - 1))
+        .repartition("doc_id")
     )
     grams = base.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("norm") - F.lit(k - 1))
-        ).alias("pos"),
+        "n_grams",
+        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
         "norm",
     ).select(
         "doc_id",
+        "n_grams",
         "pos",
         F.conv(F.substring(F.md5(F.expr(f"substr(norm, pos, {k})")), 1, 8), 16, 10)
         .cast("long")
@@ -489,10 +541,9 @@ def winnow_fingerprint_pairs(
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     )
     fps = (
-        grams.withColumn("n_grams", F.max("pos").over(Window.partitionBy("doc_id")))
         # min must see the tail rows, so compute BEFORE dropping the
         # trailing partial windows — filtering first truncates the frame
-        .withColumn("minh", F.min("h").over(win))
+        grams.withColumn("minh", F.min("h").over(win))
         .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
         .select("doc_id", "minh")
         .distinct()
@@ -550,26 +601,75 @@ def dedup_connected_components(
     spark: SparkSession, sf_dir: str, threshold: float = 0.04, max_iter: int = 30
 ) -> DataFrame:
     """Transitive near-dup clusters: connected components of the exact
-    n-gram-Jaccard pair graph, as iterative min-label propagation —
-    each round one join+agg (label = min(own, neighbors)), loop until a
-    fixpoint.  The classic Spark iterative-algorithm shape: per-round
-    ``persist`` truncates lineage; rounds needed = graph diameter
-    (≤ log n with doubling in a production variant).
+    n-gram-Jaccard pair graph, two-phase:
 
-    Output is the cluster-size histogram.  Oracle: a recursive CTE in
-    DuckDB computes the same components by reachability closure.
+    1. **Partition-local contraction** — one ``mapInPandas`` pass runs
+       union-find (union-by-min, path-halving) over each partition's
+       edges and emits ``(node, local min-root)``.  Memory per task is
+       one dict over that partition's endpoints, bounded by
+       ``maxPartitionBytes`` — the knob that keeps this safe at 100 TB.
+    2. **Global min-label loop** — the mapping pairs themselves form a
+       graph with exactly the original connectivity (a node read by two
+       partitions bridges its two local roots), but contracted: its
+       effective diameter is the number of partitions a component
+       spans, not the component's diameter.  The usual join+agg
+       min-propagation runs on THAT, so rounds collapse from
+       O(diameter) (17 observed at sf0.1: chainy near-dup clusters) to
+       1–2 on a single-partition bench and O(log partitions-spanned)
+       on a cluster.
+
+    Labels are min-doc_id per component either way — bit-identical to
+    plain propagation, so the DuckDB recursive-CTE oracle is unchanged.
+
+    Output is the cluster-size histogram.
 
     Lineage is truncated per round with ``localCheckpoint`` — NOT
     persist/unpersist: unpersisting round i's labels cascades and
     invalidates round i+1's cache (Spark's cache-dependency
     invalidation), silently re-deriving the whole history each round
     (observed: 1.4 s → 88 s by round 6 at sf0.1).
+
+    The union-find closure is deliberately self-contained (imports and
+    helpers inside) — the grading driver's Python workers cannot import
+    this package from a foreign cwd.
     """
     pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
         "doc_a", "doc_b"
     )
-    fwd = pairs
-    rev = pairs.select(
+
+    def _local_cc(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union-by-min: the root of every set is its minimum
+                    # member, so local labels already match the global
+                    # min-label convention on intra-partition components
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame({"doc_a": nodes, "doc_b": [find(x) for x in nodes]})
+
+    mapping = pairs.mapInPandas(_local_cc, schema="doc_a long, doc_b long")
+    fwd = mapping
+    rev = mapping.select(
         F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
     )
     edges = fwd.unionByName(rev).localCheckpoint(eager=True)
@@ -637,10 +737,11 @@ WITH RECURSIVE sh AS (
     ) toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
   ) WHERE shingle IS NOT NULL
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (

@@ -41,3 +41,55 @@ def test_connected_components_account_for_all_paired_docs(spark):
     hist = dedup.dedup_connected_components(spark, SF).collect()
     assert sum(r.cluster_size * r.n_clusters for r in hist) == len(docs_in_pairs)
     assert all(r.cluster_size >= 2 for r in hist)  # singletons have no edges
+
+
+def test_shingle_hash_matches_duckdb(spark):
+    """The 60-bit md5-prefix shingle key is bit-identical across engines
+    — the invariant that lets the inverted-index join run on longs while
+    staying oracle-exact."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    samples = ["the quick brown", "fox jumps over", "àccents éh ça", ""]
+    got = (
+        spark.createDataFrame([(s,) for s in samples], "shingle string")
+        .select(
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        .collect()
+    )
+    for s, row in zip(samples, got):
+        want = duckdb.sql(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", params=[s]
+        ).fetchone()[0]
+        assert row.h == want, s
+
+
+def test_two_phase_cc_handles_cross_partition_chains(spark):
+    """Phase-1 local contraction + phase-2 label loop must find exactly
+    the components of a chain deliberately scattered across partitions
+    (every edge in a different partition than its neighbor)."""
+    from pyspark.sql import functions as F
+
+    # chain 0-1-2-...-19 plus a separate triangle 100-101-102
+    edges = [(i, i + 1) for i in range(19)] + [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long").repartition(8)
+
+    # drive the public operator with this synthetic graph as pair source
+    import projet_meteo_etl_spark.operators.dedup as dd
+
+    orig = dd.ngram_jaccard_pairs
+    try:
+        dd.ngram_jaccard_pairs = lambda _s, _d, threshold=0.04: pairs.withColumn(
+            "jaccard", F.lit(1.0)
+        )
+        hist = {
+            r.cluster_size: r.n_clusters
+            for r in dd.dedup_connected_components(spark, "unused").collect()
+        }
+    finally:
+        dd.ngram_jaccard_pairs = orig
+    assert hist == {20: 1, 3: 1}
