@@ -21,11 +21,12 @@ Eight near-dup/dedup operators, each in its Spark-native shape:
   union-find contraction, then min-label propagation + pointer jumping
   over the contracted mapping graph.
 
-Exact/fingerprint/Jaccard/embedding-cosine/winnowing/connected-
-components have DuckDB oracles; the MinHash/SimHash signatures depend
-on Spark's xxhash64 (not available in DuckDB), so those two are
-registered rows-only and validated in tests against the exact-Jaccard
-ground truth instead.
+All eight have DuckDB oracles: every hash in the family (shingle keys,
+MinHash permutations, SimHash bits, winnow fingerprints) is derived
+from md5 prefixes + integer arithmetic, computable bit-identically in
+both engines — no Spark-private ``xxhash64`` anywhere on a checked
+path.  MinHash recall vs exact Jaccard is additionally asserted in
+tests/test_dedup.py.
 
 Scale notes: every family avoids the n² trap — candidate pairs come
 from equality joins on shingles / band hashes, which shuffle-partition
@@ -231,22 +232,40 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (Spark-only signatures; verified against exact Jaccard)
+# MinHash + LSH (portable signatures — oracle-checked end to end)
 # ---------------------------------------------------------------------------
 
 NUM_PERM = 32
 BANDS = 8
 ROWS_PER_BAND = NUM_PERM // BANDS
 
+#: Universal-hash permutation family h_i(x) = (a_i·x + b_i) mod p over
+#: the 60-bit portable shingle hash reduced mod p.  p = 2^31−1 keeps
+#: a_i·x < 2^62 (no BIGINT overflow on either engine); the coefficients
+#: are fixed by a seeded PRNG so both the Spark plan and the DuckDB
+#: oracle embed the identical constants.
+_MH_P = 2147483647
+import random as _random  # noqa: E402  (module-level constant setup)
+
+_rng = _random.Random(42)
+_MH_A = [_rng.randrange(1, _MH_P) for _ in range(NUM_PERM)]
+_MH_B = [_rng.randrange(0, _MH_P) for _ in range(NUM_PERM)]
+del _rng
+
 
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """(doc_id, sig array<long>) — k min-hash values per doc.
+    """(doc_id, sig array<long>) — k min-hash values per doc, from a
+    (doc_id, h) hashed-shingle relation (``word_shingle_hashes``).
 
-    Permutation *i* is ``xxhash64(i, shingle)``: seeded 64-bit hashing
-    JVM-side; the groupBy computes all k minima in one shuffle.
+    Permutation *i* is ``(a_i·(h mod p) + b_i) mod p`` — plain integer
+    arithmetic, bit-identical in any engine, unlike the previous
+    ``xxhash64`` seeds which were Spark-private and forced this family
+    to a rows-only correctness check.  The groupBy computes all k
+    minima in one shuffle (map-side partial min).
     """
+    hm = F.col("h") % _MH_P
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min((F.lit(_MH_A[i]) * hm + F.lit(_MH_B[i])) % _MH_P).alias(f"h{i}")
         for i in range(num_perm)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
@@ -258,13 +277,16 @@ def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS) -> DataFrame:
     """Banded LSH: docs agreeing on any full band become candidates.
 
-    Band key = hash of the band's signature slice; the equality join on
-    (band_idx, band_key) is a plain shuffle join — no n² anywhere.
+    Band key = md5 of the '-'-joined band slice (portable across
+    engines); the equality join on (band_idx, band_key) is a plain
+    shuffle join — no n² anywhere.
     """
     r = NUM_PERM // bands
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), "
-        f"b -> struct(b as band_idx, xxhash64(slice(sig, b * {r} + 1, {r})) as band_key))"
+        f"b -> struct(b as band_idx, "
+        f"md5(concat_ws('-', transform(slice(sig, b * {r} + 1, {r}), "
+        f"x -> cast(x as string)))) as band_key))"
     )
     banded = sigs.select("doc_id", F.explode(band_arr).alias("band")).select(
         "doc_id", "band.band_idx", "band.band_key"
@@ -289,19 +311,21 @@ def dedup_minhash_lsh(
     threshold: float = 0.04,
     max_df: int | None = None,
 ) -> DataFrame:
-    """MinHash→LSH→verify near-dup pipeline (rows-only check; recall
-    vs exact Jaccard asserted in tests/test_dedup.py).
+    """MinHash→LSH→verify near-dup pipeline, oracle-checked end to end
+    (signatures, banding, and verify all use engine-portable hashing;
+    recall vs exact Jaccard additionally asserted in
+    tests/test_dedup.py).
 
     ``max_df`` drops stop-shingles (present in more than ``max_df``
     docs) before hashing — the skew guard for web-scale corpora.
     """
     d = load_table(spark, sf_dir, "documents")
     # four consumers (signatures, candidate verify a/b, sizes) → persist
-    sh = word_shingles(d).persist()
+    sh = word_shingle_hashes(d).persist()
     if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        keep = df_counts.filter(F.col("df") <= max_df).select("shingle")
-        sh = sh.join(F.broadcast(keep), "shingle")
+        df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        keep = df_counts.filter(F.col("df") <= max_df).select("h")
+        sh = sh.join(F.broadcast(keep), "h")
     sigs = minhash_signatures(sh)
     cands = lsh_candidate_pairs(sigs)
 
@@ -317,7 +341,7 @@ def dedup_minhash_lsh(
         .join(
             b,
             (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
+            & (F.col("a.h") == F.col("b.h")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -339,32 +363,95 @@ def dedup_minhash_lsh(
     )
 
 
+# the permutation arithmetic inlined for DuckDB; {i} = permutation index
+def _mh_perm_sql(i: int) -> str:
+    return f"min(({_MH_A[i]} * hm + {_MH_B[i]}) % {_MH_P}) AS h{i}"
+
+
+def _mh_band_key_sql(b: int) -> str:
+    cols = " || '-' || ".join(f"h{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND))
+    return f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sigs"
+
+
+MINHASH_LSH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+       FROM tri WHERE shingle IS NOT NULL),
+shm AS (SELECT doc_id, h, h % {_MH_P} AS hm FROM sh),
+sigs AS (
+  SELECT doc_id, {', '.join(_mh_perm_sql(i) for i in range(NUM_PERM))}
+  FROM shm GROUP BY doc_id
+),
+bands AS (
+  {' UNION ALL '.join(_mh_band_key_sql(b) for b in range(BANDS))}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN sh a ON c.doc_a = a.doc_id
+  JOIN sh b ON c.doc_b = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5)
+         / 1000000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5)
+        / 1000000.0 >= 0.04
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
-# SimHash
+# SimHash (portable 60-bit signatures — oracle-checked end to end)
 # ---------------------------------------------------------------------------
 
+_SIMHASH_BITS = 60  # the md5-prefix hash carries 60 bits; 4 bands × 15
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash long): per-token xxhash64, signed bit-sum over
-    all 64 bit positions, sign → bit.  64 conditional sums in ONE
-    aggregation pass (term frequency weighting via token multiplicity).
+    """(doc_id, simhash long): per-token portable 60-bit hash, signed
+    bit-sum over all 60 bit positions, sign → bit.  60 conditional sums
+    in ONE aggregation pass (term frequency weighting via token
+    multiplicity).  The md5-prefix hash replaces ``xxhash64`` so DuckDB
+    derives the identical signature and the whole family oracle-checks.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), _WS)).alias("tok")
     ).filter(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     sums = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(_SIMHASH_BITS)
     ]
     agg = toks.groupBy("doc_id").agg(*sums)
     bit_terms = [
         F.when(
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
+        for b in range(_SIMHASH_BITS)
     ]
     sim = agg.select(
         "doc_id",
@@ -376,13 +463,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(
     spark: SparkSession, sf_dir: str, max_hamming: int = 8
 ) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit band join (any of 4 bands equal →
+    """SimHash near-dup pairs: 15-bit band join (any of 4 bands equal →
     candidate), Hamming verify via ``bit_count(a XOR b)`` ≤ ``max_hamming``.
-    Rows-only check (xxhash64 signatures are Spark-specific)."""
+    Oracle-checked end to end (portable signatures)."""
     sigs = simhash_signatures(spark, sf_dir)
     chunk = F.expr(
         "transform(sequence(0, 3), c -> struct(c as band_idx, "
-        "shiftright(simhash, c * 16) & 65535 as band_key))"
+        "shiftright(simhash, c * 15) & 32767 as band_key))"
     )
     banded = sigs.select(
         "doc_id", "simhash", F.explode(chunk).alias("band")
@@ -409,6 +496,45 @@ def dedup_simhash(
         .orderBy("doc_a", "doc_b")
     )
     return pairs
+
+
+SIMHASH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+sums AS (
+  SELECT doc_id,
+         {', '.join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+                    for b in range(_SIMHASH_BITS))}
+  FROM th GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         {' + '.join(f"CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+                     for b in range(_SIMHASH_BITS))} AS simhash
+  FROM sums
+),
+bands AS (
+  SELECT doc_id, simhash, b AS band_idx,
+         (simhash >> (b * 15)) & 32767 AS band_key
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 8
+ORDER BY doc_a, doc_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -782,6 +908,8 @@ ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint_groups": DEDUP_FINGERPRINT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": MINHASH_LSH_SQL,
+    "dedup_simhash": SIMHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_connected_components": DEDUP_CC_SQL,
     "winnow_fingerprint_pairs": WINNOW_SQL,

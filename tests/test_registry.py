@@ -68,7 +68,6 @@ EXPECTED_QUERIES = {
 # rows-only by necessity: engine-specific hashing/sketches/batching
 EXPECTED_ROWS_ONLY = {
     "weather_etl_unified", "weather_quality_report",  # latin-1 CSV inputs DuckDB 1.0 can't read
-    "dedup_minhash_lsh", "dedup_simhash",             # xxhash64 signatures
     "multimodal_features", "multimodal_thumbnails",   # stub codec outputs
     "approx_user_stats", "hll_sketch_mergeability",   # sketch internals
     "ann_lsh_topk", "ann_ivf_topk",                   # approximate by design
