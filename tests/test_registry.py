@@ -72,7 +72,6 @@ EXPECTED_ROWS_ONLY = {
     "approx_user_stats", "hll_sketch_mergeability",   # sketch internals
     "ann_lsh_topk", "ann_ivf_topk",                   # approximate by design
     "stream_late_event_dropper",                      # micro-batch-boundary dependent
-    "user_value_ewma",                                # recursive, non-SQL
     "lineitem_sample_stats",                          # engine RNG stream
 }
 
