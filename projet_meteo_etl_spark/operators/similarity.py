@@ -10,8 +10,9 @@ Two paths, as any vector system at scale needs:
 * **LSH-bucketed ANN** — random-hyperplane signatures (fixed seed →
   deterministic literal plane matrix), bucket equality join, top-k
   within bucket: corpus scan is replaced by a hash-partitioned join on
-  bucket keys.  Approximate (rows-only check; recall vs brute force is
-  asserted in tests).
+  bucket keys.  Approximate in recall but deterministic in output, so
+  it oracle-checks end to end (planes embedded as literals in both
+  engines); recall vs brute force additionally asserted in tests.
 
 The centroid operator shows element-wise array aggregation
 (``posexplode`` → per-dimension avg → re-assemble) — the building
@@ -125,7 +126,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: corpus bucketed once at ingest (a partition/bucket-by
     column), query buckets computed at plan time → the join touches
     only matching buckets (plus multi-probe for recall if needed).
-    Rows-only check; recall vs brute force asserted in tests.
+
+    Oracle-checked: the seeded plane matrix is embedded as double
+    literals in BOTH the Spark plan and the DuckDB SQL (full-precision
+    ``repr`` round-trip), so the approximation is deterministic and
+    identical across engines; recall vs brute force additionally
+    asserted in tests.
     """
     planes = _hyperplanes()
     e = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -151,6 +157,45 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+def _plane_literal_sql(plane: list[float]) -> str:
+    # repr() prints the shortest digits that round-trip the exact double,
+    # so DuckDB parses back the bit-identical plane the Spark literals use
+    return "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_literal_sql(p)}) > 0 "
+    f"THEN {2 ** i} ELSE 0 END)"
+    for i, p in enumerate(_hyperplanes())
+)
+
+ANN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM b WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         floor((list_dot_product(q.qv, b.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0
+           AS cosine
+  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
 
 
 def _label_centroids_df(e: DataFrame) -> DataFrame:
@@ -180,7 +225,14 @@ def ann_ivf_topk(
     score probed cells — at 100 TB the assignment is precomputed at
     ingest (a partition column), leaving one pruned scan per query
     batch.  With ``nprobe = k`` this is EXACTLY brute force (asserted
-    in tests); the registered query uses nprobe=2 (rows-only check).
+    in tests); the registered query uses nprobe=2.
+
+    Oracle-checked: cell assignment and probe choice order by the
+    cell-similarity ROUNDED to 1e-6 (``pround``, both engines) — the
+    centroid means accumulate in different orders on different engines
+    and differ in trailing ulps, so ordering by the raw double would
+    let a borderline cell flip the cut; after rounding, ties break on
+    cell id deterministically.
     """
     e = load_table(spark, sf_dir, "embeddings")
     cents = _label_centroids_df(e).select(
@@ -192,7 +244,7 @@ def ann_ivf_topk(
         "vec_id",
         "embedding",
         F.col("cell_id").alias("cell"),
-        cosine(F.col("embedding"), F.col("centroid")).alias("csim"),
+        pround(cosine(F.col("embedding"), F.col("centroid")), 6).alias("csim"),
     )
     assign_w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
     assigned = (
@@ -210,7 +262,7 @@ def ann_ivf_topk(
         q.join(F.broadcast(cents))
         .select(
             "query_id", "qv", F.col("cell_id").alias("cell"),
-            cosine(F.col("qv"), F.col("centroid")).alias("qsim"),
+            pround(cosine(F.col("qv"), F.col("centroid")), 6).alias("qsim"),
         )
         .withColumn("r", F.row_number().over(probe_w))
         .filter(F.col("r") <= nprobe)
@@ -229,6 +281,59 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+_COS6_SQL = (
+    "floor((list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})))) * 1000000.0 + 0.5) / 1000000.0"
+)
+
+ANN_IVF_SQL = f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+per_dim AS (
+  SELECT label, pos, avg(val) AS c FROM (
+    SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM emb
+  ) GROUP BY label, pos
+),
+cents AS (
+  SELECT label AS cell_id, list(c ORDER BY pos) AS centroid
+  FROM per_dim GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS6_SQL.format(a='e.v', b='c.centroid')} DESC,
+                      c.cell_id ASC) AS r
+    FROM emb e, cents c
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM assigned WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS6_SQL.format(a='q.qv', b='c.centroid')} DESC,
+                      c.cell_id ASC) AS r
+    FROM q, cents c
+  ) WHERE r <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COS6_SQL.format(a='p.qv', b='a.v')} AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,5 +390,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
 }
