@@ -208,7 +208,8 @@ def resize_media(payload: bytes, kind: str, side: int = 8, *, fake: bool = False
 def multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage over image assets: ``mapInPandas`` batches, 8×8
     thumbnails, plus an integer checksum so determinism is assertable.
-    Rows-only (the fake resizer is engine-specific by construction)."""
+    Oracle-checked: the fake resizer's byte picks are re-derived in
+    DuckDB by indexing the payload through its hex string."""
     import pandas as pd
 
     m = with_media_payload(load_table(spark, sf_dir, "documents")).filter(
@@ -250,9 +251,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``:
     Arrow-batched, partition-local, no shuffle.  Output: normalized
     16-dim byte-histogram feature vector per asset (the stand-in for an
-    image-embedding / mel-spectrogram stage).  Rows-only check (the
-    fake codec is engine-specific by construction); determinism and
-    shape are asserted in tests/test_multimodal.py.
+    image-embedding / mel-spectrogram stage).  Oracle-checked down to
+    the float array: the nibble histogram is re-derived in DuckDB via
+    hex-string indexing and int/int division is IEEE-identical across
+    engines; determinism and shape are additionally asserted in
+    tests/test_multimodal.py.
     """
     import pandas as pd
 
@@ -299,7 +302,66 @@ SPARK_QUERIES = {
     "multimodal_thumbnails": multimodal_thumbnails,
 }
 
+# DuckDB cannot substring a BLOB, but the payload is deterministic
+# (magic hex + UTF-8 text), so the oracles index BYTES THROUGH THE HEX
+# STRING: byte j of the payload is ('0x' || substr(h, 2j+1, 2))::BIGINT
+# of h = magic_hex || hex(encode(text)), and the high nibble is the
+# first hex char alone.  This mirrors the fake codec exactly.
+
+MULTIMODAL_THUMBS_SQL = """
+WITH media AS (
+  SELECT doc_id, '89504E470D0A1A0A' || hex(encode(text)) AS h
+  FROM documents WHERE (doc_id % 3) = 0
+),
+m2 AS (SELECT doc_id, h, (length(h) // 2)::BIGINT AS n FROM media),
+picks AS (
+  SELECT doc_id, h, least(i * greatest(n // 64, 1), n - 1) AS j
+  FROM m2, (SELECT unnest(generate_series(0, 63)) AS i) s
+),
+bytes AS (
+  SELECT doc_id, ('0x' || substr(h, (2 * j + 1)::INT, 2))::BIGINT AS b
+  FROM picks
+)
+SELECT doc_id, 8::INT AS thumb_side, 64::BIGINT AS thumb_bytes,
+       sum(b)::BIGINT AS thumb_checksum
+FROM bytes GROUP BY doc_id ORDER BY doc_id
+"""
+
+MULTIMODAL_FEATURES_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+         CASE (doc_id % 3)::INT
+           WHEN 0 THEN '89504E470D0A1A0A'
+           WHEN 1 THEN '52494646'
+           ELSE '000000186674797069736F6D'
+         END || hex(encode(text)) AS h
+  FROM documents
+),
+m2 AS (SELECT doc_id, kind, h, (length(h) // 2)::BIGINT AS n FROM media),
+pos AS (SELECT doc_id, h, unnest(generate_series(0, n - 1)) AS j FROM m2),
+nibs AS (
+  SELECT doc_id, ('0x' || substr(h, (2 * j + 1)::INT, 1))::BIGINT AS nib
+  FROM pos
+),
+counts AS (SELECT doc_id, nib, count(*) AS c FROM nibs GROUP BY 1, 2),
+full_grid AS (
+  SELECT m2.doc_id, g.nb, coalesce(c.c, 0) AS c, m2.n
+  FROM m2 CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS nb) g
+  LEFT JOIN counts c ON c.doc_id = m2.doc_id AND c.nib = g.nb
+),
+feats AS (
+  SELECT doc_id, list(c * 1.0 / n ORDER BY nb) AS features
+  FROM full_grid GROUP BY doc_id, n
+)
+SELECT m2.doc_id, m2.kind, m2.n AS n_bytes, f.features
+FROM m2 JOIN feats f USING (doc_id)
+ORDER BY m2.doc_id
+"""
+
 ORACLE_SQL = {
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_thumbnails": MULTIMODAL_THUMBS_SQL,
 }

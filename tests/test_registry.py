@@ -68,7 +68,6 @@ EXPECTED_QUERIES = {
 # rows-only by necessity: engine-specific hashing/sketches/batching
 EXPECTED_ROWS_ONLY = {
     "weather_etl_unified", "weather_quality_report",  # latin-1 CSV inputs DuckDB 1.0 can't read
-    "multimodal_features", "multimodal_thumbnails",   # stub codec outputs
     "approx_user_stats", "hll_sketch_mergeability",   # sketch internals
     "stream_late_event_dropper",                      # micro-batch-boundary dependent
     "lineitem_sample_stats",                          # engine RNG stream
