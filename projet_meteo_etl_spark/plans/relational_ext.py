@@ -574,16 +574,37 @@ ORDER BY event_type
 
 
 def lineitem_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli TABLESAMPLE: reproducible within Spark for a
-    fixed seed/partitioning, but RNG streams differ across engines —
-    registered rows-only; the fraction/determinism contract is tested."""
+    """~10 % Bernoulli sample via a portable hash of the primary key
+    (md5-prefix of ``orderkey-linenumber``, keep ``h % 10 == 0``).
+
+    Engine RNG streams (``TABLESAMPLE`` / ``df.sample(seed)``) are not
+    only engine-specific, they are PARTITIONING-specific — Spark seeds
+    per-partition, so the same seed selects different rows after a
+    repartition or a file-split change.  Hash sampling fixes both: the
+    selected set is a pure function of the data, reproducible on any
+    engine at any cluster size (what a 100 TB curation pipeline needs
+    for resumable/auditable sampling), and therefore oracle-exact.
+    """
     l = _t(spark, sf_dir, "lineitem")
-    s = l.sample(fraction=0.1, seed=42)
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    s = l.filter(h % 10 == 0)
     return s.agg(
         F.count(F.lit(1)).alias("n_sampled"),
         pround(F.avg("l_quantity"), 2).alias("avg_qty"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+LINEITEM_SAMPLE_SQL = """
+SELECT count(*) AS n_sampled,
+       floor((avg(l_quantity)) * 100.0 + 0.5) / 100.0 AS avg_qty,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE ('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15))::BIGINT % 10 = 0
+"""
 
 
 SPARK_QUERIES = {
@@ -621,4 +642,5 @@ ORACLE_SQL = {
     "modern_aggregates_showcase": MODERN_AGGS_SQL,
     "cube_revenue": CUBE_SQL,
     "salted_skew_aggregation": SALTED_AGG_SQL,
+    "lineitem_sample_stats": LINEITEM_SAMPLE_SQL,
 }
