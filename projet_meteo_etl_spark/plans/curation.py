@@ -1,0 +1,225 @@
+"""Corpus-curation operators a large-scale training-data pipeline runs
+between dedup and tokenization: sequence packing, mixture sampling, and
+benchmark decontamination.
+
+The reference repo (``/root/reference``) has no notion of any of these
+(SURVEY.md §2.5 — its surface ends at flat-table quality audits); this
+module is part of the beyond-reference training-data mandate.  All
+three are oracle-checked — each uses only window arithmetic and
+portable md5-prefix hashing, so DuckDB reproduces them bit-exactly.
+
+Scale notes:
+
+* packing is one window cumsum per source partition — no shuffle
+  beyond the hash partition on ``source``, any corpus size;
+* mixture sampling is a scan-side filter (no shuffle at all until the
+  final tiny agg), and being hash-based it selects the SAME rows under
+  any partitioning or cluster size — resumable and auditable;
+* decontamination broadcasts the held-out shingle set (benchmarks are
+  always tiny next to the corpus), so the corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.operators.dedup import word_shingle_hashes
+from projet_meteo_etl_spark.operators.text import ws_token_count
+
+#: context-window budget for packing (tokens per packed sequence)
+PACK_BUDGET = 2048
+
+#: per-language keep rates for the mixture sampler (English is
+#: down-weighted, the tail languages kept whole — the usual rebalance).
+#: Stored as INTEGER thresholds out of 10000: ``0.9 * 10000`` as a
+#: double is 9000.000000000002, so a float-rate comparison would keep
+#: ``h = 9000`` on Spark but drop it on DuckDB's exact decimals —
+#: integer thresholds make the cut identical by construction.
+MIX_RATES = {"en": 0.35, "fr": 0.9, "de": 0.9, "es": 0.9, "zh": 1.0}
+MIX_THRESHOLDS = {k: int(round(v * 10000)) for k, v in MIX_RATES.items()}
+
+#: held-out "benchmark" = the first N_HOLDOUT docs; contamination is
+#: any other doc sharing a full 5-word shingle with them (sized so the
+#: corpora at every test SF actually contain contaminated docs)
+N_HOLDOUT = 50
+DECONTAM_N = 5
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing: concatenate each source's docs
+    in doc_id order and split at ``PACK_BUDGET`` token boundaries; a
+    doc's bin is ``floor(tokens_before_it / budget)``.
+
+    This is the deterministic streaming form of packing (what an
+    ingest pipeline does when it writes tokenized shards); bin
+    assignment is ONE window cumsum per source — no greedy state, no
+    Python.  Output: per-bin occupancy, the metric packing exists to
+    optimize.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.select(
+        "source",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).alias(
+            "bin_id"
+        ),
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            pround(F.sum("n_tokens") / F.lit(float(PACK_BUDGET)), 4).alias("fill"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT source, n_tokens,
+         floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               / {PACK_BUDGET}) AS bin_id
+  FROM d
+)
+SELECT source, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+       floor((sum(n_tokens) / {PACK_BUDGET}.0) * 10000.0 + 0.5) / 10000.0 AS fill
+FROM binned
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing: per-language Bernoulli keep rates
+    applied via the portable doc_id hash (``h % 10000 < rate·10000``).
+
+    Hash sampling (vs RNG) keeps the selected subset a pure function of
+    the data — identical on any engine/partitioning, so mixtures are
+    reproducible across pipeline re-runs and the whole operator
+    oracle-checks.  Output: per-language before/after counts and the
+    realized keep rate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    cut = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in MIX_THRESHOLDS.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(10000),
+    )
+    return (
+        d.select("lang", (h % 10000 < cut).cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            pround(F.sum("kept") / F.count(F.lit(1)), 4).alias("realized_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CUT_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIX_THRESHOLDS.items()
+)
+
+STRATIFIED_MIX_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+                   < (CASE lang {_CUT_CASE} ELSE 10000 END)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT lang, count(*) AS n_total, sum(kept)::BIGINT AS n_kept,
+       floor((sum(kept) * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0
+         AS realized_rate
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any full
+    ``DECONTAM_N``-word shingle with the held-out set (here: the first
+    ``N_HOLDOUT`` docs stand in for an eval benchmark).
+
+    The held-out shingle set is broadcast — benchmarks are thousands of
+    rows against a corpus of billions, so the corpus-side scan never
+    shuffles; the output is the contamination report (matched shingle
+    count per flagged doc) a curation run quarantines from.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    held = word_shingle_hashes(
+        d.filter(F.col("doc_id") < N_HOLDOUT), n=DECONTAM_N
+    ).select("h").distinct()
+    corpus = word_shingle_hashes(
+        d.filter(F.col("doc_id") >= N_HOLDOUT), n=DECONTAM_N
+    )
+    return (
+        corpus.join(F.broadcast(held), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+_SHINGLE8 = " || ' ' || ".join(
+    ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, DECONTAM_N)]
+)
+
+DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, {_SHINGLE8} AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+  FROM grams WHERE shingle IS NOT NULL
+),
+held AS (SELECT DISTINCT h FROM sh WHERE doc_id < {N_HOLDOUT})
+SELECT s.doc_id, count(*) AS n_matched_shingles
+FROM sh s JOIN held USING (h)
+WHERE s.doc_id >= {N_HOLDOUT}
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+SPARK_QUERIES = {
+    "pack_sequences": pack_sequences,
+    "stratified_sample_mix": stratified_sample_mix,
+    "benchmark_decontamination": benchmark_decontamination,
+}
+
+ORACLE_SQL = {
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "stratified_sample_mix": STRATIFIED_MIX_SQL,
+    "benchmark_decontamination": DECONTAM_SQL,
+}

@@ -19,6 +19,7 @@ _MODULES = (
     "projet_meteo_etl_spark.plans.relational",
     "projet_meteo_etl_spark.plans.relational_ext",
     "projet_meteo_etl_spark.plans.tpch_fill",
+    "projet_meteo_etl_spark.plans.curation",
     "projet_meteo_etl_spark.plans.weather",
     "projet_meteo_etl_spark.plans.temporal",
     "projet_meteo_etl_spark.plans.timeseries",

@@ -42,6 +42,8 @@ EXPECTED_QUERIES = {
     "dedup_exact", "dedup_fingerprint_groups", "ngram_jaccard_pairs",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_connected_components", "winnow_fingerprint_pairs",
+    # curation
+    "pack_sequences", "stratified_sample_mix", "benchmark_decontamination",
     # multimodal
     "multimodal_metadata", "multimodal_frame_sample", "multimodal_features",
     "multimodal_thumbnails",
