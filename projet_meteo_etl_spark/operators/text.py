@@ -113,26 +113,70 @@ ORDER BY doc_id
 """
 
 
+def _count_base(d: DataFrame, with_fp: bool = False) -> DataFrame:
+    """One projection computing every expensive text statistic EXACTLY
+    ONCE — token count, distinct-token count, stopword hits (and
+    optionally the fingerprint hash).
+
+    The two-select structure is load-bearing: these expressions live
+    under ``CASE WHEN`` branches, where Spark's runtime subexpression
+    elimination does NOT apply, so inlining them repeatedly into a
+    downstream formula re-runs the regex split once per occurrence
+    (~8 splits/row, measured 16× wall on the scoring query at sf0.1).
+    Because each alias here is non-cheap and referenced more than once
+    downstream, CollapseProject keeps the projections separate and the
+    scan stage evaluates each statistic a single time.
+    """
+    cols = [
+        "doc_id",
+        "lang",
+        ws_token_count(F.col("text")).alias("n_tokens"),
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.array_distinct(F.split(F.trim("text"), _WS))))
+        .cast("long")
+        .alias("n_distinct"),
+        F.regexp_count(F.lower("text"), F.lit(LANG_MARKERS["en"]))
+        .cast("long")
+        .alias("n_stop"),
+    ]
+    if with_fp:
+        cols.append(fingerprint(F.col("text")).alias("fp"))
+    return d.select(*cols)
+
+
+def _ratio_cols() -> tuple[Column, Column]:
+    """(distinct-token ratio, stopword ratio) over ``_count_base``
+    columns — cheap long arithmetic; non-empty text always has ≥1
+    token, so the n_tokens=0 guard is exactly the empty-text guard."""
+    dtr = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("n_distinct") / F.col("n_tokens")
+    )
+    swr = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("n_stop") / F.col("n_tokens")
+    )
+    return dtr, swr
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length band + repetition + stopword presence →
     [0,1] score.  The formula is deliberately simple and portable; the
-    engine contribution is that it runs as one codegen'd projection."""
+    engine contribution is evaluating each underlying text statistic
+    once (see ``_count_base``) and deriving all outputs arithmetically.
+    """
     d = load_table(spark, sf_dir, "documents")
-    n_tok = ws_token_count(F.col("text"))
-    dtr = distinct_token_ratio(F.col("text"))
-    swr = stopword_ratio(F.col("text"))
-    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    base = _count_base(d)
+    dtr, swr = _ratio_cols()
     score = pround(
-        F.lit(0.4) * length_score + F.lit(0.4) * dtr + F.lit(0.2) * F.least(
-            swr * 5.0, F.lit(1.0)
-        ),
+        F.lit(0.4) * F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.4) * dtr
+        + F.lit(0.2) * F.least(swr * 5.0, F.lit(1.0)),
         4,
     )
     return (
-        d.select(
+        base.select(
             "doc_id",
             "lang",
-            n_tok.alias("n_tokens"),
+            "n_tokens",
             pround(dtr, 4).alias("distinct_ratio"),
             pround(swr, 4).alias("stopword_ratio"),
             score.alias("quality_score"),
@@ -250,22 +294,22 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-score → filter (score ≥ 0.5, ≥ 20 tokens) → exact dedup on
     normalized fingerprint (keep min doc_id) → per-language yield stats.
 
-    Everything fuses: the quality projection and the fingerprint hash
-    compute in the same scan stage; dedup is one shuffle; the final agg
-    is map-side partial.  Fully oracle-checked.
+    Everything fuses: the counting projection and the fingerprint hash
+    compute once in the same scan stage (``_count_base``; the score and
+    the filter are cheap arithmetic over those counts, so predicate
+    pushdown duplicates only longs, never the regex work); dedup is one
+    shuffle; the final agg is map-side partial.  Fully oracle-checked.
     """
     d = load_table(spark, sf_dir, "documents")
-    n_tok = ws_token_count(F.col("text"))
-    dtr = distinct_token_ratio(F.col("text"))
-    swr = stopword_ratio(F.col("text"))
+    base = _count_base(d, with_fp=True)
+    dtr, swr = _ratio_cols()
     score = (
-        F.lit(0.4) * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        F.lit(0.4) * F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
         + F.lit(0.4) * dtr
         + F.lit(0.2) * F.least(swr * 5.0, F.lit(1.0))
     )
-    scored = d.select(
-        "doc_id", "lang", n_tok.alias("n_tokens"), score.alias("score"),
-        fingerprint(F.col("text")).alias("fp"),
+    scored = base.select(
+        "doc_id", "lang", "n_tokens", score.alias("score"), "fp"
     ).filter((F.col("score") >= 0.5) & (F.col("n_tokens") >= 20))
     survivors = (
         scored.groupBy("fp")
