@@ -216,22 +216,31 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     i.e. first maximum wins in that listing order)."""
     d = load_table(spark, sf_dir, "documents")
     lowered = F.lower(F.col("text"))
-    counts = {
-        lang: F.regexp_count(lowered, F.lit(pat)).cast("long")
-        for lang, pat in LANG_MARKERS.items()
-    }
+    # count each marker set ONCE in a lower projection: the argmax fold
+    # below nests its accumulator into both branches of every `when`,
+    # so folding over the regexp_count expressions directly would embed
+    # ~2^|langs| copies of them (all under CASE branches, where runtime
+    # subexpression elimination doesn't reach — see _count_base)
+    base = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[
+            F.regexp_count(lowered, F.lit(pat)).cast("long").alias(f"hits_{lang}")
+            for lang, pat in LANG_MARKERS.items()
+        ],
+    )
     pred = F.lit("unknown")
     best = F.lit(0)
     # fold left in fixed order; strict > keeps the earlier lang on ties
     for lang in LANG_MARKERS:
-        is_better = counts[lang] > best
+        is_better = F.col(f"hits_{lang}") > best
         pred = F.when(is_better, F.lit(lang)).otherwise(pred)
-        best = F.when(is_better, counts[lang]).otherwise(best)
+        best = F.when(is_better, F.col(f"hits_{lang}")).otherwise(best)
     return (
-        d.select(
+        base.select(
             "doc_id",
-            F.col("lang").alias("lang_label"),
-            *[counts[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+            "lang_label",
+            *[f"hits_{lang}" for lang in LANG_MARKERS],
             pred.alias("lang_pred"),
         )
         .orderBy("doc_id")
