@@ -137,3 +137,35 @@ def test_q21_single_fact_shuffle(spark):
 
     plan = _plan(tpch_fill.q21_waiting_suppliers(spark, SF))
     assert plan.count("SortMergeJoin") <= 2
+
+
+def test_curation_plan_shapes(spark):
+    """Curation operators keep their scale-critical shapes: held-out
+    shingles broadcast into the corpus scan (decontamination), packing
+    is window-only (no join), the mixture sampler has no shuffle before
+    its final single aggregation."""
+    from projet_meteo_etl_spark.plans import curation
+
+    decon = _plan(curation.benchmark_decontamination(spark, SF))
+    assert "BroadcastHashJoin" in decon, "held-out set must broadcast"
+    assert "SortMergeJoin" not in decon
+
+    pack = _plan(curation.pack_sequences(spark, SF))
+    assert "Window" in pack
+    assert "Join" not in pack
+
+    mix = _plan(curation.stratified_sample_mix(spark, SF))
+    assert "Join" not in mix
+    # scan → partial agg → exchange → final agg: exactly one exchange
+    # besides the final tiny sort
+    assert mix.count("Exchange") <= 2
+
+
+def test_quality_score_single_split_per_statistic(spark):
+    """The scoring projection must evaluate each regex statistic once —
+    inlining them under CASE branches defeats subexpression elimination
+    (16× wall regression guard)."""
+    from projet_meteo_etl_spark.operators import text
+
+    plan = _plan(text.text_quality_score(spark, SF))
+    assert plan.count("split(") <= 2  # one for tokens, one for distinct
