@@ -212,14 +212,142 @@ ORDER BY s.doc_id
 """
 
 
+#: existing-corpus / new-batch split for the incremental dedup report
+INCR_SPLIT = 100
+
+
+def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the nightly-ingest shape: a NEW batch
+    of documents is admitted against an EXISTING corpus's fingerprint
+    set.  A batch doc is dropped if its normalized fingerprint already
+    exists in the corpus; among batch-internal duplicates only the
+    first (min doc_id) is accepted.
+
+    The corpus side joins by fingerprint with no broadcast hint: at
+    real scale the accumulated fingerprint set is itself huge, so the
+    right plan is a shuffle join on the hash key (AQE still broadcasts
+    it while it is small).  Output: per-language admission report.
+    """
+    from projet_meteo_etl_spark.operators.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus_fp = (
+        d.filter(F.col("doc_id") < INCR_SPLIT)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    batch = d.filter(F.col("doc_id") >= INCR_SPLIT).select(
+        "doc_id", "lang", fingerprint(F.col("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    classified = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .join(corpus_fp, "fp", "left")
+        .select(
+            "lang",
+            F.when(F.col("in_corpus") == 1, F.lit("dropped_existing"))
+            .when(F.col("rn") > 1, F.lit("dropped_batch_dup"))
+            .otherwise(F.lit("accepted"))
+            .alias("outcome"),
+        )
+    )
+    return (
+        classified.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.count_if(F.col("outcome") == "accepted").alias("n_accepted"),
+            F.count_if(F.col("outcome") == "dropped_existing").alias("n_dropped_existing"),
+            F.count_if(F.col("outcome") == "dropped_batch_dup").alias("n_dropped_batch_dup"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FP_SQL = (
+    r"md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),"
+    r" '\s+', ' ', 'g')))"
+)
+
+INCR_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id < {INCR_SPLIT}
+),
+batch AS (
+  SELECT doc_id, lang, {_FP_SQL} AS fp,
+         row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id >= {INCR_SPLIT}
+),
+classified AS (
+  SELECT lang,
+         CASE WHEN c.fp IS NOT NULL THEN 'dropped_existing'
+              WHEN rn > 1 THEN 'dropped_batch_dup'
+              ELSE 'accepted' END AS outcome
+  FROM batch b LEFT JOIN corpus c USING (fp)
+)
+SELECT lang, count(*) AS n_new,
+       count(*) FILTER (WHERE outcome = 'accepted') AS n_accepted,
+       count(*) FILTER (WHERE outcome = 'dropped_existing') AS n_dropped_existing,
+       count(*) FILTER (WHERE outcome = 'dropped_batch_dup') AS n_dropped_batch_dup
+FROM classified GROUP BY lang ORDER BY lang
+"""
+
+
+def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length filtering: keep docs whose ``n_chars`` lies in
+    the [p5, p95] band — the standard outlier trim before tokenization.
+
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` use the
+    same linear interpolation and agree bit-for-bit, so the band (a
+    1-row aggregate broadcast into the scan) and the per-language
+    keep counts are all oracle-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    band = d.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(band))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(
+                (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+            ).alias("n_kept"),
+            pround(F.min("lo"), 4).alias("p05_chars"),
+            pround(F.min("hi"), 4).alias("p95_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+LENGTH_BAND_SQL = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT lang, count(*) AS n_total,
+       count(*) FILTER (WHERE n_chars >= lo AND n_chars <= hi) AS n_kept,
+       floor((min(lo)) * 10000.0 + 0.5) / 10000.0 AS p05_chars,
+       floor((min(hi)) * 10000.0 + 0.5) / 10000.0 AS p95_chars
+FROM documents, b
+GROUP BY lang ORDER BY lang
+"""
+
+
 SPARK_QUERIES = {
     "pack_sequences": pack_sequences,
     "stratified_sample_mix": stratified_sample_mix,
     "benchmark_decontamination": benchmark_decontamination,
+    "incremental_dedup_report": incremental_dedup_report,
+    "length_band_filter": length_band_filter,
 }
 
 ORACLE_SQL = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "stratified_sample_mix": STRATIFIED_MIX_SQL,
     "benchmark_decontamination": DECONTAM_SQL,
+    "incremental_dedup_report": INCR_DEDUP_SQL,
+    "length_band_filter": LENGTH_BAND_SQL,
 }

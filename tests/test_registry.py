@@ -44,6 +44,7 @@ EXPECTED_QUERIES = {
     "dedup_connected_components", "winnow_fingerprint_pairs",
     # curation
     "pack_sequences", "stratified_sample_mix", "benchmark_decontamination",
+    "incremental_dedup_report", "length_band_filter",
     # multimodal
     "multimodal_metadata", "multimodal_frame_sample", "multimodal_features",
     "multimodal_thumbnails",
