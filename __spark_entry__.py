@@ -42,8 +42,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each hash-checkable query.
 
     Keys absent here (but present in ``queries()``) are deliberately
-    non-SQL-expressible ops (MinHash-LSH, SimHash, streaming state);
-    the driver records a weaker rows-only check for those.
+    engine-specific ops (latin-1 CSV inputs DuckDB 1.0 can't read,
+    sketch internals, micro-batch-boundary semantics); the driver
+    records a weaker rows-only check for those 5 of 101.
     """
     _, o = registry.collect()
     return o
