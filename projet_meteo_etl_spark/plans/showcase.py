@@ -188,11 +188,56 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): per-returnflag measure columns melted to
+    (flag, measure, value) rows via ``DataFrame.unpivot`` — the inverse
+    of the pivot showcase.  Spark expands it to a generator (no
+    shuffle beyond the feeding agg); the oracle mirrors with UNION ALL,
+    the portable spelling of UNPIVOT.
+    """
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.functions.portable import pround
+
+    l = load_table(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        pround(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price", "avg_disc"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+         floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price,
+         floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+ORDER BY l_returnflag, measure
+"""
+
+
 SPARK_QUERIES = {
     "sql_interface_q1": sql_interface_q1,
     "ranking_functions_showcase": ranking_functions_showcase,
     "grouping_sets_revenue": grouping_sets_revenue,
     "array_functions_showcase": array_functions_showcase,
+    "unpivot_returnflag_measures": unpivot_returnflag_measures,
 }
 
 ORACLE_SQL = {
@@ -200,4 +245,5 @@ ORACLE_SQL = {
     "ranking_functions_showcase": RANKING_SQL,
     "grouping_sets_revenue": GROUPING_SETS_SQL,
     "array_functions_showcase": ARRAY_FUNCS_SQL,
+    "unpivot_returnflag_measures": UNPIVOT_SQL,
 }

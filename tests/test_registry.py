@@ -26,6 +26,7 @@ EXPECTED_QUERIES = {
     "q21_waiting_suppliers",
     # showcases
     "ranking_functions_showcase", "grouping_sets_revenue", "array_functions_showcase",
+    "unpivot_returnflag_measures",
     "sql_interface_q1",
     # weather (reference surface)
     "weather_etl_unified", "weather_quality_report",
