@@ -9,9 +9,10 @@ Eight near-dup/dedup operators, each in its Spark-native shape:
 * **n-gram Jaccard** — word-shingle inverted index → pair join →
   exact Jaccard (the verify stage of MinHash, usable standalone at
   moderate scale);
-* **MinHash + LSH** — k permutations via seeded ``xxhash64``, banded
-  signature join for candidate generation, exact-Jaccard verify:
-  the 100 TB near-dup path (candidate pairs ∝ true dups, not n²);
+* **MinHash + LSH** — k universal-hash permutations over the portable
+  shingle hash, banded signature join for candidate generation,
+  exact-Jaccard verify: the 100 TB near-dup path (candidate pairs ∝
+  true dups, not n²);
 * **SimHash** — 64-bit signed-bit-sum signature, 16-bit band join,
   Hamming-distance verify via ``bit_count(a XOR b)``;
 * **embedding cosine** — Arrow block-matmul all-pairs baseline;
