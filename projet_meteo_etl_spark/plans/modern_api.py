@@ -1,0 +1,274 @@
+"""Spark-4-native API surface: Python DataSource, Python UDTF, VARIANT.
+
+The reference drives everything through static file manifests and
+per-cell Python lambdas (``/root/reference/etl_meteo.py:16-34`` manifest
+dicts, ``:53-59`` Series.apply lambdas, ``:140-147`` whole-file JSON
+load).  This module re-expresses those extension points with the
+engine-native Spark 4 APIs a user switching from the reference would
+reach for:
+
+* **Python DataSource** (``spark.dataSource.register``) — the
+  reference's "manifest of per-station files" source (S2) as a
+  first-class pluggable source with partition planning (one input
+  partition per station, the unit the reference loops over) and
+  predicate pushdown into ``partitions()``;
+* **Python UDTF** — the reference's closest thing to custom logic is a
+  scalar lambda; a table function is the richer surface: one input row
+  → many output rows, here run-length encoding of repeated tokens
+  (imperative per-row logic that has no single built-in equivalent);
+* **VARIANT** (``parse_json`` / ``try_variant_get``) — the reference
+  loads whole JSON into Python dicts; VARIANT keeps semi-structured
+  data columnar and JVM-side with per-path typed extraction.
+
+All three are oracle-checked against DuckDB: the DataSource generates
+deterministically (integer arithmetic only), the UDTF's run-length
+semantics are mirrored by a gaps-and-islands SQL query, and VARIANT
+extraction by ``json_extract``.
+
+Driver-gate caveat (vanilla session): the UDTF and DataSource classes
+are defined INSIDE the query functions so cloudpickle serializes them
+by value — the gate's Python workers run from a foreign cwd and cannot
+import this package.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import harden_session, load_table
+
+#: Custom-source shape: 8 stations × 1440 hourly ticks (≈ two months),
+#: temperature in integer centi-°C from a fixed congruence so Spark and
+#: the DuckDB oracle generate bit-identical data independently.
+PYDS_STATIONS = 8
+PYDS_HOURS = 1440
+PYDS_MIN_STATION = 2  # pushed-down lower bound, prunes partitions 0-1
+
+
+def pyds_ticks_station_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station stats over a custom Python DataSource.
+
+    The source plans one ``InputPartition`` per station (the unit the
+    reference's manifest loop iterates, ``etl_meteo.py:149-178``) and
+    implements ``pushFilters``: the ``station_id >= 2`` predicate below
+    reaches ``partitions()`` and prunes two partitions at the source —
+    the Python-source analogue of parquet partition pruning.  Rows are
+    generated, never collected driver-side.
+    """
+    harden_session(spark)
+    try:
+        # required for pushFilters to be called (and, in Spark 4.1, for
+        # a reader that implements it to initialize at all)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # noqa: BLE001 — conf locked: fall back unpruned
+        pass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThanOrEqual,
+        InputPartition,
+    )
+
+    n_hours = PYDS_HOURS
+    pushdown_on = (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        == "true"
+    )
+
+    class StationTicksReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_stations = int(options.get("stations", "4"))
+            self.n_hours = int(options.get("hours", "24"))
+            self.min_station = 0
+
+        if pushdown_on:  # a reader MAY only implement this when enabled
+
+            def pushFilters(self, filters):
+                for f in filters:
+                    if (
+                        isinstance(f, GreaterThanOrEqual)
+                        and f.attribute == ("station_id",)
+                        and isinstance(f.value, int)
+                    ):
+                        self.min_station = max(self.min_station, f.value)
+                    else:
+                        yield f  # unsupported → Spark applies post-scan
+
+        def partitions(self):
+            return [
+                InputPartition(s)
+                for s in range(self.min_station, self.n_stations)
+            ]
+
+        def read(self, partition):
+            s = partition.value
+            for h in range(self.n_hours):
+                yield (s, h, (s * 37 + h * 13) % 4000 - 1000)
+
+    class StationTicksSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "station_ticks"
+
+        def schema(self):
+            return "station_id int, hour_idx int, temp_centi int"
+
+        def reader(self, schema):
+            return StationTicksReader(self.options)
+
+    spark.dataSource.register(StationTicksSource)
+    ticks = (
+        spark.read.format("station_ticks")
+        .option("stations", str(PYDS_STATIONS))
+        .option("hours", str(n_hours))
+        .load()
+        .filter(F.col("station_id") >= PYDS_MIN_STATION)
+    )
+    return (
+        ticks.groupBy(F.col("station_id").cast("long").alias("station_id"))
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.min("temp_centi").cast("long").alias("min_centi"),
+            F.max("temp_centi").cast("long").alias("max_centi"),
+            F.sum("temp_centi").cast("long").alias("sum_centi"),
+            (F.sum("temp_centi").cast("double") / F.count("*") / 100.0).alias(
+                "avg_temp_c"
+            ),
+        )
+        .orderBy("station_id")
+    )
+
+
+PYDS_TICKS_SQL = f"""
+WITH ticks AS (
+  SELECT s.s AS station_id, h.h AS hour_idx,
+         (s.s * 37 + h.h * 13) % 4000 - 1000 AS temp_centi
+  FROM generate_series(0, {PYDS_STATIONS - 1}) s(s),
+       generate_series(0, {PYDS_HOURS - 1}) h(h)
+  WHERE s.s >= {PYDS_MIN_STATION}
+)
+SELECT station_id, count(*) AS n_obs,
+       min(temp_centi) AS min_centi,
+       max(temp_centi) AS max_centi,
+       sum(temp_centi) AS sum_centi,
+       CAST(sum(temp_centi) AS DOUBLE) / count(*) / 100.0 AS avg_temp_c
+FROM ticks
+GROUP BY station_id
+ORDER BY station_id
+"""
+
+
+def udtf_token_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs of consecutively repeated tokens per document, via a Python
+    UDTF in a LATERAL join.
+
+    One document row fans out to one row per run of length ≥ 2 — the
+    generator shape (``eval`` yields many rows) that scalar UDFs and the
+    reference's ``Series.apply`` lambdas (``etl_meteo.py:53-59``) cannot
+    express.  Arrow-batched like a pandas UDF; the per-document work is
+    a single linear scan.
+    """
+    harden_session(spark)
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok: string, run_start: long, run_len: long")
+    class TokenRuns:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            i, n = 0, len(toks)
+            while i < n:
+                j = i
+                while j < n and toks[j] == toks[i]:
+                    j += 1
+                if toks[i] != "" and j - i >= 2:
+                    yield (toks[i], i + 1, j - i)
+                i = j
+
+    spark.udtf.register("token_runs", TokenRuns)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.tok, r.run_start, r.run_len
+        FROM docs_v d, LATERAL token_runs(d.text) r
+        ORDER BY d.doc_id, r.run_start
+        """
+    )
+
+
+UDTF_TOKEN_RUNS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), islands AS (
+  SELECT doc_id, tok, i,
+         i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+  FROM toks
+  WHERE tok <> ''
+)
+SELECT doc_id, tok,
+       CAST(min(i) AS BIGINT) AS run_start,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM islands
+GROUP BY doc_id, tok, grp
+HAVING count(*) >= 2
+ORDER BY doc_id, run_start
+"""
+
+
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from semi-structured event properties via the
+    VARIANT type: ``parse_json`` once, ``try_variant_get`` per path.
+
+    Columnar, JVM-side semi-structured handling — versus the
+    reference's whole-file ``json.load`` into Python dicts
+    (``etl_meteo.py:140-147``).  ``try_variant_get`` yields null on
+    missing paths / type mismatches, mirroring the reference's
+    ``.get()``-with-default row guards (``etl_meteo.py:96-106``).
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(
+        F.parse_json(F.coalesce(F.col("props"), F.lit("null"))), "$.k", "long"
+    )
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       count(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k,
+       sum(k) AS sum_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+SPARK_QUERIES = {
+    "pyds_ticks_station_stats": pyds_ticks_station_stats,
+    "udtf_token_run_lengths": udtf_token_run_lengths,
+    "variant_props_extract": variant_props_extract,
+}
+
+ORACLE_SQL = {
+    "pyds_ticks_station_stats": PYDS_TICKS_SQL,
+    "udtf_token_run_lengths": UDTF_TOKEN_RUNS_SQL,
+    "variant_props_extract": VARIANT_PROPS_SQL,
+}

@@ -1,0 +1,79 @@
+"""Spark-4 API surface: Python DataSource (with filter pushdown into
+partition planning), Python UDTF, and VARIANT extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.plans import modern_api
+from tests.conftest import SF_SMOKE
+
+
+def test_pyds_source_partition_pruning(spark):
+    # registering + running the query leaves the source registered
+    out = modern_api.pyds_ticks_station_stats(spark, SF_SMOKE)
+    rows = {r["station_id"]: r for r in out.collect()}
+    assert sorted(rows) == list(
+        range(modern_api.PYDS_MIN_STATION, modern_api.PYDS_STATIONS)
+    )
+    assert all(r["n_obs"] == modern_api.PYDS_HOURS for r in rows.values())
+    # the >= filter is pushed into partitions(): only 6 of 8 planned
+    ticks = (
+        spark.read.format("station_ticks")
+        .option("stations", str(modern_api.PYDS_STATIONS))
+        .option("hours", "10")
+        .load()
+        .filter(F.col("station_id") >= modern_api.PYDS_MIN_STATION)
+    )
+    n_parts = ticks.rdd.getNumPartitions()
+    assert n_parts == modern_api.PYDS_STATIONS - modern_api.PYDS_MIN_STATION
+
+
+def test_pyds_generation_formula(spark):
+    modern_api.pyds_ticks_station_stats(spark, SF_SMOKE)  # ensure registered
+    df = (
+        spark.read.format("station_ticks")
+        .option("stations", "2")
+        .option("hours", "3")
+        .load()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        (s, h, (s * 37 + h * 13) % 4000 - 1000)
+        for s in range(2)
+        for h in range(3)
+    )
+    assert got == want
+
+
+def test_udtf_run_length_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "a b b b c c"), (2, "x  x y"), (3, None), (4, "z z")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("docs_v")
+    # reuse the registered UDTF from the query path
+    modern_api.udtf_token_run_lengths(spark, SF_SMOKE)
+    df.createOrReplaceTempView("docs_v")  # query path rebinds the view
+    out = spark.sql(
+        "SELECT d.doc_id, r.* FROM docs_v d, LATERAL token_runs(d.text) r"
+    ).collect()
+    got = sorted(tuple(r) for r in out)
+    # doc 2: 'x  x' splits to ['x','','x'] — the empty token breaks the run
+    assert got == [
+        (1, "b", 2, 3),
+        (1, "c", 5, 2),
+        (4, "z", 1, 2),
+    ]
+
+
+def test_variant_extract_null_safety(spark):
+    df = spark.createDataFrame(
+        [("click", '{"k": 5}'), ("click", "{}"), ("view", None)],
+        "event_type string, props string",
+    )
+    k = F.try_variant_get(
+        F.parse_json(F.coalesce(F.col("props"), F.lit("null"))), "$.k", "long"
+    )
+    got = df.select(k.alias("k")).collect()
+    assert [r["k"] for r in got] == [5, None, None]
