@@ -33,6 +33,7 @@ import this package.
 
 from __future__ import annotations
 
+import pandas as pd  # annotation target for the pandas UDAF signature
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -261,14 +262,198 @@ ORDER BY event_type
 """
 
 
+def cogroup_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join (latest purchase at-or-before each click, per
+    user) via COGROUPED ``applyInPandas`` — the second physical strategy
+    for the same logical op as ``asof_purchase_before_click``
+    (window-over-union), sharing its oracle semantics.
+
+    Both sides shuffle once on ``user_id``; each user's click and
+    purchase groups meet in one Arrow-batched ``pandas.merge_asof``.
+    At 100 TB this is the strategy when per-group logic outgrows window
+    functions: state stays bounded by the largest single user, not the
+    partition.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("p_value"))
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+
+    def merge(key, clicks, purchases):  # self-contained for the gate
+        import pandas as pd
+
+        left = clicks[["event_id", "ts"]].sort_values("ts", kind="stable")
+        right = (
+            purchases[["ts", "p_value"]]
+            .assign(p_ts=lambda d: d["ts"])
+            .sort_values("ts", kind="stable")
+        )
+        out = pd.merge_asof(
+            left, right, on="ts", direction="backward",
+            allow_exact_matches=True,
+        )
+        out["user_id"] = key[0]
+        micros = (out["ts"] - out["p_ts"]) // pd.Timedelta(microseconds=1)
+        out["micros_since_purchase"] = micros.astype("Int64")
+        return out[
+            ["user_id", "event_id", "ts", "p_value", "micros_since_purchase"]
+        ]
+
+    # pre-partition both sides on the group key: cogroup reuses the
+    # hash distribution, so the Python stage runs 8 tasks instead of
+    # spark.sql.shuffle.partitions (same ≈6× wall win as the EWMA
+    # stage, timeseries.py).  At real scale size this to group bytes /
+    # executor memory, not 8.
+    out = (
+        c.repartition(8, "user_id")
+        .groupBy("user_id")
+        .cogroup(p.repartition(8, "user_id").groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, event_id long, ts timestamp, p_value double, "
+            "micros_since_purchase long",
+        )
+    )
+    return out.orderBy("user_id", "event_id")
+
+
+COGROUP_ASOF_SQL = """
+WITH p AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.event_id, c.ts, p.p_value,
+       epoch_us(c.ts) - epoch_us(p.ts) AS micros_since_purchase
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.user_id, c.event_id
+"""
+
+
+def pandas_udaf_user_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user median purchase value via a GROUPED_AGG pandas
+    UDF — the user-defined-aggregate surface (Arrow-batched, one call
+    per group) the reference's scalar lambdas cannot express.
+
+    Median is order-statistic work a single built-in can't fuse; the
+    UDAF sees each user's values as one pandas Series.  Exact-median
+    semantics (mean of the two middles on even counts) match DuckDB's
+    ``median`` on DOUBLE bit-for-bit: same two doubles, same mean.
+    """
+    harden_session(spark)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:  # self-contained for the gate
+        return v.median()
+
+    # GROUPED_AGG pandas UDFs cannot share an agg() with JVM aggregates,
+    # so the count rides as a second pandas UDAF
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return len(v)
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            count_udaf("value").alias("n_purchases"),
+            median_udaf("value").alias("median_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+PANDAS_UDAF_MEDIAN_SQL = """
+SELECT user_id, count(*) AS n_purchases, median(value) AS median_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms over the embedding corpus via ``mapInArrow`` — the
+    zero-copy Arrow batch interface below pandas (no Series
+    materialization), the right hop when per-batch work is columnar
+    already.
+
+    The fold accumulates left-to-right in float64 (Python floats over
+    the float32 values), bit-identical to Spark's ``aggregate`` HOF and
+    DuckDB's ``list_dot_product`` on ``DOUBLE[]`` — the same parity
+    recipe as ``operators/similarity.cosine``; ``pround(6)`` guards the
+    boundary anyway.
+    """
+    harden_session(spark)
+    from projet_meteo_etl_spark.functions.portable import pround
+
+    def norms(batches):  # self-contained for the gate
+        import math
+
+        import pyarrow as pa
+
+        for b in batches:
+            vec_ids = b.column("vec_id").to_pylist()
+            labels = b.column("label").to_pylist()
+            embs = b.column("embedding").to_pylist()
+            out_norm, out_dim = [], []
+            for v in embs:
+                acc = 0.0
+                for x in v:
+                    xd = float(x)
+                    acc += xd * xd
+                out_norm.append(math.sqrt(acc))
+                out_dim.append(len(v))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, pa.int64()),
+                    pa.array(labels, pa.int64()),
+                    pa.array(out_dim, pa.int64()),
+                    pa.array(out_norm, pa.float64()),
+                ],
+                names=["vec_id", "label", "dim", "norm_raw"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = e.mapInArrow(
+        norms, "vec_id long, label long, dim long, norm_raw double"
+    )
+    return out.select(
+        "vec_id", "label", "dim", pround("norm_raw", 6).alias("l2_norm")
+    ).orderBy("vec_id")
+
+
+ARROW_NORMS_SQL = """
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * 1000000.0 + 0.5) / 1000000.0 AS l2_norm
+FROM embeddings ORDER BY vec_id
+"""
+
+
 SPARK_QUERIES = {
     "pyds_ticks_station_stats": pyds_ticks_station_stats,
     "udtf_token_run_lengths": udtf_token_run_lengths,
     "variant_props_extract": variant_props_extract,
+    "cogroup_asof_purchase_click": cogroup_asof_purchase_click,
+    "pandas_udaf_user_median": pandas_udaf_user_median,
+    "arrow_vector_norms": arrow_vector_norms,
 }
 
 ORACLE_SQL = {
     "pyds_ticks_station_stats": PYDS_TICKS_SQL,
     "udtf_token_run_lengths": UDTF_TOKEN_RUNS_SQL,
     "variant_props_extract": VARIANT_PROPS_SQL,
+    "cogroup_asof_purchase_click": COGROUP_ASOF_SQL,
+    "pandas_udaf_user_median": PANDAS_UDAF_MEDIAN_SQL,
+    "arrow_vector_norms": ARROW_NORMS_SQL,
 }

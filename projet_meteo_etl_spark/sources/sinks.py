@@ -164,14 +164,63 @@ ORDER BY format
 """
 
 
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders through the ORC sink (the second columnar format the
+    engine supports beside parquet), read it back, and emit per-priority
+    reconciliation aggregates.
+
+    ORC round-trips timestamps and doubles losslessly, but money still
+    rides as integer cents so the aggregate (a SUM whose addition order
+    differs between engines) stays integer-exact.
+    """
+    out = os.path.join(staging_root(sf_dir), "orders_orc")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        # o_orderdate is TIMESTAMP_NTZ in the parquet; with the UTC
+        # session tz the cast pins the same instant epoch_us sees
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("od_us"),
+    )
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("od_us").alias("min_od_us"),
+            F.max("od_us").alias("max_od_us"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SINK_ORC_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       count(DISTINCT o_orderkey) AS n_keys,
+       sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+       min(epoch_us(o_orderdate)) AS min_od_us,
+       max(epoch_us(o_orderdate)) AS max_od_us
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 SPARK_QUERIES = {
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "sink_pruned_partition_read": sink_pruned_partition_read,
     "sink_text_formats_roundtrip": sink_text_formats_roundtrip,
+    "sink_orc_roundtrip": sink_orc_roundtrip,
 }
 
 ORACLE_SQL = {
     "sink_partitioned_roundtrip": SINK_PARTITIONED_SQL,
     "sink_pruned_partition_read": SINK_PRUNED_SQL,
     "sink_text_formats_roundtrip": SINK_TEXT_FORMATS_SQL,
+    "sink_orc_roundtrip": SINK_ORC_SQL,
 }

@@ -67,6 +67,67 @@ def test_udtf_run_length_semantics(spark):
     ]
 
 
+def test_cogroup_asof_matches_window_strategy(spark):
+    """Two physical strategies for the same logical as-of join must
+    produce identical rows: cogrouped merge_asof vs window-over-union."""
+    from projet_meteo_etl_spark.plans.temporal import asof_purchase_before_click
+
+    a = sorted(
+        tuple(r)
+        for r in modern_api.cogroup_asof_purchase_click(spark, SF_SMOKE)
+        .na.fill({"micros_since_purchase": -1})
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in asof_purchase_before_click(spark, SF_SMOKE)
+        .na.fill({"micros_since_purchase": -1})
+        .collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_pandas_udaf_median_matches_builtin(spark):
+    """The pandas UDAF must agree with Spark's built-in exact median
+    (odd AND even group sizes both occur in the smoke data)."""
+    from projet_meteo_etl_spark.catalog import load_table
+
+    got = {
+        r["user_id"]: (r["n_purchases"], r["median_value"])
+        for r in modern_api.pandas_udaf_user_median(spark, SF_SMOKE).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], r["m"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.median("value").alias("m"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+    assert any(n % 2 == 0 for n, _ in got.values())
+    assert any(n % 2 == 1 for n, _ in got.values())
+
+
+def test_arrow_vector_norms_formula(spark):
+    out = modern_api.arrow_vector_norms(spark, SF_SMOKE)
+    rows = out.limit(5).collect()
+    assert all(r["dim"] == 64 for r in rows)
+    # cross-check one norm against the JVM-side fold used elsewhere
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.functions.portable import pround
+    from pyspark.sql import functions as FF
+
+    e = load_table(spark, SF_SMOKE, "embeddings").filter(FF.col("vec_id") == rows[0]["vec_id"])
+    sq = FF.aggregate(
+        FF.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        FF.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    jvm = e.select(pround(FF.sqrt(sq), 6).alias("n")).collect()[0]["n"]
+    assert jvm == rows[0]["l2_norm"]
+
+
 def test_variant_extract_null_safety(spark):
     df = spark.createDataFrame(
         [("click", '{"k": 5}'), ("click", "{}"), ("view", None)],

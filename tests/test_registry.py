@@ -67,6 +67,12 @@ EXPECTED_QUERIES = {
     "stream_late_event_dropper", "stream_static_segment_counts",
     "stream_stream_purchase_click_join", "stream_session_windows",
     "stream_sliding_avg",
+    # Spark-4 API surface (plans/modern_api.py)
+    "pyds_ticks_station_stats", "udtf_token_run_lengths",
+    "variant_props_extract", "cogroup_asof_purchase_click",
+    "pandas_udaf_user_median", "arrow_vector_norms",
+    # ORC sink
+    "sink_orc_roundtrip",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
