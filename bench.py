@@ -58,6 +58,12 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill bench
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # drop persisted intermediates the query left behind: a
+            # leftover cache evicting mid-way through a LATER query is
+            # what caused the random 9-20 s single-query spikes
+            # (cache-eviction variance noted in BASELINE.md)
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -251,6 +251,10 @@ def ann_ivf_topk(
         scored_cells.withColumn("r", F.row_number().over(assign_w))
         .filter(F.col("r") == 1)
         .select("vec_id", "embedding", "cell")
+        # consumed three times below (query side, probe broadcast, and
+        # the probed-cell scan) — persist or the k-way centroid scoring
+        # re-runs each time (7.7 s → ~2 s at sf0.1)
+        .persist()
     )
 
     # query side: probe the nprobe nearest cells

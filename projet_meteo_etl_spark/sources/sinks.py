@@ -164,6 +164,45 @@ ORDER BY format
 """
 
 
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events through Spark 4's built-in XML sink, read back with
+    an explicit schema (no inference — determinism), and emit the same
+    integer-exact reconciliation aggregates as the CSV/JSON round-trip.
+    """
+    out = os.path.join(staging_root(sf_dir), "events_xml")
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    src.write.mode("overwrite").option("rowTag", "event").format("xml").save(out)
+    back = (
+        spark.read.schema(_EVENTS_TXT)
+        .option("rowTag", "event")
+        .format("xml")
+        .load(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+
+
+SINK_XML_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+       min(epoch_us(ts)) AS min_ts_us,
+       max(epoch_us(ts)) AS max_ts_us
+FROM events
+"""
+
+
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write orders through the ORC sink (the second columnar format the
     engine supports beside parquet), read it back, and emit per-priority
@@ -216,6 +255,7 @@ SPARK_QUERIES = {
     "sink_pruned_partition_read": sink_pruned_partition_read,
     "sink_text_formats_roundtrip": sink_text_formats_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
+    "sink_xml_roundtrip": sink_xml_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -223,4 +263,5 @@ ORACLE_SQL = {
     "sink_pruned_partition_read": SINK_PRUNED_SQL,
     "sink_text_formats_roundtrip": SINK_TEXT_FORMATS_SQL,
     "sink_orc_roundtrip": SINK_ORC_SQL,
+    "sink_xml_roundtrip": SINK_XML_SQL,
 }

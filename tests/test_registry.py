@@ -71,8 +71,8 @@ EXPECTED_QUERIES = {
     "pyds_ticks_station_stats", "udtf_token_run_lengths",
     "variant_props_extract", "cogroup_asof_purchase_click",
     "pandas_udaf_user_median", "arrow_vector_norms",
-    # ORC sink
-    "sink_orc_roundtrip",
+    # ORC / XML sinks
+    "sink_orc_roundtrip", "sink_xml_roundtrip",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
