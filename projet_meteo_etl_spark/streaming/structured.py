@@ -422,6 +422,102 @@ ORDER BY window_start
 """
 
 
+def has_tws_runtime() -> bool:
+    """``transformWithStateInPandas`` ships its own Python driver worker
+    that requires ``google.protobuf`` (state-server wire protocol); gate
+    on it so environments without protobuf degrade explicitly."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 ``StatefulProcessor`` API (successor to
+    ``applyInPandasWithState``): named state variables on a
+    ``StatefulProcessorHandle``, RocksDB state store, update mode.
+
+    Second physical strategy for the same logical op as
+    :func:`stream_user_running_totals`, same oracle.  Integer-cent
+    accumulation keeps the float sum independent of merge order.
+
+    Requires the protobuf runtime (:func:`has_tws_runtime`); raises
+    ``NotImplementedError`` where it is absent rather than crashing
+    mid-stream.
+    """
+    if not has_tws_runtime():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf runtime, "
+            "which is not installed in this environment"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    e = _read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._st.get() if self._st.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._st.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        updates = e.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_to_memory(updates, "update")
+    finally:
+        if old_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )
+
+
 SPARK_QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_user_running_totals": stream_user_running_totals,
@@ -432,6 +528,9 @@ SPARK_QUERIES = {
     "stream_sliding_avg": stream_sliding_avg,
 }
 
+if has_tws_runtime():  # environment-gated: needs google.protobuf
+    SPARK_QUERIES["stream_tws_user_totals"] = stream_tws_user_totals
+
 ORACLE_SQL = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
@@ -440,3 +539,6 @@ ORACLE_SQL = {
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_sliding_avg": STREAM_SLIDING_SQL,
 }
+
+if has_tws_runtime():
+    ORACLE_SQL["stream_tws_user_totals"] = STREAM_USER_TOTALS_SQL

@@ -73,6 +73,9 @@ EXPECTED_QUERIES = {
     "pandas_udaf_user_median", "arrow_vector_norms",
     # ORC / XML sinks
     "sink_orc_roundtrip", "sink_xml_roundtrip",
+    # SQL-text surface (plans/sql_surface.py)
+    "recursive_cte_daily_orders", "pipe_syntax_returnflag_revenue",
+    "sql_udf_discount_bands", "observed_load_metrics",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
@@ -84,6 +87,11 @@ EXPECTED_ROWS_ONLY = {
 
 
 def test_registry_complete_and_consistent():
+    from projet_meteo_etl_spark.streaming.structured import has_tws_runtime
+
+    expected = set(EXPECTED_QUERIES)
+    if has_tws_runtime():  # environment-gated registration
+        expected.add("stream_tws_user_totals")
     queries, oracles = registry.collect()
-    assert set(queries) == EXPECTED_QUERIES
-    assert set(oracles) == EXPECTED_QUERIES - EXPECTED_ROWS_ONLY
+    assert set(queries) == expected
+    assert set(oracles) == expected - EXPECTED_ROWS_ONLY
