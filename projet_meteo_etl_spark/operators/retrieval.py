@@ -1,0 +1,275 @@
+"""Sparse (keyword) retrieval over the ``documents`` table: TF-IDF
+cosine top-k and BM25 keyword search.
+
+Complements :mod:`operators.similarity` (dense embedding ANN): a
+training-data pipeline needs BOTH retrieval families — sparse for
+keyword/provenance lookups and decontamination-style audits, dense for
+semantic near-neighbors.  Everything here is the classic inverted-index
+dataflow expressed relationally, so Catalyst plans it like any other
+join/agg pipeline:
+
+    tokenize (explode) → term-frequency agg → document-frequency agg
+    → weight join → (query ⋈ corpus ON term) → per-pair dot product
+    → normalize → window top-k
+
+Scale notes (the same plan at 100 TB):
+
+* the tf/df aggregations shuffle on ``term`` — exactly an inverted
+  -index build; partial aggregation absorbs the per-document fan-out
+  before the exchange;
+* the pair join is term-partitioned; its cost is sum over terms of
+  |q-postings| × |corpus-postings| — at real scale you cut the hot
+  common-term keys with a max-df (stopword) prune, which is a plain
+  ``df < threshold`` filter on the weight table (the synthetic 31-term
+  vocabulary here makes every term "common", so no prune is applied);
+* norms and document lengths are tiny per-doc aggregates (broadcast
+  side of their joins).
+
+Cross-engine exactness: every additive aggregate is over BIGINTs —
+term weights are floored to integer scale BEFORE any data-dependent
+summation (``floor(1000·ln(…))`` per term; per-term BM25 partial
+scores floored at 1e6) — so aggregation order cannot perturb results;
+the only floats are fixed-shape expression trees over those exact
+integers (IEEE-754 ops are correctly rounded, hence engine-identical),
+mirrored verbatim in the DuckDB oracle.  The reference has no search
+surface at all (SURVEY.md §2.5); this is driver-mandate breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+#: every doc_id ≡ 0 (mod 100) is a "query" document: 5 queries per 500
+#: docs at the small SFs, 50 at sf0.1 — scales with the corpus.
+QUERY_DOC_MOD = 100
+TOP_K = 5
+BM25_TERMS = ("stream", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_N = 20
+
+
+def _term_stats(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf, dfreq, nd): term frequencies per document, document
+    frequencies per term, and the 1-row corpus size — the inverted
+    -index statistics every sparse scorer consumes."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    # tf is the inverted index; every downstream statistic reads it
+    # (df, dl, weights) — persist so tokenize+agg runs once, not 3-4×
+    # (at scale this is the materialized index table)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return tf, dfreq, nd
+
+
+def tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most TF-IDF-cosine-similar documents for each query doc.
+
+    Weights ``w(term) = floor(1000 · ln(1 + N/df))`` are integral, so
+    the pair dot product ``Σ tf_q·tf_d·w²`` and the norms
+    ``Σ tf²·w²`` are BIGINT sums — order-independent and engine-exact;
+    cosine only divides those integers at the end.  The corpus-side
+    posting list joins the query-side postings on ``term`` (hash
+    partition on term = inverted-index lookup); top-k is a bounded
+    window per query doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf, dfreq, nd = _term_stats(docs)
+    w = (
+        tf.join(F.broadcast(dfreq), "term")  # vocab ≪ postings: map-side join
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.floor(
+                F.lit(1000.0) * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .persist()  # feeds norms, the query side, and the corpus side
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf") * F.col("w") * F.col("w")).alias("norm_sq")
+    )
+    q = w.filter(F.col("doc_id") % QUERY_DOC_MOD == 0).select(
+        F.col("doc_id").alias("q_doc"), "term", F.col("tf").alias("q_tf")
+    )
+    # query postings ≪ corpus postings (QUERY_DOC_MOD⁻¹ of the index):
+    # broadcast them so the corpus side never shuffles for this join
+    dot = (
+        F.broadcast(q).join(w, "term")
+        .filter(F.col("q_doc") != F.col("doc_id"))
+        .groupBy("q_doc", "doc_id")
+        .agg(
+            F.sum(F.col("q_tf") * F.col("tf") * F.col("w") * F.col("w")).alias("dot")
+        )
+    )
+    qn = norms.select(F.col("doc_id").alias("q_doc"), F.col("norm_sq").alias("q_norm"))
+    scored = (
+        dot.join(F.broadcast(qn), "q_doc")
+        .join(F.broadcast(norms), "doc_id")
+        .withColumn(
+            "cos", F.col("dot") / (F.sqrt("q_norm") * F.sqrt("norm_sq"))
+        )
+    )
+    rn = Window.partitionBy("q_doc").orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rn))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_doc",
+            F.col("doc_id").alias("match_doc"),
+            pround(F.col("cos"), 4).alias("cosine_sim"),
+            "rank",
+        )
+        .orderBy("q_doc", "rank")
+    )
+
+
+TFIDF_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(floor(1000.0 * ln(1.0 + n_docs / df)) AS BIGINT) AS w
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+),
+norms AS (SELECT doc_id, sum(tf * tf * w * w) AS norm_sq FROM w GROUP BY doc_id),
+dot AS (
+  SELECT q.doc_id AS q_doc, d.doc_id AS doc_id,
+         sum(q.tf * d.tf * d.w * d.w) AS dot
+  FROM w q JOIN w d ON q.term = d.term AND q.doc_id <> d.doc_id
+  WHERE q.doc_id % {QUERY_DOC_MOD} = 0
+  GROUP BY q.doc_id, d.doc_id
+),
+scored AS (
+  SELECT dot.q_doc, dot.doc_id,
+         dot.dot / (sqrt(qn.norm_sq) * sqrt(dn.norm_sq)) AS cos
+  FROM dot
+  JOIN norms qn ON qn.doc_id = dot.q_doc
+  JOIN norms dn ON dn.doc_id = dot.doc_id
+),
+ranked AS (
+  SELECT q_doc, doc_id, cos,
+         row_number() OVER (PARTITION BY q_doc ORDER BY cos DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT q_doc, doc_id AS match_doc,
+       floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine_sim,
+       rank
+FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY q_doc, rank
+"""
+
+
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed keyword query.
+
+    Standard Okapi BM25 (k1=1.2, b=0.75, idf = ln(1+(N−df+0.5)/(df+0.5)))
+    with one cross-engine-exactness twist: each per-term partial score
+    is floored at 1e6 scale BEFORE the per-document sum, making the
+    final score a BIGINT sum (engine-exact) instead of an order
+    -sensitive float accumulation.  The query-term list joins the tf
+    table as a tiny broadcast — at scale this is the "query hits the
+    inverted index" lookup, never a corpus scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf, dfreq, nd = _term_stats(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avg = dl.crossJoin(F.broadcast(nd)).agg(
+        (F.sum("dl") / F.first("n_docs")).alias("avgdl"),
+        F.first("n_docs").alias("n_docs"),
+    )
+    terms = spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")
+    hits = (
+        tf.join(F.broadcast(terms), "term")
+        .join(dfreq, "term")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(avg))
+    )
+    k1, b = BM25_K1, BM25_B
+    tscore = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_term = hits.select(
+        "doc_id", F.floor(tscore * F.lit(1e6)).cast("long").alias("iscore")
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sum("iscore").alias("score_micros"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("score_micros"), F.asc("doc_id"))
+        .limit(BM25_TOP_N)
+    )
+
+
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+avgs AS (SELECT sum(dl) / (SELECT n_docs FROM nd) AS avgdl FROM dl),
+hits AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * {BM25_K1 + 1.0})
+           / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))
+           * 1000000.0) AS BIGINT) AS iscore
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN nd CROSS JOIN avgs
+  WHERE tf.term IN {BM25_TERMS!r}
+)
+SELECT doc_id, sum(iscore) AS score_micros, count(*) AS n_terms_matched
+FROM hits
+GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id
+LIMIT {BM25_TOP_N}
+"""
+
+
+SPARK_QUERIES = {
+    "tfidf_topk_similar": tfidf_topk_similar,
+    "bm25_keyword_search": bm25_keyword_search,
+}
+
+ORACLE_SQL = {
+    "tfidf_topk_similar": TFIDF_TOPK_SQL,
+    "bm25_keyword_search": BM25_SQL,
+}

@@ -32,6 +32,7 @@ _MODULES = (
     "projet_meteo_etl_spark.operators.multimodal",
     "projet_meteo_etl_spark.operators.sketches",
     "projet_meteo_etl_spark.operators.similarity",
+    "projet_meteo_etl_spark.operators.retrieval",
     "projet_meteo_etl_spark.operators.text",
     "projet_meteo_etl_spark.streaming.windows",
     "projet_meteo_etl_spark.streaming.structured",

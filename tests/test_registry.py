@@ -76,6 +76,8 @@ EXPECTED_QUERIES = {
     # SQL-text surface (plans/sql_surface.py)
     "recursive_cte_daily_orders", "pipe_syntax_returnflag_revenue",
     "sql_udf_discount_bands", "observed_load_metrics",
+    # sparse retrieval (operators/retrieval.py)
+    "tfidf_topk_similar", "bm25_keyword_search",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
