@@ -1,0 +1,277 @@
+"""Corpus-level statistics operators for training-data curation.
+
+Beyond the reference's surface (it has no text ops — SURVEY.md §2.5):
+the two corpus passes every large-scale pretraining pipeline runs
+before (and after) filtering:
+
+* ``text_repetition_filter`` — Gopher-style repetition signals per
+  document (top-2-gram fraction, top-3-gram fraction, duplicated
+  5-gram fraction) plus the keep/drop verdict.  Repetition is the
+  strongest single predictor of low-quality machine-generated text
+  (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1).
+* ``corpus_vocab_topk`` — corpus-wide term and document frequencies,
+  top-k by collection frequency: the vocabulary-seed / word-count pass
+  a BPE tokenizer trainer starts from.
+
+Scale notes (100 TB):
+
+* One ``repartition(doc_id)`` up front, then the position window and
+  every n-gram count reuse that partitioning — per-doc work never
+  crosses executors again (HashPartitioning on ``doc_id`` satisfies
+  the clustered distribution of every ``(doc_id, gram)`` aggregate),
+  so the whole per-document path is one shuffle wide.
+* The vocabulary pass is the classic two-phase count: map-side partial
+  aggregation absorbs the Zipf head (the hottest tokens are exactly
+  the ones partial agg compresses best), and doc-frequency dedups
+  ``(token, doc_id)`` *within* the doc-partitioned stage before the
+  token-keyed shuffle.
+* Top-k is ``TakeOrderedAndProject`` — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+_WS = r"\s+"
+
+#: Gopher-ish thresholds (Rae et al. 2021 table A1; adapted to word
+#: grams): drop when the most frequent 2-gram covers > 20% of 2-grams,
+#: the most frequent 3-gram > 18%, or duplicated 5-grams > 30%.
+TOP2_MAX = 0.20
+TOP3_MAX = 0.18
+DUP5_MAX = 0.30
+
+
+def _doc_tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok), partitioned by doc_id so every downstream
+    per-doc aggregate is exchange-free."""
+    return (
+        d.repartition("doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), _WS)).alias("pos", "tok"),
+        )
+    )
+
+
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile + keep verdict.
+
+    ONE pass over the corpus builds all three gram sizes: a single
+    position window (four ``lead``s over the same (doc_id, pos) frame),
+    the three gram strings stacked into (n, gram) rows by an in-plan
+    ``explode`` (no second scan — Spark does not dedupe repeated plan
+    subtrees, so the naive "one aggregate per gram size" formulation
+    scans and shuffles the corpus three times), then counted by
+    ``(doc_id, n, gram)`` and reduced per document with conditional
+    aggregates — every aggregate reuses the initial doc-keyed
+    partitioning, so the whole per-doc path is one wide shuffle:
+
+    * ``top{2,3}_frac`` — max gram count / total grams of that size
+    * ``dup5_frac`` — fraction of 5-gram instances whose gram occurs
+      more than once in the document
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _doc_tokens(d)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    stacked = (
+        toks.select(
+            "doc_id",
+            "tok",
+            *[F.lead("tok", i).over(w).alias(f"t{i}") for i in (1, 2, 3, 4)],
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(2).alias("n"),
+                        F.when(
+                            F.col("t1").isNotNull(),
+                            F.concat_ws(" ", "tok", "t1"),
+                        ).alias("gram"),
+                    ),
+                    F.struct(
+                        F.lit(3).alias("n"),
+                        F.when(
+                            F.col("t2").isNotNull(),
+                            F.concat_ws(" ", "tok", "t1", "t2"),
+                        ).alias("gram"),
+                    ),
+                    F.struct(
+                        F.lit(5).alias("n"),
+                        F.when(
+                            F.col("t4").isNotNull(),
+                            F.concat_ws(" ", "tok", "t1", "t2", "t3", "t4"),
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    cnt = stacked.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def only(n: int, expr):
+        return F.when(F.col("n") == n, expr)
+
+    stats = cnt.groupBy("doc_id").agg(
+        F.max(only(2, F.col("cnt"))).alias("top_g2"),
+        F.sum(only(2, F.col("cnt"))).alias("tot_g2"),
+        F.max(only(3, F.col("cnt"))).alias("top_g3"),
+        F.sum(only(3, F.col("cnt"))).alias("tot_g3"),
+        F.sum(
+            only(5, F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+        ).alias("dup_g5"),
+        F.sum(only(5, F.col("cnt"))).alias("tot_g5"),
+    )
+    base = d.select("doc_id", "lang")
+
+    def frac(num, den):
+        return F.when(
+            F.coalesce(den, F.lit(0)) == 0, F.lit(0.0)
+        ).otherwise(num / den)
+
+    top2 = frac(F.col("top_g2"), F.col("tot_g2"))
+    top3 = frac(F.col("top_g3"), F.col("tot_g3"))
+    dup5 = frac(F.col("dup_g5"), F.col("tot_g5"))
+    return (
+        base.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("tot_g2", F.lit(0)).cast("long").alias("n_bigrams"),
+            pround(top2, 6).alias("top2_frac"),
+            pround(top3, 6).alias("top3_frac"),
+            pround(dup5, 6).alias("dup5_frac"),
+            (
+                (pround(top2, 6) <= TOP2_MAX)
+                & (pround(top3, 6) <= TOP3_MAX)
+                & (pround(dup5, 6) <= DUP5_MAX)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+g AS (
+  SELECT doc_id, tok,
+         lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+         lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+c2 AS (
+  SELECT doc_id, tok || ' ' || t1 AS gram, count(*) AS cnt
+  FROM g WHERE t1 IS NOT NULL GROUP BY 1, 2
+),
+s2 AS (SELECT doc_id, max(cnt) AS top_g2, sum(cnt) AS tot_g2 FROM c2 GROUP BY 1),
+c3 AS (
+  SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS gram, count(*) AS cnt
+  FROM g WHERE t2 IS NOT NULL GROUP BY 1, 2
+),
+s3 AS (SELECT doc_id, max(cnt) AS top_g3, sum(cnt) AS tot_g3 FROM c3 GROUP BY 1),
+c5 AS (
+  SELECT doc_id,
+         tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4 AS gram,
+         count(*) AS cnt
+  FROM g WHERE t4 IS NOT NULL GROUP BY 1, 2
+),
+s5 AS (
+  SELECT doc_id, sum(cnt) AS tot_g5,
+         sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_g5
+  FROM c5 GROUP BY 1
+),
+j AS (
+  SELECT d.doc_id, d.lang,
+    CAST(coalesce(s2.tot_g2, 0) AS BIGINT) AS n_bigrams,
+    floor((CASE WHEN coalesce(s2.tot_g2, 0) = 0 THEN 0.0
+           ELSE s2.top_g2 * 1.0 / s2.tot_g2 END) * 1000000.0 + 0.5) / 1000000.0 AS top2_frac,
+    floor((CASE WHEN coalesce(s3.tot_g3, 0) = 0 THEN 0.0
+           ELSE s3.top_g3 * 1.0 / s3.tot_g3 END) * 1000000.0 + 0.5) / 1000000.0 AS top3_frac,
+    floor((CASE WHEN coalesce(s5.tot_g5, 0) = 0 THEN 0.0
+           ELSE s5.dup_g5 * 1.0 / s5.tot_g5 END) * 1000000.0 + 0.5) / 1000000.0 AS dup5_frac
+  FROM documents d
+  LEFT JOIN s2 ON s2.doc_id = d.doc_id
+  LEFT JOIN s3 ON s3.doc_id = d.doc_id
+  LEFT JOIN s5 ON s5.doc_id = d.doc_id
+)
+SELECT doc_id, lang, n_bigrams, top2_frac, top3_frac, dup5_frac,
+       (top2_frac <= {TOP2_MAX} AND top3_frac <= {TOP3_MAX}
+        AND dup5_frac <= {DUP5_MAX}) AS keep
+FROM j
+ORDER BY doc_id
+"""
+
+
+#: vocabulary size to keep (ties broken by token text, so the cut is
+#: deterministic across engines and cluster layouts)
+VOCAB_K = 100
+
+
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: collection frequency + document frequency per
+    token, top ``VOCAB_K`` by collection frequency (tie → token asc).
+
+    The doc-frequency side dedups ``(doc_id, tok)`` while still
+    partitioned by doc_id (exchange-free), so the only token-keyed
+    shuffle carries one row per distinct (doc, token) — at 100 TB this
+    is the standard word-count whose map-side combine does the heavy
+    lifting; the final top-k never sorts the full vocabulary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _doc_tokens(d)
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        tf.join(df_, "tok")
+        .select(F.col("tok").alias("token"), "tf", "df")
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(VOCAB_K)
+    )
+
+
+CORPUS_VOCAB_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+df AS (
+  SELECT tok, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+)
+SELECT tf.tok AS token, tf.tf AS tf, df.df AS df
+FROM tf JOIN df ON tf.tok = df.tok
+ORDER BY tf.tf DESC, token ASC
+LIMIT {VOCAB_K}
+"""
+
+
+SPARK_QUERIES = {
+    "text_repetition_filter": text_repetition_filter,
+    "corpus_vocab_topk": corpus_vocab_topk,
+}
+
+ORACLE_SQL = {
+    "text_repetition_filter": TEXT_REPETITION_SQL,
+    "corpus_vocab_topk": CORPUS_VOCAB_SQL,
+}

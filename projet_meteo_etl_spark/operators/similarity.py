@@ -385,11 +385,96 @@ ORDER BY n.label
 """
 
 
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the compression step a
+    vector store applies before ANN indexing (4× smaller than float32,
+    8× smaller than the double working set).
+
+    ``scale = max|x| / 127``; ``q_i = floor(x_i / scale + 0.5)`` (the
+    portable half-up formula — see ``functions.portable``).  Every
+    reported reduction is ORDER-INDEPENDENT so the oracle hash can
+    never drift with partitioning: ``q_sum``/``q_min``/``q_max`` are
+    exact integer folds and the reconstruction error is the *max*
+    absolute element error (a max over doubles, not a float sum).
+    Pure array expressions — codegen'd, zero Python, no shuffle at all
+    except the final ORDER BY.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    base = e.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.when(maxabs == 0, F.lit(1.0)).otherwise(maxabs / 127.0).alias("scale"),
+    )
+    q = F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + 0.5))
+    quant = base.select(
+        "vec_id",
+        "label",
+        "scale",
+        q.alias("q"),
+        F.array_max(
+            F.zip_with(
+                F.col("v"),
+                q,
+                lambda x, qq: F.abs(x - qq * F.col("scale")),
+            )
+        ).alias("max_err"),
+    )
+    return (
+        quant.select(
+            "vec_id",
+            "label",
+            F.size("q").cast("long").alias("n_dims"),
+            pround(F.col("scale"), 9).alias("scale_r"),
+            F.aggregate(
+                F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.array_min("q").cast("long").alias("q_min"),
+            F.array_max("q").cast("long").alias("q_max"),
+            pround(F.col("max_err"), 9).alias("max_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_INT8_SQL = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, e,
+         CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, label, scale,
+         list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv,
+         list_max(list_transform(e, x -> abs(x - floor(x / scale + 0.5) * scale)))
+           AS max_err
+  FROM s
+)
+SELECT vec_id, label,
+  CAST(len(qv) AS BIGINT) AS n_dims,
+  floor(scale * 1000000000.0 + 0.5) / 1000000000.0 AS scale_r,
+  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+  CAST(list_min(qv) AS BIGINT) AS q_min,
+  CAST(list_max(qv) AS BIGINT) AS q_max,
+  floor(max_err * 1000000000.0 + 0.5) / 1000000000.0 AS max_abs_err
+FROM q
+ORDER BY vec_id
+"""
+
+
 SPARK_QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_label_centroids": embedding_label_centroids,
+    "embedding_int8_quantize": embedding_int8_quantize,
 }
 
 ORACLE_SQL = {
@@ -397,4 +482,5 @@ ORACLE_SQL = {
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
+    "embedding_int8_quantize": EMBEDDING_INT8_SQL,
 }

@@ -1,0 +1,87 @@
+"""Corpus statistics: repetition filter, vocabulary top-k, int8 quant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.operators import corpus_stats, similarity
+from tests.conftest import SF_SMOKE
+
+
+def test_repetition_fracs_bounded_and_keep_consistent(spark):
+    rows = corpus_stats.text_repetition_filter(spark, SF_SMOKE).collect()
+    assert rows, "expected one row per document"
+    for r in rows:
+        for f in ("top2_frac", "top3_frac", "dup5_frac"):
+            assert 0.0 <= r[f] <= 1.0
+        expect_keep = (
+            r["top2_frac"] <= corpus_stats.TOP2_MAX
+            and r["top3_frac"] <= corpus_stats.TOP3_MAX
+            and r["dup5_frac"] <= corpus_stats.DUP5_MAX
+        )
+        assert r["keep"] == expect_keep
+
+
+def test_repetition_degenerate_doc_is_dropped(spark):
+    """A document that is one phrase repeated must score ~1.0 on every
+    repetition signal and be dropped; a doc of all-distinct tokens must
+    score 0.0 and be kept."""
+    docs = spark.createDataFrame(
+        [
+            (0, "spam ham " * 50, "en"),
+            (1, " ".join(f"tok{i}" for i in range(100)), "en"),
+        ],
+        "doc_id int, text string, lang string",
+    )
+    import projet_meteo_etl_spark.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda s, d, t: docs  # noqa: ARG005
+        corpus_stats.load_table = cat.load_table
+        out = {r["doc_id"]: r for r in corpus_stats.text_repetition_filter(spark, SF_SMOKE).collect()}
+    finally:
+        cat.load_table = orig
+        corpus_stats.load_table = orig
+    assert out[0]["dup5_frac"] == 1.0 and not out[0]["keep"]
+    assert out[1]["top2_frac"] < 0.05 and out[1]["dup5_frac"] == 0.0 and out[1]["keep"]
+
+
+def test_vocab_topk_is_sorted_and_df_le_tf(spark):
+    rows = corpus_stats.corpus_vocab_topk(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= corpus_stats.VOCAB_K
+    tfs = [r["tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    assert all(1 <= r["df"] <= r["tf"] for r in rows)
+
+
+def test_int8_quantize_bounds_and_error(spark):
+    rows = similarity.embedding_int8_quantize(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert r["scale_r"] > 0
+        # max element error of half-up quantization is <= scale/2
+        assert r["max_abs_err"] <= r["scale_r"] / 2 + 1e-9
+        assert r["n_dims"] == similarity.DIM
+
+
+def test_repetition_plan_is_single_pass(spark):
+    """The three gram sizes must come from ONE corpus scan and ONE wide
+    shuffle (stacked explode + conditional aggregates), not a
+    scan+shuffle+window per gram size (Spark does not dedupe repeated
+    plan subtrees, so the naive formulation triples the scan cost)."""
+    df = corpus_stats.text_repetition_filter(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("REPARTITION_BY_COL") == 1, plan
+    assert plan.count("Window ") == 1, plan
+    # text-bearing scan appears once; the lang-side scan reads no text
+    assert plan.count("text#") <= plan.count("ReadSchema"), plan
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_int8_quantize_plan_has_no_shuffle_before_sort(spark):
+    df = similarity.embedding_int8_quantize(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one Exchange: the rangepartitioning for the final ORDER BY
+    assert plan.count("Exchange") == 1, plan
