@@ -1,0 +1,49 @@
+"""Deequ-style numeric profiler: stats + equi-width histograms."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from projet_meteo_etl_spark.operators import profiling
+from tests.conftest import SF_SMOKE
+
+
+def test_stats_invariants(spark):
+    rows = {r["col_name"]: r for r in profiling.profile_numeric_stats(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(profiling.PROFILE_COLS)
+    n = {r["n_rows"] for r in rows.values()}
+    assert len(n) == 1, "every column profiles the same row count"
+    for r in rows.values():
+        assert r["n_null"] == 0
+        assert r["min_val"] <= r["mean_r"] <= r["max_val"]
+        assert 1 <= r["n_distinct"] <= r["n_rows"]
+
+
+def test_histogram_counts_reconcile_with_stats(spark):
+    stats = {r["col_name"]: r for r in profiling.profile_numeric_stats(spark, SF_SMOKE).collect()}
+    hist = profiling.profile_numeric_histograms(spark, SF_SMOKE).collect()
+    per_col = defaultdict(int)
+    for r in hist:
+        assert 0 <= r["bucket"] < profiling.N_BUCKETS
+        assert r["lo_edge"] <= r["hi_edge"]
+        assert r["n"] > 0
+        per_col[r["col_name"]] += r["n"]
+    for c, total in per_col.items():
+        assert total == stats[c]["n_rows"] - stats[c]["n_null"]
+
+
+def test_profiler_plans_scan_once_per_pass(spark):
+    """The long format must come from ONE stacked explode, not one scan
+    per profiled column."""
+    stats_plan = (
+        profiling.profile_numeric_stats(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert stats_plan.count("Scan parquet") == 1, stats_plan
+    hist_plan = (
+        profiling.profile_numeric_histograms(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # value stream + edges aggregate: two passes, never N-columns scans
+    assert hist_plan.count("Scan parquet") == 2, hist_plan
+    assert "BroadcastExchange" in hist_plan, hist_plan
