@@ -190,10 +190,179 @@ def user_value_ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.3) -> Dat
     )
 
 
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly detection over purchase values.
+
+    The moments come from EXACT integer-cent sums (Σc and Σc² as
+    DECIMAL(38,0) window aggregates — order-independent, overflow-proof
+    at 100 TB row counts); mean/variance/z are then derived in double
+    from those exact integers, so the result can never drift with
+    partitioning.  One unordered window pass over the user partition —
+    a single shuffle, no join-back.
+
+    Flags |z| ≥ 2 for users with ≥ 5 purchases and non-degenerate
+    variance (sample variance, n−1).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    base = e.select("user_id", "event_id", "value", cents.alias("c"))
+    w = Window.partitionBy("user_id")
+    dec = F.col("c").cast("decimal(38,0)")
+    stats = base.select(
+        "user_id",
+        "event_id",
+        "value",
+        "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(dec).over(w).cast("double").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .over(w)
+        .cast("double")
+        .alias("s2"),
+    )
+    mean_c = F.col("s1") / F.col("n")
+    var_c = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("c") - mean_c) / F.sqrt(var_c)
+    return (
+        stats.filter((F.col("n") >= 5) & (var_c > 0))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("n").alias("n_purchases"),
+            pround(z, 4).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) >= 2.0)
+        .orderBy("user_id", "event_id")
+    )
+
+
+EVENTS_ZSCORE_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+stats AS (
+  SELECT user_id, event_id, value, c,
+         count(*) OVER w AS n,
+         CAST(sum(CAST(c AS HUGEINT)) OVER w AS DOUBLE) AS s1,
+         CAST(sum(CAST(c AS HUGEINT) * c) OVER w AS DOUBLE) AS s2
+  FROM base WINDOW w AS (PARTITION BY user_id)
+),
+scored AS (
+  SELECT user_id, event_id, value, CAST(n AS BIGINT) AS n_purchases,
+         floor(((c - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)))
+               * 10000.0 + 0.5) / 10000.0 AS z_score
+  FROM stats
+  WHERE n >= 5 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+)
+SELECT user_id, event_id, value, n_purchases, z_score
+FROM scored WHERE abs(z_score) >= 2.0
+ORDER BY user_id, event_id
+"""
+
+
+#: SCD2 value bands (purchase size segments)
+_BAND = "CASE WHEN value < 100 THEN 'low' WHEN value < 300 THEN 'mid' ELSE 'high' END"
+
+
+def scd2_value_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build — the warehouse
+    operator that turns a change stream into validity-interval rows.
+
+    Each user's purchase stream is banded (low/mid/high by value); a
+    run of consecutive equal bands collapses to ONE version row with
+    ``valid_from_us`` / ``valid_to_us`` (integer microseconds — the
+    hash-exact interchange form for event time) and ``is_current`` on
+    the open interval.  Gaps-and-islands via running change-flag sum;
+    every window and the collapse aggregate share the user partition,
+    so the whole history build is one shuffle.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    band = F.expr(_BAND)
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        band.alias("band"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = (
+        F.when(
+            F.lag("band").over(wo).isNull()
+            | (F.col("band") != F.lag("band").over(wo)),
+            1,
+        ).otherwise(0)
+    )
+    versions = (
+        base.withColumn("ver", F.sum(chg).over(wo))
+        .groupBy("user_id", "ver")
+        .agg(
+            F.min_by("band", "ts_us").alias("band"),
+            F.min("ts_us").alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wv = Window.partitionBy("user_id").orderBy("ver")
+    return (
+        versions.withColumn("valid_to_us", F.lead("valid_from_us").over(wv))
+        .select(
+            "user_id",
+            F.col("ver").cast("long").alias("version"),
+            "band",
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+SCD2_HISTORY_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         {_BAND} AS band
+  FROM events WHERE event_type = 'purchase'
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us, band,
+    CASE WHEN lag(band) OVER w IS NULL OR band <> lag(band) OVER w
+         THEN 1 ELSE 0 END AS chg
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+numbered AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS ver
+  FROM flagged
+),
+versions AS (
+  SELECT user_id, ver, arg_min(band, ts_us) AS band,
+         min(ts_us) AS valid_from_us, count(*) AS n_events
+  FROM numbered GROUP BY user_id, ver
+)
+SELECT user_id, CAST(ver AS BIGINT) AS version, band, valid_from_us,
+       lead(valid_from_us) OVER wv AS valid_to_us, n_events,
+       (lead(valid_from_us) OVER wv IS NULL) AS is_current
+FROM versions WINDOW wv AS (PARTITION BY user_id ORDER BY ver)
+ORDER BY user_id, version
+"""
+
+
 SPARK_QUERIES = {
     "user_value_trend": user_value_trend,
     "user_hourly_ffill": user_hourly_ffill,
     "user_value_ewma": user_value_ewma,
+    "events_zscore_outliers": events_zscore_outliers,
+    "scd2_value_band_history": scd2_value_band_history,
 }
 
 USER_EWMA_SQL = """
@@ -216,4 +385,6 @@ ORACLE_SQL = {
     "user_value_trend": USER_TREND_SQL,
     "user_hourly_ffill": USER_FFILL_SQL,
     "user_value_ewma": USER_EWMA_SQL,
+    "events_zscore_outliers": EVENTS_ZSCORE_SQL,
+    "scd2_value_band_history": SCD2_HISTORY_SQL,
 }

@@ -78,6 +78,14 @@ EXPECTED_QUERIES = {
     "sql_udf_discount_bands", "observed_load_metrics",
     # sparse retrieval (operators/retrieval.py)
     "tfidf_topk_similar", "bm25_keyword_search",
+    # corpus statistics (operators/corpus_stats.py)
+    "text_repetition_filter", "corpus_vocab_topk",
+    # embedding compression (operators/similarity.py)
+    "embedding_int8_quantize",
+    # numeric profiler (operators/profiling.py)
+    "profile_numeric_stats", "profile_numeric_histograms",
+    # anomaly + SCD2 history (plans/timeseries.py)
+    "events_zscore_outliers", "scd2_value_band_history",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

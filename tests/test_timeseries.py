@@ -31,3 +31,31 @@ def test_ewma_matches_pandas_reference(spark):
     assert set(got) == set(exp)
     for k, v in got.items():
         assert math.isclose(v, exp[k], rel_tol=1e-12), k
+
+
+def test_zscore_outliers_invariants(spark):
+    from projet_meteo_etl_spark.plans.timeseries import events_zscore_outliers
+
+    rows = events_zscore_outliers(spark, SF).collect()
+    assert rows, "synthetic purchases should contain tail values"
+    for r in rows:
+        assert abs(r["z_score"]) >= 2.0
+        assert r["n_purchases"] >= 5
+
+
+def test_scd2_history_is_contiguous_and_alternating(spark):
+    from collections import defaultdict
+
+    from projet_meteo_etl_spark.plans.timeseries import scd2_value_band_history
+
+    by_user = defaultdict(list)
+    for r in scd2_value_band_history(spark, SF).collect():
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for rows in by_user.values():
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(1 for r in rows if r["is_current"]) == 1
+        assert rows[-1]["is_current"] and rows[-1]["valid_to_us"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["band"] != b["band"], "consecutive versions must differ"
