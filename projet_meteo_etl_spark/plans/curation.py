@@ -336,12 +336,143 @@ GROUP BY lang ORDER BY lang
 """
 
 
+#: per-language token budget for selection (small vs the sf0.01 corpus
+#: on purpose, so the cut is exercised)
+TOKEN_BUDGET = 2000
+
+
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: within each language, rank
+    documents by quality (distinct-token ratio, doc_id tie-break) and
+    keep the prefix whose cumulative token count fits ``TOKEN_BUDGET``
+    — the "best data first until the budget is spent" selection a
+    pretraining mixture runs per source/language.
+
+    One window partition per language (rank + running token sum share
+    the same sort, so Catalyst evaluates them in one Window node —
+    a single shuffle); the verdict is a scan-side comparison.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tokens = ws_token_count(F.col("text"))
+    score = pround(
+        F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+            F.size(F.array_distinct(toks)) / F.size(toks)
+        ),
+        6,
+    )
+    base = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), score.alias("score")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = base.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tokens"),
+    )
+    return (
+        ranked.withColumn("kept", F.col("cum_tokens") <= TOKEN_BUDGET)
+        .orderBy("lang", "rank")
+    )
+
+
+TOKEN_BUDGET_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    floor((CASE WHEN length(trim(text)) = 0 THEN 0.0
+           ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) END)
+          * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score,
+         row_number() OVER w AS rank,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM base WINDOW w AS (PARTITION BY lang ORDER BY score DESC, doc_id ASC)
+)
+SELECT lang, doc_id, n_tokens, score, CAST(rank AS BIGINT) AS rank,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens <= {TOKEN_BUDGET} AS kept
+FROM ranked
+ORDER BY lang, rank
+"""
+
+
+#: portable hash split: md5-prefix mod 100 < 90 → train
+TRAIN_PCT = 90
+
+
+def train_test_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split — the same document
+    lands in the same split on any cluster layout, any engine, any
+    re-run (pure function of doc_id, no RNG stream), which is what
+    makes a 100 TB split auditable.  Report: per (lang, split) doc and
+    token counts plus the realized split fraction."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    split = F.when(h % 100 < TRAIN_PCT, F.lit("train")).otherwise(F.lit("test"))
+    base = d.select(
+        "lang",
+        split.alias("split"),
+        ws_token_count(F.col("text")).alias("n_tokens"),
+    )
+    lang_tot = Window.partitionBy("lang")
+    return (
+        base.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumn(
+            "frac_of_lang",
+            pround(F.col("n_docs") / F.sum("n_docs").over(lang_tot), 6),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = rf"""
+WITH base AS (
+  SELECT lang,
+    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+              < {TRAIN_PCT}
+         THEN 'train' ELSE 'test' END AS split,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+agg AS (
+  SELECT lang, split, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM base GROUP BY lang, split
+)
+SELECT lang, split, n_docs, total_tokens,
+  floor((n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang))
+        * 1000000.0 + 0.5) / 1000000.0 AS frac_of_lang
+FROM agg
+ORDER BY lang, split
+"""
+
+
 SPARK_QUERIES = {
     "pack_sequences": pack_sequences,
     "stratified_sample_mix": stratified_sample_mix,
     "benchmark_decontamination": benchmark_decontamination,
     "incremental_dedup_report": incremental_dedup_report,
     "length_band_filter": length_band_filter,
+    "token_budget_selection": token_budget_selection,
+    "train_test_split_report": train_test_split_report,
 }
 
 ORACLE_SQL = {
@@ -350,4 +481,6 @@ ORACLE_SQL = {
     "benchmark_decontamination": DECONTAM_SQL,
     "incremental_dedup_report": INCR_DEDUP_SQL,
     "length_band_filter": LENGTH_BAND_SQL,
+    "token_budget_selection": TOKEN_BUDGET_SQL,
+    "train_test_split_report": TRAIN_TEST_SPLIT_SQL,
 }

@@ -85,3 +85,36 @@ def test_int8_quantize_plan_has_no_shuffle_before_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # exactly one Exchange: the rangepartitioning for the final ORDER BY
     assert plan.count("Exchange") == 1, plan
+
+
+def test_token_budget_selection_prefix_property(spark):
+    from collections import defaultdict
+
+    from projet_meteo_etl_spark.plans.curation import (
+        TOKEN_BUDGET,
+        token_budget_selection,
+    )
+
+    by_lang = defaultdict(list)
+    for r in token_budget_selection(spark, SF_SMOKE).collect():
+        by_lang[r["lang"]].append(r)
+    for rows in by_lang.values():
+        # kept is a prefix of the quality ranking, never interleaved
+        kept_flags = [r["kept"] for r in rows]
+        assert kept_flags == sorted(kept_flags, reverse=True)
+        kept_tokens = sum(r["n_tokens"] for r in rows if r["kept"])
+        assert kept_tokens <= TOKEN_BUDGET
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_train_test_split_fractions(spark):
+    from projet_meteo_etl_spark.plans.curation import train_test_split_report
+
+    rows = train_test_split_report(spark, SF_SMOKE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["split"]] = r
+    for splits in by_lang.values():
+        total = sum(r["frac_of_lang"] for r in splits.values())
+        assert abs(total - 1.0) < 1e-6

@@ -86,6 +86,8 @@ EXPECTED_QUERIES = {
     "profile_numeric_stats", "profile_numeric_histograms",
     # anomaly + SCD2 history (plans/timeseries.py)
     "events_zscore_outliers", "scd2_value_band_history",
+    # budgeted selection + split (plans/curation.py)
+    "token_budget_selection", "train_test_split_report",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
