@@ -1,0 +1,141 @@
+"""Graph analytics over the click stream — PageRank on the bipartite
+user–item graph.
+
+The reference has no graph surface (SURVEY.md §2.5); connected
+components (``operators/dedup.py``) covers the clustering side, and
+this module adds the iterative-propagation side: PageRank over the
+graph whose edges are distinct (user, item) click pairs (items from
+the ``props`` JSON payload), symmetrized so every node has out-degree.
+
+Determinism at any scale — the thing that usually makes distributed
+PageRank non-reproducible is float summation order.  Here rank is an
+integer (units of 1e-12): per-edge contributions are ``floor(rank /
+outdeg)`` and the damping step is ``floor(0.15e12 / N) + floor(0.85 ×
+Σcontrib)`` — every Σ is an integer sum (order-independent), every
+float op (one division, one multiply) is a correctly-rounded IEEE
+double op on exactly-representable integers (< 2^53), so Spark and
+DuckDB produce bit-identical ranks and the oracle can check all three
+iterations end-to-end.
+
+Scale: each iteration is one join (ranks ⋈ edges on src — both sides
+hash-partitioned on the same key, so iterations 2+ reuse the exchange)
+plus one aggregation by dst.  The rank table is |V| rows (small side);
+at 100 TB of events the edge list dominates and stays partitioned once
+— the classic Pregel-as-joins layout.  Iteration count is fixed (3),
+so the plan is a static DAG: no lineage growth, no checkpointing
+needed; for 20+ iterations reuse the ``localCheckpoint`` round
+truncation demonstrated in ``dedup_connected_components``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+N_ITER = 3
+DAMP = 0.85
+SCALE = 10**12
+TOP_N = 25
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    pairs = e.select(
+        F.concat(F.lit("u:"), F.col("user_id")).alias("u"),
+        F.concat(
+            F.lit("i:"), F.get_json_object("props", "$.k").cast("long")
+        ).alias("i"),
+    ).distinct()
+    fwd = pairs.select(F.col("u").alias("src"), F.col("i").alias("dst"))
+    rev = pairs.select(F.col("i").alias("src"), F.col("u").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_N`` nodes of the symmetrized user–item click graph by
+    3-iteration damped PageRank (integer rank units of 1e-12)."""
+    edges = _edges(spark, sf_dir).repartition("src").cache()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = outdeg.count()  # |V| — a scalar the driver legitimately owns
+
+    base = int(0.15 * SCALE) // n_nodes  # exact ints end-to-end
+    ranks = outdeg.select(
+        F.col("src").alias("node"), F.lit(SCALE // n_nodes).alias("r")
+    )
+    deg = outdeg.withColumnRenamed("src", "node")
+    edges_by_node = edges.withColumnRenamed("src", "node")
+    for _ in range(N_ITER):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(edges_by_node, "node")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("r") / F.col("deg")).alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(base) + F.floor(F.lit(DAMP) * F.sum("c")))
+            .cast("long")
+            .alias("r")
+        )
+    return (
+        ranks.select(
+            "node",
+            F.col("r").alias("rank_scaled"),
+            pround(F.col("r") / F.lit(float(SCALE)), 9).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("node"))
+        .limit(TOP_N)
+    )
+
+
+def _iter_sql(prev: str, this: str) -> str:
+    return f"""
+{this} AS (
+  SELECT e.dst AS node,
+         CAST((SELECT base FROM consts)
+              + floor({DAMP} * sum(floor(r.r * 1.0 / d.deg))) AS BIGINT) AS r
+  FROM {prev} r
+  JOIN outdeg d ON d.src = r.node
+  JOIN edges e ON e.src = r.node
+  GROUP BY e.dst
+)"""
+
+
+PAGERANK_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'u:' || user_id AS u,
+         'i:' || CAST(props->>'k' AS BIGINT) AS i
+  FROM events WHERE event_type = 'click'
+),
+edges AS (
+  SELECT u AS src, i AS dst FROM pairs
+  UNION ALL
+  SELECT i AS src, u AS dst FROM pairs
+),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+consts AS (
+  SELECT count(*) AS n,
+         CAST({int(0.15 * SCALE)} // count(*) AS BIGINT) AS base,
+         CAST({SCALE} // count(*) AS BIGINT) AS r0
+  FROM outdeg
+),
+r0 AS (SELECT src AS node, (SELECT r0 FROM consts) AS r FROM outdeg),
+{_iter_sql('r0', 'r1')},
+{_iter_sql('r1', 'r2')},
+{_iter_sql('r2', 'r3')}
+SELECT node, r AS rank_scaled,
+       floor((r * 1.0 / {SCALE}.0) * 1000000000.0 + 0.5) / 1000000000.0 AS rank
+FROM r3
+ORDER BY rank_scaled DESC, node ASC
+LIMIT {TOP_N}
+"""
+
+
+SPARK_QUERIES = {"pagerank_click_graph": pagerank_click_graph}
+ORACLE_SQL = {"pagerank_click_graph": PAGERANK_SQL}

@@ -36,6 +36,7 @@ _MODULES = (
     "projet_meteo_etl_spark.operators.text",
     "projet_meteo_etl_spark.operators.corpus_stats",
     "projet_meteo_etl_spark.operators.profiling",
+    "projet_meteo_etl_spark.operators.graph",
     "projet_meteo_etl_spark.streaming.windows",
     "projet_meteo_etl_spark.streaming.structured",
 )

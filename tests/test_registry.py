@@ -88,6 +88,8 @@ EXPECTED_QUERIES = {
     "events_zscore_outliers", "scd2_value_band_history",
     # budgeted selection + split (plans/curation.py)
     "token_budget_selection", "train_test_split_report",
+    # graph analytics (operators/graph.py)
+    "pagerank_click_graph",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
