@@ -1,0 +1,307 @@
+"""Embedding clustering: deterministic distributed KMeans (Lloyd's) and
+SemDeDup-style semantic near-duplicate pruning.
+
+These are the two cluster-shaped operators a 100 TB training-data
+pipeline runs over its embedding store:
+
+* **KMeans** is the coarse-quantizer trainer (the IVF cells in
+  ``operators/similarity.py:ann_ivf_topk`` come from exactly this
+  computation at scale).  Each Lloyd iteration is two narrow stages:
+  an *assignment* pass — broadcast(K centroids) ⋈ corpus scan, argmin
+  over K distances, no shuffle of the corpus — and an *update* pass —
+  posexplode to (cluster, dim) and one hash agg, a shuffle of
+  64·|corpus| skinny rows that AQE coalesces.  Nothing is collected on
+  the driver; centroids flow between iterations as a tiny DataFrame
+  that re-broadcasts.  At 1000 executors the corpus stays put and only
+  K×DIM doubles move per iteration.
+* **SemDeDup** (Abbas et al., 2023): cluster first, then compare pairs
+  *only within a cluster* — the coarse assignment turns an O(n²)
+  all-pairs cosine into Σ O(|cluster|²), shuffle-partitioned by
+  cluster id so each executor handles its own cells.
+
+Determinism / oracle-exactness (the house rules — see
+``operators/dedup.py``, ``operators/profiling.py``):
+
+* Centroid updates sum ELEMENT-WISE INTEGER MICROS (each embedding
+  element is floored to 1e-6 once, up front), so the per-cluster sums
+  are exact BIGINTs and order-independent — a float ``avg()`` whose
+  partial-aggregation order varies with partitioning can never leak
+  into the hash.  The centroid element is then the single exact double
+  division ``sum_micros / (n·1e6)``.
+* Distances expand to ``v·v − 2·v·c + c·c`` where every dot product is
+  the same sequential left fold (``aggregate``/``zip_with``) that the
+  ANN queries already proved bit-identical to DuckDB's
+  ``list_dot_product``.
+* Argmin ties break on cluster id; per-member distances are floored to
+  micros BIGINT before any cross-row sum.
+
+Reference parity: the reference has no clustering surface at all
+(SURVEY.md §2.5 ABSENT) — this is driver-mandated extended surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+K = 8
+SEMDEDUP_TAU = 0.30  # pairwise-cosine prune threshold (p99 of this corpus)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — fixed evaluation order, so the
+    IEEE-754 result is bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _micros(vec: Column) -> Column:
+    """Element-wise portable floor(x·1e6 + 0.5) as BIGINT."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast(K rows) against the corpus,
+    squared-L2 argmin, ties → smaller cid.  The corpus never shuffles."""
+    d = (
+        F.col("vv")
+        - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
+        + _dot(F.col("c"), F.col("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn("d", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids from exact integer-micro sums: posexplode to
+    (cid, pos, micro), one hash agg, fold back to an ordered array."""
+    per_dim = (
+        assigned.select("cid", F.posexplode("m").alias("pos", "mv"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("mv").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+            lambda t: t["s"].cast("double") / (t["n"].cast("double") * F.lit(1000000.0)),
+        ).alias("c")
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        v.alias("v"),
+        _micros(F.col("embedding")).alias("m"),
+    ).withColumn("vv", _dot(F.col("v"), F.col("v")))
+
+
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of K=8 KMeans over the embedding corpus.
+
+    init: centroids = embeddings of vec_id 0..K-1 (deterministic seed
+    choice, the kmeans♯ of a fixed corpus ordering).  assign → update →
+    assign → report.  Per cluster: member count, Σ vec_id membership
+    checksum, integer-micro mean distance to the assigned centroid, and
+    the final centroid's L2 norm — every reduction exact-integer or a
+    fixed-order fold, so the result hashes identically in DuckDB.
+    """
+    vecs = _vectors(spark, sf_dir).persist()
+    init = vecs.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = _assign(vecs, init)
+    c1 = _update(a1)
+    a2 = _assign(vecs, c1)
+    report = a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("vec_checksum"),
+        F.expr(
+            "sum(cast(floor(d * 1000000.0 + 0.5) as bigint)) div count(1)"
+        ).alias("avg_dist_micros"),
+    )
+    norms = c1.select(
+        "cid", pround(F.sqrt(_dot(F.col("c"), F.col("c"))), 6).alias("centroid_norm")
+    )
+    return (
+        report.join(norms, "cid")
+        .select("cid", "n_members", "vec_checksum", "avg_dist_micros", "centroid_norm")
+        .orderBy("cid")
+    )
+
+
+# DuckDB twin: identical micros quantization, identical fold-order dot
+# products (list_dot_product — proven bit-compatible by the ANN oracles),
+# the two Lloyd iterations unrolled as CTEs.
+KMEANS_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS m,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+  FROM embeddings
+),
+init AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < {K}),
+a1 AS (
+  SELECT * FROM (
+    SELECT vecs.*, init.cid,
+           vv - 2.0 * list_dot_product(v, c) + list_dot_product(c, c) AS d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             vv - 2.0 * list_dot_product(v, c) + list_dot_product(c, c) ASC,
+             init.cid ASC) AS rn
+    FROM vecs CROSS JOIN init
+  ) WHERE rn = 1
+),
+per_dim AS (
+  SELECT cid, pos, sum(mv) AS s, count(*) AS n FROM (
+    SELECT cid, unnest(m) AS mv, generate_subscripts(m, 1) AS pos FROM a1
+  ) GROUP BY cid, pos
+),
+c1 AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                   ORDER BY pos) AS c
+  FROM per_dim GROUP BY cid
+),
+a2 AS (
+  SELECT * FROM (
+    SELECT vecs.vec_id, c1.cid,
+           vv - 2.0 * list_dot_product(v, c) + list_dot_product(c, c) AS d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             vv - 2.0 * list_dot_product(v, c) + list_dot_product(c, c) ASC,
+             c1.cid ASC) AS rn
+    FROM vecs CROSS JOIN c1
+  ) WHERE rn = 1
+),
+report AS (
+  SELECT cid, count(*) AS n_members, sum(vec_id) AS vec_checksum,
+         sum(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)) // count(*)
+           AS avg_dist_micros
+  FROM a2 GROUP BY cid
+),
+norms AS (
+  SELECT cid, floor(sqrt(list_dot_product(c, c)) * 1000000.0 + 0.5) / 1000000.0
+           AS centroid_norm
+  FROM c1
+)
+SELECT r.cid, r.n_members, r.vec_checksum, r.avg_dist_micros, n.centroid_norm
+FROM report r JOIN norms n ON r.cid = n.cid
+ORDER BY r.cid
+"""
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: coarse-cluster, then prune any vector whose cosine to a
+    LOWER-id vector in the same cluster exceeds τ (keep-the-canonical
+    rule, the same min-id convention as ``dedup_exact``).
+
+    Plan shape: one broadcast assignment pass, then a self-equi-join on
+    cluster id (shuffle-partitioned by cid — the quadratic work is
+    confined to each cell, which is the entire point of SemDeDup at
+    100 TB: |cell|² ≪ n²).  Per-cluster report of members/pruned/kept
+    and the max intra-cluster cosine (a max over doubles — order-safe).
+    """
+    vecs = _vectors(spark, sf_dir)
+    init = vecs.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    assigned = _assign(vecs, init).select("cid", "vec_id", "v", "vv").persist()
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("vv").alias("na")
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("vv").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+    )
+    pruned = (
+        pairs.filter(F.col("cos") > SEMDEDUP_TAU)
+        .groupBy("cid")
+        .agg(F.count_distinct("id_b").alias("n_pruned"))
+    )
+    stats = pairs.groupBy("cid").agg(pround(F.max("cos"), 6).alias("max_cos"))
+    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        members.join(pruned, "cid", "left")
+        .join(stats, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+            (F.col("n_members") - F.coalesce("n_pruned", F.lit(0))).cast("long").alias("n_kept"),
+            "max_cos",
+        )
+        .orderBy("cid")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+  FROM embeddings
+),
+init AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < {K}),
+assigned AS (
+  SELECT cid, vec_id, v, vv FROM (
+    SELECT vecs.*, init.cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             vv - 2.0 * list_dot_product(v, c) + list_dot_product(c, c) ASC,
+             init.cid ASC) AS rn
+    FROM vecs CROSS JOIN init
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v) / (sqrt(a.vv) * sqrt(b.vv)) AS cos
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+pruned AS (
+  SELECT cid, count(DISTINCT id_b) AS n_pruned FROM pairs
+  WHERE cos > {SEMDEDUP_TAU} GROUP BY cid
+),
+stats AS (
+  SELECT cid, floor(max(cos) * 1000000.0 + 0.5) / 1000000.0 AS max_cos
+  FROM pairs GROUP BY cid
+),
+members AS (SELECT cid, count(*) AS n_members FROM assigned GROUP BY cid)
+SELECT m.cid, m.n_members,
+       CAST(coalesce(p.n_pruned, 0) AS BIGINT) AS n_pruned,
+       CAST(m.n_members - coalesce(p.n_pruned, 0) AS BIGINT) AS n_kept,
+       s.max_cos
+FROM members m
+LEFT JOIN pruned p ON m.cid = p.cid
+LEFT JOIN stats s ON m.cid = s.cid
+ORDER BY m.cid
+"""
+
+
+SPARK_QUERIES = {
+    "kmeans_embedding_clusters": kmeans_embedding_clusters,
+    "semdedup_prune": semdedup_prune,
+}
+
+ORACLE_SQL = {
+    "kmeans_embedding_clusters": KMEANS_SQL,
+    "semdedup_prune": SEMDEDUP_SQL,
+}

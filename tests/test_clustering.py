@@ -1,0 +1,54 @@
+"""KMeans + SemDeDup invariants: partitioning of the corpus, Lloyd
+improvement, prune-set consistency, and plan shape (broadcast assign)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.operators import clustering as cl
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_partitions_corpus(spark):
+    rep = cl.kmeans_embedding_clusters(spark, SF).collect()
+    n = load_table(spark, SF, "embeddings").count()
+    assert sum(r.n_members for r in rep) == n  # every vector exactly once
+    assert sum(r.vec_checksum for r in rep) == n * (n - 1) // 2
+    assert all(r.avg_dist_micros >= 0 for r in rep)
+    assert [r.cid for r in rep] == sorted(r.cid for r in rep)
+
+
+def test_lloyd_iteration_does_not_increase_mean_distance(spark):
+    """Mean distance to the assigned centroid after the update+reassign
+    must not exceed the initial assignment's (Lloyd monotonicity)."""
+    vecs = cl._vectors(spark, SF)
+    init = vecs.filter(F.col("vec_id") < cl.K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = cl._assign(vecs, init)
+    a2 = cl._assign(vecs, cl._update(a1))
+    d1 = a1.agg(F.sum("d")).collect()[0][0]
+    d2 = a2.agg(F.sum("d")).collect()[0][0]
+    assert d2 <= d1 + 1e-9
+
+
+def test_semdedup_counts_consistent(spark):
+    rep = cl.semdedup_prune(spark, SF).collect()
+    for r in rep:
+        assert r.n_pruned + r.n_kept == r.n_members
+        assert 0 <= r.n_pruned < r.n_members  # canonical (min-id) always kept
+        if r.max_cos is not None:
+            assert -1.000001 <= r.max_cos <= 1.000001
+
+
+def test_assignment_broadcasts_centroids(spark):
+    """The assignment pass must broadcast the K-row centroid side — the
+    corpus scan itself must not shuffle for a cross join."""
+    vecs = cl._vectors(spark, SF)
+    init = vecs.filter(F.col("vec_id") < cl.K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    plan = cl._assign(vecs, init)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
