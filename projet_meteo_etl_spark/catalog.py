@@ -69,8 +69,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     harden_session(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as
+        # TIMESTAMP_NTZ in Spark 4; with the session pinned to UTC this
+        # cast maps each wall-clock value to the identical instant DuckDB
+        # sees, and restores TimestampType for unix_micros()/window().
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 def load_tables(

@@ -49,18 +49,30 @@ from projet_meteo_etl_spark.functions.portable import pround
 
 _COUNTER = itertools.count()
 
-# physical schema of events.parquet under nanosAsLong (ts: TIMESTAMP(NANOS)
-# surfaces as nanosecond bigint; converted to a µs timestamp post-read)
-_EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# physical schema of events.parquet; ``ts`` varies with the generator:
+# TIMESTAMP(NANOS) surfaces as nanosecond bigint under nanosAsLong,
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) as TIMESTAMP_NTZ — detected
+# per-source in _events_raw_schema and normalized to µs TimestampType.
+def _events_raw_schema(ts_is_long: bool) -> StructType:
+    from pyspark.sql.types import TimestampNTZType
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_long else TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def _ts_is_long(sf_dir: str) -> bool:
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+    return str(t) == "int64" or "ns" in str(t)
 
 
 def _staged_events_dir(sf_dir: str, n_files: int = 4) -> str:
@@ -74,7 +86,8 @@ def _staged_events_dir(sf_dir: str, n_files: int = 4) -> str:
     import pyarrow.parquet as pq
 
     src = table_path(sf_dir, "events")
-    key = hashlib.md5(src.encode()).hexdigest()[:8]
+    stamp = f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    key = hashlib.md5(stamp.encode()).hexdigest()[:8]
     d = f"/tmp/spark_graft_stream_{key}/events"
     marker = os.path.join(d, "_STAGED")
     if not os.path.exists(marker):
@@ -94,12 +107,15 @@ def _staged_events_dir(sf_dir: str, n_files: int = 4) -> str:
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_long = _ts_is_long(sf_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(_events_raw_schema(ts_is_long))
         .option("maxFilesPerTrigger", 1)
         .parquet(_staged_events_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 #: state-store partition count for the test-scale streams.  Stateful

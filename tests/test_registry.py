@@ -90,6 +90,8 @@ EXPECTED_QUERIES = {
     "token_budget_selection", "train_test_split_report",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
+    "kmeans_embedding_clusters",
+    "semdedup_prune",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -55,7 +55,10 @@ def test_checkpoint_exactly_once_across_restarts(spark, tmp_path):
     import pyarrow.parquet as pq
 
     from projet_meteo_etl_spark.catalog import table_path
-    from projet_meteo_etl_spark.streaming.structured import _EVENTS_RAW
+    from projet_meteo_etl_spark.streaming.structured import (
+        _events_raw_schema,
+        _ts_is_long,
+    )
 
     src_dir = tmp_path / "src"
     out_dir = str(tmp_path / "out")
@@ -66,7 +69,7 @@ def test_checkpoint_exactly_once_across_restarts(spark, tmp_path):
 
     def run_once():
         stream = (
-            spark.readStream.schema(_EVENTS_RAW)
+            spark.readStream.schema(_events_raw_schema(_ts_is_long(SF)))
             .parquet(str(src_dir))
             .select("event_id", "user_id", "event_type")
         )
