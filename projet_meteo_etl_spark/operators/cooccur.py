@@ -1,0 +1,169 @@
+"""Item co-occurrence and item-item Jaccard similarity over the click
+stream — the market-basket / collaborative-filtering half of the graph
+surface (``operators/graph.py`` holds the iterative-propagation half).
+
+The reference has no graph or recommendation surface (SURVEY.md §2.5);
+this extends the engine the same way ``dedup``/``similarity`` do: a
+training-data-curation operator family the driver's ``events`` table
+supports (items ride in the ``props`` JSON payload, as in
+``pagerank_click_graph``).
+
+Scale design — the classic co-occurrence blow-up is quadratic in the
+per-user basket size, so:
+
+* Baskets are DISTINCT (user, item) pairs, then **capped per user** at
+  ``USER_ITEM_CAP`` by a deterministic ``row_number`` (ordered by item
+  id) — a whale user with 10^5 clicked items would otherwise emit
+  10^10 pairs.  The cap is a no-op at test SF but is the load-bearing
+  guard at 100 TB, and the oracle SQL applies the identical cap so the
+  gate checks the capped semantics.
+* Pair generation is an **equi-join on user_id** — never a cross join;
+  the basket relation is hash-partitioned once and reused by both join
+  sides (self-join on the shuffle key) and the window cap.
+* Top-k is `ORDER BY ... LIMIT` → Spark plans `TakeOrderedAndProject`
+  (per-partition heaps + single merge, no global sort).
+* Jaccard denominators come from per-item distinct-user degrees —
+  |items| rows, broadcast onto the co-occurrence counts.
+* All ordering keys are exact: counts are integers, and Jaccard is
+  ordered by its pround-9 value with (i1, i2) tiebreaks, so Spark and
+  DuckDB agree on the boundary rows of the limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql
+
+USER_ITEM_CAP = 1000
+TOP_N = 25
+#: minimum co-click support for a pair to get a similarity score —
+#: singleton co-occurrences are noise and would dominate the Jaccard
+#: top-k with tiny-degree items.
+MIN_SUPPORT = 3
+
+
+def _user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (user, item) click baskets, deterministically capped at
+    ``USER_ITEM_CAP`` items per user."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    basket = (
+        e.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("item")
+    return (
+        basket.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= USER_ITEM_CAP)
+        .drop("rn")
+    )
+
+
+def _co_counts(ui: DataFrame) -> DataFrame:
+    a = ui.select("user_id", F.col("item").alias("i1"))
+    b = ui.select("user_id", F.col("item").alias("i2"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_N`` item pairs by number of distinct users who clicked
+    both (market-basket co-occurrence)."""
+    ui = _user_items(spark, sf_dir)
+    return (
+        _co_counts(ui)
+        .orderBy(F.desc("n_users"), F.asc("i1"), F.asc("i2"))
+        .limit(TOP_N)
+    )
+
+
+def item_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_N`` item pairs by Jaccard similarity of their user
+    sets: |U1 ∩ U2| / |U1 ∪ U2|, support ≥ ``MIN_SUPPORT``."""
+    ui = _user_items(spark, sf_dir)
+    co = _co_counts(ui).filter(F.col("n_users") >= MIN_SUPPORT)
+    deg = ui.groupBy("item").agg(F.count(F.lit(1)).alias("deg"))
+    d1 = deg.select(F.col("item").alias("i1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("item").alias("i2"), F.col("deg").alias("deg2"))
+    scored = (
+        co.join(F.broadcast(d1), "i1")
+        .join(F.broadcast(d2), "i2")
+        .select(
+            "i1",
+            "i2",
+            F.col("n_users").alias("co_users"),
+            pround(
+                F.col("n_users")
+                / (F.col("deg1") + F.col("deg2") - F.col("n_users")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("i1"), F.asc("i2")
+    ).limit(TOP_N)
+
+
+_BASKET_SQL = f"""
+clicked AS (
+  SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item
+  FROM events
+  WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id ORDER BY item) AS rn
+    FROM clicked
+  ) WHERE rn <= {USER_ITEM_CAP}
+),
+co AS (
+  SELECT a.item AS i1, b.item AS i2, count(*) AS n_users
+  FROM capped a
+  JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+)"""
+
+
+COOCCUR_SQL = f"""
+WITH {_BASKET_SQL}
+SELECT i1, i2, n_users FROM co
+ORDER BY n_users DESC, i1 ASC, i2 ASC
+LIMIT {TOP_N}
+"""
+
+
+JACCARD_SQL = f"""
+WITH {_BASKET_SQL},
+deg AS (SELECT item, count(*) AS deg FROM capped GROUP BY item)
+SELECT c.i1, c.i2, c.n_users AS co_users,
+       {pround_sql('c.n_users * 1.0 / (d1.deg + d2.deg - c.n_users)', 9)} AS jaccard
+FROM co c
+JOIN deg d1 ON d1.item = c.i1
+JOIN deg d2 ON d2.item = c.i2
+WHERE c.n_users >= {MIN_SUPPORT}
+ORDER BY jaccard DESC, c.i1 ASC, c.i2 ASC
+LIMIT {TOP_N}
+"""
+
+
+SPARK_QUERIES = {
+    "item_cooccurrence_topk": item_cooccurrence_topk,
+    "item_jaccard_similarity": item_jaccard_similarity,
+}
+ORACLE_SQL = {
+    "item_cooccurrence_topk": COOCCUR_SQL,
+    "item_jaccard_similarity": JACCARD_SQL,
+}

@@ -37,6 +37,7 @@ _MODULES = (
     "projet_meteo_etl_spark.operators.corpus_stats",
     "projet_meteo_etl_spark.operators.profiling",
     "projet_meteo_etl_spark.operators.graph",
+    "projet_meteo_etl_spark.operators.cooccur",
     "projet_meteo_etl_spark.operators.clustering",
     "projet_meteo_etl_spark.streaming.windows",
     "projet_meteo_etl_spark.streaming.structured",

@@ -92,6 +92,8 @@ EXPECTED_QUERIES = {
     "pagerank_click_graph",
     "kmeans_embedding_clusters",
     "semdedup_prune",
+    "item_cooccurrence_topk",
+    "item_jaccard_similarity",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
