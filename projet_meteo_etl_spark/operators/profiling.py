@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
 #: numeric lineitem measures profiled (all exact-cent doubles)
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -181,12 +181,194 @@ ORDER BY col_name, bucket
 """
 
 
+#: column pairs profiled for linear relationships
+CORR_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+)
+
+
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope/intercept for every pair of
+    profiled columns, from EXACT integer-cent moments.
+
+    Built-in ``corr``/``regr_slope`` accumulate float co-moments whose
+    value depends on partition/merge order — not reproducible across
+    cluster layouts, and not hash-comparable across engines.  Instead
+    ONE scan accumulates Σx, Σx², Σxy as ``DECIMAL(38,0)`` cent
+    integers (order-independent, overflow-proof: Σxy ≤ n·10^14), and
+    the closed-form corr/slope formulas run on doubles converted from
+    those exact sums — a fixed sequence of correctly-rounded IEEE ops
+    that Spark and DuckDB evaluate bit-identically.  The 6 pair rows
+    come from an in-plan explode of the 1-row aggregate.
+    """
+    d = load_table(spark, sf_dir, "lineitem")
+    cents = {
+        c: F.floor(F.col(c) * 100 + 0.5).cast("decimal(38,0)")
+        for c in PROFILE_COLS
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in PROFILE_COLS:
+        aggs.append(F.sum(cents[c]).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((cents[c] * cents[c]).cast("decimal(38,0)")).alias(f"ss_{c}")
+        )
+    for a, b in CORR_PAIRS:
+        aggs.append(
+            F.sum((cents[a] * cents[b]).cast("decimal(38,0)")).alias(
+                f"sp_{a}_{b}"
+            )
+        )
+    m = d.agg(*aggs)
+
+    def pair_struct(a: str, b: str):
+        n = F.col("n").cast("double")
+        sx = F.col(f"s_{a}").cast("double") / 100.0
+        sy = F.col(f"s_{b}").cast("double") / 100.0
+        sxx = F.col(f"ss_{a}").cast("double") / 10000.0
+        syy = F.col(f"ss_{b}").cast("double") / 10000.0
+        sxy = F.col(f"sp_{a}_{b}").cast("double") / 10000.0
+        cov_n = n * sxy - sx * sy  # n² × covariance
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        slope = cov_n / var_x
+        return F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col("n").alias("n_rows"),
+            pround(cov_n / F.sqrt(var_x * var_y), 9).alias("corr"),
+            pround(cov_n / (n * (n - 1.0)), 6).alias("covar_samp"),
+            pround(slope, 9).alias("slope"),
+            pround((sy - slope * sx) / n, 6).alias("intercept"),
+        )
+
+    return (
+        m.select(
+            F.explode(
+                F.array(*[pair_struct(a, b) for a, b in CORR_PAIRS])
+            ).alias("p")
+        )
+        .select("p.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _corr_sql() -> str:
+    sums = ["count(*) AS n"]
+    for c in PROFILE_COLS:
+        sums.append(
+            f"sum(CAST(floor({c} * 100 + 0.5) AS HUGEINT)) AS s_{c}"
+        )
+        sums.append(
+            f"sum(CAST(floor({c} * 100 + 0.5) AS HUGEINT)"
+            f" * CAST(floor({c} * 100 + 0.5) AS HUGEINT)) AS ss_{c}"
+        )
+    for a, b in CORR_PAIRS:
+        sums.append(
+            f"sum(CAST(floor({a} * 100 + 0.5) AS HUGEINT)"
+            f" * CAST(floor({b} * 100 + 0.5) AS HUGEINT)) AS sp_{a}_{b}"
+        )
+    rows = []
+    for a, b in CORR_PAIRS:
+        n = "CAST(n AS DOUBLE)"
+        sx = f"(CAST(s_{a} AS DOUBLE) / 100.0)"
+        sy = f"(CAST(s_{b} AS DOUBLE) / 100.0)"
+        sxx = f"(CAST(ss_{a} AS DOUBLE) / 10000.0)"
+        syy = f"(CAST(ss_{b} AS DOUBLE) / 10000.0)"
+        sxy = f"(CAST(sp_{a}_{b} AS DOUBLE) / 10000.0)"
+        cov_n = f"({n} * {sxy} - {sx} * {sy})"
+        var_x = f"({n} * {sxx} - {sx} * {sx})"
+        var_y = f"({n} * {syy} - {sy} * {sy})"
+        slope = f"({cov_n} / {var_x})"
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n_rows,\n"
+            f"  {pround_sql(f'{cov_n} / sqrt({var_x} * {var_y})', 9)} AS corr,\n"
+            f"  {pround_sql(f'{cov_n} / ({n} * ({n} - 1.0))', 6)} AS covar_samp,\n"
+            f"  {pround_sql(slope, 9)} AS slope,\n"
+            f"  {pround_sql(f'({sy} - {slope} * {sx}) / {n}', 6)} AS intercept\n"
+            f"FROM m"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return (
+        "WITH m AS (\n  SELECT " + ",\n    ".join(sums) + "\n  FROM lineitem\n)\n"
+        + union
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+#: discrete quantiles reported per group (percentile_disc semantics:
+#: the actual element at 1-indexed row ceil(q·n))
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def profile_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles of ``l_extendedprice`` by return
+    flag, with ``percentile_disc`` semantics: the report value IS a
+    data value (the element at row ``ceil(q·n)`` of the sorted group).
+
+    Interpolating percentiles (``percentile``/``quantile_cont``) mix
+    two floats and engines disagree on the blend's rounding; selecting
+    an element by integer rank is bit-portable by construction.  One
+    sort per group partition (single window exchange) serves all four
+    quantiles and the rank assignment.
+    """
+    d = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    r = (
+        d.select("l_returnflag", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    aggs = [F.max("n").alias("n_rows")]
+    for q in QUANTILES:
+        tag = f"p{int(q * 100)}"
+        target = F.ceil(F.lit(q) * F.col("n"))
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == target, F.col("l_extendedprice"))
+            ).alias(tag)
+        )
+    return (
+        r.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
+    )
+
+
+def _group_percentiles_sql() -> str:
+    picks = ["max(n) AS n_rows"]
+    for q in QUANTILES:
+        tag = f"p{int(q * 100)}"
+        picks.append(
+            f"max(CASE WHEN rn = ceil({q} * n) THEN l_extendedprice END) AS {tag}"
+        )
+    return f"""
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, {", ".join(picks)}
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 SPARK_QUERIES = {
     "profile_numeric_stats": profile_numeric_stats,
     "profile_numeric_histograms": profile_numeric_histograms,
+    "profile_correlations": profile_correlations,
+    "profile_group_percentiles": profile_group_percentiles,
 }
 
 ORACLE_SQL = {
     "profile_numeric_stats": PROFILE_STATS_SQL,
     "profile_numeric_histograms": PROFILE_HIST_SQL,
+    "profile_correlations": _corr_sql(),
+    "profile_group_percentiles": _group_percentiles_sql(),
 }

@@ -47,3 +47,49 @@ def test_profiler_plans_scan_once_per_pass(spark):
     # value stream + edges aggregate: two passes, never N-columns scans
     assert hist_plan.count("Scan parquet") == 2, hist_plan
     assert "BroadcastExchange" in hist_plan, hist_plan
+
+
+def test_correlations_bounds_and_known_relationship(spark):
+    rows = {
+        (r["col_x"], r["col_y"]): r
+        for r in profiling.profile_correlations(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == set(profiling.CORR_PAIRS)
+    for r in rows.values():
+        assert -1.0 <= r["corr"] <= 1.0
+        assert r["n_rows"] > 0
+    # the synthetic generator draws measures independently — every
+    # pairwise correlation is near zero (this pins that the formula
+    # isn't accidentally reporting self-correlation ~1)
+    assert all(abs(r["corr"]) < 0.2 for r in rows.values())
+
+
+def test_correlations_bit_deterministic_across_partitioning(spark):
+    a = [tuple(r) for r in profiling.profile_correlations(spark, SF_SMOKE).collect()]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = [tuple(r) for r in profiling.profile_correlations(spark, SF_SMOKE).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+
+
+def test_group_percentiles_are_ordered_data_values(spark):
+    from projet_meteo_etl_spark.catalog import load_table
+
+    vals = {
+        r["l_returnflag"]: r
+        for r in profiling.profile_group_percentiles(spark, SF_SMOKE).collect()
+    }
+    assert len(vals) == 3
+    universe = {
+        row["l_extendedprice"]
+        for row in load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_extendedprice")
+        .collect()
+    }
+    for r in vals.values():
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
+        for tag in ("p25", "p50", "p75", "p95"):
+            assert r[tag] in universe, "percentile_disc returns real elements"

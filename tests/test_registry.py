@@ -94,6 +94,8 @@ EXPECTED_QUERIES = {
     "semdedup_prune",
     "item_cooccurrence_topk",
     "item_jaccard_similarity",
+    "profile_correlations",
+    "profile_group_percentiles",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
