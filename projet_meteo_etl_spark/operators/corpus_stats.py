@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
 _WS = r"\s+"
 
@@ -266,12 +266,105 @@ LIMIT {VOCAB_K}
 """
 
 
+#: fixed-point scale for per-bigram conditional probabilities
+LM_SCALE = 1_000_000
+
+
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    classic perplexity-style quality signal (KenLM-filter style) with
+    the model trained on the corpus itself.
+
+    Per-bigram conditional probability P(w2|w1) = c(w1,w2)/c(w1,·) is
+    materialized as the INTEGER ``(c_big * 1_000_000) div c_uni`` —
+    bigram and prefix counts are exact corpus-wide integers, so every
+    per-doc score is a ratio of two integer sums: bit-identical across
+    partitionings and engines (float log-prob sums would be neither).
+
+    Scale shape: token stream stays partitioned by doc_id through the
+    lead() window (no exchange after the repartition in _doc_tokens);
+    the model is a (w1,w2)-keyed aggregate joined back to the bigram
+    stream on the same key — at 100 TB this is two word-count shuffles
+    plus one equi-join, with map-side combine doing the heavy lifting.
+    The bigram stream feeds three consumers, so it is persisted for
+    the duration of the query rather than recomputed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        _doc_tokens(d)
+        .select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .persist()
+    )
+    c_big = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    c_uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
+    term = c_big.join(c_uni, "w1").select(
+        "w1",
+        "w2",
+        F.expr(f"(c_big * {LM_SCALE}) div c_uni").alias("t"),
+    )
+    return (
+        big.join(term, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("t").alias("sum_t"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_t",
+            pround(
+                F.col("sum_t") / (F.col("n_bigrams") * float(LM_SCALE)), 9
+            ).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+),
+cb AS (SELECT w1, w2, count(*) AS c_big FROM bg GROUP BY w1, w2),
+cu AS (SELECT w1, count(*) AS c_uni FROM bg GROUP BY w1),
+term AS (
+  SELECT cb.w1, cb.w2, (cb.c_big * {LM_SCALE}) // cu.c_uni AS t
+  FROM cb JOIN cu ON cb.w1 = cu.w1
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       sum(t.t) AS sum_t,
+       {pround_sql(f'sum(t.t) * 1.0 / (count(*) * {LM_SCALE}.0)', 9)} AS lm_score
+FROM bg b JOIN term t ON b.w1 = t.w1 AND b.w2 = t.w2
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 SPARK_QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "corpus_vocab_topk": corpus_vocab_topk,
+    "bigram_lm_doc_scores": bigram_lm_doc_scores,
 }
 
 ORACLE_SQL = {
     "text_repetition_filter": TEXT_REPETITION_SQL,
     "corpus_vocab_topk": CORPUS_VOCAB_SQL,
+    "bigram_lm_doc_scores": BIGRAM_LM_SQL,
 }

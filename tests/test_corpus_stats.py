@@ -118,3 +118,37 @@ def test_train_test_split_fractions(spark):
     for splits in by_lang.values():
         total = sum(r["frac_of_lang"] for r in splits.values())
         assert abs(total - 1.0) < 1e-6
+
+
+def test_bigram_lm_scores_bounds_and_composition(spark):
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        bigram_lm_doc_scores,
+    )
+
+    rows = bigram_lm_doc_scores(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    # only docs with >= 2 tokens score; none score twice
+    assert len(rows) <= n_docs
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    for r in rows:
+        # avg conditional probability: strictly positive, at most 1
+        assert 0.0 < r["lm_score"] <= 1.0
+        assert r["n_bigrams"] >= 1
+        assert 0 < r["sum_t"] <= r["n_bigrams"] * 1_000_000
+
+
+def test_bigram_lm_deterministic_across_partitioning(spark):
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        bigram_lm_doc_scores,
+    )
+
+    a = [tuple(r) for r in bigram_lm_doc_scores(spark, SF_SMOKE).collect()]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = [tuple(r) for r in bigram_lm_doc_scores(spark, SF_SMOKE).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b

@@ -96,6 +96,7 @@ EXPECTED_QUERIES = {
     "item_jaccard_similarity",
     "profile_correlations",
     "profile_group_percentiles",
+    "bigram_lm_doc_scores",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
