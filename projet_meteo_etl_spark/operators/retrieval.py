@@ -264,12 +264,202 @@ LIMIT {BM25_TOP_N}
 """
 
 
+#: reciprocal-rank-fusion constants (Cormack et al.: k=60)
+RRF_K = 60
+RRF_SCALE = 1_000_000
+RRF_DEPTH = 20
+RRF_TOP = 10
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the sparse (TF-IDF cosine) and dense
+    (embedding cosine) rankings per query document with reciprocal-rank
+    fusion — ``Σ floor(1e6 / (60 + rank))`` over the lists a candidate
+    appears in, an integer so fusion is engine- and order-exact.
+
+    ``vec_id`` is aligned with ``doc_id`` (same synthetic corpus), so
+    the dense list for query doc q is the cosine ranking of embedding
+    q.  Each list is cut at ``RRF_DEPTH``; candidates found by only
+    one modality still score (that asymmetry is RRF's point).  Scale:
+    both rankings are per-query window top-k over joins already bounded
+    by the inverted index (sparse) / broadcast query set (dense); the
+    fusion itself is a (q, match)-keyed outer join of two k·|Q|-row
+    tables — negligible next to the rankings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf, dfreq, nd = _term_stats(docs)
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.floor(
+                F.lit(1000.0) * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .persist()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf") * F.col("w") * F.col("w")).alias("norm_sq")
+    )
+    q = w.filter(F.col("doc_id") % QUERY_DOC_MOD == 0).select(
+        F.col("doc_id").alias("q_doc"),
+        "term",
+        F.col("tf").alias("q_tf"),
+    )
+    dot = (
+        F.broadcast(q)
+        .join(w, "term")
+        .filter(F.col("q_doc") != F.col("doc_id"))
+        .groupBy("q_doc", "doc_id")
+        .agg(F.sum(F.col("q_tf") * F.col("tf") * F.col("w") * F.col("w")).alias("dot"))
+    )
+    qn = norms.select(F.col("doc_id").alias("q_doc"), F.col("norm_sq").alias("q_norm"))
+    sparse_rn = Window.partitionBy("q_doc").orderBy(
+        F.desc("cos"), F.asc("doc_id")
+    )
+    sparse = (
+        dot.join(F.broadcast(qn), "q_doc")
+        .join(F.broadcast(norms), "doc_id")
+        .withColumn(
+            "cos",
+            pround(F.col("dot") / (F.sqrt("q_norm") * F.sqrt("norm_sq")), 6),
+        )
+        .withColumn("s_rank", F.row_number().over(sparse_rn))
+        .filter(F.col("s_rank") <= RRF_DEPTH)
+        .select("q_doc", F.col("doc_id").alias("match_doc"), "s_rank")
+    )
+
+    from projet_meteo_etl_spark.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") % QUERY_DOC_MOD == 0).select(
+        F.col("vec_id").alias("q_doc"), F.col("embedding").alias("qv")
+    )
+    dense_rn = Window.partitionBy("q_doc").orderBy(
+        F.desc("dcos"), F.asc("vec_id")
+    )
+    dense = (
+        e.join(F.broadcast(qv), F.col("vec_id") != F.col("q_doc"))
+        .withColumn("dcos", pround(cosine(F.col("qv"), F.col("embedding")), 6))
+        .withColumn("d_rank", F.row_number().over(dense_rn))
+        .filter(F.col("d_rank") <= RRF_DEPTH)
+        .select("q_doc", F.col("vec_id").alias("match_doc"), "d_rank")
+    )
+
+    fused = (
+        sparse.join(dense, ["q_doc", "match_doc"], "full_outer")
+        .select(
+            "q_doc",
+            "match_doc",
+            (
+                F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + s_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + d_rank)"), F.lit(0)
+                )
+            ).alias("rrf_micros"),
+            (
+                F.when(F.col("s_rank").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("d_rank").isNotNull(), 1).otherwise(0)
+            ).alias("n_lists"),
+        )
+    )
+    final_rn = Window.partitionBy("q_doc").orderBy(
+        F.desc("rrf_micros"), F.asc("match_doc")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(final_rn).cast("long"))
+        .filter(F.col("rank") <= RRF_TOP)
+        .orderBy("q_doc", "rank")
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(floor(1000.0 * ln(1.0 + n_docs / df)) AS BIGINT) AS w
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+),
+norms AS (SELECT doc_id, sum(tf * tf * w * w) AS norm_sq FROM w GROUP BY doc_id),
+dot AS (
+  SELECT q.doc_id AS q_doc, d.doc_id AS doc_id,
+         sum(q.tf * d.tf * d.w * d.w) AS dot
+  FROM w q JOIN w d ON q.term = d.term AND q.doc_id <> d.doc_id
+  WHERE q.doc_id % {QUERY_DOC_MOD} = 0
+  GROUP BY q.doc_id, d.doc_id
+),
+sparse AS (
+  SELECT q_doc, doc_id AS match_doc,
+         row_number() OVER (PARTITION BY q_doc ORDER BY cos DESC, doc_id) AS s_rank
+  FROM (
+    SELECT dot.q_doc, dot.doc_id,
+           floor((dot.dot / (sqrt(qn.norm_sq) * sqrt(dn.norm_sq))) * 1000000.0 + 0.5)
+             / 1000000.0 AS cos
+    FROM dot
+    JOIN norms qn ON qn.doc_id = dot.q_doc
+    JOIN norms dn ON dn.doc_id = dot.doc_id
+  )
+  QUALIFY s_rank <= {RRF_DEPTH}
+),
+qv AS (
+  SELECT vec_id AS q_doc, embedding AS qv FROM embeddings
+  WHERE vec_id % {QUERY_DOC_MOD} = 0
+),
+dense AS (
+  SELECT q_doc, vec_id AS match_doc,
+         row_number() OVER (PARTITION BY q_doc ORDER BY dcos DESC, vec_id) AS d_rank
+  FROM (
+    SELECT q.q_doc, e.vec_id,
+           floor((list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dcos
+    FROM embeddings e, qv q WHERE e.vec_id <> q.q_doc
+  )
+  QUALIFY d_rank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(s.q_doc, d.q_doc) AS q_doc,
+         coalesce(s.match_doc, d.match_doc) AS match_doc,
+         coalesce({RRF_SCALE} // ({RRF_K} + s.s_rank), 0)
+           + coalesce({RRF_SCALE} // ({RRF_K} + d.d_rank), 0) AS rrf_micros,
+         (CASE WHEN s.s_rank IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN d.d_rank IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+  FROM sparse s
+  FULL OUTER JOIN dense d ON s.q_doc = d.q_doc AND s.match_doc = d.match_doc
+)
+SELECT q_doc, match_doc, rrf_micros, n_lists,
+       row_number() OVER (PARTITION BY q_doc
+                          ORDER BY rrf_micros DESC, match_doc) AS rank
+FROM fused
+QUALIFY rank <= {RRF_TOP}
+ORDER BY q_doc, rank
+"""
+
+
 SPARK_QUERIES = {
     "tfidf_topk_similar": tfidf_topk_similar,
     "bm25_keyword_search": bm25_keyword_search,
+    "hybrid_rrf_search": hybrid_rrf_search,
 }
 
 ORACLE_SQL = {
     "tfidf_topk_similar": TFIDF_TOPK_SQL,
     "bm25_keyword_search": BM25_SQL,
+    "hybrid_rrf_search": HYBRID_RRF_SQL,
 }

@@ -97,6 +97,7 @@ EXPECTED_QUERIES = {
     "profile_correlations",
     "profile_group_percentiles",
     "bigram_lm_doc_scores",
+    "hybrid_rrf_search",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -64,3 +64,35 @@ def test_bm25_idf_orders_rare_terms_higher(spark):
         mod.load_table = orig
     assert 2 not in out  # no query term → no row
     assert out[0] > out[1]  # superset of matched terms wins
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    from projet_meteo_etl_spark.operators.retrieval import (
+        RRF_DEPTH,
+        RRF_K,
+        RRF_SCALE,
+        RRF_TOP,
+        hybrid_rrf_search,
+    )
+
+    rows = hybrid_rrf_search(spark, SF_SMOKE).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_doc"], []).append(r)
+        assert r["n_lists"] in (1, 2)
+        # every score is a sum of 1 or 2 reciprocal-rank units from
+        # ranks within depth
+        lo = RRF_SCALE // (RRF_K + RRF_DEPTH)
+        hi = 2 * (RRF_SCALE // (RRF_K + 1))
+        assert lo <= r["rrf_micros"] <= hi
+    for q, lst in by_q.items():
+        assert q % 100 == 0
+        ranks = [r["rank"] for r in lst]
+        assert ranks == list(range(1, len(lst) + 1))
+        assert len(lst) <= RRF_TOP
+        scores = [r["rrf_micros"] for r in lst]
+        assert scores == sorted(scores, reverse=True)
+    # fusion must actually use both modalities somewhere
+    assert any(r["n_lists"] == 2 for r in rows)
+    assert any(r["n_lists"] == 1 for r in rows)
