@@ -124,12 +124,115 @@ ORDER BY p.user_id, p_id
 """
 
 
+#: funnel step window: each stage must follow the previous within 48 h
+FUNNEL_STEP_US = 48 * 3600 * 1_000_000
+
+
+def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user:
+    first view, first click within 48 h of that view, first purchase
+    within 48 h of that click; global stage counts plus the average
+    click→purchase lag.
+
+    Join-free sequence matching: the three stage timestamps are
+    conditional-min WINDOW aggregates over the same user partition —
+    one shuffle on user_id total (Spark stacks the three Window nodes
+    on a single exchange), then a per-user rollup and a grand total.
+    All arithmetic is integer microseconds; the average lag is an
+    integer division, so the result is engine-exact.  At 100 TB this
+    is the scale-correct funnel shape: no self-joins (a 3-way event
+    self-join explodes on power users), state bounded per user.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+    )
+    wu = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "tv",
+        F.min(F.when(F.col("event_type") == "view", F.col("tus"))).over(wu),
+    )
+    s2 = s1.withColumn(
+        "tc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("tus") >= F.col("tv"))
+                & (F.col("tus") <= F.col("tv") + FUNNEL_STEP_US),
+                F.col("tus"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "tp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("tus") >= F.col("tc"))
+                & (F.col("tus") <= F.col("tc") + FUNNEL_STEP_US),
+                F.col("tus"),
+            )
+        ).over(wu),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.count("tv").alias("users_view"),
+        F.count("tc").alias("users_click"),
+        F.count("tp").alias("users_purchase"),
+        F.coalesce(
+            F.expr("sum(CASE WHEN tp IS NOT NULL THEN tp - tc END) div nullif(count(tp), 0)"),
+            F.lit(-1).cast("long"),
+        ).alias("avg_click_to_purchase_us"),
+    )
+
+
+FUNNEL_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN tus END)
+              OVER (PARTITION BY user_id) AS tv
+  FROM e
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click'
+                      AND tus >= tv AND tus <= tv + {FUNNEL_STEP_US}
+                     THEN tus END) OVER (PARTITION BY user_id) AS tc
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase'
+                      AND tus >= tc AND tus <= tc + {FUNNEL_STEP_US}
+                     THEN tus END) OVER (PARTITION BY user_id) AS tp
+  FROM s2
+),
+u AS (
+  SELECT user_id, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+  FROM s3 GROUP BY user_id
+)
+SELECT count(*) AS users_total,
+       count(tv) AS users_view,
+       count(tc) AS users_click,
+       count(tp) AS users_purchase,
+       coalesce(sum(CASE WHEN tp IS NOT NULL THEN tp - tc END)
+                  // nullif(count(tp), 0), -1) AS avg_click_to_purchase_us
+FROM u
+"""
+
+
 SPARK_QUERIES = {
     "asof_purchase_before_click": asof_purchase_before_click,
     "range_join_clicks_after_purchase": range_join_clicks_after_purchase,
+    "event_funnel_counts": event_funnel_counts,
 }
 
 ORACLE_SQL = {
     "asof_purchase_before_click": ASOF_SQL,
     "range_join_clicks_after_purchase": RANGE_JOIN_SQL,
+    "event_funnel_counts": FUNNEL_SQL,
 }

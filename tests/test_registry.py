@@ -98,6 +98,7 @@ EXPECTED_QUERIES = {
     "profile_group_percentiles",
     "bigram_lm_doc_scores",
     "hybrid_rrf_search",
+    "event_funnel_counts",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -59,3 +59,26 @@ def test_scd2_history_is_contiguous_and_alternating(spark):
         for a, b in zip(rows, rows[1:]):
             assert a["valid_to_us"] == b["valid_from_us"]
             assert a["band"] != b["band"], "consecutive versions must differ"
+
+
+def test_event_funnel_monotone_stages_and_single_user_shuffle(spark):
+    from projet_meteo_etl_spark.plans.temporal import event_funnel_counts
+
+    df = event_funnel_counts(spark, SF)
+    r = df.collect()[0]
+    assert (
+        r["users_total"]
+        >= r["users_view"]
+        >= r["users_click"]
+        >= r["users_purchase"]
+        > 0
+    )
+    assert r["avg_click_to_purchase_us"] > 0
+    # all three stage windows and the per-user rollup share ONE
+    # user_id exchange; only the grand total adds a second (AQE
+    # toString may append an "Initial Plan" section — inspect only
+    # the final plan)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert final.count("Exchange SinglePartition") == 1
