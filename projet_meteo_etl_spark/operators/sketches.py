@@ -79,9 +79,128 @@ def hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(oneshot, "event_type").orderBy("event_type")
 
 
+#: count-min sketch geometry: D independent md5-keyed rows × W buckets
+CMS_D = 3
+CMS_W = 512
+CMS_PROBE_K = 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the document token stream, probed with the
+    true top-``CMS_PROBE_K`` tokens: ``(token, true_tf, cms_est,
+    overcount)`` — ``cms_est ≥ true_tf`` always (one-sided error).
+
+    Unlike the HLL queries (engine-private seeding → rows-only check),
+    this sketch is built from **portable md5 bucket hashes** and exact
+    integer bucket sums, so the whole structure — build, merge, probe —
+    hash-checks against DuckDB end to end.
+
+    Scale: the build is ONE scan (each token explodes into its D
+    (row, bucket) cells in-plan) feeding a (row, bucket)-keyed count —
+    map-side combine collapses the stream to ≤ D·W partial cells per
+    task, which is the mergeability property that lets 1000 executors
+    each sketch their split and union for free.  The probe side is
+    ``CMS_PROBE_K × D`` lookups joined against the D·W-cell sketch —
+    broadcast-sized by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+    def bucket(i: int, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        bucket(i, F.col("tok")).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_i", "c.bucket")
+    sketch = cells.groupBy("row_i", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_tf"))
+    probes = tf.orderBy(F.desc("true_tf"), F.asc("tok")).limit(CMS_PROBE_K)
+    lookups = probes.select(
+        "tok",
+        "true_tf",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        bucket(i, F.col("tok")).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("tok", "true_tf", "c.row_i", "c.bucket")
+    return (
+        F.broadcast(lookups)
+        .join(sketch, ["row_i", "bucket"])
+        .groupBy("tok", "true_tf")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            F.col("tok").alias("token"),
+            "true_tf",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_tf")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_tf"), F.asc("token"))
+    )
+
+
+def _cms_bucket_sql(i: int, col: str) -> str:
+    return f"('0x' || substr(md5('{i}:' || {col}), 1, 15))::BIGINT % {CMS_W}"
+
+
+CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+t AS (SELECT tok FROM toks WHERE tok <> ''),
+cells AS (
+  {" UNION ALL ".join(f"SELECT {i} AS row_i, {_cms_bucket_sql(i, 'tok')} AS bucket FROM t" for i in range(CMS_D))}
+),
+sketch AS (SELECT row_i, bucket, count(*) AS cnt FROM cells GROUP BY row_i, bucket),
+tf AS (SELECT tok, count(*) AS true_tf FROM t GROUP BY tok),
+probes AS (
+  SELECT tok, true_tf FROM tf ORDER BY true_tf DESC, tok ASC LIMIT {CMS_PROBE_K}
+),
+lookups AS (
+  {" UNION ALL ".join(f"SELECT tok, true_tf, {i} AS row_i, {_cms_bucket_sql(i, 'tok')} AS bucket FROM probes" for i in range(CMS_D))}
+)
+SELECT l.tok AS token, l.true_tf, min(s.cnt) AS cms_est,
+       min(s.cnt) - l.true_tf AS overcount
+FROM lookups l JOIN sketch s ON l.row_i = s.row_i AND l.bucket = s.bucket
+GROUP BY l.tok, l.true_tf
+ORDER BY l.true_tf DESC, token ASC
+"""
+
+
 SPARK_QUERIES = {
     "approx_user_stats": approx_user_stats,
     "hll_sketch_mergeability": hll_sketch_mergeability,
+    "cms_heavy_hitters": cms_heavy_hitters,
 }
 
-ORACLE_SQL: dict[str, str] = {}
+ORACLE_SQL: dict[str, str] = {
+    "cms_heavy_hitters": CMS_SQL,
+}

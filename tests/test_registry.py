@@ -99,6 +99,7 @@ EXPECTED_QUERIES = {
     "bigram_lm_doc_scores",
     "hybrid_rrf_search",
     "event_funnel_counts",
+    "cms_heavy_hitters",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

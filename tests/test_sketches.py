@@ -24,3 +24,19 @@ def test_hll_merge_equals_oneshot(spark):
         assert r.merged_estimate == r.oneshot_estimate
         rel_err = abs(r.oneshot_estimate - r.exact_users) / max(r.exact_users, 1)
         assert rel_err < 0.05
+
+
+def test_cms_one_sided_error_and_probe_coverage(spark):
+    from projet_meteo_etl_spark.operators.sketches import (
+        CMS_PROBE_K,
+        cms_heavy_hitters,
+    )
+
+    rows = cms_heavy_hitters(spark, SF).collect()
+    assert len(rows) == CMS_PROBE_K
+    for r in rows:
+        # count-min never underestimates
+        assert r["cms_est"] >= r["true_tf"]
+        assert r["overcount"] == r["cms_est"] - r["true_tf"]
+    tfs = [r["true_tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
