@@ -64,6 +64,10 @@ def _user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         basket.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= USER_ITEM_CAP)
         .drop("rn")
+        # both join sides of the pair expansion (and, for Jaccard, the
+        # two degree lookups) consume this relation — persist so the
+        # distinct+cap pipeline runs once, not 2-4×
+        .persist()
     )
 
 
