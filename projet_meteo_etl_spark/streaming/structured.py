@@ -534,8 +534,45 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with ``dropDuplicatesWithinWatermark``:
+    keep one event per (user_id, day) key, state expired by a 48 h
+    watermark, then roll the kept rows up to distinct users per day.
+
+    The per-day counts equal batch ``count(DISTINCT user_id)`` — so the
+    oracle hash doubles as an exactly-once check: a key re-emitted
+    after premature state eviction (watermark too short for the key
+    span) or a lost micro-batch would flip the counts.  State is
+    bounded: |active keys within the watermark|, not |stream| — the
+    property that makes streaming dedup viable on an unbounded 100 TB
+    feed where batch ``dropDuplicates`` could not even start.
+    """
+    e = _read_events_stream(spark, sf_dir)
+    dd = (
+        e.withColumn("day", F.to_date("ts"))
+        .withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+        .select("user_id", "day")
+    )
+    sink = _run_to_memory(dd, "append")
+    return (
+        sink.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("day")
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
 SPARK_QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_dedup_user_day": stream_dedup_user_day,
     "stream_user_running_totals": stream_user_running_totals,
     "stream_late_event_dropper": stream_late_event_dropper,
     "stream_static_segment_counts": stream_static_segment_counts,
@@ -549,6 +586,7 @@ if has_tws_runtime():  # environment-gated: needs google.protobuf
 
 ORACLE_SQL = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
+    "stream_dedup_user_day": STREAM_DEDUP_SQL,
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
     "stream_static_segment_counts": STREAM_STATIC_SQL,
     "stream_stream_purchase_click_join": STREAM_STREAM_JOIN_SQL,

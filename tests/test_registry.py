@@ -100,6 +100,7 @@ EXPECTED_QUERIES = {
     "hybrid_rrf_search",
     "event_funnel_counts",
     "cms_heavy_hitters",
+    "stream_dedup_user_day",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

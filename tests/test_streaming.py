@@ -95,3 +95,22 @@ def test_checkpoint_exactly_once_across_restarts(spark, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == t.num_rows              # nothing lost
     assert back.select("event_id").distinct().count() == t.num_rows  # nothing duplicated
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    from projet_meteo_etl_spark.streaming.structured import (
+        stream_dedup_user_day,
+    )
+
+    got = {
+        (r["day"], r["n_users"])
+        for r in stream_dedup_user_day(spark, SF).collect()
+    }
+    exp = {
+        (r["day"], r["n"])
+        for r in load_table(spark, SF, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
