@@ -357,14 +357,103 @@ ORDER BY b.doc_id
 """
 
 
+#: Zipf fit depth and the fixed-point log scale (1000 matches the
+#: floor(1000·ln) convention proven portable in operators/retrieval.py)
+ZIPF_K = 100
+ZIPF_LOG_SCALE = 1000
+
+
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(frequency) against ln(rank) over the top-``ZIPF_K``
+    vocabulary terms — the Zipf exponent (slope ≈ −1 for natural text)
+    as a one-row corpus health metric.
+
+    Logs are floored to integer milli-nats per term (the same
+    fixed-point trick as the TF-IDF weights), so the regression moments
+    are exact integer sums; slope/intercept/r² are then a fixed double
+    expression over those integers — engine-exact.  The fit runs over
+    ``ZIPF_K`` rows, so everything after the word-count is free.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _doc_tokens(d)
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    # top-k FIRST (per-partition heaps, no global vocab sort), then the
+    # rank window runs over only ZIPF_K rows
+    topk = tf.orderBy(F.desc("tf"), F.asc("tok")).limit(ZIPF_K)
+    rn = Window.orderBy(F.desc("tf"), F.asc("tok"))
+    top = (
+        topk.withColumn("rank", F.row_number().over(rn))
+        .select(
+            F.floor(F.lit(float(ZIPF_LOG_SCALE)) * F.log("rank"))
+            .cast("long")
+            .alias("lx"),
+            F.floor(F.lit(float(ZIPF_LOG_SCALE)) * F.log("tf"))
+            .cast("long")
+            .alias("ly"),
+        )
+    )
+    m = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return m.select(
+        F.col("n").alias("n_terms"),
+        pround(slope, 6).alias("zipf_slope"),
+        pround((sy - slope * sx) / (n * F.lit(float(ZIPF_LOG_SCALE))), 6).alias(
+            "intercept_nats"
+        ),
+        pround((cov_n * cov_n) / (var_x * var_y), 6).alias("r_squared"),
+    )
+
+
+VOCAB_ZIPF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+top AS (
+  SELECT CAST(floor({ZIPF_LOG_SCALE}.0 * ln(rank)) AS BIGINT) AS lx,
+         CAST(floor({ZIPF_LOG_SCALE}.0 * ln(tf)) AS BIGINT) AS ly
+  FROM (
+    SELECT tf, row_number() OVER (ORDER BY tf DESC, tok ASC) AS rank FROM tf
+  ) WHERE rank <= {ZIPF_K}
+),
+m AS (
+  SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx * lx) AS sxx, sum(ly * ly) AS syy, sum(lx * ly) AS sxy
+  FROM top
+)
+SELECT n AS n_terms,
+  {pround_sql('(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))', 6)} AS zipf_slope,
+  {pround_sql(f'(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * {ZIPF_LOG_SCALE}.0)', 6)} AS intercept_nats,
+  {pround_sql('((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))', 6)} AS r_squared
+FROM m
+"""
+
+
 SPARK_QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "corpus_vocab_topk": corpus_vocab_topk,
     "bigram_lm_doc_scores": bigram_lm_doc_scores,
+    "vocab_zipf_fit": vocab_zipf_fit,
 }
 
 ORACLE_SQL = {
     "text_repetition_filter": TEXT_REPETITION_SQL,
     "corpus_vocab_topk": CORPUS_VOCAB_SQL,
     "bigram_lm_doc_scores": BIGRAM_LM_SQL,
+    "vocab_zipf_fit": VOCAB_ZIPF_SQL,
 }

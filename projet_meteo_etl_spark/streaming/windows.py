@@ -245,8 +245,72 @@ ORDER BY event_type
 """
 
 
+#: trailing-window width for WAU (7 calendar days including the day)
+WAU_DAYS = 7
+
+
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics engagement rollup: daily active users, 7-day
+    trailing weekly active users, and the DAU/WAU stickiness ratio.
+
+    Rolling COUNT(DISTINCT) has no window-function form; the
+    scale-correct shape is: collapse events to distinct (user, day)
+    FIRST (the only pass over raw events — at 100 TB everything after
+    operates on ≤ |users|·|days| rows), then expand each user-day into
+    the ≤ 7 trailing report days via a broadcast range join against the
+    tiny day spine, and count distinct per report day.  All integers;
+    stickiness is one division, pround-6.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    uday = ud.select(F.col("user_id"), F.col("day").alias("uday"))
+    wau = (
+        uday.join(
+            F.broadcast(days),
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") >= F.date_sub(F.col("day"), WAU_DAYS - 1)),
+        )
+        .select("day", "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            pround(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_DAU_WAU_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, count(DISTINCT u.user_id) AS wau
+  FROM days d
+  JOIN ud u ON u.day <= d.day AND u.day >= d.day - {WAU_DAYS - 1}
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       floor((dau.dau * 1.0 / wau.wau) * 1000000.0 + 0.5) / 1000000.0 AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY dau.day
+"""
+
+
 SPARK_QUERIES = {
     "events_json_typed_extract": events_json_typed_extract,
+    "events_dau_wau": events_dau_wau,
     "events_tumbling_counts": events_tumbling_counts,
     "events_sliding_avg": events_sliding_avg,
     "events_session_windows": events_session_windows,
@@ -256,6 +320,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "events_json_typed_extract": EVENTS_JSON_TYPED_SQL,
+    "events_dau_wau": EVENTS_DAU_WAU_SQL,
     "events_tumbling_counts": EVENTS_TUMBLING_SQL,
     "events_sliding_avg": EVENTS_SLIDING_SQL,
     "events_session_windows": EVENTS_SESSION_SQL,

@@ -152,3 +152,17 @@ def test_bigram_lm_deterministic_across_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_zipf_fit_shape(spark):
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        ZIPF_K,
+        vocab_zipf_fit,
+    )
+
+    r = vocab_zipf_fit(spark, SF_SMOKE).collect()[0]
+    # smoke corpus vocabulary is smaller than the fit depth
+    assert 0 < r["n_terms"] <= ZIPF_K
+    # frequencies decrease with rank: negative slope, meaningful fit
+    assert r["zipf_slope"] < 0
+    assert 0.0 <= r["r_squared"] <= 1.0

@@ -101,6 +101,8 @@ EXPECTED_QUERIES = {
     "event_funnel_counts",
     "cms_heavy_hitters",
     "stream_dedup_user_day",
+    "events_dau_wau",
+    "vocab_zipf_fit",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -114,3 +114,14 @@ def test_stream_dedup_matches_batch_distinct(spark):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_dau_wau_invariants(spark):
+    from projet_meteo_etl_spark.streaming.windows import events_dau_wau
+
+    rows = events_dau_wau(spark, SF).collect()
+    assert len(rows) > 7
+    for r in rows:
+        # a day's actives are a subset of its trailing week's actives
+        assert 0 < r["dau"] <= r["wau"]
+        assert 0.0 < r["stickiness"] <= 1.0
