@@ -359,11 +359,78 @@ FROM r GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+#: expected Benford shares log10(1+1/d), pre-rounded to 6 decimals so
+#: both engines embed the identical literal (no runtime log10)
+_BENFORD_EXPECTED = {
+    d: round(__import__("math").log10(1 + 1 / d), 6) for d in range(1, 10)
+}
+
+
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of ``o_totalprice`` vs the
+    Benford expectation — a classic fabricated-data audit.
+
+    The digit is extracted through exact integer/string operations
+    (floor → BIGINT → first character), never ``log10`` of a float,
+    and the expected shares are pre-rounded literals — so the only
+    data-dependent float is the observed share (one division of exact
+    counts).  One scan, one 9-group aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = F.create_map(
+        *[x for d, e in _BENFORD_EXPECTED.items() for x in (F.lit(d), F.lit(e))]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            pround(F.col("n") / F.col("total"), 6).alias("observed_share"),
+            expected[F.col("digit")].alias("benford_share"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    # cast: a bare decimal literal is DECIMAL-typed in DuckDB and would
+    # hash differently from Spark's double
+    f"WHEN {d} THEN CAST({e} AS DOUBLE)" for d, e in _BENFORD_EXPECTED.items()
+)
+
+BENFORD_SQL = f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+total AS (SELECT sum(n) AS total FROM counts)
+SELECT digit, n,
+       floor((n * 1.0 / (SELECT total FROM total)) * 1000000.0 + 0.5) / 1000000.0
+         AS observed_share,
+       CASE digit {_BENFORD_CASE} END AS benford_share
+FROM counts
+ORDER BY digit
+"""
+
+
 SPARK_QUERIES = {
     "profile_numeric_stats": profile_numeric_stats,
     "profile_numeric_histograms": profile_numeric_histograms,
     "profile_correlations": profile_correlations,
     "profile_group_percentiles": profile_group_percentiles,
+    "profile_benford_digits": profile_benford_digits,
 }
 
 ORACLE_SQL = {
@@ -371,4 +438,5 @@ ORACLE_SQL = {
     "profile_numeric_histograms": PROFILE_HIST_SQL,
     "profile_correlations": _corr_sql(),
     "profile_group_percentiles": _group_percentiles_sql(),
+    "profile_benford_digits": BENFORD_SQL,
 }

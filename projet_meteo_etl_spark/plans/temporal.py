@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
 
 
 def asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,14 +226,134 @@ FROM u
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first activity; for each (cohort_week, weeks-since-first) cell, how
+    many of the cohort were active — the classic retention triangle.
+
+    Two passes over the distinct (user, day) table (itself the only
+    pass over raw events): first-activity per user, then a join-back on
+    user_id and integer week arithmetic.  Counts are exact distinct
+    users per cell; everything is integer date math.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    cells = (
+        ud.join(first, "user_id")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("first_day"), F.lit("2024-01-01").cast("date"))
+                / 7
+            )
+            .cast("long")
+            .alias("cohort_week"),
+            F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        cells.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+cells AS (
+  SELECT DISTINCT u.user_id,
+         CAST(floor(date_diff('day', DATE '2024-01-01', f.first_day) / 7.0) AS BIGINT) AS cohort_week,
+         CAST(floor(date_diff('day', f.first_day, u.day) / 7.0) AS BIGINT) AS week_offset
+  FROM ud u JOIN first f ON u.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, count(*) AS n_active
+FROM cells
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value deciles: users ranked by total purchase value
+    (exact integer cents), split into 10 NTILE bands, with each band's
+    user count, value total, and share of overall revenue.
+
+    The ntile ordering is total (cents desc, user_id), so band
+    assignment is deterministic; revenue shares are single divisions of
+    exact integer sums.  The window runs over |users| rows — the raw
+    event pass is the per-user cents aggregation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("user_id"))
+    banded = per_user.withColumn("decile", F.ntile(10).over(w))
+    total = banded.agg(F.sum("cents").alias("total_cents"))
+    return (
+        banded.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "value_cents",
+            pround(F.col("value_cents") / F.col("total_cents"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+DECILES_SQL = """
+WITH per_user AS (
+  SELECT user_id, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+banded AS (
+  SELECT user_id, cents,
+         ntile(10) OVER (ORDER BY cents DESC, user_id ASC) AS decile
+  FROM per_user
+),
+total AS (SELECT sum(cents) AS total_cents FROM per_user)
+SELECT decile, count(*) AS n_users, sum(cents) AS value_cents,
+       floor((sum(cents) * 1.0 / (SELECT total_cents FROM total)) * 1000000.0 + 0.5)
+         / 1000000.0 AS revenue_share
+FROM banded
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 SPARK_QUERIES = {
     "asof_purchase_before_click": asof_purchase_before_click,
     "range_join_clicks_after_purchase": range_join_clicks_after_purchase,
     "event_funnel_counts": event_funnel_counts,
+    "cohort_retention": cohort_retention,
+    "user_value_deciles": user_value_deciles,
 }
 
 ORACLE_SQL = {
     "asof_purchase_before_click": ASOF_SQL,
     "range_join_clicks_after_purchase": RANGE_JOIN_SQL,
     "event_funnel_counts": FUNNEL_SQL,
+    "cohort_retention": COHORT_SQL,
+    "user_value_deciles": DECILES_SQL,
 }

@@ -93,3 +93,10 @@ def test_group_percentiles_are_ordered_data_values(spark):
         assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
         for tag in ("p25", "p50", "p75", "p95"):
             assert r[tag] in universe, "percentile_disc returns real elements"
+
+
+def test_benford_digits_complete_and_normalized(spark):
+    rows = profiling.profile_benford_digits(spark, SF_SMOKE).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4

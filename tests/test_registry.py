@@ -103,6 +103,9 @@ EXPECTED_QUERIES = {
     "stream_dedup_user_day",
     "events_dau_wau",
     "vocab_zipf_fit",
+    "cohort_retention",
+    "user_value_deciles",
+    "profile_benford_digits",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -82,3 +82,39 @@ def test_event_funnel_monotone_stages_and_single_user_shuffle(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
     assert final.count("Exchange SinglePartition") == 1
+
+
+def test_cohort_retention_triangle(spark):
+    from projet_meteo_etl_spark.plans.temporal import cohort_retention
+
+    rows = cohort_retention(spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["week_offset"] >= 0 and r["n_active"] > 0
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_active"]
+    for offsets in by_cohort.values():
+        # week 0 contains the whole cohort: no later week can exceed it
+        assert 0 in offsets
+        assert all(n <= offsets[0] for n in offsets.values())
+
+
+def test_user_value_deciles_partition_users(spark):
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.plans.temporal import user_value_deciles
+    from pyspark.sql import functions as F
+
+    rows = user_value_deciles(spark, SF).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_buyers = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_buyers
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    # deciles ordered by value: shares must be non-increasing
+    shares = [r["revenue_share"] for r in rows]
+    assert shares == sorted(shares, reverse=True)
