@@ -357,12 +357,177 @@ ORDER BY user_id, version
 """
 
 
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average purchase value per user — the piecewise
+    -constant integral ``Σ value_i · (t_{i+1} − t_i) / (t_last − t_first)``
+    (each observation holds until the next one).
+
+    The integral accumulates in exact ``cents × microseconds`` units
+    (DECIMAL(38,0): 10^7 cents × 10^13 µs spans never overflow), so
+    the per-user sum is order-independent; the TWAP is one terminal
+    division.  lead() and the rollup share the user partition — one
+    shuffle, like every per-user operator in this module.  Users with
+    a single purchase (no interval) are excluded, matching the oracle.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = base.select(
+        "user_id",
+        "ts_us",
+        "cents",
+        F.lead("ts_us").over(wo).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("cents").cast("decimal(38,0)"))
+                * (F.col("next_us") - F.col("ts_us")).cast("decimal(38,0)")
+            ).alias("area"),
+            F.min("ts_us").alias("t0"),
+            F.max("next_us").alias("t1"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .select(
+            "user_id",
+            "n_segments",
+            pround(
+                F.col("area").cast("double")
+                / ((F.col("t1") - F.col("t0")).cast("double") * 100.0),
+                6,
+            ).alias("twap_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_TWAP_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+seg AS (
+  SELECT user_id, ts_us, cents,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us
+  FROM base
+)
+SELECT user_id, count(*) AS n_segments,
+       floor((CAST(sum(CAST(cents AS HUGEINT) * CAST(next_us - ts_us AS HUGEINT)) AS DOUBLE)
+              / (CAST(max(next_us) - min(ts_us) AS DOUBLE) * 100.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS twap_value
+FROM seg
+WHERE next_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+#: PSI buckets over the purchase value range (fixed edges → no
+#: data-dependent bucketing drift between the compared windows)
+PSI_EDGES = (0.0, 50.0, 100.0, 150.0, 200.0, 300.0, 400.0, 500.0)
+PSI_SPLIT_DAY = "2024-01-16"
+
+
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between the first and
+    second half of the month: purchase values bucketed on fixed edges,
+    per-bucket PSI term ``(p − q) · ln(p / q)`` floored to integer
+    micro-units (the BM25 fixed-point trick) so the total is an exact
+    integer sum.  Distribution drift is THE production trigger for
+    retraining / repartitioning decisions; one scan, one 2×B-cell
+    aggregate, everything else is arithmetic on ≤ B rows.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    # chained whens evaluate first-match-first — identical to the SQL
+    # CASE's ascending-edge order
+    edges = list(PSI_EDGES)
+    bucket = F.when(F.col("value") < edges[0], F.lit(0))
+    for i in range(1, len(edges)):
+        bucket = bucket.when(F.col("value") < edges[i], F.lit(i))
+    bucket = bucket.otherwise(F.lit(len(edges)))
+    half = F.when(
+        F.to_date("ts") < F.lit(PSI_SPLIT_DAY).cast("date"), "a"
+    ).otherwise("b")
+    counts = (
+        e.select(half.alias("half"), bucket.alias("bucket"))
+        .groupBy("half", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pivoted = (
+        counts.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == "a", F.col("n")).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("half") == "b", F.col("n")).otherwise(0)).alias("nb"),
+        )
+    )
+    totals = pivoted.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    p = F.col("na") / F.col("ta")
+    q = F.col("nb") / F.col("tb")
+    term = F.floor((p - q) * F.log(p / q) * 1e6).cast("long")
+    return (
+        pivoted.crossJoin(F.broadcast(totals))
+        # a bucket empty on either side has an undefined PSI term
+        # (ln 0): excluded in both engines; totals still cover all rows
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "bucket",
+            "na",
+            "nb",
+            term.alias("psi_term_micros"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EVENTS_PSI_SQL = f"""
+WITH e AS (
+  SELECT value, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT CASE
+    {" ".join(f"WHEN value < {PSI_EDGES[i]} THEN {i}" for i in range(len(PSI_EDGES)))}
+    ELSE {len(PSI_EDGES)} END AS bucket,
+    CASE WHEN day < DATE '{PSI_SPLIT_DAY}' THEN 'a' ELSE 'b' END AS half
+  FROM e
+),
+pivoted AS (
+  SELECT bucket,
+         sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM b GROUP BY bucket
+),
+totals AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM pivoted)
+SELECT bucket, na, nb,
+       CAST(floor((na * 1.0 / ta - nb * 1.0 / tb)
+                  * ln((na * 1.0 / ta) / (nb * 1.0 / tb)) * 1000000.0) AS BIGINT)
+         AS psi_term_micros
+FROM pivoted CROSS JOIN totals
+WHERE na > 0 AND nb > 0
+ORDER BY bucket
+"""
+
+
 SPARK_QUERIES = {
     "user_value_trend": user_value_trend,
     "user_hourly_ffill": user_hourly_ffill,
     "user_value_ewma": user_value_ewma,
     "events_zscore_outliers": events_zscore_outliers,
     "scd2_value_band_history": scd2_value_band_history,
+    "user_value_twap": user_value_twap,
+    "events_value_psi": events_value_psi,
 }
 
 USER_EWMA_SQL = """
@@ -387,4 +552,6 @@ ORACLE_SQL = {
     "user_value_ewma": USER_EWMA_SQL,
     "events_zscore_outliers": EVENTS_ZSCORE_SQL,
     "scd2_value_band_history": SCD2_HISTORY_SQL,
+    "user_value_twap": USER_TWAP_SQL,
+    "events_value_psi": EVENTS_PSI_SQL,
 }

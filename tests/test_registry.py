@@ -106,6 +106,8 @@ EXPECTED_QUERIES = {
     "cohort_retention",
     "user_value_deciles",
     "profile_benford_digits",
+    "user_value_twap",
+    "events_value_psi",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -118,3 +118,34 @@ def test_user_value_deciles_partition_users(spark):
     # deciles ordered by value: shares must be non-increasing
     shares = [r["revenue_share"] for r in rows]
     assert shares == sorted(shares, reverse=True)
+
+
+def test_twap_within_value_range(spark):
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.plans.timeseries import user_value_twap
+    from pyspark.sql import functions as F
+
+    rows = user_value_twap(spark, SF).collect()
+    assert rows
+    lo, hi = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.min("value"), F.max("value"))
+        .collect()[0]
+    )
+    for r in rows:
+        # a time-weighted average lies within the observed value range
+        assert lo - 0.01 <= r["twap_value"] <= hi + 0.01
+        assert r["n_segments"] >= 1
+
+
+def test_psi_terms_nonnegative_total(spark):
+    from projet_meteo_etl_spark.plans.timeseries import events_value_psi
+
+    rows = events_value_psi(spark, SF).collect()
+    assert rows
+    # (p-q)·ln(p/q) >= 0 term-wise (both factors share sign); floor can
+    # take a zero term to -1 micro at most
+    for r in rows:
+        assert r["psi_term_micros"] >= -1
+        assert r["na"] > 0 and r["nb"] > 0
