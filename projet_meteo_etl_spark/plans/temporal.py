@@ -342,12 +342,77 @@ ORDER BY decile
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    (prev_type → type) pair in per-user time order, the transition
+    count and the conditional probability P(type | prev_type) as an
+    exact integer-ratio division (micro-units via integer division,
+    then one pround — no float accumulation).
+
+    One lag() window over the user partition (single shuffle on
+    user_id; ties broken by event_id so the sequence is total), then a
+    25-cell aggregate.  Sequence mining at 100 TB is exactly this
+    shape: the transition stream never materializes wider than the
+    event stream itself.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    trans = (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(wo).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        trans.join(F.broadcast(row_tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            pround(
+                F.expr("(n * 1000000) div row_n") / 1_000_000.0, 6
+            ).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+TRANSITION_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM t WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+row_tot AS (SELECT prev_type, sum(n) AS row_n FROM trans GROUP BY prev_type)
+SELECT tr.prev_type, tr.next_type, tr.n,
+       floor(((tr.n * 1000000) // rt.row_n) / 1000000.0 * 1000000.0 + 0.5)
+         / 1000000.0 AS p_next
+FROM trans tr JOIN row_tot rt ON tr.prev_type = rt.prev_type
+ORDER BY tr.prev_type, tr.next_type
+"""
+
+
 SPARK_QUERIES = {
     "asof_purchase_before_click": asof_purchase_before_click,
     "range_join_clicks_after_purchase": range_join_clicks_after_purchase,
     "event_funnel_counts": event_funnel_counts,
     "cohort_retention": cohort_retention,
     "user_value_deciles": user_value_deciles,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 ORACLE_SQL = {
@@ -356,4 +421,5 @@ ORACLE_SQL = {
     "event_funnel_counts": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,
     "user_value_deciles": DECILES_SQL,
+    "event_transition_matrix": TRANSITION_SQL,
 }

@@ -108,6 +108,7 @@ EXPECTED_QUERIES = {
     "profile_benford_digits",
     "user_value_twap",
     "events_value_psi",
+    "event_transition_matrix",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -149,3 +149,20 @@ def test_psi_terms_nonnegative_total(spark):
     for r in rows:
         assert r["psi_term_micros"] >= -1
         assert r["na"] > 0 and r["nb"] > 0
+
+
+def test_transition_matrix_rows_normalize(spark):
+    from collections import defaultdict
+
+    from projet_meteo_etl_spark.plans.temporal import event_transition_matrix
+
+    rows = event_transition_matrix(spark, SF).collect()
+    assert len(rows) == 25  # 5 event types, full matrix at this SF
+    per_prev = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r["p_next"] < 1.0
+        per_prev[r["prev_type"]] += r["p_next"]
+    for tot in per_prev.values():
+        # integer-division micro probabilities round down: row sums
+        # land within 5 micro-units below 1
+        assert 1.0 - 5e-6 <= tot <= 1.0
