@@ -1,0 +1,208 @@
+"""Incremental-maintenance operators: partial-aggregate merge (the
+materialized-view maintenance primitive) and snapshot table diff (the
+change-data audit primitive).
+
+The reference rebuilds its sink from scratch on every run
+(truncate-and-load, ``/root/reference/etl_meteo.py:195-198``) and
+re-audits with full scans; these two operators are the scale-correct
+replacements — at 100 TB you maintain aggregates by merging the delta's
+partials, and you audit a refresh by diffing snapshots, never by
+recomputing the world.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+
+def _partial_agg(d: DataFrame) -> DataFrame:
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("decimal(38,0)")  # noqa: E731
+    return d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("l_quantity")).alias("qty_cents"),
+        F.sum(cents("l_extendedprice")).alias("price_cents"),
+    )
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the revenue-by-returnflag view is
+    maintained by MERGING the delta batch's partial aggregates into the
+    base partials — never rescanning the base — and the result is
+    hash-checked against a from-scratch recompute (the oracle SQL).
+
+    The merge works because every measure is an algebraic aggregate
+    over exact integers (counts + DECIMAL(38) cent sums): merge =
+    component-wise addition, associative and order-free — the same
+    property Spark's own partial/final hash aggregation relies on.
+    Here base = ``l_orderkey % 10 != 0``, delta = the rest, so the two
+    partials cover the table exactly once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = _partial_agg(li.filter(F.col("l_orderkey") % 10 != 0))
+    delta = _partial_agg(li.filter(F.col("l_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("qty_cents").alias("qty_cents"),
+            F.sum("price_cents").alias("price_cents"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "n_rows",
+        pround(F.col("qty_cents").cast("double") / 100.0, 2).alias("sum_qty"),
+        pround(
+            F.col("price_cents").cast("double")
+            / (F.col("n_rows").cast("double") * 100.0),
+            6,
+        ).alias("avg_price"),
+    ).orderBy("l_returnflag")
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       floor((CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0)
+             * 100.0 + 0.5) / 100.0 AS sum_qty,
+       floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS DOUBLE)
+              / (CAST(count(*) AS DOUBLE) * 100.0)) * 1000000.0 + 0.5) / 1000000.0
+         AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+#: deterministic synthetic "next snapshot": deletes, updates, inserts
+DIFF_DELETE_MOD = 97
+DIFF_UPDATE_MOD = 101
+DIFF_INSERT_MOD = 103
+DIFF_INSERT_SHIFT = 3_000_000
+
+
+def _next_snapshot(cur: DataFrame) -> DataFrame:
+    kept = cur.filter(F.col("l_orderkey") % DIFF_DELETE_MOD != 0)
+    updated = kept.withColumn(
+        "disc_c",
+        F.when(
+            F.col("l_orderkey") % DIFF_UPDATE_MOD == 0,
+            F.col("disc_c") + 1,
+        ).otherwise(F.col("disc_c")),
+    )
+    inserts = cur.filter(F.col("l_orderkey") % DIFF_INSERT_MOD == 0).withColumn(
+        "l_orderkey", F.col("l_orderkey") + DIFF_INSERT_SHIFT
+    )
+    return updated.unionByName(inserts)
+
+
+def _keyed_snapshot(li: DataFrame) -> DataFrame:
+    """Collapse lineitem to one row per (l_orderkey, l_linenumber) with
+    exact integer-cent measures — the synthetic data reuses key pairs,
+    so the snapshot key is made unique by aggregation, and the diff
+    compares only integers (no float equality anywhere)."""
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("long")  # noqa: E731
+    return li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(cents("l_quantity")).alias("qty_c"),
+        F.sum(cents("l_extendedprice")).alias("price_c"),
+        F.sum(cents("l_discount")).alias("disc_c"),
+    )
+
+
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff on the (l_orderkey, l_linenumber) key: row counts
+    of added / deleted / changed / unchanged between the current keyed
+    snapshot and a deterministically derived next version (deletes on
+    one key residue, one-cent discount updates on another, key-shifted
+    inserts on a third).
+
+    One full-outer join on the snapshot key — hash-partitioned both
+    sides, the canonical CDC-audit plan; all compared measures are
+    integer cents, so "changed" is exact.  At 100 TB both snapshots
+    bucket-join on the key with zero shuffle if laid out by the writer
+    (see ``tests/test_sinks.py``).
+    """
+    cur = _keyed_snapshot(load_table(spark, sf_dir, "lineitem"))
+    nxt = _next_snapshot(cur)
+    key = ["l_orderkey", "l_linenumber"]
+    cmp_cols = ("n_parts", "qty_c", "price_c", "disc_c")
+    a = cur.select(*key, *[F.col(c).alias(f"a_{c}") for c in cmp_cols])
+    b = nxt.select(*key, *[F.col(c).alias(f"b_{c}") for c in cmp_cols])
+    j = a.join(b, key, "full_outer")
+    changed = None
+    for c in cmp_cols:
+        term = ~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
+        changed = term if changed is None else (changed | term)
+    status = (
+        F.when(F.col("a_n_parts").isNull(), "added")
+        .when(F.col("b_n_parts").isNull(), "deleted")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("status")
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH cur AS (
+  SELECT l_orderkey, l_linenumber,
+         count(*) AS n_parts,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_c,
+         sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS disc_c
+  FROM lineitem
+  GROUP BY l_orderkey, l_linenumber
+),
+kept AS (SELECT * FROM cur WHERE l_orderkey % {DIFF_DELETE_MOD} != 0),
+updated AS (
+  SELECT l_orderkey, l_linenumber, n_parts, qty_c, price_c,
+         CASE WHEN l_orderkey % {DIFF_UPDATE_MOD} = 0
+              THEN disc_c + 1 ELSE disc_c END AS disc_c
+  FROM kept
+),
+inserts AS (
+  SELECT l_orderkey + {DIFF_INSERT_SHIFT} AS l_orderkey, l_linenumber,
+         n_parts, qty_c, price_c, disc_c
+  FROM cur WHERE l_orderkey % {DIFF_INSERT_MOD} = 0
+),
+nxt AS (SELECT * FROM updated UNION ALL SELECT * FROM inserts),
+j AS (
+  SELECT CASE
+           WHEN a.n_parts IS NULL THEN 'added'
+           WHEN b.n_parts IS NULL THEN 'deleted'
+           WHEN a.n_parts IS DISTINCT FROM b.n_parts
+             OR a.qty_c IS DISTINCT FROM b.qty_c
+             OR a.price_c IS DISTINCT FROM b.price_c
+             OR a.disc_c IS DISTINCT FROM b.disc_c THEN 'changed'
+           ELSE 'unchanged'
+         END AS status
+  FROM cur a
+  FULL OUTER JOIN nxt b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+)
+SELECT status, count(*) AS n_rows
+FROM j
+GROUP BY status
+ORDER BY status
+"""
+
+
+SPARK_QUERIES = {
+    "incremental_agg_maintenance": incremental_agg_maintenance,
+    "snapshot_table_diff": snapshot_table_diff,
+}
+
+ORACLE_SQL = {
+    "incremental_agg_maintenance": INCREMENTAL_AGG_SQL,
+    "snapshot_table_diff": SNAPSHOT_DIFF_SQL,
+}

@@ -1,0 +1,59 @@
+"""Incremental maintenance: partial-agg merge + snapshot diff."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.plans.incremental import (
+    DIFF_DELETE_MOD,
+    DIFF_INSERT_MOD,
+    incremental_agg_maintenance,
+    snapshot_table_diff,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_merged_partials_equal_full_recompute(spark):
+    got = {
+        r["l_returnflag"]: (r["n_rows"], r["sum_qty"], r["avg_price"])
+        for r in incremental_agg_maintenance(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("decimal(38,0)")  # noqa: E731
+    full = {
+        r["l_returnflag"]: (
+            r["n"],
+            float(r["q"]) / 100.0,
+            round(float(r["p"]) / (r["n"] * 100.0), 6),
+        )
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("l_quantity")).alias("q"),
+            F.sum(cents("l_extendedprice")).alias("p"),
+        )
+        .collect()
+    }
+    assert set(got) == set(full)
+    for k in got:
+        assert got[k][0] == full[k][0]
+        assert abs(got[k][1] - full[k][1]) < 1e-6
+        assert abs(got[k][2] - full[k][2]) < 1e-5
+
+
+def test_snapshot_diff_counts_reconcile(spark):
+    keys = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
+    )
+    n_cur = keys.count()
+    n_del = keys.filter(F.col("l_orderkey") % DIFF_DELETE_MOD == 0).count()
+    n_ins = keys.filter(F.col("l_orderkey") % DIFF_INSERT_MOD == 0).count()
+    got = {r["status"]: r["n_rows"] for r in snapshot_table_diff(spark, SF_SMOKE).collect()}
+    assert got["deleted"] == n_del
+    assert got["added"] == n_ins
+    assert got.get("changed", 0) > 0
+    # every current row is deleted, changed, or unchanged
+    assert got["deleted"] + got.get("changed", 0) + got["unchanged"] == n_cur

@@ -109,6 +109,8 @@ EXPECTED_QUERIES = {
     "user_value_twap",
     "events_value_psi",
     "event_transition_matrix",
+    "incremental_agg_maintenance",
+    "snapshot_table_diff",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
