@@ -520,6 +520,87 @@ ORDER BY bucket
 """
 
 
+#: seasonal lag in days for the naive forecast (weekly seasonality)
+SEASON_DAYS = 7
+
+
+def seasonal_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-evaluation report: the seasonal-naive baseline
+    (revenue(d) predicted by revenue(d − 7)) scored per event type with
+    MAE and MAPE — the sanity baseline every production forecast must
+    beat, and a one-pass join once the stream is rolled up to daily
+    grain.
+
+    Daily revenue is exact integer cents; the self-join on (type,
+    day − 7) hits the tiny daily rollup, not raw events.  MAE is an
+    integer-cents mean (integer division); MAPE accumulates per-day
+    |err|/actual floored to integer micros BEFORE summing, so both
+    metrics are engine- and order-exact.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    daily = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    fc = daily.select(
+        "event_type",
+        F.date_add("day", SEASON_DAYS).alias("day"),
+        F.col("rev").alias("pred"),
+    )
+    scored = daily.join(fc, ["event_type", "day"]).filter(F.col("rev") > 0)
+    abs_err = F.abs(F.col("rev") - F.col("pred"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("sum(abs(rev - pred)) div count(1)").alias("mae_cents"),
+            F.sum(
+                F.floor(abs_err * 1_000_000 / F.col("rev")).cast("long")
+            ).alias("sum_ape_micros"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "mae_cents",
+            F.expr("sum_ape_micros div n_days").alias("mape_micros"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SEASONAL_FC_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev
+  FROM events
+  WHERE event_type IN ('purchase', 'click', 'view')
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+scored AS (
+  SELECT a.event_type, a.day, a.rev, f.rev AS pred
+  FROM daily a
+  JOIN daily f ON f.event_type = a.event_type
+              AND f.day = a.day - {SEASON_DAYS}
+  WHERE a.rev > 0
+)
+SELECT event_type,
+       count(*) AS n_days,
+       sum(abs(rev - pred)) // count(*) AS mae_cents,
+       sum(CAST(floor(abs(rev - pred) * 1000000.0 / rev) AS BIGINT)) // count(*)
+         AS mape_micros
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "user_value_trend": user_value_trend,
     "user_hourly_ffill": user_hourly_ffill,
@@ -528,6 +609,7 @@ SPARK_QUERIES = {
     "scd2_value_band_history": scd2_value_band_history,
     "user_value_twap": user_value_twap,
     "events_value_psi": events_value_psi,
+    "seasonal_forecast_error": seasonal_forecast_error,
 }
 
 USER_EWMA_SQL = """
@@ -554,4 +636,5 @@ ORACLE_SQL = {
     "scd2_value_band_history": SCD2_HISTORY_SQL,
     "user_value_twap": USER_TWAP_SQL,
     "events_value_psi": EVENTS_PSI_SQL,
+    "seasonal_forecast_error": SEASONAL_FC_SQL,
 }

@@ -111,6 +111,7 @@ EXPECTED_QUERIES = {
     "event_transition_matrix",
     "incremental_agg_maintenance",
     "snapshot_table_diff",
+    "seasonal_forecast_error",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

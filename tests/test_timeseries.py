@@ -166,3 +166,16 @@ def test_transition_matrix_rows_normalize(spark):
         # integer-division micro probabilities round down: row sums
         # land within 5 micro-units below 1
         assert 1.0 - 5e-6 <= tot <= 1.0
+
+
+def test_seasonal_forecast_error_sane(spark):
+    from projet_meteo_etl_spark.plans.timeseries import (
+        seasonal_forecast_error,
+    )
+
+    rows = seasonal_forecast_error(spark, SF).collect()
+    assert {r["event_type"] for r in rows} == {"purchase", "click", "view"}
+    for r in rows:
+        assert r["n_days"] > 0
+        assert r["mae_cents"] >= 0
+        assert r["mape_micros"] >= 0
