@@ -469,12 +469,106 @@ ORDER BY vec_id
 """
 
 
+#: Matryoshka truncation prefixes evaluated against the full DIM dims
+MRL_DIMS = (8, 16, 32)
+
+
+def embedding_matryoshka_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: for each prefix length d in
+    ``MRL_DIMS``, how well cosine on the first d dimensions preserves
+    the full-``DIM`` cosine over consecutive vector pairs — mean
+    absolute deviation and worst case, plus the sign-agreement rate
+    (the retrieval-relevant property).
+
+    Pairs are (vec_id, vec_id+1): deterministic, corpus-sized, no
+    quadratic blow-up — this is the audit you run before shipping a
+    truncated index, and its cost is one self-join on adjacent ids.
+    Per-pair deviations are floored to integer micros before the mean,
+    so the report is engine-exact.  Truncation itself is ``slice`` on
+    the stored array — no Python, no shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("va"))
+    b = e.select(
+        (F.col("vec_id") - 1).alias("pid"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, "pid")
+    full_cos = pround(cosine(F.col("va"), F.col("vb")), 6)
+    rows = []
+    for d in MRL_DIMS:
+        tc = pround(
+            cosine(F.slice("va", 1, d), F.slice("vb", 1, d)), 6
+        )
+        rows.append(
+            F.struct(
+                F.lit(d).alias("trunc_dim"),
+                F.floor(F.abs(tc - full_cos) * 1_000_000)
+                .cast("long")
+                .alias("dev_micros"),
+                (
+                    (tc >= 0) == (full_cos >= 0)
+                ).cast("int").alias("sign_ok"),
+            )
+        )
+    exploded = pairs.select(
+        full_cos.alias("fc"), F.explode(F.array(*rows)).alias("m")
+    ).select("m.trunc_dim", "m.dev_micros", "m.sign_ok")
+    return (
+        exploded.groupBy("trunc_dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(dev_micros) div count(1)").alias("mean_dev_micros"),
+            F.max("dev_micros").alias("max_dev_micros"),
+            F.sum("sign_ok").alias("n_sign_agree"),
+        )
+        .orderBy("trunc_dim")
+    )
+
+
+def _mrl_cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+EMBEDDING_MRL_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS pid, a.embedding::DOUBLE[] AS va, b.embedding::DOUBLE[] AS vb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+),
+sc AS (
+  SELECT pid,
+         floor({_mrl_cos_sql('va', 'vb')} * 1000000.0 + 0.5) / 1000000.0 AS fc,
+         {", ".join(
+            f"floor({_mrl_cos_sql(f'va[1:{d}]', f'vb[1:{d}]')} * 1000000.0 + 0.5) / 1000000.0 AS tc{d}"
+            for d in MRL_DIMS)}
+  FROM pairs
+),
+m AS (
+  {" UNION ALL ".join(
+    f"SELECT {d} AS trunc_dim, "
+    f"CAST(floor(abs(tc{d} - fc) * 1000000.0) AS BIGINT) AS dev_micros, "
+    f"CASE WHEN (tc{d} >= 0) = (fc >= 0) THEN 1 ELSE 0 END AS sign_ok FROM sc"
+    for d in MRL_DIMS)}
+)
+SELECT trunc_dim, count(*) AS n_pairs,
+       sum(dev_micros) // count(*) AS mean_dev_micros,
+       max(dev_micros) AS max_dev_micros,
+       sum(sign_ok) AS n_sign_agree
+FROM m
+GROUP BY trunc_dim
+ORDER BY trunc_dim
+"""
+
+
 SPARK_QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_int8_quantize": embedding_int8_quantize,
+    "embedding_matryoshka_quality": embedding_matryoshka_quality,
 }
 
 ORACLE_SQL = {
@@ -483,4 +577,5 @@ ORACLE_SQL = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     "embedding_int8_quantize": EMBEDDING_INT8_SQL,
+    "embedding_matryoshka_quality": EMBEDDING_MRL_SQL,
 }

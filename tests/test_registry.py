@@ -112,6 +112,7 @@ EXPECTED_QUERIES = {
     "incremental_agg_maintenance",
     "snapshot_table_diff",
     "seasonal_forecast_error",
+    "embedding_matryoshka_quality",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

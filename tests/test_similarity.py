@@ -51,3 +51,25 @@ def test_lsh_recall_floor(spark):
             len({n for n, _ in pairs} & {n for n, _ in lsh[q]}) / len(pairs)
         )
     assert sum(recalls) / len(recalls) > 0.05
+
+
+def test_matryoshka_quality_monotone_in_dims(spark):
+    from projet_meteo_etl_spark.operators.similarity import (
+        MRL_DIMS,
+        embedding_matryoshka_quality,
+    )
+
+    rows = {
+        r["trunc_dim"]: r
+        for r in embedding_matryoshka_quality(spark, SF).collect()
+    }
+    assert set(rows) == set(MRL_DIMS)
+    n = {r["n_pairs"] for r in rows.values()}
+    assert len(n) == 1 and n.pop() > 0
+    for r in rows.values():
+        assert 0 <= r["mean_dev_micros"] <= r["max_dev_micros"]
+        assert 0 <= r["n_sign_agree"] <= r["n_pairs"]
+    # more dimensions preserve the full cosine at least as well
+    dims = sorted(rows)
+    means = [rows[d]["mean_dev_micros"] for d in dims]
+    assert means == sorted(means, reverse=True)
