@@ -444,11 +444,75 @@ FROM m
 """
 
 
+def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-document token-count distribution —
+    the one-number "is my corpus dominated by a few huge documents"
+    inequality metric (0 = perfectly even, →1 = concentrated).
+
+    Exact formula on sorted counts: ``G = (2·Σ i·x_i) / (n·Σ x_i)
+    − (n+1)/n`` with rank i from one ordered window — every sum is an
+    integer (rank × token-count products fit BIGINT far beyond this
+    corpus; DECIMAL(38) at 100 TB), so G is a fixed expression over
+    exact integers.  The sort runs on per-document counts (one row per
+    doc), not tokens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        _doc_tokens(d)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wo = Window.orderBy("x", "doc_id")
+    ranked = counts.select(
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        F.row_number().over(wo).cast("long").alias("i"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("i")).alias("sxi"),
+    )
+    n = F.col("n").cast("double")
+    g = (
+        (F.lit(2.0) * F.col("sxi").cast("double"))
+        / (n * F.col("sx").cast("double"))
+        - (n + 1.0) / n
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.col("sx").cast("long").alias("total_tokens"),
+        pround(g, 6).alias("gini"),
+    )
+
+
+CORPUS_GINI_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+counts AS (SELECT doc_id, count(*) AS x FROM toks GROUP BY doc_id),
+ranked AS (
+  SELECT CAST(x AS HUGEINT) AS x,
+         row_number() OVER (ORDER BY x, doc_id) AS i
+  FROM counts
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * i) AS sxi FROM ranked
+)
+SELECT n AS n_docs, CAST(sx AS BIGINT) AS total_tokens,
+       floor(((2.0 * CAST(sxi AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+              - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS gini
+FROM m
+"""
+
+
 SPARK_QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "corpus_vocab_topk": corpus_vocab_topk,
     "bigram_lm_doc_scores": bigram_lm_doc_scores,
     "vocab_zipf_fit": vocab_zipf_fit,
+    "corpus_token_gini": corpus_token_gini,
 }
 
 ORACLE_SQL = {
@@ -456,4 +520,5 @@ ORACLE_SQL = {
     "corpus_vocab_topk": CORPUS_VOCAB_SQL,
     "bigram_lm_doc_scores": BIGRAM_LM_SQL,
     "vocab_zipf_fit": VOCAB_ZIPF_SQL,
+    "corpus_token_gini": CORPUS_GINI_SQL,
 }

@@ -14,7 +14,7 @@ key cardinality here is user_id × window, which spreads well).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
@@ -308,9 +308,71 @@ ORDER BY dau.day
 """
 
 
+def events_rolling_3day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily revenue with a 3-day trailing RANGE-frame sum and
+    the day-over-day delta — the RANGE (value-based) window frame, as
+    opposed to the ROWS frames used elsewhere: a gap in the calendar
+    shrinks the frame, which a ROWS frame would silently span.
+
+    The frame key is the integer epoch day, so the range arithmetic is
+    exact; revenue is integer cents.  One shuffle on event_type (the
+    partition key), ≤ |days| rows per partition after the rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+                "epoch_day"
+            ),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "epoch_day")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rangeBetween(-2, 0)
+    )
+    wo = Window.partitionBy("event_type").orderBy("epoch_day")
+    return (
+        daily.select(
+            "event_type",
+            "epoch_day",
+            "rev_cents",
+            F.sum("rev_cents").over(wr).alias("rev_3day_cents"),
+            (F.col("rev_cents") - F.lag("rev_cents").over(wo)).alias(
+                "dod_delta_cents"
+            ),
+        )
+        .orderBy("event_type", "epoch_day")
+    )
+
+
+EVENTS_ROLLING_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM events
+  GROUP BY event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+)
+SELECT event_type, epoch_day, rev_cents,
+       sum(rev_cents) OVER (PARTITION BY event_type ORDER BY epoch_day
+                            RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS rev_3day_cents,
+       rev_cents - lag(rev_cents) OVER (PARTITION BY event_type
+                                        ORDER BY epoch_day) AS dod_delta_cents
+FROM daily
+ORDER BY event_type, epoch_day
+"""
+
+
 SPARK_QUERIES = {
     "events_json_typed_extract": events_json_typed_extract,
     "events_dau_wau": events_dau_wau,
+    "events_rolling_3day_revenue": events_rolling_3day_revenue,
     "events_tumbling_counts": events_tumbling_counts,
     "events_sliding_avg": events_sliding_avg,
     "events_session_windows": events_session_windows,
@@ -321,6 +383,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "events_json_typed_extract": EVENTS_JSON_TYPED_SQL,
     "events_dau_wau": EVENTS_DAU_WAU_SQL,
+    "events_rolling_3day_revenue": EVENTS_ROLLING_SQL,
     "events_tumbling_counts": EVENTS_TUMBLING_SQL,
     "events_sliding_avg": EVENTS_SLIDING_SQL,
     "events_session_windows": EVENTS_SESSION_SQL,

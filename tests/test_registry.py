@@ -113,6 +113,8 @@ EXPECTED_QUERIES = {
     "snapshot_table_diff",
     "seasonal_forecast_error",
     "embedding_matryoshka_quality",
+    "corpus_token_gini",
+    "events_rolling_3day_revenue",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

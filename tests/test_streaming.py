@@ -125,3 +125,23 @@ def test_dau_wau_invariants(spark):
         # a day's actives are a subset of its trailing week's actives
         assert 0 < r["dau"] <= r["wau"]
         assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_rolling_3day_range_frame(spark):
+    from collections import defaultdict
+
+    from projet_meteo_etl_spark.streaming.windows import (
+        events_rolling_3day_revenue,
+    )
+
+    rows = events_rolling_3day_revenue(spark, SF).collect()
+    assert rows
+    series = defaultdict(dict)
+    for r in rows:
+        series[r["event_type"]][r["epoch_day"]] = r
+    for days in series.values():
+        for d, r in days.items():
+            exp = sum(
+                days[k]["rev_cents"] for k in (d - 2, d - 1, d) if k in days
+            )
+            assert r["rev_3day_cents"] == exp
