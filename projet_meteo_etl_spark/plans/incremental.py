@@ -12,7 +12,7 @@ recomputing the world.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
@@ -197,12 +197,74 @@ ORDER BY status
 """
 
 
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: the Pareto frontier of parts minimizing
+    ``p_retailprice`` while maximizing ``p_size`` — no other part is
+    both cheaper and at-least-as-large (with any strict improvement).
+
+    Classic skyline-via-window: sort by (price asc, size desc), keep
+    rows whose size strictly exceeds the running max size of all
+    strictly-cheaper rows — one ordered window over integer cents and
+    sizes, no pairwise O(n²) dominance join.  The frame excludes
+    price-ties via a RANGE bound on the cent key, so equal-price parts
+    don't knock each other out.
+    """
+    p = load_table(spark, sf_dir, "part")
+    base = p.select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("price_c"),
+    )
+    # running max size over STRICTLY cheaper rows: range frame on the
+    # cent key ending 1 cent before the current price
+    w = (
+        Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn("best_cheaper", F.max("p_size").over(w))
+    return (
+        flagged.filter(
+            F.col("best_cheaper").isNull()
+            | (F.col("p_size") > F.col("best_cheaper"))
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            pround(F.col("price_c") / 100.0, 2).alias("price"),
+        )
+        .orderBy("price", "p_partkey")
+    )
+
+
+PARETO_SQL = """
+WITH base AS (
+  SELECT p_partkey, p_size,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM part
+),
+flagged AS (
+  SELECT p_partkey, p_size, price_c,
+         max(p_size) OVER (ORDER BY price_c
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_cheaper
+  FROM base
+)
+SELECT p_partkey, p_size,
+       floor((price_c / 100.0) * 100.0 + 0.5) / 100.0 AS price
+FROM flagged
+WHERE best_cheaper IS NULL OR p_size > best_cheaper
+ORDER BY price, p_partkey
+"""
+
+
 SPARK_QUERIES = {
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "snapshot_table_diff": snapshot_table_diff,
+    "pareto_frontier_parts": pareto_frontier_parts,
 }
 
 ORACLE_SQL = {
     "incremental_agg_maintenance": INCREMENTAL_AGG_SQL,
     "snapshot_table_diff": SNAPSHOT_DIFF_SQL,
+    "pareto_frontier_parts": PARETO_SQL,
 }

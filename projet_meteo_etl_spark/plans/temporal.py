@@ -406,6 +406,112 @@ ORDER BY tr.prev_type, tr.next_type
 """
 
 
+#: session gap threshold and path prefix length for path mining
+SESSION_GAP_US = 30 * 60 * 1_000_000
+PATH_PREFIX = 5
+PATH_TOP_N = 20
+
+
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: sessionize each user's events with a
+    30-minute inactivity gap (gaps-and-islands), take the first
+    ``PATH_PREFIX`` event types of each session in time order, and
+    count the resulting '>' -joined paths — the path-mining staple
+    behind "how do users reach purchase".
+
+    The session id is a running sum of gap flags over the user
+    partition; the path string is assembled from an ordered in-group
+    prefix (row_number ≤ k before the string agg, so the reduction is
+    bounded per session).  Everything shares the user_id shuffle until
+    the final small path count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+    )
+    flagged = base.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("tus").over(wo).isNull()
+            | (F.col("tus") - F.lag("tus").over(wo) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("tus", "event_id")
+    prefix = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= PATH_PREFIX
+    )
+    paths = (
+        prefix.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("rn", F.col("event_type").alias("t"))
+                        )
+                    ),
+                    lambda x: x["t"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_N)
+    )
+
+
+SESSION_PATH_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                  OR tus - lag(tus) OVER w > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS sess_id
+  FROM flagged
+),
+prefix AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
+                                 ORDER BY tus, event_id) AS rn
+    FROM sess
+  ) WHERE rn <= {PATH_PREFIX}
+),
+paths AS (
+  SELECT user_id, sess_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM prefix GROUP BY user_id, sess_id
+)
+SELECT path, count(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP_N}
+"""
+
+
 SPARK_QUERIES = {
     "asof_purchase_before_click": asof_purchase_before_click,
     "range_join_clicks_after_purchase": range_join_clicks_after_purchase,
@@ -413,6 +519,7 @@ SPARK_QUERIES = {
     "cohort_retention": cohort_retention,
     "user_value_deciles": user_value_deciles,
     "event_transition_matrix": event_transition_matrix,
+    "session_path_topk": session_path_topk,
 }
 
 ORACLE_SQL = {
@@ -422,4 +529,5 @@ ORACLE_SQL = {
     "cohort_retention": COHORT_SQL,
     "user_value_deciles": DECILES_SQL,
     "event_transition_matrix": TRANSITION_SQL,
+    "session_path_topk": SESSION_PATH_SQL,
 }

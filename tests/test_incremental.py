@@ -57,3 +57,26 @@ def test_snapshot_diff_counts_reconcile(spark):
     assert got.get("changed", 0) > 0
     # every current row is deleted, changed, or unchanged
     assert got["deleted"] + got.get("changed", 0) + got["unchanged"] == n_cur
+
+
+def test_pareto_frontier_no_dominated_rows(spark):
+    from projet_meteo_etl_spark.plans.incremental import pareto_frontier_parts
+
+    rows = pareto_frontier_parts(spark, SF_SMOKE).collect()
+    assert rows
+    # along the frontier (price ascending) size strictly increases
+    sizes = [r["p_size"] for r in rows]
+    assert sizes == sorted(sizes)
+    assert len(set(sizes)) == len(sizes)
+    # brute-force dominance check against the full table
+    from projet_meteo_etl_spark.catalog import load_table
+
+    pts = [
+        (round(p["p_retailprice"] * 100), p["p_size"])
+        for p in load_table(spark, SF_SMOKE, "part").collect()
+    ]
+    for r in rows:
+        pc = round(r["price"] * 100)
+        assert not any(
+            (c < pc and s >= r["p_size"]) for c, s in pts
+        ), "frontier row dominated"

@@ -115,6 +115,8 @@ EXPECTED_QUERIES = {
     "embedding_matryoshka_quality",
     "corpus_token_gini",
     "events_rolling_3day_revenue",
+    "pareto_frontier_parts",
+    "session_path_topk",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -179,3 +179,20 @@ def test_seasonal_forecast_error_sane(spark):
         assert r["n_days"] > 0
         assert r["mae_cents"] >= 0
         assert r["mape_micros"] >= 0
+
+
+def test_session_paths_shape(spark):
+    from projet_meteo_etl_spark.plans.temporal import (
+        PATH_PREFIX,
+        session_path_topk,
+    )
+
+    rows = session_path_topk(spark, SF).collect()
+    assert rows
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= PATH_PREFIX
+        assert set(steps) <= types
