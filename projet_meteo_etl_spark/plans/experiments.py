@@ -1,0 +1,169 @@
+"""Experimentation / decision-support operators over the event stream:
+deterministic A/B assignment with conversion analysis, and per-user
+behavioral entropy.
+
+Assignment uses the md5-prefix hash convention every sampling operator
+in this repo shares (``plans/curation.py``): group membership is a pure
+function of the user id, so re-running on any cluster layout assigns
+identically — the property that makes experiment analyses auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql
+
+
+def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-variant experiment readout: users split 50/50 by md5 hash,
+    conversion = "has a purchase event", reported per variant with the
+    pooled two-proportion z-score on the final row pair.
+
+    All counts are exact integers; rates and the z-score are fixed
+    double expressions over them (one evaluation per variant, no float
+    accumulation), so the readout hash-matches DuckDB.  The analysis
+    is two aggregates over a (user, converted) rollup — at 100 TB the
+    event scan dominates and everything downstream is |users|-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(variant.alias("variant"), "converted")
+    )
+    agg = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a = agg.filter(F.col("variant") == "A").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = agg.filter(F.col("variant") == "B").select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    j = a.crossJoin(b)
+    na, ca = F.col("na").cast("double"), F.col("ca").cast("double")
+    nb, cb = F.col("nb").cast("double"), F.col("cb").cast("double")
+    p_pool = (ca + cb) / (na + nb)
+    se = F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / na + 1.0 / nb))
+    return j.select(
+        F.col("na").alias("users_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("users_b"),
+        F.col("cb").alias("conv_b"),
+        pround(ca / na, 6).alias("rate_a"),
+        pround(cb / nb, 6).alias("rate_b"),
+        # degenerate pools (0% or 100% conversion) have zero standard
+        # error: report z = 0 rather than a null/∞ division
+        F.when(se > 0, pround((ca / na - cb / nb) / se, 6))
+        .otherwise(F.lit(0.0))
+        .alias("z_score"),
+    )
+
+
+AB_TEST_SQL = f"""
+WITH per_user AS (
+  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT variant, count(*) AS n_users, sum(converted) AS n_converted
+  FROM per_user GROUP BY variant
+),
+j AS (
+  SELECT a.n_users AS na, a.n_converted AS ca,
+         b.n_users AS nb, b.n_converted AS cb
+  FROM (SELECT * FROM agg WHERE variant = 'A') a
+  CROSS JOIN (SELECT * FROM agg WHERE variant = 'B') b
+)
+SELECT na AS users_a, ca AS conv_a, nb AS users_b, cb AS conv_b,
+  {pround_sql('CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)', 6)} AS rate_a,
+  {pround_sql('CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)', 6)} AS rate_b,
+  CASE WHEN sqrt(((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                 * (1.0 - (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                 * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) > 0
+  THEN {pround_sql(
+    '(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))'
+    ' / sqrt(((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))'
+    ' * (1.0 - (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE)) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))'
+    ' * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))', 6)}
+  ELSE 0.0 END AS z_score
+FROM j
+"""
+
+
+#: entropy fixed-point scale (milli-nats, the proven-portable ln scale)
+ENT_SCALE = 1000
+
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    -diversity score (0 = single-type user, ln 5 ≈ 1.609 max here).
+
+    Per-(user, type) counts are exact; each ``−p·ln p`` term is floored
+    to integer milli-nats BEFORE the per-user sum (5 terms max), so the
+    score is an exact integer sum — the same fixed-point defense the
+    retrieval and PSI operators use.  One shuffle on (user, type), one
+    on user.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = ut.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    term = F.floor(-p * F.log(p) * ENT_SCALE).cast("long")
+    return (
+        ut.join(tot, "user_id")
+        .select("user_id", term.alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("t").alias("entropy_millinats"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ENTROPY_SQL = f"""
+WITH ut AS (
+  SELECT user_id, event_type, count(*) AS n FROM events
+  GROUP BY user_id, event_type
+),
+tot AS (SELECT user_id, sum(n) AS tot FROM ut GROUP BY user_id)
+SELECT ut.user_id,
+       count(*) AS n_types,
+       sum(CAST(floor(-(ut.n * 1.0 / tot.tot) * ln(ut.n * 1.0 / tot.tot)
+                      * {ENT_SCALE}) AS BIGINT)) AS entropy_millinats
+FROM ut JOIN tot ON ut.user_id = tot.user_id
+GROUP BY ut.user_id
+ORDER BY ut.user_id
+"""
+
+
+SPARK_QUERIES = {
+    "ab_test_analysis": ab_test_analysis,
+    "user_behavior_entropy": user_behavior_entropy,
+}
+
+ORACLE_SQL = {
+    "ab_test_analysis": AB_TEST_SQL,
+    "user_behavior_entropy": ENTROPY_SQL,
+}

@@ -27,6 +27,7 @@ _MODULES = (
     "projet_meteo_etl_spark.plans.modern_api",
     "projet_meteo_etl_spark.plans.sql_surface",
     "projet_meteo_etl_spark.plans.incremental",
+    "projet_meteo_etl_spark.plans.experiments",
     "projet_meteo_etl_spark.operators.quality_queries",
     "projet_meteo_etl_spark.sources.sinks",
     "projet_meteo_etl_spark.operators.dedup",

@@ -117,6 +117,8 @@ EXPECTED_QUERIES = {
     "events_rolling_3day_revenue",
     "pareto_frontier_parts",
     "session_path_topk",
+    "ab_test_analysis",
+    "user_behavior_entropy",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
