@@ -425,12 +425,108 @@ ORDER BY digit
 """
 
 
+def profile_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per profiled column from EXACT
+    integer-cent power sums (Σx..Σx⁴ in DECIMAL(38,0)) — the
+    distribution-shape half of the profiler, order-independent where
+    the built-in ``skewness``/``kurtosis`` float accumulators are not.
+
+    Population formulas over central moments reconstructed from raw
+    power sums; every data-dependent sum is an exact integer, the
+    final expression is a fixed double computation mirrored verbatim
+    in the oracle.  Overflow headroom: Σx⁴ in cents⁴ reaches DECIMAL38
+    limits near 10^10 rows × 10^7-cent values — beyond that, rescale
+    to whole units (×10^-8 per x⁴ term) before summing; at test SFs
+    cents are exact and comfortable.
+    """
+    d = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in PROFILE_COLS:
+        x = F.floor(F.col(c) * 100 + 0.5).cast("decimal(38,0)")
+        aggs.append(F.sum(x).alias(f"s1_{c}"))
+        aggs.append(F.sum((x * x).cast("decimal(38,0)")).alias(f"s2_{c}"))
+        aggs.append(
+            F.sum((x * x * x).cast("decimal(38,0)")).alias(f"s3_{c}")
+        )
+        aggs.append(
+            F.sum((x * x * x * x).cast("decimal(38,0)")).alias(f"s4_{c}")
+        )
+    m = d.agg(*aggs)
+
+    def shape(c: str):
+        n = F.col("n").cast("double")
+        s1 = F.col(f"s1_{c}").cast("double") / 1e2
+        s2 = F.col(f"s2_{c}").cast("double") / 1e4
+        s3 = F.col(f"s3_{c}").cast("double") / 1e6
+        s4 = F.col(f"s4_{c}").cast("double") / 1e8
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+        m4 = (
+            s4 / n
+            - 4.0 * mean * (s3 / n)
+            + 6.0 * mean * mean * (s2 / n)
+            - 3.0 * mean * mean * mean * mean
+        )
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n").alias("n_rows"),
+            pround(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+            pround(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
+        )
+
+    return (
+        m.select(
+            F.explode(F.array(*[shape(c) for c in PROFILE_COLS])).alias("p")
+        )
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+def _higher_moments_sql() -> str:
+    sums = ["count(*) AS n"]
+    for c in PROFILE_COLS:
+        x = f"CAST(floor({c} * 100 + 0.5) AS HUGEINT)"
+        sums.append(f"sum({x}) AS s1_{c}")
+        sums.append(f"sum({x} * {x}) AS s2_{c}")
+        sums.append(f"sum({x} * {x} * {x}) AS s3_{c}")
+        sums.append(f"sum({x} * {x} * {x} * {x}) AS s4_{c}")
+    rows = []
+    for c in PROFILE_COLS:
+        n = "CAST(n AS DOUBLE)"
+        s1 = f"(CAST(s1_{c} AS DOUBLE) / 1e2)"
+        s2 = f"(CAST(s2_{c} AS DOUBLE) / 1e4)"
+        s3 = f"(CAST(s3_{c} AS DOUBLE) / 1e6)"
+        s4 = f"(CAST(s4_{c} AS DOUBLE) / 1e8)"
+        mean = f"({s1} / {n})"
+        m2 = f"({s2} / {n} - {mean} * {mean})"
+        m3 = f"({s3} / {n} - 3.0 * {mean} * ({s2} / {n}) + 2.0 * {mean} * {mean} * {mean})"
+        m4 = (
+            f"({s4} / {n} - 4.0 * {mean} * ({s3} / {n})"
+            f" + 6.0 * {mean} * {mean} * ({s2} / {n})"
+            f" - 3.0 * {mean} * {mean} * {mean} * {mean})"
+        )
+        rows.append(
+            f"SELECT '{c}' AS col_name, CAST(n AS BIGINT) AS n_rows,\n"
+            f"  {pround_sql(f'{m3} / ({m2} * sqrt({m2}))', 6)} AS skewness,\n"
+            f"  {pround_sql(f'{m4} / ({m2} * {m2}) - 3.0', 6)} AS excess_kurtosis\n"
+            f"FROM m"
+        )
+    return (
+        "WITH m AS (\n  SELECT " + ",\n    ".join(sums) + "\n  FROM lineitem\n)\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY col_name"
+    )
+
+
 SPARK_QUERIES = {
     "profile_numeric_stats": profile_numeric_stats,
     "profile_numeric_histograms": profile_numeric_histograms,
     "profile_correlations": profile_correlations,
     "profile_group_percentiles": profile_group_percentiles,
     "profile_benford_digits": profile_benford_digits,
+    "profile_higher_moments": profile_higher_moments,
 }
 
 ORACLE_SQL = {
@@ -439,4 +535,5 @@ ORACLE_SQL = {
     "profile_correlations": _corr_sql(),
     "profile_group_percentiles": _group_percentiles_sql(),
     "profile_benford_digits": BENFORD_SQL,
+    "profile_higher_moments": _higher_moments_sql(),
 }

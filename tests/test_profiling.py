@@ -100,3 +100,24 @@ def test_benford_digits_complete_and_normalized(spark):
     assert [r["digit"] for r in rows] == list(range(1, 10))
     assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_higher_moments_match_builtin_population_stats(spark):
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+
+    got = {
+        r["col_name"]: (r["skewness"], r["excess_kurtosis"])
+        for r in profiling.profile_higher_moments(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    for c in profiling.PROFILE_COLS:
+        # compare against Spark's built-in population skewness/kurtosis
+        # on the cent-rounded values (the operator's exact input)
+        cents = (F.floor(F.col(c) * 100 + 0.5) / 100.0).alias("x")
+        ref = li.select(cents).agg(
+            F.skewness("x").alias("s"), F.kurtosis("x").alias("k")
+        ).collect()[0]
+        assert abs(got[c][0] - ref["s"]) < 1e-3
+        assert abs(got[c][1] - ref["k"]) < 1e-3

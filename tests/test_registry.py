@@ -119,6 +119,7 @@ EXPECTED_QUERIES = {
     "session_path_topk",
     "ab_test_analysis",
     "user_behavior_entropy",
+    "profile_higher_moments",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
