@@ -507,12 +507,101 @@ FROM m
 """
 
 
+#: PMI mining: minimum co-document support and report size
+PMI_MIN_SUPPORT = 5
+PMI_TOP_N = 25
+#: fixed-point ln scale (milli-nats), matching plans/experiments.py
+ENT_SCALE = 1000
+
+
+def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top token pairs by document-level pointwise
+    mutual information ``ln(N·c_xy / (c_x·c_y))``, support ≥
+    ``PMI_MIN_SUPPORT`` — the association measure behind phrase
+    detection and vocab merging.
+
+    Presence sets are distinct (doc, token); the pair count is a
+    self-equi-join on doc_id (never a cross join) with ``t1 < t2``.
+    PMI is floored to integer milli-nats from exact integer counts, so
+    ordering and values are engine-identical; ties at the report
+    boundary break on the token pair.  At web scale the join needs a
+    ``max_df`` stop-token prune (as in the shingle dedups) — the
+    synthetic 31-term vocabulary makes every term common, so none is
+    applied here.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pres = (
+        _doc_tokens(d)
+        .select("doc_id", "tok")
+        .distinct()
+        .persist()  # feeds doc-freq AND both pair-join sides
+    )
+    n_docs = d.count()  # scalar the driver owns (embedded as literal)
+    df_ = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a = pres.select("doc_id", F.col("tok").alias("t1"))
+    b = pres.select("doc_id", F.col("tok").alias("t2"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_SUPPORT)
+    )
+    d1 = df_.select(F.col("tok").alias("t1"), F.col("df").alias("c_x"))
+    d2 = df_.select(F.col("tok").alias("t2"), F.col("df").alias("c_y"))
+    pmi = F.floor(
+        F.log(
+            F.lit(float(n_docs))
+            * F.col("c_xy")
+            / (F.col("c_x") * F.col("c_y"))
+        )
+        * ENT_SCALE
+    ).cast("long")
+    return (
+        co.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .select("t1", "t2", "c_xy", pmi.alias("pmi_millinats"))
+        .orderBy(F.desc("pmi_millinats"), F.asc("t1"), F.asc("t2"))
+        .limit(PMI_TOP_N)
+    )
+
+
+def _pmi_sql() -> str:
+    # N comes from a COUNT over the same table the Spark side counts
+    return rf"""
+WITH pres AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+df AS (SELECT tok, count(*) AS df FROM pres GROUP BY tok),
+co AS (
+  SELECT a.tok AS t1, b.tok AS t2, count(*) AS c_xy
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING count(*) >= {PMI_MIN_SUPPORT}
+)
+SELECT co.t1, co.t2, co.c_xy,
+       CAST(floor(ln(CAST(n.n_docs AS DOUBLE) * co.c_xy
+                     / (d1.df * d2.df)) * {ENT_SCALE}) AS BIGINT)
+         AS pmi_millinats
+FROM co
+JOIN df d1 ON d1.tok = co.t1
+JOIN df d2 ON d2.tok = co.t2
+CROSS JOIN n
+ORDER BY pmi_millinats DESC, co.t1 ASC, co.t2 ASC
+LIMIT {PMI_TOP_N}
+"""
+
+
 SPARK_QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "corpus_vocab_topk": corpus_vocab_topk,
     "bigram_lm_doc_scores": bigram_lm_doc_scores,
     "vocab_zipf_fit": vocab_zipf_fit,
     "corpus_token_gini": corpus_token_gini,
+    "token_pmi_topk": token_pmi_topk,
 }
 
 ORACLE_SQL = {
@@ -521,4 +610,5 @@ ORACLE_SQL = {
     "bigram_lm_doc_scores": BIGRAM_LM_SQL,
     "vocab_zipf_fit": VOCAB_ZIPF_SQL,
     "corpus_token_gini": CORPUS_GINI_SQL,
+    "token_pmi_topk": _pmi_sql(),
 }

@@ -308,6 +308,64 @@ ORDER BY dau.day
 """
 
 
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of daily counts) per event
+    type — the burstiness diagnostic: ≈1 for a Poisson arrival stream,
+    ≫1 for bursty traffic.  This decides state sizing for the
+    streaming operators (a bursty key needs watermark headroom).
+
+    Population variance from exact integer moments of the per-day
+    counts (Σx, Σx² over ≤ |days| rows), so the ratio is a fixed
+    double expression — engine-exact; days with zero events are
+    absent from the rollup and excluded (documented choice, identical
+    in both engines).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    mean = sx / n
+    var = sxx / n - mean * mean
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("sx").alias("n_events"),
+        pround(mean, 6).alias("mean_per_day"),
+        pround(var / mean, 6).alias("fano_factor"),
+    ).orderBy("event_type")
+
+
+EVENT_BURSTINESS_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+m AS (
+  SELECT event_type, count(*) AS n_days, sum(x) AS sx, sum(x * x) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, sx AS n_events,
+  floor((CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+    AS mean_per_day,
+  floor(((CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
+          - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+            * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+         / (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))) * 1000000.0 + 0.5)
+    / 1000000.0 AS fano_factor
+FROM m
+ORDER BY event_type
+"""
+
+
 def events_rolling_3day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type daily revenue with a 3-day trailing RANGE-frame sum and
     the day-over-day delta — the RANGE (value-based) window frame, as
@@ -373,6 +431,7 @@ SPARK_QUERIES = {
     "events_json_typed_extract": events_json_typed_extract,
     "events_dau_wau": events_dau_wau,
     "events_rolling_3day_revenue": events_rolling_3day_revenue,
+    "event_burstiness": event_burstiness,
     "events_tumbling_counts": events_tumbling_counts,
     "events_sliding_avg": events_sliding_avg,
     "events_session_windows": events_session_windows,
@@ -384,6 +443,7 @@ ORACLE_SQL = {
     "events_json_typed_extract": EVENTS_JSON_TYPED_SQL,
     "events_dau_wau": EVENTS_DAU_WAU_SQL,
     "events_rolling_3day_revenue": EVENTS_ROLLING_SQL,
+    "event_burstiness": EVENT_BURSTINESS_SQL,
     "events_tumbling_counts": EVENTS_TUMBLING_SQL,
     "events_sliding_avg": EVENTS_SLIDING_SQL,
     "events_session_windows": EVENTS_SESSION_SQL,

@@ -166,3 +166,19 @@ def test_zipf_fit_shape(spark):
     # frequencies decrease with rank: negative slope, meaningful fit
     assert r["zipf_slope"] < 0
     assert 0.0 <= r["r_squared"] <= 1.0
+
+
+def test_pmi_pairs_supported_and_ordered(spark):
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        PMI_MIN_SUPPORT,
+        PMI_TOP_N,
+        token_pmi_topk,
+    )
+
+    rows = token_pmi_topk(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= PMI_TOP_N
+    vals = [r["pmi_millinats"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        assert r["t1"] < r["t2"]
+        assert r["c_xy"] >= PMI_MIN_SUPPORT

@@ -120,6 +120,8 @@ EXPECTED_QUERIES = {
     "ab_test_analysis",
     "user_behavior_entropy",
     "profile_higher_moments",
+    "token_pmi_topk",
+    "event_burstiness",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -145,3 +145,16 @@ def test_rolling_3day_range_frame(spark):
                 days[k]["rev_cents"] for k in (d - 2, d - 1, d) if k in days
             )
             assert r["rev_3day_cents"] == exp
+
+
+def test_burstiness_covers_all_types(spark):
+    from projet_meteo_etl_spark.streaming.windows import event_burstiness
+
+    rows = event_burstiness(spark, SF).collect()
+    assert {r["event_type"] for r in rows} == {
+        "click", "view", "purchase", "signup", "error",
+    }
+    for r in rows:
+        assert r["n_days"] > 0 and r["n_events"] > 0
+        assert r["mean_per_day"] > 0
+        assert r["fano_factor"] >= 0
