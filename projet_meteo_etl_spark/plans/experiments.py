@@ -158,12 +158,88 @@ ORDER BY ut.user_id
 """
 
 
+def chi_square_priority_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit: is order priority independent of
+    the order-date weekday?  Reports each contingency cell's observed
+    count, expected count (from the marginals), and chi-square
+    contribution — the categorical-drift test a feature-store health
+    check runs.
+
+    Observed counts and both marginals are exact integers; each cell's
+    expected value ``row_tot·col_tot/N`` and contribution
+    ``(o−e)²/e`` are fixed double expressions floored to integer
+    micros, so the report (and the implied statistic: sum the
+    contribution column) is engine-exact.  One scan, one cell-grain
+    aggregate, two broadcast marginal joins.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow"),
+    )
+    cells = base.groupBy("prio", "dow").agg(F.count(F.lit(1)).alias("obs"))
+    row_m = cells.groupBy("prio").agg(F.sum("obs").alias("row_tot"))
+    col_m = cells.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = (F.col("obs").cast("double") - e) * (
+        F.col("obs").cast("double") - e
+    ) / e
+    return (
+        cells.join(F.broadcast(row_m), "prio")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prio",
+            "dow",
+            "obs",
+            F.floor(e * 1_000_000).cast("long").alias("expected_micros"),
+            F.floor(contrib * 1_000_000).cast("long").alias("chi2_micros"),
+        )
+        .orderBy("prio", "dow")
+    )
+
+
+CHI2_SQL = """
+WITH base AS (
+  -- DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — align
+  SELECT o_orderpriority AS prio,
+         dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow
+  FROM orders
+),
+cells AS (SELECT prio, dow, count(*) AS obs FROM base GROUP BY prio, dow),
+row_m AS (SELECT prio, sum(obs) AS row_tot FROM cells GROUP BY prio),
+col_m AS (SELECT dow, sum(obs) AS col_tot FROM cells GROUP BY dow),
+tot AS (SELECT sum(obs) AS n FROM cells)
+SELECT c.prio, c.dow, c.obs,
+  CAST(floor((CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS expected_micros,
+  CAST(floor(((CAST(obs AS DOUBLE)
+               - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(obs AS DOUBLE)
+                 - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS chi2_micros
+FROM cells c
+JOIN row_m USING (prio)
+JOIN col_m USING (dow)
+CROSS JOIN tot
+ORDER BY c.prio, c.dow
+"""
+
+
 SPARK_QUERIES = {
     "ab_test_analysis": ab_test_analysis,
     "user_behavior_entropy": user_behavior_entropy,
+    "chi_square_priority_weekday": chi_square_priority_weekday,
 }
 
 ORACLE_SQL = {
     "ab_test_analysis": AB_TEST_SQL,
     "user_behavior_entropy": ENTROPY_SQL,
+    "chi_square_priority_weekday": CHI2_SQL,
 }

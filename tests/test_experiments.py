@@ -43,3 +43,24 @@ def test_entropy_bounds(spark):
         assert 0 <= r["entropy_millinats"] <= max_ent
         if r["n_types"] == 1:
             assert r["entropy_millinats"] == 0
+
+
+def test_chi_square_marginals_reconcile(spark):
+    from collections import defaultdict
+
+    from projet_meteo_etl_spark.plans.experiments import (
+        chi_square_priority_weekday,
+    )
+
+    rows = chi_square_priority_weekday(spark, SF).collect()
+    assert rows
+    n = sum(r["obs"] for r in rows)
+    by_dow = defaultdict(int)
+    exp_total = 0
+    for r in rows:
+        assert 1 <= r["dow"] <= 7
+        assert r["chi2_micros"] >= 0
+        by_dow[r["dow"]] += r["obs"]
+        exp_total += r["expected_micros"]
+    # expected counts reproduce N (up to flooring of each cell)
+    assert abs(exp_total / 1_000_000 - n) < len(rows)

@@ -122,6 +122,7 @@ EXPECTED_QUERIES = {
     "profile_higher_moments",
     "token_pmi_topk",
     "event_burstiness",
+    "chi_square_priority_weekday",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching
