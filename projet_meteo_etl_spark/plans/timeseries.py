@@ -601,7 +601,91 @@ ORDER BY event_type
 """
 
 
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue per event type — the
+    "does yesterday predict today" diagnostic that separates trending
+    series from white noise (and, with ``seasonal_forecast_error``,
+    decides which baseline a forecast must beat).
+
+    Pearson correlation of (revenue(d−1), revenue(d)) pairs computed
+    from exact integer-cent moment sums in DECIMAL(38,0) — the same
+    order-independent closed form as ``profile_correlations`` — over
+    the daily rollup joined to itself at lag 1.  Raw events are
+    scanned once; everything else is |days|-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    lagged = daily.select(
+        "event_type",
+        F.date_add("day", 1).alias("day"),
+        F.col("rev").alias("prev"),
+    )
+    pairs = daily.join(lagged, ["event_type", "day"]).select(
+        "event_type",
+        F.col("prev").cast("decimal(38,0)").alias("x"),
+        F.col("rev").cast("decimal(38,0)").alias("y"),
+    )
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    acf = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        pround(acf, 6).alias("acf1"),
+    ).orderBy("event_type")
+
+
+REVENUE_ACF_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+pairs AS (
+  SELECT a.event_type, CAST(p.rev AS HUGEINT) AS x, CAST(a.rev AS HUGEINT) AS y
+  FROM daily a
+  JOIN daily p ON p.event_type = a.event_type AND p.day = a.day - 1
+),
+m AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+  floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+        * 1000000.0 + 0.5) / 1000000.0 AS acf1
+FROM m
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
+    "revenue_autocorrelation": revenue_autocorrelation,
     "user_value_trend": user_value_trend,
     "user_hourly_ffill": user_hourly_ffill,
     "user_value_ewma": user_value_ewma,
@@ -637,4 +721,5 @@ ORACLE_SQL = {
     "user_value_twap": USER_TWAP_SQL,
     "events_value_psi": EVENTS_PSI_SQL,
     "seasonal_forecast_error": SEASONAL_FC_SQL,
+    "revenue_autocorrelation": REVENUE_ACF_SQL,
 }

@@ -123,6 +123,7 @@ EXPECTED_QUERIES = {
     "token_pmi_topk",
     "event_burstiness",
     "chi_square_priority_weekday",
+    "revenue_autocorrelation",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -196,3 +196,22 @@ def test_session_paths_shape(spark):
         steps = r["path"].split(">")
         assert 1 <= len(steps) <= PATH_PREFIX
         assert set(steps) <= types
+
+
+def test_autocorrelation_bounds_and_determinism(spark):
+    from projet_meteo_etl_spark.plans.timeseries import (
+        revenue_autocorrelation,
+    )
+
+    a = [tuple(r) for r in revenue_autocorrelation(spark, SF).collect()]
+    assert len(a) == 5
+    for _, n_pairs, acf1 in a:
+        assert n_pairs > 0
+        assert -1.0 <= acf1 <= 1.0
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = [tuple(r) for r in revenue_autocorrelation(spark, SF).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
