@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_meteo_etl_spark.cachescope import scoped_cache
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround
 
@@ -139,11 +140,12 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = c1.select(
         "cid", pround(F.sqrt(_dot(F.col("c"), F.col("c"))), 6).alias("centroid_norm")
     )
-    return (
+    out = (
         report.join(norms, "cid")
         .select("cid", "n_members", "vec_checksum", "avg_dist_micros", "centroid_norm")
         .orderBy("cid")
     )
+    return scoped_cache(out, vecs)
 
 
 # DuckDB twin: identical micros quantization, identical fold-order dot
@@ -190,9 +192,9 @@ a2 AS (
   ) WHERE rn = 1
 ),
 report AS (
-  SELECT cid, count(*) AS n_members, sum(vec_id) AS vec_checksum,
-         sum(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)) // count(*)
-           AS avg_dist_micros
+  SELECT cid, count(*) AS n_members, CAST(sum(vec_id) AS BIGINT) AS vec_checksum,
+         CAST(sum(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)) // count(*)
+           AS BIGINT) AS avg_dist_micros
   FROM a2 GROUP BY cid
 ),
 norms AS (
@@ -241,7 +243,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = pairs.groupBy("cid").agg(pround(F.max("cos"), 6).alias("max_cos"))
     members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
-    return (
+    out = (
         members.join(pruned, "cid", "left")
         .join(stats, "cid", "left")
         .select(
@@ -253,6 +255,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+    return scoped_cache(out, assigned)
 
 
 SEMDEDUP_SQL = f"""

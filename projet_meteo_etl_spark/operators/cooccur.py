@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_meteo_etl_spark.cachescope import scoped_cache
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
@@ -86,11 +87,12 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``TOP_N`` item pairs by number of distinct users who clicked
     both (market-basket co-occurrence)."""
     ui = _user_items(spark, sf_dir)
-    return (
+    out = (
         _co_counts(ui)
         .orderBy(F.desc("n_users"), F.asc("i1"), F.asc("i2"))
         .limit(TOP_N)
     )
+    return scoped_cache(out, ui)
 
 
 def item_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,9 +117,10 @@ def item_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return scored.orderBy(
-        F.desc("jaccard"), F.asc("i1"), F.asc("i2")
-    ).limit(TOP_N)
+    return scoped_cache(
+        scored.orderBy(F.desc("jaccard"), F.asc("i1"), F.asc("i2")).limit(TOP_N),
+        ui,
+    )
 
 
 _BASKET_SQL = f"""

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_meteo_etl_spark.cachescope import scoped_cache
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
@@ -308,7 +309,7 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w2",
         F.expr(f"(c_big * {LM_SCALE}) div c_uni").alias("t"),
     )
-    return (
+    out = (
         big.join(term, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
@@ -325,6 +326,7 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    return scoped_cache(out, big)
 
 
 BIGRAM_LM_SQL = rf"""
@@ -349,7 +351,7 @@ term AS (
 )
 SELECT b.doc_id,
        count(*) AS n_bigrams,
-       sum(t.t) AS sum_t,
+       CAST(sum(t.t) AS BIGINT) AS sum_t,
        {pround_sql(f'sum(t.t) * 1.0 / (count(*) * {LM_SCALE}.0)', 9)} AS lm_score
 FROM bg b JOIN term t ON b.w1 = t.w1 AND b.w2 = t.w2
 GROUP BY b.doc_id
@@ -557,13 +559,14 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * ENT_SCALE
     ).cast("long")
-    return (
+    out = (
         co.join(F.broadcast(d1), "t1")
         .join(F.broadcast(d2), "t2")
         .select("t1", "t2", "c_xy", pmi.alias("pmi_millinats"))
         .orderBy(F.desc("pmi_millinats"), F.asc("t1"), F.asc("t2"))
         .limit(PMI_TOP_N)
     )
+    return scoped_cache(out, pres)
 
 
 def _pmi_sql() -> str:

@@ -107,7 +107,7 @@ WITH media AS (
 )
 SELECT kind,
        count(*) AS n_assets,
-       sum(octet_length(payload)) AS total_bytes,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
        floor((avg(octet_length(payload))) * 10000.0 + 0.5) / 10000.0 AS avg_bytes,
        count(DISTINCT sha256(hex(payload))) AS distinct_payloads,
        CAST(max(width) AS BIGINT) AS max_width,
@@ -158,7 +158,7 @@ frames AS (
 -- DuckDB substring() does not accept BLOB, so the chunk length is
 -- expressed arithmetically (≡ octet_length of the 256-byte slice)
 SELECT doc_id, i AS frame_idx,
-       least(256, n_bytes - i * 256) AS frame_bytes
+       CAST(least(256, n_bytes - i * 256) AS INTEGER) AS frame_bytes
 FROM frames
 WHERE i % 4 = 0
 ORDER BY doc_id, frame_idx

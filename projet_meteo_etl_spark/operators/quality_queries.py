@@ -55,10 +55,10 @@ def range_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_AUDIT_SQL = """
 SELECT
   count(*) AS total,
-  sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END)            AS oor_quantity,
-  sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)             AS oor_discount,
-  sum(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 THEN 1 ELSE 0 END)                      AS oor_tax,
-  sum(CASE WHEN l_extendedprice < 0.0 OR l_extendedprice > 200000.0 THEN 1 ELSE 0 END) AS oor_price,
+  CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT)            AS oor_quantity,
+  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)             AS oor_discount,
+  CAST(sum(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 THEN 1 ELSE 0 END) AS BIGINT)                      AS oor_tax,
+  CAST(sum(CASE WHEN l_extendedprice < 0.0 OR l_extendedprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS oor_price,
   floor(((sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END)
        + sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
        + sum(CASE WHEN l_tax < 0.0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
@@ -86,12 +86,12 @@ def null_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 NULL_AUDIT_SQL = """
 SELECT
   count(*) AS total,
-  sum(CASE WHEN event_id   IS NULL THEN 1 ELSE 0 END) AS nulls_event_id,
-  sum(CASE WHEN ts         IS NULL THEN 1 ELSE 0 END) AS nulls_ts,
-  sum(CASE WHEN user_id    IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
-  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls_event_type,
-  sum(CASE WHEN value      IS NULL THEN 1 ELSE 0 END) AS nulls_value,
-  sum(CASE WHEN props      IS NULL THEN 1 ELSE 0 END) AS nulls_props
+  CAST(sum(CASE WHEN event_id   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id,
+  CAST(sum(CASE WHEN ts         IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+  CAST(sum(CASE WHEN user_id    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+  CAST(sum(CASE WHEN value      IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+  CAST(sum(CASE WHEN props      IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props
 FROM events
 """
 
@@ -170,8 +170,8 @@ def consistency_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONSISTENCY_AUDIT_SQL = """
 SELECT
   count(*) AS total,
-  sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS n_chars_mismatch,
-  sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS empty_docs
+  CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch,
+  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_docs
 FROM documents
 """
 

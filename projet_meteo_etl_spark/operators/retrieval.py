@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_meteo_etl_spark.cachescope import scoped_cache
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround
 
@@ -122,7 +123,7 @@ def tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rn = Window.partitionBy("q_doc").orderBy(F.desc("cos"), F.asc("doc_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(rn))
         .filter(F.col("rank") <= TOP_K)
         .select(
@@ -133,6 +134,7 @@ def tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_doc", "rank")
     )
+    return scoped_cache(out, tf, w)
 
 
 TFIDF_TOPK_SQL = f"""
@@ -167,7 +169,7 @@ scored AS (
 ),
 ranked AS (
   SELECT q_doc, doc_id, cos,
-         row_number() OVER (PARTITION BY q_doc ORDER BY cos DESC, doc_id) AS rank
+         CAST(row_number() OVER (PARTITION BY q_doc ORDER BY cos DESC, doc_id) AS INTEGER) AS rank
   FROM scored
 )
 SELECT q_doc, doc_id AS match_doc,
@@ -220,7 +222,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_term = hits.select(
         "doc_id", F.floor(tscore * F.lit(1e6)).cast("long").alias("iscore")
     )
-    return (
+    out = (
         per_term.groupBy("doc_id")
         .agg(
             F.sum("iscore").alias("score_micros"),
@@ -229,6 +231,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micros"), F.asc("doc_id"))
         .limit(BM25_TOP_N)
     )
+    return scoped_cache(out, tf)
 
 
 BM25_SQL = f"""
@@ -256,7 +259,7 @@ hits AS (
   CROSS JOIN nd CROSS JOIN avgs
   WHERE tf.term IN {BM25_TERMS!r}
 )
-SELECT doc_id, sum(iscore) AS score_micros, count(*) AS n_terms_matched
+SELECT doc_id, CAST(sum(iscore) AS BIGINT) AS score_micros, count(*) AS n_terms_matched
 FROM hits
 GROUP BY doc_id
 ORDER BY score_micros DESC, doc_id
@@ -373,11 +376,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_rn = Window.partitionBy("q_doc").orderBy(
         F.desc("rrf_micros"), F.asc("match_doc")
     )
-    return (
+    out = (
         fused.withColumn("rank", F.row_number().over(final_rn).cast("long"))
         .filter(F.col("rank") <= RRF_TOP)
         .orderBy("q_doc", "rank")
     )
+    return scoped_cache(out, tf, w)
 
 
 HYBRID_RRF_SQL = f"""

@@ -25,6 +25,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_meteo_etl_spark.cachescope import scoped_cache
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround
 
@@ -280,11 +281,12 @@ def ann_ivf_topk(
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+    return scoped_cache(out, assigned)
 
 
 _COS6_SQL = (
@@ -553,9 +555,9 @@ m AS (
     for d in MRL_DIMS)}
 )
 SELECT trunc_dim, count(*) AS n_pairs,
-       sum(dev_micros) // count(*) AS mean_dev_micros,
+       CAST(sum(dev_micros) // count(*) AS BIGINT) AS mean_dev_micros,
        max(dev_micros) AS max_dev_micros,
-       sum(sign_ok) AS n_sign_agree
+       CAST(sum(sign_ok) AS BIGINT) AS n_sign_agree
 FROM m
 GROUP BY trunc_dim
 ORDER BY trunc_dim

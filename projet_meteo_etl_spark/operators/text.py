@@ -17,8 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from projet_meteo_etl_spark.cachescope import scoped_cache
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround
+
+#: Stop-shingle document-frequency cap shared by the n-gram Jaccard
+#: dedup family (rationale in operators.dedup, which re-exports it;
+#: defined here because dedup imports from this module).
+NGRAM_MAX_DF = 256
 
 #: language marker words (public-knowledge stopwords, tiny on purpose —
 #: a real pipeline would load fastText lang-ID; the *shape* is what the
@@ -367,8 +373,8 @@ survivors AS (
   FROM kept GROUP BY fp
 )
 SELECT lang, count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
-       sum(dup_count - 1) AS dups_removed
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(dup_count - 1) AS BIGINT) AS dups_removed
 FROM survivors
 GROUP BY lang
 ORDER BY lang
@@ -382,14 +388,30 @@ def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs on candidate pairs before dropping documents.
     Levenshtein runs ONLY on the candidate pairs (never all-pairs:
     O(len²) per comparison is the most expensive verify in the family).
+
+    The broadcast side is the SEMI-JOIN-PRUNED documents table — only
+    docs that appear in a candidate pair (≤ 2·|pairs| rows, the set the
+    verify is for), not the whole corpus (round-1 verdict fix: the
+    full-table broadcast would not fit executor memory at 100 TB).
+    ``pairs`` is persisted because the pruning ids and the final join
+    both consume it; scoped_cache unpersists it when the returned plan
+    is dropped.
     """
     from projet_meteo_etl_spark.operators.dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(spark, sf_dir).persist()
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     d = load_table(spark, sf_dir, "documents")
-    ta = d.select(F.col("doc_id").alias("doc_a"), F.substring("text", 1, 128).alias("text_a"))
-    tb = d.select(F.col("doc_id").alias("doc_b"), F.substring("text", 1, 128).alias("text_b"))
-    return (
+    pruned = d.join(cand_ids, "doc_id", "semi").select(
+        "doc_id", F.substring("text", 1, 128).alias("t128")
+    )
+    ta = pruned.select(F.col("doc_id").alias("doc_a"), F.col("t128").alias("text_a"))
+    tb = pruned.select(F.col("doc_id").alias("doc_b"), F.col("t128").alias("text_b"))
+    out = (
         pairs.join(F.broadcast(ta), "doc_a")
         .join(F.broadcast(tb), "doc_b")
         .select(
@@ -406,9 +428,10 @@ def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+    return scoped_cache(out, pairs)
 
 
-NEAR_DUP_EDIT_SQL = NGRAM_JACCARD_CTE = r"""
+NEAR_DUP_EDIT_SQL = NGRAM_JACCARD_CTE = rf"""
 WITH toks AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
@@ -420,11 +443,15 @@ tri AS (
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
   FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
-sh AS (SELECT doc_id, shingle FROM tri WHERE shingle IS NOT NULL),
+sh_all AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+           FROM tri WHERE shingle IS NOT NULL),
+-- stop-shingle cap: mirror of ngram_jaccard_pairs(max_df=NGRAM_MAX_DF)
+sh AS (SELECT doc_id, h FROM sh_all
+       QUALIFY count(*) OVER (PARTITION BY h) <= {NGRAM_MAX_DF}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (

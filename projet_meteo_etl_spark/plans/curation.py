@@ -95,12 +95,13 @@ WITH d AS (
 ),
 binned AS (
   SELECT source, n_tokens,
-         floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
-               / {PACK_BUDGET}) AS bin_id
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {PACK_BUDGET}) AS BIGINT) AS bin_id
   FROM d
 )
-SELECT source, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+SELECT source, bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        floor((sum(n_tokens) / {PACK_BUDGET}.0) * 10000.0 + 0.5) / 10000.0 AS fill
 FROM binned
 GROUP BY source, bin_id

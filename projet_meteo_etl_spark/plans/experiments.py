@@ -84,7 +84,7 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 ),
 agg AS (
-  SELECT variant, count(*) AS n_users, sum(converted) AS n_converted
+  SELECT variant, count(*) AS n_users, CAST(sum(converted) AS BIGINT) AS n_converted
   FROM per_user GROUP BY variant
 ),
 j AS (
@@ -150,8 +150,8 @@ WITH ut AS (
 tot AS (SELECT user_id, sum(n) AS tot FROM ut GROUP BY user_id)
 SELECT ut.user_id,
        count(*) AS n_types,
-       sum(CAST(floor(-(ut.n * 1.0 / tot.tot) * ln(ut.n * 1.0 / tot.tot)
-                      * {ENT_SCALE}) AS BIGINT)) AS entropy_millinats
+       CAST(sum(CAST(floor(-(ut.n * 1.0 / tot.tot) * ln(ut.n * 1.0 / tot.tot)
+                      * {ENT_SCALE}) AS BIGINT)) AS BIGINT) AS entropy_millinats
 FROM ut JOIN tot ON ut.user_id = tot.user_id
 GROUP BY ut.user_id
 ORDER BY ut.user_id
@@ -208,7 +208,7 @@ CHI2_SQL = """
 WITH base AS (
   -- DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — align
   SELECT o_orderpriority AS prio,
-         dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow
   FROM orders
 ),
 cells AS (SELECT prio, dow, count(*) AS obs FROM base GROUP BY prio, dow),

@@ -79,11 +79,15 @@ ORDER BY l_returnflag
 """
 
 
-#: deterministic synthetic "next snapshot": deletes, updates, inserts
+#: deterministic synthetic "next snapshot": deletes, updates, inserts.
+#: Inserted keys map to the strictly-negative namespace
+#: (l_orderkey → -l_orderkey - 1, well-defined for the synthetic data's
+#: key 0 too): source keys are ≥ 0 at every scale factor, so inserts
+#: can never collide with real keys — unlike a fixed additive shift,
+#: which real keys outgrow as SF rises.
 DIFF_DELETE_MOD = 97
 DIFF_UPDATE_MOD = 101
 DIFF_INSERT_MOD = 103
-DIFF_INSERT_SHIFT = 3_000_000
 
 
 def _next_snapshot(cur: DataFrame) -> DataFrame:
@@ -96,7 +100,7 @@ def _next_snapshot(cur: DataFrame) -> DataFrame:
         ).otherwise(F.col("disc_c")),
     )
     inserts = cur.filter(F.col("l_orderkey") % DIFF_INSERT_MOD == 0).withColumn(
-        "l_orderkey", F.col("l_orderkey") + DIFF_INSERT_SHIFT
+        "l_orderkey", -F.col("l_orderkey") - 1
     )
     return updated.unionByName(inserts)
 
@@ -171,7 +175,7 @@ updated AS (
   FROM kept
 ),
 inserts AS (
-  SELECT l_orderkey + {DIFF_INSERT_SHIFT} AS l_orderkey, l_linenumber,
+  SELECT -l_orderkey - 1 AS l_orderkey, l_linenumber,
          n_parts, qty_c, price_c, disc_c
   FROM cur WHERE l_orderkey % {DIFF_INSERT_MOD} = 0
 ),

@@ -153,7 +153,7 @@ WITH ticks AS (
 SELECT station_id, count(*) AS n_obs,
        min(temp_centi) AS min_centi,
        max(temp_centi) AS max_centi,
-       sum(temp_centi) AS sum_centi,
+       CAST(sum(temp_centi) AS BIGINT) AS sum_centi,
        CAST(sum(temp_centi) AS DOUBLE) / count(*) / 100.0 AS avg_temp_c
 FROM ticks
 GROUP BY station_id
@@ -252,7 +252,7 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 VARIANT_PROPS_SQL = """
 SELECT event_type, count(*) AS n_events,
        count(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k,
-       sum(k) AS sum_k
+       CAST(sum(k) AS BIGINT) AS sum_k
 FROM (
   SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
   FROM events

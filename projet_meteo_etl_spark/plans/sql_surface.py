@@ -240,8 +240,8 @@ def observed_load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 OBSERVED_METRICS_SQL = """
 SELECT
   count(*) AS n_events,
-  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
   sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_value,
   min(ts) AS min_ts,
   max(ts) AS max_ts

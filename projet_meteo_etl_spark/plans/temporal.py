@@ -220,8 +220,8 @@ SELECT count(*) AS users_total,
        count(tv) AS users_view,
        count(tc) AS users_click,
        count(tp) AS users_purchase,
-       coalesce(sum(CASE WHEN tp IS NOT NULL THEN tp - tc END)
-                  // nullif(count(tp), 0), -1) AS avg_click_to_purchase_us
+       CAST(coalesce(sum(CASE WHEN tp IS NOT NULL THEN tp - tc END)
+                  // nullif(count(tp), 0), -1) AS BIGINT) AS avg_click_to_purchase_us
 FROM u
 """
 
@@ -329,11 +329,11 @@ WITH per_user AS (
 ),
 banded AS (
   SELECT user_id, cents,
-         ntile(10) OVER (ORDER BY cents DESC, user_id ASC) AS decile
+         CAST(ntile(10) OVER (ORDER BY cents DESC, user_id ASC) AS INTEGER) AS decile
   FROM per_user
 ),
 total AS (SELECT sum(cents) AS total_cents FROM per_user)
-SELECT decile, count(*) AS n_users, sum(cents) AS value_cents,
+SELECT decile, count(*) AS n_users, CAST(sum(cents) AS BIGINT) AS value_cents,
        floor((sum(cents) * 1.0 / (SELECT total_cents FROM total)) * 1000000.0 + 0.5)
          / 1000000.0 AS revenue_share
 FROM banded

@@ -140,8 +140,8 @@ filled AS (
 )
 SELECT user_id,
        count(*) AS n_hours,
-       sum(CASE WHEN cents_ffill IS NOT NULL THEN 1 ELSE 0 END) AS n_filled,
-       sum(cents_ffill) AS cents_checksum
+       CAST(sum(CASE WHEN cents_ffill IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(cents_ffill) AS BIGINT) AS cents_checksum
 FROM filled
 GROUP BY user_id
 ORDER BY user_id
@@ -505,8 +505,8 @@ b AS (
 ),
 pivoted AS (
   SELECT bucket,
-         sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS na,
-         sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS nb
+         CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
   FROM b GROUP BY bucket
 ),
 totals AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM pivoted)
@@ -592,9 +592,9 @@ scored AS (
 )
 SELECT event_type,
        count(*) AS n_days,
-       sum(abs(rev - pred)) // count(*) AS mae_cents,
-       sum(CAST(floor(abs(rev - pred) * 1000000.0 / rev) AS BIGINT)) // count(*)
-         AS mape_micros
+       CAST(sum(abs(rev - pred)) // count(*) AS BIGINT) AS mae_cents,
+       CAST(sum(CAST(floor(abs(rev - pred) * 1000000.0 / rev) AS BIGINT)) // count(*)
+         AS BIGINT) AS mape_micros
 FROM scored
 GROUP BY event_type
 ORDER BY event_type

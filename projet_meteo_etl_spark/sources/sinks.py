@@ -154,7 +154,7 @@ WITH base AS (
 ),
 one AS (
   SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
-         sum(cents) AS sum_cents, min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+         CAST(sum(cents) AS BIGINT) AS sum_cents, min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
   FROM base
 )
 SELECT 'csv' AS format, * FROM one
@@ -196,7 +196,7 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SINK_XML_SQL = """
 SELECT count(*) AS n_rows,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
        min(epoch_us(ts)) AS min_ts_us,
        max(epoch_us(ts)) AS max_ts_us
 FROM events
@@ -241,7 +241,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SINK_ORC_SQL = """
 SELECT o_orderpriority, count(*) AS n_orders,
        count(DISTINCT o_orderkey) AS n_keys,
-       sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
        min(epoch_us(o_orderdate)) AS min_od_us,
        max(epoch_us(o_orderdate)) AS max_od_us
 FROM orders

@@ -206,7 +206,7 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS is_late
   FROM events
 )
-SELECT user_id, count(*) AS n_events, sum(is_late) AS n_late
+SELECT user_id, count(*) AS n_events, CAST(sum(is_late) AS BIGINT) AS n_late
 FROM flagged GROUP BY user_id ORDER BY user_id
 """
 
@@ -236,7 +236,7 @@ def events_json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_TYPED_SQL = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -353,7 +353,7 @@ m AS (
   SELECT event_type, count(*) AS n_days, sum(x) AS sx, sum(x * x) AS sxx
   FROM daily GROUP BY event_type
 )
-SELECT event_type, n_days, sx AS n_events,
+SELECT event_type, n_days, CAST(sx AS BIGINT) AS n_events,
   floor((CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
     AS mean_per_day,
   floor(((CAST(sxx AS DOUBLE) / CAST(n_days AS DOUBLE)
@@ -411,15 +411,15 @@ def events_rolling_3day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_ROLLING_SQL = """
 WITH daily AS (
   SELECT event_type,
-         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
-         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev_cents
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER) AS epoch_day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
   FROM events
   GROUP BY event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
 )
 SELECT event_type, epoch_day, rev_cents,
-       sum(rev_cents) OVER (PARTITION BY event_type ORDER BY epoch_day
+       CAST(sum(rev_cents) OVER (PARTITION BY event_type ORDER BY epoch_day
                             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
-         AS rev_3day_cents,
+         AS BIGINT) AS rev_3day_cents,
        rev_cents - lag(rev_cents) OVER (PARTITION BY event_type
                                         ORDER BY epoch_day) AS dod_delta_cents
 FROM daily

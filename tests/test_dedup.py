@@ -93,3 +93,36 @@ def test_two_phase_cc_handles_cross_partition_chains(spark):
     finally:
         dd.ngram_jaccard_pairs = orig
     assert hist == {20: 1, 3: 1}
+
+
+def test_stop_shingle_cap_excludes_corpus_wide_shingle(spark, tmp_path):
+    """A shingle shared by the whole corpus must not reach the
+    inverted-index self-join once ``max_df`` caps it — the O(df²)
+    blow-up guard — while genuinely duplicated docs still pair."""
+    common = "lorem ipsum dolor sit"
+    rows = [
+        (i, f"{common} unique{i} filler{i} tail{i} end{i}") for i in range(12)
+    ]
+    # a true near-dup pair with no corpus-wide shingles
+    dup = "completely distinct duplicated passage retained verbatim twice"
+    rows += [(100, dup), (101, dup)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    uncapped = _pairs(dedup.ngram_jaccard_pairs(spark, sf, max_df=None))
+    capped = _pairs(dedup.ngram_jaccard_pairs(spark, sf, max_df=4))
+
+    all_common_pairs = {(a, b) for a in range(12) for b in range(12) if a < b}
+    assert all_common_pairs <= uncapped  # the blow-up the cap prevents
+    assert capped & all_common_pairs == set()  # stop shingles excluded
+    assert (100, 101) in capped  # real dups survive the cap
+
+    # the stop set itself: every dropped hash had df > cap
+    sh = dedup.word_shingle_hashes(
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+    )
+    kept = dedup.stop_shingle_filter(sh, 4)
+    dfc = {r.h: r.df for r in
+           sh.groupBy("h").count().withColumnRenamed("count", "df").collect()}
+    assert all(dfc[r.h] <= 4 for r in kept.collect())

@@ -64,10 +64,12 @@ def test_pareto_frontier_no_dominated_rows(spark):
 
     rows = pareto_frontier_parts(spark, SF_SMOKE).collect()
     assert rows
-    # along the frontier (price ascending) size strictly increases
+    # along the frontier (price ascending) size is non-decreasing;
+    # equal-price rows are deliberately all kept (the RANGE frame
+    # excludes price ties), so strict uniqueness would over-assert —
+    # dominance is fully checked by the brute-force pass below
     sizes = [r["p_size"] for r in rows]
     assert sizes == sorted(sizes)
-    assert len(set(sizes)) == len(sizes)
     # brute-force dominance check against the full table
     from projet_meteo_etl_spark.catalog import load_table
 

@@ -160,7 +160,8 @@ def test_transition_matrix_rows_normalize(spark):
     assert len(rows) == 25  # 5 event types, full matrix at this SF
     per_prev = defaultdict(float)
     for r in rows:
-        assert 0.0 < r["p_next"] < 1.0
+        # == 1.0 is legitimate when a prev_type has a single successor
+        assert 0.0 < r["p_next"] <= 1.0
         per_prev[r["prev_type"]] += r["p_next"]
     for tot in per_prev.values():
         # integer-division micro probabilities round down: row sums

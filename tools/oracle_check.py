@@ -27,13 +27,76 @@ from projet_meteo_etl_spark.session import get_spark  # noqa: E402
 def canon_cell(v) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(int(v))
+            return "f:NaN"
+        return f"f:{v:.9g}"
+    if isinstance(v, int):
+        return f"i:{v}"
     return str(v)
+
+
+#: Engine-specific type names → one canonical namespace, so the local gate
+#: is width-sensitive the way the driver's value hash is (round-1 lesson:
+#: DuckDB HUGEINT from an integer sum vs Spark BIGINT hash-mismatched on
+#: the driver while the old str()-based canonicalizer said OK).
+_SPARK_CANON = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+}
+
+_DUCK_CANON = {
+    "TINYINT": "int8",
+    "SMALLINT": "int16",
+    "INTEGER": "int32",
+    "BIGINT": "int64",
+    "HUGEINT": "int128",
+    "UTINYINT": "uint8",
+    "USMALLINT": "uint16",
+    "UINTEGER": "uint32",
+    "UBIGINT": "uint64",
+    "FLOAT": "float32",
+    "DOUBLE": "float64",
+    "VARCHAR": "string",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+}
+
+
+def _canon_type(name: str, table: dict[str, str]) -> str:
+    name = name.strip()
+    if name.lower().startswith("decimal"):
+        return name.lower().replace(" ", "")
+    if name.lower().startswith("array") or name.lower().endswith("[]"):
+        return "array"
+    return table.get(name, table.get(name.upper(), name.lower()))
+
+
+def type_mismatches(
+    scols: list[str], sdtypes: list[str], dcols: list[str], ddtypes: list[str]
+) -> list[str]:
+    """Per-column canonical-type diffs between the Spark result and the
+    DuckDB oracle result (column names already known to match as sets)."""
+    smap = {c: _canon_type(t, _SPARK_CANON) for c, t in zip(scols, sdtypes)}
+    dmap = {c: _canon_type(t, _DUCK_CANON) for c, t in zip(dcols, ddtypes)}
+    out = []
+    for c in sorted(smap):
+        if c in dmap and smap[c] != dmap[c]:
+            out.append(f"{c}: spark={smap[c]} duckdb={dmap[c]}")
+    return out
 
 
 def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
@@ -73,6 +136,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = [t for _, t in sdf.dtypes]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
@@ -86,6 +150,7 @@ def main() -> int:
         try:
             rel = con.sql(sql)
             dcols = list(rel.columns)
+            ddtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
@@ -96,6 +161,10 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        else:
+            tdiffs = type_mismatches(scols, sdtypes, dcols, ddtypes)
+            if tdiffs:
+                problems.append(f"types differ: {tdiffs}")
         if not problems:
             a, b = canon_rows(scols, srows), canon_rows(dcols, drows)
             if a != b:
