@@ -46,6 +46,12 @@ class Expectation:
     def verdict(self, row: dict[str, Any]) -> Check:  # pragma: no cover
         raise NotImplementedError
 
+    def verdict_cols(self) -> tuple[Column, Column]:  # pragma: no cover
+        """Column form of :meth:`verdict` over the fused-agg row —
+        ``(passed boolean, observed string)`` — so a report can stay a
+        lazy plan (:func:`quality_report_df`) instead of collecting."""
+        raise NotImplementedError
+
 
 class ExpectCount(Expectation):
     """Q1 (etl_meteo.py:201-207, test:48-51): exact row count."""
@@ -61,6 +67,15 @@ class ExpectCount(Expectation):
         total = row["__total"]
         ok = self.expected is None or total == self.expected
         return Check(self.name, ok, {"total": total, "expected": self.expected})
+
+    def verdict_cols(self) -> tuple[Column, Column]:
+        total = F.col("__total")
+        ok = F.lit(True) if self.expected is None else total == F.lit(self.expected)
+        obs = F.concat(
+            F.lit("{'total': "), total.cast("string"),
+            F.lit(f", 'expected': {self.expected}}}"),
+        )
+        return ok, obs
 
 
 class ExpectNoNulls(Expectation):
@@ -83,6 +98,19 @@ class ExpectNoNulls(Expectation):
         nulls = {c: int(row[f"__nulls_{c}"] or 0) for c in self.cols}
         return Check(self.name, all(v <= self.max_nulls for v in nulls.values()), nulls)
 
+    def verdict_cols(self) -> tuple[Column, Column]:
+        counts = [F.coalesce(F.col(f"__nulls_{c}"), F.lit(0)) for c in self.cols]
+        ok = F.lit(True)
+        for n in counts:
+            ok = ok & (n <= F.lit(self.max_nulls))
+        parts: list[Column] = [F.lit("{")]
+        for i, (c, n) in enumerate(zip(self.cols, counts)):
+            if i:
+                parts.append(F.lit(", "))
+            parts.extend([F.lit(f"'{c}': "), n.cast("string")])
+        parts.append(F.lit("}"))
+        return ok, F.concat(*parts)
+
 
 class ExpectInRange(Expectation):
     """Q4 / P14 (quality_audit.py:42-58): physical-plausibility range;
@@ -99,6 +127,14 @@ class ExpectInRange(Expectation):
     def verdict(self, row: dict[str, Any]) -> Check:
         v = int(row[f"__oor_{self.col}"] or 0)
         return Check(self.name, v == 0, {"violations": v, "lo": self.lo, "hi": self.hi})
+
+    def verdict_cols(self) -> tuple[Column, Column]:
+        v = F.coalesce(F.col(f"__oor_{self.col}"), F.lit(0))
+        obs = F.concat(
+            F.lit("{'violations': "), v.cast("string"),
+            F.lit(f", 'lo': {self.lo}, 'hi': {self.hi}}}"),
+        )
+        return v == 0, obs
 
 
 class ExpectUnique(Expectation):
@@ -120,6 +156,10 @@ class ExpectUnique(Expectation):
     def verdict(self, row: dict[str, Any]) -> Check:
         d = int(row[self._alias] or 0)
         return Check(self.name, d == 0, {"duplicates": d})
+
+    def verdict_cols(self) -> tuple[Column, Column]:
+        d = F.coalesce(F.col(self._alias), F.lit(0))
+        return d == 0, F.concat(F.lit("{'duplicates': "), d.cast("string"), F.lit("}"))
 
 
 class ExpectDateRange(Expectation):
@@ -147,6 +187,21 @@ class ExpectDateRange(Expectation):
         )
         return Check(self.name, ok, {"min": str(mn), "max": str(mx)})
 
+    def verdict_cols(self) -> tuple[Column, Column]:
+        mn = F.col(f"__min_{self.col}").cast("string")
+        mx = F.col(f"__max_{self.col}").cast("string")
+        ok = (
+            mn.isNotNull()
+            & mx.isNotNull()
+            & (F.substring(mn, 1, 10) >= F.lit(self.lo[:10]))
+            & (F.substring(mx, 1, 10) <= F.lit(self.hi[:10]))
+        )
+        obs = F.concat(
+            F.lit("{'min': '"), F.coalesce(mn, F.lit("None")),
+            F.lit("', 'max': '"), F.coalesce(mx, F.lit("None")), F.lit("'}"),
+        )
+        return ok, obs
+
 
 class ExpectNumericParsable(Expectation):
     """Q3 / P15 (etl_meteo.py:265-274, test:58-66): the Mongo BSON
@@ -167,6 +222,10 @@ class ExpectNumericParsable(Expectation):
     def verdict(self, row: dict[str, Any]) -> Check:
         v = int(row[f"__unparsable_{self.col}"] or 0)
         return Check(self.name, v == 0, {"unparsable": v})
+
+    def verdict_cols(self) -> tuple[Column, Column]:
+        v = F.coalesce(F.col(f"__unparsable_{self.col}"), F.lit(0))
+        return v == 0, F.concat(F.lit("{'unparsable': "), v.cast("string"), F.lit("}"))
 
 
 def run_expectations(
@@ -201,14 +260,30 @@ def run_expectations(
 
 
 def quality_report_df(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
-    """Same as :func:`run_expectations` but returns the report as a
-    DataFrame (one row per check) — the engine-native surface."""
-    rep = run_expectations(df, expectations)
-    rows = [
-        (c.name, bool(c.passed), str(c.observed)) for c in rep["checks"]
-    ]
-    return df.sparkSession.createDataFrame(
-        rows, "check string, passed boolean, observed string"
+    """Same report as :func:`run_expectations` but as a fully LAZY
+    DataFrame (one row per check) — no action in this function, so the
+    suite composes into larger plans (a caller can union reports across
+    tables, write them to a sink, or subscribe them to a stream without
+    materializing here).  The fused agg stays a single scan; the
+    per-check verdicts are Column expressions over that one agg row,
+    exploded into rows."""
+    measures: dict[str, Column] = {"__total": F.count(F.lit(1))}
+    for e in expectations:
+        for alias, m in e.measures().items():
+            measures.setdefault(alias, m)
+    agg = df.agg(*[m.alias(alias) for alias, m in measures.items()])
+    checks = []
+    for e in expectations:
+        passed, observed = e.verdict_cols()
+        checks.append(
+            F.struct(
+                F.lit(e.name).alias("check"),
+                passed.alias("passed"),
+                observed.alias("observed"),
+            )
+        )
+    return agg.select(F.explode(F.array(*checks)).alias("c")).select(
+        "c.check", "c.passed", "c.observed"
     )
 
 

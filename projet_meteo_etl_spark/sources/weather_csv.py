@@ -17,8 +17,14 @@ Spark-first redesign — one scan, not a loop:
   equivalent and positional row addressing doesn't scale anyway; we
   drop it by *content*: the junk row's Time cell is not a valid
   time-of-day.  This is deterministic and distributed.
-* per-file fault isolation → ``ignoreMissingFiles`` on the reader plus
-  PERMISSIVE mode for malformed rows.
+* per-file fault isolation → three layers, mirroring the reference's
+  per-file ``try/except`` (``etl_meteo.py:173-176``) without a loop:
+  manifest paths that don't exist are pruned up front via the Hadoop
+  FileSystem API (``ignoreMissingFiles`` only covers files that vanish
+  *between* listing and read — a path absent at analysis time raises
+  PATH_NOT_FOUND); ``ignoreMissingFiles`` covers the race; PERMISSIVE
+  mode plus the content-based Time filter absorb structurally corrupt
+  files (their rows parse as garbage and fail the Time predicate).
 """
 
 from __future__ import annotations
@@ -27,6 +33,25 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+def _existing_paths(spark: SparkSession, paths: list[str]) -> list[str]:
+    """Manifest paths that exist, checked through the Hadoop FileSystem
+    API so any scheme the cluster reads (file:, hdfs:, s3a:) works.
+    The manifest is a small hand-maintained dict (the unit the reference
+    iterates), so a driver-side loop is the right cost here."""
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jvm = sc._jvm
+    out = []
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        try:
+            if jpath.getFileSystem(hconf).exists(jpath):
+                out.append(p)
+        except Exception:  # noqa: BLE001 — unreadable scheme ⇒ skip file
+            pass
+    return out
+
 
 #: matches "12:00 AM", "3:05 pm", "23:45", "07:00:00" — anything the
 #: reference's Time column legitimately contains; the skipped units row
@@ -47,7 +72,13 @@ def read_weather_csv(
     cleaning/conversion step is a separate pure transform
     (:func:`projet_meteo_etl_spark.pipeline.clean_weather_csv`).
     """
-    paths = list(manifest.values())
+    paths = _existing_paths(spark, list(manifest.values()))
+    if not paths:
+        # every manifest file is absent: the reference's loop would end
+        # with an empty frame, not an error — match that
+        return spark.createDataFrame(
+            [], "Date string, id_station string, source_donnees string"
+        )
     raw = (
         spark.read.option("sep", ";")
         .option("encoding", "ISO-8859-1")

@@ -108,3 +108,25 @@ def test_09_json_wind_default(etl_result):
     )
     rows = ic.select("vent_vitesse_ms").collect()
     assert rows and all(r[0] == 0.0 for r in rows)
+
+
+def test_10_corrupt_and_missing_file_isolation(spark, weather_dir, tmp_path):
+    """S2 fault isolation (reference etl_meteo.py:173-176 try/excepts
+    each file): a structurally corrupt CSV and a nonexistent path in the
+    manifest must not kill the read or change the good files' rows; an
+    all-missing manifest yields an empty frame, not an error."""
+    from projet_meteo_etl_spark.sources.weather_csv import read_weather_csv
+
+    man = dict(weather_dir["csv_manifests"]["1001"])
+    base = read_weather_csv(spark, man, "1001").count()
+    assert base > 0
+
+    corrupt = tmp_path / "corrupt.csv"
+    corrupt.write_bytes(b"\x00\xff\xfe garbage\nnot;a;valid\nrow?\n\x01\x02")
+    bad = dict(man)
+    bad["2024-10-08"] = str(corrupt)
+    bad["2024-10-09"] = str(tmp_path / "does_not_exist.csv")
+    assert read_weather_csv(spark, bad, "1001").count() == base
+
+    all_missing = {k: v + ".gone" for k, v in man.items()}
+    assert read_weather_csv(spark, all_missing, "1001").count() == 0
