@@ -122,6 +122,8 @@ def run_full_etl(
     csv_manifests: dict[str, dict[str, str]],
     json_path: str | None,
     output_path: str,
+    jdbc_url: str | None = None,
+    jdbc_table: str = "weather_unified",
 ) -> EtlResult:
     """The full reference pipeline, Spark-first.
 
@@ -130,6 +132,13 @@ def run_full_etl(
     table to ``output_path`` (parquet, overwrite = the truncate-and-load
     S5 semantics) and returns counts + a quality report computed in one
     fused aggregation pass (vs the reference's 10 separate scans).
+
+    ``jdbc_url`` switches the sink to an external DB — the reference's
+    actual S5/S6 shape (MongoDB truncate-and-load + ping,
+    etl_meteo.py:182-218): healthcheck first, fail fast if unreachable,
+    overwrite-load ``jdbc_table``, and reconcile the count by reading
+    the SINK back (not the in-memory frame).  ``output_path`` is
+    ignored in that mode.
     """
     from projet_meteo_etl_spark.operators.quality import (
         WEATHER_EXPECTATIONS,
@@ -146,12 +155,28 @@ def run_full_etl(
     unified = unify(*parts)
     unified.cache()  # reused by: count, quality report, write
 
+    if jdbc_url is not None:
+        # S6: ping before any compute, like the reference's early exit
+        from projet_meteo_etl_spark.sources.jdbc_sink import (
+            jdbc_healthcheck,
+            read_jdbc_table,
+            write_jdbc_truncate_load,
+        )
+
+        if not jdbc_healthcheck(spark, jdbc_url):
+            raise ConnectionError(f"JDBC sink unreachable: {jdbc_url}")
+
     source_count = unified.count()
     report = run_expectations(unified, WEATHER_EXPECTATIONS)
 
     # S5: truncate-and-load
-    unified.write.mode("overwrite").parquet(output_path)
-    sink_count = spark.read.parquet(output_path).count()
+    if jdbc_url is not None:
+        write_jdbc_truncate_load(unified, jdbc_url, jdbc_table)
+        sink_count = read_jdbc_table(spark, jdbc_url, jdbc_table).count()
+        output_path = f"{jdbc_url}::{jdbc_table}"
+    else:
+        unified.write.mode("overwrite").parquet(output_path)
+        sink_count = spark.read.parquet(output_path).count()
 
     return EtlResult(
         unified=unified,

@@ -7,7 +7,10 @@ the whole driver contract.
 
 from __future__ import annotations
 
+import glob
 import importlib
+import json
+import os
 import sys
 from collections.abc import Callable
 
@@ -64,4 +67,37 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     orphan = set(oracles) - set(queries)
     if orphan:
         raise ValueError(f"oracle_sql without queries(): {sorted(orphan)}")
-    return queries, oracles
+    # a sampling driver takes a prefix of this dict: put queries with no
+    # green correctness row from any prior round FIRST, so every round
+    # maximizes never-verified coverage (round-1 sampled 50/160 and
+    # missed the entire audit + LLM-pipeline families)
+    done = _previously_verified()
+    ordered = {k: v for k, v in queries.items() if k not in done}
+    ordered.update((k, v) for k, v in queries.items() if k in done)
+    return ordered, oracles
+
+
+def _previously_verified() -> set[str]:
+    """Query names with a fully-green row in any prior round's
+    CORRECTNESS_r*.json (rows-only entries count once their row counts
+    ran clean — they can never hash-check by design)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    done: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:  # noqa: BLE001 — unreadable report ⇒ no info
+            continue
+        for name, r in data.items():
+            if not isinstance(r, dict):
+                continue
+            if r.get("err") == "no_oracle" and r.get("spark_rows", 0) >= 0:
+                done.add(name)
+            elif (
+                r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+            ):
+                done.add(name)
+    return done

@@ -67,3 +67,47 @@ def test_text_roundtrip_lossless(spark):
     csv_r, json_r = rows
     assert csv_r.format == "csv" and json_r.format == "json"
     assert csv_r[1:] == json_r[1:]  # identical aggregates across formats
+
+
+def test_jdbc_truncate_load_roundtrip(spark, tmp_path):
+    """S5/S6 against a real JDBC engine (embedded Derby, on Spark's own
+    classpath): ping, overwrite-load twice (truncate semantics: second
+    load must not append), read-back reconciliation, and the fail-fast
+    path for an unreachable URL."""
+    from projet_meteo_etl_spark.sources.jdbc_sink import (
+        jdbc_healthcheck,
+        read_jdbc_table,
+        write_jdbc_truncate_load,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/wdb;create=true"
+    assert jdbc_healthcheck(spark, url)
+    assert not jdbc_healthcheck(spark, "jdbc:derby:/nonexistent/nope")
+
+    df = spark.range(100).selectExpr(
+        "id", "cast(id as double) * 1.5 as v", "concat('s', id % 3) as s"
+    )
+    write_jdbc_truncate_load(df, url, "t_round")
+    write_jdbc_truncate_load(df, url, "t_round")  # truncate, not append
+    back = read_jdbc_table(spark, url, "t_round")
+    assert back.count() == 100
+    assert {f.name for f in back.schema.fields} == {"id", "v", "s"}
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(i * 1.5 for i in range(100))
+
+
+def test_jdbc_full_etl_sink(spark, weather_dir, tmp_path):
+    """run_full_etl with the JDBC sink behind the same signature
+    (VERDICT round-1 missing #1): counts reconcile against the DB."""
+    from projet_meteo_etl_spark.pipeline import run_full_etl
+
+    url = f"jdbc:derby:{tmp_path}/etldb;create=true"
+    res = run_full_etl(
+        spark,
+        csv_manifests=weather_dir["csv_manifests"],
+        json_path=weather_dir["json_path"],
+        output_path="ignored",
+        jdbc_url=url,
+    )
+    assert res.source_count == weather_dir["golden_total"]
+    assert res.sink_count == weather_dir["golden_total"]
+    assert res.count_reconciled
