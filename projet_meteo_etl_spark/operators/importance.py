@@ -1,0 +1,285 @@
+"""Data-selection operators: DSIR importance weighting + boilerplate
+segment filtering.
+
+Beyond the reference's surface (it has no corpus-selection ops) — these
+are the two standard "choose what to train on" passes of a large-scale
+LLM data pipeline:
+
+* **DSIR** (Data Selection with Importance Resampling, Xie et al. 2023,
+  arXiv:2302.03169): score every document by the log-likelihood ratio
+  of a target-domain n-gram feature model vs the raw-corpus model,
+  over hashed unigram features.  Documents whose ratio is positive
+  look more like the target domain than the generic corpus.
+* **Boilerplate segment filter** (the CCNet/RefinedWeb shape): hash
+  fixed-width token segments, count how many documents each segment
+  appears in, and flag documents dominated by corpus-frequent
+  (boilerplate) segments.
+
+Engine mapping — both are two-pass shuffle-partitioned plans:
+
+* pass 1 builds a small corpus-level model (B=1024 hashed-bucket count
+  table for DSIR; the segment document-frequency table for
+  boilerplate) — bounded size regardless of corpus size (B buckets;
+  segments with df>cap only), so pass 2 consumes it as a BROADCAST
+  join against the per-doc features: the big side never reshuffles.
+* all hashes are portable md5-prefix integers and every per-doc score
+  is an integer sum of integer per-feature scores (ln quantized to
+  micronats FIRST, like operators.experiments' entropy/PMI precedent),
+  so both operators oracle-check bit-exactly.
+
+At 100 TB: pass 1 is a wordcount (map-side combine, B-bounded result);
+pass 2 is scan + broadcast join + per-doc agg — no n², no driver
+collect, no skew-sensitive key (buckets are md5-uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround
+
+_WS = r"\s+"
+
+#: DSIR hashed-feature buckets (2^10 — large enough that the synthetic
+#: vocab doesn't alias much, small enough that the model table always
+#: broadcasts)
+DSIR_BUCKETS = 1024
+#: target domain for the importance ratio: English documents
+DSIR_TARGET_LANG = "en"
+#: ln quantization scale (micronats), matching the entropy/PMI ops
+DSIR_SCALE = 1_000_000
+
+#: boilerplate segments: non-overlapping word windows of this width
+SEG_WIDTH = 8
+#: a segment present in more than this many documents is boilerplate
+SEG_MAX_DF = 16
+#: documents with more than this fraction of boilerplate segments drop
+SEG_MAX_RATIO = 0.5
+
+
+def _hashed_tokens(d: DataFrame) -> DataFrame:
+    """(doc_id, b) — one row per token instance, bucketed by the
+    portable 60-bit md5-prefix hash mod ``DSIR_BUCKETS``."""
+    return (
+        d.select("doc_id", F.explode(F.split(F.trim("text"), _WS)).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight in integer micronats.
+
+    weight(doc) = Σ_tokens ln( p_target(bucket) / p_source(bucket) )
+    with add-one smoothing, where target = ``lang='en'`` docs and
+    source = the whole corpus.  The per-bucket log-ratio is quantized
+    to micronats BEFORE the per-doc sum, so the document score is an
+    exact integer sum (order-independent, engine-exact).
+
+    Output: one row per doc — token count, weight, and the resampling
+    keep flag (weight > 0 ⇔ doc looks more target-like than generic).
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    # per-(doc, bucket) counts feed BOTH the model build and the scoring
+    # pass — persist the reduced form (≤ docs×B rows, far smaller than
+    # the token stream it replaces)
+    doc_b = (
+        _hashed_tokens(d)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+
+    # pass 1: the two count models, B-bounded (≤1024 rows) regardless
+    # of corpus size — this is the "model" DSIR trains.  Totals derive
+    # from the bucket tables (no extra corpus pass).
+    tgt_ids = d.filter(F.col("lang") == DSIR_TARGET_LANG).select("doc_id")
+    cnt_s = doc_b.groupBy("b").agg(F.sum("c").alias("c_s"))
+    cnt_t = (
+        doc_b.join(F.broadcast(tgt_ids), "doc_id")
+        .groupBy("b")
+        .agg(F.sum("c").alias("c_t"))
+    )
+    tot_s = cnt_s.agg(F.sum("c_s").alias("n_s"))
+    tot_t = cnt_t.agg(F.sum("c_t").alias("n_t"))
+
+    ratio = (
+        cnt_s.join(cnt_t, "b", "left")
+        .na.fill(0, ["c_t"])
+        .crossJoin(F.broadcast(tot_s))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.lit(float(DSIR_BUCKETS))))
+                    - F.log((F.col("c_s") + 1.0) / (F.col("n_s") + F.lit(float(DSIR_BUCKETS))))
+                )
+                * DSIR_SCALE
+            )
+            .cast("long")
+            .alias("ir"),
+        )
+    )
+
+    # pass 2: per-doc bucket counts ⋈ broadcast(model) → integer sum
+    out = (
+        doc_b.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("ir")).cast("long").alias("weight_micronats"),
+        )
+        .withColumn("keep", (F.col("weight_micronats") > 0).cast("int"))
+        .orderBy("doc_id")
+    )
+    return scoped_cache(out, doc_b)
+
+
+DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+tgt AS (SELECT doc_id FROM documents WHERE lang = '{DSIR_TARGET_LANG}'),
+cnt_s AS (SELECT b, count(*) AS c_s FROM toks GROUP BY b),
+cnt_t AS (SELECT b, count(*) AS c_t FROM toks JOIN tgt USING (doc_id) GROUP BY b),
+tot_s AS (SELECT count(*) AS n_s FROM toks),
+tot_t AS (SELECT count(*) AS n_t FROM toks JOIN tgt USING (doc_id)),
+ratio AS (
+  SELECT cnt_s.b,
+         CAST(floor((ln((coalesce(c_t, 0) + 1.0) / (n_t + {DSIR_BUCKETS}.0))
+                     - ln((c_s + 1.0) / (n_s + {DSIR_BUCKETS}.0)))
+                    * {DSIR_SCALE}) AS BIGINT) AS ir
+  FROM cnt_s LEFT JOIN cnt_t ON cnt_s.b = cnt_t.b
+  CROSS JOIN tot_s CROSS JOIN tot_t
+),
+doc_b AS (SELECT doc_id, b, count(*) AS c FROM toks GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(c * ir) AS BIGINT) AS weight_micronats,
+       CAST(CASE WHEN CAST(sum(c * ir) AS BIGINT) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS keep
+FROM doc_b JOIN ratio USING (b)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def boilerplate_segment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate ratio over non-overlapping
+    ``SEG_WIDTH``-token segments, with the corpus-frequent segment
+    table built in the same plan.
+
+    A segment appearing (distinctly) in more than ``SEG_MAX_DF``
+    documents is boilerplate; a document with more than
+    ``SEG_MAX_RATIO`` boilerplate segments is dropped.  Output: per-doc
+    segment counts, ratio, and keep flag.
+
+    Scale: the boilerplate table is df-capped exactly like the
+    stop-shingle set (≤ |corpus|/df distinct segments), so it
+    broadcasts; per-doc work is a pure projection + one groupBy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    seg_expr = F.expr(
+        f"case when size(tk) >= {SEG_WIDTH} then "
+        f"transform(sequence(0, size(tk) div {SEG_WIDTH} - 1), "
+        f"i -> concat_ws(' ', slice(tk, i * {SEG_WIDTH} + 1, {SEG_WIDTH}))) "
+        f"else array() end"
+    )
+    segs = (
+        d.select("doc_id", F.split(F.trim("text"), _WS).alias("tk"))
+        .select("doc_id", F.explode(seg_expr).alias("seg"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("seg"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    # document frequency per segment (distinct doc)
+    boiler = (
+        segs.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SEG_MAX_DF)
+        .select("h")
+    )
+    flagged = segs.join(F.broadcast(boiler).withColumn("is_b", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.coalesce("is_b", F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_boiler",
+            pround(F.col("n_boiler") / F.col("n_segments"), 6).alias("boiler_ratio"),
+            (
+                F.col("n_boiler") / F.col("n_segments") <= SEG_MAX_RATIO
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(tk[i * {SEG_WIDTH} + 1 : i * {SEG_WIDTH} + {SEG_WIDTH}], ' ')), 1, 15))::BIGINT AS h
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, len(tk) // {SEG_WIDTH} - 1)) AS i)
+  WHERE len(tk) >= {SEG_WIDTH}
+),
+boiler AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM segs)
+  GROUP BY h HAVING count(*) > {SEG_MAX_DF}
+),
+flagged AS (
+  SELECT s.doc_id, CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS is_b
+  FROM segs s LEFT JOIN boiler b ON s.h = b.h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(is_b) AS BIGINT) AS n_boiler,
+       floor((sum(is_b) * 1.0 / count(*)) * 1000000.0 + 0.5) / 1000000.0
+         AS boiler_ratio,
+       CAST(CASE WHEN sum(is_b) * 1.0 / count(*) <= {SEG_MAX_RATIO}
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+SPARK_QUERIES = {
+    "dsir_importance_weights": dsir_importance_weights,
+    "boilerplate_segment_filter": boilerplate_segment_filter,
+}
+
+ORACLE_SQL = {
+    "dsir_importance_weights": DSIR_SQL,
+    "boilerplate_segment_filter": BOILERPLATE_SQL,
+}

@@ -195,12 +195,182 @@ ORDER BY l.true_tf DESC, token ASC
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# portable Bloom filter — join pruning without the join
+# ---------------------------------------------------------------------------
+
+#: 4 lanes × 63 usable bits = 252-bit filter (63, not 64: a shift of 63
+#: on signed BIGINT flips the sign differently per engine; 0..62 stays
+#: positive everywhere)
+BLOOM_LANES = 4
+BLOOM_LANE_BITS = 63
+BLOOM_M = BLOOM_LANES * BLOOM_LANE_BITS
+BLOOM_K = 2
+#: build side = this source's documents; probe side = everything else
+BLOOM_BUILD_SOURCE = "src0"
+
+
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build a 252-bit filter over one
+    source's document texts, probe every other source's documents, and
+    report the confusion counts against exact membership.
+
+    This is the scale pattern behind "semi-join without shuffling the
+    big side": the filter is a CONSTANT-SIZE aggregate (4 BIGINT lanes,
+    built with ``bit_or`` — mergeable, so map-side partials work like
+    any sum), broadcast to the probe scan; only rows the filter accepts
+    proceed to the expensive exact join.  One-sided error is visible in
+    the output: ``n_false_pos ≥ 0``, misses are impossible by
+    construction (the audit asserts that: true members are all
+    accepted).
+
+    Like ``cms_heavy_hitters`` the hashes are portable md5-prefix
+    integers, every lane is an exact integer ``bit_or``, so build,
+    probe, and the confusion counts all hash-check against DuckDB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.filter(F.col("source") == BLOOM_BUILD_SOURCE).select("text")
+    probe = docs.filter(F.col("source") != BLOOM_BUILD_SOURCE).select(
+        "doc_id", "text"
+    )
+
+    def pos(i: int, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bl{i}:"), col)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M
+        )
+
+    # build: explode each key into its K positions, one bit_or per lane
+    bits = build.select(
+        F.explode(F.array(*[pos(i, F.col("text")) for i in range(BLOOM_K)])).alias(
+            "p"
+        )
+    )
+    lanes = bits.agg(
+        *[
+            F.bit_or(
+                F.when(
+                    F.expr(f"cast(p div {BLOOM_LANE_BITS} as int)") == j,
+                    F.expr(f"shiftleft(1L, cast(p % {BLOOM_LANE_BITS} as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(f"lane{j}")
+            for j in range(BLOOM_LANES)
+        ]
+    )
+
+    # probe: compute the K positions as columns, then test each
+    # against its lane with a CASE ladder (pure integer expressions)
+    tests = probe.crossJoin(F.broadcast(lanes))
+    probe_expr = " AND ".join(
+        f"((CASE {' '.join(f'WHEN cast(h{i} div {BLOOM_LANE_BITS} as int) = {j} THEN lane{j}' for j in range(BLOOM_LANES))} END)"
+        f" >> cast(h{i} % {BLOOM_LANE_BITS} as int)) % 2 = 1"
+        for i in range(BLOOM_K)
+    )
+    tested = tests.select(
+        "doc_id",
+        "text",
+        *[pos(i, F.col("text")).alias(f"h{i}") for i in range(BLOOM_K)],
+        *[F.col(f"lane{j}") for j in range(BLOOM_LANES)],
+    ).withColumn("maybe", F.expr(f"CASE WHEN {probe_expr} THEN 1 ELSE 0 END"))
+
+    truth = build.distinct().withColumn("present", F.lit(1))
+    return (
+        tested.join(F.broadcast(truth), "text", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe"),
+            F.sum("maybe").cast("long").alias("n_maybe"),
+            F.sum(F.coalesce("present", F.lit(0))).cast("long").alias("n_true_present"),
+            F.sum(
+                F.when((F.col("maybe") == 1) & F.col("present").isNull(), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+            F.sum(
+                F.when((F.col("maybe") == 0) & F.col("present").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_missed"),
+        )
+    )
+
+
+def _bloom_pos_sql(i: int, col: str) -> str:
+    return f"('0x' || substr(md5('bl{i}:' || {col}), 1, 15))::BIGINT % {BLOOM_M}"
+
+
+def _bloom_sql() -> str:
+    bits_u = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(i, 'text')} AS p FROM build"
+        for i in range(BLOOM_K)
+    )
+    lane_aggs = ", ".join(
+        f"bit_or(CASE WHEN CAST(p // {BLOOM_LANE_BITS} AS INTEGER) = {j} "
+        f"THEN (1::BIGINT << CAST(p % {BLOOM_LANE_BITS} AS INTEGER)) "
+        f"ELSE 0 END) AS lane{j}"
+        for j in range(BLOOM_LANES)
+    )
+    tests = []
+    for i in range(BLOOM_K):
+        ph = _bloom_pos_sql(i, "probe.text")
+        ladder = " ".join(
+            f"WHEN CAST({ph} // {BLOOM_LANE_BITS} AS INTEGER) = {j} THEN lane{j}"
+            for j in range(BLOOM_LANES)
+        )
+        tests.append(
+            f"(((CASE {ladder} END) >> CAST({ph} % {BLOOM_LANE_BITS} AS INTEGER))"
+            f" % 2 = 1)"
+        )
+    probe_test = " AND ".join(tests)
+    return f"""
+WITH build AS (
+  SELECT text FROM documents WHERE source = '{BLOOM_BUILD_SOURCE}'
+),
+probe AS (
+  SELECT doc_id, text FROM documents WHERE source <> '{BLOOM_BUILD_SOURCE}'
+),
+bits AS (
+  {bits_u}
+),
+lanes AS (
+  SELECT {lane_aggs}
+  FROM bits
+),
+tested AS (
+  SELECT probe.doc_id, probe.text,
+         CASE WHEN {probe_test}
+         THEN 1 ELSE 0 END AS maybe
+  FROM probe CROSS JOIN lanes
+),
+truth AS (SELECT DISTINCT text, 1 AS present FROM build)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(maybe) AS BIGINT) AS n_maybe,
+       CAST(sum(coalesce(present, 0)) AS BIGINT) AS n_true_present,
+       CAST(sum(CASE WHEN maybe = 1 AND present IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN maybe = 0 AND present IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+FROM tested LEFT JOIN truth ON tested.text = truth.text
+"""
+
+
+BLOOM_SQL = _bloom_sql()
+
+
 SPARK_QUERIES = {
     "approx_user_stats": approx_user_stats,
     "hll_sketch_mergeability": hll_sketch_mergeability,
     "cms_heavy_hitters": cms_heavy_hitters,
+    "bloom_membership_audit": bloom_membership_audit,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "cms_heavy_hitters": CMS_SQL,
+    "bloom_membership_audit": BLOOM_SQL,
 }

@@ -39,6 +39,7 @@ _MODULES = (
     "projet_meteo_etl_spark.operators.similarity",
     "projet_meteo_etl_spark.operators.retrieval",
     "projet_meteo_etl_spark.operators.text",
+    "projet_meteo_etl_spark.operators.importance",
     "projet_meteo_etl_spark.operators.corpus_stats",
     "projet_meteo_etl_spark.operators.profiling",
     "projet_meteo_etl_spark.operators.graph",

@@ -58,6 +58,9 @@ EXPECTED_QUERIES = {
     "training_data_pipeline", "near_dup_edit_distance",
     "text_token_stats", "text_quality_score",
     "text_langid", "text_fingerprints",
+    # data selection (DSIR + boilerplate) and the bloom sketch audit
+    "dsir_importance_weights", "boilerplate_segment_filter",
+    "bloom_membership_audit",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",
