@@ -40,6 +40,7 @@ _MODULES = (
     "projet_meteo_etl_spark.operators.retrieval",
     "projet_meteo_etl_spark.operators.text",
     "projet_meteo_etl_spark.operators.importance",
+    "projet_meteo_etl_spark.operators.selection",
     "projet_meteo_etl_spark.operators.corpus_stats",
     "projet_meteo_etl_spark.operators.profiling",
     "projet_meteo_etl_spark.operators.graph",

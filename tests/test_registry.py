@@ -61,6 +61,9 @@ EXPECTED_QUERIES = {
     # data selection (DSIR + boilerplate) and the bloom sketch audit
     "dsir_importance_weights", "boilerplate_segment_filter",
     "bloom_membership_audit",
+    # corpus curation / selection audits (operators/selection.py)
+    "policy_blocklist_audit", "prefix_dup_groups", "cross_source_overlap",
+    "vocab_kl_by_source", "dedup_retention_policy",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",

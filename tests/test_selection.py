@@ -1,0 +1,104 @@
+"""Corpus selection/audit operator invariants (operators/selection.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.operators.selection import (
+    POLICY_TERMS,
+    cross_source_overlap,
+    dedup_retention_policy,
+    policy_blocklist_audit,
+    prefix_dup_groups,
+    vocab_kl_by_source,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_policy_audit_counts_consistent(spark):
+    """Flag counts bounded by doc counts; term hits ≥ flagged docs;
+    a doc containing a blocklist term is definitely flagged."""
+    out = policy_blocklist_audit(spark, SF).collect()
+    assert out, "at least one source"
+    total_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in out) == total_docs
+    for r in out:
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+        assert r["n_term_hits"] >= r["n_flagged"]
+        assert 0.0 <= r["flag_rate"] <= 1.0
+    # ground truth on one term: every doc containing ' slow ' as a word
+    d = load_table(spark, SF, "documents")
+    direct = d.filter(
+        F.col("text").rlike(r"\b" + POLICY_TERMS[0] + r"\b")
+    ).count()
+    assert direct <= sum(r["n_flagged"] for r in out)
+
+
+def test_prefix_dup_groups_structure(spark):
+    """Every reported group has ≥2 members and exactly one retained
+    canonical, which is the minimum doc_id of the group."""
+    out = prefix_dup_groups(spark, SF)
+    rows = out.collect()
+    if not rows:  # corpus may have no prefix collisions at tiny SF
+        return
+    by_size = {}
+    for r in rows:
+        assert r["group_size"] >= 2
+        by_size.setdefault((r["group_size"], r["doc_id"]), r)
+    # group membership counts must reconcile: per group_size g, the
+    # number of member rows is a multiple of g
+    from collections import Counter
+
+    sizes = Counter(r["group_size"] for r in rows)
+    for g, n in sizes.items():
+        assert n % g == 0
+    retained = [r for r in rows if r["retained"] == 1]
+    assert len(retained) * 1.0 == sum(1 / r["group_size"] for r in rows)
+
+
+def test_cross_source_overlap_bounds(spark):
+    """Shared fingerprints never exceed either side's distinct count;
+    jaccard in [0, 1]; pair ordering is strict."""
+    for r in cross_source_overlap(spark, SF).collect():
+        assert r["source_a"] < r["source_b"]
+        assert r["shared_fp"] <= min(r["n_fp_a"], r["n_fp_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_vocab_kl_nonnegative_and_total(spark):
+    """KL ≥ 0 (up to quantization slack) per source, token totals
+    reconcile with a direct count."""
+    out = vocab_kl_by_source(spark, SF).collect()
+    d = load_table(spark, SF, "documents")
+    n_toks = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .filter(F.length("t") > 0)
+        .count()
+    )
+    assert sum(r["n_tokens"] for r in out) == n_toks
+    for r in out:
+        # each of ≤512 bucket terms floors by <1 micronat
+        assert r["kl_micronats"] >= -512
+
+
+def test_retention_policy_reconciles_with_prefix_clusters(spark):
+    """retained-per-source sums to the corpus distinct-prefix count,
+    and every group drops group_size−1 docs."""
+    from projet_meteo_etl_spark.operators.selection import PREFIX_CHARS
+
+    out = dedup_retention_policy(spark, SF).collect()
+    d = load_table(spark, SF, "documents")
+    n_docs = d.count()
+    n_distinct = (
+        d.select(F.substring(F.lower(F.trim("text")), 1, PREFIX_CHARS))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert sum(r["n_retained"] for r in out) == n_distinct
+    assert sum(r["n_dropped"] for r in out) == n_docs - n_distinct
+    for r in out:
+        assert r["n_retained"] + r["n_dropped"] == r["n_docs"]
+        assert r["chars_dropped"] >= 0
