@@ -13,10 +13,14 @@ distinct value; sketches keep the shuffle O(sketch size) and are
   test asserts the estimates agree, which is the property that makes
   pre-aggregated rollup tables sound.
 
-Registered rows-only: sketch internals are engine-specific by design
-(DuckDB's approx_count_distinct uses a different HLL seeding), so the
-accuracy contract lives in tests/test_sketches.py instead of the
-DuckDB hash gate.
+``approx_user_stats`` / ``hll_sketch_mergeability`` register rows-only:
+their sketch internals are engine-specific by design (DuckDB's
+approx_count_distinct uses a different HLL seeding), so the accuracy
+contract lives in tests/test_sketches.py instead of the DuckDB hash
+gate.  ``portable_hll_distinct`` closes that gap: a from-scratch HLL on
+portable md5 primitives whose ESTIMATE hash-checks against DuckDB,
+mergeability included.  ``cms_heavy_hitters`` / ``bloom_membership_audit``
+are likewise portable and oracle-exact.
 """
 
 from __future__ import annotations
@@ -363,14 +367,167 @@ FROM tested LEFT JOIN truth ON tested.text = truth.text
 BLOOM_SQL = _bloom_sql()
 
 
+#: portable HLL geometry: p=8 ⇒ m=256 registers; the 60-bit md5-prefix
+#: hash splits into an 8-bit register index + 52-bit rank field
+HLL_M = 256
+#: HyperLogLog bias constant α_256 = 0.7213/(1 + 1.079/m)
+_HLL_ALPHA_EXPR = f"0.7213 / (1.0 + 1.079 / {HLL_M}.0) * {HLL_M * HLL_M}.0"
+
+
+def portable_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type, built from
+    PORTABLE primitives (md5-prefix register hash, binary-string rank)
+    so the estimate — not just the row shape — hash-checks against
+    DuckDB.  Complements ``approx_user_stats`` /
+    ``hll_sketch_mergeability``, which use the engines' native (and
+    mutually incompatible) HLL seedings and therefore verify rows-only.
+
+    Two independent plan paths produce the estimate:
+
+    * **direct** — registers aggregated straight off the scan;
+    * **merged** — registers built per user-parity shard, then merged
+      with ``max`` (the HLL union), proving mergeability numerically:
+      the two estimates are algebraically equal, and the oracle hash
+      pins BOTH paths.
+
+    Standard small-range correction (linear counting when E ≤ 2.5m and
+    empty registers exist) keeps the estimate honest at tiny SFs.
+
+    100 TB stance: this is THE cardinality shape for a 1000-executor
+    cluster — per-partition register maps combine map-side (the shuffle
+    carries ≤ groups×m×shards rows, never users), and the shard-merge
+    path is exactly how pre-aggregated rollup tables stay mergeable.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = e.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("shard"),
+        (h % HLL_M).cast("int").alias("b"),
+        ((h - (h % HLL_M)) / HLL_M).cast("long").alias("rem"),
+    )
+    # rank of the 52-bit remainder: leading zeros + 1 = 53 − bitlength
+    rho = F.when(F.col("rem") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(F.col("rem"), 10, 2))
+    )
+    ranked = hashed.select("event_type", "shard", "b", rho.alias("rho"))
+
+    # direct registers and sharded→merged registers
+    direct = ranked.groupBy("event_type", "b").agg(F.max("rho").alias("m_d"))
+    sharded = ranked.groupBy("event_type", "shard", "b").agg(F.max("rho").alias("m_s"))
+    merged = sharded.groupBy("event_type", "b").agg(F.max("m_s").alias("m_m"))
+
+    # full m-register frame per group (empty registers count as 2^-0)
+    groups = e.select("event_type").distinct()
+    regs = spark.range(HLL_M).select(F.col("id").cast("int").alias("b"))
+    frame = (
+        groups.crossJoin(F.broadcast(regs))
+        .join(direct, ["event_type", "b"], "left")
+        .join(merged, ["event_type", "b"], "left")
+        .na.fill(0, ["m_d", "m_m"])
+    )
+
+    def estimate(mcol: str):
+        z = F.sum(F.pow(F.lit(2.0), -F.col(mcol)))
+        v = F.sum((F.col(mcol) == 0).cast("int"))
+        raw = F.expr(_HLL_ALPHA_EXPR) / z
+        return F.when(
+            (raw <= 2.5 * HLL_M) & (v > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+        ).otherwise(raw)
+
+    est = frame.groupBy("event_type").agg(
+        pround(estimate("m_d"), 3).alias("hll_direct"),
+        pround(estimate("m_m"), 3).alias("hll_merged"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_direct",
+            "hll_merged",
+            (F.col("hll_direct") == F.col("hll_merged")).cast("int").alias("merge_agrees"),
+            pround(
+                F.abs(F.col("hll_direct") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PORTABLE_HLL_SQL = rf"""
+WITH hashed AS (
+  SELECT event_type, user_id % 2 AS shard,
+         CAST(h % {HLL_M} AS INTEGER) AS b,
+         CAST((h - (h % {HLL_M})) / {HLL_M} AS BIGINT) AS rem
+  FROM (
+    SELECT event_type, user_id,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM events
+  )
+),
+ranked AS (
+  SELECT event_type, shard, b,
+         CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END AS rho
+  FROM hashed
+),
+direct AS (SELECT event_type, b, max(rho) AS m_d FROM ranked GROUP BY event_type, b),
+sharded AS (SELECT event_type, shard, b, max(rho) AS m_s
+            FROM ranked GROUP BY event_type, shard, b),
+merged AS (SELECT event_type, b, max(m_s) AS m_m FROM sharded GROUP BY event_type, b),
+frame AS (
+  SELECT g.event_type, r.b,
+         coalesce(d.m_d, 0) AS m_d, coalesce(m.m_m, 0) AS m_m
+  FROM (SELECT DISTINCT event_type FROM events) g
+  CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M} - 1)) AS b) r
+  LEFT JOIN direct d ON d.event_type = g.event_type AND d.b = r.b
+  LEFT JOIN merged m ON m.event_type = g.event_type AND m.b = r.b
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN {_HLL_ALPHA_EXPR} / sum(pow(2.0, -m_d)) <= 2.5 * {HLL_M}
+                   AND sum(CASE WHEN m_d = 0 THEN 1 ELSE 0 END) > 0
+              THEN {HLL_M}.0 * ln({HLL_M}.0 / sum(CASE WHEN m_d = 0 THEN 1 ELSE 0 END))
+              ELSE {_HLL_ALPHA_EXPR} / sum(pow(2.0, -m_d)) END AS e_d,
+         CASE WHEN {_HLL_ALPHA_EXPR} / sum(pow(2.0, -m_m)) <= 2.5 * {HLL_M}
+                   AND sum(CASE WHEN m_m = 0 THEN 1 ELSE 0 END) > 0
+              THEN {HLL_M}.0 * ln({HLL_M}.0 / sum(CASE WHEN m_m = 0 THEN 1 ELSE 0 END))
+              ELSE {_HLL_ALPHA_EXPR} / sum(pow(2.0, -m_m)) END AS e_m
+  FROM frame GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT exact.event_type, n_exact,
+       floor(e_d * 1000.0 + 0.5) / 1000.0 AS hll_direct,
+       floor(e_m * 1000.0 + 0.5) / 1000.0 AS hll_merged,
+       CAST(CASE WHEN floor(e_d * 1000.0 + 0.5) / 1000.0
+                    = floor(e_m * 1000.0 + 0.5) / 1000.0
+            THEN 1 ELSE 0 END AS INTEGER) AS merge_agrees,
+       floor((abs(floor(e_d * 1000.0 + 0.5) / 1000.0 - n_exact) / n_exact)
+             * 1000000.0 + 0.5) / 1000000.0 AS rel_err
+FROM exact JOIN est ON est.event_type = exact.event_type
+ORDER BY exact.event_type
+"""
+
+
 SPARK_QUERIES = {
     "approx_user_stats": approx_user_stats,
     "hll_sketch_mergeability": hll_sketch_mergeability,
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_membership_audit": bloom_membership_audit,
+    "portable_hll_distinct": portable_hll_distinct,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "cms_heavy_hitters": CMS_SQL,
     "bloom_membership_audit": BLOOM_SQL,
+    "portable_hll_distinct": PORTABLE_HLL_SQL,
 }

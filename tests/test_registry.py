@@ -64,6 +64,8 @@ EXPECTED_QUERIES = {
     # corpus curation / selection audits (operators/selection.py)
     "policy_blocklist_audit", "prefix_dup_groups", "cross_source_overlap",
     "vocab_kl_by_source", "dedup_retention_policy",
+    # portable (oracle-exact) HLL
+    "portable_hll_distinct",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",

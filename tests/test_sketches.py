@@ -40,3 +40,16 @@ def test_cms_one_sided_error_and_probe_coverage(spark):
         assert r["overcount"] == r["cms_est"] - r["true_tf"]
     tfs = [r["true_tf"] for r in rows]
     assert tfs == sorted(tfs, reverse=True)
+
+
+def test_portable_hll_accuracy_and_merge(spark):
+    """Portable-HLL estimate within the m=256 error envelope of the
+    exact count, and the shard-merged path agrees with the direct path
+    exactly (register max is associative)."""
+    rows = sketches.portable_hll_distinct(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["merge_agrees"] == 1
+        assert r["hll_direct"] == r["hll_merged"]
+        # 1.04/sqrt(256) ≈ 6.5% standard error; allow 4 sigma
+        assert abs(r["hll_direct"] - r["n_exact"]) / r["n_exact"] < 0.26
