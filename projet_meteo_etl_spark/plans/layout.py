@@ -1,0 +1,245 @@
+"""Data-layout operators: Z-order (Morton) multi-dimensional
+clustering audit and a min/max-zone pruning estimator.
+
+The reference has no layout concept (its whole dataset is 4,936 rows,
+``/root/reference/test_etl_meteo.py:50-51``); at 100 TB layout IS the
+query optimizer's biggest lever: a table clustered so each file covers
+a small rectangle of (partkey, suppkey) space lets a two-dimensional
+predicate skip almost every file via footer min/max zone maps, where a
+single-column sort only prunes on its leading column.
+
+* ``zorder_layout_audit`` — computes the 16-bit Morton interleave of
+  the two join keys (8 quantizing bits each), bins rows into 64
+  Z-ranges (the "files" a Z-ordered write would produce), and reports
+  each bin's bounding rectangle and its area share: Z-ordered bins
+  cover tiny rectangles, which is exactly the file-skipping argument.
+* ``zone_pruning_estimate`` — the decision the optimizer would make:
+  for a fixed 2-D predicate, how many of the 64 zones survive min/max
+  pruning under (a) the Z-order layout vs (b) a partkey-sort layout —
+  the measured file-skip win of re-clustering, as one query.
+
+Everything is integer div/mod arithmetic (no engine bit-op quirks), so
+both queries hash-check against DuckDB exactly.
+
+Scale shape: one pass to get the two key maxima (column-pruned scan of
+two ints), one pass to bin (projection + 64-ary groupBy with map-side
+combine).  No joins on the big table; the maxima cross-join is a
+1-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+
+#: quantizing bits per dimension (8 ⇒ 256×256 grid, 16-bit Z values)
+ZBITS = 8
+#: number of Z-range bins ("files") the audit simulates
+ZBINS = 64
+
+
+def _bucket(col, mx):
+    """Order-preserving map of ``col`` ∈ [0, mx] onto [0, 2^ZBITS)."""
+    grid = 1 << ZBITS
+    # (col * grid) div (mx + 1): integer, exact in both engines
+    return F.expr(f"CAST(({col} * {grid}) DIV ({mx} + 1) AS INT)")
+
+
+def _bucket_sql(col: str, mx: str) -> str:
+    grid = 1 << ZBITS
+    return f"CAST(({col} * {grid}) // ({mx} + 1) AS INTEGER)"
+
+
+def _morton_terms(xcol: str, ycol: str) -> str:
+    """Bit interleave as pure div/mod arithmetic — identical text works
+    as a Spark SQL expression and (with // for DIV) in DuckDB."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"(({xcol} DIV {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} DIV {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _zorder_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    mx = li.agg(
+        F.max("l_partkey").alias("mxp"), F.max("l_suppkey").alias("mxs")
+    )
+    b = li.crossJoin(F.broadcast(mx)).select(
+        _bucket("l_partkey", "mxp").alias("xb"),
+        _bucket("l_suppkey", "mxs").alias("yb"),
+    )
+    zspan = (1 << (2 * ZBITS)) // ZBINS
+    return b.select(
+        "xb",
+        "yb",
+        F.expr(f"CAST(({_morton_terms('xb', 'yb')}) DIV {zspan} AS INT)").alias(
+            "zbin"
+        ),
+    )
+
+
+_ZORDER_BASE_SQL = f"""
+  SELECT xb, yb,
+         CAST(({_morton_terms('xb', 'yb').replace(' DIV ', ' // ')}) // {(1 << (2 * ZBITS)) // ZBINS}
+              AS INTEGER) AS zbin
+  FROM (
+    SELECT {_bucket_sql('l_partkey', 'mxp')} AS xb,
+           {_bucket_sql('l_suppkey', 'mxs')} AS yb
+    FROM lineitem
+    CROSS JOIN (SELECT max(l_partkey) AS mxp, max(l_suppkey) AS mxs
+                FROM lineitem)
+  )
+"""
+
+
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Z-bin bounding rectangles of (partkey, suppkey) space.
+
+    ``area_ppm`` is each bin's bounding-rectangle area as parts-per-
+    million of the full grid: Z-ordering keeps it small and roughly
+    uniform (≈ 1e6/ZBINS ppm), which is why a 2-D predicate prunes
+    most Z-files — the property this audit pins and the oracle hash
+    certifies.
+    """
+    z = _zorder_base(spark, sf_dir)
+    grid = 1 << ZBITS
+    return (
+        z.groupBy("zbin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("xb").alias("min_xb"),
+            F.max("xb").alias("max_xb"),
+            F.min("yb").alias("min_yb"),
+            F.max("yb").alias("max_yb"),
+        )
+        .select(
+            "zbin",
+            "n_rows",
+            "min_xb",
+            "max_xb",
+            "min_yb",
+            "max_yb",
+            # integer DIV end-to-end: double division here would round
+            # differently than DuckDB's // on some quotients
+            F.expr(
+                "CAST(CAST(max_xb - min_xb + 1 AS BIGINT)"
+                " * (max_yb - min_yb + 1) * 1000000"
+                f" DIV {grid * grid} AS BIGINT)"
+            ).alias("area_ppm"),
+        )
+        .orderBy("zbin")
+    )
+
+
+ZORDER_AUDIT_SQL = f"""
+WITH z AS ({_ZORDER_BASE_SQL})
+SELECT zbin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(xb) AS min_xb, max(xb) AS max_xb,
+       min(yb) AS min_yb, max(yb) AS max_yb,
+       CAST((max(xb) - min(xb) + 1)::BIGINT * (max(yb) - min(yb) + 1)
+            * 1000000 // {(1 << ZBITS) * (1 << ZBITS)} AS BIGINT) AS area_ppm
+FROM z
+GROUP BY zbin
+ORDER BY zbin
+"""
+
+
+#: the audit predicate: a 2-D rectangle ~1/16th of each dimension
+PRED_X = (64, 79)
+PRED_Y = (128, 143)
+
+
+def zone_pruning_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping win of Z-order vs single-column sort, as data.
+
+    Both layouts split the table into ``ZBINS`` equal-width zones —
+    Z-bins for the Z-order layout, partkey-bucket bins for the sort
+    layout — and each zone keeps footer min/max for both columns.  A
+    zone survives the rectangle predicate iff its bounds intersect the
+    rectangle (the exact zone-map test).  Output: one row per layout
+    with zones scanned / skipped and rows actually scanned — the
+    measured I/O difference re-clustering buys.
+    """
+    z = _zorder_base(spark, sf_dir)
+    xlo, xhi = PRED_X
+    ylo, yhi = PRED_Y
+
+    def layout_stats(df: DataFrame, bin_col: str, layout: str) -> DataFrame:
+        zones = df.groupBy(F.col(bin_col).alias("zone")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("xb").alias("min_xb"),
+            F.max("xb").alias("max_xb"),
+            F.min("yb").alias("min_yb"),
+            F.max("yb").alias("max_yb"),
+        )
+        hit = (
+            (F.col("max_xb") >= xlo)
+            & (F.col("min_xb") <= xhi)
+            & (F.col("max_yb") >= ylo)
+            & (F.col("min_yb") <= yhi)
+        ).cast("int")
+        return zones.select(F.lit(layout).alias("layout"), hit.alias("hit"), "n_rows").groupBy(
+            "layout"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_zones"),
+            F.sum("hit").cast("long").alias("zones_scanned"),
+            (F.count(F.lit(1)) - F.sum("hit")).cast("long").alias("zones_skipped"),
+            F.sum(F.col("hit") * F.col("n_rows")).cast("long").alias("rows_scanned"),
+        )
+
+    # sort layout: zones are equal-width partkey-bucket ranges
+    sort_bins = z.select(
+        "xb", "yb", F.expr(f"CAST(xb DIV {(1 << ZBITS) // ZBINS} AS INT)").alias("sbin")
+    )
+    out = layout_stats(z, "zbin", "zorder").unionByName(
+        layout_stats(sort_bins, "sbin", "sort_partkey")
+    )
+    return out.orderBy("layout")
+
+
+ZONE_PRUNING_SQL = f"""
+WITH z AS ({_ZORDER_BASE_SQL}),
+zz AS (
+  SELECT 'zorder' AS layout, zbin AS zone, xb, yb FROM z
+  UNION ALL
+  SELECT 'sort_partkey' AS layout,
+         CAST(xb // {(1 << ZBITS) // ZBINS} AS INTEGER) AS zone, xb, yb
+  FROM z
+),
+zones AS (
+  SELECT layout, zone, CAST(count(*) AS BIGINT) AS n_rows,
+         min(xb) AS min_xb, max(xb) AS max_xb,
+         min(yb) AS min_yb, max(yb) AS max_yb
+  FROM zz GROUP BY layout, zone
+),
+hits AS (
+  SELECT layout, n_rows,
+         CASE WHEN max_xb >= {PRED_X[0]} AND min_xb <= {PRED_X[1]}
+               AND max_yb >= {PRED_Y[0]} AND min_yb <= {PRED_Y[1]}
+              THEN 1 ELSE 0 END AS hit
+  FROM zones
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_zones,
+       CAST(sum(hit) AS BIGINT) AS zones_scanned,
+       CAST(count(*) - sum(hit) AS BIGINT) AS zones_skipped,
+       CAST(sum(hit * n_rows) AS BIGINT) AS rows_scanned
+FROM hits
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+SPARK_QUERIES = {
+    "zorder_layout_audit": zorder_layout_audit,
+    "zone_pruning_estimate": zone_pruning_estimate,
+}
+
+ORACLE_SQL = {
+    "zorder_layout_audit": ZORDER_AUDIT_SQL,
+    "zone_pruning_estimate": ZONE_PRUNING_SQL,
+}

@@ -66,6 +66,8 @@ EXPECTED_QUERIES = {
     "vocab_kl_by_source", "dedup_retention_policy",
     # portable (oracle-exact) HLL
     "portable_hll_distinct",
+    # data-layout operators (plans/layout.py)
+    "zorder_layout_audit", "zone_pruning_estimate",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",
