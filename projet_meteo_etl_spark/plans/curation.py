@@ -466,8 +466,91 @@ ORDER BY lang, split
 """
 
 
+#: chunking geometry: window of CHUNK_W tokens advancing by CHUNK_S
+#: (CHUNK_W − CHUNK_S tokens of overlap carry context across chunks)
+CHUNK_W = 24
+CHUNK_S = 16
+#: trailing fragments shorter than this are dropped (noise for training)
+CHUNK_MIN = 8
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window pass every
+    RAG / pretraining pipeline runs before embedding or packing: split
+    each document into ``CHUNK_W``-token windows advancing by
+    ``CHUNK_S``, keep fragments of ≥ ``CHUNK_MIN`` tokens, and emit a
+    portable 60-bit content hash per chunk (the downstream dedup /
+    embedding key).
+
+    Plan: pure projection — tokenize once, build all windows with one
+    ``transform(sequence(...))`` array expression, one ``posexplode``.
+    No shuffle anywhere except the final presentation sort; at 100 TB
+    this runs entirely map-side at scan speed, and the chunk hash
+    means downstream exact-dedup of chunks reuses the fingerprint
+    machinery unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tk")
+    ).withColumn(
+        # number of window starts: ceil((n - CHUNK_MIN + 1) / S) over
+        # starts 0, S, 2S, ... with at least CHUNK_MIN tokens left
+        "n_starts",
+        F.expr(
+            f"CAST(greatest(0, (size(tk) - {CHUNK_MIN} + {CHUNK_S})"
+            f" DIV {CHUNK_S}) AS INT)"
+        ),
+    )
+    # sequence(0, -1) would step BACKWARDS in Spark — drop chunkless docs
+    chunks = base.filter(F.col("n_starts") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n_starts - 1), "
+                f"i -> concat_ws(' ', slice(tk, i * {CHUNK_S} + 1, {CHUNK_W})))"
+            )
+        ).alias("chunk_id", "chunk"),
+    ).filter(F.size(F.split("chunk", " ")) >= CHUNK_MIN)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split("chunk", " ")).alias("n_tokens"),
+        F.conv(F.substring(F.md5("chunk"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+CHUNK_DOCUMENTS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tk,
+         CAST(greatest(0, (len(tk) - {CHUNK_MIN} + {CHUNK_S}) // {CHUNK_S})
+              AS INTEGER) AS n_starts
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_id,
+         array_to_string(tk[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_W}], ' ')
+           AS chunk
+  FROM starts,
+       LATERAL (SELECT unnest(generate_series(0, n_starts - 1)) AS i)
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_tokens,
+       ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chunk_hash
+FROM chunks
+WHERE len(string_split(chunk, ' ')) >= {CHUNK_MIN}
+ORDER BY doc_id, chunk_id
+"""
+
+
 SPARK_QUERIES = {
     "pack_sequences": pack_sequences,
+    "chunk_documents": chunk_documents,
     "stratified_sample_mix": stratified_sample_mix,
     "benchmark_decontamination": benchmark_decontamination,
     "incremental_dedup_report": incremental_dedup_report,
@@ -478,6 +561,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "stratified_sample_mix": STRATIFIED_MIX_SQL,
     "benchmark_decontamination": DECONTAM_SQL,
     "incremental_dedup_report": INCR_DEDUP_SQL,

@@ -169,3 +169,32 @@ def test_quality_score_single_split_per_statistic(spark):
 
     plan = _plan(text.text_quality_score(spark, SF))
     assert plan.count("split(") <= 2  # one for tokens, one for distinct
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk geometry: full windows are CHUNK_W tokens, strides are
+    CHUNK_S apart, trailing fragments ≥ CHUNK_MIN, and every doc with
+    ≥ CHUNK_MIN tokens produces ⌊(n−MIN+S)/S⌋ chunks."""
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.plans.curation import (
+        CHUNK_MIN,
+        CHUNK_S,
+        CHUNK_W,
+        chunk_documents,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = chunk_documents(spark, sf)
+    rows = out.collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        assert CHUNK_MIN <= r["n_tokens"] <= CHUNK_W
+        per_doc.setdefault(r["doc_id"], []).append(r["chunk_id"])
+    for ids in per_doc.values():
+        assert sorted(ids) == list(range(len(ids)))  # dense 0..k-1
+    # closed-form chunk count for one inspected doc
+    d = load_table(spark, sf, "documents")
+    n = len(d.filter("doc_id = 0").collect()[0]["text"].split())
+    expected = max(0, (n - CHUNK_MIN + CHUNK_S) // CHUNK_S)
+    assert len(per_doc.get(0, [])) == expected

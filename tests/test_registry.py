@@ -68,6 +68,8 @@ EXPECTED_QUERIES = {
     "portable_hll_distinct",
     # data-layout operators (plans/layout.py)
     "zorder_layout_audit", "zone_pruning_estimate",
+    # sliding-window chunking (plans/curation.py)
+    "chunk_documents",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",
