@@ -299,12 +299,168 @@ ORDER BY m.cid
 """
 
 
+#: product quantization geometry: M_SUB subspaces × SUBDIM dims cover
+#: the 64-dim embedding; K_PQ codes per subspace ⇒ a 8-byte code word
+M_SUB = 8
+SUBDIM = 8
+K_PQ = 16
+
+
+def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011 — the PQ of IVF-PQ):
+    train a per-subspace codebook with one Lloyd iteration and report,
+    per subspace, the compression quality a PQ index would deliver —
+    vectors encoded, codebook utilization, total quantization error,
+    and an assignment checksum.
+
+    PQ is the memory side of the 100 TB ANN story the IVF queries
+    (:mod:`operators.similarity`) leave open: 64 float32 dims (256 B)
+    compress to ``M_SUB`` 4-bit codes (4 B) — the difference between an
+    embedding store that fits executor memory and one that doesn't.
+
+    Plan shape mirrors ``kmeans_embedding_clusters`` with subspace as
+    an extra grouping column: subvectors never shuffle for assignment
+    (broadcast codebook of M_SUB×K_PQ rows), the update pass is one
+    hash agg over (s, cid, dim) integer-micro sums, and every reported
+    number is an exact integer, so the audit — including the trained
+    codebook's behavior — hash-checks against DuckDB's unrolled-CTE
+    twin.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("full")
+    )
+    sub_expr = F.expr(
+        f"transform(sequence(0, {M_SUB - 1}), "
+        f"s -> struct(CAST(s AS INT) AS s, slice(full, s * {SUBDIM} + 1, {SUBDIM}) AS sv))"
+    )
+    subs = (
+        base.select("vec_id", F.explode(sub_expr).alias("t"))
+        .select("vec_id", F.col("t.s").alias("s"), F.col("t.sv").alias("v"))
+        .withColumn("m", _micros(F.col("v")))
+        .withColumn("vv", _dot(F.col("v"), F.col("v")))
+        .persist()
+    )
+    init = subs.filter(F.col("vec_id") < K_PQ).select(
+        F.col("vec_id").cast("int").alias("cid"), "s", F.col("v").alias("c")
+    )
+
+    def pq_assign(cb: DataFrame) -> DataFrame:
+        d = (
+            F.col("vv")
+            - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
+            + _dot(F.col("c"), F.col("c"))
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("cid"))
+        return (
+            subs.join(F.broadcast(cb), "s")
+            .withColumn("d", d)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a1 = pq_assign(init)
+    per_dim = (
+        a1.select("s", "cid", F.posexplode("m").alias("pos", "mv"))
+        .groupBy("s", "cid", "pos")
+        .agg(F.sum("mv").alias("sm"), F.count(F.lit(1)).alias("n"))
+    )
+    c1 = per_dim.groupBy("s", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sm", "n"))),
+            lambda t: t["sm"].cast("double") / (t["n"].cast("double") * F.lit(1000000.0)),
+        ).alias("c")
+    )
+    a2 = pq_assign(c1)
+    out = (
+        a2.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.count_distinct("cid").cast("long").alias("codes_used"),
+            F.sum(F.floor(F.col("d") * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("err_micros"),
+            F.sum(F.col("cid").cast("long") * F.col("vec_id")).cast("long").alias(
+                "code_checksum"
+            ),
+        )
+        .orderBy("s")
+    )
+    return scoped_cache(out, subs)
+
+
+PQ_AUDIT_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v_full FROM embeddings
+),
+subs AS (
+  SELECT vec_id, CAST(s AS INTEGER) AS s,
+         v_full[s * {SUBDIM} + 1 : s * {SUBDIM} + {SUBDIM}] AS v
+  FROM base, LATERAL (SELECT unnest(generate_series(0, {M_SUB} - 1)) AS s)
+),
+vecs AS (
+  SELECT vec_id, s, v,
+         list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS m,
+         list_dot_product(v, v) AS vv
+  FROM subs
+),
+init AS (SELECT CAST(vec_id AS INTEGER) AS cid, s, v AS c
+         FROM vecs WHERE vec_id < {K_PQ}),
+a1 AS (
+  SELECT * FROM (
+    SELECT vecs.vec_id, vecs.s, vecs.m, init.cid,
+           row_number() OVER (PARTITION BY vecs.vec_id, vecs.s ORDER BY
+             vv - 2.0 * list_dot_product(vecs.v, init.c)
+                + list_dot_product(init.c, init.c) ASC,
+             init.cid ASC) AS rn
+    FROM vecs JOIN init ON init.s = vecs.s
+  ) WHERE rn = 1
+),
+per_dim AS (
+  SELECT s, cid, pos, sum(mv) AS sm, count(*) AS n FROM (
+    SELECT s, cid, unnest(m) AS mv, generate_subscripts(m, 1) AS pos FROM a1
+  ) GROUP BY s, cid, pos
+),
+c1 AS (
+  SELECT s, cid, list(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                      ORDER BY pos) AS c
+  FROM per_dim GROUP BY s, cid
+),
+a2 AS (
+  SELECT * FROM (
+    SELECT vecs.vec_id, vecs.s, c1.cid,
+           vv - 2.0 * list_dot_product(vecs.v, c1.c)
+              + list_dot_product(c1.c, c1.c) AS d,
+           row_number() OVER (PARTITION BY vecs.vec_id, vecs.s ORDER BY
+             vv - 2.0 * list_dot_product(vecs.v, c1.c)
+                + list_dot_product(c1.c, c1.c) ASC,
+             c1.cid ASC) AS rn
+    FROM vecs JOIN c1 ON c1.s = vecs.s
+  ) WHERE rn = 1
+)
+SELECT s,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(DISTINCT cid) AS BIGINT) AS codes_used,
+       CAST(sum(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS err_micros,
+       CAST(sum(CAST(cid AS BIGINT) * vec_id) AS BIGINT) AS code_checksum
+FROM a2
+GROUP BY s
+ORDER BY s
+"""
+
+
 SPARK_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "semdedup_prune": semdedup_prune,
+    "pq_codebook_audit": pq_codebook_audit,
 }
 
 ORACLE_SQL = {
     "kmeans_embedding_clusters": KMEANS_SQL,
     "semdedup_prune": SEMDEDUP_SQL,
+    "pq_codebook_audit": PQ_AUDIT_SQL,
 }

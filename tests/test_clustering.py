@@ -52,3 +52,23 @@ def test_assignment_broadcasts_centroids(spark):
     )
     plan = cl._assign(vecs, init)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pq_codebook_audit_invariants(spark):
+    """Every subspace encodes every vector, codebook usage is within
+    [1, K_PQ], and quantization error is non-negative; the checksum
+    changes across subspaces (codebooks are genuinely independent)."""
+    from projet_meteo_etl_spark.operators.clustering import (
+        K_PQ,
+        M_SUB,
+        pq_codebook_audit,
+    )
+
+    rows = pq_codebook_audit(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == M_SUB
+    n = rows[0]["n_vecs"]
+    for r in rows:
+        assert r["n_vecs"] == n
+        assert 1 <= r["codes_used"] <= K_PQ
+        assert r["err_micros"] >= 0
+    assert len({r["code_checksum"] for r in rows}) > 1

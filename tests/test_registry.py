@@ -70,6 +70,8 @@ EXPECTED_QUERIES = {
     "zorder_layout_audit", "zone_pruning_estimate",
     # sliding-window chunking (plans/curation.py)
     "chunk_documents",
+    # product quantization (operators/clustering.py)
+    "pq_codebook_audit",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",
