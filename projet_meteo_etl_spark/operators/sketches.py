@@ -518,16 +518,111 @@ ORDER BY exact.event_type
 """
 
 
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS/CMS inner-product join-cardinality estimate — the statistic
+    a cost-based optimizer needs BEFORE committing to a join strategy:
+    |events ⋈ events on user_id| (= Σ_u deg(u)², the skew-sensitive
+    self-join size) estimated from per-row CMS bucket sums, next to the
+    exact value and the per-row overestimate in ppm.
+
+    Σ_b S_i[b]² ≥ Σ_u deg(u)² for every hash row i (collisions only
+    add cross terms), so the estimate is one-sided exactly like the
+    point-query CMS bound; the min over rows is the usable figure.
+
+    Scale: the sketch build is the same map-side-combinable
+    (row, bucket) count as ``cms_heavy_hitters`` — the optimizer gets a
+    join-size forecast from D·W cells per side without shuffling a
+    single join key, which is how you detect a skew-exploding join at
+    100 TB before running it.
+    """
+    e = load_table(spark, sf_dir, "events")
+    deg = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+
+    def bucket(i: int, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    cells = deg.select(
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        bucket(i, F.col("user_id")).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cc"),
+    ).select("cc.row_i", "cc.bucket", "c")
+    sketch = cells.groupBy("row_i", "bucket").agg(F.sum("c").alias("s"))
+    est = sketch.groupBy("row_i").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("est_join_rows")
+    )
+    exact = deg.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_join_rows"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "row_i",
+            "est_join_rows",
+            "exact_join_rows",
+            F.expr(
+                "CAST((est_join_rows - exact_join_rows) * 1000000"
+                " DIV exact_join_rows AS BIGINT)"
+            ).alias("over_ppm"),
+        )
+        .orderBy("row_i")
+    )
+
+
+JOIN_SIZE_SQL = f"""
+WITH deg AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT i AS row_i,
+         ('0x' || substr(md5(i || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % {CMS_W} AS bucket,
+         c
+  FROM deg, LATERAL (SELECT unnest(generate_series(0, {CMS_D} - 1)) AS i)
+),
+sketch AS (
+  SELECT row_i, bucket, sum(c) AS s FROM cells GROUP BY row_i, bucket
+),
+est AS (
+  SELECT row_i, CAST(sum(s * s) AS BIGINT) AS est_join_rows
+  FROM sketch GROUP BY row_i
+),
+exact AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_rows FROM deg
+)
+SELECT CAST(row_i AS INTEGER) AS row_i, est_join_rows, exact_join_rows,
+       CAST((est_join_rows - exact_join_rows) * 1000000 // exact_join_rows
+            AS BIGINT) AS over_ppm
+FROM est CROSS JOIN exact
+ORDER BY row_i
+"""
+
+
 SPARK_QUERIES = {
     "approx_user_stats": approx_user_stats,
     "hll_sketch_mergeability": hll_sketch_mergeability,
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_membership_audit": bloom_membership_audit,
     "portable_hll_distinct": portable_hll_distinct,
+    "join_size_estimate": join_size_estimate,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "cms_heavy_hitters": CMS_SQL,
     "bloom_membership_audit": BLOOM_SQL,
     "portable_hll_distinct": PORTABLE_HLL_SQL,
+    "join_size_estimate": JOIN_SIZE_SQL,
 }

@@ -232,14 +232,143 @@ ORDER BY c.prio, c.dow
 """
 
 
+#: the two periods the delta explainer compares (full years)
+DELTA_A = ("1996-01-01", "1997-01-01")
+DELTA_B = ("1997-01-01", "1998-01-01")
+
+
+def revenue_delta_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-regression explanation mining (the Scorpion/DIFF shape):
+    which customer-nation slices explain the year-over-year revenue
+    change?  Per nation: revenue in period A, period B, the delta, and
+    the slice's share of TOTAL ABSOLUTE MOVEMENT in ppm, ranked by
+    movement — the first query an analyst runs when a dashboard metric
+    jumps.
+
+    Share uses integer cents and ``abs`` before the integer division so
+    both engines floor identically regardless of delta sign.  One scan
+    of the fact join covers both periods (conditional sums), nations
+    broadcast; at 100 TB this is a single shuffle on n_name of
+    pre-aggregated partials.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    a0, mid, b1 = DELTA_A[0], DELTA_A[1], DELTA_B[1]
+    # price×(1−discount) as EXACT integer cents×basis-points: both
+    # factors are 2-decimal, so the per-row product of their ×100
+    # integers is exact and the sums are order-independent BIGINTs
+    # (tie-fuzz caught the double-sum variant tipping a half-cent
+    # differently per engine)
+    rev4 = F.expr(
+        "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        " * CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter((F.col("o_orderdate") >= F.lit(a0)) & (F.col("o_orderdate") < F.lit(b1)))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    per = j.groupBy("n_name").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderdate") < F.lit(mid), rev4)), F.lit(0)
+        )
+        .cast("long")
+        .alias("a4"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderdate") >= F.lit(mid), rev4)), F.lit(0)
+        )
+        .cast("long")
+        .alias("b4"),
+    )
+    # half-up cents from the exact ×10⁴ integer delta, in PURE integer
+    # arithmetic (a float round-trip here tie-fuzzed to a 1-ulp flip at
+    # an exact half-cent).  The +OFFSET keeps the dividend positive so
+    # Spark's truncating DIV and DuckDB's flooring // agree.
+    off = 10**12
+    per = per.select(
+        "n_name",
+        pround(F.col("a4") / 10000.0, 2).alias("rev_a"),
+        pround(F.col("b4") / 10000.0, 2).alias("rev_b"),
+        F.expr(
+            f"CAST((b4 - a4 + 50 + {off * 100}) DIV 100 - {off} AS BIGINT)"
+        ).alias("delta_cents"),
+    )
+    tot = per.agg(
+        F.sum(F.abs(F.col("delta_cents"))).cast("long").alias("total_move_cents")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(F.abs(F.col("delta_cents"))), F.asc("n_name"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            "rev_a",
+            "rev_b",
+            "delta_cents",
+            (F.col("delta_cents") / 100.0).alias("delta"),
+            F.expr(
+                "CAST(abs(delta_cents) * 1000000 DIV total_move_cents AS BIGINT)"
+            ).alias("move_share_ppm"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .drop("delta_cents")
+        .orderBy("rk")
+    )
+
+
+REVENUE_DELTA_SQL = f"""
+WITH j AS (
+  SELECT n_name, o_orderdate,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT) AS rev4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= '{DELTA_A[0]}' AND o_orderdate < '{DELTA_B[1]}'
+),
+sums AS (
+  SELECT n_name,
+         CAST(coalesce(sum(CASE WHEN o_orderdate < '{DELTA_A[1]}' THEN rev4 END), 0)
+              AS BIGINT) AS a4,
+         CAST(coalesce(sum(CASE WHEN o_orderdate >= '{DELTA_B[0]}' THEN rev4 END), 0)
+              AS BIGINT) AS b4
+  FROM j GROUP BY n_name
+),
+cents AS (
+  SELECT n_name,
+         {pround_sql('a4 / 10000.0', 2)} AS rev_a,
+         {pround_sql('b4 / 10000.0', 2)} AS rev_b,
+         CAST((b4 - a4 + 50 + {10**12 * 100}) // 100 - {10**12} AS BIGINT)
+           AS delta_cents
+  FROM sums
+),
+tot AS (SELECT CAST(sum(abs(delta_cents)) AS BIGINT) AS total_move_cents FROM cents)
+SELECT n_name, rev_a, rev_b,
+       delta_cents / 100.0 AS delta,
+       CAST(abs(delta_cents) * 1000000 // total_move_cents AS BIGINT)
+         AS move_share_ppm,
+       CAST(row_number() OVER (ORDER BY abs(delta_cents) DESC, n_name ASC)
+            AS INTEGER) AS rk
+FROM cents CROSS JOIN tot
+ORDER BY rk
+"""
+
+
 SPARK_QUERIES = {
     "ab_test_analysis": ab_test_analysis,
     "user_behavior_entropy": user_behavior_entropy,
     "chi_square_priority_weekday": chi_square_priority_weekday,
+    "revenue_delta_contributors": revenue_delta_contributors,
 }
 
 ORACLE_SQL = {
     "ab_test_analysis": AB_TEST_SQL,
     "user_behavior_entropy": ENTROPY_SQL,
     "chi_square_priority_weekday": CHI2_SQL,
+    "revenue_delta_contributors": REVENUE_DELTA_SQL,
 }

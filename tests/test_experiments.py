@@ -64,3 +64,20 @@ def test_chi_square_marginals_reconcile(spark):
         exp_total += r["expected_micros"]
     # expected counts reproduce N (up to flooring of each cell)
     assert abs(exp_total / 1_000_000 - n) < len(rows)
+
+
+def test_revenue_delta_contributors_shares(spark):
+    """Movement shares are a partition of ~1e6 ppm (floor slack ≤ one
+    ppm per slice), ranks are dense by |delta|, and each delta equals
+    rev_b − rev_a at cent precision."""
+    from projet_meteo_etl_spark.plans.experiments import revenue_delta_contributors
+
+    rows = revenue_delta_contributors(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    total_ppm = sum(r["move_share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    moves = [abs(round(r["delta"] * 100)) for r in rows]
+    assert moves == sorted(moves, reverse=True)
+    for r in rows:
+        assert abs((r["rev_b"] - r["rev_a"]) - r["delta"]) < 0.011

@@ -72,6 +72,8 @@ EXPECTED_QUERIES = {
     "chunk_documents",
     # product quantization (operators/clustering.py)
     "pq_codebook_audit",
+    # optimizer-statistics sketch + slice explanation mining
+    "join_size_estimate", "revenue_delta_contributors",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",

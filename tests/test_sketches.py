@@ -53,3 +53,13 @@ def test_portable_hll_accuracy_and_merge(spark):
         assert r["hll_direct"] == r["hll_merged"]
         # 1.04/sqrt(256) ≈ 6.5% standard error; allow 4 sigma
         assert abs(r["hll_direct"] - r["n_exact"]) / r["n_exact"] < 0.26
+
+
+def test_join_size_estimate_one_sided(spark):
+    """Every CMS row's inner-product estimate upper-bounds the exact
+    self-join size (collisions only add cross terms)."""
+    rows = sketches.join_size_estimate(spark, SF).collect()
+    assert len(rows) == sketches.CMS_D
+    for r in rows:
+        assert r["est_join_rows"] >= r["exact_join_rows"] > 0
+        assert r["over_ppm"] >= 0
