@@ -520,6 +520,85 @@ def _higher_moments_sql() -> str:
     )
 
 
+#: selectivity-estimate geometry: fixed-width buckets over events.value
+SEL_BUCKET_W = 16.0
+SEL_N_BUCKETS = 32
+#: the range predicate whose selectivity is forecast
+SEL_LO = 20.0
+SEL_HI = 40.0
+
+
+def selectivity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram selectivity forecast vs truth — the optimizer-statistics
+    use of the profiler's histograms: estimate ``value ∈ [SEL_LO,
+    SEL_HI)`` row count from a 32-bucket fixed-width histogram with
+    linear interpolation on the partial edge buckets, next to the exact
+    count and the relative error.
+
+    Fixed bucket edges (width ``SEL_BUCKET_W``) keep the bucket id a
+    single deterministic ``floor(value / w)`` — no in-plan min/max
+    round-trip to diverge on.  At 100 TB the histogram is the ONLY
+    pass over the data (map-side combinable to ≤32 cells/task); the
+    forecast itself is arithmetic over 32 rows — exactly how a cost
+    model consumes table stats without re-scanning.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hist = (
+        e.select(
+            F.least(
+                F.floor(F.col("value") / SEL_BUCKET_W), F.lit(SEL_N_BUCKETS - 1)
+            )
+            .cast("int")
+            .alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # overlap fraction of [lo, hi) with bucket [b*w, (b+1)*w)
+    lo_b, hi_b = F.col("b") * SEL_BUCKET_W, (F.col("b") + 1) * SEL_BUCKET_W
+    overlap = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(SEL_HI), hi_b) - F.greatest(F.lit(SEL_LO), lo_b),
+    ) / F.lit(SEL_BUCKET_W)
+    est = hist.agg(
+        pround(F.sum(F.col("n") * overlap), 3).alias("est_rows")
+    )
+    exact = e.filter(
+        (F.col("value") >= SEL_LO) & (F.col("value") < SEL_HI)
+    ).agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_rows",
+        "exact_rows",
+        pround(
+            F.abs(F.col("est_rows") - F.col("exact_rows")) / F.col("exact_rows"), 6
+        ).alias("rel_err"),
+    )
+
+
+SELECTIVITY_SQL = f"""
+WITH hist AS (
+  SELECT CAST(least(floor(value / {SEL_BUCKET_W}), {SEL_N_BUCKETS - 1}) AS INTEGER) AS b,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+est AS (
+  SELECT {pround_sql(
+      "sum(n * (greatest(0.0, least(" + str(SEL_HI) + ", (b + 1) * " + str(SEL_BUCKET_W)
+      + ") - greatest(" + str(SEL_LO) + ", b * " + str(SEL_BUCKET_W) + ")) / "
+      + str(SEL_BUCKET_W) + "))", 3)} AS est_rows
+  FROM hist
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_rows FROM events
+  WHERE value >= {SEL_LO} AND value < {SEL_HI}
+)
+SELECT est_rows, exact_rows,
+       {pround_sql('abs(est_rows - exact_rows) / exact_rows', 6)} AS rel_err
+FROM est CROSS JOIN exact
+"""
+
+
 SPARK_QUERIES = {
     "profile_numeric_stats": profile_numeric_stats,
     "profile_numeric_histograms": profile_numeric_histograms,
@@ -527,6 +606,7 @@ SPARK_QUERIES = {
     "profile_group_percentiles": profile_group_percentiles,
     "profile_benford_digits": profile_benford_digits,
     "profile_higher_moments": profile_higher_moments,
+    "selectivity_estimate": selectivity_estimate,
 }
 
 ORACLE_SQL = {
@@ -536,4 +616,5 @@ ORACLE_SQL = {
     "profile_group_percentiles": _group_percentiles_sql(),
     "profile_benford_digits": BENFORD_SQL,
     "profile_higher_moments": _higher_moments_sql(),
+    "selectivity_estimate": SELECTIVITY_SQL,
 }

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 from projet_meteo_etl_spark.operators.dedup import word_shingle_hashes
 from projet_meteo_etl_spark.operators.text import ws_token_count
 
@@ -548,9 +548,79 @@ ORDER BY doc_id, chunk_id
 """
 
 
+#: per-group sample size for the hash-ordered reservoir equivalent
+SAMPLE_K = 20
+
+
+def per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-``k`` sample per group — the distributed
+    reservoir: per event type, keep the ``SAMPLE_K`` events with the
+    smallest md5 hash of their id.  Hash order is uniform and
+    reproducible on any cluster layout, so the "reservoir" is a pure
+    function of the data — re-running selects identical rows (the
+    auditability property ``plans/curation.py`` samplers share).
+
+    Per group the output reports the sample size, the hash threshold
+    (= the k-th smallest hash — at 100 TB each executor keeps its local
+    top-k by hash and only k·|groups| rows merge, which is exactly a
+    distributed bottom-k sketch), and the sample's mean value for
+    downstream bias checks.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"), F.asc("event_id"))
+    sampled = (
+        e.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K)
+    )
+    return (
+        sampled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.max("h").alias("hash_threshold"),
+            # exact integer cents before the sum: a double sum's
+            # accumulation order varies with partitioning
+            pround(
+                F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+                / (F.count(F.lit(1)) * F.lit(100.0)),
+                4,
+            ).alias("sample_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PER_GROUP_SAMPLE_SQL = f"""
+WITH hashed AS (
+  SELECT event_type, event_id, value,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY h ASC, event_id ASC) AS rn
+  FROM hashed
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       max(h) AS hash_threshold,
+       {pround_sql('sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / (count(*) * 100.0)', 4)}
+         AS sample_mean
+FROM ranked WHERE rn <= {SAMPLE_K}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
+    "per_group_sample": per_group_sample,
     "stratified_sample_mix": stratified_sample_mix,
     "benchmark_decontamination": benchmark_decontamination,
     "incremental_dedup_report": incremental_dedup_report,
@@ -562,6 +632,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    "per_group_sample": PER_GROUP_SAMPLE_SQL,
     "stratified_sample_mix": STRATIFIED_MIX_SQL,
     "benchmark_decontamination": DECONTAM_SQL,
     "incremental_dedup_report": INCR_DEDUP_SQL,

@@ -198,3 +198,30 @@ def test_chunk_documents_windows(spark):
     n = len(d.filter("doc_id = 0").collect()[0]["text"].split())
     expected = max(0, (n - CHUNK_MIN + CHUNK_S) // CHUNK_S)
     assert len(per_doc.get(0, [])) == expected
+
+
+def test_per_group_sample_deterministic_k(spark):
+    """Exactly SAMPLE_K per group (when the group is big enough), and
+    two invocations select identical thresholds (pure function of the
+    data, any partitioning)."""
+    from projet_meteo_etl_spark.plans.curation import SAMPLE_K, per_group_sample
+
+    sf = "/root/testdata/sf0.01"
+    a = {r["event_type"]: r for r in per_group_sample(spark, sf).collect()}
+    b = {r["event_type"]: r for r in per_group_sample(spark, sf).collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert a[k]["n_sampled"] == min(SAMPLE_K, a[k]["n_sampled"])
+        assert a[k]["hash_threshold"] == b[k]["hash_threshold"]
+        assert a[k]["sample_mean"] == b[k]["sample_mean"]
+
+
+def test_selectivity_estimate_close(spark):
+    """The histogram forecast lands within 20% of truth on this
+    distribution, and the reported rel_err is consistent."""
+    from projet_meteo_etl_spark.operators.profiling import selectivity_estimate
+
+    r = selectivity_estimate(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["exact_rows"] > 0
+    assert abs(r["est_rows"] - r["exact_rows"]) / r["exact_rows"] < 0.2
+    assert abs(r["rel_err"] - abs(r["est_rows"] - r["exact_rows"]) / r["exact_rows"]) < 1e-5

@@ -74,6 +74,8 @@ EXPECTED_QUERIES = {
     "pq_codebook_audit",
     # optimizer-statistics sketch + slice explanation mining
     "join_size_estimate", "revenue_delta_contributors",
+    # histogram selectivity forecast + per-group hash reservoir
+    "selectivity_estimate", "per_group_sample",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",
