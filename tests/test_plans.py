@@ -225,3 +225,33 @@ def test_selectivity_estimate_close(spark):
     assert r["exact_rows"] > 0
     assert abs(r["est_rows"] - r["exact_rows"]) / r["exact_rows"] < 0.2
     assert abs(r["rel_err"] - abs(r["est_rows"] - r["exact_rows"]) / r["exact_rows"]) < 1e-5
+
+
+def test_new_operator_plan_shapes(spark):
+    """Scale-critical shapes of the round-2 operators: the policy audit
+    is a join-free single-aggregation scan; chunking has no exchange
+    before its presentation sort; the DSIR/KL model tables and the PQ
+    codebook broadcast rather than shuffling the corpus; the Z-order
+    audit shuffles only for its 64-ary aggregation."""
+    from projet_meteo_etl_spark.operators import selection
+    from projet_meteo_etl_spark.operators.clustering import pq_codebook_audit
+    from projet_meteo_etl_spark.plans import curation, layout
+
+    pol = _plan(selection.policy_blocklist_audit(spark, SF))
+    assert "Join" not in pol
+    assert pol.count("Exchange") <= 2  # partial agg + final sort
+
+    chunk = _plan(curation.chunk_documents(spark, SF))
+    assert "Join" not in chunk
+    # explode projection runs map-side; only the orderBy exchanges
+    assert chunk.count("Exchange") <= 1
+
+    kl = _plan(selection.vocab_kl_by_source(spark, SF))
+    assert "BroadcastHashJoin" in kl, "corpus model must broadcast"
+
+    pq = _plan(pq_codebook_audit(spark, SF))
+    assert "BroadcastHashJoin" in pq, "codebook must broadcast"
+    assert "SortMergeJoin" not in pq
+
+    z = _plan(layout.zorder_layout_audit(spark, SF))
+    assert "SortMergeJoin" not in z

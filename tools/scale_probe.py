@@ -24,7 +24,7 @@ from functools import reduce
 from projet_meteo_etl_spark import catalog
 from projet_meteo_etl_spark.session import get_spark
 
-FACTS = {"lineitem", "orders", "events"}
+FACTS = {"lineitem", "orders", "events", "documents"}
 
 
 def main() -> int:
@@ -43,7 +43,13 @@ def main() -> int:
 
     catalog.load_table = scaled_load
     try:
-        from projet_meteo_etl_spark.plans import relational, relational_ext, temporal
+        from projet_meteo_etl_spark.operators import selection, sketches
+        from projet_meteo_etl_spark.plans import (
+            curation,
+            relational,
+            relational_ext,
+            temporal,
+        )
 
         probes = {
             "q1_pricing_summary": relational.q1_pricing_summary,
@@ -53,6 +59,13 @@ def main() -> int:
             "top_orders_per_customer": relational.top_orders_per_customer,
             "asof_purchase_before_click": temporal.asof_purchase_before_click,
             "salted_skew_aggregation": relational_ext.salted_skew_aggregation,
+            # round-2 surface: corpus audits + sketches over the
+            # replicated documents/events streams
+            "policy_blocklist_audit": selection.policy_blocklist_audit,
+            "vocab_kl_by_source": selection.vocab_kl_by_source,
+            "chunk_documents": curation.chunk_documents,
+            "portable_hll_distinct": sketches.portable_hll_distinct,
+            "join_size_estimate": sketches.join_size_estimate,
         }
         timings = {}
         # warmup
