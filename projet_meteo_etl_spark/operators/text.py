@@ -475,7 +475,55 @@ ORDER BY p.doc_a, p.doc_b
 """
 
 
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation at corpus scale: the confusion matrix of
+    the n-gram language-ID against the labeled ``lang`` column, with
+    per-cell recall share — how a pipeline quantifies whether its
+    langid pass is good enough to route documents by.
+
+    Composes the ``text_langid`` plan (one scan, marker counts, argmax
+    fold) with a two-level aggregation: cells, then per-label totals
+    broadcast back for the recall share.  Integer-ppm shares keep the
+    matrix oracle-exact.
+    """
+    base = text_langid(spark, sf_dir).select("lang_label", "lang_pred")
+    cells = base.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    row_tot = cells.groupBy("lang_label").agg(F.sum("n_docs").alias("row_total"))
+    return (
+        cells.join(F.broadcast(row_tot), "lang_label")
+        .select(
+            "lang_label",
+            "lang_pred",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 DIV row_total AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            (F.col("lang_label") == F.col("lang_pred")).cast("int").alias("is_correct"),
+        )
+        .orderBy("lang_label", "lang_pred")
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH base AS ({TEXT_LANGID_SQL}),
+cells AS (
+  SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM base GROUP BY lang_label, lang_pred
+),
+rt AS (SELECT lang_label, sum(n_docs) AS row_total FROM cells GROUP BY lang_label)
+SELECT c.lang_label, c.lang_pred, c.n_docs,
+       CAST(c.n_docs * 1000000 // rt.row_total AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN c.lang_label = c.lang_pred THEN 1 ELSE 0 END AS INTEGER)
+         AS is_correct
+FROM cells c JOIN rt USING (lang_label)
+ORDER BY c.lang_label, c.lang_pred
+"""
+
+
 SPARK_QUERIES = {
+    "langid_confusion_matrix": langid_confusion_matrix,
     "training_data_pipeline": training_data_pipeline,
     "near_dup_edit_distance": near_dup_edit_distance,
     "text_token_stats": text_token_stats,
@@ -485,6 +533,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "langid_confusion_matrix": LANGID_CONFUSION_SQL,
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "near_dup_edit_distance": NEAR_DUP_EDIT_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,

@@ -512,7 +512,104 @@ LIMIT {PATH_TOP_N}
 """
 
 
+#: attribution lookback horizon: a click within this window before the
+#: purchase gets the credit
+ATTR_HORIZON_US = 3_600_000_000  # 1 hour
+
+
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed last-touch attribution — the marketing-analytics turn of
+    the as-of machinery: credit each purchase to the most recent click
+    by the same user within ``ATTR_HORIZON_US``, and report per day how
+    much purchase value was attributed vs organic.
+
+    Same union + ordered-window shape as the as-of join (one user_id
+    shuffle, no join explosion): the running ``max`` of click
+    timestamps over the strictly-preceding frame gives the last touch;
+    the horizon bound turns it into attribution.  Value sums are exact
+    integer cents; the attribution rate is an integer-ppm division.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = e.withColumn(
+        "last_click_tus",
+        F.max(F.when(F.col("event_type") == "click", F.col("tus"))).over(w),
+    )
+    purchases = tagged.filter(F.col("event_type") == "purchase").withColumn(
+        "attributed",
+        (
+            F.col("last_click_tus").isNotNull()
+            & (F.col("tus") - F.col("last_click_tus") <= ATTR_HORIZON_US)
+        ).cast("int"),
+    )
+    return (
+        purchases.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("attributed").cast("long").alias("n_attributed"),
+            F.sum(F.col("attributed") * F.col("cents")).cast("long").alias(
+                "attributed_cents"
+            ),
+            F.sum((1 - F.col("attributed")) * F.col("cents")).cast("long").alias(
+                "organic_cents"
+            ),
+        )
+        .withColumn(
+            "attribution_ppm",
+            F.expr("CAST(n_attributed * 1000000 DIV n_purchases AS BIGINT)"),
+        )
+        .orderBy("day")
+    )
+
+
+LAST_TOUCH_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS tus, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+tagged AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'click' THEN tus END) OVER (
+           PARTITION BY user_id ORDER BY tus, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_click_tus
+  FROM e
+),
+purchases AS (
+  SELECT *,
+         CASE WHEN last_click_tus IS NOT NULL
+               AND tus - last_click_tus <= {ATTR_HORIZON_US}
+              THEN 1 ELSE 0 END AS attributed
+  FROM tagged WHERE event_type = 'purchase'
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(attributed) AS BIGINT) AS n_attributed,
+       CAST(sum(attributed * cents) AS BIGINT) AS attributed_cents,
+       CAST(sum((1 - attributed) * cents) AS BIGINT) AS organic_cents,
+       CAST(CAST(sum(attributed) AS BIGINT) * 1000000
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS attribution_ppm
+FROM purchases
+GROUP BY day
+ORDER BY day
+"""
+
+
 SPARK_QUERIES = {
+    "last_touch_attribution": last_touch_attribution,
     "asof_purchase_before_click": asof_purchase_before_click,
     "range_join_clicks_after_purchase": range_join_clicks_after_purchase,
     "event_funnel_counts": event_funnel_counts,
@@ -523,6 +620,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "last_touch_attribution": LAST_TOUCH_SQL,
     "asof_purchase_before_click": ASOF_SQL,
     "range_join_clicks_after_purchase": RANGE_JOIN_SQL,
     "event_funnel_counts": FUNNEL_SQL,

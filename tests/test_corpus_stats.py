@@ -182,3 +182,23 @@ def test_pmi_pairs_supported_and_ordered(spark):
     for r in rows:
         assert r["t1"] < r["t2"]
         assert r["c_xy"] >= PMI_MIN_SUPPORT
+
+
+def test_langid_confusion_matrix_partitions(spark):
+    """Each label row's recall shares sum to ~1e6 ppm and cell counts
+    reconcile with the corpus size."""
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.operators.text import langid_confusion_matrix
+
+    sf = "/root/testdata/sf0.01"
+    rows = langid_confusion_matrix(spark, sf).collect()
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    from collections import defaultdict
+
+    per_label = defaultdict(int)
+    for r in rows:
+        per_label[r["lang_label"]] += r["recall_ppm"]
+        assert r["is_correct"] == int(r["lang_label"] == r["lang_pred"])
+    for label, tot in per_label.items():
+        assert 1_000_000 - 20 <= tot <= 1_000_000

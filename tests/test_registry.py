@@ -76,6 +76,8 @@ EXPECTED_QUERIES = {
     "join_size_estimate", "revenue_delta_contributors",
     # histogram selectivity forecast + per-group hash reservoir
     "selectivity_estimate", "per_group_sample",
+    # classifier evaluation + windowed attribution
+    "langid_confusion_matrix", "last_touch_attribution",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",

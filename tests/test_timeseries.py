@@ -216,3 +216,16 @@ def test_autocorrelation_bounds_and_determinism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_last_touch_attribution_consistency(spark):
+    """Attribution counts bounded by purchases; cents partition the
+    day's purchase value; ppm consistent with the counts."""
+    from projet_meteo_etl_spark.plans.temporal import last_touch_attribution
+
+    rows = last_touch_attribution(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_attributed"] <= r["n_purchases"]
+        assert r["attributed_cents"] >= 0 and r["organic_cents"] >= 0
+        assert r["attribution_ppm"] == r["n_attributed"] * 1_000_000 // r["n_purchases"]
