@@ -261,13 +261,82 @@ ORDER BY price, p_partkey
 """
 
 
+def join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-join view maintenance: the revenue-by-nation view (a
+    4-table join) absorbs a new lineitem batch through the IVM rule
+    Δ(L ⋈ D) = ΔL ⋈ D — the delta joins only the (unchanged)
+    dimensions, the base is merged as stored partial aggregates, and
+    the result hash-checks against a from-scratch recompute.
+
+    Revenue accumulates as exact cents×basis-points integers (the
+    ``plans/experiments.py`` recipe), so partial merge is component-wise
+    BIGINT addition — associative, order-free, and bit-identical to the
+    recompute.  At 100 TB this is the difference between reprocessing a
+    day's batch and reprocessing the corpus: the delta path's cost is
+    |ΔL| joined against broadcast dims, independent of |L|.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev4 = F.expr(
+        "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        " * CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+    )
+
+    def partial(lsub):
+        return (
+            lsub.join(o, lsub.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(rev4).cast("long").alias("rev4"),
+            )
+        )
+
+    base = partial(li.filter(F.col("l_orderkey") % 10 != 0))
+    delta = partial(li.filter(F.col("l_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("n_name")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("rev4").cast("long").alias("rev4"),
+        )
+    )
+    return merged.select(
+        "n_name",
+        "n_rows",
+        pround(F.col("rev4") / 10000.0, 2).alias("revenue"),
+    ).orderBy("n_name")
+
+
+JOIN_VIEW_SQL = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       floor((CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       * CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 SPARK_QUERIES = {
+    "join_view_maintenance": join_view_maintenance,
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "snapshot_table_diff": snapshot_table_diff,
     "pareto_frontier_parts": pareto_frontier_parts,
 }
 
 ORACLE_SQL = {
+    "join_view_maintenance": JOIN_VIEW_SQL,
     "incremental_agg_maintenance": INCREMENTAL_AGG_SQL,
     "snapshot_table_diff": SNAPSHOT_DIFF_SQL,
     "pareto_frontier_parts": PARETO_SQL,

@@ -82,3 +82,38 @@ def test_pareto_frontier_no_dominated_rows(spark):
         assert not any(
             (c < pc and s >= r["p_size"]) for c, s in pts
         ), "frontier row dominated"
+
+
+def test_join_view_maintenance_matches_recompute(spark):
+    """Merged base+delta partials must equal a from-scratch recompute
+    of the 4-table revenue view, bit for bit."""
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.plans.incremental import join_view_maintenance
+
+    sf = "/root/testdata/sf0.01"
+    ivm = {r["n_name"]: r for r in join_view_maintenance(spark, sf).collect()}
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    rev4 = F.expr(
+        "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        " * CAST(floor((1 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+    )
+    full = {
+        r["n_name"]: r
+        for r in (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum(rev4).alias("rev4"))
+            .collect()
+        )
+    }
+    assert ivm.keys() == full.keys()
+    for k in ivm:
+        assert ivm[k]["n_rows"] == full[k]["n_rows"]
+        assert abs(ivm[k]["revenue"] - full[k]["rev4"] / 10000.0) < 0.011

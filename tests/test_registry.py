@@ -78,6 +78,8 @@ EXPECTED_QUERIES = {
     "selectivity_estimate", "per_group_sample",
     # classifier evaluation + windowed attribution
     "langid_confusion_matrix", "last_touch_attribution",
+    # delta-join incremental view maintenance
+    "join_view_maintenance",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",
