@@ -328,7 +328,152 @@ ORDER BY n_name
 """
 
 
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames — the CDC apply step a
+    lakehouse runs per batch: a changeset of inserts (disjoint negative
+    key namespace), updates (repriced rows), and deletes applies to the
+    base snapshot in ONE keyed full-outer join, and the result is
+    audited per order status: rows before/after, op counts, and the
+    exact final value checksum in cents.
+
+    The changeset is derived deterministically from the key space
+    (base = keys ≢0 mod 7; updates = base keys ≡0 mod 5; inserts = the
+    ≡0 mod 7 rows re-keyed into the negative namespace; deletes = base
+    keys ≡0 mod 11 that are not update targets), so the merge exercises
+    all three op paths — on keys that actually exist — at every scale
+    factor.  At
+    100 TB this is one shuffle of base ∪ changeset on the key — the
+    same cost as the snapshot diff, with the apply decided per key by
+    op precedence (delete > update > keep).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    updates = (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_orderstatus", (F.col("cents") + 10000).alias("cents"))
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            (-F.col("o_orderkey")).alias("o_orderkey"), "o_orderstatus", "cents"
+        )
+        .withColumn("op", F.lit("I"))
+    )
+    deletes = (
+        base.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 5 != 0))
+        .select("o_orderkey", "o_orderstatus", "cents")
+        .withColumn("op", F.lit("D"))
+    )
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    merged = base.alias("b").join(
+        changes.alias("c"), F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer"
+    )
+    final = merged.filter(
+        (F.col("c.op").isNull()) | (F.col("c.op") != "D")
+    ).select(
+        F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+        F.coalesce(F.col("c.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("c.cents"), F.col("b.cents")).alias("cents"),
+        F.col("c.op").alias("op"),
+    )
+    report = final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).cast("long").alias(
+            "n_inserted"
+        ),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).cast("long").alias(
+            "n_updated"
+        ),
+        F.sum("cents").cast("long").alias("cents_after"),
+    )
+    before = base.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(
+            F.when(
+                (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 5 != 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_deleted"),
+    )
+    return (
+        before.join(report, "o_orderstatus", "full_outer")
+        .na.fill(0, ["n_before", "n_deleted", "n_after", "n_inserted", "n_updated"])
+        .select(
+            "o_orderstatus", "n_before", "n_inserted", "n_updated", "n_deleted",
+            "n_after", "cents_after",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+CDC_MERGE_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+updates AS (
+  SELECT o_orderkey, o_orderstatus, cents + 10000 AS cents, 'U' AS op
+  FROM base WHERE o_orderkey % 5 = 0
+),
+inserts AS (
+  SELECT -o_orderkey AS o_orderkey, o_orderstatus, cents, 'I' AS op
+  FROM o WHERE o_orderkey % 7 = 0
+),
+deletes AS (
+  SELECT o_orderkey, o_orderstatus, cents, 'D' AS op
+  FROM base WHERE o_orderkey % 11 = 0 AND o_orderkey % 5 <> 0
+),
+changes AS (
+  SELECT * FROM updates UNION ALL SELECT * FROM inserts
+  UNION ALL SELECT * FROM deletes
+),
+final AS (
+  SELECT coalesce(c.o_orderkey, b.o_orderkey) AS k,
+         coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+         coalesce(c.cents, b.cents) AS cents,
+         c.op
+  FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+  WHERE c.op IS NULL OR c.op <> 'D'
+),
+report AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_after,
+         CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+         CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+         CAST(sum(cents) AS BIGINT) AS cents_after
+  FROM final GROUP BY o_orderstatus
+),
+before AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n_before,
+         CAST(sum(CASE WHEN o_orderkey % 11 = 0 AND o_orderkey % 5 <> 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+  FROM base GROUP BY o_orderstatus
+)
+SELECT coalesce(b.o_orderstatus, r.o_orderstatus) AS o_orderstatus,
+       coalesce(n_before, 0) AS n_before,
+       coalesce(n_inserted, 0) AS n_inserted,
+       coalesce(n_updated, 0) AS n_updated,
+       coalesce(n_deleted, 0) AS n_deleted,
+       coalesce(n_after, 0) AS n_after,
+       coalesce(cents_after, 0) AS cents_after
+FROM before b FULL OUTER JOIN report r ON b.o_orderstatus = r.o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 SPARK_QUERIES = {
+    "cdc_merge_apply": cdc_merge_apply,
     "join_view_maintenance": join_view_maintenance,
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "snapshot_table_diff": snapshot_table_diff,
@@ -336,6 +481,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cdc_merge_apply": CDC_MERGE_SQL,
     "join_view_maintenance": JOIN_VIEW_SQL,
     "incremental_agg_maintenance": INCREMENTAL_AGG_SQL,
     "snapshot_table_diff": SNAPSHOT_DIFF_SQL,

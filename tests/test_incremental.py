@@ -117,3 +117,17 @@ def test_join_view_maintenance_matches_recompute(spark):
     for k in ivm:
         assert ivm[k]["n_rows"] == full[k]["n_rows"]
         assert abs(ivm[k]["revenue"] - full[k]["rev4"] / 10000.0) < 0.011
+
+
+def test_cdc_merge_apply_reconciles(spark):
+    """Row accounting: after = before + inserted + updated_upserts −
+    deleted, per status and in total; every op count non-negative."""
+    from projet_meteo_etl_spark.plans.incremental import cdc_merge_apply
+
+    rows = cdc_merge_apply(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["n_after"] == r["n_before"] + r["n_inserted"] - r["n_deleted"]
+        assert r["n_updated"] <= r["n_before"]
+        assert min(r["n_before"], r["n_inserted"], r["n_updated"], r["n_deleted"]) >= 0
+        assert r["cents_after"] > 0

@@ -78,8 +78,8 @@ EXPECTED_QUERIES = {
     "selectivity_estimate", "per_group_sample",
     # classifier evaluation + windowed attribution
     "langid_confusion_matrix", "last_touch_attribution",
-    # delta-join incremental view maintenance
-    "join_view_maintenance",
+    # delta-join incremental view maintenance + CDC merge apply
+    "join_view_maintenance", "cdc_merge_apply",
     # batch windows
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",
