@@ -107,6 +107,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``CMS_PROBE_K × D`` lookups joined against the D·W-cell sketch —
     broadcast-sized by construction.
     """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -122,7 +124,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             % CMS_W
         )
 
-    cells = toks.select(
+    # wordcount FIRST: the sketch cells come from the (token, tf) table
+    # — |vocab|×D rows hashed instead of |stream|×D (the token stream is
+    # tokenized and shuffled exactly once, and cnt per cell is the same
+    # Σ tf of the tokens hashing there)
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_tf")).persist()
+    cells = tf.select(
+        "true_tf",
         F.explode(
             F.array(
                 *[
@@ -133,13 +141,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(CMS_D)
                 ]
             )
-        ).alias("c")
-    ).select("c.row_i", "c.bucket")
+        ).alias("c"),
+    ).select("c.row_i", "c.bucket", "true_tf")
     sketch = cells.groupBy("row_i", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.sum("true_tf").alias("cnt")
     )
-
-    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_tf"))
     probes = tf.orderBy(F.desc("true_tf"), F.asc("tok")).limit(CMS_PROBE_K)
     lookups = probes.select(
         "tok",
@@ -156,7 +162,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("tok", "true_tf", "c.row_i", "c.bucket")
-    return (
+    out = (
         F.broadcast(lookups)
         .join(sketch, ["row_i", "bucket"])
         .groupBy("tok", "true_tf")
@@ -169,6 +175,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("true_tf"), F.asc("token"))
     )
+    return scoped_cache(out, tf)
 
 
 def _cms_bucket_sql(i: int, col: str) -> str:
@@ -180,11 +187,12 @@ WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS tok FROM documents
 ),
 t AS (SELECT tok FROM toks WHERE tok <> ''),
-cells AS (
-  {" UNION ALL ".join(f"SELECT {i} AS row_i, {_cms_bucket_sql(i, 'tok')} AS bucket FROM t" for i in range(CMS_D))}
-),
-sketch AS (SELECT row_i, bucket, count(*) AS cnt FROM cells GROUP BY row_i, bucket),
 tf AS (SELECT tok, count(*) AS true_tf FROM t GROUP BY tok),
+cells AS (
+  {" UNION ALL ".join(f"SELECT {i} AS row_i, {_cms_bucket_sql(i, 'tok')} AS bucket, true_tf FROM tf" for i in range(CMS_D))}
+),
+sketch AS (SELECT row_i, bucket, CAST(sum(true_tf) AS BIGINT) AS cnt
+           FROM cells GROUP BY row_i, bucket),
 probes AS (
   SELECT tok, true_tf FROM tf ORDER BY true_tf DESC, tok ASC LIMIT {CMS_PROBE_K}
 ),
