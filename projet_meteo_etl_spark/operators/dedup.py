@@ -353,7 +353,7 @@ def dedup_minhash_lsh(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.04,
-    max_df: int | None = None,
+    max_df: int | None = NGRAM_MAX_DF,
 ) -> DataFrame:
     """MinHash→LSH→verify near-dup pipeline, oracle-checked end to end
     (signatures, banding, and verify all use engine-portable hashing;
@@ -432,8 +432,12 @@ tri AS (
          tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
   FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
-sh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
-       FROM tri WHERE shingle IS NOT NULL),
+sh_all AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+           FROM tri WHERE shingle IS NOT NULL),
+-- stop-shingle cap: mirror of stop_shingle_filter(max_df={NGRAM_MAX_DF}),
+-- now applied to the LSH path too (same guard as the exact path)
+sh AS (SELECT doc_id, h FROM sh_all
+       QUALIFY count(*) OVER (PARTITION BY h) <= {NGRAM_MAX_DF}),
 shm AS (SELECT doc_id, h, h % {_MH_P} AS hm FROM sh),
 sigs AS (
   SELECT doc_id, {', '.join(_mh_perm_sql(i) for i in range(NUM_PERM))}
@@ -836,9 +840,12 @@ def dedup_connected_components(
     helpers inside) — the grading driver's Python workers cannot import
     this package from a foreign cwd.
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
-        "doc_a", "doc_b"
-    )
+    # keep the scoped ngram result itself alive: deriving with .select
+    # and dropping it would fire its weakref finalizer immediately,
+    # unpersisting the shingle index before this query ever runs (the
+    # returned plan below re-scopes it for the caller's lifetime)
+    scoped_pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
+    pairs = scoped_pairs.select("doc_a", "doc_b")
 
     def _local_cc(batches):
         import pandas as pd
@@ -918,13 +925,16 @@ def dedup_connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return (
+    out = (
         labels.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    return scoped_cache(out, scoped_pairs)
 
 
 DEDUP_CC_SQL = rf"""

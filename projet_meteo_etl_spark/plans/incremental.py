@@ -405,7 +405,17 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         before.join(report, "o_orderstatus", "full_outer")
-        .na.fill(0, ["n_before", "n_deleted", "n_after", "n_inserted", "n_updated"])
+        .na.fill(
+            0,
+            [
+                "n_before",
+                "n_deleted",
+                "n_after",
+                "n_inserted",
+                "n_updated",
+                "cents_after",
+            ],
+        )
         .select(
             "o_orderstatus", "n_before", "n_inserted", "n_updated", "n_deleted",
             "n_after", "cents_after",

@@ -164,7 +164,12 @@ def zone_pruning_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zones scanned / skipped and rows actually scanned — the
     measured I/O difference re-clustering buys.
     """
-    z = _zorder_base(spark, sf_dir)
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    # both layout branches (and their zone aggregations) consume the
+    # binned base; without the persist each union branch re-runs the
+    # lineitem scan AND the maxima scan (4 fact scans per query)
+    z = _zorder_base(spark, sf_dir).persist()
     xlo, xhi = PRED_X
     ylo, yhi = PRED_Y
 
@@ -198,7 +203,7 @@ def zone_pruning_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = layout_stats(z, "zbin", "zorder").unionByName(
         layout_stats(sort_bins, "sbin", "sort_partkey")
     )
-    return out.orderBy("layout")
+    return scoped_cache(out.orderBy("layout"), z)
 
 
 ZONE_PRUNING_SQL = f"""

@@ -75,9 +75,14 @@ def read_weather_csv(
     paths = _existing_paths(spark, list(manifest.values()))
     if not paths:
         # every manifest file is absent: the reference's loop would end
-        # with an empty frame, not an error — match that
+        # with an empty frame, not an error — match that.  The empty
+        # frame must carry the full raw schema clean_weather_csv
+        # selects, or the downstream plan fails to resolve.
         return spark.createDataFrame(
-            [], "Date string, id_station string, source_donnees string"
+            [],
+            "Date string, Time string, Temperature string, Humidity string, "
+            "Pressure string, Speed string, `Precip. Accum.` string, "
+            "id_station string, source_donnees string",
         )
     raw = (
         spark.read.option("sep", ";")

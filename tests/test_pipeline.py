@@ -130,3 +130,18 @@ def test_10_corrupt_and_missing_file_isolation(spark, weather_dir, tmp_path):
 
     all_missing = {k: v + ".gone" for k, v in man.items()}
     assert read_weather_csv(spark, all_missing, "1001").count() == 0
+
+
+def test_all_missing_manifest_flows_through_clean(spark):
+    """Every manifest file absent → empty frame with the FULL raw
+    schema, so clean_weather_csv still resolves (reference semantics:
+    the loop ends empty, it does not error)."""
+    from projet_meteo_etl_spark.pipeline import clean_weather_csv
+    from projet_meteo_etl_spark.sources.weather_csv import read_weather_csv
+
+    raw = read_weather_csv(
+        spark, {"2024-10-01": "/nonexistent/a.csv"}, "1001"
+    )
+    out = clean_weather_csv(raw)
+    assert out.count() == 0
+    assert out.columns[0] == "date_heure_utc"

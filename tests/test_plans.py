@@ -207,11 +207,23 @@ def test_per_group_sample_deterministic_k(spark):
     from projet_meteo_etl_spark.plans.curation import SAMPLE_K, per_group_sample
 
     sf = "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+
     a = {r["event_type"]: r for r in per_group_sample(spark, sf).collect()}
     b = {r["event_type"]: r for r in per_group_sample(spark, sf).collect()}
     assert a.keys() == b.keys() and len(a) > 0
+    group_sizes = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     for k in a:
-        assert a[k]["n_sampled"] == min(SAMPLE_K, a[k]["n_sampled"])
+        # exactly K when the group has >= K events (independent count)
+        assert a[k]["n_sampled"] == min(SAMPLE_K, group_sizes[k])
         assert a[k]["hash_threshold"] == b[k]["hash_threshold"]
         assert a[k]["sample_mean"] == b[k]["sample_mean"]
 

@@ -54,8 +54,12 @@ def test_prefix_dup_groups_structure(spark):
     sizes = Counter(r["group_size"] for r in rows)
     for g, n in sizes.items():
         assert n % g == 0
-    retained = [r for r in rows if r["retained"] == 1]
-    assert len(retained) * 1.0 == sum(1 / r["group_size"] for r in rows)
+    # integer accounting: every group contributes exactly one retained
+    # member — group the member rows by (group_size) multiset instead
+    # of summing floats (1/3 ulps would flake on non-power-of-two sizes)
+    retained = sum(r["retained"] for r in rows)
+    n_groups = sum(n // g for g, n in sizes.items())
+    assert retained == n_groups
 
 
 def test_cross_source_overlap_bounds(spark):
