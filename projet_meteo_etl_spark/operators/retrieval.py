@@ -70,18 +70,13 @@ def _term_stats(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return tf, dfreq, nd
 
 
-def tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 most TF-IDF-cosine-similar documents for each query doc.
 
-    Weights ``w(term) = floor(1000 · ln(1 + N/df))`` are integral, so
-    the pair dot product ``Σ tf_q·tf_d·w²`` and the norms
-    ``Σ tf²·w²`` are BIGINT sums — order-independent and engine-exact;
-    cosine only divides those integers at the end.  The corpus-side
-    posting list joins the query-side postings on ``term`` (hash
-    partition on term = inverted-index lookup); top-k is a bounded
-    window per query doc.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _tfidf_cosine_scored(docs: DataFrame):
+    """Shared sparse pipeline for tfidf_topk_similar / hybrid_rrf_search:
+    integral idf weights, BIGINT dot products and norms, raw cosine per
+    (query doc, candidate).  Returns (scored, tf, w) where scored has
+    columns (q_doc, doc_id, cos_raw) and tf/w are the persisted
+    intermediates for the caller's scoped_cache."""
     tf, dfreq, nd = _term_stats(docs)
     w = (
         tf.join(F.broadcast(dfreq), "term")  # vocab ≪ postings: map-side join
@@ -119,17 +114,33 @@ def tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot.join(F.broadcast(qn), "q_doc")
         .join(F.broadcast(norms), "doc_id")
         .withColumn(
-            "cos", F.col("dot") / (F.sqrt("q_norm") * F.sqrt("norm_sq"))
+            "cos_raw", F.col("dot") / (F.sqrt("q_norm") * F.sqrt("norm_sq"))
         )
     )
-    rn = Window.partitionBy("q_doc").orderBy(F.desc("cos"), F.asc("doc_id"))
+    return scored, tf, w
+
+
+def tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most TF-IDF-cosine-similar documents for each query doc.
+
+    Weights ``w(term) = floor(1000 · ln(1 + N/df))`` are integral, so
+    the pair dot product ``Σ tf_q·tf_d·w²`` and the norms
+    ``Σ tf²·w²`` are BIGINT sums — order-independent and engine-exact;
+    cosine only divides those integers at the end.  The corpus-side
+    posting list joins the query-side postings on ``term`` (hash
+    partition on term = inverted-index lookup); top-k is a bounded
+    window per query doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored, tf, w = _tfidf_cosine_scored(docs)
+    rn = Window.partitionBy("q_doc").orderBy(F.desc("cos_raw"), F.asc("doc_id"))
     out = (
         scored.withColumn("rank", F.row_number().over(rn))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "q_doc",
             F.col("doc_id").alias("match_doc"),
-            pround(F.col("cos"), 4).alias("cosine_sim"),
+            pround(F.col("cos_raw"), 4).alias("cosine_sim"),
             "rank",
         )
         .orderBy("q_doc", "rank")
@@ -137,8 +148,11 @@ def tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoped_cache(out, tf, w)
 
 
-TFIDF_TOPK_SQL = f"""
-WITH toks AS (
+#: shared sparse-scoring CTE prefix (tokenize -> tf -> idf weights
+#: -> norms -> query-candidate integer dot products) used by BOTH
+#: TFIDF_TOPK_SQL and HYBRID_RRF_SQL, so a weighting change cannot
+#: silently desynchronize them
+_SPARSE_CTE_SQL = f"""WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
 tf AS (
@@ -159,7 +173,11 @@ dot AS (
   FROM w q JOIN w d ON q.term = d.term AND q.doc_id <> d.doc_id
   WHERE q.doc_id % {QUERY_DOC_MOD} = 0
   GROUP BY q.doc_id, d.doc_id
-),
+),"""
+
+
+TFIDF_TOPK_SQL = f"""
+{_SPARSE_CTE_SQL}
 scored AS (
   SELECT dot.q_doc, dot.doc_id,
          dot.dot / (sqrt(qn.norm_sq) * sqrt(dn.norm_sq)) AS cos
@@ -290,52 +308,15 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables — negligible next to the rankings.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tf, dfreq, nd = _term_stats(docs)
-    w = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            F.floor(
-                F.lit(1000.0) * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
-            )
-            .cast("long")
-            .alias("w"),
-        )
-        .persist()
-    )
-    norms = w.groupBy("doc_id").agg(
-        F.sum(F.col("tf") * F.col("tf") * F.col("w") * F.col("w")).alias("norm_sq")
-    )
-    q = w.filter(F.col("doc_id") % QUERY_DOC_MOD == 0).select(
-        F.col("doc_id").alias("q_doc"),
-        "term",
-        F.col("tf").alias("q_tf"),
-    )
-    dot = (
-        F.broadcast(q)
-        .join(w, "term")
-        .filter(F.col("q_doc") != F.col("doc_id"))
-        .groupBy("q_doc", "doc_id")
-        .agg(F.sum(F.col("q_tf") * F.col("tf") * F.col("w") * F.col("w")).alias("dot"))
-    )
-    qn = norms.select(F.col("doc_id").alias("q_doc"), F.col("norm_sq").alias("q_norm"))
-    sparse_rn = Window.partitionBy("q_doc").orderBy(
-        F.desc("cos"), F.asc("doc_id")
-    )
+    scored, tf, w = _tfidf_cosine_scored(docs)
+    sparse_rn = Window.partitionBy("q_doc").orderBy(F.desc("cos"), F.asc("doc_id"))
     sparse = (
-        dot.join(F.broadcast(qn), "q_doc")
-        .join(F.broadcast(norms), "doc_id")
-        .withColumn(
-            "cos",
-            pround(F.col("dot") / (F.sqrt("q_norm") * F.sqrt("norm_sq")), 6),
-        )
+        scored.withColumn("cos", pround(F.col("cos_raw"), 6))
         .withColumn("s_rank", F.row_number().over(sparse_rn))
         .filter(F.col("s_rank") <= RRF_DEPTH)
         .select("q_doc", F.col("doc_id").alias("match_doc"), "s_rank")
     )
+
 
     from projet_meteo_etl_spark.operators.similarity import cosine
 
@@ -385,28 +366,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HYBRID_RRF_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
-  GROUP BY doc_id, term
-),
-dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-nd AS (SELECT count(*) AS n_docs FROM documents),
-w AS (
-  SELECT tf.doc_id, tf.term, tf.tf,
-         CAST(floor(1000.0 * ln(1.0 + n_docs / df)) AS BIGINT) AS w
-  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
-),
-norms AS (SELECT doc_id, sum(tf * tf * w * w) AS norm_sq FROM w GROUP BY doc_id),
-dot AS (
-  SELECT q.doc_id AS q_doc, d.doc_id AS doc_id,
-         sum(q.tf * d.tf * d.w * d.w) AS dot
-  FROM w q JOIN w d ON q.term = d.term AND q.doc_id <> d.doc_id
-  WHERE q.doc_id % {QUERY_DOC_MOD} = 0
-  GROUP BY q.doc_id, d.doc_id
-),
+{_SPARSE_CTE_SQL}
 sparse AS (
   SELECT q_doc, doc_id AS match_doc,
          row_number() OVER (PARTITION BY q_doc ORDER BY cos DESC, doc_id) AS s_rank

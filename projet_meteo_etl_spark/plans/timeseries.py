@@ -25,45 +25,82 @@ from projet_meteo_etl_spark.functions.portable import pround
 
 
 def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user linear trend of purchase value vs hours-since-epoch.
+    """Per-user linear trend of purchase value (dollars) vs hours since
+    epoch — slope, intercept, and correlation from EXACT integer
+    moments.
 
-    x is integer hours (exact in double), y is exact cents/100; the
-    regression aggregates are JVM built-ins — a single shuffle.
+    ``regr_slope``/``corr`` accumulate double moments whose partial-sum
+    merge order varies with partitioning; like the zscore/twap/acf
+    siblings, the moments here are DECIMAL(38,0) sums of integer
+    µs×cents terms (order-free), and the closed-form combination is one
+    fixed double expression per output, evaluated identically by both
+    engines.  x is re-originated at the global min timestamp so the
+    squared-moment magnitudes stay far from DECIMAL(38) overflow
+    (span² ≈ 7e24 per term; slope/corr are translation-invariant and
+    the intercept re-adds the origin).
     """
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    x = (F.unix_micros("ts") / F.lit(3_600_000_000.0)).alias("x")
-    y = (F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long") / F.lit(100.0))
-    base = e.select("user_id", x, y.alias("y"))
-    return (
-        base.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            pround(F.regr_slope("y", "x"), 6).alias("slope"),
-            pround(F.regr_intercept("y", "x"), 4).alias("intercept"),
-            pround(F.corr("y", "x"), 6).alias("correlation"),
-        )
-        .filter(F.col("n_purchases") >= 3)
-        .orderBy("user_id")
+    base = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("xu"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("yc"),
     )
+    x0df = base.agg(F.min("xu").alias("x0"))
+    b = base.crossJoin(F.broadcast(x0df)).select(
+        "user_id", (F.col("xu") - F.col("x0")).alias("xr"), "yc", "x0"
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    m = (
+        b.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr(dec.format("xr"))).alias("sx"),
+            F.sum(F.expr(dec.format("yc"))).alias("sy"),
+            F.sum(F.expr(dec.format("xr") + " * xr")).alias("sxx"),
+            F.sum(F.expr(dec.format("xr") + " * yc")).alias("sxy"),
+            F.sum(F.expr(dec.format("yc") + " * yc")).alias("syy"),
+            F.first("x0").alias("x0"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    return m.select(
+        "user_id",
+        F.col("n").alias("n_purchases"),
+        pround(F.expr("(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 36000000.0)"), 6).alias("slope"),
+        pround(F.expr("((CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) - (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 36000000.0) * ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) + CAST(x0 AS DOUBLE)) / 3600000000.0))"), 4).alias("intercept"),
+        pround(F.expr("((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"), 6).alias("correlation"),
+    ).orderBy("user_id")
 
 
 USER_TREND_SQL = """
 WITH base AS (
-  SELECT user_id,
-         epoch_us(ts) / 3600000000.0 AS x,
-         CAST(floor(value * 100.0 + 0.5) AS BIGINT) / 100.0 AS y
+  SELECT user_id, epoch_us(ts) AS xu,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS yc
   FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT user_id, xu - x0 AS xr, yc, x0
+  FROM base CROSS JOIN (SELECT min(xu) AS x0 FROM base)
+),
+m AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(xr AS DECIMAL(38,0))) AS sx,
+         sum(CAST(yc AS DECIMAL(38,0))) AS sy,
+         sum(CAST(xr AS DECIMAL(38,0)) * xr) AS sxx,
+         sum(CAST(xr AS DECIMAL(38,0)) * yc) AS sxy,
+         sum(CAST(yc AS DECIMAL(38,0)) * yc) AS syy,
+         first(x0) AS x0
+  FROM b GROUP BY user_id
+  HAVING count(*) >= 3
 )
-SELECT user_id,
-       count(*) AS n_purchases,
-       floor((regr_slope(y, x)) * 1000000.0 + 0.5) / 1000000.0 AS slope,
-       floor((regr_intercept(y, x)) * 10000.0 + 0.5) / 10000.0 AS intercept,
-       floor((corr(y, x)) * 1000000.0 + 0.5) / 1000000.0 AS correlation
-FROM base
-GROUP BY user_id
-HAVING count(*) >= 3
+SELECT user_id, n AS n_purchases,
+       floor(((((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 36000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS slope,
+       floor((((CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) - (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 36000000.0) * ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) + CAST(x0 AS DOUBLE)) / 3600000000.0))) * 10000.0 + 0.5) / 10000.0 AS intercept,
+       floor((((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))) * 1000000.0 + 0.5) / 1000000.0 AS correlation
+FROM m
 ORDER BY user_id
 """
 
@@ -148,7 +185,14 @@ ORDER BY user_id
 """
 
 
-def user_value_ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.3) -> DataFrame:
+#: EWMA smoothing factor — the oracle SQL below interpolates this, so
+#: Spark and DuckDB can never silently disagree on it
+EWMA_ALPHA = 0.3
+
+
+def user_value_ewma(
+    spark: SparkSession, sf_dir: str, alpha: float = EWMA_ALPHA
+) -> DataFrame:
     """Per-user exponentially-weighted moving average of purchase value.
 
     EWMA is RECURSIVE (each output depends on the previous output), so
@@ -696,7 +740,7 @@ SPARK_QUERIES = {
     "seasonal_forecast_error": seasonal_forecast_error,
 }
 
-USER_EWMA_SQL = """
+USER_EWMA_SQL = f"""
 WITH RECURSIVE p AS (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -706,7 +750,7 @@ r AS (
   SELECT user_id, event_id, rn, value::DOUBLE AS ewma_value FROM p WHERE rn = 1
   UNION ALL
   SELECT p.user_id, p.event_id, p.rn,
-         0.7::DOUBLE * r.ewma_value + 0.3::DOUBLE * p.value
+         {1.0 - EWMA_ALPHA}::DOUBLE * r.ewma_value + {EWMA_ALPHA}::DOUBLE * p.value
   FROM r JOIN p ON p.user_id = r.user_id AND p.rn = r.rn + 1
 )
 SELECT user_id, event_id, ewma_value FROM r ORDER BY user_id, event_id

@@ -106,7 +106,12 @@ def _staged_events_dir(sf_dir: str, n_files: int = 4) -> str:
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from projet_meteo_etl_spark.catalog import harden_session
+
+    # pin UTC/non-ANSI like every load_table path: on a non-UTC driver
+    # session, to_date/day windows would shift a day against the
+    # UTC-assuming oracles
+    harden_session(spark)
     ts_is_long = _ts_is_long(sf_dir)
     raw = (
         spark.readStream.schema(_events_raw_schema(ts_is_long))
@@ -160,7 +165,12 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            pround(F.sum("value"), 2).alias("sum_value"),
+            # exact integer cents before the sum: double partial-sum
+            # merge order varies with state/shuffle partitioning
+            (
+                F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("sum_value"),
         )
     )
     sink = _run_to_memory(agg, "complete")
@@ -176,7 +186,7 @@ STREAM_TUMBLING_SQL = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -314,7 +324,10 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            pround(F.sum("value"), 2).alias("session_value"),
+            (
+                F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("session_value"),
         )
     )
     sink = _run_to_memory(agg, "complete")
@@ -328,7 +341,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_SESSION_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > 30 * 60 * 1000000
@@ -338,13 +351,16 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         -- (ts, event_id) tie-break must match the flagged window:
+         -- ordering by ts alone is nondeterministic for duplicate
+         -- (user_id, ts) rows and could split a session differently
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
 SELECT user_id, min(ts) AS session_start,
        count(*) AS n_events,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS session_value
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start

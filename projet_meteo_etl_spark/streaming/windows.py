@@ -28,7 +28,12 @@ def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            pround(F.sum("value"), 2).alias("sum_value"),
+            # exact integer cents before the sum: double partial-sum
+            # merge order varies with state/shuffle partitioning
+            (
+                F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -44,7 +49,7 @@ EVENTS_TUMBLING_SQL = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -101,7 +106,10 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            pround(F.sum("value"), 2).alias("session_value"),
+            (
+                F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("session_value"),
         )
         .select(
             "user_id",
@@ -132,7 +140,7 @@ numbered AS (
 )
 SELECT user_id, min(ts) AS session_start,
        count(*) AS n_events,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS session_value
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
