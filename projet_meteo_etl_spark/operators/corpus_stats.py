@@ -233,8 +233,12 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the standard word-count whose map-side combine does the heavy
     lifting; the final top-k never sorts the full vocabulary.
     """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
     d = load_table(spark, sf_dir, "documents")
-    toks = _doc_tokens(d)
+    # two consumers (tf and the distinct doc-frequency side) — persist
+    # so tokenize + repartition runs once, not per branch
+    toks = _doc_tokens(d).persist()
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = (
         toks.select("doc_id", "tok")
@@ -242,12 +246,13 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    return (
+    out = (
         tf.join(df_, "tok")
         .select(F.col("tok").alias("token"), "tf", "df")
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(VOCAB_K)
     )
+    return scoped_cache(out, toks)
 
 
 CORPUS_VOCAB_SQL = rf"""

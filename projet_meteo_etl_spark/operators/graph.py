@@ -50,6 +50,11 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("i:"), F.get_json_object("props", "$.k").cast("long")
         ).alias("i"),
+    ).filter(
+        # a NULL item (missing props / $.k) would become a rank sink and
+        # order differently across engines (Spark NULLS FIRST vs DuckDB
+        # NULLS LAST) — drop it like cooccur's extraction does
+        F.col("i").isNotNull()
     ).distinct()
     fwd = pairs.select(F.col("u").alias("src"), F.col("i").alias("dst"))
     rev = pairs.select(F.col("i").alias("src"), F.col("u").alias("dst"))
@@ -83,7 +88,9 @@ def pagerank_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("r")
         )
-    return (
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
         ranks.select(
             "node",
             F.col("r").alias("rank_scaled"),
@@ -92,6 +99,7 @@ def pagerank_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_scaled"), F.asc("node"))
         .limit(TOP_N)
     )
+    return scoped_cache(out, edges)
 
 
 def _iter_sql(prev: str, this: str) -> str:
@@ -111,7 +119,9 @@ PAGERANK_SQL = f"""
 WITH pairs AS (
   SELECT DISTINCT 'u:' || user_id AS u,
          'i:' || CAST(props->>'k' AS BIGINT) AS i
-  FROM events WHERE event_type = 'click'
+  FROM events
+  WHERE event_type = 'click'
+    AND 'i:' || CAST(props->>'k' AS BIGINT) IS NOT NULL
 ),
 edges AS (
   SELECT u AS src, i AS dst FROM pairs

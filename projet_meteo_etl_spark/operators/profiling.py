@@ -211,27 +211,40 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         c: F.floor(F.col(c) * 100 + 0.5).cast("decimal(38,0)")
         for c in PROFILE_COLS
     }
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for c in PROFILE_COLS:
-        aggs.append(F.sum(cents[c]).alias(f"s_{c}"))
-        aggs.append(
-            F.sum((cents[c] * cents[c]).cast("decimal(38,0)")).alias(f"ss_{c}")
-        )
+    # pairwise deletion: every moment is conditioned on BOTH pair
+    # columns being non-null — a NULL in one column must not deflate
+    # the mean of the other (count(*)-based n silently skews corr the
+    # moment dirty data appears, which is what a profiler exists for)
+    aggs = []
     for a, b in CORR_PAIRS:
+        mask = F.col(a).isNotNull() & F.col(b).isNotNull()
+        aggs.append(F.sum(mask.cast("long")).alias(f"n_{a}_{b}"))
+        aggs.append(F.sum(F.when(mask, cents[a])).alias(f"sx_{a}_{b}"))
+        aggs.append(F.sum(F.when(mask, cents[b])).alias(f"sy_{a}_{b}"))
         aggs.append(
-            F.sum((cents[a] * cents[b]).cast("decimal(38,0)")).alias(
-                f"sp_{a}_{b}"
-            )
+            F.sum(
+                F.when(mask, (cents[a] * cents[a]).cast("decimal(38,0)"))
+            ).alias(f"sxx_{a}_{b}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(mask, (cents[b] * cents[b]).cast("decimal(38,0)"))
+            ).alias(f"syy_{a}_{b}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(mask, (cents[a] * cents[b]).cast("decimal(38,0)"))
+            ).alias(f"sxy_{a}_{b}")
         )
     m = d.agg(*aggs)
 
     def pair_struct(a: str, b: str):
-        n = F.col("n").cast("double")
-        sx = F.col(f"s_{a}").cast("double") / 100.0
-        sy = F.col(f"s_{b}").cast("double") / 100.0
-        sxx = F.col(f"ss_{a}").cast("double") / 10000.0
-        syy = F.col(f"ss_{b}").cast("double") / 10000.0
-        sxy = F.col(f"sp_{a}_{b}").cast("double") / 10000.0
+        n = F.col(f"n_{a}_{b}").cast("double")
+        sx = F.col(f"sx_{a}_{b}").cast("double") / 100.0
+        sy = F.col(f"sy_{a}_{b}").cast("double") / 100.0
+        sxx = F.col(f"sxx_{a}_{b}").cast("double") / 10000.0
+        syy = F.col(f"syy_{a}_{b}").cast("double") / 10000.0
+        sxy = F.col(f"sxy_{a}_{b}").cast("double") / 10000.0
         cov_n = n * sxy - sx * sy  # n² × covariance
         var_x = n * sxx - sx * sx
         var_y = n * syy - sy * sy
@@ -239,7 +252,7 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.struct(
             F.lit(a).alias("col_x"),
             F.lit(b).alias("col_y"),
-            F.col("n").alias("n_rows"),
+            F.col(f"n_{a}_{b}").alias("n_rows"),
             pround(cov_n / F.sqrt(var_x * var_y), 9).alias("corr"),
             pround(cov_n / (n * (n - 1.0)), 6).alias("covar_samp"),
             pround(slope, 9).alias("slope"),
@@ -258,34 +271,39 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corr_sql() -> str:
-    sums = ["count(*) AS n"]
-    for c in PROFILE_COLS:
-        sums.append(
-            f"sum(CAST(floor({c} * 100 + 0.5) AS HUGEINT)) AS s_{c}"
-        )
-        sums.append(
-            f"sum(CAST(floor({c} * 100 + 0.5) AS HUGEINT)"
-            f" * CAST(floor({c} * 100 + 0.5) AS HUGEINT)) AS ss_{c}"
-        )
+    sums = []
     for a, b in CORR_PAIRS:
+        mask = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        ca = f"CAST(floor({a} * 100 + 0.5) AS HUGEINT)"
+        cb = f"CAST(floor({b} * 100 + 0.5) AS HUGEINT)"
         sums.append(
-            f"sum(CAST(floor({a} * 100 + 0.5) AS HUGEINT)"
-            f" * CAST(floor({b} * 100 + 0.5) AS HUGEINT)) AS sp_{a}_{b}"
+            f"sum(CASE WHEN {mask} THEN 1 ELSE 0 END) AS n_{a}_{b}"
+        )
+        sums.append(f"sum(CASE WHEN {mask} THEN {ca} END) AS sx_{a}_{b}")
+        sums.append(f"sum(CASE WHEN {mask} THEN {cb} END) AS sy_{a}_{b}")
+        sums.append(
+            f"sum(CASE WHEN {mask} THEN {ca} * {ca} END) AS sxx_{a}_{b}"
+        )
+        sums.append(
+            f"sum(CASE WHEN {mask} THEN {cb} * {cb} END) AS syy_{a}_{b}"
+        )
+        sums.append(
+            f"sum(CASE WHEN {mask} THEN {ca} * {cb} END) AS sxy_{a}_{b}"
         )
     rows = []
     for a, b in CORR_PAIRS:
-        n = "CAST(n AS DOUBLE)"
-        sx = f"(CAST(s_{a} AS DOUBLE) / 100.0)"
-        sy = f"(CAST(s_{b} AS DOUBLE) / 100.0)"
-        sxx = f"(CAST(ss_{a} AS DOUBLE) / 10000.0)"
-        syy = f"(CAST(ss_{b} AS DOUBLE) / 10000.0)"
-        sxy = f"(CAST(sp_{a}_{b} AS DOUBLE) / 10000.0)"
+        n = f"CAST(n_{a}_{b} AS DOUBLE)"
+        sx = f"(CAST(sx_{a}_{b} AS DOUBLE) / 100.0)"
+        sy = f"(CAST(sy_{a}_{b} AS DOUBLE) / 100.0)"
+        sxx = f"(CAST(sxx_{a}_{b} AS DOUBLE) / 10000.0)"
+        syy = f"(CAST(syy_{a}_{b} AS DOUBLE) / 10000.0)"
+        sxy = f"(CAST(sxy_{a}_{b} AS DOUBLE) / 10000.0)"
         cov_n = f"({n} * {sxy} - {sx} * {sy})"
         var_x = f"({n} * {sxx} - {sx} * {sx})"
         var_y = f"({n} * {syy} - {sy} * {sy})"
         slope = f"({cov_n} / {var_x})"
         rows.append(
-            f"SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n_rows,\n"
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n_{a}_{b} AS BIGINT) AS n_rows,\n"
             f"  {pround_sql(f'{cov_n} / sqrt({var_x} * {var_y})', 9)} AS corr,\n"
             f"  {pround_sql(f'{cov_n} / ({n} * ({n} - 1.0))', 6)} AS covar_samp,\n"
             f"  {pround_sql(slope, 9)} AS slope,\n"
@@ -440,7 +458,9 @@ def profile_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents are exact and comfortable.
     """
     d = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # per-column NON-NULL count: sums skip nulls, so dividing by
+    # count(*) would skew every central moment on dirty data
+    aggs = [F.count(F.col(c)).alias(f"n_{c}") for c in PROFILE_COLS]
     for c in PROFILE_COLS:
         x = F.floor(F.col(c) * 100 + 0.5).cast("decimal(38,0)")
         aggs.append(F.sum(x).alias(f"s1_{c}"))
@@ -454,7 +474,7 @@ def profile_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = d.agg(*aggs)
 
     def shape(c: str):
-        n = F.col("n").cast("double")
+        n = F.col(f"n_{c}").cast("double")
         s1 = F.col(f"s1_{c}").cast("double") / 1e2
         s2 = F.col(f"s2_{c}").cast("double") / 1e4
         s3 = F.col(f"s3_{c}").cast("double") / 1e6
@@ -470,7 +490,7 @@ def profile_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.struct(
             F.lit(c).alias("col_name"),
-            F.col("n").alias("n_rows"),
+            F.col(f"n_{c}").alias("n_rows"),
             pround(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
             pround(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
         )
@@ -485,7 +505,7 @@ def profile_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _higher_moments_sql() -> str:
-    sums = ["count(*) AS n"]
+    sums = [f"count({c}) AS n_{c}" for c in PROFILE_COLS]
     for c in PROFILE_COLS:
         x = f"CAST(floor({c} * 100 + 0.5) AS HUGEINT)"
         sums.append(f"sum({x}) AS s1_{c}")
@@ -494,7 +514,7 @@ def _higher_moments_sql() -> str:
         sums.append(f"sum({x} * {x} * {x} * {x}) AS s4_{c}")
     rows = []
     for c in PROFILE_COLS:
-        n = "CAST(n AS DOUBLE)"
+        n = f"CAST(n_{c} AS DOUBLE)"
         s1 = f"(CAST(s1_{c} AS DOUBLE) / 1e2)"
         s2 = f"(CAST(s2_{c} AS DOUBLE) / 1e4)"
         s3 = f"(CAST(s3_{c} AS DOUBLE) / 1e6)"
@@ -508,7 +528,7 @@ def _higher_moments_sql() -> str:
             f" - 3.0 * {mean} * {mean} * {mean} * {mean})"
         )
         rows.append(
-            f"SELECT '{c}' AS col_name, CAST(n AS BIGINT) AS n_rows,\n"
+            f"SELECT '{c}' AS col_name, CAST(n_{c} AS BIGINT) AS n_rows,\n"
             f"  {pround_sql(f'{m3} / ({m2} * sqrt({m2}))', 6)} AS skewness,\n"
             f"  {pround_sql(f'{m4} / ({m2} * {m2}) - 3.0', 6)} AS excess_kurtosis\n"
             f"FROM m"

@@ -214,8 +214,13 @@ def _label_centroids_df(e: DataFrame) -> DataFrame:
     )
 
 
+#: cells probed per query by the registered IVF query — interpolated
+#: into ANN_IVF_SQL so function default and oracle cannot diverge
+IVF_NPROBE = 2
+
+
 def ann_ivf_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int = 2
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
 ) -> DataFrame:
     """IVF-style ANN: coarse centroids (label means) partition the
     corpus into cells; each query probes only its ``nprobe`` nearest
@@ -324,7 +329,7 @@ probes AS (
              ORDER BY {_COS6_SQL.format(a='q.qv', b='c.centroid')} DESC,
                       c.cell_id ASC) AS r
     FROM q, cents c
-  ) WHERE r <= 2
+  ) WHERE r <= {IVF_NPROBE}
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -513,7 +518,7 @@ def embedding_matryoshka_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     exploded = pairs.select(
-        full_cos.alias("fc"), F.explode(F.array(*rows)).alias("m")
+        F.explode(F.array(*rows)).alias("m")
     ).select("m.trunc_dim", "m.dev_micros", "m.sign_ok")
     return (
         exploded.groupBy("trunc_dim")

@@ -121,3 +121,41 @@ def test_higher_moments_match_builtin_population_stats(spark):
         ).collect()[0]
         assert abs(got[c][0] - ref["s"]) < 1e-3
         assert abs(got[c][1] - ref["k"]) < 1e-3
+
+
+def test_moments_ignore_null_rows(spark, tmp_path):
+    """Pairwise deletion: NULLs in one column must not skew corr /
+    skewness of the others — moments over a frame with planted NULLs
+    equal moments over the same frame with those rows dropped."""
+    import pyspark.sql.functions as F
+
+    from projet_meteo_etl_spark.operators.profiling import (
+        profile_correlations,
+        profile_higher_moments,
+    )
+
+    rows = []
+    for i in range(60):
+        rows.append((float(i % 7 + 1), 100.0 + 3.0 * i, 0.01 * (i % 5), 0.02))
+    clean = list(rows)
+    # planted dirty rows: l_tax NULL (kills every pair involving l_tax
+    # and the l_tax moments, nothing else)
+    for i in range(20):
+        rows.append((1.0, 9999.0, 0.0, None))
+
+    schema = "l_quantity double, l_extendedprice double, l_discount double, l_tax double"
+    dirty_dir, clean_dir = str(tmp_path / "dirty"), str(tmp_path / "clean")
+    spark.createDataFrame(rows, schema).write.parquet(dirty_dir + "/lineitem.parquet")
+    spark.createDataFrame(clean, schema).write.parquet(clean_dir + "/lineitem.parquet")
+
+    d_corr = {(r["col_x"], r["col_y"]): r for r in profile_correlations(spark, dirty_dir).collect()}
+    c_corr = {(r["col_x"], r["col_y"]): r for r in profile_correlations(spark, clean_dir).collect()}
+    for pair, r in d_corr.items():
+        if "l_tax" in pair:
+            # tax pairs use only the 60 complete rows
+            assert r["n_rows"] == 60
+            assert r["corr"] == c_corr[pair]["corr"]
+    h_dirty = {r["col_name"]: r for r in profile_higher_moments(spark, dirty_dir).collect()}
+    h_clean = {r["col_name"]: r for r in profile_higher_moments(spark, clean_dir).collect()}
+    assert h_dirty["l_tax"]["n_rows"] == 60
+    assert h_dirty["l_tax"]["skewness"] == h_clean["l_tax"]["skewness"]
