@@ -166,11 +166,125 @@ LIMIT {TOP_N}
 """
 
 
+#: minimum co-click support for an edge of the triangle-count graph —
+#: stronger than ``MIN_SUPPORT`` because triangles compound noise: one
+#: spurious edge can close many spurious triangles.
+TRI_MIN_SUPPORT = 5
+
+
+def item_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item triangle participation on the item co-click graph
+    (edges = item pairs with ≥ ``TRI_MIN_SUPPORT`` co-clicking users),
+    top ``TOP_N`` items — the clustering-structure diagnostic
+    (community density, link-spam detection) over the same graph
+    PageRank ranks.
+
+    Scale: the classic MapReduce triangle algorithm (Suri &
+    Vassilvitskii 2011) — orient every edge from its lower-(degree,
+    id) endpoint to the higher one, enumerate wedges only at each
+    node's oriented out-neighbors, and close them against the oriented
+    edge list.  Orientation bounds out-degree by O(√E) regardless of
+    raw degree skew, so the wedge self-join is O(Σ outdeg²) ≤ O(E^1.5)
+    — never the O(Σ deg²) explosion a hub node causes in the naive
+    form.  Every triangle is counted exactly once (at its unique apex
+    with two oriented out-edges).  The wedge join and the closure join
+    both key on oriented edges — one partitioning, reused.
+    """
+    ui = _user_items(spark, sf_dir)
+    und = (
+        _co_counts(ui)
+        .filter(F.col("n_users") >= TRI_MIN_SUPPORT)
+        .select("i1", "i2")
+        # consumed 5× (orientation input + both degree lookups, which
+        # each union it twice): persist the |E|-row edge list so the
+        # basket self-join runs once
+        .persist()
+    )
+    deg = (
+        und.select(F.col("i1").alias("item"))
+        .unionAll(und.select(F.col("i2").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.select(F.col("item").alias("i1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("item").alias("i2"), F.col("deg").alias("deg2"))
+    lo_first = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("i1") < F.col("i2"))
+    )
+    oriented = (
+        und.join(F.broadcast(d1), "i1")
+        .join(F.broadcast(d2), "i2")
+        .select(
+            F.when(lo_first, F.col("i1")).otherwise(F.col("i2")).alias("src"),
+            F.when(lo_first, F.col("i2")).otherwise(F.col("i1")).alias("dst"),
+            F.when(lo_first, F.col("deg2")).otherwise(F.col("deg1")).alias("ddeg"),
+        )
+        .persist()
+    )
+    a = oriented.select("src", F.col("dst").alias("b"), F.col("ddeg").alias("bdeg"))
+    b = oriented.select("src", F.col("dst").alias("c"), F.col("ddeg").alias("cdeg"))
+    wedges = a.join(b, "src").filter(
+        (F.col("bdeg") < F.col("cdeg"))
+        | ((F.col("bdeg") == F.col("cdeg")) & (F.col("b") < F.col("c")))
+    )
+    closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closer, ["b", "c"]).select("src", "b", "c")
+    out = (
+        tri.select(F.explode(F.array("src", "b", "c")).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("item"))
+        .limit(TOP_N)
+    )
+    return scoped_cache(out, ui, und, oriented)
+
+
+TRIANGLE_SQL = f"""
+WITH {_BASKET_SQL},
+und AS (SELECT i1, i2 FROM co WHERE n_users >= {TRI_MIN_SUPPORT}),
+deg AS (
+  SELECT item, count(*) AS deg FROM (
+    SELECT i1 AS item FROM und UNION ALL SELECT i2 FROM und
+  ) GROUP BY item
+),
+o AS (
+  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND i1 < i2)
+              THEN i1 ELSE i2 END AS src,
+         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND i1 < i2)
+              THEN i2 ELSE i1 END AS dst,
+         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND i1 < i2)
+              THEN d2.deg ELSE d1.deg END AS ddeg
+  FROM und
+  JOIN deg d1 ON d1.item = und.i1
+  JOIN deg d2 ON d2.item = und.i2
+),
+tri AS (
+  SELECT w.src, w.b, w.c
+  FROM (
+    SELECT x.src, x.dst AS b, y.dst AS c
+    FROM o x JOIN o y ON x.src = y.src
+    WHERE x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst)
+  ) w
+  JOIN o z ON z.src = w.b AND z.dst = w.c
+),
+part AS (
+  SELECT unnest([src, b, c]) AS item FROM tri
+)
+SELECT item, CAST(count(*) AS BIGINT) AS n_triangles
+FROM part
+GROUP BY item
+ORDER BY n_triangles DESC, item ASC
+LIMIT {TOP_N}
+"""
+
+
 SPARK_QUERIES = {
     "item_cooccurrence_topk": item_cooccurrence_topk,
     "item_jaccard_similarity": item_jaccard_similarity,
+    "item_triangle_count": item_triangle_count,
 }
 ORACLE_SQL = {
     "item_cooccurrence_topk": COOCCUR_SQL,
     "item_jaccard_similarity": JACCARD_SQL,
+    "item_triangle_count": TRIANGLE_SQL,
 }

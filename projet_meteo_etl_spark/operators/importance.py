@@ -34,11 +34,11 @@ collect, no skew-sensitive key (buckets are md5-uniform).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
 _WS = r"\s+"
 
@@ -274,12 +274,127 @@ ORDER BY doc_id
 """
 
 
+#: weight quantization for the linear classifier: integer milli-units
+#: in [-1000, 1000], derived from the feature's md5 hash.
+QW_RANGE = 2001
+
+
+def _qweight(col):
+    """Deterministic per-feature weight standing in for a pretrained
+    classifier's weight vector: 60-bit md5-prefix hash → integer in
+    [-1000, 1000] milli-units.  (A real exported model would broadcast
+    its (bucket → weight) table and join exactly like the DSIR pass-2
+    model join above; the hash form exercises the same plan shape with
+    a deterministic fake the oracle can reproduce.)"""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % QW_RANGE
+        - (QW_RANGE - 1) // 2
+    )
+
+
+def fasttext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier inference (Joulin et
+    al. 2017; the model-based quality filter used by CCNet/LLaMA-class
+    corpus pipelines): score(doc) = mean over unigram + bigram features
+    of the feature's weight; keep when the mean is positive.
+
+    All feature weights are exact integers (milli-units) so the per-doc
+    sum is order-independent and engine-exact; the mean is pround-6.
+
+    Scale: one token pass repartitioned by ``doc_id``; the bigram lead
+    window and both aggregates reuse that partitioning, so the whole
+    query is one shuffle wide regardless of corpus size — classifier
+    inference adds zero extra exchanges on top of tokenization.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.repartition("doc_id").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), _WS)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    feats = toks.select(
+        "doc_id",
+        _qweight(F.concat(F.lit("qw1:"), F.col("tok"))).alias("w_uni"),
+        F.lead("tok").over(w).alias("nxt"),
+        "tok",
+    ).select(
+        "doc_id",
+        "w_uni",
+        F.when(
+            F.col("nxt").isNotNull(),
+            _qweight(F.concat_ws(" ", F.lit("qw2:"), "tok", "nxt")),
+        ).alias("w_bi"),
+    )
+    scored = feats.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + F.count("w_bi")).cast("long").alias("n_features"),
+        (F.sum("w_uni") + F.coalesce(F.sum("w_bi"), F.lit(0)))
+        .cast("long")
+        .alias("score_sum_milli"),
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
+            F.coalesce("score_sum_milli", F.lit(0))
+            .cast("long")
+            .alias("score_sum_milli"),
+            pround(
+                F.when(F.coalesce("n_features", F.lit(0)) == 0, 0.0).otherwise(
+                    F.col("score_sum_milli") / F.col("n_features") / 1000.0
+                ),
+                6,
+            ).alias("score_mean"),
+            (F.coalesce("score_sum_milli", F.lit(0)) > 0).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+FASTTEXT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('qw1:' || tok), 1, 15))::BIGINT % {QW_RANGE}
+           - {(QW_RANGE - 1) // 2} AS w_uni,
+         CASE WHEN lead(tok) OVER w IS NOT NULL THEN
+           ('0x' || substr(md5('qw2: ' || tok || ' ' || lead(tok) OVER w), 1, 15))::BIGINT % {QW_RANGE}
+             - {(QW_RANGE - 1) // 2}
+         END AS w_bi
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+scored AS (
+  SELECT doc_id,
+         count(*) + count(w_bi) AS n_features,
+         sum(w_uni) + coalesce(sum(w_bi), 0) AS score_sum_milli
+  FROM feats GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+       CAST(coalesce(s.score_sum_milli, 0) AS BIGINT) AS score_sum_milli,
+       {pround_sql("CASE WHEN coalesce(s.n_features, 0) = 0 THEN 0.0 ELSE s.score_sum_milli * 1.0 / s.n_features / 1000.0 END", 6)} AS score_mean,
+       CAST(CASE WHEN coalesce(s.score_sum_milli, 0) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS keep
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
 SPARK_QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "boilerplate_segment_filter": boilerplate_segment_filter,
+    "fasttext_quality_score": fasttext_quality_score,
 }
 
 ORACLE_SQL = {
     "dsir_importance_weights": DSIR_SQL,
     "boilerplate_segment_filter": BOILERPLATE_SQL,
+    "fasttext_quality_score": FASTTEXT_SQL,
 }

@@ -619,6 +619,143 @@ FROM est CROSS JOIN exact
 """
 
 
+#: winsorization bounds (exact percentile_disc ranks per group)
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization report: clip ``value`` at the exact
+    within-group P1/P99 (percentile_disc semantics — the bound IS a
+    data element, rank-selected, so both engines agree bit-for-bit) and
+    compare the mean before/after in exact integer cents.
+
+    Outlier clipping is the standard robustification step before a
+    score/reward column feeds training; this operator reports what the
+    clip would do before anyone commits to it.
+
+    Scale: thresholds come from the SAME ranked window pass that feeds
+    the clip (one shuffle on event_type, the window partitioning reused
+    by the final aggregate); groups are processed independently, so a
+    1000-executor cluster winsorizes each key's partition locally.  A
+    GLOBAL winsorize would need a single-partition sort — that is the
+    anti-pattern; partition by a grouping key (or pre-bucket) instead.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = (
+        e.select("event_type", "event_id", cents.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("lo", F.max(F.when(F.col("rn") == F.ceil(F.lit(WINSOR_LO) * F.col("n")), F.col("c"))).over(wn))
+        .withColumn("hi", F.max(F.when(F.col("rn") == F.ceil(F.lit(WINSOR_HI) * F.col("n")), F.col("c"))).over(wn))
+    )
+    clipped = F.greatest(F.least(F.col("c"), F.col("hi")), F.col("lo"))
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("c") < F.col("lo"), 1).otherwise(0)).cast("long").alias("n_clip_low"),
+            F.sum(F.when(F.col("c") > F.col("hi"), 1).otherwise(0)).cast("long").alias("n_clip_high"),
+            (F.max("lo") / 100.0).alias("p01_value"),
+            (F.max("hi") / 100.0).alias("p99_value"),
+            pround(F.sum("c") / F.count(F.lit(1)) / 100.0, 6).alias("mean_before"),
+            pround(F.sum(clipped) / F.count(F.lit(1)) / 100.0, 6).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZED_SQL = f"""
+WITH r AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(floor(value * 100.0 + 0.5) AS BIGINT), event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+b AS (
+  SELECT event_type, c, n,
+         max(CASE WHEN rn = ceil({WINSOR_LO} * n) THEN c END)
+           OVER (PARTITION BY event_type) AS lo,
+         max(CASE WHEN rn = ceil({WINSOR_HI} * n) THEN c END)
+           OVER (PARTITION BY event_type) AS hi
+  FROM r
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+       CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+       max(lo) / 100.0 AS p01_value,
+       max(hi) / 100.0 AS p99_value,
+       {pround_sql('sum(c) * 1.0 / count(*) / 100.0', 6)} AS mean_before,
+       {pround_sql('sum(greatest(least(c, hi), lo)) * 1.0 / count(*) / 100.0', 6)} AS mean_after
+FROM b
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/group-key skew diagnostic: for each candidate shuffle key,
+    the distinct-key count, the heaviest key's row count, and the skew
+    ratio (heaviest ÷ mean rows per key) — the number that decides
+    between a plain shuffle join, AQE skew splitting, salting
+    (``salted_skew_join``), or a broadcast.
+
+    One groupBy per key space (map-side partial agg collapses each to
+    |keys| rows), then a 4-row union.  This is the audit you run BEFORE
+    shipping a 100 TB join, not after it straggles.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    def profile(df: DataFrame, col: str, label: str) -> DataFrame:
+        per_key = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("kn")
+        )
+        return per_key.agg(
+            F.lit(label).alias("key_space"),
+            F.sum("kn").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("kn").cast("long").alias("max_key_rows"),
+            pround(F.max("kn") * F.count(F.lit(1)) / F.sum("kn"), 4).alias(
+                "skew_ratio"
+            ),
+        )
+    return (
+        profile(l, "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(profile(l, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(profile(e, "user_id", "events.user_id"))
+        .unionByName(profile(e, "event_type", "events.event_type"))
+        .orderBy("key_space")
+    )
+
+
+def _skew_sql_one(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS key_space,
+       CAST(sum(kn) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(kn) AS BIGINT) AS max_key_rows,
+       {pround_sql('max(kn) * 1.0 * count(*) / sum(kn)', 4)} AS skew_ratio
+FROM (SELECT {col} AS k, count(*) AS kn FROM {table} GROUP BY 1)"""
+
+
+SKEW_AUDIT_SQL = f"""
+{_skew_sql_one('lineitem', 'l_orderkey')}
+UNION ALL {_skew_sql_one('lineitem', 'l_suppkey')}
+UNION ALL {_skew_sql_one('events', 'user_id')}
+UNION ALL {_skew_sql_one('events', 'event_type')}
+ORDER BY key_space
+"""
+
+
 SPARK_QUERIES = {
     "profile_numeric_stats": profile_numeric_stats,
     "profile_numeric_histograms": profile_numeric_histograms,
@@ -627,6 +764,8 @@ SPARK_QUERIES = {
     "profile_benford_digits": profile_benford_digits,
     "profile_higher_moments": profile_higher_moments,
     "selectivity_estimate": selectivity_estimate,
+    "winsorized_value_stats": winsorized_value_stats,
+    "shuffle_skew_audit": shuffle_skew_audit,
 }
 
 ORACLE_SQL = {
@@ -637,4 +776,6 @@ ORACLE_SQL = {
     "profile_benford_digits": BENFORD_SQL,
     "profile_higher_moments": _higher_moments_sql(),
     "selectivity_estimate": SELECTIVITY_SQL,
+    "winsorized_value_stats": WINSORIZED_SQL,
+    "shuffle_skew_audit": SKEW_AUDIT_SQL,
 }

@@ -199,7 +199,65 @@ ORDER BY tbl
 """
 
 
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit — the data-quality check the reference's count
+    reconciliation (etl_meteo.py:201-207) gestures at but cannot
+    express without joins: per foreign-key edge, how many fact rows
+    reference a missing parent.
+
+    Edges audited: lineitem→orders, lineitem→part, lineitem→supplier,
+    orders→customer.  Each edge is a LEFT ANTI join against the parent
+    key set — Catalyst plans the dim side as a broadcast when small;
+    at 100 TB the orders edge becomes a shuffled left-anti on the
+    already-copartitioned orderkey, still one exchange per edge.  The
+    per-edge counts union into one small report (4 rows).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, edge: str) -> DataFrame:
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .select(F.lit(edge).alias("fk_edge"), "n_orphans")
+        )
+
+    return (
+        orphans(l, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(l, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionByName(orphans(l, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
+        .unionByName(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .orderBy("fk_edge")
+    )
+
+
+# NOT EXISTS, not NOT IN: a NULL foreign key must count as an orphan
+# (matching the anti join), not vanish into three-valued logic
+REFERENTIAL_INTEGRITY_SQL = """
+SELECT 'lineitem->orders' AS fk_edge,
+       CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem->part',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem->supplier',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'orders->customer',
+       CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+ORDER BY fk_edge
+"""
+
+
 SPARK_QUERIES = {
+    "referential_integrity_audit": referential_integrity_audit,
     "range_audit_lineitem": range_audit_lineitem,
     "null_audit_events": null_audit_events,
     "duplicate_audit": duplicate_audit,
@@ -209,6 +267,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "referential_integrity_audit": REFERENTIAL_INTEGRITY_SQL,
     "range_audit_lineitem": RANGE_AUDIT_SQL,
     "null_audit_events": NULL_AUDIT_SQL,
     "duplicate_audit": DUPLICATE_AUDIT_SQL,

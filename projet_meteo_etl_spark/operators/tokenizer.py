@@ -1,0 +1,438 @@
+"""Tokenizer-training and substring-level dedup passes.
+
+The reference has no text surface (SURVEY.md §2.5); these two
+operators extend the corpus-statistics family (`operators/
+corpus_stats.py`) with the remaining passes a pretraining data
+pipeline runs between raw text and tokenized shards:
+
+* ``bpe_merge_topk`` — the first iteration of byte-pair-encoding
+  tokenizer training (Sennrich et al. 2016): adjacent character-pair
+  frequencies over the corpus, weighted by word frequency, top-k merge
+  candidates.  The classic trick that makes BPE training tractable at
+  corpus scale is to aggregate the corpus into a word→count vocabulary
+  FIRST (the Zipf head collapses trillions of tokens into a vocab-sized
+  table) and do all character work on the distinct vocabulary.
+* ``repeated_ngram_spans`` — substring-level duplication audit in the
+  spirit of Lee et al. 2022 ("Deduplicating Training Data Makes
+  Language Models Better"): for every ``SPAN``-token window, does the
+  identical span occur in ≥ 2 distinct documents?  Document-level
+  near-dup (MinHash/SimHash in ``operators/dedup.py``) misses exactly
+  this class — boilerplate paragraphs pasted into otherwise-unique
+  documents — which is why the suffix-array pass exists in real
+  pipelines.  Per-doc output: how much of the document is covered by
+  cross-document duplicated spans.
+
+Scale notes (100 TB):
+
+* ``bpe_merge_topk`` never shuffles corpus-sized data by character:
+  shuffle 1 is the word-count aggregation (map-side partial agg
+  absorbs the Zipf head — the hottest words compress best), and every
+  downstream row count is bounded by |vocab| × word length, not corpus
+  tokens.  Real BPE training iterates; each further merge round is the
+  same vocab-sized job with the learned pair collapsed, so round cost
+  is independent of corpus size — the iteration harness is the same
+  static-unroll pattern as ``pagerank_click_graph``.
+* ``repeated_ngram_spans`` is LINEAR, unlike pair-producing near-dup
+  joins: spans are aggregated to (span-hash → distinct-doc count) and
+  joined back, so a span shared by 10^6 documents contributes 10^6
+  rows (its instances), never 10^12 pairs.  Span strings are collapsed
+  to 60-bit md5-prefix integers before the shuffle so the exchanged
+  bytes are fixed-width regardless of ``SPAN``.
+* Both oracle SQLs replicate the hashing and the arithmetic exactly
+  (portable md5-prefix integers, integer counts, ``pround`` fractions)
+  so the driver gate hash-checks them end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql
+
+_WS = r"\s+"
+
+#: top-k merge candidates reported (one BPE training round would merge
+#: rank 1 and recount; k>1 shows the frontier).
+BPE_TOP_K = 25
+
+#: span width (tokens) for the cross-document duplication audit.  Lee
+#: et al. use 50 BPE tokens ≈ 8-12 words; 8 words keeps the sf0.01
+#: fixture non-trivial (~4.5% of spans are cross-doc duplicated).
+SPAN = 8
+
+
+def bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BPE_TOP_K`` adjacent character pairs by corpus frequency —
+    the first BPE merge decision.
+
+    ``n_occurrences`` = Σ over vocabulary words of (occurrences of the
+    pair inside the word) × (corpus count of the word); ``n_words`` =
+    distinct vocabulary words containing the pair.  Overlapping
+    occurrences count per starting position, the standard BPE
+    convention before merges exist.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = vocab.select(
+        "word",
+        "wc",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    ).select(F.expr("substring(word, i, 2)").alias("pair"), "wc")
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wc").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+BPE_MERGE_SQL = rf"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS wc FROM words
+  WHERE length(word) >= 2 GROUP BY 1
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, CAST(i AS INT), 2))) AS pair,
+         wc
+  FROM vocab
+)
+SELECT pair,
+       CAST(sum(wc) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {BPE_TOP_K}
+"""
+
+
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus span-duplication profile.
+
+    A *span* is ``SPAN`` consecutive whitespace tokens.  A span is
+    *duplicated* when the identical token sequence occurs in at least
+    2 distinct documents.  Reports, per document: total span positions,
+    positions whose span is cross-doc duplicated, and the duplicated
+    fraction — the signal a substring-dedup trim pass acts on.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.repartition("doc_id").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), _WS)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, SPAN)]
+    grams = (
+        toks.select("doc_id", "tok", *lead_cols)
+        .filter(F.col(f"t{SPAN - 1}").isNotNull())
+        .select(
+            "doc_id",
+            # fixed-width 60-bit key instead of the span string: the
+            # gram shuffle and the join back move 8 bytes per span
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", "tok", *[f"t{i}" for i in range(1, SPAN)]
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("g"),
+        )
+        # consumed twice (doc-frequency build + instance join): persist
+        # the reduced (doc_id, hash) form so tokenize+window runs once
+        .persist()
+    )
+    docfreq = grams.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        grams.join(docfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_spans"),
+        )
+    )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
+        d.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            pround(
+                F.when(F.coalesce("n_spans", F.lit(0)) == 0, 0.0).otherwise(
+                    F.col("dup_spans") / F.col("n_spans")
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+    return scoped_cache(out, grams)
+
+
+_SPAN_CONCAT = " || ' ' || ".join(
+    ["tok"] + [f"t{i}" for i in range(1, SPAN)]
+)
+_SPAN_LEADS = ",\n         ".join(
+    f"lead(tok, {i}) OVER w AS t{i}" for i in range(1, SPAN)
+)
+
+REPEATED_SPANS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+g AS (
+  SELECT doc_id, tok,
+         {_SPAN_LEADS}
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+spans AS (
+  SELECT doc_id,
+         ('0x' || substr(md5({_SPAN_CONCAT}), 1, 15))::BIGINT AS gh
+  FROM g WHERE t{SPAN - 1} IS NOT NULL
+),
+df AS (
+  SELECT gh, count(DISTINCT doc_id) AS nd FROM spans GROUP BY 1
+),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_spans,
+         sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS dup_spans
+  FROM spans s JOIN df ON s.gh = df.gh
+  GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+       {pround_sql("CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0 ELSE p.dup_spans * 1.0 / p.n_spans END", 6)} AS dup_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
+#: unrolled BPE training rounds (each = the same vocab-sized job, so
+#: the static unroll mirrors a production trainer's loop body)
+BPE_ROUNDS = 3
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training, first ``BPE_ROUNDS`` merges (Sennrich et al.
+    2016): count adjacent symbol pairs over the word vocabulary, merge
+    the top pair greedily left-to-right in every word, recount, repeat.
+    Output: one row per round — the learned merge and its weighted
+    occurrence count at decision time.
+
+    What makes this genuinely the *trainer* (vs ``bpe_merge_topk``'s
+    single frequency count): the greedy non-overlapping merge
+    application.  "aaaa" under merge (a,a) must become (aa)(aa), not
+    three overlapping pairs — resolved relationally with gaps-and-
+    islands: consecutive pair-matches form an island, and alternate
+    members (even offset from the island head) are merged.  Every
+    window runs over the same (word → pos) partitioning, so one round =
+    one vocab-keyed window chain + one pair-count aggregation; the pair
+    table is 1 row, broadcast back.
+
+    Scale: all per-round work is on the VOCABULARY (word, count)
+    relation — corpus size only enters through the initial word count
+    (same Zipf-collapsing aggregation as ``bpe_merge_topk``).  The
+    per-round segmentations are persisted so round N+1 and the final
+    report reuse round N instead of replaying its lineage.
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    seg = vocab.select(
+        "word",
+        "wc",
+        F.posexplode(F.split("word", "")).alias("p0", "sym"),
+    ).select("word", "wc", (F.col("p0") + 1).alias("pos"), "sym")
+
+    w = Window.partitionBy("word").orderBy("pos")
+    cached = []
+    tops = []
+    for r in range(1, BPE_ROUNDS + 1):
+        seg = seg.persist()
+        cached.append(seg)
+        pairs = seg.select(
+            "word", "wc", "pos", "sym", F.lead("sym").over(w).alias("nxt")
+        )
+        top = (
+            pairs.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("wc").cast("long").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+        )
+        tops.append(
+            top.select(
+                F.lit(r).alias("round"),
+                F.concat_ws("+", "a", "b").alias("merge_pair"),
+                F.col("n").alias("n_occurrences"),
+            )
+        )
+        m = pairs.crossJoin(F.broadcast(top)).withColumn(
+            "is_m", (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))
+        )
+        # island head positions → running max = my island's head; merge
+        # the members at even offsets from the head (greedy L-to-R)
+        m = (
+            m.withColumn(
+                "ns",
+                F.when(
+                    F.col("is_m")
+                    & ~F.coalesce(F.lag("is_m").over(w), F.lit(False)),
+                    F.col("pos"),
+                ),
+            )
+            .withColumn(
+                "head",
+                F.max("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .withColumn(
+                "sel",
+                F.col("is_m") & ((F.col("pos") - F.col("head")) % 2 == 0),
+            )
+        )
+        new_sym = (
+            F.when(F.col("sel"), F.concat("sym", "nxt"))
+            .when(
+                F.coalesce(F.lag("sel").over(w), F.lit(False)), F.lit(None)
+            )
+            .otherwise(F.col("sym"))
+        )
+        seg = (
+            m.withColumn("sym2", new_sym)
+            .filter(F.col("sym2").isNotNull())
+            .select(
+                "word",
+                "wc",
+                F.row_number().over(w).alias("pos"),
+                F.col("sym2").alias("sym"),
+            )
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return scoped_cache(out.orderBy("round"), *cached)
+
+
+def _bpe_round_sql(prev: str, r: int) -> str:
+    return f"""
+pairs{r} AS (
+  SELECT word, wc, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM {prev}
+),
+top{r} AS (
+  SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS n
+  FROM pairs{r} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1
+),
+m{r} AS (
+  SELECT p.word, p.wc, p.pos, p.sym, p.nxt,
+         (p.sym = t.a AND p.nxt = t.b) AS is_m
+  FROM pairs{r} p CROSS JOIN top{r} t
+),
+g{r} AS (
+  SELECT *, CASE WHEN is_m AND NOT coalesce(lag(is_m) OVER w, false)
+                 THEN pos END AS ns
+  FROM m{r} WINDOW w AS (PARTITION BY word ORDER BY pos)
+),
+s{r} AS (
+  SELECT *, max(ns) OVER (PARTITION BY word ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS head
+  FROM g{r}
+),
+sel{r} AS (
+  SELECT *, (is_m AND (pos - head) % 2 = 0) AS sel
+  FROM s{r}
+),
+ns{r} AS (
+  SELECT word, wc, pos,
+         CASE WHEN sel THEN sym || nxt
+              WHEN coalesce(lag(sel) OVER w, false) THEN NULL
+              ELSE sym END AS sym2
+  FROM sel{r} WINDOW w AS (PARTITION BY word ORDER BY pos)
+),
+seg{r} AS (
+  SELECT word, wc,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         sym2 AS sym
+  FROM ns{r} WHERE sym2 IS NOT NULL
+)"""
+
+
+BPE_TRAIN_SQL = (
+    r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS wc FROM words WHERE length(word) >= 1 GROUP BY 1
+),
+seg0 AS (
+  SELECT word, wc, i AS pos, substr(word, CAST(i AS INT), 1) AS sym
+  FROM vocab,
+       LATERAL (SELECT unnest(generate_series(1, length(word))) AS i)
+),
+"""
+    + ",\n".join(_bpe_round_sql(f"seg{r - 1}", r) for r in range(1, BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT {r} AS round, a || '+' || b AS merge_pair, n AS n_occurrences FROM top{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)
+
+
+SPARK_QUERIES = {
+    "bpe_merge_topk": bpe_merge_topk,
+    "bpe_train_merges": bpe_train_merges,
+    "repeated_ngram_spans": repeated_ngram_spans,
+}
+
+ORACLE_SQL = {
+    "bpe_merge_topk": BPE_MERGE_SQL,
+    "bpe_train_merges": BPE_TRAIN_SQL,
+    "repeated_ngram_spans": REPEATED_SPANS_SQL,
+}

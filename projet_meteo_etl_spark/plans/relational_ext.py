@@ -573,6 +573,77 @@ ORDER BY event_type
 """
 
 
+#: salt fan-out for the skew-join rewrite — the small side is
+#: replicated this many times, so keep it modest (8× a dim table).
+JOIN_SALTS = 8
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting for a skewed JOIN key (the companion of
+    ``salted_skew_aggregation``, which salts a grouping key).
+
+    events→user segments: every event joins a 5-row segment dim on
+    ``event_type`` — 5 distinct join keys, so a plain shuffle join
+    lands all 10⁵…10¹² rows on 5 reducers.  The rewrite: the fact side
+    gets a deterministic salt (``pmod(hash(event_id), 8)``), the dim
+    side is exploded ×8 (one copy per salt), and the join key becomes
+    (event_type, salt) — 40 evenly-loaded reducers.  Salting is a
+    physical rewrite only: the oracle joins unsalted and must hash
+    identically.  (AQE's ``skewJoin`` does this rewrite adaptively for
+    sort-merge joins; the manual form works for any join and documents
+    the mechanics.  For a dim this small a broadcast join is the real
+    answer — the demo disables broadcast via the salt explode being a
+    generator, and the point is the technique at dims too big to
+    broadcast.)
+
+    Revenue by segment tier: per-tier event count and total value in
+    exact cents.
+    """
+    e = load_table(spark, sf_dir, "events")
+    seg = spark.createDataFrame(
+        [
+            ("click", "engage"),
+            ("view", "engage"),
+            ("purchase", "convert"),
+            ("error", "fault"),
+            ("signup", "acquire"),
+        ],
+        "event_type string, tier string",
+    )
+    salted_dim = seg.select(
+        "event_type",
+        "tier",
+        F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1))).alias("salt"),
+    )
+    salted_fact = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        F.pmod(F.hash("event_id"), F.lit(JOIN_SALTS)).alias("salt"),
+    )
+    return (
+        salted_fact.join(salted_dim, ["event_type", "salt"])
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+        )
+        .orderBy("tier")
+    )
+
+
+SALTED_JOIN_SQL = """
+WITH seg(event_type, tier) AS (
+  VALUES ('click', 'engage'), ('view', 'engage'), ('purchase', 'convert'),
+         ('error', 'fault'), ('signup', 'acquire')
+)
+SELECT tier, count(*) AS n_events,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS total_value
+FROM events JOIN seg USING (event_type)
+GROUP BY tier
+ORDER BY tier
+"""
+
+
 def lineitem_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10 % Bernoulli sample via a portable hash of the primary key
     (md5-prefix of ``orderkey-linenumber``, keep ``h % 10 == 0``).
@@ -623,6 +694,7 @@ SPARK_QUERIES = {
     "modern_aggregates_showcase": modern_aggregates_showcase,
     "cube_revenue": cube_revenue,
     "salted_skew_aggregation": salted_skew_aggregation,
+    "salted_skew_join": salted_skew_join,
     "lineitem_sample_stats": lineitem_sample_stats,
 }
 
@@ -642,5 +714,6 @@ ORACLE_SQL = {
     "modern_aggregates_showcase": MODERN_AGGS_SQL,
     "cube_revenue": CUBE_SQL,
     "salted_skew_aggregation": SALTED_AGG_SQL,
+    "salted_skew_join": SALTED_JOIN_SQL,
     "lineitem_sample_stats": LINEITEM_SAMPLE_SQL,
 }

@@ -43,6 +43,7 @@ _MODULES = (
     "projet_meteo_etl_spark.operators.importance",
     "projet_meteo_etl_spark.operators.selection",
     "projet_meteo_etl_spark.operators.corpus_stats",
+    "projet_meteo_etl_spark.operators.tokenizer",
     "projet_meteo_etl_spark.operators.profiling",
     "projet_meteo_etl_spark.operators.graph",
     "projet_meteo_etl_spark.operators.cooccur",

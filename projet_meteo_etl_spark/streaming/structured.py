@@ -586,6 +586,137 @@ ORDER BY day
 """
 
 
+def _staged_events_dir_with_heartbeat(sf_dir: str) -> str:
+    """The standard staged events directory plus a trailing heartbeat
+    file: two sentinel rows (user_id −1, one per join side) 2 days past
+    the stream's max event time, with file mtimes pinned so the file
+    source processes the heartbeat LAST.
+
+    Why: outer stream-stream join emits its null-padded rows only when
+    the watermark passes ``p_ts + range + delay`` — at end-of-input the
+    final rows' state would be withheld forever, so the bounded result
+    would depend on where the input happened to stop.  A far-future
+    heartbeat advances the watermark past every real row's bound, and
+    the terminal no-data micro-batch flushes all remaining state.  This
+    is the standard production pattern for low-traffic streams (a
+    keep-alive event per source partition); here it also makes the
+    streamed result deterministic and hash-checkable against the batch
+    oracle.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _staged_events_dir(sf_dir)
+    d = base.rstrip("/") + "_hb"
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil
+
+        os.makedirs(d, exist_ok=True)
+        files = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
+        for i, f in enumerate(files):
+            shutil.copy(os.path.join(base, f), os.path.join(d, f))
+            os.utime(os.path.join(d, f), (1_000_000 + i, 1_000_000 + i))
+        t = pq.read_table(table_path(sf_dir, "events"), columns=["ts"])
+        maxts = max(v.as_py() for v in t["ts"])
+        if isinstance(maxts, int):  # TIMESTAMP(NANOS) read as int64
+            far = maxts + 2 * 86_400 * 10**9
+        else:
+            import datetime
+
+            far = maxts + datetime.timedelta(days=2)
+        full = pq.read_table(table_path(sf_dir, "events"))
+        hb = pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "ts": pa.array([far, far], full["ts"].type),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["purchase", "click"]),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array([None, None], pa.string()),
+            }
+        ).cast(full.schema)
+        pq.write_table(hb, os.path.join(d, "events_zz_heartbeat.parquet"), version="2.6")
+        os.utime(os.path.join(d, "events_zz_heartbeat.parquet"), (2_000_000, 2_000_000))
+        open(marker, "w").close()
+    return d
+
+
+def stream_left_outer_lonely_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase paired with
+    same-user clicks in the following 10 minutes — or emitted with a
+    null click once the watermark proves no such click can arrive.
+    The inner-join twin (:func:`stream_stream_purchase_click_join`)
+    never exercises state-expiry emission; this is the operator that
+    does, and the per-user ``n_lonely`` count exists ONLY because
+    expiry fired correctly.
+
+    End-of-input state is flushed by the heartbeat staging (see
+    :func:`_staged_events_dir_with_heartbeat`), so the appended result
+    equals the batch left join row-for-row and hash-checks against the
+    DuckDB oracle.
+    """
+    from projet_meteo_etl_spark.catalog import harden_session
+
+    harden_session(spark)
+    ts_is_long = _ts_is_long(sf_dir)
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_is_long))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_events_dir_with_heartbeat(sf_dir))
+    )
+    if ts_is_long:
+        e = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        e = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND c_ts > p_ts "
+            "AND c_ts <= p_ts + interval 10 minutes"
+        ),
+        "left_outer",
+    )
+    sink = _run_to_memory(joined, "append")
+    return (
+        sink.filter(F.col("user_id") >= 0)  # drop the heartbeat row
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("c_ts").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lonely"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_LEFT_OUTER_SQL = """
+SELECT p.user_id,
+       CAST(sum(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lonely
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts
+ AND epoch_us(c.ts) <= epoch_us(p.ts) + 600000000
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
 SPARK_QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_dedup_user_day": stream_dedup_user_day,
@@ -593,6 +724,7 @@ SPARK_QUERIES = {
     "stream_late_event_dropper": stream_late_event_dropper,
     "stream_static_segment_counts": stream_static_segment_counts,
     "stream_stream_purchase_click_join": stream_stream_purchase_click_join,
+    "stream_left_outer_lonely_purchases": stream_left_outer_lonely_purchases,
     "stream_session_windows": stream_session_windows,
     "stream_sliding_avg": stream_sliding_avg,
 }
@@ -606,6 +738,7 @@ ORACLE_SQL = {
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
     "stream_static_segment_counts": STREAM_STATIC_SQL,
     "stream_stream_purchase_click_join": STREAM_STREAM_JOIN_SQL,
+    "stream_left_outer_lonely_purchases": STREAM_LEFT_OUTER_SQL,
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_sliding_avg": STREAM_SLIDING_SQL,
 }

@@ -66,3 +66,39 @@ def test_user_item_cap_is_deterministic(spark):
     a = sorted(map(tuple, ui.collect()))
     b = sorted(map(tuple, _user_items(spark, SF_SMOKE).collect()))
     assert a == b and len(a) > 0
+
+
+def test_triangle_count_against_python_oracle(spark):
+    """Degree-oriented wedge closure must equal brute-force triangle
+    enumeration on the support-filtered co-click graph."""
+    from itertools import combinations
+
+    from projet_meteo_etl_spark.operators.cooccur import (
+        TRI_MIN_SUPPORT,
+        item_triangle_count,
+    )
+    from tests.conftest import SF_ORACLE
+
+    # sf0.001 has no support>=5 triangles; the gate SF does
+    ui = _user_items(spark, SF_ORACLE).collect()
+    sets: dict[int, set[int]] = {}
+    for r in ui:
+        sets.setdefault(r["item"], set()).add(r["user_id"])
+    items = sorted(sets)
+    adj: dict[int, set[int]] = {i: set() for i in items}
+    for a, b in combinations(items, 2):
+        if len(sets[a] & sets[b]) >= TRI_MIN_SUPPORT:
+            adj[a].add(b)
+            adj[b].add(a)
+    part: dict[int, int] = {}
+    for a, b, c in combinations(items, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                part[x] = part.get(x, 0) + 1
+    expect = sorted(part.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_N]
+    got = [
+        (r["item"], r["n_triangles"])
+        for r in item_triangle_count(spark, SF_ORACLE).collect()
+    ]
+    assert got == expect
+    assert len(got) > 0

@@ -267,3 +267,60 @@ def test_new_operator_plan_shapes(spark):
 
     z = _plan(layout.zorder_layout_audit(spark, SF))
     assert "SortMergeJoin" not in z
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is a physical rewrite only — the salted (event_type,
+    salt) join must produce exactly the plain event_type join's result,
+    and the fact-side scan must not be broadcast."""
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.plans.relational_ext import salted_skew_join
+
+    df = salted_skew_join(spark, SF)
+    got = {(r["tier"], r["n_events"], r["total_value"]) for r in df.collect()}
+
+    e = load_table(spark, SF, "events")
+    seg = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+         ("error", "fault"), ("signup", "acquire")],
+        "event_type string, tier string",
+    )
+    plain = (
+        e.join(seg, "event_type")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")) / 100.0).alias("v"),
+        )
+    )
+    want = {(r["tier"], r["n"], r["v"]) for r in plain.collect()}
+    assert got == want
+
+
+def test_referential_integrity_audit_detects_seeded_orphans(spark):
+    """Zero orphans on the driver data; a seeded orphan row is found."""
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.operators.quality_queries import (
+        referential_integrity_audit,
+    )
+
+    base = {
+        r["fk_edge"]: r["n_orphans"]
+        for r in referential_integrity_audit(spark, SF).collect()
+    }
+    assert set(base) == {
+        "lineitem->orders", "lineitem->part",
+        "lineitem->supplier", "orders->customer",
+    }
+    assert all(v == 0 for v in base.values())
+
+    # seed one orphan: a lineitem row pointing at a nonexistent order
+    l = load_table(spark, SF, "lineitem")
+    seeded = l.limit(1).withColumn("l_orderkey", F.lit(-999)).unionByName(l)
+    o = load_table(spark, SF, "orders")
+    n = seeded.join(o, seeded.l_orderkey == o.o_orderkey, "left_anti").count()
+    assert n == 1

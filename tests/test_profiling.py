@@ -7,6 +7,8 @@ from collections import defaultdict
 from projet_meteo_etl_spark.operators import profiling
 from tests.conftest import SF_SMOKE
 
+SF = SF_SMOKE
+
 
 def test_stats_invariants(spark):
     rows = {r["col_name"]: r for r in profiling.profile_numeric_stats(spark, SF_SMOKE).collect()}
@@ -159,3 +161,41 @@ def test_moments_ignore_null_rows(spark, tmp_path):
     h_clean = {r["col_name"]: r for r in profile_higher_moments(spark, clean_dir).collect()}
     assert h_dirty["l_tax"]["n_rows"] == 60
     assert h_dirty["l_tax"]["skewness"] == h_clean["l_tax"]["skewness"]
+
+
+def test_winsorized_stats_invariants(spark):
+    from projet_meteo_etl_spark.operators.profiling import (
+        WINSOR_HI,
+        WINSOR_LO,
+        winsorized_value_stats,
+    )
+
+    rows = winsorized_value_stats(spark, SF).collect()
+    assert len(rows) == 5  # one per event_type
+    for r in rows:
+        assert r["p01_value"] <= r["p99_value"]
+        # clip counts bounded by the tail masses
+        assert r["n_clip_low"] <= r["n_rows"] * WINSOR_LO
+        assert r["n_clip_high"] <= r["n_rows"] * (1.0 - WINSOR_HI) + 1
+        # clipping pulls the mean toward the interior, never outside it
+        assert r["p01_value"] <= r["mean_after"] <= r["p99_value"]
+
+
+def test_shuffle_skew_audit_reconciles(spark):
+    from projet_meteo_etl_spark.operators.profiling import shuffle_skew_audit
+    from projet_meteo_etl_spark.catalog import load_table
+
+    rows = {r["key_space"]: r for r in shuffle_skew_audit(spark, SF).collect()}
+    assert set(rows) == {
+        "lineitem.l_orderkey", "lineitem.l_suppkey",
+        "events.user_id", "events.event_type",
+    }
+    n_l = load_table(spark, SF, "lineitem").count()
+    n_e = load_table(spark, SF, "events").count()
+    assert rows["lineitem.l_orderkey"]["n_rows"] == n_l
+    assert rows["events.user_id"]["n_rows"] == n_e
+    for r in rows.values():
+        assert r["skew_ratio"] >= 1.0
+        assert r["max_key_rows"] * r["n_keys"] >= r["n_rows"]
+    # 5 event types over 10k events: the canonical skewed key
+    assert rows["events.event_type"]["n_keys"] == 5

@@ -146,6 +146,20 @@ EXPECTED_QUERIES = {
     "event_burstiness",
     "chi_square_priority_weekday",
     "revenue_autocorrelation",
+    # tokenizer training + substring dedup (operators/tokenizer.py)
+    "bpe_merge_topk", "bpe_train_merges", "repeated_ngram_spans",
+    # classifier inference (operators/importance.py)
+    "fasttext_quality_score",
+    # triangle counting (operators/cooccur.py)
+    "item_triangle_count",
+    # skew-join rewrite (plans/relational_ext.py)
+    "salted_skew_join",
+    # FK orphan audit (operators/quality_queries.py)
+    "referential_integrity_audit",
+    # left-outer stream-stream join with heartbeat-flushed state
+    "stream_left_outer_lonely_purchases",
+    # winsorization + shuffle-key skew diagnostics (operators/profiling.py)
+    "winsorized_value_stats", "shuffle_skew_audit",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

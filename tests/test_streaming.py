@@ -199,3 +199,44 @@ def test_foreachbatch_idempotent_parquet_sink(spark, tmp_path):
     again = spark.read.parquet(out)
     assert again.count() == n_total
     assert again.select("batch_id").distinct().count() == n_batches
+
+
+def test_stream_left_outer_equals_batch_and_expires_state(spark):
+    """The heartbeat-flushed left-outer join must equal the batch left
+    join exactly, and the lonely counts must be non-trivial (state
+    expiry actually emitted null-padded rows)."""
+    got = {
+        r.user_id: (r.n_pairs, r.n_lonely)
+        for r in structured.stream_left_outer_lonely_purchases(spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    j = p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND c_ts > p_ts "
+            "AND c_ts <= p_ts + interval 10 minutes"
+        ),
+        "left_outer",
+    )
+    exp = {
+        r.user_id: (r.n_pairs, r.n_lonely)
+        for r in j.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("c_ts").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lonely"),
+        )
+        .collect()
+    }
+    assert got == exp
+    assert sum(v[1] for v in got.values()) > 0
+    assert -1 not in got  # heartbeat row filtered

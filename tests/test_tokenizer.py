@@ -1,0 +1,181 @@
+"""Tokenizer-training + substring-dedup + classifier-inference ops:
+brute-force Python oracles on the smoke SF, plus invariants."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+from projet_meteo_etl_spark.operators.importance import (
+    QW_RANGE,
+    fasttext_quality_score,
+)
+from projet_meteo_etl_spark.operators.tokenizer import (
+    BPE_TOP_K,
+    SPAN,
+    bpe_merge_topk,
+    repeated_ngram_spans,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _texts(spark):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+
+
+def test_bpe_merge_against_python_oracle(spark):
+    texts = _texts(spark)
+    vocab: Counter[str] = Counter()
+    for t in texts.values():
+        for w in re.split(r"\s+", t.strip()):
+            if len(w) >= 2:
+                vocab[w] += 1
+    occ: Counter[str] = Counter()
+    words: Counter[str] = Counter()
+    for w, wc in vocab.items():
+        pairs = [w[i : i + 2] for i in range(len(w) - 1)]
+        for p in pairs:
+            occ[p] += wc
+        for p in set(pairs):
+            words[p] += 1
+    # NB: n_words counts pair instances per word position set — the
+    # plan counts one row per (word, position), so a pair occurring
+    # twice in one word contributes 2 to n_words
+    words = Counter()
+    for w, wc in vocab.items():
+        for p in [w[i : i + 2] for i in range(len(w) - 1)]:
+            words[p] += 1
+    top = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    rows = bpe_merge_topk(spark, SF_SMOKE).collect()
+    assert len(rows) == min(BPE_TOP_K, len(occ))
+    for r, (pair, n) in zip(rows, top):
+        assert (r["pair"], r["n_occurrences"]) == (pair, n)
+        assert r["n_words"] == words[pair]
+
+
+def test_repeated_spans_against_python_oracle(spark):
+    texts = _texts(spark)
+    span_docs: defaultdict[tuple, set] = defaultdict(set)
+    doc_spans: dict[int, list[tuple]] = {}
+    for did, t in texts.items():
+        toks = re.split(r"\s+", t.strip())
+        spans = [tuple(toks[i : i + SPAN]) for i in range(len(toks) - SPAN + 1)]
+        doc_spans[did] = spans
+        for s in spans:
+            span_docs[s].add(did)
+    rows = repeated_ngram_spans(spark, SF_SMOKE).collect()
+    assert len(rows) == len(texts)
+    assert [r["doc_id"] for r in rows] == sorted(texts)
+    for r in rows:
+        spans = doc_spans[r["doc_id"]]
+        dup = sum(1 for s in spans if len(span_docs[s]) >= 2)
+        assert r["n_spans"] == len(spans)
+        assert r["dup_spans"] == dup
+        want = 0.0 if not spans else math.floor(dup / len(spans) * 1e6 + 0.5) / 1e6
+        assert r["dup_frac"] == want
+
+
+def test_repeated_spans_nontrivial(spark):
+    """The fixture corpus must actually contain cross-doc duplicated
+    spans, or the audit is vacuous."""
+    rows = repeated_ngram_spans(spark, SF_SMOKE).collect()
+    assert any(r["dup_spans"] > 0 for r in rows)
+    assert all(0.0 <= r["dup_frac"] <= 1.0 for r in rows)
+
+
+def test_fasttext_score_shape_and_bounds(spark):
+    rows = fasttext_quality_score(spark, SF_SMOKE).collect()
+    docs = _texts(spark)
+    assert len(rows) == len(docs)
+    half = (QW_RANGE - 1) // 2
+    for r in rows:
+        n_toks = len(re.split(r"\s+", docs[r["doc_id"]].strip()))
+        # unigrams + bigrams
+        assert r["n_features"] == n_toks + max(n_toks - 1, 0)
+        assert abs(r["score_sum_milli"]) <= half * r["n_features"]
+        assert -1.0 <= r["score_mean"] <= 1.0
+        assert r["keep"] == int(r["score_sum_milli"] > 0)
+
+
+def test_fasttext_score_splits_corpus(spark):
+    """Hash weights are symmetric around 0 — a degenerate all-keep or
+    all-drop output would mean the scoring collapsed."""
+    rows = fasttext_quality_score(spark, SF_SMOKE).collect()
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {0, 1}
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """The relational trainer must reproduce the classic BPE trainer
+    (Sennrich et al. get_stats/merge_vocab loop, greedy left-to-right
+    non-overlapping merges) decision-for-decision."""
+    from projet_meteo_etl_spark.operators.tokenizer import (
+        BPE_ROUNDS,
+        bpe_train_merges,
+    )
+
+    texts = _texts(spark)
+    vocab: Counter[str] = Counter()
+    for t in texts.values():
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                vocab[w] += 1
+    segs: dict[str, list[str]] = {w: list(w) for w in vocab}
+
+    def get_stats():
+        st: Counter[tuple] = Counter()
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                st[(syms[i], syms[i + 1])] += vocab[w]
+        return st
+
+    def apply(pair):
+        a, b = pair
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+
+    expect = []
+    for r in range(1, BPE_ROUNDS + 1):
+        st = get_stats()
+        (a, b), n = sorted(st.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((r, f"{a}+{b}", n))
+        apply((a, b))
+
+    got = [
+        (r["round"], r["merge_pair"], r["n_occurrences"])
+        for r in bpe_train_merges(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    """'aaaa' under merge (a,a) must segment as (aa)(aa) — alternate
+    island members, not overlapping pairs.  Drive the trainer over a
+    crafted one-word corpus via a temp view-free in-memory DataFrame."""
+    from projet_meteo_etl_spark.operators import tokenizer as tk
+
+    df = spark.createDataFrame([(1, "aaaa aaaa b")], "doc_id long, text string")
+
+    orig = tk.load_table  # tokenizer binds load_table at import time
+    try:
+        tk.load_table = lambda s, d, n: df if n == "documents" else orig(s, d, n)
+        rows = tk.bpe_train_merges(spark, "ignored").collect()
+    finally:
+        tk.load_table = orig
+    # round 1: (a,a) appears 3 overlapping times per word × 2 words = 6
+    assert (rows[0]["merge_pair"], rows[0]["n_occurrences"]) == ("a+a", 6)
+    # round 2: after greedy merge each word is (aa)(aa) → pair (aa,aa)
+    # twice; the overlapping third pair must NOT have survived
+    assert (rows[1]["merge_pair"], rows[1]["n_occurrences"]) == ("aa+aa", 2)

@@ -43,7 +43,13 @@ def main() -> int:
 
     catalog.load_table = scaled_load
     try:
-        from projet_meteo_etl_spark.operators import selection, sketches
+        from projet_meteo_etl_spark.operators import (
+            cooccur,
+            importance,
+            selection,
+            sketches,
+            tokenizer,
+        )
         from projet_meteo_etl_spark.plans import (
             curation,
             relational,
@@ -66,6 +72,12 @@ def main() -> int:
             "chunk_documents": curation.chunk_documents,
             "portable_hll_distinct": sketches.portable_hll_distinct,
             "join_size_estimate": sketches.join_size_estimate,
+            # round-2b: tokenizer/substring-dedup/classifier/triangles
+            "bpe_merge_topk": tokenizer.bpe_merge_topk,
+            "repeated_ngram_spans": tokenizer.repeated_ngram_spans,
+            "fasttext_quality_score": importance.fasttext_quality_score,
+            "item_triangle_count": cooccur.item_triangle_count,
+            "salted_skew_join": relational_ext.salted_skew_join,
         }
         timings = {}
         # warmup

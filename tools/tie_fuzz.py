@@ -63,6 +63,7 @@ def _hash_pred_sql(col: str, r: int) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n_variants = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    only = set(sys.argv[3:])  # optional query-name filter
 
     spark = get_spark("tie-fuzz")
     orig_load = catalog.load_table
@@ -101,6 +102,8 @@ def main() -> int:
             for name, fn in qs.items():
                 sql = oracles.get(name)
                 if sql is None or name.startswith(SKIP_PREFIXES):
+                    continue
+                if only and name not in only:
                     continue
                 t0 = time.time()
                 try:
