@@ -603,10 +603,154 @@ LIMIT {PMI_TOP_N}
 """
 
 
+#: train split share for the held-out LM eval — the same hash rule as
+#: plans/curation.train_test_split_report, so the split this evaluator
+#: scores is the split the curation report audits.
+LM_TRAIN_PCT = 90
+
+
+def lm_holdout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation: train a Laplace-smoothed
+    bigram LM on the hash-deterministic 90% train split, score every
+    TEST document's average negative log-likelihood per bigram — the
+    train/eval separation :func:`bigram_lm_doc_scores` (trained on the
+    whole corpus) deliberately skips, and the perplexity-filter shape
+    real pipelines use (score corpus with an out-of-domain-trained LM,
+    drop the tail).
+
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V), V = train successor
+    vocabulary.  Each bigram's log-prob is quantized to integer
+    micronats BEFORE the per-doc sum (the DSIR convention), so document
+    scores are exact integer sums — order-independent, engine-exact.
+    Unseen test bigrams smooth to 1/(c+V); unseen prefixes to 1/V.
+
+    Scale: the model is a train-bigram-type-keyed aggregate (vocab²
+    bound, corpus-independent); scoring is one equi-join of the test
+    bigram stream against it plus a broadcast prefix-count join.  The
+    split is a pure hash of doc_id — no shuffle to assign it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    big = (
+        _doc_tokens(d)
+        .select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .withColumn("is_train", (h % 100) < LM_TRAIN_PCT)
+        .persist()
+    )
+    train = big.filter("is_train")
+    cb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    cu = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = train.agg(F.count_distinct("w2").alias("v"))
+
+    test = big.filter(~F.col("is_train")).select("doc_id", "w1", "w2")
+    scored = (
+        test.join(cb, ["w1", "w2"], "left")
+        .join(F.broadcast(cu), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.coalesce("c_big", F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce("c_uni", F.lit(0)) + F.col("v"))
+                )
+                * DSIR_LIKE_SCALE
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp").cast("long").alias("sum_lp_micronats"),
+    )
+    test_docs = d.filter((h % 100) >= LM_TRAIN_PCT).select("doc_id", "lang")
+    out = (
+        test_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_lp_micronats", F.lit(0))
+            .cast("long")
+            .alias("sum_lp_micronats"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr("(-sum_lp_micronats) div n_bigrams")
+            )
+            .cast("long")
+            .alias("avg_nll_micronats"),
+        )
+        .orderBy("doc_id")
+    )
+    return scoped_cache(out, big)
+
+
+#: micronat quantization, matching operators/importance.DSIR_SCALE
+DSIR_LIKE_SCALE = 1_000_000
+
+
+LM_HOLDOUT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w1, w2,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100)
+           < {LM_TRAIN_PCT} AS is_train
+  FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+),
+cb AS (SELECT w1, w2, count(*) AS c_big FROM bg WHERE is_train GROUP BY 1, 2),
+cu AS (SELECT w1, count(*) AS c_uni FROM bg WHERE is_train GROUP BY 1),
+voc AS (SELECT count(DISTINCT w2) AS v FROM bg WHERE is_train),
+scored AS (
+  SELECT t.doc_id,
+         CAST(floor(ln((coalesce(cb.c_big, 0) + 1.0)
+                       / (coalesce(cu.c_uni, 0) + voc.v))
+                    * 1000000) AS BIGINT) AS lp
+  FROM bg t
+  LEFT JOIN cb ON t.w1 = cb.w1 AND t.w2 = cb.w2
+  LEFT JOIN cu ON t.w1 = cu.w1
+  CROSS JOIN voc
+  WHERE NOT t.is_train
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS sum_lp
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(p.sum_lp, 0) AS BIGINT) AS sum_lp_micronats,
+       CAST(CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0
+            ELSE (-p.sum_lp) // p.n_bigrams END AS BIGINT) AS avg_nll_micronats
+FROM documents d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 100)
+      >= {LM_TRAIN_PCT}
+ORDER BY d.doc_id
+"""
+
+
 SPARK_QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "corpus_vocab_topk": corpus_vocab_topk,
     "bigram_lm_doc_scores": bigram_lm_doc_scores,
+    "lm_holdout_nll": lm_holdout_nll,
     "vocab_zipf_fit": vocab_zipf_fit,
     "corpus_token_gini": corpus_token_gini,
     "token_pmi_topk": token_pmi_topk,
@@ -616,6 +760,7 @@ ORACLE_SQL = {
     "text_repetition_filter": TEXT_REPETITION_SQL,
     "corpus_vocab_topk": CORPUS_VOCAB_SQL,
     "bigram_lm_doc_scores": BIGRAM_LM_SQL,
+    "lm_holdout_nll": LM_HOLDOUT_SQL,
     "vocab_zipf_fit": VOCAB_ZIPF_SQL,
     "corpus_token_gini": CORPUS_GINI_SQL,
     "token_pmi_topk": _pmi_sql(),

@@ -569,10 +569,140 @@ ORDER BY trunc_dim
 """
 
 
+#: probe widths swept by the recall curve (max < number of cells, so
+#: every point is genuinely approximate)
+RECALL_NPROBES = (1, 2, 4)
+
+
+def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs probe width — the tuning curve every IVF deployment
+    is sized from: for each ``nprobe`` in ``RECALL_NPROBES``, the
+    fraction of the exact brute-force top-``TOP_K`` neighbors the IVF
+    index recovers, aggregated over the query set.
+
+    Both sides of the comparison are the registered operators
+    themselves (:func:`ann_bruteforce_topk` as ground truth,
+    :func:`ann_ivf_topk` at each probe width), so the curve measures
+    the production code path, not a reimplementation.  Recall ties are
+    deterministic because both rankings order by pround-6 cosine with
+    vec_id tie-breaks.
+
+    Scale: ground truth over a query SAMPLE (here N_QUERIES) is the
+    standard practice — one corpus scan; each IVF evaluation scans only
+    its probed cells.  The joins below are on (query_id, neighbor_id)
+    — tiny result relations, broadcast.
+    """
+    truth = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    keep_alive = [truth]
+    curves = []
+    for np_ in RECALL_NPROBES:
+        got = ann_ivf_topk(spark, sf_dir, nprobe=np_).select(
+            "query_id", "neighbor_id"
+        )
+        keep_alive.append(got)
+        hits = got.join(truth, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        curves.append(
+            hits.select(
+                F.lit(np_).alias("nprobe"),
+                F.lit(N_QUERIES * TOP_K).cast("long").alias("n_truth"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                pround(F.col("n_hits") / F.lit(float(N_QUERIES * TOP_K)), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    # keep the inner queries' scoped caches alive until this result is
+    # consumed (deriving from a scoped_cache result would otherwise
+    # fire its finalizer early — see cachescope docs)
+    return scoped_cache(out.orderBy("nprobe"), *keep_alive)
+
+
+def _ivf_ranked_cte(np_: int, s: str) -> str:
+    """CTE block computing the IVF top-k at probe width ``np_`` with
+    suffix ``s`` (shares emb/cents/assigned/q with ANN_IVF_SQL)."""
+    return f"""
+probes{s} AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS6_SQL.format(a='q.qv', b='c.centroid')} DESC,
+                      c.cell_id ASC) AS r
+    FROM q, cents c
+  ) WHERE r <= {np_}
+),
+ranked{s} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {_COS6_SQL.format(a='p.qv', b='a.v')} DESC,
+                                       a.vec_id ASC) AS rank
+    FROM assigned a JOIN probes{s} p ON a.cell = p.cell AND a.vec_id <> p.query_id
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+ANN_IVF_RECALL_SQL = (
+    f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+per_dim AS (
+  SELECT label, pos, avg(val) AS c FROM (
+    SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM emb
+  ) GROUP BY label, pos
+),
+cents AS (
+  SELECT label AS cell_id, list(c ORDER BY pos) AS centroid
+  FROM per_dim GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS6_SQL.format(a='e.v', b='c.centroid')} DESC,
+                      c.cell_id ASC) AS r
+    FROM emb e, cents c
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM assigned WHERE vec_id < {N_QUERIES}),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS6_SQL.format(a='q.qv', b='e.v')} DESC,
+                                       e.vec_id ASC) AS rank
+    FROM emb e, q WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= {TOP_K}
+),"""
+    + ",".join(_ivf_ranked_cte(np_, f"_{np_}") for np_ in RECALL_NPROBES)
+    + "\nUNION ALL ".join(
+        f"""
+SELECT {np_} AS nprobe,
+       CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_truth,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       floor((count(*) * 1.0 / {N_QUERIES * TOP_K}) * 1000000.0 + 0.5) / 1000000.0
+         AS recall_at_k
+FROM ranked_{np_} r JOIN truth t
+  ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+"""
+        for np_ in RECALL_NPROBES
+    )
+    + "ORDER BY nprobe"
+)
+
+
 SPARK_QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_recall_curve": ann_ivf_recall_curve,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_int8_quantize": embedding_int8_quantize,
     "embedding_matryoshka_quality": embedding_matryoshka_quality,
@@ -582,6 +712,7 @@ ORACLE_SQL = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_ivf_recall_curve": ANN_IVF_RECALL_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     "embedding_int8_quantize": EMBEDDING_INT8_SQL,
     "embedding_matryoshka_quality": EMBEDDING_MRL_SQL,

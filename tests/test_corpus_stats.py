@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 from projet_meteo_etl_spark.operators import corpus_stats, similarity
 from tests.conftest import SF_SMOKE
 
+SF = SF_SMOKE
+
 
 def test_repetition_fracs_bounded_and_keep_consistent(spark):
     rows = corpus_stats.text_repetition_filter(spark, SF_SMOKE).collect()
@@ -202,3 +204,57 @@ def test_langid_confusion_matrix_partitions(spark):
         assert r["is_correct"] == int(r["lang_label"] == r["lang_pred"])
     for label, tot in per_label.items():
         assert 1_000_000 - 20 <= tot <= 1_000_000
+
+
+def test_lm_holdout_nll_against_python_oracle(spark):
+    """Laplace-smoothed bigram NLL on the test split must match a
+    direct Python implementation of the same model."""
+    import math
+    import re
+    from collections import Counter
+    from hashlib import md5
+
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        LM_TRAIN_PCT,
+        lm_holdout_nll,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def is_train(doc_id):
+        h = int(md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % 100 < LM_TRAIN_PCT
+
+    cb, cu, voc = Counter(), Counter(), set()
+    bigrams = {}
+    for did, t in docs.items():
+        toks = re.split(r"\s+", t.strip())
+        bg = list(zip(toks, toks[1:]))
+        bigrams[did] = bg
+        if is_train(did):
+            for w1, w2 in bg:
+                cb[(w1, w2)] += 1
+                cu[w1] += 1
+                voc.add(w2)
+    V = len(voc)
+    rows = lm_holdout_nll(spark, SF).collect()
+    assert rows, "test split must be non-empty"
+    for r in rows:
+        did = r["doc_id"]
+        assert not is_train(did)
+        bg = bigrams[did]
+        lps = [
+            math.floor(math.log((cb.get(p, 0) + 1.0) / (cu.get(p[0], 0) + V)) * 1e6)
+            for p in bg
+        ]
+        assert r["n_bigrams"] == len(bg)
+        assert r["sum_lp_micronats"] == sum(lps)
+        if bg:
+            assert r["avg_nll_micronats"] == (-sum(lps)) // len(bg)
+            # NLL of a probability < 1 is positive
+            assert r["avg_nll_micronats"] > 0
+    # every test doc reported
+    assert len(rows) == sum(1 for d in docs if not is_train(d))

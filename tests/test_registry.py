@@ -160,6 +160,8 @@ EXPECTED_QUERIES = {
     "stream_left_outer_lonely_purchases",
     # winsorization + shuffle-key skew diagnostics (operators/profiling.py)
     "winsorized_value_stats", "shuffle_skew_audit",
+    # held-out LM eval (operators/corpus_stats.py) + IVF tuning curve
+    "lm_holdout_nll", "ann_ivf_recall_curve",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

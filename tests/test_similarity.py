@@ -73,3 +73,23 @@ def test_matryoshka_quality_monotone_in_dims(spark):
     dims = sorted(rows)
     means = [rows[d]["mean_dev_micros"] for d in dims]
     assert means == sorted(means, reverse=True)
+
+
+def test_ivf_recall_curve_monotone(spark):
+    """Recall@k must be in [0,1], non-decreasing in probe width, and
+    reconcile with its own hit counts."""
+    from projet_meteo_etl_spark.operators.similarity import (
+        RECALL_NPROBES,
+        TOP_K,
+        N_QUERIES,
+        ann_ivf_recall_curve,
+    )
+
+    rows = ann_ivf_recall_curve(spark, SF).collect()
+    assert [r["nprobe"] for r in rows] == list(RECALL_NPROBES)
+    prev = -1.0
+    for r in rows:
+        assert r["n_truth"] == N_QUERIES * TOP_K
+        assert 0 <= r["n_hits"] <= r["n_truth"]
+        assert prev <= r["recall_at_k"] <= 1.0
+        prev = r["recall_at_k"]
