@@ -278,12 +278,126 @@ LIMIT {TOP_N}
 """
 
 
+#: k-core degree threshold and unrolled peel rounds
+K_CORE = 10
+KCORE_ROUNDS = 3
+
+
+def item_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition of the item co-click graph
+    (edges = pairs with ≥ ``TRI_MIN_SUPPORT`` co-clicking users):
+    ``KCORE_ROUNDS`` synchronous peeling rounds remove every node whose
+    current degree is below ``K_CORE``; the report gives each node's
+    initial degree and the round it was peeled (0 = survived all
+    rounds — the dense engagement core).  Community-density peeling is
+    the standard precursor to spam/bot cluster triage and to sizing
+    graph embeddings.
+
+    Scale: each round is one degree aggregation plus two broadcast
+    anti-joins against the (shrinking) peel set — the edge list never
+    re-shuffles because every round keys on the same endpoints.  The
+    unroll is static (like :func:`~projet_meteo_etl_spark.operators.
+    graph.pagerank_click_graph`); full decomposition would loop to a
+    fixpoint with ``localCheckpoint`` round truncation, identical
+    per-round plan.
+    """
+    ui = _user_items(spark, sf_dir)
+    edges = (
+        _co_counts(ui)
+        .filter(F.col("n_users") >= TRI_MIN_SUPPORT)
+        .select("i1", "i2")
+        .persist()
+    )
+    cached = [ui, edges]
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("i1").alias("item"))
+            .unionAll(e.select(F.col("i2").alias("item")))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    d0 = degrees(edges).persist()
+    cached.append(d0)
+    peeled = []
+    cur_deg, cur_edges = d0, edges
+    for r in range(1, KCORE_ROUNDS + 1):
+        peel = cur_deg.filter(F.col("deg") < K_CORE).select("item")
+        peeled.append(
+            peel.select("item", F.lit(r).alias("peel_round"))
+        )
+        cur_edges = (
+            cur_edges.join(
+                F.broadcast(peel.withColumnRenamed("item", "i1")), "i1", "left_anti"
+            ).join(
+                F.broadcast(peel.withColumnRenamed("item", "i2")), "i2", "left_anti"
+            )
+        ).persist()
+        cached.append(cur_edges)
+        cur_deg = degrees(cur_edges)
+    rounds = peeled[0]
+    for p in peeled[1:]:
+        rounds = rounds.unionByName(p)
+    out = (
+        d0.withColumnRenamed("deg", "deg0")
+        .join(rounds, "item", "left")
+        .select(
+            "item",
+            F.col("deg0").cast("long").alias("initial_degree"),
+            F.coalesce("peel_round", F.lit(0)).cast("int").alias("peel_round"),
+        )
+        .orderBy("item")
+    )
+    return scoped_cache(out, *cached)
+
+
+def _kcore_round_sql(r: int) -> str:
+    return f"""
+p{r} AS (SELECT item FROM d{r - 1} WHERE deg < {K_CORE}),
+e{r} AS (
+  SELECT i1, i2 FROM e{r - 1}
+  WHERE i1 NOT IN (SELECT item FROM p{r})
+    AND i2 NOT IN (SELECT item FROM p{r})
+),
+d{r} AS (
+  SELECT item, count(*) AS deg FROM (
+    SELECT i1 AS item FROM e{r} UNION ALL SELECT i2 FROM e{r}
+  ) GROUP BY item
+)"""
+
+
+KCORE_SQL = (
+    f"""
+WITH {_BASKET_SQL},
+e0 AS (SELECT i1, i2 FROM co WHERE n_users >= {TRI_MIN_SUPPORT}),
+d0 AS (
+  SELECT item, count(*) AS deg FROM (
+    SELECT i1 AS item FROM e0 UNION ALL SELECT i2 FROM e0
+  ) GROUP BY item
+),"""
+    + ",".join(_kcore_round_sql(r) for r in range(1, KCORE_ROUNDS + 1))
+    + f""",
+rounds AS (
+  {' UNION ALL '.join(f"SELECT item, {r} AS peel_round FROM p{r}" for r in range(1, KCORE_ROUNDS + 1))}
+)
+SELECT d0.item,
+       CAST(d0.deg AS BIGINT) AS initial_degree,
+       CAST(coalesce(rounds.peel_round, 0) AS INTEGER) AS peel_round
+FROM d0 LEFT JOIN rounds ON rounds.item = d0.item
+ORDER BY d0.item
+"""
+)
+
+
 SPARK_QUERIES = {
     "item_cooccurrence_topk": item_cooccurrence_topk,
     "item_jaccard_similarity": item_jaccard_similarity,
     "item_triangle_count": item_triangle_count,
+    "item_kcore_peel": item_kcore_peel,
 }
 ORACLE_SQL = {
+    "item_kcore_peel": KCORE_SQL,
     "item_cooccurrence_topk": COOCCUR_SQL,
     "item_jaccard_similarity": JACCARD_SQL,
     "item_triangle_count": TRIANGLE_SQL,

@@ -25,7 +25,7 @@ are likewise portable and oracle-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
@@ -619,16 +619,366 @@ ORDER BY row_i
 """
 
 
+#: audience pairs for the HLL set-operation estimates
+HLL_PAIRS = (("click", "view"), ("click", "purchase"), ("purchase", "view"))
+
+
+def hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra on user audiences: for each event-type pair,
+    estimate |A|, |B|, |A∪B| (register-wise ``max`` — the only set
+    operation HLL supports natively) and derive |A∩B| by
+    inclusion–exclusion, reported against the exact intersection.
+
+    This is the audience-overlap question (retargeting, contamination
+    between cohorts) answered WITHOUT ever shuffling user ids: each
+    side compresses to ``HLL_M`` registers map-side, the union is a
+    256-row ``greatest``, and only the exact ground-truth column (which
+    a production run would omit) touches the raw id sets.  The derived
+    intersection inherits both sketches' error — the report quantifies
+    exactly how much, which is the operator's point.
+
+    Same portable register construction as
+    :func:`portable_hll_distinct`, so every estimate hash-checks.
+    """
+    types = sorted({t for p in HLL_PAIRS for t in p})
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .filter(F.col("event_type").isin(*types))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = e.select(
+        "event_type",
+        (h % HLL_M).cast("int").alias("b"),
+        ((h - (h % HLL_M)) / HLL_M).cast("long").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(F.col("rem"), 10, 2))
+    )
+    regs = (
+        hashed.select("event_type", "b", rho.alias("rho"))
+        .groupBy("event_type", "b")
+        .agg(F.max("rho").alias("m"))
+        .persist()
+    )
+    pairs = spark.createDataFrame(
+        [(f"{a}+{b}", a, b) for a, b in HLL_PAIRS],
+        "pair string, ta string, tb string",
+    )
+    frame = (
+        pairs.crossJoin(
+            F.broadcast(spark.range(HLL_M).select(F.col("id").cast("int").alias("b")))
+        )
+        .join(
+            regs.select(F.col("event_type").alias("ta"), "b", F.col("m").alias("m_a")),
+            ["ta", "b"],
+            "left",
+        )
+        .join(
+            regs.select(F.col("event_type").alias("tb"), "b", F.col("m").alias("m_b")),
+            ["tb", "b"],
+            "left",
+        )
+        .na.fill(0, ["m_a", "m_b"])
+        .withColumn("m_u", F.greatest("m_a", "m_b"))
+    )
+
+    def est(mcol: str):
+        z = F.sum(F.pow(F.lit(2.0), -F.col(mcol)))
+        v = F.sum((F.col(mcol) == 0).cast("int"))
+        raw = F.expr(_HLL_ALPHA_EXPR) / z
+        return F.when(
+            (raw <= 2.5 * HLL_M) & (v > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+        ).otherwise(raw)
+
+    ests = frame.groupBy("pair").agg(
+        pround(est("m_a"), 3).alias("est_a"),
+        pround(est("m_b"), 3).alias("est_b"),
+        pround(est("m_u"), 3).alias("est_union"),
+    )
+    su = e.distinct()
+    exact = (
+        pairs.join(
+            su.select(F.col("event_type").alias("ta"), F.col("user_id").alias("u")),
+            "ta",
+        )
+        .join(
+            su.select(F.col("event_type").alias("tb"), F.col("user_id").alias("u")),
+            ["tb", "u"],
+        )
+        .groupBy("pair")
+        .agg(F.count_distinct("u").cast("long").alias("n_exact_intersect"))
+    )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
+        ests.join(exact, "pair")
+        .select(
+            "pair",
+            "est_a",
+            "est_b",
+            "est_union",
+            pround(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 3
+            ).alias("est_intersect"),
+            "n_exact_intersect",
+            pround(
+                F.abs(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union")
+                    - F.col("n_exact_intersect")
+                )
+                / F.col("n_exact_intersect"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("pair")
+    )
+    return scoped_cache(out, regs)
+
+
+def _hll_est_sql(mcol: str) -> str:
+    return (
+        f"CASE WHEN {_HLL_ALPHA_EXPR} / sum(pow(2.0, -{mcol})) <= 2.5 * {HLL_M}"
+        f" AND sum(CASE WHEN {mcol} = 0 THEN 1 ELSE 0 END) > 0"
+        f" THEN {HLL_M}.0 * ln({HLL_M}.0 / sum(CASE WHEN {mcol} = 0 THEN 1 ELSE 0 END))"
+        f" ELSE {_HLL_ALPHA_EXPR} / sum(pow(2.0, -{mcol})) END"
+    )
+
+
+HLL_SET_OPS_SQL = rf"""
+WITH pairs(pair, ta, tb) AS (
+  VALUES {', '.join(f"('{a}+{b}', '{a}', '{b}')" for a, b in HLL_PAIRS)}
+),
+hashed AS (
+  SELECT event_type,
+         CAST(h % {HLL_M} AS INTEGER) AS b,
+         CAST((h - (h % {HLL_M})) / {HLL_M} AS BIGINT) AS rem
+  FROM (
+    SELECT event_type, user_id,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM events
+    WHERE event_type IN ({', '.join(f"'{t}'" for t in sorted({t for p in HLL_PAIRS for t in p}))})
+  )
+),
+regs AS (
+  SELECT event_type, b,
+         max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS m
+  FROM hashed GROUP BY event_type, b
+),
+frame AS (
+  SELECT p.pair, r.b,
+         coalesce(ra.m, 0) AS m_a, coalesce(rb.m, 0) AS m_b,
+         greatest(coalesce(ra.m, 0), coalesce(rb.m, 0)) AS m_u
+  FROM pairs p
+  CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M} - 1)) AS b) r
+  LEFT JOIN regs ra ON ra.event_type = p.ta AND ra.b = r.b
+  LEFT JOIN regs rb ON rb.event_type = p.tb AND rb.b = r.b
+),
+ests AS (
+  SELECT pair,
+         floor(({_hll_est_sql('m_a')}) * 1000.0 + 0.5) / 1000.0 AS est_a,
+         floor(({_hll_est_sql('m_b')}) * 1000.0 + 0.5) / 1000.0 AS est_b,
+         floor(({_hll_est_sql('m_u')}) * 1000.0 + 0.5) / 1000.0 AS est_union
+  FROM frame GROUP BY pair
+),
+su AS (SELECT DISTINCT event_type, user_id FROM events),
+exact AS (
+  SELECT p.pair, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_exact_intersect
+  FROM pairs p
+  JOIN su a ON a.event_type = p.ta
+  JOIN su b ON b.event_type = p.tb AND b.user_id = a.user_id
+  GROUP BY p.pair
+)
+SELECT e.pair, est_a, est_b, est_union,
+       floor((est_a + est_b - est_union) * 1000.0 + 0.5) / 1000.0 AS est_intersect,
+       n_exact_intersect,
+       floor((abs(est_a + est_b - est_union - n_exact_intersect)
+              / n_exact_intersect) * 1000000.0 + 0.5) / 1000000.0 AS rel_err
+FROM ests e JOIN exact ON exact.pair = e.pair
+ORDER BY e.pair
+"""
+
+
+def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join ORDERING for lineitem ⋈ orders ⋈ customer:
+    estimate |lineitem⋈orders| (on orderkey) and |orders⋈customer| (on
+    custkey) as AMS inner products of per-side CMS bucket vectors, and
+    choose which join to run first — the cost-based-optimizer decision,
+    made without shuffling a single join key.
+
+    Σ_b Sa[b]·Sb[b] ≥ Σ_k ca(k)·cb(k) for every hash row (collisions
+    only add non-negative cross terms), so each estimate is one-sided;
+    the min over the ``CMS_D`` rows is the usable figure, and the
+    chosen order is the candidate with the smaller min-estimate
+    (exact integer comparison, candidate name as tie-break).  The
+    exact cardinalities and over-estimate ppm are reported alongside.
+
+    Scale: each side compresses map-side to D·W cells; the inner
+    product is a W-row join per hash row.  This is the pre-flight that
+    pairs with ``shuffle_skew_audit``: skew audit says HOW a join will
+    shuffle, this says WHICH join to run first.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def bucket(i: int, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    def side_sketch(df: DataFrame, key: str) -> DataFrame:
+        deg = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        cells = deg.select(
+            "c",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row_i"),
+                            bucket(i, F.col("k")).alias("bucket"),
+                        )
+                        for i in range(CMS_D)
+                    ]
+                )
+            ).alias("cc"),
+        ).select("cc.row_i", "cc.bucket", "c")
+        return cells.groupBy("row_i", "bucket").agg(F.sum("c").alias("s"))
+
+    def inner_product(a: DataFrame, b: DataFrame, label: str) -> DataFrame:
+        prod = (
+            a.join(
+                b.withColumnRenamed("s", "s_b"), ["row_i", "bucket"]
+            )
+            .groupBy("row_i")
+            .agg(F.sum(F.col("s") * F.col("s_b")).cast("long").alias("est"))
+        )
+        return prod.agg(F.min("est").cast("long").alias("est_rows")).select(
+            F.lit(label).alias("candidate"), "est_rows"
+        )
+
+    def exact_size(a: DataFrame, ka: str, b: DataFrame, kb: str) -> F.Column:
+        da = a.groupBy(F.col(ka).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+        db = b.groupBy(F.col(kb).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+        return (
+            da.join(db, "k")
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("n"))
+        )
+
+    est = inner_product(
+        side_sketch(l, "l_orderkey"), side_sketch(o, "o_orderkey"),
+        "lineitem*orders",
+    ).unionByName(
+        inner_product(
+            side_sketch(o, "o_custkey"), side_sketch(c, "c_custkey"),
+            "orders*customer",
+        )
+    )
+    exact = (
+        exact_size(l, "l_orderkey", o, "o_orderkey")
+        .select(F.lit("lineitem*orders").alias("candidate"), F.col("n").alias("exact_rows"))
+        .unionByName(
+            exact_size(o, "o_custkey", c, "c_custkey").select(
+                F.lit("orders*customer").alias("candidate"), F.col("n").alias("exact_rows")
+            )
+        )
+    )
+    joined = est.join(exact, "candidate")
+    w_min = Window.orderBy("est_rows", "candidate")
+    return (
+        joined.withColumn("pick", F.row_number().over(w_min))
+        .select(
+            "candidate",
+            "est_rows",
+            "exact_rows",
+            F.expr(
+                "CAST((est_rows - exact_rows) * 1000000 DIV exact_rows AS BIGINT)"
+            ).alias("over_ppm"),
+            (F.col("pick") == 1).cast("int").alias("run_first"),
+        )
+        .orderBy("candidate")
+    )
+
+
+JOIN_ORDER_SQL = rf"""
+WITH deg_l AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+deg_o AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+deg_oc AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+deg_c AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1),
+cells AS (
+  SELECT side, row_i,
+         ('0x' || substr(md5(CAST(row_i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % {CMS_W} AS bucket,
+         c
+  FROM (
+    SELECT 'l' AS side, k, c FROM deg_l
+    UNION ALL SELECT 'o', k, c FROM deg_o
+    UNION ALL SELECT 'oc', k, c FROM deg_oc
+    UNION ALL SELECT 'c', k, c FROM deg_c
+  ) CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1})) AS row_i)
+),
+sk AS (SELECT side, row_i, bucket, sum(c) AS s FROM cells GROUP BY 1, 2, 3),
+est AS (
+  SELECT 'lineitem*orders' AS candidate,
+         CAST(min(est) AS BIGINT) AS est_rows
+  FROM (
+    SELECT a.row_i, sum(a.s * b.s) AS est
+    FROM sk a JOIN sk b ON a.row_i = b.row_i AND a.bucket = b.bucket
+    WHERE a.side = 'l' AND b.side = 'o'
+    GROUP BY a.row_i
+  )
+  UNION ALL
+  SELECT 'orders*customer',
+         CAST(min(est) AS BIGINT)
+  FROM (
+    SELECT a.row_i, sum(a.s * b.s) AS est
+    FROM sk a JOIN sk b ON a.row_i = b.row_i AND a.bucket = b.bucket
+    WHERE a.side = 'oc' AND b.side = 'c'
+    GROUP BY a.row_i
+  )
+),
+exact AS (
+  SELECT 'lineitem*orders' AS candidate,
+         CAST(sum(a.c * b.c) AS BIGINT) AS exact_rows
+  FROM deg_l a JOIN deg_o b ON a.k = b.k
+  UNION ALL
+  SELECT 'orders*customer',
+         CAST(sum(a.c * b.c) AS BIGINT)
+  FROM deg_oc a JOIN deg_c b ON a.k = b.k
+)
+SELECT e.candidate, e.est_rows, x.exact_rows,
+       CAST((e.est_rows - x.exact_rows) * 1000000 // x.exact_rows AS BIGINT)
+         AS over_ppm,
+       CAST(CASE WHEN row_number() OVER (ORDER BY e.est_rows, e.candidate) = 1
+            THEN 1 ELSE 0 END AS INTEGER) AS run_first
+FROM est e JOIN exact x ON x.candidate = e.candidate
+ORDER BY e.candidate
+"""
+
+
 SPARK_QUERIES = {
     "approx_user_stats": approx_user_stats,
     "hll_sketch_mergeability": hll_sketch_mergeability,
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_membership_audit": bloom_membership_audit,
     "portable_hll_distinct": portable_hll_distinct,
+    "hll_set_operations": hll_set_operations,
     "join_size_estimate": join_size_estimate,
+    "join_order_advisor": join_order_advisor,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "hll_set_operations": HLL_SET_OPS_SQL,
+    "join_order_advisor": JOIN_ORDER_SQL,
     "cms_heavy_hitters": CMS_SQL,
     "bloom_membership_audit": BLOOM_SQL,
     "portable_hll_distinct": PORTABLE_HLL_SQL,

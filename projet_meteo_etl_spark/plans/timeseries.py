@@ -728,12 +728,225 @@ ORDER BY event_type
 """
 
 
+#: robust-z outlier test in PURE integer arithmetic:
+#: |c − median| · 10^5 > MAD_K · MAD,  MAD_K = round(3.5 × 1.4826 × 10^5)
+#: (3.5 = Iglewicz–Hoaglin modified-z cutoff, 1.4826 = MAD→σ for normals)
+MAD_K = 518_910
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier report per event type — the
+    heavy-tail-safe complement of :func:`events_zscore_outliers`
+    (mean/σ z-scores are themselves dragged by the outliers they
+    hunt; median and median-absolute-deviation are not).
+
+    Both the median and the MAD are rank-exact ``percentile_disc``
+    selections on integer cents (never interpolated), and the outlier
+    test is pure integer arithmetic (see ``MAD_K``), so every count is
+    engine-exact — no float boundary can flip a row.
+
+    Scale: two ranked window passes over the SAME event_type
+    partitioning (values, then absolute deviations) and a final
+    aggregate that reuses it — one shuffle total, groups processed
+    independently across executors.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    base = e.select("event_type", "event_id", cents.alias("c"))
+    wv = Window.partitionBy("event_type").orderBy("c", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = base.select(
+        "event_type",
+        "c",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn(
+        "med",
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("c"))
+        ).over(wn),
+    )
+    dev = med.select(
+        "event_type",
+        "c",
+        "n",
+        "med",
+        F.abs(F.col("c") - F.col("med")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    mad = dev.select(
+        "event_type",
+        "c",
+        "n",
+        "med",
+        "d",
+        F.row_number().over(wd).alias("rd"),
+    ).withColumn(
+        "mad",
+        F.max(
+            F.when(F.col("rd") == F.ceil(F.col("n") / 2), F.col("d"))
+        ).over(wn),
+    )
+    return (
+        mad.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.max("med") / 100.0).alias("median_value"),
+            (F.max("mad") / 100.0).alias("mad_value"),
+            F.sum(
+                (F.col("d") * 100_000 > F.lit(MAD_K) * F.col("mad")).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_ppm",
+            F.expr("(n_outliers * 1000000) div n_rows").cast("long"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_MAD_SQL = f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+med AS (
+  SELECT event_type, c, n,
+         max(CASE WHEN rn = ceil(n / 2.0) THEN c END)
+           OVER (PARTITION BY event_type) AS med
+  FROM (
+    SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM base
+  )
+),
+mad AS (
+  SELECT event_type, c, n, med, d,
+         max(CASE WHEN rd = ceil(n / 2.0) THEN d END)
+           OVER (PARTITION BY event_type) AS mad
+  FROM (
+    SELECT event_type, c, n, med, abs(c - med) AS d,
+           row_number() OVER (PARTITION BY event_type ORDER BY abs(c - med)) AS rd
+    FROM med
+  )
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       max(med) / 100.0 AS median_value,
+       max(mad) / 100.0 AS mad_value,
+       CAST(sum(CASE WHEN d * 100000 > {MAD_K} * mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN d * 100000 > {MAD_K} * mad THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+FROM mad
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection on the daily purchase-revenue
+    series via the CUSUM statistic — where did the level shift?
+
+    The classic statistic S_t = prefix_t − t·(total/T) involves a
+    rational mean; scaled by T it becomes the INTEGER
+    ``ST_t = T·prefix_t − t·total`` (cents), so the argmax over t —
+    the changepoint — is an exact integer comparison on both engines
+    (earliest day wins ties).  Before/after means are pround-6 from
+    exact cent sums.
+
+    Scale: the windowed cumsum runs on the DAILY aggregate (T rows,
+    one per day) — the corpus-sized work is the ordinary map-side
+    combinable day rollup; a single-partition window over T≈365·years
+    rows is trivially safe.  Detecting multiple changepoints = recurse
+    on the two halves (binary segmentation), each round this same
+    query shape on a date-bounded slice.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    daily = (
+        e.select(F.to_date("ts").alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("d_cents"))
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = daily.select(
+        "day",
+        "d_cents",
+        F.sum("d_cents").over(wc).alias("prefix"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("d_cents").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("tt"),
+    ).withColumn(
+        "st",
+        F.col("tt") * F.col("prefix") - F.col("t") * F.col("total"),
+    )
+    pick = Window.orderBy(F.desc(F.abs(F.col("st"))), F.asc("day"))
+    return (
+        cum.filter(F.col("t") < F.col("tt"))  # split must leave both sides non-empty
+        .withColumn("r", F.row_number().over(pick))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("day").alias("cp_day"),
+            F.col("tt").cast("long").alias("n_days"),
+            F.abs(F.col("st")).cast("long").alias("cusum_scaled"),
+            pround(F.col("prefix") / F.col("t") / 100.0, 6).alias("mean_before"),
+            pround(
+                (F.col("total") - F.col("prefix"))
+                / (F.col("tt") - F.col("t"))
+                / 100.0,
+                6,
+            ).alias("mean_after"),
+        )
+    )
+
+
+REVENUE_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS d_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+cum AS (
+  SELECT day, d_cents,
+         sum(d_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prefix,
+         row_number() OVER (ORDER BY day) AS t,
+         sum(d_cents) OVER () AS total,
+         count(*) OVER () AS tt
+  FROM daily
+),
+scored AS (
+  SELECT *, tt * prefix - t * total AS st FROM cum WHERE t < tt
+)
+SELECT day AS cp_day,
+       CAST(tt AS BIGINT) AS n_days,
+       CAST(abs(st) AS BIGINT) AS cusum_scaled,
+       floor((prefix * 1.0 / t / 100.0) * 1000000.0 + 0.5) / 1000000.0
+         AS mean_before,
+       floor(((total - prefix) * 1.0 / (tt - t) / 100.0) * 1000000.0 + 0.5) / 1000000.0
+         AS mean_after
+FROM scored
+ORDER BY abs(st) DESC, day ASC
+LIMIT 1
+"""
+
+
 SPARK_QUERIES = {
     "revenue_autocorrelation": revenue_autocorrelation,
     "user_value_trend": user_value_trend,
     "user_hourly_ffill": user_hourly_ffill,
     "user_value_ewma": user_value_ewma,
     "events_zscore_outliers": events_zscore_outliers,
+    "events_mad_outliers": events_mad_outliers,
+    "revenue_changepoint": revenue_changepoint,
     "scd2_value_band_history": scd2_value_band_history,
     "user_value_twap": user_value_twap,
     "events_value_psi": events_value_psi,
@@ -761,6 +974,8 @@ ORACLE_SQL = {
     "user_hourly_ffill": USER_FFILL_SQL,
     "user_value_ewma": USER_EWMA_SQL,
     "events_zscore_outliers": EVENTS_ZSCORE_SQL,
+    "events_mad_outliers": EVENTS_MAD_SQL,
+    "revenue_changepoint": REVENUE_CHANGEPOINT_SQL,
     "scd2_value_band_history": SCD2_HISTORY_SQL,
     "user_value_twap": USER_TWAP_SQL,
     "events_value_psi": EVENTS_PSI_SQL,

@@ -102,3 +102,43 @@ def test_triangle_count_against_python_oracle(spark):
     ]
     assert got == expect
     assert len(got) > 0
+
+
+def test_kcore_peel_against_python_oracle(spark):
+    """Synchronous peeling in Python must agree round-for-round."""
+    from itertools import combinations
+
+    from projet_meteo_etl_spark.operators.cooccur import (
+        K_CORE,
+        KCORE_ROUNDS,
+        TRI_MIN_SUPPORT,
+        item_kcore_peel,
+    )
+    from tests.conftest import SF_ORACLE
+
+    ui = _user_items(spark, SF_ORACLE).collect()
+    sets: dict[int, set[int]] = {}
+    for r in ui:
+        sets.setdefault(r["item"], set()).add(r["user_id"])
+    items = sorted(sets)
+    adj: dict[int, set[int]] = {i: set() for i in items}
+    for a, b in combinations(items, 2):
+        if len(sets[a] & sets[b]) >= TRI_MIN_SUPPORT:
+            adj[a].add(b)
+            adj[b].add(a)
+    nodes = {i for i in items if adj[i]}
+    expect = {i: (len(adj[i]), 0) for i in nodes}
+    alive = set(nodes)
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = {i: sum(1 for j in adj[i] if j in alive) for i in alive}
+        peel = {i for i in alive if deg[i] < K_CORE}
+        for i in peel:
+            expect[i] = (expect[i][0], rnd)
+        alive -= peel
+    got = {
+        r["item"]: (r["initial_degree"], r["peel_round"])
+        for r in item_kcore_peel(spark, SF_ORACLE).collect()
+    }
+    assert got == expect
+    # the fixture graph must exercise every round AND leave a core
+    assert {v[1] for v in got.values()} == set(range(KCORE_ROUNDS + 1))

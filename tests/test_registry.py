@@ -162,6 +162,14 @@ EXPECTED_QUERIES = {
     "winsorized_value_stats", "shuffle_skew_audit",
     # held-out LM eval (operators/corpus_stats.py) + IVF tuning curve
     "lm_holdout_nll", "ann_ivf_recall_curve",
+    # HLL set algebra (operators/sketches.py)
+    "hll_set_operations",
+    # k-core peeling (operators/cooccur.py)
+    "item_kcore_peel",
+    # median/MAD robust outliers + CUSUM changepoint (plans/timeseries.py)
+    "events_mad_outliers", "revenue_changepoint",
+    # sketch-driven join ordering (operators/sketches.py)
+    "join_order_advisor",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

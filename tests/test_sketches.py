@@ -63,3 +63,40 @@ def test_join_size_estimate_one_sided(spark):
     for r in rows:
         assert r["est_join_rows"] >= r["exact_join_rows"] > 0
         assert r["over_ppm"] >= 0
+
+
+def test_hll_set_operations_inclusion_exclusion(spark):
+    """Union estimate bounded by the parts; derived intersection close
+    to exact (HLL with m=256 ≈ 6.5% σ; allow 4σ on the sum of three
+    sketches); identity est_a + est_b = est_union + est_intersect."""
+    from projet_meteo_etl_spark.operators.sketches import (
+        HLL_PAIRS,
+        hll_set_operations,
+    )
+
+    rows = hll_set_operations(spark, SF).collect()
+    assert len(rows) == len(HLL_PAIRS)
+    for r in rows:
+        assert max(r["est_a"], r["est_b"]) <= r["est_union"] + 1e-9
+        assert r["est_union"] <= r["est_a"] + r["est_b"] + 1e-9
+        # inclusion-exclusion identity on the rounded estimates
+        assert abs(
+            (r["est_a"] + r["est_b"]) - (r["est_union"] + r["est_intersect"])
+        ) < 2e-3
+        assert r["n_exact_intersect"] > 0
+        assert r["rel_err"] < 0.8  # three compounded sketches, sane band
+
+
+def test_join_order_advisor_bounds_and_choice(spark):
+    """Estimates are one-sided overestimates of the exact sizes, and
+    exactly one candidate is chosen (the min-estimate one)."""
+    from projet_meteo_etl_spark.operators.sketches import join_order_advisor
+
+    rows = {r["candidate"]: r for r in join_order_advisor(spark, SF).collect()}
+    assert set(rows) == {"lineitem*orders", "orders*customer"}
+    for r in rows.values():
+        assert r["est_rows"] >= r["exact_rows"]
+        assert r["over_ppm"] >= 0
+    picked = [r for r in rows.values() if r["run_first"] == 1]
+    assert len(picked) == 1
+    assert picked[0]["est_rows"] == min(r["est_rows"] for r in rows.values())

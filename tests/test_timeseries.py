@@ -229,3 +229,69 @@ def test_last_touch_attribution_consistency(spark):
         assert 0 <= r["n_attributed"] <= r["n_purchases"]
         assert r["attributed_cents"] >= 0 and r["organic_cents"] >= 0
         assert r["attribution_ppm"] == r["n_attributed"] * 1_000_000 // r["n_purchases"]
+
+
+def test_mad_outliers_against_python_oracle(spark):
+    """Median, MAD, and the integer robust-z count must match a direct
+    Python implementation (rank-exact percentile_disc semantics)."""
+    import math
+
+    from projet_meteo_etl_spark.plans.timeseries import (
+        MAD_K,
+        events_mad_outliers,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_type = {}
+    for r in ev:
+        c = math.floor(r["value"] * 100.0 + 0.5)
+        by_type.setdefault(r["event_type"], []).append(c)
+    rows = {r["event_type"]: r for r in events_mad_outliers(spark, SF).collect()}
+    assert set(rows) == set(by_type)
+    for t, cs in by_type.items():
+        n = len(cs)
+        med = sorted(cs)[math.ceil(n / 2) - 1]
+        ds = sorted(abs(c - med) for c in cs)
+        mad = ds[math.ceil(n / 2) - 1]
+        outl = sum(1 for c in cs if abs(c - med) * 100_000 > MAD_K * mad)
+        r = rows[t]
+        assert r["n_rows"] == n
+        assert r["median_value"] == med / 100.0
+        assert r["mad_value"] == mad / 100.0
+        assert r["n_outliers"] == outl
+        assert r["outlier_ppm"] == outl * 1_000_000 // n
+
+
+def test_revenue_changepoint_against_python_oracle(spark):
+    """Integer CUSUM argmax must match a direct Python computation."""
+    import math
+    from collections import defaultdict
+
+    from projet_meteo_etl_spark.plans.timeseries import revenue_changepoint
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            daily[r["ts"].date()] += math.floor(r["value"] * 100.0 + 0.5)
+    days = sorted(daily)
+    total, tt = sum(daily.values()), len(days)
+    best = None
+    prefix = 0
+    for t, d in enumerate(days, start=1):
+        prefix += daily[d]
+        if t >= tt:
+            break
+        st = abs(tt * prefix - t * total)
+        if best is None or st > best[0]:
+            best = (st, d, t, prefix)
+    r = revenue_changepoint(spark, SF).collect()[0]
+    st, d, t, prefix = best
+    assert r["cp_day"] == d
+    assert r["n_days"] == tt
+    assert r["cusum_scaled"] == st
+    assert r["mean_before"] == math.floor(prefix / t / 100.0 * 1e6 + 0.5) / 1e6
+    assert (
+        r["mean_after"]
+        == math.floor((total - prefix) / (tt - t) / 100.0 * 1e6 + 0.5) / 1e6
+    )
