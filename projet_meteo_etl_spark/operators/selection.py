@@ -460,15 +460,103 @@ ORDER BY source
 """
 
 
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — the one table a data owner
+    reads before approving a source for training: document count,
+    model-based quality keep rate (:func:`~projet_meteo_etl_spark.
+    operators.importance.fasttext_quality_score`), Gopher repetition
+    keep rate (:func:`~projet_meteo_etl_spark.operators.corpus_stats.
+    text_repetition_filter`), language-label agreement rate
+    (:func:`~projet_meteo_etl_spark.operators.text.text_langid`), and
+    the corpus-level mean classifier score from exact integer sums.
+
+    Composes the REGISTERED operators (same plans the individual
+    queries run) and aggregates their per-document outputs by source;
+    the oracle composes the exact same three SQL texts as CTEs.  Rates
+    divide integer counts, the mean divides two integer sums — nothing
+    averages pre-rounded floats, so the rollup is engine-exact.
+
+    Scale: three doc-keyed relations joined on ``doc_id`` (the shared
+    partitioning) then one source-keyed aggregate; each signal keeps
+    its own documented plan.
+    """
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        text_repetition_filter,
+    )
+    from projet_meteo_etl_spark.operators.importance import (
+        fasttext_quality_score,
+    )
+    from projet_meteo_etl_spark.operators.text import text_langid
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ft = fasttext_quality_score(spark, sf_dir).select(
+        "doc_id",
+        "n_features",
+        "score_sum_milli",
+        F.col("keep").alias("ft_keep"),
+    )
+    rep = text_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("rep_keep")
+    )
+    lid = text_langid(spark, sf_dir).select(
+        "doc_id",
+        (F.col("lang_pred") == F.col("lang_label")).cast("int").alias("lid_ok"),
+    )
+    return (
+        d.join(ft, "doc_id")
+        .join(rep, "doc_id")
+        .join(lid, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            pround(F.sum("ft_keep") / F.count(F.lit(1)), 6).alias("ft_keep_rate"),
+            pround(F.sum("rep_keep") / F.count(F.lit(1)), 6).alias("rep_keep_rate"),
+            pround(F.sum("lid_ok") / F.count(F.lit(1)), 6).alias("langid_match_rate"),
+            pround(
+                F.sum("score_sum_milli") / F.sum("n_features") / 1000.0, 6
+            ).alias("mean_ft_score"),
+        )
+        .orderBy("source")
+    )
+
+
+def _report_card_sql() -> str:
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        TEXT_REPETITION_SQL,
+    )
+    from projet_meteo_etl_spark.operators.importance import FASTTEXT_SQL
+    from projet_meteo_etl_spark.operators.text import TEXT_LANGID_SQL
+
+    return f"""
+WITH ft AS ({FASTTEXT_SQL}),
+rep AS ({TEXT_REPETITION_SQL}),
+lid AS ({TEXT_LANGID_SQL})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {pround_sql('sum(ft.keep) * 1.0 / count(*)', 6)} AS ft_keep_rate,
+       {pround_sql('sum(CASE WHEN rep.keep THEN 1 ELSE 0 END) * 1.0 / count(*)', 6)} AS rep_keep_rate,
+       {pround_sql("sum(CASE WHEN lid.lang_pred = lid.lang_label THEN 1 ELSE 0 END) * 1.0 / count(*)", 6)} AS langid_match_rate,
+       {pround_sql('sum(ft.score_sum_milli) * 1.0 / sum(ft.n_features) / 1000.0', 6)} AS mean_ft_score
+FROM documents d
+JOIN ft ON ft.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+JOIN lid ON lid.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 SPARK_QUERIES = {
     "policy_blocklist_audit": policy_blocklist_audit,
     "prefix_dup_groups": prefix_dup_groups,
     "cross_source_overlap": cross_source_overlap,
     "vocab_kl_by_source": vocab_kl_by_source,
     "dedup_retention_policy": dedup_retention_policy,
+    "corpus_report_card": corpus_report_card,
 }
 
 ORACLE_SQL = {
+    "corpus_report_card": _report_card_sql(),
     "policy_blocklist_audit": POLICY_BLOCKLIST_SQL,
     "prefix_dup_groups": PREFIX_DUP_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,

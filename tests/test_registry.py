@@ -170,6 +170,8 @@ EXPECTED_QUERIES = {
     "events_mad_outliers", "revenue_changepoint",
     # sketch-driven join ordering (operators/sketches.py)
     "join_order_advisor",
+    # per-source composite quality rollup (operators/selection.py)
+    "corpus_report_card",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

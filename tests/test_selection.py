@@ -106,3 +106,28 @@ def test_retention_policy_reconciles_with_prefix_clusters(spark):
     for r in out:
         assert r["n_retained"] + r["n_dropped"] == r["n_docs"]
         assert r["chars_dropped"] >= 0
+
+
+def test_corpus_report_card_reconciles(spark):
+    """Rates bounded, doc counts sum to the corpus, ft keep rate
+    reconciles with the underlying classifier output."""
+    from projet_meteo_etl_spark.operators.importance import (
+        fasttext_quality_score,
+    )
+    from projet_meteo_etl_spark.operators.selection import corpus_report_card
+
+    rows = corpus_report_card(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert len(rows) == docs.select("source").distinct().count()
+    for r in rows:
+        for c in ("ft_keep_rate", "rep_keep_rate", "langid_match_rate"):
+            assert 0.0 <= r[c] <= 1.0
+        assert -1.0 <= r["mean_ft_score"] <= 1.0
+    ft = fasttext_quality_score(spark, SF).collect()
+    n_keep = sum(r["keep"] for r in ft)
+    import math
+
+    overall = sum(r["n_docs"] * r["ft_keep_rate"] for r in rows)
+    # per-source rates are pround-6; allow rounding slack of 1e-6*n
+    assert abs(overall - n_keep) <= len(ft) * 1e-5 + 1e-6
