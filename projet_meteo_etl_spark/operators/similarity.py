@@ -569,6 +569,76 @@ ORDER BY trunc_dim
 """
 
 
+def ann_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the index MATERIALIZED: build the coarse quantizer and
+    cell assignment once, write them to parquet **partitioned by
+    cell**, reload, and answer the probe query from the stored index —
+    the build-once / query-many deployment shape, where "probe nprobe
+    cells" physically becomes partition-pruned reads (only the probed
+    cells' files are opened; check ``PartitionFilters`` in explain).
+
+    Must produce exactly :func:`ann_ivf_topk`'s answer (same oracle
+    SQL): persistence is an execution strategy, never a semantic
+    change.  At 100 TB this is the real architecture — assignment runs
+    at ingest, queries touch ``nprobe/k`` of the corpus files.
+    """
+    import os
+
+    from projet_meteo_etl_spark.sources.sinks import staging_root
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids_df(e).select(
+        F.col("label").alias("cell_id"), "centroid"
+    )
+    scored_cells = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        F.col("cell_id").alias("cell"),
+        pround(cosine(F.col("embedding"), F.col("centroid")), 6).alias("csim"),
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    assigned = (
+        scored_cells.withColumn("r", F.row_number().over(assign_w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    root = os.path.join(staging_root(sf_dir), "ivf_index")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(root, "assigned")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+
+    # query phase: everything below reads ONLY the stored index
+    idx = spark.read.parquet(os.path.join(root, "assigned"))
+    cts = spark.read.parquet(os.path.join(root, "centroids"))
+    q = idx.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cell"))
+    probes = (
+        q.join(F.broadcast(cts))
+        .select(
+            "query_id", "qv", F.col("cell_id").alias("cell"),
+            pround(cosine(F.col("qv"), F.col("centroid")), 6).alias("qsim"),
+        )
+        .withColumn("r", F.row_number().over(probe_w))
+        .filter(F.col("r") <= IVF_NPROBE)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        idx.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", pround(cosine(F.col("qv"), F.col("embedding")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 #: probe widths swept by the recall curve (max < number of cells, so
 #: every point is genuinely approximate)
 RECALL_NPROBES = (1, 2, 4)
@@ -703,6 +773,7 @@ SPARK_QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_recall_curve": ann_ivf_recall_curve,
+    "ann_ivf_persisted_index": ann_ivf_persisted_index,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_int8_quantize": embedding_int8_quantize,
     "embedding_matryoshka_quality": embedding_matryoshka_quality,
@@ -713,6 +784,9 @@ ORACLE_SQL = {
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_ivf_recall_curve": ANN_IVF_RECALL_SQL,
+    # persistence is a physical strategy: stored-index answers must
+    # equal the direct plan's, so the oracle is the SAME SQL
+    "ann_ivf_persisted_index": ANN_IVF_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     "embedding_int8_quantize": EMBEDDING_INT8_SQL,
     "embedding_matryoshka_quality": EMBEDDING_MRL_SQL,

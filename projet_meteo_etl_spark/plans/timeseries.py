@@ -939,6 +939,84 @@ LIMIT 1
 """
 
 
+def revenue_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily purchase revenue: the MEDIAN of
+    all pairwise day-to-day slopes — a single wild day shifts OLS
+    (compare :func:`user_value_trend`'s regression aggregates) but
+    moves the slope median by at most one rank.
+
+    Every pairwise slope is one exact-integer division ``(c_j−c_i)/
+    (t_j−t_i)`` — a correctly-rounded IEEE op both engines evaluate
+    bit-identically — and the median is rank-selected (``row_number``
+    ordered by slope with pair-id tie-breaks), so no float summation
+    ever happens; the pick is engine-exact.
+
+    Scale: the O(T²) pair join runs on the DAILY rollup (T rows — 365
+    per year), never on raw events; the corpus-sized work is the
+    ordinary day aggregation.  Same stance as
+    :func:`revenue_changepoint`.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    daily = (
+        e.select(F.to_date("ts").alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("c"))
+        .select(
+            F.row_number().over(Window.orderBy("day")).alias("t"), "c"
+        )
+    )
+    a = daily.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    b = daily.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    pairs = a.join(b, F.col("t1") < F.col("t2")).select(
+        "t1",
+        "t2",
+        ((F.col("c2") - F.col("c1")) / (F.col("t2") - F.col("t1"))).alias(
+            "slope"
+        ),
+    )
+    wp = Window.orderBy("slope", "t1", "t2")
+    wall = Window.partitionBy()
+    med = (
+        pairs.withColumn("rn", F.row_number().over(wp))
+        .withColumn("np", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rn") == F.ceil(F.col("np") / 2))
+    )
+    return med.select(
+        F.col("np").cast("long").alias("n_pairs"),
+        pround(F.col("slope") / 100.0, 6).alias("theil_sen_slope_per_day"),
+    )
+
+
+REVENUE_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT row_number() OVER (ORDER BY day) AS t, c FROM (
+    SELECT CAST(ts AS DATE) AS day,
+           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS c
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+  )
+),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2,
+         (b.c - a.c) * 1.0 / (b.t - a.t) AS slope
+  FROM daily a JOIN daily b ON a.t < b.t
+),
+ranked AS (
+  SELECT slope,
+         row_number() OVER (ORDER BY slope, t1, t2) AS rn,
+         count(*) OVER () AS np
+  FROM pairs
+)
+SELECT CAST(np AS BIGINT) AS n_pairs,
+       floor((slope / 100.0) * 1000000.0 + 0.5) / 1000000.0
+         AS theil_sen_slope_per_day
+FROM ranked WHERE rn = ceil(np / 2.0)
+"""
+
+
 SPARK_QUERIES = {
     "revenue_autocorrelation": revenue_autocorrelation,
     "user_value_trend": user_value_trend,
@@ -947,6 +1025,7 @@ SPARK_QUERIES = {
     "events_zscore_outliers": events_zscore_outliers,
     "events_mad_outliers": events_mad_outliers,
     "revenue_changepoint": revenue_changepoint,
+    "revenue_theilsen_trend": revenue_theilsen_trend,
     "scd2_value_band_history": scd2_value_band_history,
     "user_value_twap": user_value_twap,
     "events_value_psi": events_value_psi,
@@ -976,6 +1055,7 @@ ORACLE_SQL = {
     "events_zscore_outliers": EVENTS_ZSCORE_SQL,
     "events_mad_outliers": EVENTS_MAD_SQL,
     "revenue_changepoint": REVENUE_CHANGEPOINT_SQL,
+    "revenue_theilsen_trend": REVENUE_THEILSEN_SQL,
     "scd2_value_band_history": SCD2_HISTORY_SQL,
     "user_value_twap": USER_TWAP_SQL,
     "events_value_psi": EVENTS_PSI_SQL,

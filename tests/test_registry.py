@@ -172,6 +172,8 @@ EXPECTED_QUERIES = {
     "join_order_advisor",
     # per-source composite quality rollup (operators/selection.py)
     "corpus_report_card",
+    # robust trend + persisted ANN index
+    "revenue_theilsen_trend", "ann_ivf_persisted_index",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -93,3 +93,19 @@ def test_ivf_recall_curve_monotone(spark):
         assert 0 <= r["n_hits"] <= r["n_truth"]
         assert prev <= r["recall_at_k"] <= 1.0
         prev = r["recall_at_k"]
+
+
+def test_persisted_ivf_equals_direct(spark):
+    """The stored-index query must return exactly the direct IVF
+    plan's rows, and the index read must prune to probed cells."""
+    from projet_meteo_etl_spark.operators.similarity import (
+        ann_ivf_persisted_index,
+        ann_ivf_topk,
+    )
+
+    direct = [tuple(r) for r in ann_ivf_topk(spark, SF).collect()]
+    stored_df = ann_ivf_persisted_index(spark, SF)
+    stored = [tuple(r) for r in stored_df.collect()]
+    assert stored == direct
+    plan = stored_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # cell probe = partition pruning

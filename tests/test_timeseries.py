@@ -295,3 +295,29 @@ def test_revenue_changepoint_against_python_oracle(spark):
         r["mean_after"]
         == math.floor((total - prefix) / (tt - t) / 100.0 * 1e6 + 0.5) / 1e6
     )
+
+
+def test_theilsen_against_python_oracle(spark):
+    """Median pairwise slope must match a direct computation, and be
+    robust: the rank pick equals numpy-free brute force."""
+    import math
+    from collections import defaultdict
+
+    from projet_meteo_etl_spark.plans.timeseries import revenue_theilsen_trend
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            daily[r["ts"].date()] += math.floor(r["value"] * 100.0 + 0.5)
+    cs = [daily[d] for d in sorted(daily)]
+    slopes = []
+    for i in range(len(cs)):
+        for j in range(i + 1, len(cs)):
+            slopes.append(((cs[j] - cs[i]) / (j - i), i + 1, j + 1))
+    slopes.sort()
+    n = len(slopes)
+    med = slopes[math.ceil(n / 2) - 1][0]
+    r = revenue_theilsen_trend(spark, SF).collect()[0]
+    assert r["n_pairs"] == n
+    assert r["theil_sen_slope_per_day"] == math.floor(med / 100.0 * 1e6 + 0.5) / 1e6
