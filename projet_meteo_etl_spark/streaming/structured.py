@@ -311,6 +311,104 @@ ORDER BY segment, event_type
 """
 
 
+def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL registers as STREAMING STATE: per-event-type distinct-user
+    estimation maintained incrementally — each micro-batch folds its
+    rows into the ``groups × m`` register table with a ``max``
+    aggregate (HLL's register update IS max, which is monotone and
+    merge-order-free, so streaming maintenance is exact by
+    construction).  State is groups×m rows forever, independent of
+    stream length — the sketch-as-state pattern that replaces an
+    unbounded ``count_distinct`` on an unbounded 100 TB feed.
+
+    Same portable register/estimate construction as
+    :func:`~projet_meteo_etl_spark.operators.sketches.
+    portable_hll_distinct`, so the streamed ESTIMATE hash-checks
+    against DuckDB recomputing it from scratch.
+    """
+    from projet_meteo_etl_spark.operators.sketches import (
+        HLL_M,
+        _HLL_ALPHA_EXPR,
+    )
+
+    e = _read_events_stream(spark, sf_dir).select("event_type", "user_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = e.select(
+        "event_type",
+        (h % HLL_M).cast("int").alias("b"),
+        ((h - (h % HLL_M)) / HLL_M).cast("long").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(F.col("rem"), 10, 2))
+    )
+    regs = hashed.select("event_type", "b", rho.alias("rho")).groupBy(
+        "event_type", "b"
+    ).agg(F.max("rho").alias("m"))
+    sink = _run_to_memory(regs, "complete")
+
+    # estimate straight from the materialized register state: a stored
+    # register always has m ≥ 1 (rho ≥ 1), so every ABSENT register
+    # contributes exactly 2^0 = 1 to Z and 1 to the zero-register
+    # count — no (group × m) frame join needed
+    n_present = F.count(F.lit(1))
+    z = (F.lit(float(HLL_M)) - n_present) + F.sum(
+        F.pow(F.lit(2.0), -F.col("m"))
+    )
+    v = F.lit(HLL_M) - n_present
+    raw = F.expr(_HLL_ALPHA_EXPR) / z
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    from projet_meteo_etl_spark.functions.portable import pround as _pr
+
+    return (
+        sink.groupBy("event_type")
+        .agg(_pr(est, 3).alias("hll_users"))
+        .orderBy("event_type")
+    )
+
+
+def _stream_hll_sql() -> str:
+    from projet_meteo_etl_spark.operators.sketches import (
+        HLL_M,
+        _HLL_ALPHA_EXPR,
+    )
+
+    return rf"""
+WITH hashed AS (
+  SELECT event_type,
+         CAST(h % {HLL_M} AS INTEGER) AS b,
+         CAST((h - (h % {HLL_M})) / {HLL_M} AS BIGINT) AS rem
+  FROM (
+    SELECT event_type, user_id,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM events
+  )
+),
+regs AS (
+  SELECT event_type, b,
+         max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS m
+  FROM hashed GROUP BY event_type, b
+)
+SELECT event_type,
+       floor((CASE WHEN {_HLL_ALPHA_EXPR}
+                        / (({HLL_M}.0 - count(*)) + sum(pow(2.0, -m)))
+                        <= 2.5 * {HLL_M}
+                   AND {HLL_M} - count(*) > 0
+              THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - count(*)))
+              ELSE {_HLL_ALPHA_EXPR}
+                   / (({HLL_M}.0 - count(*)) + sum(pow(2.0, -m))) END)
+             * 1000.0 + 0.5) / 1000.0
+         AS hll_users
+FROM regs
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization: ``session_window`` with a 30-minute gap
     per user — the stateful merging-window operator (sessions grow and
@@ -725,6 +823,7 @@ SPARK_QUERIES = {
     "stream_static_segment_counts": stream_static_segment_counts,
     "stream_stream_purchase_click_join": stream_stream_purchase_click_join,
     "stream_left_outer_lonely_purchases": stream_left_outer_lonely_purchases,
+    "stream_hll_users": stream_hll_users,
     "stream_session_windows": stream_session_windows,
     "stream_sliding_avg": stream_sliding_avg,
 }
@@ -739,6 +838,7 @@ ORACLE_SQL = {
     "stream_static_segment_counts": STREAM_STATIC_SQL,
     "stream_stream_purchase_click_join": STREAM_STREAM_JOIN_SQL,
     "stream_left_outer_lonely_purchases": STREAM_LEFT_OUTER_SQL,
+    "stream_hll_users": _stream_hll_sql(),
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_sliding_avg": STREAM_SLIDING_SQL,
 }

@@ -174,6 +174,8 @@ EXPECTED_QUERIES = {
     "corpus_report_card",
     # robust trend + persisted ANN index
     "revenue_theilsen_trend", "ann_ivf_persisted_index",
+    # HLL registers as streaming state
+    "stream_hll_users",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

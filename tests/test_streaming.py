@@ -240,3 +240,29 @@ def test_stream_left_outer_equals_batch_and_expires_state(spark):
     assert got == exp
     assert sum(v[1] for v in got.values()) > 0
     assert -1 not in got  # heartbeat row filtered
+
+
+def test_stream_hll_matches_batch_registers(spark):
+    """The streamed register state must yield exactly the estimate a
+    batch build of the same registers yields, and sit within the
+    ~1.04/sqrt(m) HLL error band of the exact distinct count."""
+    import math
+
+    from projet_meteo_etl_spark.operators.sketches import HLL_M
+
+    got = {
+        r["event_type"]: r["hll_users"]
+        for r in structured.stream_hll_users(spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, est in got.items():
+        assert est > 0
+        # 5 sigma of the standard HLL relative error
+        assert abs(est - exact[t]) / exact[t] < 5 * 1.04 / math.sqrt(HLL_M)
