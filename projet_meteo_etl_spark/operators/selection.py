@@ -48,7 +48,7 @@ oracle-checks bit-exactly against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
@@ -546,6 +546,91 @@ ORDER BY d.source
 """
 
 
+#: calibration buckets (deciles of the classifier score)
+CALIB_BUCKETS = 10
+
+
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the quality classifier: documents bucketed
+    into score deciles (rank-exact NTILE on the integer score sum, doc
+    id tie-break), each decile reporting its agreement with the
+    INDEPENDENT repetition filter — does a higher model score actually
+    mean cleaner text?  This is the eval every learned quality filter
+    gets before it gates a corpus: a flat curve means the model adds
+    nothing over the cheap heuristic.
+
+    Deciles come from ``row_number``/bucket arithmetic on integers (no
+    NTILE float boundary), keep rates divide integer counts, and the
+    mean score per decile divides integer sums — engine-exact
+    throughout.
+    """
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        text_repetition_filter,
+    )
+    from projet_meteo_etl_spark.operators.importance import (
+        fasttext_quality_score,
+    )
+
+    ft = fasttext_quality_score(spark, sf_dir).select(
+        "doc_id", "n_features", "score_sum_milli"
+    )
+    rep = text_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("rep_keep")
+    )
+    w = Window.orderBy("score_sum_milli", "doc_id")
+    wall = Window.partitionBy()
+    bucketed = (
+        ft.join(rep, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        # decile = floor((rn-1) * B / n) + 1 — pure integer arithmetic,
+        # sizes differ by at most 1, no engine NTILE quirks
+        .withColumn(
+            "decile",
+            (F.expr(f"((rn - 1) * {CALIB_BUCKETS}) div n") + 1).cast("int"),
+        )
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            pround(
+                F.sum("score_sum_milli") / F.sum("n_features") / 1000.0, 6
+            ).alias("mean_score"),
+            pround(F.sum("rep_keep") / F.count(F.lit(1)), 6).alias(
+                "rep_keep_rate"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+def _calibration_sql() -> str:
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        TEXT_REPETITION_SQL,
+    )
+    from projet_meteo_etl_spark.operators.importance import FASTTEXT_SQL
+
+    return f"""
+WITH ft AS ({FASTTEXT_SQL}),
+rep AS ({TEXT_REPETITION_SQL}),
+b AS (
+  SELECT ft.doc_id, ft.n_features, ft.score_sum_milli,
+         CASE WHEN rep.keep THEN 1 ELSE 0 END AS rep_keep,
+         row_number() OVER (ORDER BY ft.score_sum_milli, ft.doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM ft JOIN rep ON rep.doc_id = ft.doc_id
+)
+SELECT CAST(((rn - 1) * {CALIB_BUCKETS}) // n + 1 AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {pround_sql('sum(score_sum_milli) * 1.0 / sum(n_features) / 1000.0', 6)} AS mean_score,
+       {pround_sql('sum(rep_keep) * 1.0 / count(*)', 6)} AS rep_keep_rate
+FROM b
+GROUP BY 1
+ORDER BY decile
+"""
+
+
 SPARK_QUERIES = {
     "policy_blocklist_audit": policy_blocklist_audit,
     "prefix_dup_groups": prefix_dup_groups,
@@ -553,10 +638,12 @@ SPARK_QUERIES = {
     "vocab_kl_by_source": vocab_kl_by_source,
     "dedup_retention_policy": dedup_retention_policy,
     "corpus_report_card": corpus_report_card,
+    "quality_score_calibration": quality_score_calibration,
 }
 
 ORACLE_SQL = {
     "corpus_report_card": _report_card_sql(),
+    "quality_score_calibration": _calibration_sql(),
     "policy_blocklist_audit": POLICY_BLOCKLIST_SQL,
     "prefix_dup_groups": PREFIX_DUP_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,

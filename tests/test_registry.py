@@ -176,6 +176,8 @@ EXPECTED_QUERIES = {
     "revenue_theilsen_trend", "ann_ivf_persisted_index",
     # HLL registers as streaming state
     "stream_hll_users",
+    # classifier calibration curve (operators/selection.py)
+    "quality_score_calibration",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -131,3 +131,20 @@ def test_corpus_report_card_reconciles(spark):
     overall = sum(r["n_docs"] * r["ft_keep_rate"] for r in rows)
     # per-source rates are pround-6; allow rounding slack of 1e-6*n
     assert abs(overall - n_keep) <= len(ft) * 1e-5 + 1e-6
+
+
+def test_quality_score_calibration_structure(spark):
+    """Deciles partition the corpus evenly (±1), scores are monotone
+    non-decreasing across deciles, rates bounded."""
+    from projet_meteo_etl_spark.operators.selection import (
+        CALIB_BUCKETS,
+        quality_score_calibration,
+    )
+
+    rows = quality_score_calibration(spark, SF).collect()
+    assert [r["decile"] for r in rows] == list(range(1, CALIB_BUCKETS + 1))
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    scores = [r["mean_score"] for r in rows]
+    assert scores == sorted(scores)
+    assert all(0.0 <= r["rep_keep_rate"] <= 1.0 for r in rows)
