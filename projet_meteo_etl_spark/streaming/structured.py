@@ -409,6 +409,138 @@ ORDER BY event_type
 """
 
 
+#: probe width for the streaming CMS report
+CMS_STREAM_PROBE_K = 10
+
+
+def stream_cms_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as STREAMING STATE — the sum-mergeable twin of
+    :func:`stream_hll_users` (whose register state is max-mergeable):
+    each micro-batch folds click items into the D×W cell table with a
+    plain count aggregate; integer cell sums accumulate across batches
+    exactly, so the streamed sketch equals the batch-built one cell for
+    cell.  State is D×W rows forever — per-item click frequency
+    tracking on an unbounded feed without per-item state.
+
+    The probe side looks up the true top-``CMS_STREAM_PROBE_K`` items
+    against the STREAMED cells and reports the one-sided overcount,
+    hash-checked against DuckDB rebuilding the sketch from scratch.
+    """
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.operators.sketches import CMS_D, CMS_W
+
+    def bucket(i: int, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    e = _read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    items = e.select(
+        F.get_json_object("props", "$.k").cast("long").alias("item")
+    ).filter(F.col("item").isNotNull())
+    cells = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        bucket(i, F.col("item")).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cc")
+    ).select("cc.row_i", "cc.bucket")
+    agg = cells.groupBy("row_i", "bucket").agg(F.count(F.lit(1)).alias("s"))
+    sink = _run_to_memory(agg, "complete")
+
+    # probe: exact top-k items (batch side) against the streamed cells
+    be = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    true_counts = (
+        be.select(F.get_json_object("props", "$.k").cast("long").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("true_clicks"))
+        .orderBy(F.desc("true_clicks"), F.asc("item"))
+        .limit(CMS_STREAM_PROBE_K)
+    )
+    probe_cells = true_counts.select(
+        "item",
+        "true_clicks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        bucket(i, F.col("item")).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cc"),
+    ).select("item", "true_clicks", "cc.row_i", "cc.bucket")
+    return (
+        probe_cells.join(sink, ["row_i", "bucket"])
+        .groupBy("item")
+        .agg(
+            F.max("true_clicks").cast("long").alias("true_clicks"),
+            F.min("s").cast("long").alias("cms_est"),
+        )
+        .withColumn(
+            "overcount", (F.col("cms_est") - F.col("true_clicks")).cast("long")
+        )
+        .orderBy(F.desc("true_clicks"), F.asc("item"))
+    )
+
+
+def _stream_cms_sql() -> str:
+    from projet_meteo_etl_spark.operators.sketches import CMS_D, CMS_W
+
+    return f"""
+WITH items AS (
+  SELECT CAST(props->>'k' AS BIGINT) AS item
+  FROM events
+  WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
+),
+cells AS (
+  SELECT r.row_i,
+         ('0x' || substr(md5(CAST(r.row_i AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 15))::BIGINT % {CMS_W} AS bucket,
+         count(*) AS s
+  FROM items
+  CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1})) AS row_i) r
+  GROUP BY 1, 2
+),
+true_counts AS (
+  SELECT item, count(*) AS true_clicks FROM items
+  GROUP BY 1 ORDER BY true_clicks DESC, item ASC LIMIT {CMS_STREAM_PROBE_K}
+),
+probe AS (
+  SELECT t.item, t.true_clicks, r.row_i,
+         ('0x' || substr(md5(CAST(r.row_i AS VARCHAR) || ':' || CAST(t.item AS VARCHAR)), 1, 15))::BIGINT % {CMS_W} AS bucket
+  FROM true_counts t
+  CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1})) AS row_i) r
+)
+SELECT p.item,
+       CAST(max(p.true_clicks) AS BIGINT) AS true_clicks,
+       CAST(min(c.s) AS BIGINT) AS cms_est,
+       CAST(min(c.s) - max(p.true_clicks) AS BIGINT) AS overcount
+FROM probe p JOIN cells c ON c.row_i = p.row_i AND c.bucket = p.bucket
+GROUP BY p.item
+ORDER BY true_clicks DESC, p.item ASC
+"""
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization: ``session_window`` with a 30-minute gap
     per user — the stateful merging-window operator (sessions grow and
@@ -824,6 +956,7 @@ SPARK_QUERIES = {
     "stream_stream_purchase_click_join": stream_stream_purchase_click_join,
     "stream_left_outer_lonely_purchases": stream_left_outer_lonely_purchases,
     "stream_hll_users": stream_hll_users,
+    "stream_cms_item_counts": stream_cms_item_counts,
     "stream_session_windows": stream_session_windows,
     "stream_sliding_avg": stream_sliding_avg,
 }
@@ -839,6 +972,7 @@ ORACLE_SQL = {
     "stream_stream_purchase_click_join": STREAM_STREAM_JOIN_SQL,
     "stream_left_outer_lonely_purchases": STREAM_LEFT_OUTER_SQL,
     "stream_hll_users": _stream_hll_sql(),
+    "stream_cms_item_counts": _stream_cms_sql(),
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_sliding_avg": STREAM_SLIDING_SQL,
 }

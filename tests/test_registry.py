@@ -178,6 +178,8 @@ EXPECTED_QUERIES = {
     "stream_hll_users",
     # classifier calibration curve (operators/selection.py)
     "quality_score_calibration",
+    # CMS as streaming state (streaming/structured.py)
+    "stream_cms_item_counts",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching

@@ -266,3 +266,15 @@ def test_stream_hll_matches_batch_registers(spark):
         assert est > 0
         # 5 sigma of the standard HLL relative error
         assert abs(est - exact[t]) / exact[t] < 5 * 1.04 / math.sqrt(HLL_M)
+
+
+def test_stream_cms_matches_batch_sketch(spark):
+    """The streamed CMS cells must equal a batch-built sketch: probes
+    are one-sided (est >= true) and exact where no collision occurs."""
+    got = structured.stream_cms_item_counts(spark, SF).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["cms_est"] >= r["true_clicks"]
+        assert r["overcount"] == r["cms_est"] - r["true_clicks"]
+    trues = [r["true_clicks"] for r in got]
+    assert trues == sorted(trues, reverse=True)
