@@ -74,11 +74,32 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # a sampling driver takes a prefix of this dict: put queries with no
     # green correctness row from any prior round FIRST, so every round
     # maximizes never-verified coverage (round-1 sampled 50/160 and
-    # missed the entire audit + LLM-pipeline families)
+    # missed the entire audit + LLM-pipeline families).
+    # The never-checked prefix is FROZEN (frozen_order_r3.json, the 107
+    # round-2-era unverified names, audits first): queries added after
+    # round 2 sort AFTER that block so they cannot displace queries that
+    # have waited two rounds for a driver row.
     done = _previously_verified()
-    ordered = {k: v for k, v in queries.items() if k not in done}
+    frozen = _frozen_priority()
+    rank = {n: i for i, n in enumerate(frozen)}
+    pending = [k for k in queries if k not in done]
+    pending.sort(key=lambda k: (rank.get(k, len(rank)), list(queries).index(k)))
+    ordered = {k: queries[k] for k in pending}
     ordered.update((k, v) for k, v in queries.items() if k in done)
     return ordered, oracles
+
+
+def _frozen_priority() -> list[str]:
+    """Round-2-era never-driver-checked query names in frozen priority
+    order (written once at the start of round 3; see collect())."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "frozen_order_r3.json")
+    try:
+        with open(path) as f:
+            names = json.load(f)
+        return [n for n in names if isinstance(n, str)]
+    except Exception:  # noqa: BLE001 — missing manifest ⇒ plain ordering
+        return []
 
 
 def _previously_verified() -> set[str]:
