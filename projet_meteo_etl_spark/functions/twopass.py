@@ -1,0 +1,78 @@
+"""Two-pass distributed prefix aggregation over a quantized bucket key.
+
+The pattern that replaces the single-partition global window
+(``Window.orderBy(...)`` with no ``partitionBy`` — Spark moves the WHOLE
+relation into one task): quantize the sort key into an integer bucket
+that is monotone in the sort order, aggregate per bucket (distributed
+hash agg), take the exclusive prefix over the *bucket aggregate*
+relation (whose size is bounded by the key DOMAIN / bucket width —
+independent of row count), broadcast it back, and finish with a window
+partitioned by bucket.  Exact rank / running sum / running max fall out
+as ``prefix + intra-bucket window``, hash-identical to the global-window
+formulation, with per-task work bounded by the largest bucket.
+
+Bucket-key contract: ``bucket`` must be an integer column such that
+``order(a) < order(b)  ⟹  bucket(a) <= bucket(b)`` and equal sort keys
+share a bucket (any truncating integer division of the leading sort key
+satisfies both — Spark's ``div`` truncates toward zero, which is still
+monotone).  For DESC orderings negate the quotient.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: prefix combiners supported for the tiny bucket-stats window
+_COMBINE = {"sum": F.sum, "max": F.max}
+
+
+def bucket_prefix(
+    df: DataFrame,
+    bucket: str,
+    aggs: dict[str, tuple[Column, str]],
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exclusive prefix aggregates over strictly-lower buckets.
+
+    ``aggs`` maps output alias -> (per-bucket aggregate expression,
+    prefix combiner name in ``_COMBINE``).  Returns one row per
+    (partition_cols..., bucket) with a ``pre_<alias>`` column per agg:
+    the combiner applied over all rows of strictly smaller buckets in
+    the same partition group (NULL for the first bucket — callers
+    coalesce to their identity).  The only unpartitioned window (when
+    ``partition_cols`` is empty) runs over the bucket-aggregate
+    relation, bounded by the key domain / bucket width.
+    """
+    stats = df.groupBy(*partition_cols, bucket).agg(
+        *[expr.alias(f"_b_{alias}") for alias, (expr, _) in aggs.items()]
+    )
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(bucket)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return stats.select(
+        *partition_cols,
+        bucket,
+        *[
+            _COMBINE[comb](f"_b_{alias}").over(w).alias(f"pre_{alias}")
+            for alias, (_, comb) in aggs.items()
+        ],
+    )
+
+
+def exact_ntile(rank: Column, n: Column, k: int) -> Column:
+    """Tile index of a 1-based exact ``rank`` among ``n`` rows under
+    standard SQL ``NTILE(k)`` semantics (the first ``n mod k`` tiles get
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)``) — pure integer
+    arithmetic, so a distributed two-pass rank can reproduce the
+    engine's NTILE bit-for-bit without a single-partition sort."""
+    q = (n / k).cast("long")  # n, k >= 0: double division exact for n < 2^52
+    m = n - q * k
+    big = m * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    in_big = ((rank + q) / (q + 1)).cast("long")  # ceil(rank/(q+1))
+    in_small = m + ((rank - big + q - 1) / q).cast("long")
+    return F.when(rank <= big, in_big).otherwise(in_small).cast("int")

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from projet_meteo_etl_spark.cachescope import scoped_cache
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
+from projet_meteo_etl_spark.functions.twopass import bucket_prefix
 
 _WS = r"\s+"
 
@@ -460,19 +461,28 @@ def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     − (n+1)/n`` with rank i from one ordered window — every sum is an
     integer (rank × token-count products fit BIGINT far beyond this
     corpus; DECIMAL(38) at 100 TB), so G is a fixed expression over
-    exact integers.  The sort runs on per-document counts (one row per
-    doc), not tokens.
+    exact integers.  The rank is two-pass (no single-partition sort):
+    documents bucket by token count div 64 (bounded by the max document
+    LENGTH, not the doc count), exclusive prefix-counts over the bucket
+    rollup supply the rank offset, and a window partitioned by bucket
+    finishes — hash-identical to the global ordered window.
     """
     d = load_table(spark, sf_dir, "documents")
     counts = (
         _doc_tokens(d)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("x"))
+        .withColumn("xbucket", F.expr("x div 64"))
     )
-    wo = Window.orderBy("x", "doc_id")
-    ranked = counts.select(
+    pre = bucket_prefix(
+        counts, "xbucket", {"n": (F.count(F.lit(1)), "sum")}
+    )
+    wo = Window.partitionBy("xbucket").orderBy("x", "doc_id")
+    ranked = counts.join(F.broadcast(pre), "xbucket").select(
         F.col("x").cast("decimal(38,0)").alias("x"),
-        F.row_number().over(wo).cast("long").alias("i"),
+        (F.coalesce("pre_n", F.lit(0)) + F.row_number().over(wo))
+        .cast("long")
+        .alias("i"),
     )
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),

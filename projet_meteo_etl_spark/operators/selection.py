@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
+from projet_meteo_etl_spark.functions.twopass import bucket_prefix
 
 _WS = r"\s+"
 
@@ -577,12 +578,25 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = text_repetition_filter(spark, sf_dir).select(
         "doc_id", F.col("keep").cast("int").alias("rep_keep")
     )
-    w = Window.orderBy("score_sum_milli", "doc_id")
-    wall = Window.partitionBy()
-    bucketed = (
+    # two-pass exact rank (no single-partition sort): quantize the
+    # integer score into width-1000 buckets (truncating div — monotone,
+    # bucket count bounded by the score DOMAIN), exclusive prefix-count
+    # over the bucket rollup + row_number within bucket
+    scored = (
         ft.join(rep, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("sbucket", F.expr("score_sum_milli div 1000"))
+    )
+    pre = bucket_prefix(
+        scored, "sbucket", {"n": (F.count(F.lit(1)), "sum")}
+    )
+    total = scored.agg(F.count(F.lit(1)).alias("n"))
+    win = Window.partitionBy("sbucket").orderBy("score_sum_milli", "doc_id")
+    bucketed = (
+        scored.join(F.broadcast(pre), "sbucket")
+        .withColumn(
+            "rn", F.coalesce("pre_n", F.lit(0)) + F.row_number().over(win)
+        )
+        .crossJoin(F.broadcast(total))
         # decile = floor((rn-1) * B / n) + 1 — pure integer arithmetic,
         # sizes differ by at most 1, no engine NTILE quirks
         .withColumn(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
+from projet_meteo_etl_spark.functions.twopass import bucket_prefix
 from projet_meteo_etl_spark.operators.dedup import word_shingle_hashes
 from projet_meteo_etl_spark.operators.text import ws_token_count
 
@@ -349,9 +350,14 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the "best data first until the budget is spent" selection a
     pretraining mixture runs per source/language.
 
-    One window partition per language (rank + running token sum share
-    the same sort, so Catalyst evaluates them in one Window node —
-    a single shuffle); the verdict is a scan-side comparison.
+    A per-language window is bounded only by the largest language —
+    which in a real corpus is most of it — so rank and running token
+    sum are computed two-pass: documents bucket by score percent
+    (micro-score div 10⁴ — ≤101 buckets per language, monotone along
+    the DESC sort), the per-(lang, bucket) rollup yields exclusive
+    prefix counts/token-sums, and a window partitioned by (lang,
+    bucket) finishes the job.  Hash-identical to the per-lang global
+    window; per-task work is one score-percent slice of one language.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+")
@@ -364,17 +370,39 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select(
         "doc_id", "lang", n_tokens.alias("n_tokens"), score.alias("score")
+    ).withColumn(
+        # score is an exact 6-dp value in [0,1]; micro units are integer
+        "sbucket",
+        -(F.floor(F.col("score") * 1e6 + 0.5).cast("long") / 10000).cast(
+            "long"
+        ),
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
-    ranked = base.select(
+    pre = bucket_prefix(
+        base,
+        "sbucket",
+        {
+            "n": (F.count(F.lit(1)), "sum"),
+            "tok": (F.sum("n_tokens"), "sum"),
+        },
+        partition_cols=("lang",),
+    )
+    w = Window.partitionBy("lang", "sbucket").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = base.join(F.broadcast(pre), ["lang", "sbucket"]).select(
         "lang",
         "doc_id",
         "n_tokens",
         "score",
-        F.row_number().over(w).cast("long").alias("rank"),
-        F.sum("n_tokens")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum_tokens"),
+        (F.coalesce("pre_n", F.lit(0)) + F.row_number().over(w))
+        .cast("long")
+        .alias("rank"),
+        (
+            F.coalesce("pre_tok", F.lit(0))
+            + F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("cum_tokens"),
     )
     return (
         ranked.withColumn("kept", F.col("cum_tokens") <= TOKEN_BUDGET)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.twopass import bucket_prefix
 
 
 def _partial_agg(d: DataFrame) -> DataFrame:
@@ -206,26 +207,41 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``p_retailprice`` while maximizing ``p_size`` — no other part is
     both cheaper and at-least-as-large (with any strict improvement).
 
-    Classic skyline-via-window: sort by (price asc, size desc), keep
-    rows whose size strictly exceeds the running max size of all
-    strictly-cheaper rows — one ordered window over integer cents and
-    sizes, no pairwise O(n²) dominance join.  The frame excludes
-    price-ties via a RANGE bound on the cent key, so equal-price parts
-    don't knock each other out.
+    Two-phase distributed frontier (no single-partition sort): prices
+    quantize into dollar buckets; per-bucket max sizes roll into an
+    exclusive prefix-max over the bucket-aggregate relation (bounded by
+    the PRICE DOMAIN in dollars, not the part count); each row then
+    compares against max(prefix-max of strictly-cheaper buckets,
+    running max within its own bucket with a RANGE frame ending 1 cent
+    before its price).  Hash-identical to the classic global skyline
+    window, but every window is partitioned — per-task work is one
+    dollar-bucket of parts.
     """
     p = load_table(spark, sf_dir, "part")
     base = p.select(
         "p_partkey",
         "p_size",
         F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("price_c"),
+    ).withColumn("pbucket", F.expr("price_c div 100"))
+    pre = bucket_prefix(
+        base, "pbucket", {"max_size": (F.max("p_size"), "max")}
     )
-    # running max size over STRICTLY cheaper rows: range frame on the
-    # cent key ending 1 cent before the current price
+    # running max size over STRICTLY cheaper rows = prior-bucket prefix
+    # max ∪ same-bucket range frame ending 1 cent before this price
+    # (rows in a strictly lower bucket are strictly cheaper: bucketing
+    # is truncating division, monotone in price_c)
     w = (
-        Window.orderBy("price_c")
+        Window.partitionBy("pbucket")
+        .orderBy("price_c")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    flagged = base.withColumn("best_cheaper", F.max("p_size").over(w))
+    flagged = (
+        base.join(F.broadcast(pre), "pbucket")
+        .withColumn("best_in_bucket", F.max("p_size").over(w))
+        .withColumn(
+            "best_cheaper", F.greatest("pre_max_size", "best_in_bucket")
+        )
+    )
     return (
         flagged.filter(
             F.col("best_cheaper").isNull()

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.twopass import bucket_prefix, exact_ntile
 
 
 def asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,8 +288,13 @@ def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The ntile ordering is total (cents desc, user_id), so band
     assignment is deterministic; revenue shares are single divisions of
-    exact integer sums.  The window runs over |users| rows — the raw
-    event pass is the per-user cents aggregation.
+    exact integer sums.  NTILE is computed WITHOUT a single-partition
+    sort: users bucket by $100 of lifetime value (monotone in the sort
+    key, bounded by the VALUE DOMAIN not the user count), exact global
+    rank = exclusive prefix-count over the bucket rollup + row_number
+    within the bucket, and the tile index is recovered from (rank, n)
+    with SQL-NTILE integer arithmetic (:func:`exact_ntile`) —
+    bit-identical to the oracle's ``ntile(10)``.
     """
     e = load_table(spark, sf_dir, "events")
     per_user = (
@@ -299,10 +305,31 @@ def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.sum("cents").alias("cents"))
+        # DESC order ⇒ negate the truncating quotient to keep buckets
+        # ascending along the sort
+        .withColumn("vbucket", -F.expr("cents div 10000"))
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("user_id"))
-    banded = per_user.withColumn("decile", F.ntile(10).over(w))
-    total = banded.agg(F.sum("cents").alias("total_cents"))
+    pre = bucket_prefix(
+        per_user, "vbucket", {"n": (F.count(F.lit(1)), "sum")}
+    )
+    total = per_user.agg(
+        F.sum("cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_users_total"),
+    )
+    win = Window.partitionBy("vbucket").orderBy(
+        F.desc("cents"), F.asc("user_id")
+    )
+    ranked = (
+        per_user.join(F.broadcast(pre), "vbucket")
+        .withColumn(
+            "rank",
+            F.coalesce("pre_n", F.lit(0)) + F.row_number().over(win),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    banded = ranked.withColumn(
+        "decile", exact_ntile(F.col("rank"), F.col("n_users_total"), 10)
+    )
     return (
         banded.groupBy("decile")
         .agg(
