@@ -295,8 +295,12 @@ def item_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each round is one degree aggregation plus two broadcast
     anti-joins against the (shrinking) peel set — the edge list never
-    re-shuffles because every round keys on the same endpoints.  The
-    unroll is static (like :func:`~projet_meteo_etl_spark.operators.
+    re-shuffles because every round keys on the same endpoints.  Each
+    round's degree relation left-joins the SURVIVOR set against the
+    surviving-edge endpoint counts (coalesce 0): a node isolated by its
+    neighbors' peeling has no edge row left but is still alive at
+    degree 0 and must be peeled the following round.  The unroll is
+    static (like :func:`~projet_meteo_etl_spark.operators.
     graph.pagerank_click_graph`); full decomposition would loop to a
     fixpoint with ``localCheckpoint`` round truncation, identical
     per-round plan.
@@ -308,7 +312,17 @@ def item_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i1", "i2")
         .persist()
     )
-    cached = [ui, edges]
+    return _kcore_peel_rounds(edges, extra_cached=[ui])
+
+
+def _kcore_peel_rounds(
+    edges: DataFrame, extra_cached: list[DataFrame] | None = None
+) -> DataFrame:
+    """Synchronous k-core peeling over an undirected edge list
+    (columns ``i1``/``i2``, one row per edge) — factored out so tests
+    can drive it with adversarial synthetic graphs (e.g. a node whose
+    whole neighborhood peels in round 1)."""
+    cached = [edges, *(extra_cached or [])]
 
     def degrees(e: DataFrame) -> DataFrame:
         return (
@@ -327,6 +341,7 @@ def item_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         peeled.append(
             peel.select("item", F.lit(r).alias("peel_round"))
         )
+        survivors = cur_deg.filter(F.col("deg") >= K_CORE).select("item")
         cur_edges = (
             cur_edges.join(
                 F.broadcast(peel.withColumnRenamed("item", "i1")), "i1", "left_anti"
@@ -335,7 +350,15 @@ def item_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).persist()
         cached.append(cur_edges)
-        cur_deg = degrees(cur_edges)
+        # degrees come from the SURVIVOR set, not the edge list: a node
+        # whose neighbors were all peeled has no surviving edge row, but
+        # it is still alive at degree 0 and must be peeled next round
+        cur_deg = (
+            survivors.join(degrees(cur_edges), "item", "left")
+            .select("item", F.coalesce("deg", F.lit(0)).alias("deg"))
+            .persist()
+        )
+        cached.append(cur_deg)
     rounds = peeled[0]
     for p in peeled[1:]:
         rounds = rounds.unionByName(p)
@@ -353,17 +376,23 @@ def item_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_round_sql(r: int) -> str:
+    # NOT EXISTS (not NOT IN) per the oracle-portability rule; degrees
+    # left-join the survivor set so degree-0 survivors stay peelable
     return f"""
 p{r} AS (SELECT item FROM d{r - 1} WHERE deg < {K_CORE}),
+s{r} AS (SELECT item FROM d{r - 1} WHERE deg >= {K_CORE}),
 e{r} AS (
-  SELECT i1, i2 FROM e{r - 1}
-  WHERE i1 NOT IN (SELECT item FROM p{r})
-    AND i2 NOT IN (SELECT item FROM p{r})
+  SELECT i1, i2 FROM e{r - 1} e
+  WHERE NOT EXISTS (SELECT 1 FROM p{r} p WHERE p.item = e.i1)
+    AND NOT EXISTS (SELECT 1 FROM p{r} p WHERE p.item = e.i2)
 ),
 d{r} AS (
-  SELECT item, count(*) AS deg FROM (
-    SELECT i1 AS item FROM e{r} UNION ALL SELECT i2 FROM e{r}
-  ) GROUP BY item
+  SELECT s.item, coalesce(c.deg, 0) AS deg
+  FROM s{r} s LEFT JOIN (
+    SELECT item, count(*) AS deg FROM (
+      SELECT i1 AS item FROM e{r} UNION ALL SELECT i2 FROM e{r}
+    ) GROUP BY item
+  ) c ON c.item = s.item
 )"""
 
 

@@ -142,3 +142,34 @@ def test_kcore_peel_against_python_oracle(spark):
     assert got == expect
     # the fixture graph must exercise every round AND leave a core
     assert {v[1] for v in got.values()} == set(range(KCORE_ROUNDS + 1))
+
+
+def test_kcore_peels_nodes_isolated_by_peeling(spark):
+    """A node whose entire neighborhood peels in round 1 drops to
+    degree 0 — it must peel in round 2, not silently survive because it
+    vanished from the edge list (the round-2 advisory bug)."""
+    from projet_meteo_etl_spark.operators.cooccur import (
+        K_CORE,
+        _kcore_peel_rounds,
+    )
+
+    # a (K_CORE+2)-clique that survives every round, plus a hub X=1000
+    # joined to K_CORE degree-1 leaves: leaves peel round 1, X (initial
+    # degree exactly K_CORE) is isolated and must peel round 2
+    clique = [
+        (a, b)
+        for a in range(K_CORE + 2)
+        for b in range(K_CORE + 2)
+        if a < b
+    ]
+    star = [(1000, 2000 + i) for i in range(K_CORE)]
+    edges = spark.createDataFrame(clique + star, ["i1", "i2"])
+    got = {
+        r["item"]: (r["initial_degree"], r["peel_round"])
+        for r in _kcore_peel_rounds(edges).collect()
+    }
+    for i in range(K_CORE + 2):
+        assert got[i] == (K_CORE + 1, 0), f"clique node {i} must survive"
+    for i in range(K_CORE):
+        assert got[2000 + i] == (1, 1), "leaves peel in round 1"
+    assert got[1000] == (K_CORE, 2), "isolated-by-peeling hub peels round 2"
