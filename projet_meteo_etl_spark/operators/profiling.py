@@ -619,9 +619,12 @@ FROM est CROSS JOIN exact
 """
 
 
-#: winsorization bounds (exact percentile_disc ranks per group)
-WINSOR_LO = 0.01
-WINSOR_HI = 0.99
+#: winsorization bounds as integer percents (exact percentile_disc
+#: ranks per group: rank = ceil(pct·n/100) in PURE integer arithmetic —
+#: float ceil(0.99·n) picks rank n for exact multiples because
+#: 0.99·100 = 99.00000000000001 in binary)
+WINSOR_LO_PCT = 1
+WINSOR_HI_PCT = 99
 
 
 def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,8 +654,8 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_type", "event_id", cents.alias("c"))
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(wn))
-        .withColumn("lo", F.max(F.when(F.col("rn") == F.ceil(F.lit(WINSOR_LO) * F.col("n")), F.col("c"))).over(wn))
-        .withColumn("hi", F.max(F.when(F.col("rn") == F.ceil(F.lit(WINSOR_HI) * F.col("n")), F.col("c"))).over(wn))
+        .withColumn("lo", F.max(F.when(F.col("rn") == F.expr(f"({WINSOR_LO_PCT} * n + 99) div 100"), F.col("c"))).over(wn))
+        .withColumn("hi", F.max(F.when(F.col("rn") == F.expr(f"({WINSOR_HI_PCT} * n + 99) div 100"), F.col("c"))).over(wn))
     )
     clipped = F.greatest(F.least(F.col("c"), F.col("hi")), F.col("lo"))
     return (
@@ -681,9 +684,9 @@ WITH r AS (
 ),
 b AS (
   SELECT event_type, c, n,
-         max(CASE WHEN rn = ceil({WINSOR_LO} * n) THEN c END)
+         max(CASE WHEN rn = ({WINSOR_LO_PCT} * n + 99) // 100 THEN c END)
            OVER (PARTITION BY event_type) AS lo,
-         max(CASE WHEN rn = ceil({WINSOR_HI} * n) THEN c END)
+         max(CASE WHEN rn = ({WINSOR_HI_PCT} * n + 99) // 100 THEN c END)
            OVER (PARTITION BY event_type) AS hi
   FROM r
 )

@@ -69,9 +69,10 @@ def bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``n_occurrences`` = Σ over vocabulary words of (occurrences of the
     pair inside the word) × (corpus count of the word); ``n_words`` =
-    distinct vocabulary words containing the pair.  Overlapping
-    occurrences count per starting position, the standard BPE
-    convention before merges exist.
+    distinct vocabulary words containing the pair (a pair occurring
+    twice in one word contributes 1).  Overlapping occurrences count
+    per starting position, the standard BPE convention before merges
+    exist.
     """
     d = load_table(spark, sf_dir, "documents")
     vocab = (
@@ -84,12 +85,12 @@ def bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         "wc",
         F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
-    ).select(F.expr("substring(word, i, 2)").alias("pair"), "wc")
+    ).select(F.expr("substring(word, i, 2)").alias("pair"), "wc", "word")
     return (
         pairs.groupBy("pair")
         .agg(
             F.sum("wc").cast("long").alias("n_occurrences"),
-            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.count_distinct("word").cast("long").alias("n_words"),
         )
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(BPE_TOP_K)
@@ -108,12 +109,12 @@ vocab AS (
 pairs AS (
   SELECT unnest(list_transform(range(1, length(word)),
                                i -> substr(word, CAST(i AS INT), 2))) AS pair,
-         wc
+         wc, word
   FROM vocab
 )
 SELECT pair,
        CAST(sum(wc) AS BIGINT) AS n_occurrences,
-       CAST(count(*) AS BIGINT) AS n_words
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
 FROM pairs
 GROUP BY pair
 ORDER BY n_occurrences DESC, pair

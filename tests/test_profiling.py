@@ -165,8 +165,8 @@ def test_moments_ignore_null_rows(spark, tmp_path):
 
 def test_winsorized_stats_invariants(spark):
     from projet_meteo_etl_spark.operators.profiling import (
-        WINSOR_HI,
-        WINSOR_LO,
+        WINSOR_HI_PCT,
+        WINSOR_LO_PCT,
         winsorized_value_stats,
     )
 
@@ -175,8 +175,8 @@ def test_winsorized_stats_invariants(spark):
     for r in rows:
         assert r["p01_value"] <= r["p99_value"]
         # clip counts bounded by the tail masses
-        assert r["n_clip_low"] <= r["n_rows"] * WINSOR_LO
-        assert r["n_clip_high"] <= r["n_rows"] * (1.0 - WINSOR_HI) + 1
+        assert r["n_clip_low"] <= r["n_rows"] * WINSOR_LO_PCT / 100.0
+        assert r["n_clip_high"] <= r["n_rows"] * (100 - WINSOR_HI_PCT) / 100.0 + 1
         # clipping pulls the mean toward the interior, never outside it
         assert r["p01_value"] <= r["mean_after"] <= r["p99_value"]
 

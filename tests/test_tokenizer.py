@@ -42,13 +42,6 @@ def test_bpe_merge_against_python_oracle(spark):
             occ[p] += wc
         for p in set(pairs):
             words[p] += 1
-    # NB: n_words counts pair instances per word position set — the
-    # plan counts one row per (word, position), so a pair occurring
-    # twice in one word contributes 2 to n_words
-    words = Counter()
-    for w, wc in vocab.items():
-        for p in [w[i : i + 2] for i in range(len(w) - 1)]:
-            words[p] += 1
     top = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
     rows = bpe_merge_topk(spark, SF_SMOKE).collect()
     assert len(rows) == min(BPE_TOP_K, len(occ))
