@@ -66,19 +66,26 @@ def main() -> int:
             spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(SF_DIR),
-                "n_queries": len(timings),
-                "n_failed": sum(1 for t in timings.values() if t < 0),
-            }
-        )
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+    }
+    print(json.dumps(payload))
+    # the driver's stored copy truncates the stdout line; persist the
+    # complete per-query map so cross-round comparisons stay possible
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"[bench] could not write {full_path}: {exc}", file=sys.stderr)
     return 0
 
 

@@ -352,13 +352,16 @@ def _kcore_peel_rounds(
         cached.append(cur_edges)
         # degrees come from the SURVIVOR set, not the edge list: a node
         # whose neighbors were all peeled has no surviving edge row, but
-        # it is still alive at degree 0 and must be peeled next round
+        # it is still alive at degree 0 and must be peeled next round.
+        # localCheckpoint truncates the round-over-round lineage (the
+        # survivor relation references the previous round's degrees, so
+        # an un-truncated chain re-evaluates every prior round once per
+        # broadcast materialization — 4.5× wall on the sf0.1 graph)
         cur_deg = (
             survivors.join(degrees(cur_edges), "item", "left")
             .select("item", F.coalesce("deg", F.lit(0)).alias("deg"))
-            .persist()
+            .localCheckpoint()
         )
-        cached.append(cur_deg)
     rounds = peeled[0]
     for p in peeled[1:]:
         rounds = rounds.unionByName(p)

@@ -130,11 +130,20 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
 
 
-def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+#: per-label state-store metrics of the most recent finished stream
+#: (summed over micro-batches): tests assert watermark eviction really
+#: removed rows instead of trusting the mode string
+LAST_STATE_METRICS: dict[str, dict[str, int]] = {}
+
+
+def _run_to_memory(
+    df: DataFrame, output_mode: str, label: str | None = None
+) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink and
     return the sink table (a normal batch DataFrame).  Shuffle-partition
     count is pinned for the query's lifetime (bound at stream start) and
-    restored afterwards."""
+    restored afterwards.  With ``label``, state-operator progress
+    metrics are accumulated into ``LAST_STATE_METRICS[label]``."""
     spark = df.sparkSession
     name = f"stream_sink_{next(_COUNTER)}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -148,6 +157,14 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        if label is not None:
+            acc = {"numRowsRemoved": 0, "numRowsUpdated": 0, "numRowsTotal": 0}
+            for p in q.recentProgress:
+                for op in p.get("stateOperators", []):
+                    acc["numRowsRemoved"] += op.get("numRowsRemoved", 0)
+                    acc["numRowsUpdated"] += op.get("numRowsUpdated", 0)
+                    acc["numRowsTotal"] = op.get("numRowsTotal", 0)
+            LAST_STATE_METRICS[label] = acc
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
@@ -191,6 +208,49 @@ FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
+
+
+def stream_tumbling_counts_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-state twin of :func:`stream_tumbling_counts`: the same
+    1-hour tumbling aggregation in UPDATE output mode, where the 1-hour
+    watermark actually EVICTS window state once it can no longer change
+    — complete mode re-emits (and retains) every window forever, which
+    is unbounded at 100 TB/day; update mode's state is |windows within
+    the watermark horizon|.
+
+    The memory sink then holds one row per (window, key) per micro-batch
+    that touched it; the final value of a key is its last update, folded
+    out with ``max_by`` on ``n_events`` (strictly increasing per key, so
+    the max-count row IS the last update — integer cents make the fold
+    order-proof).  For the bounded input this reproduces the batch
+    answer bit-for-bit against the same oracle, while
+    ``LAST_STATE_METRICS`` records the eviction
+    (``tests/test_streaming.py`` asserts ``numRowsRemoved > 0``).
+    """
+    e = _read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+            ).alias("sum_cents"),
+        )
+    )
+    sink = _run_to_memory(agg, "update", label="stream_tumbling_counts_update")
+    final = sink.groupBy("w", "event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_cents", "n_events").alias("sum_cents"),
+    )
+    return final.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
+    ).orderBy("window_start", "event_type")
 
 
 def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,6 +1009,7 @@ ORDER BY p.user_id
 
 SPARK_QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_tumbling_counts_update": stream_tumbling_counts_update,
     "stream_dedup_user_day": stream_dedup_user_day,
     "stream_user_running_totals": stream_user_running_totals,
     "stream_late_event_dropper": stream_late_event_dropper,
@@ -966,6 +1027,7 @@ if has_tws_runtime():  # environment-gated: needs google.protobuf
 
 ORACLE_SQL = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
+    "stream_tumbling_counts_update": STREAM_TUMBLING_SQL,
     "stream_dedup_user_day": STREAM_DEDUP_SQL,
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
     "stream_static_segment_counts": STREAM_STATIC_SQL,

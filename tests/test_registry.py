@@ -85,7 +85,8 @@ EXPECTED_QUERIES = {
     "events_json_typed_extract",
     "events_json_props", "events_late_data_filter",
     # structured streaming
-    "stream_tumbling_counts", "stream_user_running_totals",
+    "stream_tumbling_counts", "stream_tumbling_counts_update",
+    "stream_user_running_totals",
     "stream_late_event_dropper", "stream_static_segment_counts",
     "stream_stream_purchase_click_join", "stream_session_windows",
     "stream_sliding_avg",

@@ -16,6 +16,21 @@ def test_stream_tumbling_equals_batch(spark):
     assert stream_rows == batch_rows
 
 
+def test_stream_tumbling_update_mode_equals_batch_and_evicts_state(spark):
+    """The update-mode twin must fold its per-batch update rows to the
+    exact batch answer AND the 1-hour watermark must actually remove
+    window state (bounded state — the 100 TB/day requirement), not just
+    stop updating it."""
+    got = structured.stream_tumbling_counts_update(spark, SF).collect()
+    batch = windows.events_tumbling_counts(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+    m = structured.LAST_STATE_METRICS["stream_tumbling_counts_update"]
+    assert m["numRowsRemoved"] > 0, f"watermark evicted nothing: {m}"
+    # end-of-stream resident state must be far below the total window
+    # count — only the horizon's windows may remain
+    assert m["numRowsTotal"] < len(batch), m
+
+
 def test_stream_stateful_totals_equal_batch_agg(spark):
     got = {
         r.user_id: (r.n_events, r.total_value)
