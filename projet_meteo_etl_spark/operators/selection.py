@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_meteo_etl_spark.cachescope import scoped_cache
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 from projet_meteo_etl_spark.functions.twopass import bucket_prefix
@@ -581,10 +582,14 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-pass exact rank (no single-partition sort): quantize the
     # integer score into width-1000 buckets (truncating div — monotone,
     # bucket count bounded by the score DOMAIN), exclusive prefix-count
-    # over the bucket rollup + row_number within bucket
+    # over the bucket rollup + row_number within bucket.  The scored
+    # relation feeds three consumers (bucket stats, total, ranked join)
+    # — persist it or the classifier+repetition upstream runs thrice
+    # (17× wall at the 10× probe)
     scored = (
         ft.join(rep, "doc_id")
         .withColumn("sbucket", F.expr("score_sum_milli div 1000"))
+        .persist()
     )
     pre = bucket_prefix(
         scored, "sbucket", {"n": (F.count(F.lit(1)), "sum")}
@@ -604,7 +609,7 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr(f"((rn - 1) * {CALIB_BUCKETS}) div n") + 1).cast("int"),
         )
     )
-    return (
+    out = (
         bucketed.groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -617,6 +622,7 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+    return scoped_cache(out, scored)
 
 
 def _calibration_sql() -> str:

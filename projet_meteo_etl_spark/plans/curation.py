@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_meteo_etl_spark.cachescope import scoped_cache
 from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 from projet_meteo_etl_spark.functions.twopass import bucket_prefix
@@ -368,14 +369,20 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    base = d.select(
-        "doc_id", "lang", n_tokens.alias("n_tokens"), score.alias("score")
-    ).withColumn(
-        # score is an exact 6-dp value in [0,1]; micro units are integer
-        "sbucket",
-        -(F.floor(F.col("score") * 1e6 + 0.5).cast("long") / 10000).cast(
-            "long"
-        ),
+    base = (
+        d.select(
+            "doc_id", "lang", n_tokens.alias("n_tokens"), score.alias("score")
+        )
+        .withColumn(
+            # score is an exact 6-dp value in [0,1]; micro units are integer
+            "sbucket",
+            -(F.floor(F.col("score") * 1e6 + 0.5).cast("long") / 10000).cast(
+                "long"
+            ),
+        )
+        # feeds the bucket rollup AND the ranked join: persist so the
+        # tokenize+distinct scoring pass runs once, not twice
+        .persist()
     )
     pre = bucket_prefix(
         base,
@@ -404,10 +411,10 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cum_tokens"),
     )
-    return (
-        ranked.withColumn("kept", F.col("cum_tokens") <= TOKEN_BUDGET)
-        .orderBy("lang", "rank")
+    out = ranked.withColumn("kept", F.col("cum_tokens") <= TOKEN_BUDGET).orderBy(
+        "lang", "rank"
     )
+    return scoped_cache(out, base)
 
 
 TOKEN_BUDGET_SQL = rf"""

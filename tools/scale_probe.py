@@ -24,7 +24,7 @@ from functools import reduce
 from projet_meteo_etl_spark import catalog
 from projet_meteo_etl_spark.session import get_spark
 
-FACTS = {"lineitem", "orders", "events", "documents"}
+FACTS = {"lineitem", "orders", "events", "documents", "part"}
 
 
 def main() -> int:
@@ -79,6 +79,19 @@ def main() -> int:
             "item_triangle_count": cooccur.item_triangle_count,
             "salted_skew_join": relational_ext.salted_skew_join,
         }
+        # round-3: the five de-single-partitioned two-pass rank plans
+        from projet_meteo_etl_spark.operators import corpus_stats
+        from projet_meteo_etl_spark.plans import incremental
+
+        probes.update(
+            {
+                "pareto_frontier_parts": incremental.pareto_frontier_parts,
+                "user_value_deciles": temporal.user_value_deciles,
+                "quality_score_calibration": selection.quality_score_calibration,
+                "token_budget_selection": curation.token_budget_selection,
+                "corpus_token_gini": corpus_stats.corpus_token_gini,
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
