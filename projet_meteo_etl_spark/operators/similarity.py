@@ -768,8 +768,205 @@ FROM ranked_{np_} r JOIN truth t
 )
 
 
+#: anchors for the metric-learning evals (bounded constants — the
+#: anchor×corpus joins are |anchors|·|corpus|, never corpus², and the
+#: IVF/LSH candidate paths above are the documented 100 TB scale route)
+TRIPLET_ANCHORS = 100
+KNN_ANCHORS = 200
+
+
+def triplet_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for metric learning: per anchor, the hardest
+    positive (most-similar SAME-label vector) and hardest negative
+    (most-similar different-label vector), with the triplet margin
+    ``pos_cos − neg_cos`` and the violation flag (negative at least as
+    close as the positive) — the pair-selection pass a contrastive /
+    triplet-loss embedding trainer runs each epoch, and the health
+    metric (violation rate) that says whether the label structure is
+    learnable at all.
+
+    One broadcast(anchors) nested-loop over the corpus scores every
+    candidate once; a single window partitioned by (anchor, is_pos)
+    picks both extremes; cosines round to 6 dp before the margin
+    subtraction so both engines difference identical doubles.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("a_label"),
+    )
+    scored = (
+        e.join(F.broadcast(a), F.col("vec_id") != F.col("anchor_id"))
+        .withColumn("cosine", pround(cosine(F.col("av"), F.col("embedding")), 6))
+        .withColumn(
+            "is_pos", (F.col("label") == F.col("a_label")).cast("int")
+        )
+    )
+    w = Window.partitionBy("anchor_id", "is_pos").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    pos_c = F.max(F.when(F.col("is_pos") == 1, F.col("cosine")))
+    neg_c = F.max(F.when(F.col("is_pos") == 0, F.col("cosine")))
+    return (
+        best.groupBy("anchor_id", F.col("a_label").alias("label"))
+        .agg(
+            F.max(F.when(F.col("is_pos") == 1, F.col("vec_id")))
+            .cast("long")
+            .alias("pos_id"),
+            pos_c.alias("pos_cos"),
+            F.max(F.when(F.col("is_pos") == 0, F.col("vec_id")))
+            .cast("long")
+            .alias("neg_id"),
+            neg_c.alias("neg_cos"),
+            pround(pos_c - neg_c, 6).alias("margin"),
+            (pos_c <= neg_c).alias("violated"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+TRIPLET_SQL = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS av, label AS a_label
+  FROM embeddings WHERE vec_id < {TRIPLET_ANCHORS}
+),
+scored AS (
+  SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
+         floor((list_dot_product(a.av::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.av::DOUBLE[], a.av::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         CASE WHEN e.label = a.a_label THEN 1 ELSE 0 END AS is_pos
+  FROM embeddings e, a WHERE e.vec_id <> a.anchor_id
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id, is_pos
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT anchor_id, a_label AS label,
+       CAST(max(CASE WHEN is_pos = 1 THEN vec_id END) AS BIGINT) AS pos_id,
+       max(CASE WHEN is_pos = 1 THEN cosine END) AS pos_cos,
+       CAST(max(CASE WHEN is_pos = 0 THEN vec_id END) AS BIGINT) AS neg_id,
+       max(CASE WHEN is_pos = 0 THEN cosine END) AS neg_cos,
+       floor((max(CASE WHEN is_pos = 1 THEN cosine END)
+              - max(CASE WHEN is_pos = 0 THEN cosine END)) * 1000000.0 + 0.5)
+         / 1000000.0 AS margin,
+       max(CASE WHEN is_pos = 1 THEN cosine END)
+         <= max(CASE WHEN is_pos = 0 THEN cosine END) AS violated
+FROM best WHERE rn = 1
+GROUP BY anchor_id, a_label
+ORDER BY anchor_id
+"""
+
+
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification eval of the embedding space: each anchor's
+    label is predicted by majority vote of its ``TOP_K`` exact-cosine
+    neighbors (ties: higher count, then smaller label); the report is
+    per-label anchor count, correct count, and accuracy — the
+    leave-one-out probe that tells a curation pipeline whether its
+    embedding column is strong enough to drive semantic dedup or
+    clustering decisions.
+
+    Anchor set bounded at ``KNN_ANCHORS`` (|anchors|·|corpus| work, one
+    corpus scan); vote + argmax are two small windows over
+    anchors×labels.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < KNN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("a_label"),
+    )
+    scored = (
+        e.join(F.broadcast(a), F.col("vec_id") != F.col("anchor_id"))
+        .withColumn("cosine", pround(cosine(F.col("av"), F.col("embedding")), 6))
+        .select("anchor_id", "a_label", "vec_id", "label", "cosine")
+    )
+    wk = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= TOP_K
+    )
+    votes = topk.groupBy("anchor_id", "a_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("anchor_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    pred = votes.withColumn("rn", F.row_number().over(wv)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        pred.groupBy(F.col("a_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            F.sum((F.col("label") == F.col("a_label")).cast("int"))
+            .cast("long")
+            .alias("n_correct"),
+            pround(
+                F.sum((F.col("label") == F.col("a_label")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+KNN_ACCURACY_SQL = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS av, label AS a_label
+  FROM embeddings WHERE vec_id < {KNN_ANCHORS}
+),
+scored AS (
+  SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
+         floor((list_dot_product(a.av::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.av::DOUBLE[], a.av::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM embeddings e, a WHERE e.vec_id <> a.anchor_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {TOP_K}
+),
+votes AS (
+  SELECT anchor_id, a_label, label, count(*) AS n_votes
+  FROM topk GROUP BY anchor_id, a_label, label
+),
+pred AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY n_votes DESC, label ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT a_label AS label,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(sum(CASE WHEN label = a_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       floor((sum(CASE WHEN label = a_label THEN 1 ELSE 0 END) * 1.0
+              / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS accuracy
+FROM pred
+GROUP BY a_label
+ORDER BY label
+"""
+
+
 SPARK_QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "triplet_margin_mining": triplet_margin_mining,
+    "knn_label_accuracy": knn_label_accuracy,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_recall_curve": ann_ivf_recall_curve,
@@ -781,6 +978,8 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "triplet_margin_mining": TRIPLET_SQL,
+    "knn_label_accuracy": KNN_ACCURACY_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_ivf_recall_curve": ANN_IVF_RECALL_SQL,
