@@ -526,6 +526,157 @@ ORDER BY exact.event_type
 """
 
 
+#: trailing window width (days) for the sliding-distinct rollup
+HLL_WINDOW_DAYS = 7
+
+
+def hll_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from DAILY HLL register
+    partials — the rollup-table pattern for sliding cardinality: raw
+    events aggregate once into days×m register rows, and every window
+    answer is a register-``max`` merge over 7 daily partials.  The
+    alternative (re-expanding user-days per window, what
+    ``events_dau_wau`` does exactly) rescans W× the data; at 100 TB the
+    partial table is the only thing the window ever touches, and the
+    same partials serve any trailing width.
+
+    Registers are the portable md5 primitives of
+    :func:`portable_hll_distinct`, so the ESTIMATE hash-checks against
+    DuckDB; the exact trailing count rides along for the error column.
+    The merge window partitions by register index (m partitions, never
+    a global sort); the frame relation is days×m — date-domain bounded.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "dd"
+        ),
+        "user_id",
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = e.select(
+        "dd",
+        "user_id",
+        (h % HLL_M).cast("int").alias("b"),
+        ((h - (h % HLL_M)) / HLL_M).cast("long").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(F.col("rem"), 10, 2))
+    )
+    daily = (
+        hashed.select("dd", "b", rho.alias("rho"))
+        .groupBy("dd", "b")
+        .agg(F.max("rho").alias("m1"))
+    )
+    days = e.select("dd").distinct()
+    regs = spark.range(HLL_M).select(F.col("id").cast("int").alias("b"))
+    frame = (
+        days.crossJoin(F.broadcast(regs))
+        .join(daily, ["dd", "b"], "left")
+        .na.fill(0, ["m1"])
+    )
+    w = (
+        Window.partitionBy("b")
+        .orderBy("dd")
+        .rangeBetween(-(HLL_WINDOW_DAYS - 1), 0)
+    )
+    merged = frame.select("dd", "b", F.max("m1").over(w).alias("m7"))
+    z = F.sum(F.pow(F.lit(2.0), -F.col("m7")))
+    v = F.sum((F.col("m7") == 0).cast("int"))
+    raw = F.expr(_HLL_ALPHA_EXPR) / z
+    est = merged.groupBy("dd").agg(
+        pround(
+            F.when(
+                (raw <= 2.5 * HLL_M) & (v > 0),
+                F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+            ).otherwise(raw),
+            3,
+        ).alias("hll_7d")
+    )
+    userdays = e.distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            userdays.alias("u"),
+            (F.col("u.dd") <= F.col("d.dd"))
+            & (F.col("u.dd") > F.col("d.dd") - HLL_WINDOW_DAYS),
+        )
+        .groupBy(F.col("d.dd").alias("dd"))
+        .agg(F.count_distinct("u.user_id").cast("long").alias("n_exact_7d"))
+    )
+    return (
+        exact.join(est, "dd")
+        .select(
+            F.expr("date_add(DATE'2024-01-01', CAST(dd AS INT))").alias("day"),
+            "n_exact_7d",
+            "hll_7d",
+            pround(
+                F.abs(F.col("hll_7d") - F.col("n_exact_7d"))
+                / F.col("n_exact_7d"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("day")
+    )
+
+
+HLL_SLIDING_SQL = rf"""
+WITH e AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dd, user_id
+  FROM events
+),
+hashed AS (
+  SELECT dd, CAST(h % {HLL_M} AS INTEGER) AS b,
+         CAST((h - (h % {HLL_M})) / {HLL_M} AS BIGINT) AS rem
+  FROM (
+    SELECT dd, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM e
+  )
+),
+daily AS (
+  SELECT dd, b,
+         max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS m1
+  FROM hashed GROUP BY dd, b
+),
+frame AS (
+  SELECT d.dd, r.b, coalesce(daily.m1, 0) AS m1
+  FROM (SELECT DISTINCT dd FROM e) d
+  CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M} - 1)) AS b) r
+  LEFT JOIN daily ON daily.dd = d.dd AND daily.b = r.b
+),
+merged AS (
+  SELECT dd, b,
+         max(m1) OVER (PARTITION BY b ORDER BY dd
+                       RANGE BETWEEN {HLL_WINDOW_DAYS - 1} PRECEDING
+                             AND CURRENT ROW) AS m7
+  FROM frame
+),
+est AS (
+  SELECT dd,
+         floor((CASE WHEN {_HLL_ALPHA_EXPR} / sum(pow(2.0, -m7)) <= 2.5 * {HLL_M}
+                          AND sum(CASE WHEN m7 = 0 THEN 1 ELSE 0 END) > 0
+                THEN {HLL_M}.0 * ln({HLL_M}.0 / sum(CASE WHEN m7 = 0 THEN 1 ELSE 0 END))
+                ELSE {_HLL_ALPHA_EXPR} / sum(pow(2.0, -m7)) END)
+               * 1000.0 + 0.5) / 1000.0 AS hll_7d
+  FROM merged GROUP BY dd
+),
+exact AS (
+  SELECT d.dd, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact_7d
+  FROM (SELECT DISTINCT dd FROM e) d
+  JOIN (SELECT DISTINCT dd, user_id FROM e) u
+    ON u.dd <= d.dd AND u.dd > d.dd - {HLL_WINDOW_DAYS}
+  GROUP BY d.dd
+)
+SELECT DATE '2024-01-01' + CAST(exact.dd AS INTEGER) AS day,
+       n_exact_7d, hll_7d,
+       floor((abs(hll_7d - n_exact_7d) / n_exact_7d) * 1000000.0 + 0.5)
+         / 1000000.0 AS rel_err
+FROM exact JOIN est ON est.dd = exact.dd
+ORDER BY day
+"""
+
+
 def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS/CMS inner-product join-cardinality estimate — the statistic
     a cost-based optimizer needs BEFORE committing to a join strategy:
@@ -971,6 +1122,7 @@ SPARK_QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_membership_audit": bloom_membership_audit,
     "portable_hll_distinct": portable_hll_distinct,
+    "hll_sliding_distinct_users": hll_sliding_distinct_users,
     "hll_set_operations": hll_set_operations,
     "join_size_estimate": join_size_estimate,
     "join_order_advisor": join_order_advisor,
@@ -982,5 +1134,6 @@ ORACLE_SQL: dict[str, str] = {
     "cms_heavy_hitters": CMS_SQL,
     "bloom_membership_audit": BLOOM_SQL,
     "portable_hll_distinct": PORTABLE_HLL_SQL,
+    "hll_sliding_distinct_users": HLL_SLIDING_SQL,
     "join_size_estimate": JOIN_SIZE_SQL,
 }

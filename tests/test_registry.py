@@ -66,7 +66,7 @@ EXPECTED_QUERIES = {
     "policy_blocklist_audit", "prefix_dup_groups", "cross_source_overlap",
     "vocab_kl_by_source", "dedup_retention_policy",
     # portable (oracle-exact) HLL
-    "portable_hll_distinct",
+    "portable_hll_distinct", "hll_sliding_distinct_users",
     # data-layout operators (plans/layout.py)
     "zorder_layout_audit", "zone_pruning_estimate",
     # sliding-window chunking (plans/curation.py)

