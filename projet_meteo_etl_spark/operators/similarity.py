@@ -963,10 +963,212 @@ ORDER BY label
 """
 
 
+#: MMR re-ranking: pool size, picks, and λ = MMR_LAM/10 relevance weight
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAM = 7
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): per anchor, greedily pick ``MMR_K`` results from its
+    top-``MMR_POOL`` relevance pool, each pick maximizing
+    ``λ·rel − (1−λ)·max_sim_to_already_picked`` — the diversity pass a
+    RAG retriever runs so five near-duplicate passages don't fill the
+    context window.
+
+    The greedy loop is unrolled relationally (the same static-unroll
+    discipline as the BPE trainer and k-core peel): cosines quantize to
+    integer micros once, so every round's argmax is an exact integer
+    comparison (``MMR_LAM·rel_i − (10−MMR_LAM)·maxsim_i``), ties by
+    vec_id — bit-identical in DuckDB's unrolled CTEs.  Pool and
+    pool-pair relations are |anchors|·pool and |anchors|·pool² rows —
+    candidate-bounded, never corpus-bounded; each round joins the tiny
+    cumulative pick set back, so the corpus is scanned exactly once.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("av")
+    )
+    rel_i = F.floor(
+        cosine(F.col("av"), F.col("embedding")) * 1e6 + 0.5
+    ).cast("long")
+    scored = e.join(
+        F.broadcast(a), F.col("vec_id") != F.col("anchor_id")
+    ).select("anchor_id", "vec_id", "embedding", rel_i.alias("rel_i"))
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.desc("rel_i"), F.asc("vec_id")
+    )
+    pool = (
+        scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("anchor_id", "vec_id", "rel_i", "embedding")
+        .persist()
+    )
+    pa, pb = pool.alias("pa"), pool.alias("pb")
+    sim_i = F.floor(
+        cosine(F.col("pa.embedding"), F.col("pb.embedding")) * 1e6 + 0.5
+    ).cast("long")
+    pairs = (
+        pa.join(
+            pb,
+            (F.col("pa.anchor_id") == F.col("pb.anchor_id"))
+            & (F.col("pa.vec_id") != F.col("pb.vec_id")),
+        )
+        .select(
+            F.col("pa.anchor_id").alias("anchor_id"),
+            F.col("pa.vec_id").alias("a_vec"),
+            F.col("pb.vec_id").alias("b_vec"),
+            sim_i.alias("sim_i"),
+        )
+        .persist()
+    )
+    lam, mu = MMR_LAM, 10 - MMR_LAM
+    w1 = Window.partitionBy("anchor_id").orderBy(
+        F.desc("rel_i"), F.asc("vec_id")
+    )
+    picked = (
+        pool.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "vec_id",
+            "rel_i",
+            F.lit(1).alias("pick"),
+            (F.col("rel_i") * lam).alias("mmr_i"),
+        )
+    )
+    for r in range(2, MMR_K + 1):
+        sel = picked.select("anchor_id", "vec_id")
+        maxsim = (
+            pairs.join(
+                F.broadcast(sel.withColumnRenamed("vec_id", "b_vec")),
+                ["anchor_id", "b_vec"],
+            )
+            .groupBy("anchor_id", "a_vec")
+            .agg(F.max("sim_i").alias("ms_i"))
+        )
+        cand = pool.join(F.broadcast(sel), ["anchor_id", "vec_id"], "left_anti")
+        nxt = (
+            cand.join(
+                maxsim,
+                (cand.anchor_id == maxsim.anchor_id)
+                & (cand.vec_id == maxsim.a_vec),
+            )
+            .select(
+                cand.anchor_id,
+                cand.vec_id,
+                cand.rel_i,
+                (F.col("rel_i") * lam - F.col("ms_i") * mu).alias("mmr_i"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("anchor_id").orderBy(
+                        F.desc("mmr_i"), F.asc("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "anchor_id", "vec_id", "rel_i", F.lit(r).alias("pick"), "mmr_i"
+            )
+        )
+        # truncate the round-over-round lineage (the k-core lesson):
+        # every broadcast of the cumulative pick set would otherwise
+        # re-plan and re-run all prior rounds
+        picked = picked.unionByName(nxt).localCheckpoint()
+    out = picked.select(
+        "anchor_id",
+        F.col("pick").cast("int").alias("pick"),
+        "vec_id",
+        pround(F.col("rel_i") / 1e6, 6).alias("relevance"),
+        F.col("mmr_i").cast("long").alias("mmr_score_dmicro"),
+    ).orderBy("anchor_id", "pick")
+    return scoped_cache(out, pool, pairs)
+
+
+def _mmr_round_sql(r: int) -> str:
+    lam, mu = MMR_LAM, 10 - MMR_LAM
+    return f"""
+m{r} AS (
+  SELECT p.anchor_id, p.a_vec, max(p.sim_i) AS ms_i
+  FROM pairs p JOIN c{r - 1} s
+    ON s.anchor_id = p.anchor_id AND s.vec_id = p.b_vec
+  GROUP BY p.anchor_id, p.a_vec
+),
+s{r} AS (
+  SELECT anchor_id, vec_id, rel_i, {r} AS pick, mmr_i FROM (
+    SELECT q.anchor_id, q.vec_id, q.rel_i,
+           q.rel_i * {lam} - m{r}.ms_i * {mu} AS mmr_i,
+           row_number() OVER (PARTITION BY q.anchor_id
+                              ORDER BY q.rel_i * {lam} - m{r}.ms_i * {mu} DESC,
+                                       q.vec_id ASC) AS rn
+    FROM pool q
+    JOIN m{r} ON m{r}.anchor_id = q.anchor_id AND m{r}.a_vec = q.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM c{r - 1} s
+                      WHERE s.anchor_id = q.anchor_id
+                        AND s.vec_id = q.vec_id)
+  ) WHERE rn = 1
+),
+c{r} AS (SELECT * FROM c{r - 1} UNION ALL SELECT * FROM s{r})"""
+
+
+MMR_SQL = (
+    f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS av FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id, e.embedding,
+         CAST(floor((list_dot_product(a.av::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.av::DOUBLE[], a.av::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))))
+               * 1000000.0 + 0.5) AS BIGINT) AS rel_i
+  FROM embeddings e, a WHERE e.vec_id <> a.anchor_id
+),
+pool AS (
+  SELECT anchor_id, vec_id, rel_i, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY rel_i DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {MMR_POOL}
+),
+pairs AS (
+  SELECT pa.anchor_id, pa.vec_id AS a_vec, pb.vec_id AS b_vec,
+         CAST(floor((list_dot_product(pa.embedding::DOUBLE[], pb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(pa.embedding::DOUBLE[], pa.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(pb.embedding::DOUBLE[], pb.embedding::DOUBLE[]))))
+               * 1000000.0 + 0.5) AS BIGINT) AS sim_i
+  FROM pool pa JOIN pool pb
+    ON pa.anchor_id = pb.anchor_id AND pa.vec_id <> pb.vec_id
+),
+s1 AS (
+  SELECT anchor_id, vec_id, rel_i, 1 AS pick, rel_i * {MMR_LAM} AS mmr_i
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY rel_i DESC, vec_id ASC) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),
+c1 AS (SELECT * FROM s1),"""
+    + ",".join(_mmr_round_sql(r) for r in range(2, MMR_K + 1))
+    + f"""
+SELECT anchor_id, CAST(pick AS INTEGER) AS pick, vec_id,
+       floor((rel_i / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS relevance,
+       CAST(mmr_i AS BIGINT) AS mmr_score_dmicro
+FROM c{MMR_K}
+ORDER BY anchor_id, pick
+"""
+)
+
+
 SPARK_QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "triplet_margin_mining": triplet_margin_mining,
     "knn_label_accuracy": knn_label_accuracy,
+    "mmr_diversified_topk": mmr_diversified_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_recall_curve": ann_ivf_recall_curve,
@@ -980,6 +1182,7 @@ ORACLE_SQL = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "triplet_margin_mining": TRIPLET_SQL,
     "knn_label_accuracy": KNN_ACCURACY_SQL,
+    "mmr_diversified_topk": MMR_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_ivf_recall_curve": ANN_IVF_RECALL_SQL,

@@ -53,7 +53,7 @@ EXPECTED_QUERIES = {
     "approx_user_stats", "hll_sketch_mergeability",
     # similarity
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "triplet_margin_mining", "knn_label_accuracy",
+    "triplet_margin_mining", "knn_label_accuracy", "mmr_diversified_topk",
     "embedding_label_centroids",
     # text
     "training_data_pipeline", "near_dup_edit_distance",

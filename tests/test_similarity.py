@@ -196,3 +196,56 @@ def test_knn_accuracy_against_python_oracle(spark):
         r = got[lbl]
         assert (r["n_anchors"], r["n_correct"]) == (n, correct[lbl]), lbl
         assert r["accuracy"] == math.floor(correct[lbl] / n * 1e6 + 0.5) / 1e6
+
+
+def test_mmr_against_python_greedy_oracle(spark):
+    """Every pick must match a brute-force Python MMR greedy run
+    decision-for-decision (same integer scores, same tie-breaks), and
+    pick 1 must be the pure-relevance argmax."""
+    import math
+
+    import numpy as np
+
+    from projet_meteo_etl_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAM,
+        MMR_POOL,
+        N_QUERIES,
+        mmr_diversified_topk,
+    )
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+
+    def cos_i(a, b):
+        c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return math.floor(c * 1e6 + 0.5)
+
+    got = {}
+    for r in mmr_diversified_topk(spark, SF).collect():
+        got.setdefault(r["anchor_id"], []).append(
+            (r["pick"], r["vec_id"], r["mmr_score_dmicro"])
+        )
+    lam, mu = MMR_LAM, 10 - MMR_LAM
+    for aid in range(N_QUERIES):
+        av = vecs[aid]
+        rel = {v: cos_i(av, x) for v, x in vecs.items() if v != aid}
+        pool = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_POOL]
+        sel = []
+        expect = []
+        for pick in range(1, MMR_K + 1):
+            best = None
+            for v in pool:
+                if v in sel:
+                    continue
+                if not sel:
+                    score = rel[v] * lam
+                else:
+                    score = rel[v] * lam - max(
+                        cos_i(vecs[v], vecs[s]) for s in sel
+                    ) * mu
+                if best is None or (score, -v) > (best[1], -best[0]):
+                    best = (v, score)
+            sel.append(best[0])
+            expect.append((pick, best[0], best[1]))
+        assert got[aid] == expect, aid
