@@ -635,7 +635,92 @@ ORDER BY day
 """
 
 
+def pit_training_set_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training-set assembly: one row per purchase
+    (the label event) carrying features computed from STRICTLY EARLIER
+    events only — the leakage-free feature join every supervised
+    pipeline over event data needs (the "time-travel" join of a feature
+    store).  Features: the user's most recent prior click value (exact
+    cents, null if none) and the count of all prior events.
+
+    Both features fall out of ONE window pass over the user-partitioned
+    event stream (frame ends at ``-1`` row — strictly before, ties
+    broken by event_id so "before" is a total order); no self-joins, no
+    per-feature rescans.  At 100 TB this is a single shuffle on
+    user_id; adding features adds expressions, not passes.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.col("event_type") == "click",
+            F.floor(F.col("value") * 100 + 0.5).cast("long"),
+        ).alias("click_cents"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + 0.5).cast("long"),
+        ).alias("label_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "label_cents",
+        F.last("click_cents", ignorenulls=True).over(w).alias("last_click_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prior_events"),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "label_cents",
+            "last_click_cents",
+            "n_prior_events",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+PIT_ASSEMBLY_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'click'
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS click_cents,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS label_cents
+  FROM events
+),
+feat AS (
+  SELECT user_id, event_id, ts, event_type, label_cents,
+         last_value(click_cents IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_cents,
+         CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS n_prior_events
+  FROM base
+)
+SELECT user_id, event_id, ts, label_cents, last_click_cents, n_prior_events
+FROM feat
+WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""
+
+
 SPARK_QUERIES = {
+    "pit_training_set_assembly": pit_training_set_assembly,
     "last_touch_attribution": last_touch_attribution,
     "asof_purchase_before_click": asof_purchase_before_click,
     "range_join_clicks_after_purchase": range_join_clicks_after_purchase,
@@ -647,6 +732,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "pit_training_set_assembly": PIT_ASSEMBLY_SQL,
     "last_touch_attribution": LAST_TOUCH_SQL,
     "asof_purchase_before_click": ASOF_SQL,
     "range_join_clicks_after_purchase": RANGE_JOIN_SQL,

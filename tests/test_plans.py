@@ -324,3 +324,44 @@ def test_referential_integrity_audit_detects_seeded_orphans(spark):
     o = load_table(spark, SF, "orders")
     n = seeded.join(o, seeded.l_orderkey == o.o_orderkey, "left_anti").count()
     assert n == 1
+
+
+def test_pit_assembly_has_no_leakage(spark):
+    """Every feature value must be derivable from events STRICTLY
+    earlier than the label event (the point-in-time contract), checked
+    against a Python replay of each user's timeline."""
+    from projet_meteo_etl_spark.catalog import load_table as _lt
+
+    ev = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"], r["value"])
+            for r in _lt(spark, SF, "events").collect()
+        ),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    import math
+
+    timeline = {}
+    for u, ts, eid, etyp, val in ev:
+        timeline.setdefault(u, []).append((ts, eid, etyp, val))
+    got = temporal.pit_training_set_assembly(spark, SF).collect()
+    assert got and all(
+        r["n_prior_events"] >= 0 for r in got
+    )
+    by_key = {(r["user_id"], r["event_id"]): r for r in got}
+    n_labels = 0
+    for u, seq in timeline.items():
+        for i, (ts, eid, etyp, val) in enumerate(seq):
+            if etyp != "purchase":
+                continue
+            n_labels += 1
+            r = by_key[(u, eid)]
+            prior = seq[:i]
+            assert r["n_prior_events"] == len(prior)
+            clicks = [v for _, _, t, v in prior if t == "click"]
+            want = (
+                math.floor(clicks[-1] * 100 + 0.5) if clicks else None
+            )
+            assert r["last_click_cents"] == want, (u, eid)
+            assert r["label_cents"] == math.floor(val * 100 + 0.5)
+    assert n_labels == len(got)

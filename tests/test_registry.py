@@ -32,6 +32,7 @@ EXPECTED_QUERIES = {
     "weather_etl_unified", "weather_quality_report",
     # temporal + timeseries
     "asof_purchase_before_click", "range_join_clicks_after_purchase",
+    "pit_training_set_assembly",
     "user_value_trend", "user_hourly_ffill", "user_value_ewma",
     # quality audits
     "range_audit_lineitem", "null_audit_events", "duplicate_audit",
