@@ -1017,7 +1017,89 @@ FROM ranked WHERE rn = ceil(np / 2.0)
 """
 
 
+#: per-day decay factor 0.9^d in exact integer micros, precomputed in
+#: Python and inlined as the SAME literal table in both engines (the
+#: LSH-hyperplane precedent): no cross-libm pow() in either plan, so a
+#: fractional-power 1-ulp divergence can never flip a floor
+DECAY_MICRO = [int(0.9**d * 1_000_000 + 0.5) for d in range(31)]
+DECAY_TOP_N = 50
+
+
+def user_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score — the feature-store freshness
+    primitive: each event contributes ``cents · 0.9^age_days`` toward
+    its user's score, evaluated at the corpus max date, so a purchase
+    yesterday outweighs one from three weeks ago.  Report: the top
+    ``DECAY_TOP_N`` users by decayed value with their raw totals.
+
+    Decay factors come from an inlined integer-micro lookup table
+    (element_at on an array literal — a broadcast-free dimension of 31
+    rows folded into the expression), so the score is a pure integer
+    sum: exact, order-free, mergeable like any partial aggregate.
+    Top-N is TakeOrderedAndProject (per-partition heaps), never a
+    global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.to_date("ts").alias("day"),
+    )
+    max_day = base.agg(F.max("day").alias("max_day"))
+    factors = F.array(*[F.lit(m) for m in DECAY_MICRO])
+    age = F.least(
+        F.datediff(F.col("max_day"), F.col("day")),
+        F.lit(len(DECAY_MICRO) - 1),
+    )
+    scored = base.crossJoin(F.broadcast(max_day)).select(
+        "user_id",
+        "cents",
+        (F.col("cents") * F.element_at(factors, age + 1)).alias(
+            "decayed_cmicro"
+        ),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+            F.sum("decayed_cmicro").cast("long").alias("decayed_cmicro"),
+        )
+        .orderBy(F.desc("decayed_cmicro"), F.asc("user_id"))
+        .limit(DECAY_TOP_N)
+    )
+
+
+_DECAY_LIST = "[" + ", ".join(str(m) for m in DECAY_MICRO) + "]"
+
+DECAYED_ENGAGEMENT_SQL = f"""
+WITH base AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(ts AS DATE) AS day
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (SELECT max(day) AS max_day FROM base),
+scored AS (
+  SELECT user_id, cents,
+         cents * list_extract({_DECAY_LIST},
+                              least(date_diff('day', day, max_day),
+                                    {len(DECAY_MICRO) - 1}) + 1)
+           AS decayed_cmicro
+  FROM base, m
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS raw_cents,
+       CAST(sum(decayed_cmicro) AS BIGINT) AS decayed_cmicro
+FROM scored
+GROUP BY user_id
+ORDER BY decayed_cmicro DESC, user_id ASC
+LIMIT {DECAY_TOP_N}
+"""
+
+
 SPARK_QUERIES = {
+    "user_decayed_engagement": user_decayed_engagement,
     "revenue_autocorrelation": revenue_autocorrelation,
     "user_value_trend": user_value_trend,
     "user_hourly_ffill": user_hourly_ffill,
@@ -1049,6 +1131,7 @@ SELECT user_id, event_id, ewma_value FROM r ORDER BY user_id, event_id
 """
 
 ORACLE_SQL = {
+    "user_decayed_engagement": DECAYED_ENGAGEMENT_SQL,
     "user_value_trend": USER_TREND_SQL,
     "user_hourly_ffill": USER_FFILL_SQL,
     "user_value_ewma": USER_EWMA_SQL,

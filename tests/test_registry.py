@@ -131,7 +131,7 @@ EXPECTED_QUERIES = {
     "cohort_retention",
     "user_value_deciles",
     "profile_benford_digits",
-    "user_value_twap",
+    "user_value_twap", "user_decayed_engagement",
     "events_value_psi",
     "event_transition_matrix",
     "incremental_agg_maintenance",

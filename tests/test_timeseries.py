@@ -321,3 +321,39 @@ def test_theilsen_against_python_oracle(spark):
     r = revenue_theilsen_trend(spark, SF).collect()[0]
     assert r["n_pairs"] == n
     assert r["theil_sen_slope_per_day"] == math.floor(med / 100.0 * 1e6 + 0.5) / 1e6
+
+
+def test_decayed_engagement_against_python_oracle(spark):
+    """Decayed scores must replay exactly in Python from the same
+    integer decay table, and decay must never exceed the raw total."""
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.plans.timeseries import (
+        DECAY_MICRO,
+        DECAY_TOP_N,
+        user_decayed_engagement,
+    )
+    from tests.conftest import SF_SMOKE
+
+    import math
+
+    ev = [
+        r
+        for r in load_table(spark, SF_SMOKE, "events").collect()
+        if r["event_type"] == "purchase"
+    ]
+    max_day = max(r["ts"].date() for r in ev)
+    agg = {}
+    for r in ev:
+        cents = math.floor(r["value"] * 100 + 0.5)
+        age = min((max_day - r["ts"].date()).days, len(DECAY_MICRO) - 1)
+        n, raw, dec = agg.get(r["user_id"], (0, 0, 0))
+        agg[r["user_id"]] = (n + 1, raw + cents, dec + cents * DECAY_MICRO[age])
+    expect = sorted(
+        ((v[2], -u) for u, v in agg.items()), reverse=True
+    )[:DECAY_TOP_N]
+    got = user_decayed_engagement(spark, SF_SMOKE).collect()
+    assert [(r["decayed_cmicro"], -r["user_id"]) for r in got] == expect
+    for r in got:
+        u = r["user_id"]
+        assert (r["n_purchases"], r["raw_cents"], r["decayed_cmicro"]) == agg[u]
+        assert r["decayed_cmicro"] <= r["raw_cents"] * 1_000_000
