@@ -16,6 +16,15 @@ Bucket-key contract: ``bucket`` must be an integer column such that
 share a bucket (any truncating integer division of the leading sort key
 satisfies both — Spark's ``div`` truncates toward zero, which is still
 monotone).  For DESC orderings negate the quotient.
+
+Degenerate-distribution caveat: if the leading sort key is (nearly)
+constant, one bucket holds (nearly) everything and the intra-bucket
+window degrades toward the global sort this module exists to avoid.
+The fix is compositional, not structural: extend the bucket to a
+lexicographic composite over the tie-break key (e.g. ``(cents div C,
+user_id div C2)``) — ``bucket_prefix`` already accepts any monotone
+integer key, and the stats relation stays domain-bounded as long as
+the composite's product of bucket counts is.
 """
 
 from __future__ import annotations
