@@ -46,6 +46,7 @@ from pyspark.sql.types import (
 
 from projet_meteo_etl_spark.catalog import table_path
 from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.plans.temporal import PIT_ASSEMBLY_SQL as _PIT_SQL
 
 _COUNTER = itertools.count()
 
@@ -302,6 +303,90 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id")
     )
+
+
+def stream_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of
+    :func:`projet_meteo_etl_spark.plans.temporal.pit_training_set_assembly`:
+    the leakage-free feature join as an online state machine — per-user
+    GroupState carries (events seen, last click cents); every purchase
+    emits its feature row with the state AS OF strictly before it.
+    This is how a feature store actually serves point-in-time features
+    at event time, and the batch window formulation is its training-time
+    equivalent: same oracle, hash-identical output.
+
+    Rows are replayed in (ts, event_id) order inside each micro-batch,
+    and the staged files are time-ordered, so the online replay is the
+    same total order the batch window uses; state is one tuple per user
+    (bounded by |active users|, not the stream).  Each purchase is
+    emitted exactly once — no sink-side folding needed.
+    """
+    import pandas as pd
+
+    e = _read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        (F.col("event_type") == "click").alias("is_click"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, label_cents bigint, "
+        "last_click_cents bigint, n_prior_events bigint"
+    )
+    state_schema = "n bigint, last_click bigint"
+
+    def assemble(
+        key, pdf_iter: Iterator["pd.DataFrame"], state
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd  # self-contained: foreign-cwd workers
+
+        n, last_click = state.get if state.exists else (0, -1)
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for r in pdf.itertuples(index=False):
+                if r.is_purchase:
+                    rows.append(
+                        (
+                            key[0],
+                            int(r.event_id),
+                            r.ts,
+                            int(r.cents),
+                            None if last_click < 0 else int(last_click),
+                            int(n),
+                        )
+                    )
+                if r.is_click:
+                    last_click = int(r.cents)
+                n += 1
+        state.update((int(n), int(last_click)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "event_id",
+                "ts",
+                "label_cents",
+                "last_click_cents",
+                "n_prior_events",
+            ],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updates = e.groupBy("user_id").applyInPandasWithState(
+        assemble,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_memory(updates, "update")
+    return sink.orderBy("user_id", "event_id")
 
 
 STREAM_USER_TOTALS_SQL = """
@@ -1010,6 +1095,7 @@ ORDER BY p.user_id
 SPARK_QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_tumbling_counts_update": stream_tumbling_counts_update,
+    "stream_pit_features": stream_pit_features,
     "stream_dedup_user_day": stream_dedup_user_day,
     "stream_user_running_totals": stream_user_running_totals,
     "stream_late_event_dropper": stream_late_event_dropper,
@@ -1028,6 +1114,9 @@ if has_tws_runtime():  # environment-gated: needs google.protobuf
 ORACLE_SQL = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_tumbling_counts_update": STREAM_TUMBLING_SQL,
+    # the streaming state machine must reproduce the batch window's
+    # point-in-time join bit-for-bit: same oracle
+    "stream_pit_features": _PIT_SQL,
     "stream_dedup_user_day": STREAM_DEDUP_SQL,
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
     "stream_static_segment_counts": STREAM_STATIC_SQL,
