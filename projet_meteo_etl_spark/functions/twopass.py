@@ -83,5 +83,11 @@ def exact_ntile(rank: Column, n: Column, k: int) -> Column:
     m = n - q * k
     big = m * (q + 1)  # rows covered by the (q+1)-sized leading tiles
     in_big = ((rank + q) / (q + 1)).cast("long")  # ceil(rank/(q+1))
-    in_small = m + ((rank - big + q - 1) / q).cast("long")
+    # When n < k, q = 0 and big = n, so the WHEN branch covers every row
+    # and in_small is unreachable — but don't lean on lazy CASE
+    # evaluation for the q = 0 division (ANSI mode would raise on the
+    # expression even for rows that never take the branch under some
+    # rewrites): greatest(q, 1) is a no-op on every reachable row.
+    safe_q = F.greatest(q, F.lit(1))
+    in_small = m + ((rank - big + safe_q - 1) / safe_q).cast("long")
     return F.when(rank <= big, in_big).otherwise(in_small).cast("int")

@@ -467,12 +467,19 @@ def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup supply the rank offset, and a window partitioned by bucket
     finishes — hash-identical to the global ordered window.
     """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
     d = load_table(spark, sf_dir, "documents")
+    # counts feeds BOTH the bucket-prefix rollup and the ranked join —
+    # persist so the expensive tokenize+explode pass runs once (the
+    # same shared-input rule as quality_score_calibration's "17× wall"
+    # note); released via scoped_cache when the result is collected.
     counts = (
         _doc_tokens(d)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("x"))
         .withColumn("xbucket", F.expr("x div 64"))
+        .persist()
     )
     pre = bucket_prefix(
         counts, "xbucket", {"n": (F.count(F.lit(1)), "sum")}
@@ -495,10 +502,13 @@ def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (n * F.col("sx").cast("double"))
         - (n + 1.0) / n
     )
-    return m.select(
-        F.col("n").alias("n_docs"),
-        F.col("sx").cast("long").alias("total_tokens"),
-        pround(g, 6).alias("gini"),
+    return scoped_cache(
+        m.select(
+            F.col("n").alias("n_docs"),
+            F.col("sx").cast("long").alias("total_tokens"),
+            pround(g, 6).alias("gini"),
+        ),
+        counts,
     )
 
 

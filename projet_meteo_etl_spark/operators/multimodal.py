@@ -251,11 +251,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``:
     Arrow-batched, partition-local, no shuffle.  Output: normalized
     16-dim byte-histogram feature vector per asset (the stand-in for an
-    image-embedding / mel-spectrogram stage).  Oracle-checked down to
-    the float array: the nibble histogram is re-derived in DuckDB via
-    hex-string indexing and int/int division is IEEE-identical across
-    engines; determinism and shape are additionally asserted in
-    tests/test_multimodal.py.
+    image-embedding / mel-spectrogram stage), EXPLODED to one row per
+    (doc_id, dim) — an ``array<double>`` column cannot be sorted/hashed
+    by the driver's pandas canonicalizer (the one red gate row of
+    rounds 1–3), and at 100 TB the long-form layout is also what a
+    feature store ingests.  Oracle-checked down to the float: the
+    nibble histogram is re-derived in DuckDB via hex-string indexing
+    and int/int division is IEEE-identical across engines; determinism
+    and shape are additionally asserted in tests/test_multimodal.py.
     """
     import pandas as pd
 
@@ -291,7 +294,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             extract,
             "doc_id bigint, kind string, n_bytes bigint, features array<double>",
         )
-        .orderBy("doc_id")
+        .select(
+            "doc_id",
+            "kind",
+            "n_bytes",
+            F.posexplode("features").alias("dim", "feature"),
+        )
+        .orderBy("doc_id", "dim")
     )
 
 
@@ -349,14 +358,11 @@ full_grid AS (
   SELECT m2.doc_id, g.nb, coalesce(c.c, 0) AS c, m2.n
   FROM m2 CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS nb) g
   LEFT JOIN counts c ON c.doc_id = m2.doc_id AND c.nib = g.nb
-),
-feats AS (
-  SELECT doc_id, list(c * 1.0 / n ORDER BY nb) AS features
-  FROM full_grid GROUP BY doc_id, n
 )
-SELECT m2.doc_id, m2.kind, m2.n AS n_bytes, f.features
-FROM m2 JOIN feats f USING (doc_id)
-ORDER BY m2.doc_id
+SELECT fg.doc_id, m2.kind, fg.n AS n_bytes,
+       fg.nb::INT AS dim, fg.c * 1.0 / fg.n AS feature
+FROM full_grid fg JOIN m2 USING (doc_id)
+ORDER BY doc_id, dim
 """
 
 ORACLE_SQL = {

@@ -296,7 +296,12 @@ def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with SQL-NTILE integer arithmetic (:func:`exact_ntile`) —
     bit-identical to the oracle's ``ntile(10)``.
     """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
     e = load_table(spark, sf_dir, "events")
+    # per_user feeds three consumers (bucket rollup, global total, the
+    # ranked join): persist so the events scan+agg runs once; released
+    # via scoped_cache once the result is collected.
     per_user = (
         e.filter(F.col("event_type") == "purchase")
         .select(
@@ -308,6 +313,7 @@ def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DESC order ⇒ negate the truncating quotient to keep buckets
         # ascending along the sort
         .withColumn("vbucket", -F.expr("cents div 10000"))
+        .persist()
     )
     pre = bucket_prefix(
         per_user, "vbucket", {"n": (F.count(F.lit(1)), "sum")}
@@ -330,7 +336,7 @@ def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = ranked.withColumn(
         "decile", exact_ntile(F.col("rank"), F.col("n_users_total"), 10)
     )
-    return (
+    out = (
         banded.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -347,6 +353,7 @@ def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+    return scoped_cache(out, per_user)
 
 
 DECILES_SQL = """

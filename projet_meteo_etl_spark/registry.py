@@ -90,16 +90,24 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
 
 def _frozen_priority() -> list[str]:
-    """Round-2-era never-driver-checked query names in frozen priority
-    order (written once at the start of round 3; see collect())."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "frozen_order_r3.json")
-    try:
-        with open(path) as f:
-            names = json.load(f)
+    """Never-driver-checked query names in frozen priority order.
+
+    Each round's remainder manifest (written once at round start,
+    newest wins) pins the order so the sampling driver sweeps a
+    deterministic prefix.  A MISSING manifest degrades to plain
+    registration order; a MALFORMED one raises — silently defeating
+    the never-verified-first priority is worse than failing loudly.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("frozen_order_r4.json", "frozen_order_r3.json"):
+        path = os.path.join(here, fname)
+        try:
+            with open(path) as f:
+                names = json.load(f)
+        except FileNotFoundError:
+            continue
         return [n for n in names if isinstance(n, str)]
-    except Exception:  # noqa: BLE001 — missing manifest ⇒ plain ordering
-        return []
+    return []
 
 
 def _previously_verified() -> set[str]:

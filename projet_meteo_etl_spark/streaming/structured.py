@@ -94,6 +94,26 @@ def _staged_events_dir(sf_dir: str, n_files: int = 4) -> str:
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
         t = pq.read_table(src)
+        # The stateful replays (stream_pit_features) and watermark drops
+        # are only batch-equivalent because the source is globally
+        # (ts, event_id)-ordered — late data would be silently dropped
+        # or replayed out of order.  Assert it at staging time so a
+        # regenerated, re-sorted events table fails HERE, not as a
+        # silent hash mismatch three stages later.
+        import numpy as np
+
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ordered = (ts[1:] > ts[:-1]) | (
+            (ts[1:] == ts[:-1]) & (eid[1:] >= eid[:-1])
+        )
+        if not bool(np.all(ordered)):
+            bad = int(np.flatnonzero(~ordered)[0]) + 1
+            raise ValueError(
+                f"events source {src} is not (ts, event_id)-ordered at "
+                f"row {bad}; the streaming replays assume time-ordered "
+                f"input — re-sort the source before staging"
+            )
         n = t.num_rows
         for i in range(n_files):
             lo, hi = i * n // n_files, (i + 1) * n // n_files
@@ -169,6 +189,43 @@ def _run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
+
+
+def _run_to_files(df: DataFrame) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a PARQUET file
+    sink and read the result back as a batch DataFrame.
+
+    The memory sink buffers one row per emission in DRIVER memory —
+    fine at test scale, unbounded for the large-output stateful streams
+    at 100 TB (one row per purchase / per user per micro-batch).  The
+    file sink is the production shape: each micro-batch's emissions are
+    written as parquet part-files by the EXECUTORS, nothing accumulates
+    on the driver, and any last-emission-wins folding happens in a
+    normal distributed batch read of the output directory.  File sinks
+    are append-only, so callers run their stateful operator in append
+    output mode — for these operators every emission is a distinct log
+    row, so the file log holds exactly the rows the memory sink would.
+    """
+    import tempfile
+
+    spark = df.sparkSession
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_filesink_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, "data"))
+            .option("checkpointLocation", os.path.join(out_dir, "chk"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # explicit schema: a stream with zero emissions leaves no part-files
+    return spark.read.schema(df.schema).parquet(os.path.join(out_dir, "data"))
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +311,9 @@ def stream_tumbling_counts_update(
     ).orderBy("window_start", "event_type")
 
 
-def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_user_running_totals(
+    spark: SparkSession, sf_dir: str, sink: str = "memory"
+) -> DataFrame:
     """Arbitrary stateful op: per-user event count + value total kept in
     explicit GroupState via ``applyInPandasWithState``, update mode.
 
@@ -262,6 +321,11 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     user (max n_events — monotone per emission) equals the global
     aggregate, which is what the oracle checks.  Values accumulate in
     integer cents so state-merge order is irrelevant to the float sum.
+
+    ``sink="files"`` routes the emission log through the parquet file
+    sink (:func:`_run_to_files`) instead of driver memory — the
+    100 TB-credible path; the downstream fold is identical, so both
+    sinks hash-match the same oracle.
     """
     import pandas as pd
 
@@ -289,23 +353,28 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
-        outputMode="update",
+        outputMode="append" if sink == "files" else "update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = _run_to_memory(updates, "update")
+    if sink == "files":
+        out = _run_to_files(updates)
+    else:
+        out = _run_to_memory(updates, "update")
     # final emission per user = the row with the largest running count
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        sink.withColumn("rn", F.row_number().over(w))
+        out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id")
     )
 
 
-def stream_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_pit_features(
+    spark: SparkSession, sf_dir: str, sink: str = "memory"
+) -> DataFrame:
     """Streaming twin of
     :func:`projet_meteo_etl_spark.plans.temporal.pit_training_set_assembly`:
     the leakage-free feature join as an online state machine — per-user
@@ -319,7 +388,15 @@ def stream_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the staged files are time-ordered, so the online replay is the
     same total order the batch window uses; state is one tuple per user
     (bounded by |active users|, not the stream).  Each purchase is
-    emitted exactly once — no sink-side folding needed.
+    emitted exactly once — no sink-side folding needed, and the per-
+    batch replay is fully vectorized (cumulative position for the
+    prior-event count, shifted forward-fill for the last-click feature,
+    both seeded from GroupState — no per-row Python loop).
+
+    The output is one row per purchase — unbounded in stream length —
+    so ``sink="files"`` (parquet file sink, nothing on the driver) is
+    the shape that survives 100 TB; the memory sink stays the test
+    default.  Both hash-match the same batch-twin oracle.
     """
     import pandas as pd
 
@@ -342,38 +419,45 @@ def stream_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def assemble(
         key, pdf_iter: Iterator["pd.DataFrame"], state
     ) -> Iterator["pd.DataFrame"]:
-        import pandas as pd  # self-contained: foreign-cwd workers
+        import numpy as np  # self-contained: foreign-cwd workers
+        import pandas as pd
 
-        n, last_click = state.get if state.exists else (0, -1)
-        rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for r in pdf.itertuples(index=False):
-                if r.is_purchase:
-                    rows.append(
-                        (
-                            key[0],
-                            int(r.event_id),
-                            r.ts,
-                            int(r.cents),
-                            None if last_click < 0 else int(last_click),
-                            int(n),
-                        )
-                    )
-                if r.is_click:
-                    last_click = int(r.cents)
-                n += 1
-        state.update((int(n), int(last_click)))
+        n0, last_click0 = state.get if state.exists else (0, -1)
+        chunks = [c for c in pdf_iter if len(c)]
+        if not chunks:
+            state.update((int(n0), int(last_click0)))
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
+        # every event bumps the prior-event count: seed + row position
+        n_prior = n0 + np.arange(len(pdf), dtype="int64")
+        # last click STRICTLY before each row: click cents shifted one
+        # row, forward-filled, seeded from the carried state (NaN = no
+        # click ever → NULL feature)
+        click_cents = pdf["cents"].astype("float64").where(pdf["is_click"])
+        prior_click = click_cents.shift(1).ffill()
+        if last_click0 >= 0:
+            prior_click = prior_click.fillna(float(last_click0))
+        mask = pdf["is_purchase"].to_numpy()
+        sel = pdf.loc[mask]
+        clicks = click_cents.dropna()
+        new_last = int(clicks.iloc[-1]) if len(clicks) else int(last_click0)
+        state.update((int(n0 + len(pdf)), new_last))
+        if not mask.any():  # no purchases this batch → emit nothing
+            return
         yield pd.DataFrame(
-            rows,
-            columns=[
-                "user_id",
-                "event_id",
-                "ts",
-                "label_cents",
-                "last_click_cents",
-                "n_prior_events",
-            ],
+            {
+                "user_id": np.full(len(sel), key[0], dtype="int64"),
+                "event_id": sel["event_id"].to_numpy(),
+                "ts": sel["ts"].to_numpy(),
+                "label_cents": sel["cents"].to_numpy(),
+                "last_click_cents": pd.array(
+                    prior_click.to_numpy()[mask], dtype="Int64"
+                ),
+                "n_prior_events": n_prior[mask],
+            }
         )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -382,11 +466,26 @@ def stream_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         assemble,
         outputStructType=out_schema,
         stateStructType=state_schema,
-        outputMode="update",
+        outputMode="append" if sink == "files" else "update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = _run_to_memory(updates, "update")
-    return sink.orderBy("user_id", "event_id")
+    if sink == "files":
+        out = _run_to_files(updates)
+    else:
+        out = _run_to_memory(updates, "update")
+    return out.orderBy("user_id", "event_id")
+
+
+def stream_pit_features_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-sink twin of :func:`stream_pit_features` — see its
+    docstring; registered separately so the driver gate hash-verifies
+    the production sink path too."""
+    return stream_pit_features(spark, sf_dir, sink="files")
+
+
+def stream_user_totals_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-sink twin of :func:`stream_user_running_totals`."""
+    return stream_user_running_totals(spark, sf_dir, sink="files")
 
 
 STREAM_USER_TOTALS_SQL = """
@@ -1096,8 +1195,10 @@ SPARK_QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_tumbling_counts_update": stream_tumbling_counts_update,
     "stream_pit_features": stream_pit_features,
+    "stream_pit_features_files": stream_pit_features_files,
     "stream_dedup_user_day": stream_dedup_user_day,
     "stream_user_running_totals": stream_user_running_totals,
+    "stream_user_totals_files": stream_user_totals_files,
     "stream_late_event_dropper": stream_late_event_dropper,
     "stream_static_segment_counts": stream_static_segment_counts,
     "stream_stream_purchase_click_join": stream_stream_purchase_click_join,
@@ -1117,8 +1218,10 @@ ORACLE_SQL = {
     # the streaming state machine must reproduce the batch window's
     # point-in-time join bit-for-bit: same oracle
     "stream_pit_features": _PIT_SQL,
+    "stream_pit_features_files": _PIT_SQL,
     "stream_dedup_user_day": STREAM_DEDUP_SQL,
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
+    "stream_user_totals_files": STREAM_USER_TOTALS_SQL,
     "stream_static_segment_counts": STREAM_STATIC_SQL,
     "stream_stream_purchase_click_join": STREAM_STREAM_JOIN_SQL,
     "stream_left_outer_lonely_purchases": STREAM_LEFT_OUTER_SQL,

@@ -43,11 +43,14 @@ def test_features_shape_and_determinism(spark):
     b = mm.multimodal_features(spark, SF).collect()
     assert a == b
     assert len(a) > 0
-    for r in a[:20]:
-        assert len(r.features) == 16
-        # normalized histogram sums to ~1
-        assert abs(sum(r.features) - 1.0) < 1e-9
+    # long form: 16 dims per doc, each normalized histogram sums to ~1
+    by_doc: dict[int, list] = {}
+    for r in a:
         assert r.n_bytes > 0
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in list(by_doc.items())[:20]:
+        assert sorted(r.dim for r in rows) == list(range(16))
+        assert abs(sum(r.feature for r in rows) - 1.0) < 1e-9
 
 
 def test_frame_sample_counts(spark):

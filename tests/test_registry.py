@@ -88,7 +88,8 @@ EXPECTED_QUERIES = {
     "events_json_props", "events_late_data_filter",
     # structured streaming
     "stream_tumbling_counts", "stream_tumbling_counts_update",
-    "stream_user_running_totals",
+    "stream_user_running_totals", "stream_pit_features",
+    "stream_pit_features_files", "stream_user_totals_files",
     "stream_late_event_dropper", "stream_static_segment_counts",
     "stream_stream_purchase_click_join", "stream_session_windows",
     "stream_sliding_avg",
@@ -200,5 +201,17 @@ def test_registry_complete_and_consistent():
     if has_tws_runtime():  # environment-gated registration
         expected.add("stream_tws_user_totals")
     queries, oracles = registry.collect()
-    assert set(queries) == expected
+    # name the drift explicitly: "registered but not pinned" means a new
+    # query needs its EXPECTED_QUERIES line; "pinned but not registered"
+    # means a module silently failed to import or a query was dropped
+    unpinned = sorted(set(queries) - expected)
+    dropped = sorted(expected - set(queries))
+    assert not unpinned, (
+        f"queries registered but missing from EXPECTED_QUERIES "
+        f"(add them to tests/test_registry.py): {unpinned}"
+    )
+    assert not dropped, (
+        f"queries pinned in EXPECTED_QUERIES but not registered "
+        f"(module import failure or accidental drop): {dropped}"
+    )
     assert set(oracles) == expected - EXPECTED_ROWS_ONLY

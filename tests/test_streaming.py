@@ -47,6 +47,19 @@ def test_stream_stateful_totals_equal_batch_agg(spark):
     assert got == exp
 
 
+def test_file_sink_twins_match_memory_sink(spark):
+    """The parquet file-sink path (executor-side append log, nothing in
+    driver memory) must reproduce the memory-sink result row-for-row —
+    same stateful operator, same downstream fold."""
+    mem = structured.stream_pit_features(spark, SF).collect()
+    fil = structured.stream_pit_features_files(spark, SF).collect()
+    assert fil == mem
+    assert len(mem) > 0
+    mem_t = structured.stream_user_running_totals(spark, SF).collect()
+    fil_t = structured.stream_user_totals_files(spark, SF).collect()
+    assert fil_t == mem_t
+
+
 def test_late_dropper_subset_and_deterministic(spark):
     a = {r.event_type: r.n_survived for r in structured.stream_late_event_dropper(spark, SF).collect()}
     b = {r.event_type: r.n_survived for r in structured.stream_late_event_dropper(spark, SF).collect()}

@@ -24,7 +24,7 @@ from functools import reduce
 from projet_meteo_etl_spark import catalog
 from projet_meteo_etl_spark.session import get_spark
 
-FACTS = {"lineitem", "orders", "events", "documents", "part"}
+FACTS = {"lineitem", "orders", "events", "documents", "part", "embeddings"}
 
 
 def main() -> int:
@@ -90,6 +90,21 @@ def main() -> int:
                 "quality_score_calibration": selection.quality_score_calibration,
                 "token_budget_selection": curation.token_budget_selection,
                 "corpus_token_gini": corpus_stats.corpus_token_gini,
+            }
+        )
+        # round-4: the round-3 additions — anchors×corpus broadcast
+        # shapes (linear in corpus, not corpus²) and user-window plans
+        from projet_meteo_etl_spark.operators import similarity, sketches as sk
+        from projet_meteo_etl_spark.plans import timeseries
+
+        probes.update(
+            {
+                "pit_training_set_assembly": temporal.pit_training_set_assembly,
+                "user_decayed_engagement": timeseries.user_decayed_engagement,
+                "knn_label_accuracy": similarity.knn_label_accuracy,
+                "triplet_margin_mining": similarity.triplet_margin_mining,
+                "mmr_diversified_topk": similarity.mmr_diversified_topk,
+                "hll_sliding_distinct_users": sk.hll_sliding_distinct_users,
             }
         )
         timings = {}
