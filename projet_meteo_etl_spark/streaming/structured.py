@@ -150,6 +150,42 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a real deployment sizes this to state volume instead.
 STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
 
+#: state-store backend for ALL stateful streams in this module.  The
+#: default HDFS-backed provider keeps every version in executor memory
+#: — fine at test scale, memory-bound at 100 TB state; "rocksdb"
+#: switches to the spill-to-disk RocksDB provider (the production
+#: backend, already mandatory for transformWithStateInPandas).  Results
+#: are provider-independent (tests/test_streaming.py pins equality).
+STREAM_STATE_BACKEND = os.environ.get("SPARK_GRAFT_STREAM_STATE", "")
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _pin_stream_confs(spark: SparkSession) -> dict[str, str | None]:
+    """Set the per-stream session confs (bound at stream START for the
+    query's whole lifetime) and return the previous values."""
+    old: dict[str, str | None] = {
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    if STREAM_STATE_BACKEND == "rocksdb":
+        old[_PROVIDER_KEY] = spark.conf.get(_PROVIDER_KEY, None)
+        spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    return old
+
+
+def _restore_stream_confs(spark: SparkSession, old: dict[str, str | None]) -> None:
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
 
 #: per-label state-store metrics of the most recent finished stream
 #: (summed over micro-batches): tests assert watermark eviction really
@@ -167,8 +203,7 @@ def _run_to_memory(
     metrics are accumulated into ``LAST_STATE_METRICS[label]``."""
     spark = df.sparkSession
     name = f"stream_sink_{next(_COUNTER)}"
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    old = _pin_stream_confs(spark)
     try:
         q = (
             df.writeStream.format("memory")
@@ -187,7 +222,7 @@ def _run_to_memory(
                     acc["numRowsTotal"] = op.get("numRowsTotal", 0)
             LAST_STATE_METRICS[label] = acc
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        _restore_stream_confs(spark, old)
     return spark.table(name)
 
 
@@ -210,8 +245,7 @@ def _run_to_files(df: DataFrame) -> DataFrame:
 
     spark = df.sparkSession
     out_dir = tempfile.mkdtemp(prefix="spark_graft_filesink_")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    old = _pin_stream_confs(spark)
     try:
         q = (
             df.writeStream.format("parquet")
@@ -223,7 +257,7 @@ def _run_to_files(df: DataFrame) -> DataFrame:
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        _restore_stream_confs(spark, old)
     # explicit schema: a stream with zero emissions leaves no part-files
     return spark.read.schema(df.schema).parquet(os.path.join(out_dir, "data"))
 

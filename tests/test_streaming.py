@@ -60,6 +60,17 @@ def test_file_sink_twins_match_memory_sink(spark):
     assert fil_t == mem_t
 
 
+def test_rocksdb_state_backend_matches_default(spark, monkeypatch):
+    """With the RocksDB provider (the spill-to-disk production state
+    backend) the stateful stream must produce identical results, and
+    the provider conf must be restored once the stream finishes."""
+    base = structured.stream_user_running_totals(spark, SF).collect()
+    monkeypatch.setattr(structured, "STREAM_STATE_BACKEND", "rocksdb")
+    rocks = structured.stream_user_running_totals(spark, SF).collect()
+    assert rocks == base
+    assert spark.conf.get(structured._PROVIDER_KEY, None) is None
+
+
 def test_late_dropper_subset_and_deterministic(spark):
     a = {r.event_type: r.n_survived for r in structured.stream_late_event_dropper(spark, SF).collect()}
     b = {r.event_type: r.n_survived for r in structured.stream_late_event_dropper(spark, SF).collect()}
