@@ -150,6 +150,15 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a real deployment sizes this to state volume instead.
 STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
 
+#: state partitions for the per-GROUP stateful streams
+#: (applyInPandasWithState): unlike the windowed aggs — a few hundred
+#: windows, where per-(partition × batch) store overhead dominates and
+#: 4 partitions win — these run real Python work for every one of
+#: |users| groups, so task parallelism wins (4 → 16 partitions halves
+#: stream_pit_features at sf0.1).  On a cluster this scales with
+#: |groups| like any shuffle.
+GROUP_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_GROUP_STATE_PARTITIONS", "16")
+
 #: state-store backend for ALL stateful streams in this module.  The
 #: default HDFS-backed provider keeps every version in executor memory
 #: — fine at test scale, memory-bound at 100 TB state; "rocksdb"
@@ -164,7 +173,9 @@ _ROCKSDB_PROVIDER = (
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
-def _pin_stream_confs(spark: SparkSession) -> dict[str, str | None]:
+def _pin_stream_confs(
+    spark: SparkSession, partitions: str | None = None
+) -> dict[str, str | None]:
     """Set the per-stream session confs (bound at stream START for the
     query's whole lifetime) and return the previous values."""
     old: dict[str, str | None] = {
@@ -172,7 +183,9 @@ def _pin_stream_confs(spark: SparkSession) -> dict[str, str | None]:
             "spark.sql.shuffle.partitions"
         ),
     }
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", partitions or STREAM_SHUFFLE_PARTITIONS
+    )
     if STREAM_STATE_BACKEND == "rocksdb":
         old[_PROVIDER_KEY] = spark.conf.get(_PROVIDER_KEY, None)
         spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
@@ -194,7 +207,10 @@ LAST_STATE_METRICS: dict[str, dict[str, int]] = {}
 
 
 def _run_to_memory(
-    df: DataFrame, output_mode: str, label: str | None = None
+    df: DataFrame,
+    output_mode: str,
+    label: str | None = None,
+    partitions: str | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink and
     return the sink table (a normal batch DataFrame).  Shuffle-partition
@@ -203,7 +219,7 @@ def _run_to_memory(
     metrics are accumulated into ``LAST_STATE_METRICS[label]``."""
     spark = df.sparkSession
     name = f"stream_sink_{next(_COUNTER)}"
-    old = _pin_stream_confs(spark)
+    old = _pin_stream_confs(spark, partitions)
     try:
         q = (
             df.writeStream.format("memory")
@@ -226,7 +242,7 @@ def _run_to_memory(
     return spark.table(name)
 
 
-def _run_to_files(df: DataFrame) -> DataFrame:
+def _run_to_files(df: DataFrame, partitions: str | None = None) -> DataFrame:
     """Drive a streaming DataFrame to completion into a PARQUET file
     sink and read the result back as a batch DataFrame.
 
@@ -245,7 +261,7 @@ def _run_to_files(df: DataFrame) -> DataFrame:
 
     spark = df.sparkSession
     out_dir = tempfile.mkdtemp(prefix="spark_graft_filesink_")
-    old = _pin_stream_confs(spark)
+    old = _pin_stream_confs(spark, partitions)
     try:
         q = (
             df.writeStream.format("parquet")
@@ -391,9 +407,11 @@ def stream_user_running_totals(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     if sink == "files":
-        out = _run_to_files(updates)
+        out = _run_to_files(updates, partitions=GROUP_STATE_PARTITIONS)
     else:
-        out = _run_to_memory(updates, "update")
+        out = _run_to_memory(
+            updates, "update", partitions=GROUP_STATE_PARTITIONS
+        )
     # final emission per user = the row with the largest running count
     from pyspark.sql import Window
 
@@ -453,6 +471,10 @@ def stream_pit_features(
     def assemble(
         key, pdf_iter: Iterator["pd.DataFrame"], state
     ) -> Iterator["pd.DataFrame"]:
+        # Pure-numpy kernel: this function runs once per (group ×
+        # micro-batch) — tens of thousands of tiny calls — so per-call
+        # constant cost is what matters, and numpy ops are ~100× cheaper
+        # than their pandas equivalents on 10-row frames.
         import numpy as np  # self-contained: foreign-cwd workers
         import pandas as pd
 
@@ -464,33 +486,39 @@ def stream_pit_features(
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(
             chunks, ignore_index=True
         )
-        pdf = pdf.sort_values(["ts_us", "event_id"], ignore_index=True)
-        # every event bumps the prior-event count: seed + row position
-        n_prior = n0 + np.arange(len(pdf), dtype="int64")
-        # last click STRICTLY before each row: click cents shifted one
-        # row, forward-filled, seeded from the carried state (NaN = no
-        # click ever → NULL feature)
-        click_cents = pdf["cents"].astype("float64").where(pdf["is_click"])
-        prior_click = click_cents.shift(1).ffill()
-        if last_click0 >= 0:
-            prior_click = prior_click.fillna(float(last_click0))
-        mask = pdf["is_purchase"].to_numpy()
-        sel = pdf.loc[mask]
-        clicks = click_cents.dropna()
-        new_last = int(clicks.iloc[-1]) if len(clicks) else int(last_click0)
-        state.update((int(n0 + len(pdf)), new_last))
+        order = np.lexsort(
+            (pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy())
+        )
+        cents = pdf["cents"].to_numpy()[order]
+        is_click = pdf["is_click"].to_numpy()[order]
+        mask = pdf["is_purchase"].to_numpy()[order]
+        m = len(cents)
+        # 1-based position of the most recent click AT-OR-BEFORE each
+        # row, then shifted one row for strictly-before semantics
+        pos = np.maximum.accumulate(
+            np.where(is_click, np.arange(1, m + 1), 0)
+        )
+        prior = np.concatenate(([0], pos[:-1]))
+        # 0 = no click this batch → fall back to the carried state
+        lc_vals = np.where(
+            prior > 0, cents[np.maximum(prior - 1, 0)], last_click0
+        )
+        lc_missing = (prior == 0) & (last_click0 < 0)
+        new_last = int(cents[pos[-1] - 1]) if pos[-1] > 0 else int(last_click0)
+        state.update((int(n0 + m), new_last))
         if not mask.any():  # no purchases this batch → emit nothing
             return
         yield pd.DataFrame(
             {
-                "user_id": np.full(len(sel), key[0], dtype="int64"),
-                "event_id": sel["event_id"].to_numpy(),
-                "ts": sel["ts"].to_numpy(),
-                "label_cents": sel["cents"].to_numpy(),
-                "last_click_cents": pd.array(
-                    prior_click.to_numpy()[mask], dtype="Int64"
+                "user_id": np.full(int(mask.sum()), key[0], dtype="int64"),
+                "event_id": pdf["event_id"].to_numpy()[order][mask],
+                "ts": pdf["ts"].to_numpy()[order][mask],
+                "label_cents": cents[mask],
+                "last_click_cents": pd.arrays.IntegerArray(
+                    lc_vals[mask].astype("int64"), mask=lc_missing[mask]
                 ),
-                "n_prior_events": n_prior[mask],
+                # every event bumps the count: seed + sorted position
+                "n_prior_events": n0 + np.flatnonzero(mask),
             }
         )
 
@@ -504,9 +532,11 @@ def stream_pit_features(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     if sink == "files":
-        out = _run_to_files(updates)
+        out = _run_to_files(updates, partitions=GROUP_STATE_PARTITIONS)
     else:
-        out = _run_to_memory(updates, "update")
+        out = _run_to_memory(
+            updates, "update", partitions=GROUP_STATE_PARTITIONS
+        )
     return out.orderBy("user_id", "event_id")
 
 
@@ -1039,7 +1069,9 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        sink = _run_to_memory(updates, "update")
+        sink = _run_to_memory(
+            updates, "update", partitions=GROUP_STATE_PARTITIONS
+        )
     finally:
         if old_provider:
             spark.conf.set(
