@@ -785,23 +785,76 @@ def triplet_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric (violation rate) that says whether the label structure is
     learnable at all.
 
-    One broadcast(anchors) nested-loop over the corpus scores every
-    candidate once; a single window partitioned by (anchor, is_pos)
-    picks both extremes; cosines round to 6 dp before the margin
-    subtraction so both engines difference identical doubles.
+    The anchor matrix (bounded: ``TRIPLET_ANCHORS`` × dim) ships by
+    value inside a ``mapInPandas`` closure; each corpus Arrow batch
+    scores against ALL anchors through one BLAS matmul (the
+    ``zip_with/aggregate`` fold is ~150× slower — see
+    :func:`operators.dedup.dedup_embedding_cosine`) and emits only its
+    LOCAL best positive + best negative per anchor — map-side combine
+    for an argmax, so the shuffle carries ≤ 2·|anchors| rows per batch
+    instead of |anchors|·|corpus|.  A final window partitioned by
+    (anchor, is_pos) folds the partials; cosines round to 6 dp before
+    the margin subtraction so both engines difference identical
+    doubles.
     """
+    import numpy as np
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("embedding").alias("av"),
-        F.col("label").alias("a_label"),
+    a_rows = (
+        e.filter(F.col("vec_id") < TRIPLET_ANCHORS)
+        .select("vec_id", "embedding", "label")
+        .collect()
     )
-    scored = (
-        e.join(F.broadcast(a), F.col("vec_id") != F.col("anchor_id"))
-        .withColumn("cosine", pround(cosine(F.col("av"), F.col("embedding")), 6))
-        .withColumn(
-            "is_pos", (F.col("label") == F.col("a_label")).cast("int")
-        )
+    a_ids = np.array([r.vec_id for r in a_rows], dtype=np.int64)
+    A = np.asarray([list(r.embedding) for r in a_rows], dtype=np.float64)
+    a_lab = np.array([r.label for r in a_rows], dtype=np.int32)
+    na = np.sqrt((A * A).sum(axis=1))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            lab = pdf["label"].to_numpy(dtype=np.int32)
+            B = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            nb = np.sqrt((B * B).sum(axis=1))
+            # dot / (nb * na): same operation order as the oracle SQL
+            S = (B @ A.T) / np.outer(nb, na)
+            Sr = np.floor(S * 1e6 + 0.5) / 1e6
+            Sr[ids[:, None] == a_ids[None, :]] = -np.inf  # self-pairs out
+            pos = lab[:, None] == a_lab[None, :]
+            rows: list[tuple] = []
+            for j in range(len(a_ids)):
+                col = Sr[:, j]
+                for is_pos, m in ((1, pos[:, j]), (0, ~pos[:, j])):
+                    cand = np.flatnonzero(m & np.isfinite(col))
+                    if len(cand) == 0:
+                        continue
+                    i = cand[np.lexsort((ids[cand], -col[cand]))[0]]
+                    rows.append(
+                        (
+                            int(a_ids[j]),
+                            int(a_lab[j]),
+                            int(ids[i]),
+                            float(col[i]),
+                            is_pos,
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "anchor_id", "a_label", "vec_id", "cosine", "is_pos",
+                    ],
+                )
+
+    scored = e.select("vec_id", "label", "embedding").mapInPandas(
+        score,
+        "anchor_id bigint, a_label int, vec_id bigint, cosine double, "
+        "is_pos int",
     )
     w = Window.partitionBy("anchor_id", "is_pos").orderBy(
         F.desc("cosine"), F.asc("vec_id")
@@ -874,19 +927,74 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering decisions.
 
     Anchor set bounded at ``KNN_ANCHORS`` (|anchors|·|corpus| work, one
-    corpus scan); vote + argmax are two small windows over
-    anchors×labels.
+    corpus scan).  The anchor matrix ships by value in a ``mapInPandas``
+    closure; each corpus Arrow batch scores against all anchors via one
+    BLAS matmul and emits only its LOCAL top-``TOP_K`` per anchor —
+    top-k is a monoid, so the global window over the partials is exact
+    while the shuffle carries |anchors|·k rows per batch instead of
+    |anchors|·|corpus| (both the constant-factor and the
+    shuffle-volume fix; the interpreted ``zip_with/aggregate`` fold was
+    the whole 8 s cost at sf0.1).  Vote + argmax are two small windows
+    over anchors×labels.
     """
+    import numpy as np
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.filter(F.col("vec_id") < KNN_ANCHORS).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("embedding").alias("av"),
-        F.col("label").alias("a_label"),
+    a_rows = (
+        e.filter(F.col("vec_id") < KNN_ANCHORS)
+        .select("vec_id", "embedding", "label")
+        .collect()
     )
-    scored = (
-        e.join(F.broadcast(a), F.col("vec_id") != F.col("anchor_id"))
-        .withColumn("cosine", pround(cosine(F.col("av"), F.col("embedding")), 6))
-        .select("anchor_id", "a_label", "vec_id", "label", "cosine")
+    a_ids = np.array([r.vec_id for r in a_rows], dtype=np.int64)
+    A = np.asarray([list(r.embedding) for r in a_rows], dtype=np.float64)
+    a_lab = np.array([r.label for r in a_rows], dtype=np.int32)
+    na = np.sqrt((A * A).sum(axis=1))
+    k = TOP_K
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            lab = pdf["label"].to_numpy(dtype=np.int32)
+            B = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            nb = np.sqrt((B * B).sum(axis=1))
+            # dot / (nb * na): same operation order as the oracle SQL
+            S = (B @ A.T) / np.outer(nb, na)
+            Sr = np.floor(S * 1e6 + 0.5) / 1e6
+            Sr[ids[:, None] == a_ids[None, :]] = -np.inf  # self-pairs out
+            outs = []
+            for j in range(len(a_ids)):
+                col = Sr[:, j]
+                order = np.lexsort((ids, -col))[: min(k, len(ids))]
+                keep = order[np.isfinite(col[order])]
+                if len(keep) == 0:
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "anchor_id": np.full(
+                                len(keep), a_ids[j], dtype=np.int64
+                            ),
+                            "a_label": np.full(
+                                len(keep), a_lab[j], dtype=np.int32
+                            ),
+                            "vec_id": ids[keep],
+                            "label": lab[keep],
+                            "cosine": col[keep],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = e.select("vec_id", "label", "embedding").mapInPandas(
+        score,
+        "anchor_id bigint, a_label int, vec_id bigint, label int, "
+        "cosine double",
     )
     wk = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
