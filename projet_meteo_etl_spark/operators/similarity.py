@@ -1094,21 +1094,71 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-bounded, never corpus-bounded; each round joins the tiny
     cumulative pick set back, so the corpus is scanned exactly once.
     """
+    import numpy as np
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("av")
+    a_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    rel_i = F.floor(
-        cosine(F.col("av"), F.col("embedding")) * 1e6 + 0.5
-    ).cast("long")
-    scored = e.join(
-        F.broadcast(a), F.col("vec_id") != F.col("anchor_id")
-    ).select("anchor_id", "vec_id", "embedding", rel_i.alias("rel_i"))
+    a_ids = np.array([r.vec_id for r in a_rows], dtype=np.int64)
+    A = np.asarray([list(r.embedding) for r in a_rows], dtype=np.float64)
+    na = np.sqrt((A * A).sum(axis=1))
+    pool_k = MMR_POOL
+
+    # pool selection = exact top-POOL per anchor over the corpus: one
+    # BLAS matmul per Arrow batch + LOCAL top-POOL partials (top-k is a
+    # monoid), so the shuffle is |anchors|·pool per batch and the
+    # corpus never pays the interpreted per-element cosine fold — the
+    # same rewrite as knn_label_accuracy; embeddings pass through
+    # untouched (float32) for the pool-pair similarity stage.
+    def pool_score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            B = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            nb = np.sqrt((B * B).sum(axis=1))
+            # dot / (nb * na): same operation order as the oracle SQL
+            S = (B @ A.T) / np.outer(nb, na)
+            Ri = np.floor(S * 1e6 + 0.5).astype(np.int64)
+            outs = []
+            for j in range(len(a_ids)):
+                col = Ri[:, j]
+                cand = np.flatnonzero(ids != a_ids[j])
+                order = cand[np.lexsort((ids[cand], -col[cand]))]
+                order = order[: min(pool_k, len(order))]
+                if len(order) == 0:
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "anchor_id": np.full(
+                                len(order), a_ids[j], dtype=np.int64
+                            ),
+                            "vec_id": ids[order],
+                            "rel_i": col[order],
+                            "embedding": pdf["embedding"].iloc[order].to_list(),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partials = e.select("vec_id", "embedding").mapInPandas(
+        pool_score,
+        "anchor_id bigint, vec_id bigint, rel_i bigint, "
+        "embedding array<float>",
+    )
     wp = Window.partitionBy("anchor_id").orderBy(
         F.desc("rel_i"), F.asc("vec_id")
     )
     pool = (
-        scored.withColumn("rn", F.row_number().over(wp))
+        partials.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= MMR_POOL)
         .select("anchor_id", "vec_id", "rel_i", "embedding")
         .persist()
