@@ -306,6 +306,65 @@ SUBDIM = 8
 K_PQ = 16
 
 
+def _pq_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, s, v, m, vv): the corpus split into M_SUB SUBDIM-wide
+    subvectors with integer-micro copies and precomputed self-dots."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("full")
+    )
+    sub_expr = F.expr(
+        f"transform(sequence(0, {M_SUB - 1}), "
+        f"s -> struct(CAST(s AS INT) AS s, slice(full, s * {SUBDIM} + 1, {SUBDIM}) AS sv))"
+    )
+    return (
+        base.select("vec_id", F.explode(sub_expr).alias("t"))
+        .select("vec_id", F.col("t.s").alias("s"), F.col("t.sv").alias("v"))
+        .withColumn("m", _micros(F.col("v")))
+        .withColumn("vv", _dot(F.col("v"), F.col("v")))
+    )
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): broadcast
+    codebook (M_SUB × K_PQ rows), squared-L2 argmin, ties → smaller
+    cid.  The subvector relation never shuffles."""
+    d = (
+        F.col("vv")
+        - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
+        + _dot(F.col("c"), F.col("c"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("cid"))
+    return (
+        subs.join(F.broadcast(cb), "s")
+        .withColumn("d", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _pq_codebook(subs: DataFrame) -> DataFrame:
+    """One Lloyd iteration per subspace from the deterministic init
+    (codewords = subvectors of vec_id 0..K_PQ-1): assign, then exact
+    integer-micro centroid update."""
+    init = subs.filter(F.col("vec_id") < K_PQ).select(
+        F.col("vec_id").cast("int").alias("cid"), "s", F.col("v").alias("c")
+    )
+    a1 = _pq_assign(subs, init)
+    per_dim = (
+        a1.select("s", "cid", F.posexplode("m").alias("pos", "mv"))
+        .groupBy("s", "cid", "pos")
+        .agg(F.sum("mv").alias("sm"), F.count(F.lit(1)).alias("n"))
+    )
+    return per_dim.groupBy("s", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sm", "n"))),
+            lambda t: t["sm"].cast("double") / (t["n"].cast("double") * F.lit(1000000.0)),
+        ).alias("c")
+    )
+
+
 def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011 — the PQ of IVF-PQ):
     train a per-subspace codebook with one Lloyd iteration and report,
@@ -326,55 +385,8 @@ def pq_codebook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook's behavior — hash-checks against DuckDB's unrolled-CTE
     twin.
     """
-    from pyspark.sql import Window
-
-    e = load_table(spark, sf_dir, "embeddings")
-    base = e.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("full")
-    )
-    sub_expr = F.expr(
-        f"transform(sequence(0, {M_SUB - 1}), "
-        f"s -> struct(CAST(s AS INT) AS s, slice(full, s * {SUBDIM} + 1, {SUBDIM}) AS sv))"
-    )
-    subs = (
-        base.select("vec_id", F.explode(sub_expr).alias("t"))
-        .select("vec_id", F.col("t.s").alias("s"), F.col("t.sv").alias("v"))
-        .withColumn("m", _micros(F.col("v")))
-        .withColumn("vv", _dot(F.col("v"), F.col("v")))
-        .persist()
-    )
-    init = subs.filter(F.col("vec_id") < K_PQ).select(
-        F.col("vec_id").cast("int").alias("cid"), "s", F.col("v").alias("c")
-    )
-
-    def pq_assign(cb: DataFrame) -> DataFrame:
-        d = (
-            F.col("vv")
-            - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
-            + _dot(F.col("c"), F.col("c"))
-        )
-        w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("cid"))
-        return (
-            subs.join(F.broadcast(cb), "s")
-            .withColumn("d", d)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-
-    a1 = pq_assign(init)
-    per_dim = (
-        a1.select("s", "cid", F.posexplode("m").alias("pos", "mv"))
-        .groupBy("s", "cid", "pos")
-        .agg(F.sum("mv").alias("sm"), F.count(F.lit(1)).alias("n"))
-    )
-    c1 = per_dim.groupBy("s", "cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "sm", "n"))),
-            lambda t: t["sm"].cast("double") / (t["n"].cast("double") * F.lit(1000000.0)),
-        ).alias("c")
-    )
-    a2 = pq_assign(c1)
+    subs = _pq_subs(spark, sf_dir).persist()
+    a2 = _pq_assign(subs, _pq_codebook(subs))
     out = (
         a2.groupBy("s")
         .agg(
@@ -453,14 +465,154 @@ ORDER BY s
 """
 
 
+#: ADC search: query count and result depth
+N_PQ_QUERIES = 5
+PQ_TOP_K = 10
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (the query side of IVF-PQ): encode
+    the corpus once with the trained codebook, then answer each query
+    with a per-subspace DISTANCE TABLE — ``‖q_s − c‖²`` for every
+    (query, subspace, codeword), only |queries|·M_SUB·K_PQ rows — and
+    a sum of table lookups per candidate.  This is how a vector store
+    searches 100 TB of embeddings without touching a float vector per
+    candidate: the scan reads 4-bit codes and adds precomputed cells.
+
+    Plan shape: corpus codes = one broadcast-codebook argmin pass (no
+    corpus shuffle); the distance table is broadcast; per-candidate ADC
+    distance is one hash agg summing exact integer micros (each table
+    cell floored once), so ranking ties are integer comparisons and the
+    whole approximate ranking hash-checks against DuckDB.  Queries are
+    excluded from their own result, ties break on vec_id — the same
+    contract as the ``ann_*`` family in :mod:`operators.similarity`.
+    """
+    subs = _pq_subs(spark, sf_dir).persist()
+    cb = _pq_codebook(subs).persist()
+    codes = _pq_assign(subs, cb).select("vec_id", "s", "cid")
+    q = subs.filter(F.col("vec_id") < N_PQ_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        "s",
+        F.col("v").alias("qv"),
+        F.col("vv").alias("qvv"),
+    )
+    dm = F.floor(
+        (
+            F.col("qvv")
+            - F.lit(2.0) * _dot(F.col("qv"), F.col("c"))
+            + _dot(F.col("c"), F.col("c"))
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    dt = q.join(cb, "s").select("q_id", "s", "cid", dm.alias("dm"))
+    adc = (
+        codes.join(F.broadcast(dt), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dm").alias("adc_micros"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_micros"), F.asc("vec_id"))
+    out = (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select(
+            F.col("q_id").alias("query_id"),
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_micros",
+        )
+        .orderBy("query_id", "rank")
+    )
+    return scoped_cache(out, subs, cb)
+
+
+ANN_PQ_ADC_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v_full FROM embeddings
+),
+subs AS (
+  SELECT vec_id, CAST(s AS INTEGER) AS s,
+         v_full[s * {SUBDIM} + 1 : s * {SUBDIM} + {SUBDIM}] AS v
+  FROM base, LATERAL (SELECT unnest(generate_series(0, {M_SUB} - 1)) AS s)
+),
+vecs AS (
+  SELECT vec_id, s, v,
+         list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS m,
+         list_dot_product(v, v) AS vv
+  FROM subs
+),
+init AS (SELECT CAST(vec_id AS INTEGER) AS cid, s, v AS c
+         FROM vecs WHERE vec_id < {K_PQ}),
+a1 AS (
+  SELECT * FROM (
+    SELECT vecs.vec_id, vecs.s, vecs.m, init.cid,
+           row_number() OVER (PARTITION BY vecs.vec_id, vecs.s ORDER BY
+             vv - 2.0 * list_dot_product(vecs.v, init.c)
+                + list_dot_product(init.c, init.c) ASC,
+             init.cid ASC) AS rn
+    FROM vecs JOIN init ON init.s = vecs.s
+  ) WHERE rn = 1
+),
+per_dim AS (
+  SELECT s, cid, pos, sum(mv) AS sm, count(*) AS n FROM (
+    SELECT s, cid, unnest(m) AS mv, generate_subscripts(m, 1) AS pos FROM a1
+  ) GROUP BY s, cid, pos
+),
+c1 AS (
+  SELECT s, cid, list(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                      ORDER BY pos) AS c
+  FROM per_dim GROUP BY s, cid
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vecs.vec_id, vecs.s, c1.cid,
+           row_number() OVER (PARTITION BY vecs.vec_id, vecs.s ORDER BY
+             vv - 2.0 * list_dot_product(vecs.v, c1.c)
+                + list_dot_product(c1.c, c1.c) ASC,
+             c1.cid ASC) AS rn
+    FROM vecs JOIN c1 ON c1.s = vecs.s
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, s, v AS qv, vv AS qvv
+  FROM vecs WHERE vec_id < {N_PQ_QUERIES}
+),
+dt AS (
+  SELECT q.q_id, q.s, c1.cid,
+         CAST(floor((q.qvv - 2.0 * list_dot_product(q.qv, c1.c)
+                     + list_dot_product(c1.c, c1.c)) * 1000000.0 + 0.5)
+              AS BIGINT) AS dm
+  FROM q JOIN c1 ON c1.s = q.s
+),
+adc AS (
+  SELECT dt.q_id, codes.vec_id, sum(dt.dm) AS adc_micros
+  FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.cid
+  WHERE codes.vec_id <> dt.q_id
+  GROUP BY dt.q_id, codes.vec_id
+)
+SELECT query_id, rank, neighbor_id, adc_micros FROM (
+  SELECT q_id AS query_id, vec_id AS neighbor_id,
+         CAST(adc_micros AS BIGINT) AS adc_micros,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY adc_micros ASC, vec_id ASC)
+              AS BIGINT) AS rank
+  FROM adc
+) WHERE rank <= {PQ_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 SPARK_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "semdedup_prune": semdedup_prune,
     "pq_codebook_audit": pq_codebook_audit,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
 }
 
 ORACLE_SQL = {
     "kmeans_embedding_clusters": KMEANS_SQL,
     "semdedup_prune": SEMDEDUP_SQL,
     "pq_codebook_audit": PQ_AUDIT_SQL,
+    "ann_pq_adc_topk": ANN_PQ_ADC_SQL,
 }

@@ -72,3 +72,28 @@ def test_pq_codebook_audit_invariants(spark):
         assert 1 <= r["codes_used"] <= K_PQ
         assert r["err_micros"] >= 0
     assert len({r["code_checksum"] for r in rows}) > 1
+
+
+def test_ann_pq_adc_topk_shape_and_determinism(spark):
+    """5 queries x 10 ranked neighbors, ranks dense from 1, no query in
+    its own result, identical across runs (approximate in RECALL, exact
+    in OUTPUT — the distance table is deterministic integer micros)."""
+    from projet_meteo_etl_spark.operators.clustering import (
+        N_PQ_QUERIES,
+        PQ_TOP_K,
+        ann_pq_adc_topk,
+    )
+
+    a = ann_pq_adc_topk(spark, "/root/testdata/sf0.01").collect()
+    b = ann_pq_adc_topk(spark, "/root/testdata/sf0.01").collect()
+    assert a == b
+    assert len(a) == N_PQ_QUERIES * PQ_TOP_K
+    by_q: dict[int, list] = {}
+    for r in a:
+        assert r.neighbor_id != r.query_id
+        assert r.adc_micros >= 0
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert [r.rank for r in rows] == list(range(1, PQ_TOP_K + 1))
+        dists = [r.adc_micros for r in rows]
+        assert dists == sorted(dists)

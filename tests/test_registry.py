@@ -73,7 +73,7 @@ EXPECTED_QUERIES = {
     # sliding-window chunking (plans/curation.py)
     "chunk_documents",
     # product quantization (operators/clustering.py)
-    "pq_codebook_audit",
+    "pq_codebook_audit", "ann_pq_adc_topk",
     # optimizer-statistics sketch + slice explanation mining
     "join_size_estimate", "revenue_delta_contributors",
     # histogram selectivity forecast + per-group hash reservoir
