@@ -1322,6 +1322,239 @@ ORDER BY anchor_id, pick
 )
 
 
+def ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF-PQ: the two halves of the production vector index composed —
+    IVF coarse cells prune WHICH candidates are scanned (probe the
+    ``nprobe`` nearest cells only), PQ asymmetric distance prunes WHAT
+    is read per candidate (4-bit codes + a broadcast distance table,
+    no float vector per candidate).  At 100 TB the cell assignment is a
+    partition column written at ingest and the codes are the only
+    per-vector bytes the search reads — this is the Faiss/Milvus
+    architecture expressed as a Spark plan.
+
+    Codebook is trained globally (classic IVF-PQ encodes residuals per
+    cell; the residual refinement changes only ``_pq_subs``'s input —
+    subtract the assigned centroid first).  Everything stays
+    oracle-exact: cell choice by 6-dp-rounded cosine (ties → cell id),
+    ADC cells floored to integer micros once, candidate ranking an
+    exact integer sum, ties → vec_id.
+    """
+    from projet_meteo_etl_spark.operators.clustering import (
+        _pq_assign,
+        _pq_codebook,
+        _pq_subs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids_df(e).select(
+        F.col("label").alias("cell_id"), "centroid"
+    )
+    # corpus cell assignment (IVF): broadcast(k centroids), no shuffle
+    scored_cells = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("cell_id").alias("cell"),
+        pround(cosine(F.col("embedding"), F.col("centroid")), 6).alias("csim"),
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cell")
+    )
+    assigned = (
+        scored_cells.withColumn("r", F.row_number().over(assign_w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cell")
+    )
+    # PQ side: global codebook + corpus codes (shared helpers with
+    # pq_codebook_audit / ann_pq_adc_topk)
+    subs = _pq_subs(spark, sf_dir).persist()
+    cb = _pq_codebook(subs).persist()
+    codes = _pq_assign(subs, cb).select("vec_id", "s", "cid")
+    # query side: probe the nprobe nearest cells on the FULL vector
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("cell")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id",
+            F.col("cell_id").alias("cell"),
+            pround(cosine(F.col("qv"), F.col("centroid")), 6).alias("qsim"),
+        )
+        .withColumn("r", F.row_number().over(probe_w))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # per-query distance table over the codebook (|q|·M_SUB·K_PQ cells)
+    dm = F.floor(
+        (
+            F.col("qvv")
+            - F.lit(2.0)
+            * F.aggregate(
+                F.zip_with(
+                    "qsv", "c", lambda x, y: x.cast("double") * y.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + F.aggregate(
+                F.zip_with(
+                    "c", "c", lambda x, y: x.cast("double") * y.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    qsubs = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "s",
+        F.col("v").alias("qsv"),
+        F.col("vv").alias("qvv"),
+    )
+    dt = qsubs.join(cb, "s").select("query_id", "s", "cid", dm.alias("dm"))
+    # candidates = probed cells only; ADC = sum of table lookups
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dt), ["query_id", "s", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dm").alias("adc_micros"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micros"), F.asc("vec_id")
+    )
+    out = (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+            "adc_micros",
+        )
+        .orderBy("query_id", "rank")
+    )
+    return scoped_cache(out, subs, cb)
+
+
+def _ann_ivfpq_sql() -> str:
+    from projet_meteo_etl_spark.operators.clustering import (
+        K_PQ,
+        M_SUB,
+        SUBDIM,
+    )
+
+    cos_vc = _COS6_SQL.format(a="emb.v", b="cents.centroid")
+    cos_qc = _COS6_SQL.format(a="q.qv", b="cents.centroid")
+    return f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cdim AS (
+  SELECT label, pos, avg(val) AS c FROM (
+    SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM emb
+  ) GROUP BY label, pos
+),
+cents AS (
+  SELECT label AS cell_id, list(c ORDER BY pos) AS centroid
+  FROM cdim GROUP BY label
+),
+acell AS (
+  SELECT vec_id, cell FROM (
+    SELECT emb.vec_id, cents.cell_id AS cell,
+           row_number() OVER (PARTITION BY emb.vec_id
+                              ORDER BY {cos_vc} DESC, cents.cell_id ASC) AS r
+    FROM emb, cents
+  ) WHERE r = 1
+),
+pq_subs AS (
+  SELECT vec_id, CAST(s AS INTEGER) AS s,
+         v[s * {SUBDIM} + 1 : s * {SUBDIM} + {SUBDIM}] AS sv
+  FROM emb, LATERAL (SELECT unnest(generate_series(0, {M_SUB} - 1)) AS s)
+),
+pq_vecs AS (
+  SELECT vec_id, s, sv,
+         list_transform(sv, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS m,
+         list_dot_product(sv, sv) AS vv
+  FROM pq_subs
+),
+pq_init AS (SELECT CAST(vec_id AS INTEGER) AS cid, s, sv AS c
+            FROM pq_vecs WHERE vec_id < {K_PQ}),
+pq_a1 AS (
+  SELECT * FROM (
+    SELECT pq_vecs.vec_id, pq_vecs.s, pq_vecs.m, pq_init.cid,
+           row_number() OVER (PARTITION BY pq_vecs.vec_id, pq_vecs.s ORDER BY
+             vv - 2.0 * list_dot_product(pq_vecs.sv, pq_init.c)
+                + list_dot_product(pq_init.c, pq_init.c) ASC,
+             pq_init.cid ASC) AS rn
+    FROM pq_vecs JOIN pq_init ON pq_init.s = pq_vecs.s
+  ) WHERE rn = 1
+),
+pq_dim AS (
+  SELECT s, cid, pos, sum(mv) AS sm, count(*) AS n FROM (
+    SELECT s, cid, unnest(m) AS mv, generate_subscripts(m, 1) AS pos FROM pq_a1
+  ) GROUP BY s, cid, pos
+),
+pq_cb AS (
+  SELECT s, cid, list(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                      ORDER BY pos) AS c
+  FROM pq_dim GROUP BY s, cid
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT pq_vecs.vec_id, pq_vecs.s, pq_cb.cid,
+           row_number() OVER (PARTITION BY pq_vecs.vec_id, pq_vecs.s ORDER BY
+             vv - 2.0 * list_dot_product(pq_vecs.sv, pq_cb.c)
+                + list_dot_product(pq_cb.c, pq_cb.c) ASC,
+             pq_cb.cid ASC) AS rn
+    FROM pq_vecs JOIN pq_cb ON pq_cb.s = pq_vecs.s
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, cents.cell_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qc} DESC, cents.cell_id ASC) AS r
+    FROM q, cents
+  ) WHERE r <= {IVF_NPROBE}
+),
+dt AS (
+  SELECT qs.vec_id AS query_id, qs.s, pq_cb.cid,
+         CAST(floor((qs.vv - 2.0 * list_dot_product(qs.sv, pq_cb.c)
+                     + list_dot_product(pq_cb.c, pq_cb.c)) * 1000000.0 + 0.5)
+              AS BIGINT) AS dm
+  FROM pq_vecs qs JOIN pq_cb ON pq_cb.s = qs.s
+  WHERE qs.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM acell a JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT c.query_id, c.vec_id, sum(dt.dm) AS adc_micros
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.vec_id
+  JOIN dt ON dt.query_id = c.query_id AND dt.s = k.s AND dt.cid = k.cid
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, rank, neighbor_id, adc_micros FROM (
+  SELECT query_id, vec_id AS neighbor_id,
+         CAST(adc_micros AS BIGINT) AS adc_micros,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_micros ASC, vec_id ASC)
+              AS BIGINT) AS rank
+  FROM adc
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 SPARK_QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "triplet_margin_mining": triplet_margin_mining,
@@ -1329,6 +1562,7 @@ SPARK_QUERIES = {
     "mmr_diversified_topk": mmr_diversified_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivf_recall_curve": ann_ivf_recall_curve,
     "ann_ivf_persisted_index": ann_ivf_persisted_index,
     "embedding_label_centroids": embedding_label_centroids,
@@ -1343,6 +1577,7 @@ ORACLE_SQL = {
     "mmr_diversified_topk": MMR_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_ivfpq_topk": _ann_ivfpq_sql(),
     "ann_ivf_recall_curve": ANN_IVF_RECALL_SQL,
     # persistence is a physical strategy: stored-index answers must
     # equal the direct plan's, so the oracle is the SAME SQL

@@ -53,7 +53,7 @@ EXPECTED_QUERIES = {
     # sketches
     "approx_user_stats", "hll_sketch_mergeability",
     # similarity
-    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivfpq_topk",
     "triplet_margin_mining", "knn_label_accuracy", "mmr_diversified_topk",
     "embedding_label_centroids",
     # text

@@ -249,3 +249,35 @@ def test_mmr_against_python_greedy_oracle(spark):
             sel.append(best[0])
             expect.append((pick, best[0], best[1]))
         assert got[aid] == expect, aid
+
+
+def test_ann_ivfpq_recall_vs_bruteforce(spark):
+    """IVF-PQ is doubly approximate (cell pruning + quantized
+    distances) but must still be deterministic, well-shaped, and
+    overlap substantially with exact brute-force neighbors."""
+    from projet_meteo_etl_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_ivfpq_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    a = ann_ivfpq_topk(spark, sf).collect()
+    b = ann_ivfpq_topk(spark, sf).collect()
+    assert a == b
+    assert len(a) == N_QUERIES * TOP_K
+    exact = {}
+    for r in ann_bruteforce_topk(spark, sf).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in a:
+        assert r.adc_micros >= 0
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(
+        len(got[q] & exact[q]) for q in exact
+    ) / sum(len(exact[q]) for q in exact)
+    # doubly-approximate on a near-random synthetic corpus: far above
+    # chance (TOP_K/|corpus| ≈ 0.02) but well below structured-data
+    # recall; measured 0.28 at sf0.01
+    assert recall >= 0.2
