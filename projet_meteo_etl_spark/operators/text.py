@@ -522,6 +522,155 @@ ORDER BY c.lang_label, c.lang_pred
 """
 
 
+#: Gopher stop-word presence list (Rae et al. 2021, App. A: require ≥2)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, Appendix A) as a
+    per-source audit: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, bullet-start / ellipsis-end line fractions,
+    alphabetic-word fraction, and stop-word presence — the rule set
+    most large-corpus curation pipelines start from.
+
+    Every rule comparison is CROSS-MULTIPLIED INTEGER arithmetic
+    (e.g. ``alpha/words ≥ 0.8`` becomes ``5·n_alpha ≥ 4·n_words``), so
+    rule outcomes are bit-portable with no float division anywhere;
+    ``total_chars`` is ``length(text minus whitespace)`` — one regexp
+    replace, not a per-word fold.  One scan, one hash agg; output is
+    |sources| rows of violation counts + pass rate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), _WS)
+    lowered = F.lower(F.col("text"))
+    lines = F.split(F.col("text"), F.lit("\n"))
+    base = d.select(
+        "source",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("long")
+        .alias("n_words"),
+        F.length(F.regexp_replace(F.trim("text"), _WS, F.lit("")))
+        .cast("long")
+        .alias("total_chars"),
+        F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.|…"))
+        .cast("long")
+        .alias("n_sym"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+        )
+        .cast("long")
+        .alias("n_bullet"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        )
+        .cast("long")
+        .alias("n_ellip"),
+        sum(
+            (F.regexp_count(lowered, F.lit(rf"\b{w}\b")) > 0).cast("int")
+            for w in GOPHER_STOPS
+        )
+        .cast("long")
+        .alias("n_stopw"),
+    )
+    n, tc = F.col("n_words"), F.col("total_chars")
+    rules = {
+        # 50 ≤ words ≤ 100000
+        "v_word_count": ~((n >= 50) & (n <= 100000)),
+        # 3 ≤ mean word length ≤ 10  ⇔  3n ≤ total_chars ≤ 10n
+        "v_mean_word_len": ~((tc >= 3 * n) & (tc <= 10 * n)),
+        # symbols/words ≤ 0.1  ⇔  10·sym ≤ words
+        "v_symbol_ratio": ~(10 * F.col("n_sym") <= n),
+        # bullet-start lines ≤ 90%  ⇔  10·bullet ≤ 9·lines
+        "v_bullet_lines": ~(10 * F.col("n_bullet") <= 9 * F.col("n_lines")),
+        # ellipsis-end lines ≤ 30%  ⇔  10·ellip ≤ 3·lines
+        "v_ellipsis_lines": ~(10 * F.col("n_ellip") <= 3 * F.col("n_lines")),
+        # alphabetic words ≥ 80%  ⇔  5·alpha ≥ 4·words
+        "v_alpha_words": ~(5 * F.col("n_alpha") >= 4 * n),
+        # ≥ 2 distinct stop words present
+        "v_stopwords": ~(F.col("n_stopw") >= 2),
+    }
+    flagged = base.select(
+        "source",
+        *[v.cast("int").alias(k) for k, v in rules.items()],
+    )
+    passed = sum(F.col(k) for k in rules) == 0
+    return (
+        flagged.withColumn("p", passed.cast("long"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *[F.sum(k).cast("long").alias(k) for k in rules],
+            F.sum("p").cast("long").alias("n_pass"),
+            pround(F.sum("p") / F.count(F.lit(1)), 4).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+GOPHER_RULES_SQL = r"""
+WITH base AS (
+  SELECT source,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+    length(regexp_replace(trim(text), '\s+', '', 'g')) AS total_chars,
+    len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+    len(str_split(text, chr(10))) AS n_lines,
+    len(list_filter(str_split(text, chr(10)),
+                    l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+    len(list_filter(str_split(text, chr(10)),
+                    l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS n_ellip,
+    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END)
+      AS n_stopw
+  FROM documents
+),
+flags AS (
+  SELECT source,
+    CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END AS v_word_count,
+    CASE WHEN total_chars >= 3 * n_words AND total_chars <= 10 * n_words
+         THEN 0 ELSE 1 END AS v_mean_word_len,
+    CASE WHEN 10 * n_sym <= n_words THEN 0 ELSE 1 END AS v_symbol_ratio,
+    CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 0 ELSE 1 END AS v_bullet_lines,
+    CASE WHEN 10 * n_ellip <= 3 * n_lines THEN 0 ELSE 1 END AS v_ellipsis_lines,
+    CASE WHEN 5 * n_alpha >= 4 * n_words THEN 0 ELSE 1 END AS v_alpha_words,
+    CASE WHEN n_stopw >= 2 THEN 0 ELSE 1 END AS v_stopwords
+  FROM base
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(v_word_count) AS BIGINT) AS v_word_count,
+  CAST(sum(v_mean_word_len) AS BIGINT) AS v_mean_word_len,
+  CAST(sum(v_symbol_ratio) AS BIGINT) AS v_symbol_ratio,
+  CAST(sum(v_bullet_lines) AS BIGINT) AS v_bullet_lines,
+  CAST(sum(v_ellipsis_lines) AS BIGINT) AS v_ellipsis_lines,
+  CAST(sum(v_alpha_words) AS BIGINT) AS v_alpha_words,
+  CAST(sum(v_stopwords) AS BIGINT) AS v_stopwords,
+  CAST(sum(CASE WHEN v_word_count + v_mean_word_len + v_symbol_ratio
+                 + v_bullet_lines + v_ellipsis_lines + v_alpha_words
+                 + v_stopwords = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  floor((sum(CASE WHEN v_word_count + v_mean_word_len + v_symbol_ratio
+                   + v_bullet_lines + v_ellipsis_lines + v_alpha_words
+                   + v_stopwords = 0 THEN 1 ELSE 0 END) * 1.0 / count(*))
+        * 10000.0 + 0.5) / 10000.0 AS pass_rate
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
 SPARK_QUERIES = {
     "langid_confusion_matrix": langid_confusion_matrix,
     "training_data_pipeline": training_data_pipeline,
@@ -530,6 +679,7 @@ SPARK_QUERIES = {
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_fingerprints": text_fingerprints,
+    "gopher_quality_rules": gopher_quality_rules,
 }
 
 ORACLE_SQL = {
@@ -540,4 +690,5 @@ ORACLE_SQL = {
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprints": TEXT_FINGERPRINTS_SQL,
+    "gopher_quality_rules": GOPHER_RULES_SQL,
 }
