@@ -671,6 +671,143 @@ ORDER BY source
 """
 
 
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning audit (Raffel et al. 2020): a line
+    survives only if it ends in terminal punctuation, has ≥ 3 words,
+    and contains none of the blocklist markers (``lorem ipsum``,
+    ``javascript``, ``{``) — the canonical web-text line filter that
+    runs BEFORE document-level rules like
+    :func:`gopher_quality_rules`.
+
+    Plan: explode lines (no shuffle — lineage stays with the doc),
+    evaluate each rule as an integer flag, one hash agg per source with
+    kept/dropped line and character counts; retention is the only
+    division and it rounds at 4 dp identically in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select(
+        "source", F.explode(F.split(F.col("text"), F.lit("\n"))).alias("line")
+    )
+    t = F.trim(F.col("line"))
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, _WS))
+    )
+    keep = (
+        t.rlike(r"[.!?\"']$")
+        & (n_words >= 3)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~F.lower(t).contains("javascript")
+        & ~t.contains("{")
+    )
+    flagged = lines.select(
+        "source",
+        keep.cast("int").alias("kept"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_chars"))
+            .cast("long")
+            .alias("chars_kept"),
+            F.sum((1 - F.col("kept")) * F.col("n_chars"))
+            .cast("long")
+            .alias("chars_dropped"),
+            pround(F.sum("kept") / F.count(F.lit(1)), 4).alias("line_retention"),
+        )
+        .orderBy("source")
+    )
+
+
+C4_LINE_SQL = r"""
+WITH lines AS (
+  SELECT source, unnest(str_split(text, chr(10))) AS line FROM documents
+),
+flagged AS (
+  SELECT source,
+    CASE WHEN regexp_matches(trim(line), '[.!?"'']$')
+          AND (CASE WHEN length(trim(line)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(line), '\s+')) END) >= 3
+          AND NOT contains(lower(trim(line)), 'lorem ipsum')
+          AND NOT contains(lower(trim(line)), 'javascript')
+          AND NOT contains(trim(line), '{')
+         THEN 1 ELSE 0 END AS kept,
+    length(trim(line)) AS n_chars
+  FROM lines
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(sum(kept * n_chars) AS BIGINT) AS chars_kept,
+  CAST(sum((1 - kept) * n_chars) AS BIGINT) AS chars_dropped,
+  floor((sum(kept) * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS line_retention
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+#: PII-shaped patterns: portable regexes that parse identically under
+#: Spark (Java regex) and DuckDB (RE2) — no lookarounds, no \d classes
+#: inside character ranges
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phones": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ipv4s": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn_like": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped pattern audit: per source, occurrence counts and
+    affected-document counts for email / phone / IPv4 / SSN-shaped
+    matches — the redaction-planning scan every release pipeline runs
+    before publishing a corpus.  One scan, every pattern counted in the
+    same projection, one hash agg; counts are exact integers.
+    (Redaction itself is the same expressions under ``regexp_replace``.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        *[
+            F.regexp_count(F.col("text"), F.lit(rx)).cast("long").alias(name)
+            for name, rx in PII_PATTERNS.items()
+        ],
+    )
+    aggs = []
+    for name in PII_PATTERNS:
+        aggs.append(F.sum(name).cast("long").alias(f"n_{name}"))
+        aggs.append(
+            F.sum((F.col(name) > 0).cast("int")).cast("long").alias(f"docs_{name}")
+        )
+    return (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), *aggs)
+        .orderBy("source")
+    )
+
+
+def _pii_sql() -> str:
+    cols = []
+    for name, rx in PII_PATTERNS.items():
+        rx_sql = rx.replace("'", "''")
+        cols.append(
+            f"CAST(sum(len(regexp_extract_all(text, '{rx_sql}'))) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        cols.append(
+            f"CAST(sum(CASE WHEN len(regexp_extract_all(text, '{rx_sql}')) > 0"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS docs_{name}"
+        )
+    return (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        + ", ".join(cols)
+        + " FROM documents GROUP BY source ORDER BY source"
+    )
+
+
 SPARK_QUERIES = {
     "langid_confusion_matrix": langid_confusion_matrix,
     "training_data_pipeline": training_data_pipeline,
@@ -680,6 +817,8 @@ SPARK_QUERIES = {
     "text_langid": text_langid,
     "text_fingerprints": text_fingerprints,
     "gopher_quality_rules": gopher_quality_rules,
+    "c4_line_filter": c4_line_filter,
+    "pii_pattern_audit": pii_pattern_audit,
 }
 
 ORACLE_SQL = {
@@ -691,4 +830,6 @@ ORACLE_SQL = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprints": TEXT_FINGERPRINTS_SQL,
     "gopher_quality_rules": GOPHER_RULES_SQL,
+    "c4_line_filter": C4_LINE_SQL,
+    "pii_pattern_audit": _pii_sql(),
 }

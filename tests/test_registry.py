@@ -60,6 +60,7 @@ EXPECTED_QUERIES = {
     "training_data_pipeline", "near_dup_edit_distance",
     "text_token_stats", "text_quality_score",
     "text_langid", "text_fingerprints", "gopher_quality_rules",
+    "c4_line_filter", "pii_pattern_audit",
     # data selection (DSIR + boilerplate) and the bloom sketch audit
     "dsir_importance_weights", "boilerplate_segment_filter",
     "bloom_membership_audit",

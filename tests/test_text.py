@@ -46,3 +46,40 @@ def test_gopher_rules_corpus_invariants(spark):
         # a doc with ANY violation cannot pass
         assert r.n_pass <= r.n_docs - max(r[c] for c in viol_cols)
         assert abs(r.pass_rate - round(r.n_pass / r.n_docs, 4)) < 5e-5
+
+
+def test_c4_line_filter_semantics(spark):
+    """Terminal punctuation + >=3 words + no blocklist markers."""
+    doc = "\n".join(
+        [
+            "This line survives the filter.",   # kept
+            "short.",                            # <3 words
+            "no terminal punctuation here",      # no punct
+            "this has javascript in it.",        # blocklist
+            "object { literal } brace here.",    # brace
+        ]
+    )
+    df = spark.createDataFrame([(1, doc, "s")], "doc_id long, text string, source string")
+    orig = tx.load_table
+    try:
+        tx.load_table = lambda s, d, n: df if n == "documents" else orig(s, d, n)
+        r = tx.c4_line_filter(spark, "x").collect()[0]
+    finally:
+        tx.load_table = orig
+    assert r.n_lines == 5 and r.n_kept == 1
+    assert r.chars_kept == len("This line survives the filter.")
+    assert r.line_retention == 0.2
+
+
+def test_pii_pattern_audit_semantics(spark):
+    doc = "mail a@b.io and c.d@e.org, call +1-555-123-4567, host 10.0.0.1, ssn 123-45-6789"
+    df = spark.createDataFrame([(1, doc, "s")], "doc_id long, text string, source string")
+    orig = tx.load_table
+    try:
+        tx.load_table = lambda s, d, n: df if n == "documents" else orig(s, d, n)
+        r = tx.pii_pattern_audit(spark, "x").collect()[0]
+    finally:
+        tx.load_table = orig
+    assert r.n_emails == 2 and r.docs_emails == 1
+    assert r.n_phones >= 1 and r.docs_phones == 1
+    assert r.n_ipv4s == 1 and r.n_ssn_like == 1
