@@ -652,6 +652,124 @@ ORDER BY event_type
 """
 
 
+#: weighted sample size per source and shard count for the layout audit
+WSAMPLE_K = 20
+N_SHARDS = 8
+
+#: 15 md5 hex chars = 60 uniform bits; the divisor maps them into (0,1)
+_U60 = float(1 << 60)
+
+
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    (2006) exponential keys: per source, the ``WSAMPLE_K`` documents
+    with the largest ``ln(u)/w`` where ``u`` is the doc's deterministic
+    md5-prefix uniform and ``w = n_chars`` — length-proportional
+    inclusion, the sampler a mixture-weighted corpus draw actually
+    uses.  Distributed shape = per-partition top-k then merge (the same
+    bottom-k sketch as :func:`per_group_sample`); determinism comes
+    from hash uniforms, not an RNG stream, so any cluster layout
+    selects identical rows.  Keys round to integer NANOS before ranking
+    so ordering and output are integer-exact.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = h / F.lit(_U60)
+    key_nano = F.floor(
+        F.log(u) / F.col("n_chars") * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("key_nano"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("key_nano", key_nano)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= WSAMPLE_K)
+        .select("source", "rank", "doc_id", F.col("n_chars").alias("weight"),
+                "key_nano")
+        .orderBy("source", "rank")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         CAST(floor(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                       / {_U60!r}::DOUBLE) / n_chars * 1000000000.0 + 0.5)
+              AS BIGINT) AS key_nano
+  FROM documents
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY key_nano DESC, doc_id ASC)
+                 AS BIGINT) AS rank
+  FROM keyed
+)
+SELECT source, rank, doc_id, CAST(n_chars AS BIGINT) AS weight, key_nano
+FROM ranked WHERE rank <= {WSAMPLE_K}
+ORDER BY source, rank
+"""
+
+
+def shard_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout audit: docs hash-assigned to ``N_SHARDS``
+    shards (md5-prefix mod N — layout-independent and stable under
+    re-runs), reporting per-shard doc count, byte volume, and the
+    exact parts-per-million share of total bytes — the balance check
+    run before writing training shards, where a hot shard serializes
+    the epoch.  All integers; the share is integer division (ppm).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    per = (
+        d.withColumn("shard", F.pmod(h, F.lit(N_SHARDS)).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    overall = per.agg(F.sum("total_chars").alias("grand"))
+    return (
+        per.crossJoin(F.broadcast(overall))
+        .select(
+            "shard",
+            "n_docs",
+            "total_chars",
+            F.expr("total_chars * 1000000 div grand").cast("long").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+SHARD_AUDIT_SQL = f"""
+WITH assigned AS (
+  SELECT CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {N_SHARDS}) AS INTEGER) AS shard,
+         n_chars
+  FROM documents
+),
+per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM assigned GROUP BY shard
+)
+SELECT shard, n_docs, total_chars,
+       CAST(total_chars * 1000000 // (SELECT sum(total_chars) FROM per)
+            AS BIGINT) AS share_ppm
+FROM per
+ORDER BY shard
+"""
+
+
 SPARK_QUERIES = {
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
@@ -662,6 +780,8 @@ SPARK_QUERIES = {
     "length_band_filter": length_band_filter,
     "token_budget_selection": token_budget_selection,
     "train_test_split_report": train_test_split_report,
+    "weighted_sample_wor": weighted_sample_wor,
+    "shard_assignment_audit": shard_assignment_audit,
 }
 
 ORACLE_SQL = {
@@ -674,4 +794,6 @@ ORACLE_SQL = {
     "length_band_filter": LENGTH_BAND_SQL,
     "token_budget_selection": TOKEN_BUDGET_SQL,
     "train_test_split_report": TRAIN_TEST_SPLIT_SQL,
+    "weighted_sample_wor": WEIGHTED_SAMPLE_SQL,
+    "shard_assignment_audit": SHARD_AUDIT_SQL,
 }

@@ -121,3 +121,50 @@ def test_portable_hash_matches_duckdb(spark, keys):
             "SELECT ('0x' || substr(md5(?::VARCHAR), 1, 15))::BIGINT", [k]
         ).fetchone()[0]
         assert got[k] == want, k
+
+
+def test_weighted_sample_wor_properties(spark):
+    """A-ES keys: per source exactly min(K, n) rows, dense ranks, keys
+    non-increasing along rank, and the sample is length-biased — the
+    mean weight of sampled docs exceeds the corpus mean weight."""
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.plans.curation import (
+        WSAMPLE_K,
+        weighted_sample_wor,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = weighted_sample_wor(spark, sf).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    d = load_table(spark, sf, "documents")
+    n_per = {
+        r.source: r.n
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    for src, rs in by_src.items():
+        assert len(rs) == min(WSAMPLE_K, n_per[src])
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        keys = [r.key_nano for r in rs]
+        assert keys == sorted(keys, reverse=True)
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    assert sample_mean > corpus_mean  # length-proportional inclusion
+
+
+def test_shard_assignment_balance(spark):
+    from projet_meteo_etl_spark.plans.curation import (
+        N_SHARDS,
+        shard_assignment_audit,
+    )
+
+    rows = shard_assignment_audit(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == N_SHARDS
+    assert sum(r.share_ppm for r in rows) <= 1_000_000
+    total = sum(r.total_chars for r in rows)
+    for r in rows:
+        # hash assignment keeps every shard within 3x of fair share
+        assert r.total_chars < 3 * total / N_SHARDS

@@ -115,6 +115,8 @@ EXPECTED_QUERIES = {
     "events_zscore_outliers", "scd2_value_band_history",
     # budgeted selection + split (plans/curation.py)
     "token_budget_selection", "train_test_split_report",
+    # weighted sampling + shard layout (plans/curation.py)
+    "weighted_sample_wor", "shard_assignment_audit",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",
