@@ -326,21 +326,82 @@ def _pq_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
-    """Nearest-codeword assignment per (vector, subspace): broadcast
-    codebook (M_SUB × K_PQ rows), squared-L2 argmin, ties → smaller
-    cid.  The subvector relation never shuffles."""
-    d = (
-        F.col("vv")
-        - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
-        + _dot(F.col("c"), F.col("c"))
-    )
-    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("cid"))
-    return (
-        subs.join(F.broadcast(cb), "s")
-        .withColumn("d", d)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    """Nearest-codeword assignment per (vector, subspace): the codebook
+    (M_SUB × K_PQ rows, collected — always tiny) ships by value in a
+    ``mapInPandas`` closure; the subvector relation never shuffles and
+    pays no per-pair interpreted fold (the ``zip_with/aggregate``
+    version made PQ encoding the linear bottleneck of every PQ query —
+    9× wall for 10× corpus).
+
+    Bit-exactness discipline: the argmin compares RAW doubles (no
+    rounding buffer), so the kernel reproduces the Column fold's exact
+    IEEE operation order — accumulation is vectorized ACROSS rows but
+    sequential ACROSS dimensions (``acc = acc + v[:, j]·c[j]``, seeded
+    at 0.0), and ``d = (vv − 2·dot) + cc`` associates left like both
+    the Column expression and the DuckDB oracle.  Ties keep the
+    smaller cid via strict-< iteration in ascending cid order.
+    """
+    import numpy as np
+
+    by_s: dict[int, list] = {}
+    for r in cb.select("s", "cid", "c").collect():
+        by_s.setdefault(int(r.s), []).append(
+            (int(r.cid), np.asarray(list(r.c), dtype=np.float64))
+        )
+    cb_mats: dict[int, tuple] = {}
+    for s, lst in by_s.items():
+        lst.sort(key=lambda t: t[0])
+        cids = np.array([c for c, _ in lst], dtype=np.int32)
+        C = np.stack([v for _, v in lst])
+        cc = np.zeros(len(lst), dtype=np.float64)
+        for j in range(C.shape[1]):  # same sequential fold as _dot(c, c)
+            cc = cc + C[:, j] * C[:, j]
+        cb_mats[s] = (cids, C, cc)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            svals = pdf["s"].to_numpy()
+            V = np.asarray(list(pdf["v"]), dtype=np.float64)
+            VV = pdf["vv"].to_numpy(dtype=np.float64)
+            out_cid = np.empty(len(pdf), dtype=np.int32)
+            out_d = np.empty(len(pdf), dtype=np.float64)
+            for s in np.unique(svals):
+                m = svals == s
+                cids, C, cc = cb_mats[int(s)]
+                Vm, VVm = V[m], VV[m]
+                best_d = None
+                best_cid = None
+                for k in range(len(cids)):  # ascending cid: strict < ties
+                    acc = np.zeros(Vm.shape[0], dtype=np.float64)
+                    for j in range(C.shape[1]):  # sequential like the fold
+                        acc = acc + Vm[:, j] * C[k, j]
+                    d = (VVm - 2.0 * acc) + cc[k]
+                    if best_d is None:
+                        best_d = d
+                        best_cid = np.full(len(d), cids[k], dtype=np.int32)
+                    else:
+                        upd = d < best_d
+                        best_d = np.where(upd, d, best_d)
+                        best_cid = np.where(upd, cids[k], best_cid)
+                out_cid[m] = best_cid
+                out_d[m] = best_d
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "s": svals,
+                    "m": pdf["m"],
+                    "cid": out_cid,
+                    "d": out_d,
+                }
+            )
+
+    return subs.select("vec_id", "s", "v", "m", "vv").mapInPandas(
+        assign, "vec_id bigint, s int, m array<long>, cid int, d double"
     )
 
 

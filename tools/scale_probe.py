@@ -107,6 +107,21 @@ def main() -> int:
                 "hll_sliding_distinct_users": sk.hll_sliding_distinct_users,
             }
         )
+        # round-4 additions: PQ/IVF-PQ search, curation-rule audits,
+        # weighted sampling, shard layout
+        from projet_meteo_etl_spark.operators import clustering, text as tx
+
+        probes.update(
+            {
+                "ann_pq_adc_topk": clustering.ann_pq_adc_topk,
+                "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
+                "gopher_quality_rules": tx.gopher_quality_rules,
+                "c4_line_filter": tx.c4_line_filter,
+                "pii_pattern_audit": tx.pii_pattern_audit,
+                "weighted_sample_wor": curation.weighted_sample_wor,
+                "shard_assignment_audit": curation.shard_assignment_audit,
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
