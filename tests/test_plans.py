@@ -262,8 +262,11 @@ def test_new_operator_plan_shapes(spark):
     assert "BroadcastHashJoin" in kl, "corpus model must broadcast"
 
     pq = _plan(pq_codebook_audit(spark, SF))
-    assert "BroadcastHashJoin" in pq, "codebook must broadcast"
-    assert "SortMergeJoin" not in pq
+    # the codebook ships by value inside the assignment kernel (no join
+    # at all — better than the broadcast join this used to pin), so the
+    # plan must show the Arrow-batched Python stage and no shuffle join
+    assert "MapInPandas" in pq or "ArrowEvalPython" in pq
+    assert "SortMergeJoin" not in pq and "BroadcastHashJoin" not in pq
 
     z = _plan(layout.zorder_layout_audit(spark, SF))
     assert "SortMergeJoin" not in z
