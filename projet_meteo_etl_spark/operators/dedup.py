@@ -275,6 +275,102 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: containment keep-rule: 100·|A∩B| ≥ CONTAIN_PCT·min(|A|,|B|)
+CONTAIN_PCT = 15
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    max_df: int | None = NGRAM_MAX_DF,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment
+    ``C(A→B) = |A∩B| / |A|`` — the measure that catches near-SUBSET
+    duplication (a doc quoted or embedded inside a larger one), which
+    symmetric Jaccard dilutes toward zero as the containing doc grows.
+    The standard second pass next to Jaccard dedup (Broder 1997 coined
+    both).
+
+    Same inverted-index join shape (and stop-shingle cap) as
+    :func:`ngram_jaccard_pairs` — O(Σ df²) bounded by ``max_df``; the
+    keep rule is CROSS-MULTIPLIED INTEGER arithmetic
+    (``100·n_inter ≥ {pct}·min(n_a, n_b)``), so the cut is bit-portable
+    and only the reported ratios round.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingle_hashes(d, n=n)
+    if max_df is not None:
+        sh = stop_shingle_filter(sh, max_df)
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            100 * F.col("n_inter")
+            >= CONTAIN_PCT * F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_shared"),
+            pround(F.col("n_inter") / F.col("n_a"), 6).alias("contain_a_in_b"),
+            pround(F.col("n_inter") / F.col("n_b"), 6).alias("contain_b_in_a"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    return scoped_cache(out, sh)
+
+
+CONTAINMENT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh_all AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+           FROM tri WHERE shingle IS NOT NULL),
+sh AS (SELECT doc_id, h FROM sh_all
+       QUALIFY count(*) OVER (PARTITION BY h) <= {NGRAM_MAX_DF}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_shared,
+       floor((n_inter * 1.0 / sa.n_sh) * 1000000.0 + 0.5) / 1000000.0
+         AS contain_a_in_b,
+       floor((n_inter * 1.0 / sb.n_sh) * 1000000.0 + 0.5) / 1000000.0
+         AS contain_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 100 * n_inter >= {CONTAIN_PCT} * least(sa.n_sh, sb.n_sh)
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (portable signatures — oracle-checked end to end)
 # ---------------------------------------------------------------------------
@@ -991,6 +1087,7 @@ SPARK_QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_connected_components": dedup_connected_components,
     "winnow_fingerprint_pairs": winnow_fingerprint_pairs,
+    "containment_pairs": containment_pairs,
 }
 
 ORACLE_SQL = {
@@ -1002,4 +1099,5 @@ ORACLE_SQL = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_connected_components": DEDUP_CC_SQL,
     "winnow_fingerprint_pairs": WINNOW_SQL,
+    "containment_pairs": CONTAINMENT_SQL,
 }

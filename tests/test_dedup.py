@@ -126,3 +126,32 @@ def test_stop_shingle_cap_excludes_corpus_wide_shingle(spark, tmp_path):
     dfc = {r.h: r.df for r in
            sh.groupBy("h").count().withColumnRenamed("count", "df").collect()}
     assert all(dfc[r.h] <= 4 for r in kept.collect())
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a 10x-longer one: containment of
+    the short side is ~1.0 while Jaccard is diluted below its own
+    threshold — the asymmetric measure's reason to exist."""
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.operators import dedup as dd
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    orig = dd.load_table
+    try:
+        dd.load_table = lambda s, d, n: df if n == "documents" else orig(s, d, n)
+        rows = dd.containment_pairs(spark, "x").collect()
+        jac = dd.ngram_jaccard_pairs(spark, "x").collect()
+    finally:
+        dd.load_table = orig
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.contain_a_in_b == 1.0  # the short doc is fully contained
+    assert r.contain_b_in_a < 0.1
+    # symmetric Jaccard on the same pair is tiny
+    assert all(p.jaccard < 0.1 for p in jac)

@@ -44,6 +44,7 @@ EXPECTED_QUERIES = {
     "dedup_exact", "dedup_fingerprint_groups", "ngram_jaccard_pairs",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_connected_components", "winnow_fingerprint_pairs",
+    "containment_pairs",
     # curation
     "pack_sequences", "stratified_sample_mix", "benchmark_decontamination",
     "incremental_dedup_report", "length_band_filter",
