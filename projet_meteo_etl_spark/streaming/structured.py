@@ -307,6 +307,88 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def stream_backfill_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-backfill + streaming-tail SEAM: the first half of the event
+    log is aggregated as a BATCH read (the backfill a new pipeline runs
+    over history), the stream consumes the tail INCLUDING a re-delivered
+    overlap file, and an exact (ts, event_id) cut predicate — taken from
+    the history's max — drops the replayed rows before they reach state.
+    Partial aggregates from both worlds then merge by window key.
+
+    This is the lambda/kappa seam every production streaming pipeline
+    has to get right once: the oracle is the WHOLE-log aggregate
+    (same SQL as :func:`stream_tumbling_counts`), so a double-counted or
+    dropped seam row is a hash mismatch, not a warning.  The cut is
+    exact because the log is (ts, event_id)-ordered (asserted at
+    staging) and both counts and sums are integer cents — partial
+    merges are order-proof.
+    """
+    d = _staged_events_dir(sf_dir)
+    harden_session_ok = _ts_is_long(sf_dir)
+    schema = _events_raw_schema(harden_session_ok)
+
+    def _normalize(df: DataFrame) -> DataFrame:
+        if harden_session_ok:
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    from projet_meteo_etl_spark.catalog import harden_session
+
+    harden_session(spark)
+    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    # history: files 0-1 as a plain batch read
+    hist = _normalize(
+        spark.read.schema(schema)
+        .option("pathGlobFilter", "events_[01].parquet")
+        .parquet(d)
+    )
+    hist_agg = hist.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    # the seam: history's max (ts, event_id) — one tiny batch agg
+    cut = hist.agg(
+        F.max(F.struct(F.unix_micros("ts").alias("t"), "event_id"))
+    ).collect()[0][0]
+    # tail: files 1-3 — file 1 is deliberately RE-DELIVERED to exercise
+    # the seam; the cut predicate must drop every replayed row
+    tail = _normalize(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events_[123].parquet")
+        .parquet(d)
+    ).filter(
+        (F.unix_micros("ts") > cut["t"])
+        | (
+            (F.unix_micros("ts") == cut["t"])
+            & (F.col("event_id") > cut["event_id"])
+        )
+    )
+    tail_agg = (
+        tail.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        )
+    )
+    sink = _run_to_memory(tail_agg, "complete")
+    merged = sink.unionByName(hist_agg).groupBy("w", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+    )
+    return merged.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
+    ).orderBy("window_start", "event_type")
+
+
 STREAM_TUMBLING_SQL = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
@@ -1260,6 +1342,7 @@ ORDER BY p.user_id
 SPARK_QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_tumbling_counts_update": stream_tumbling_counts_update,
+    "stream_backfill_seam": stream_backfill_seam,
     "stream_pit_features": stream_pit_features,
     "stream_pit_features_files": stream_pit_features_files,
     "stream_dedup_user_day": stream_dedup_user_day,
@@ -1281,6 +1364,8 @@ if has_tws_runtime():  # environment-gated: needs google.protobuf
 ORACLE_SQL = {
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_tumbling_counts_update": STREAM_TUMBLING_SQL,
+    # the seam must reproduce the WHOLE-log aggregate exactly
+    "stream_backfill_seam": STREAM_TUMBLING_SQL,
     # the streaming state machine must reproduce the batch window's
     # point-in-time join bit-for-bit: same oracle
     "stream_pit_features": _PIT_SQL,

@@ -90,6 +90,7 @@ EXPECTED_QUERIES = {
     "events_json_props", "events_late_data_filter",
     # structured streaming
     "stream_tumbling_counts", "stream_tumbling_counts_update",
+    "stream_backfill_seam",
     "stream_user_running_totals", "stream_pit_features",
     "stream_pit_features_files", "stream_user_totals_files",
     "stream_late_event_dropper", "stream_static_segment_counts",

@@ -317,3 +317,13 @@ def test_stream_cms_matches_batch_sketch(spark):
         assert r["overcount"] == r["cms_est"] - r["true_clicks"]
     trues = [r["true_clicks"] for r in got]
     assert trues == sorted(trues, reverse=True)
+
+
+def test_backfill_seam_equals_whole_log(spark):
+    """Backfill(files 0-1) + stream(files 1-3, file 1 re-delivered)
+    composed through the (ts, event_id) cut must equal the whole-log
+    aggregate — a double-counted or dropped seam row breaks equality."""
+    seam = structured.stream_backfill_seam(spark, SF).collect()
+    whole = structured.stream_tumbling_counts(spark, SF).collect()
+    assert seam == whole
+    assert len(seam) > 0
