@@ -44,7 +44,7 @@ def oracle_sql() -> dict[str, str]:
     Keys absent here (but present in ``queries()``) are deliberately
     engine-specific ops (latin-1 CSV inputs DuckDB 1.0 can't read,
     sketch internals, micro-batch-boundary semantics); the driver
-    records a weaker rows-only check for those 5 of 221.
+    records a weaker rows-only check for that handful of queries.
     """
     _, o = registry.collect()
     return o

@@ -66,6 +66,21 @@ def main() -> int:
             spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # ambient-regime stamp: this box is shared, and co-tenant load swings
+    # unchanged queries ±30-50% (BASELINE.md documents 286→394 s on
+    # identical code).  Recording the load average + timestamp with the
+    # numbers lets cross-round per-query ratio reads attribute drift to
+    # regime instead of silently mixing loaded and idle runs.
+    try:
+        load1, load5, load15 = os.getloadavg()
+        regime = {
+            "loadavg_1m": round(load1, 2),
+            "loadavg_5m": round(load5, 2),
+            "loadavg_15m": round(load15, 2),
+            "unix_time": int(time.time()),
+        }
+    except OSError:
+        regime = {}
     payload = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -74,6 +89,7 @@ def main() -> int:
         "sf": _sf_of(SF_DIR),
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
+        "regime": regime,
     }
     print(json.dumps(payload))
     # the driver's stored copy truncates the stdout line; persist the

@@ -30,8 +30,11 @@ a bigger state store; watermarks keep state bounded.
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import os
+import shutil
+import weakref
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -242,7 +245,39 @@ def _run_to_memory(
     return spark.table(name)
 
 
-def _run_to_files(df: DataFrame, partitions: str | None = None) -> DataFrame:
+# every _run_to_files output dir, removed at interpreter exit as a
+# backstop; eager removal happens via _scoped_rmtree once the consuming
+# query's result is dropped (same lifetime contract as cachescope).
+_FILESINK_DIRS: set[str] = set()
+
+
+def _purge_filesink_dirs() -> None:
+    for p in list(_FILESINK_DIRS):
+        _rm_filesink_dir(p)
+
+
+atexit.register(_purge_filesink_dirs)
+
+
+def _rm_filesink_dir(path: str) -> None:
+    shutil.rmtree(path, ignore_errors=True)
+    _FILESINK_DIRS.discard(path)
+
+
+def _scoped_rmtree(result: DataFrame, out_dir: str | None) -> DataFrame:
+    """Return ``result``, scheduling removal of ``out_dir`` for when
+    ``result`` is garbage-collected (i.e. after the caller collects).
+    The dir must outlive the returned plan — its parquet files back the
+    lazy batch read — so removal cannot happen inside _run_to_files.
+    """
+    if out_dir is not None:
+        weakref.finalize(result, _rm_filesink_dir, out_dir)
+    return result
+
+
+def _run_to_files(
+    df: DataFrame, partitions: str | None = None
+) -> tuple[DataFrame, str]:
     """Drive a streaming DataFrame to completion into a PARQUET file
     sink and read the result back as a batch DataFrame.
 
@@ -261,6 +296,7 @@ def _run_to_files(df: DataFrame, partitions: str | None = None) -> DataFrame:
 
     spark = df.sparkSession
     out_dir = tempfile.mkdtemp(prefix="spark_graft_filesink_")
+    _FILESINK_DIRS.add(out_dir)
     old = _pin_stream_confs(spark, partitions)
     try:
         q = (
@@ -275,7 +311,8 @@ def _run_to_files(df: DataFrame, partitions: str | None = None) -> DataFrame:
     finally:
         _restore_stream_confs(spark, old)
     # explicit schema: a stream with zero emissions leaves no part-files
-    return spark.read.schema(df.schema).parquet(os.path.join(out_dir, "data"))
+    batch = spark.read.schema(df.schema).parquet(os.path.join(out_dir, "data"))
+    return batch, out_dir
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,8 +525,9 @@ def stream_user_running_totals(
         outputMode="append" if sink == "files" else "update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    out_dir = None
     if sink == "files":
-        out = _run_to_files(updates, partitions=GROUP_STATE_PARTITIONS)
+        out, out_dir = _run_to_files(updates, partitions=GROUP_STATE_PARTITIONS)
     else:
         out = _run_to_memory(
             updates, "update", partitions=GROUP_STATE_PARTITIONS
@@ -498,12 +536,13 @@ def stream_user_running_totals(
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
+    result = (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id")
     )
+    return _scoped_rmtree(result, out_dir)
 
 
 def stream_pit_features(
@@ -613,13 +652,14 @@ def stream_pit_features(
         outputMode="append" if sink == "files" else "update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    out_dir = None
     if sink == "files":
-        out = _run_to_files(updates, partitions=GROUP_STATE_PARTITIONS)
+        out, out_dir = _run_to_files(updates, partitions=GROUP_STATE_PARTITIONS)
     else:
         out = _run_to_memory(
             updates, "update", partitions=GROUP_STATE_PARTITIONS
         )
-    return out.orderBy("user_id", "event_id")
+    return _scoped_rmtree(out.orderBy("user_id", "event_id"), out_dir)
 
 
 def stream_pit_features_files(spark: SparkSession, sf_dir: str) -> DataFrame:
