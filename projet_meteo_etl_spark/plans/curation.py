@@ -656,41 +656,55 @@ ORDER BY event_type
 WSAMPLE_K = 20
 N_SHARDS = 8
 
-#: 15 md5 hex chars = 60 uniform bits; the divisor maps them into (0,1)
-_U60 = float(1 << 60)
+#: 13 md5 hex chars = 52 uniform bits — chosen BELOW the 53-bit double
+#: mantissa so the long→double conversion is exact; the power-of-two
+#: divisor then maps them into (0,1) with a pure exponent shift
+_U52 = float(1 << 52)
 
 
 def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
-    (2006) exponential keys: per source, the ``WSAMPLE_K`` documents
-    with the largest ``ln(u)/w`` where ``u`` is the doc's deterministic
-    md5-prefix uniform and ``w = n_chars`` — length-proportional
+    """Weighted sampling WITHOUT replacement via Duffield–Lund–Thorup
+    priority sampling (JACM 2007): per source, the ``WSAMPLE_K``
+    documents with the largest priority ``w/u`` — equivalently the
+    smallest ``u/w`` — where ``u`` is the doc's deterministic
+    md5-prefix uniform and ``w = n_chars``; length-proportional
     inclusion, the sampler a mixture-weighted corpus draw actually
     uses.  Distributed shape = per-partition top-k then merge (the same
-    bottom-k sketch as :func:`per_group_sample`); determinism comes
-    from hash uniforms, not an RNG stream, so any cluster layout
-    selects identical rows.  Keys round to integer NANOS before ranking
-    so ordering and output are integer-exact.
+    bottom-k sketch as :func:`per_group_sample`, WindowGroupLimit
+    plan-pinned in tests/test_plans.py); determinism comes from hash
+    uniforms, not an RNG stream, so any cluster layout selects
+    identical rows.
+
+    Cross-engine exactness is by construction, with NO transcendental
+    anywhere (the Efraimidis–Spirakis formulation needs ``ln``, which
+    the JVM and libm only guarantee to 1 ulp — a divergence at a rank
+    boundary would flip sample membership): the 52-bit hash converts to
+    double exactly, the 2^-52 scale is an exponent shift, and the
+    single division by ``w`` is IEEE-correctly-rounded on both the JVM
+    and DuckDB, so every key is bit-identical on both engines.  The
+    presentation column ``key_pico`` is ``floor(key * 1e12)`` — one
+    correctly-rounded multiply (no add, so no FMA-contraction hazard)
+    plus an exact floor.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
-    )
+    ).filter(F.col("n_chars") > 0)
     h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
     ).cast("long")
-    u = h / F.lit(_U60)
-    key_nano = F.floor(
-        F.log(u) / F.col("n_chars") * F.lit(1e9) + F.lit(0.5)
-    ).cast("long")
-    w = Window.partitionBy("source").orderBy(
-        F.desc("key_nano"), F.asc("doc_id")
-    )
+    key = h / F.lit(_U52) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.asc("key"), F.asc("doc_id"))
     return (
-        d.withColumn("key_nano", key_nano)
+        d.withColumn("key", key)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= WSAMPLE_K)
-        .select("source", "rank", "doc_id", F.col("n_chars").alias("weight"),
-                "key_nano")
+        .select(
+            "source",
+            "rank",
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.floor(F.col("key") * F.lit(1e12)).cast("long").alias("key_pico"),
+        )
         .orderBy("source", "rank")
     )
 
@@ -698,18 +712,19 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SAMPLE_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
-         CAST(floor(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
-                       / {_U60!r}::DOUBLE) / n_chars * 1000000000.0 + 0.5)
-              AS BIGINT) AS key_nano
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+          / {_U52!r}::DOUBLE) / n_chars AS key
   FROM documents
+  WHERE n_chars > 0
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY source
-                                    ORDER BY key_nano DESC, doc_id ASC)
+                                    ORDER BY key ASC, doc_id ASC)
                  AS BIGINT) AS rank
   FROM keyed
 )
-SELECT source, rank, doc_id, CAST(n_chars AS BIGINT) AS weight, key_nano
+SELECT source, rank, doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(floor(key * 1000000000000.0) AS BIGINT) AS key_pico
 FROM ranked WHERE rank <= {WSAMPLE_K}
 ORDER BY source, rank
 """

@@ -688,10 +688,20 @@ def stream_late_event_dropper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark append-mode drop semantics on a row-level stream:
     events are streamed file-by-file; with a 10-minute watermark, rows
     older than (max event time seen in prior batches − 10 min) are
-    dropped by the dedup-with-watermark operator.  Registered rows-only:
-    exactly WHICH rows drop depends on micro-batch boundaries (real
-    streaming semantics, not SQL-expressible); the invariant tests pin
-    subset + determinism properties instead.
+    dropped by the dedup-with-watermark operator.
+
+    Hash-oracled via a DETERMINISTIC REPLAY of the micro-batch
+    boundaries: the staged source is 4 sequential slices of the
+    globally (ts, event_id)-ordered events table (asserted at staging,
+    :func:`_staged_events_dir`), streamed one file per trigger, so the
+    watermark before batch N is exactly max(ts of slices < N) − 10 min.
+    ``STREAM_LATE_DROP_SQL`` recomputes the slice boundaries with the
+    same ``i·n/4`` arithmetic and applies the same per-file watermark
+    cut + first-occurrence dedup.  (On ordered input the drop set is
+    provably empty and boundary comparison direction is moot — every
+    row of batch N is ≥ the prior watermark + 10 min — which is WHY the
+    replay is micro-batch-exact; a re-sorted source fails the staging
+    assert before it could turn this into a silent mismatch.)
     """
     e = _read_events_stream(spark, sf_dir)
     deduped = e.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
@@ -705,6 +715,45 @@ def stream_late_event_dropper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_survived"))
         .orderBy("event_type")
     )
+
+
+# replay of the 4-slice staging + per-file watermark cut; slice index
+# uses the same lo = i*n//4 boundaries as _staged_events_dir
+STREAM_LATE_DROP_SQL = """
+WITH ordered AS (
+  SELECT event_id, event_type, ts,
+         row_number() OVER (ORDER BY ts, event_id) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM events
+),
+sliced AS (
+  SELECT *,
+         CASE WHEN rn >= (3 * n) // 4 THEN 3
+              WHEN rn >= (2 * n) // 4 THEN 2
+              WHEN rn >= n // 4 THEN 1
+              ELSE 0 END AS file_id
+  FROM ordered
+),
+wm AS (
+  SELECT *,
+         max(ts) OVER (ORDER BY file_id
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL 10 MINUTE AS watermark
+  FROM sliced
+),
+surviving AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY file_id, ts) AS occ
+  FROM wm
+  WHERE watermark IS NULL OR ts >= watermark
+)
+SELECT event_type, count(*) AS n_survived
+FROM surviving
+WHERE occ = 1
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1411,6 +1460,8 @@ ORACLE_SQL = {
     "stream_pit_features": _PIT_SQL,
     "stream_pit_features_files": _PIT_SQL,
     "stream_dedup_user_day": STREAM_DEDUP_SQL,
+    # deterministic replay of the staged 4-slice watermark cut
+    "stream_late_event_dropper": STREAM_LATE_DROP_SQL,
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
     "stream_user_totals_files": STREAM_USER_TOTALS_SQL,
     "stream_static_segment_counts": STREAM_STATIC_SQL,

@@ -228,6 +228,31 @@ def test_per_group_sample_deterministic_k(spark):
         assert a[k]["sample_mean"] == b[k]["sample_mean"]
 
 
+def test_sampler_rank_filters_keep_window_group_limit(spark):
+    """The samplers' docstrings promise map-side partial top-k: each
+    executor keeps only k rows per group and k·|groups| rows shuffle.
+    On Spark 4 that physical shape comes from InferWindowGroupLimit
+    turning the rank filter into a Partial WindowGroupLimit BELOW the
+    exchange plus a Final one above — an optimizer behavior a conf
+    change (windowGroupLimitThreshold=0) or version regression would
+    silently lose, reverting to shuffling every row of every group to
+    one task.  Pin both nodes for every rank-filtered top-k sampler."""
+    from projet_meteo_etl_spark.plans.curation import (
+        per_group_sample,
+        weighted_sample_wor,
+    )
+
+    for fn in (per_group_sample, weighted_sample_wor):
+        plan = _plan(fn(spark, SF))
+        wgl_lines = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+        assert any("Partial" in l for l in wgl_lines), (
+            f"{fn.__name__} lost its map-side (Partial) WindowGroupLimit"
+        )
+        assert any("Final" in l for l in wgl_lines), (
+            f"{fn.__name__} lost its Final WindowGroupLimit"
+        )
+
+
 def test_selectivity_estimate_close(spark):
     """The histogram forecast lands within 20% of truth on this
     distribution, and the reported rel_err is consistent."""

@@ -124,9 +124,10 @@ def test_portable_hash_matches_duckdb(spark, keys):
 
 
 def test_weighted_sample_wor_properties(spark):
-    """A-ES keys: per source exactly min(K, n) rows, dense ranks, keys
-    non-increasing along rank, and the sample is length-biased — the
-    mean weight of sampled docs exceeds the corpus mean weight."""
+    """Priority-sampling keys (u/w, smallest first): per source exactly
+    min(K, n) rows, dense ranks, keys non-decreasing along rank, and
+    the sample is length-biased — the mean weight of sampled docs
+    exceeds the corpus mean weight."""
     from pyspark.sql import functions as F
 
     from projet_meteo_etl_spark.catalog import load_table
@@ -149,8 +150,8 @@ def test_weighted_sample_wor_properties(spark):
     for src, rs in by_src.items():
         assert len(rs) == min(WSAMPLE_K, n_per[src])
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
-        keys = [r.key_nano for r in rs]
-        assert keys == sorted(keys, reverse=True)
+        keys = [r.key_pico for r in rs]
+        assert keys == sorted(keys)
     sample_mean = sum(r.weight for r in rows) / len(rows)
     assert sample_mean > corpus_mean  # length-proportional inclusion
 

@@ -195,7 +195,6 @@ EXPECTED_QUERIES = {
 EXPECTED_ROWS_ONLY = {
     "weather_etl_unified", "weather_quality_report",  # latin-1 CSV inputs DuckDB 1.0 can't read
     "approx_user_stats", "hll_sketch_mergeability",   # sketch internals
-    "stream_late_event_dropper",                      # micro-batch-boundary dependent
 }
 
 
