@@ -158,9 +158,24 @@ STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
 #: windows, where per-(partition × batch) store overhead dominates and
 #: 4 partitions win — these run real Python work for every one of
 #: |users| groups, so task parallelism wins (4 → 16 partitions halves
-#: stream_pit_features at sf0.1).  On a cluster this scales with
-#: |groups| like any shuffle.
+#: stream_user_running_totals at sf0.1).  On a cluster this scales
+#: with |groups| like any shuffle.
 GROUP_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_GROUP_STATE_PARTITIONS", "16")
+
+#: key-group shard count for the sharded stateful streams
+#: (stream_pit_features): the GroupState key is user_id % N_PIT_SHARDS,
+#: so per-(key × batch) serializer overhead amortizes over
+#: |users|/shards users while per-user replay semantics are unchanged.
+#: At scale this rises with cluster size, keeping per-shard state and
+#: per-batch rewrite volume bounded.
+N_PIT_SHARDS = int(os.environ.get("SPARK_GRAFT_PIT_SHARDS", "64"))
+
+#: state partitions for the SHARDED streams: with only N_PIT_SHARDS
+#: groups the Python path is a handful of calls per task, so the
+#: per-(partition × batch) store-commit constant dominates again and
+#: 8 beats 16 (profiled: commitTimeMs 2.7 s → 0.15 s per batch at
+#: sf0.1 going 16 → 4; 8 keeps headroom for parallelism)
+PIT_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_PIT_STATE_PARTITIONS", "8")
 
 #: state-store backend for ALL stateful streams in this module.  The
 #: default HDFS-backed provider keeps every version in executor memory
@@ -559,12 +574,26 @@ def stream_pit_features(
 
     Rows are replayed in (ts, event_id) order inside each micro-batch,
     and the staged files are time-ordered, so the online replay is the
-    same total order the batch window uses; state is one tuple per user
-    (bounded by |active users|, not the stream).  Each purchase is
-    emitted exactly once — no sink-side folding needed, and the per-
-    batch replay is fully vectorized (cumulative position for the
-    prior-event count, shifted forward-fill for the last-click feature,
-    both seeded from GroupState — no per-row Python loop).
+    same total order the batch window uses.  Each purchase is emitted
+    exactly once — no sink-side folding needed, and the per-batch
+    replay is fully vectorized (segmented cumulative position for the
+    prior-event count, segmented shifted forward-fill for the
+    last-click feature, both seeded from state — no per-row loop).
+
+    **Key-group sharding** (the Flink key-group pattern): the GroupState
+    key is ``user_id % N_PIT_SHARDS``, and the state row carries the
+    shard's per-user ``(n, last_click)`` vectors as sorted parallel
+    arrays.  Per-key grouping pays a fixed ~5 ms serializer round trip
+    per (key × micro-batch) — profiled via ``allUpdatesTimeMs``, it was
+    8+ s of task time per 25k-row batch at |users| keys, 4× the whole
+    batch twin.  Sharding divides that constant by users-per-shard
+    while keeping the same per-user replay semantics (hash-identical
+    output).  The trade-off is state-write amplification — a shard's
+    whole vector rewrites when any member updates — which is a wash
+    here (applyInPandasWithState rewrites the full state row on every
+    update anyway, and nearly every user is touched each batch) and is
+    bounded at scale by raising ``N_PIT_SHARDS`` with cluster size
+    (|users|/shards stays the per-row state size).
 
     The output is one row per purchase — unbounded in stream length —
     so ``sink="files"`` (parquet file sink, nothing on the driver) is
@@ -574,6 +603,7 @@ def stream_pit_features(
     import pandas as pd
 
     e = _read_events_stream(spark, sf_dir).select(
+        F.pmod(F.col("user_id"), F.lit(N_PIT_SHARDS)).alias("shard"),
         "user_id",
         "event_id",
         "ts",
@@ -587,65 +617,110 @@ def stream_pit_features(
         "user_id bigint, event_id bigint, ts timestamp, label_cents bigint, "
         "last_click_cents bigint, n_prior_events bigint"
     )
-    state_schema = "n bigint, last_click bigint"
+    state_schema = (
+        "user_ids array<bigint>, ns array<bigint>, last_clicks array<bigint>"
+    )
 
     def assemble(
         key, pdf_iter: Iterator["pd.DataFrame"], state
     ) -> Iterator["pd.DataFrame"]:
-        # Pure-numpy kernel: this function runs once per (group ×
-        # micro-batch) — tens of thousands of tiny calls — so per-call
-        # constant cost is what matters, and numpy ops are ~100× cheaper
-        # than their pandas equivalents on 10-row frames.
+        # Pure-numpy segmented kernel, one call per (shard × batch).
         import numpy as np  # self-contained: foreign-cwd workers
         import pandas as pd
 
-        n0, last_click0 = state.get if state.exists else (0, -1)
+        if state.exists:
+            uids0, ns0, lcs0 = state.get
+            uids0 = np.asarray(uids0, dtype="int64")
+            ns0 = np.asarray(ns0, dtype="int64")
+            lcs0 = np.asarray(lcs0, dtype="int64")
+        else:
+            uids0 = ns0 = lcs0 = np.empty(0, dtype="int64")
         chunks = [c for c in pdf_iter if len(c)]
         if not chunks:
-            state.update((int(n0), int(last_click0)))
+            state.update((uids0.tolist(), ns0.tolist(), lcs0.tolist()))
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(
             chunks, ignore_index=True
         )
+        user = pdf["user_id"].to_numpy()
         order = np.lexsort(
-            (pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy())
+            (pdf["event_id"].to_numpy(), pdf["ts_us"].to_numpy(), user)
         )
+        user = user[order]
         cents = pdf["cents"].to_numpy()[order]
         is_click = pdf["is_click"].to_numpy()[order]
         mask = pdf["is_purchase"].to_numpy()[order]
         m = len(cents)
-        # 1-based position of the most recent click AT-OR-BEFORE each
-        # row, then shifted one row for strictly-before semantics
-        pos = np.maximum.accumulate(
-            np.where(is_click, np.arange(1, m + 1), 0)
+        # segment = run of one user's rows in the (user, ts, event_id)
+        # sort; within a segment the replay is the old per-user kernel
+        seg_start = np.concatenate(([True], user[1:] != user[:-1]))
+        seg_id = np.cumsum(seg_start) - 1
+        seg_first = np.flatnonzero(seg_start)           # row idx per segment
+        seg_users = user[seg_first]
+        # carried state per segment (sorted uids0 → searchsorted lookup;
+        # searchsorted returns len(uids0) only when the user sorts after
+        # every stored id, so the capped index can never false-match)
+        if len(uids0):
+            ins = np.searchsorted(uids0, seg_users)
+            idx = np.minimum(ins, len(uids0) - 1)
+            found = uids0[idx] == seg_users
+            n0_seg = np.where(found, ns0[idx], 0)
+            lc0_seg = np.where(found, lcs0[idx], -1)
+        else:
+            ins = np.zeros(len(seg_users), dtype="int64")
+            found = np.zeros(len(seg_users), dtype=bool)
+            n0_seg = np.zeros(len(seg_users), dtype="int64")
+            lc0_seg = np.full(len(seg_users), -1, dtype="int64")
+        # segmented cummax of click positions: offset by seg_id*(m+1) so
+        # a new segment's zero beats any prior segment's position
+        big = np.int64(m + 1)
+        raw = seg_id * big + np.where(is_click, np.arange(1, m + 1), 0)
+        pos = np.maximum.accumulate(raw) - seg_id * big
+        prior = np.where(seg_start, 0, np.concatenate(([0], pos[:-1])))
+        lc0_rows = lc0_seg[seg_id]
+        lc_vals = np.where(prior > 0, cents[np.maximum(prior - 1, 0)], lc0_rows)
+        lc_missing = (prior == 0) & (lc0_rows < 0)
+        # per-row position within its segment → prior-event count
+        row_in_seg = np.arange(m) - seg_first[seg_id]
+        n_prior = n0_seg[seg_id] + row_in_seg
+        # new per-user state: count += segment length; last click from
+        # the segment's last row's at-or-before position, else carried
+        seg_len = np.diff(np.concatenate((seg_first, [m])))
+        seg_last = seg_first + seg_len - 1
+        last_pos = pos[seg_last]
+        new_n = n0_seg + seg_len
+        new_lc = np.where(
+            last_pos > 0, cents[np.maximum(last_pos - 1, 0)], lc0_seg
         )
-        prior = np.concatenate(([0], pos[:-1]))
-        # 0 = no click this batch → fall back to the carried state
-        lc_vals = np.where(
-            prior > 0, cents[np.maximum(prior - 1, 0)], last_click0
+        # merge updated members back into the sorted shard vectors
+        keep = np.ones(len(uids0), dtype=bool)
+        if len(uids0):
+            keep[ins[found]] = False
+        all_ids = np.concatenate((uids0[keep], seg_users))
+        all_ns = np.concatenate((ns0[keep], new_n))
+        all_lcs = np.concatenate((lcs0[keep], new_lc))
+        so = np.argsort(all_ids, kind="stable")
+        state.update(
+            (all_ids[so].tolist(), all_ns[so].tolist(), all_lcs[so].tolist())
         )
-        lc_missing = (prior == 0) & (last_click0 < 0)
-        new_last = int(cents[pos[-1] - 1]) if pos[-1] > 0 else int(last_click0)
-        state.update((int(n0 + m), new_last))
         if not mask.any():  # no purchases this batch → emit nothing
             return
         yield pd.DataFrame(
             {
-                "user_id": np.full(int(mask.sum()), key[0], dtype="int64"),
+                "user_id": user[mask],
                 "event_id": pdf["event_id"].to_numpy()[order][mask],
                 "ts": pdf["ts"].to_numpy()[order][mask],
                 "label_cents": cents[mask],
                 "last_click_cents": pd.arrays.IntegerArray(
                     lc_vals[mask].astype("int64"), mask=lc_missing[mask]
                 ),
-                # every event bumps the count: seed + sorted position
-                "n_prior_events": n0 + np.flatnonzero(mask),
+                "n_prior_events": n_prior[mask],
             }
         )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    updates = e.groupBy("user_id").applyInPandasWithState(
+    updates = e.groupBy("shard").applyInPandasWithState(
         assemble,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -654,10 +729,10 @@ def stream_pit_features(
     )
     out_dir = None
     if sink == "files":
-        out, out_dir = _run_to_files(updates, partitions=GROUP_STATE_PARTITIONS)
+        out, out_dir = _run_to_files(updates, partitions=PIT_STATE_PARTITIONS)
     else:
         out = _run_to_memory(
-            updates, "update", partitions=GROUP_STATE_PARTITIONS
+            updates, "update", partitions=PIT_STATE_PARTITIONS
         )
     return _scoped_rmtree(out.orderBy("user_id", "event_id"), out_dir)
 
