@@ -30,6 +30,7 @@ FACTS = {"lineitem", "orders", "events", "documents", "part", "embeddings"}
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    only = set(sys.argv[3:])  # optional probe-name filter
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -42,6 +43,7 @@ def main() -> int:
         return df
 
     catalog.load_table = scaled_load
+    seam_dir = None
     try:
         from projet_meteo_etl_spark.operators import (
             cooccur,
@@ -122,12 +124,48 @@ def main() -> int:
                 "shard_assignment_audit": curation.shard_assignment_audit,
             }
         )
+        # round-5 additions: the new quadratic-family member (inverted-
+        # index candidate join) and the lambda/kappa seam.  The seam
+        # reads STAGED files, outside the load_table override, so it
+        # gets a genuinely replicated events table: rows ×N then
+        # re-sorted by (ts, event_id) to satisfy the staging monotone
+        # assert (duplicate ids sort adjacent; >= holds).
+        from projet_meteo_etl_spark.operators import dedup
+        from projet_meteo_etl_spark.streaming import structured
+
+        if n > 1:
+            import tempfile
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            src = os.path.join(sf_dir, "events.parquet")
+            t = pq.read_table(src)
+            big = pa.concat_tables([t] * n).sort_by(
+                [("ts", "ascending"), ("event_id", "ascending")]
+            )
+            seam_dir = tempfile.mkdtemp(prefix="spark_graft_scaleprobe_")
+            pq.write_table(
+                big, os.path.join(seam_dir, "events.parquet"), version="2.6"
+            )
+
+        def seam_probe(s, d):
+            return structured.stream_backfill_seam(s, seam_dir or d)
+
+        probes.update(
+            {
+                "containment_pairs": dedup.containment_pairs,
+                "stream_backfill_seam": seam_probe,
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         for name, fn in probes.items():
+            if only and name not in only:
+                continue
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
@@ -144,6 +182,10 @@ def main() -> int:
         )
     finally:
         catalog.load_table = real_load
+        if seam_dir:
+            import shutil
+
+            shutil.rmtree(seam_dir, ignore_errors=True)
     return 0
 
 
