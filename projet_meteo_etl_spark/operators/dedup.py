@@ -516,7 +516,10 @@ def _mh_band_key_sql(b: int) -> str:
     return f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sigs"
 
 
-MINHASH_LSH_SQL = rf"""
+# shared CTE chain (tokens → shingles → capped index → signatures →
+# bands → candidate pairs) — consumed by both the near-dup query and
+# the index-quality eval below
+_LSH_CANDS_CTE = rf"""
 WITH toks AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
@@ -547,7 +550,9 @@ cands AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
-),
+)"""
+
+MINHASH_LSH_SQL = rf"""{_LSH_CANDS_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -565,6 +570,105 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5)
         / 1000000.0 >= 0.04
 ORDER BY doc_a, doc_b
+"""
+
+
+def lsh_candidate_precision(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.04
+) -> DataFrame:
+    """Index-quality eval of the banded MinHash LSH: candidate-pair
+    PRECISION and RECALL against exact shingle Jaccard at ``threshold``.
+
+    Ground truth comes from the df-capped inverted-index self-join (the
+    same exact path as ``ngram_jaccard_pairs``); candidates from the
+    same banding as :func:`dedup_minhash_lsh`.  Output is one row:
+    candidate count, true-pair count, hits, and ppm precision/recall —
+    the numbers that decide whether to re-tune bands/rows before a full
+    corpus dedup run.  At 100 TB this eval runs on a sampled partition
+    (truth is quadratic-family); the candidate generation itself stays
+    the production banding.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh_cached = word_shingle_hashes(d).persist()
+    sh = stop_shingle_filter(sh_cached, NGRAM_MAX_DF)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            pround(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            )
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+    c = cands.withColumn("is_cand", F.lit(1))
+    t = truth.withColumn("is_true", F.lit(1))
+    out = (
+        c.join(t, ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.sum("is_cand").cast("long").alias("n_candidates"),
+            F.sum("is_true").cast("long").alias("n_true_pairs"),
+            F.sum(
+                F.when(
+                    F.col("is_cand").isNotNull() & F.col("is_true").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_hits",
+            F.expr("n_hits * 1000000 DIV n_candidates").alias("precision_ppm"),
+            F.expr("n_hits * 1000000 DIV n_true_pairs").alias("recall_ppm"),
+        )
+    )
+    return scoped_cache(out, sh_cached)
+
+
+LSH_PRECISION_SQL = rf"""{_LSH_CANDS_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5)
+          / 1000000.0 >= 0.04
+),
+counts AS (
+  SELECT (SELECT count(*) FROM cands) AS n_candidates,
+         (SELECT count(*) FROM truth) AS n_true_pairs,
+         (SELECT count(*) FROM cands JOIN truth USING (doc_a, doc_b)) AS n_hits
+)
+SELECT n_candidates, n_true_pairs, n_hits,
+       n_hits * 1000000 // n_candidates AS precision_ppm,
+       n_hits * 1000000 // n_true_pairs AS recall_ppm
+FROM counts
 """
 
 
@@ -1088,6 +1192,7 @@ SPARK_QUERIES = {
     "dedup_connected_components": dedup_connected_components,
     "winnow_fingerprint_pairs": winnow_fingerprint_pairs,
     "containment_pairs": containment_pairs,
+    "lsh_candidate_precision": lsh_candidate_precision,
 }
 
 ORACLE_SQL = {
@@ -1100,4 +1205,5 @@ ORACLE_SQL = {
     "dedup_connected_components": DEDUP_CC_SQL,
     "winnow_fingerprint_pairs": WINNOW_SQL,
     "containment_pairs": CONTAINMENT_SQL,
+    "lsh_candidate_precision": LSH_PRECISION_SQL,
 }

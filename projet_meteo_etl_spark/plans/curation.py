@@ -785,6 +785,154 @@ ORDER BY shard
 """
 
 
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (α = 0.5): each source's
+    sampling weight ∝ share^α — the standard multilingual/multi-source
+    rebalancing (up-samples small sources, down-samples the head)
+    popularized by multilingual LM training.
+
+    α = 0.5 is deliberately a square root: IEEE requires sqrt (unlike
+    pow/exp/ln) to be CORRECTLY rounded, so ``floor(sqrt(n_docs) · 1e6)``
+    is bit-identical on the JVM and DuckDB, and every downstream number
+    (ppm weight, per-epoch draws, up-sample ratio) is pure integer
+    arithmetic — the same no-transcendental discipline as
+    :func:`weighted_sample_wor`.  The totals cross-join is a broadcast
+    of one row; nothing shuffles but the per-source aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    per = per.withColumn(
+        "sqrt_micro",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)"
+        ),
+    )
+    tot = per.agg(
+        F.sum("sqrt_micro").alias("denom"),
+        F.sum("n_docs").alias("total_docs"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("sqrt_micro * 1000000 DIV denom").alias("weight_ppm"),
+            F.expr(
+                "(total_docs * (sqrt_micro * 1000000 DIV denom)) DIV 1000000"
+            ).alias("draws_per_epoch"),
+            F.expr(
+                "((total_docs * (sqrt_micro * 1000000 DIV denom)) DIV 1000000)"
+                " * 1000000 DIV n_docs"
+            ).alias("upsample_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_TEMPERATURE_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS sqrt_micro
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(sqrt_micro) AS BIGINT) AS denom,
+         CAST(sum(n_docs) AS BIGINT) AS total_docs
+  FROM per
+)
+SELECT source, n_docs,
+       sqrt_micro * 1000000 // denom AS weight_ppm,
+       (total_docs * (sqrt_micro * 1000000 // denom)) // 1000000
+         AS draws_per_epoch,
+       ((total_docs * (sqrt_micro * 1000000 // denom)) // 1000000)
+         * 1000000 // n_docs AS upsample_micro
+FROM per, tot
+ORDER BY source
+"""
+
+
+def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phases: docs ranked easy→hard by the shared quality
+    score (``operators/text.text_quality_score``, highest first) and
+    NTILE'd into 10 phases; each phase reports doc count, token volume
+    and its score range — the schedule a quality-curriculum dataloader
+    consumes.
+
+    The global rank uses the same two-pass construction as
+    ``user_value_deciles``: bucket by the score's (bounded) value
+    domain, exclusive prefix counts over buckets, row_number within
+    bucket — no single-partition sort; the tile index is recovered with
+    :func:`~projet_meteo_etl_spark.functions.twopass.exact_ntile`
+    integer arithmetic, bit-identical to the oracle's ``ntile(10)``.
+    """
+    from projet_meteo_etl_spark.functions.twopass import bucket_prefix, exact_ntile
+    from projet_meteo_etl_spark.operators.text import text_quality_score
+
+    scored = (
+        text_quality_score(spark, sf_dir)
+        .select("doc_id", "n_tokens", "quality_score")
+        # score is pround(…, 4): ×10000 is integer-valued, so the
+        # bucket key is exact; DESC order ⇒ negate
+        .withColumn(
+            "sbucket",
+            -F.expr("CAST(floor(quality_score * 10000.0) AS BIGINT)"),
+        )
+        .persist()
+    )
+    pre = bucket_prefix(scored, "sbucket", {"n": (F.count(F.lit(1)), "sum")})
+    tot = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    win = Window.partitionBy("sbucket").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    banded = (
+        scored.join(F.broadcast(pre), "sbucket")
+        .withColumn(
+            "rank", F.coalesce("pre_n", F.lit(0)) + F.row_number().over(win)
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "phase", exact_ntile(F.col("rank"), F.col("n_total"), 10)
+        )
+    )
+    out = (
+        banded.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.max("quality_score").alias("max_score"),
+            F.min("quality_score").alias("min_score"),
+        )
+        .orderBy("phase")
+    )
+    return scoped_cache(out, scored)
+
+
+def _curriculum_sql() -> str:
+    from projet_meteo_etl_spark.operators.text import TEXT_QUALITY_SQL
+
+    return f"""
+WITH scored AS ({TEXT_QUALITY_SQL}),
+banded AS (
+  SELECT doc_id, n_tokens, quality_score,
+         CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id ASC)
+              AS INTEGER) AS phase
+  FROM scored
+)
+SELECT phase, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       max(quality_score) AS max_score,
+       min(quality_score) AS min_score
+FROM banded
+GROUP BY phase
+ORDER BY phase
+"""
+
+
 SPARK_QUERIES = {
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
@@ -797,6 +945,8 @@ SPARK_QUERIES = {
     "train_test_split_report": train_test_split_report,
     "weighted_sample_wor": weighted_sample_wor,
     "shard_assignment_audit": shard_assignment_audit,
+    "mixture_temperature_weights": mixture_temperature_weights,
+    "curriculum_quality_buckets": curriculum_quality_buckets,
 }
 
 ORACLE_SQL = {
@@ -811,4 +961,6 @@ ORACLE_SQL = {
     "train_test_split_report": TRAIN_TEST_SPLIT_SQL,
     "weighted_sample_wor": WEIGHTED_SAMPLE_SQL,
     "shard_assignment_audit": SHARD_AUDIT_SQL,
+    "mixture_temperature_weights": MIXTURE_TEMPERATURE_SQL,
+    "curriculum_quality_buckets": _curriculum_sql(),
 }

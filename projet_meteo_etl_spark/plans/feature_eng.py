@@ -1,0 +1,279 @@
+"""Feature-engineering operators for training-data assembly.
+
+The reference pipeline stops at cleaned rows (`/root/reference/
+etl_meteo.py:292-332` produces a flat table and audits it); a
+training-data platform additionally has to turn logs into model inputs
+without leaking labels.  Three canonical constructions, each
+deterministic and oracle-exact:
+
+* ``kfold_target_encoding`` — leakage-free categorical encoding: the
+  encoding of (item, fold) is the label mean over the OTHER folds, so
+  a row never sees its own target.  Integer-exact: cent sums and
+  counts per (item, fold), totals via a window, out-of-fold mean in
+  integer micros.
+* ``negative_sampling_pairs`` — contrastive negatives: per purchase
+  (anchor, positive item), K deterministic negatives drawn by portable
+  hash over the dense item vocabulary; hash collisions with the
+  positive are rejected (no resample — documented bias of at most one
+  missing slot, deterministic on both engines).
+* ``coclick_positive_pairs`` — temporal positives: item pairs clicked
+  by the same user within 24 hours, counted by distinct supporting
+  users, support-filtered and top-k'd.  The contrastive-positive miner
+  a two-tower recommender trains on.
+
+Scale shape: target encoding is one groupBy + a per-item window over
+~|items| rows.  Negative sampling is a projection joined to a
+broadcast item vocabulary (|items| rows).  Co-click pairs self-join
+clicks per user — bounded by the same per-user cap argument as
+``operators/cooccur.py`` (clicks per user per day is product-
+bounded, not corpus-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+
+#: number of folds for out-of-fold target encoding
+N_FOLDS = 5
+#: negatives per anchor
+N_NEG = 3
+#: co-click window (seconds) and output cap
+COCLICK_WINDOW_S = 86400
+COCLICK_MIN_SUPPORT = 2
+COCLICK_TOP = 50
+
+
+def _events_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    ).filter(F.col("item").isNotNull())
+
+
+def kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of ``item`` against the cent label.
+
+    enc(item, fold) = mean(cents) over every OTHER fold's rows of that
+    item — the standard leakage-free construction (a training row's own
+    target never contributes to its feature).  Folds are deterministic
+    (``user_id % N_FOLDS``: fold assignment must be BY USER, not by
+    row, or a user's own purchases leak across folds).  All arithmetic
+    is integer (cent sums, counts, micros via DIV), so the result is
+    engine-exact with no float accumulation anywhere.
+    """
+    e = _events_items(spark, sf_dir)
+    per = (
+        e.withColumn("fold", F.pmod("user_id", F.lit(N_FOLDS)).cast("int"))
+        .groupBy("item", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_fold"),
+            F.sum("cents").alias("sum_in_fold"),
+        )
+    )
+    w = Window.partitionBy("item")
+    tot_n = F.sum("n_in_fold").over(w)
+    tot_s = F.sum("sum_in_fold").over(w)
+    return (
+        per.select(
+            "item",
+            "fold",
+            "n_in_fold",
+            (tot_n - F.col("n_in_fold")).alias("n_out"),
+            (tot_s - F.col("sum_in_fold")).alias("sum_out"),
+        )
+        .withColumn(
+            "enc_micro",
+            # cents are non-negative → Spark DIV (trunc) == DuckDB //
+            # (floor); NULL when the item appears in only one fold
+            F.when(
+                F.col("n_out") > 0,
+                F.expr("(sum_out * 1000000) DIV n_out").cast("long"),
+            ),
+        )
+        .select("item", "fold", "n_in_fold", "n_out", "enc_micro")
+        .orderBy("item", "fold")
+    )
+
+
+KFOLD_TARGET_ENCODING_SQL = f"""
+WITH base AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         CAST(user_id % {N_FOLDS} AS INTEGER) AS fold,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+per AS (
+  SELECT item, fold, count(*) AS n_in_fold, sum(cents) AS sum_in_fold
+  FROM base GROUP BY item, fold
+)
+SELECT item, fold, n_in_fold,
+       CAST(sum(n_in_fold) OVER (PARTITION BY item) - n_in_fold AS BIGINT)
+         AS n_out,
+       CASE WHEN sum(n_in_fold) OVER (PARTITION BY item) - n_in_fold > 0
+            THEN CAST(((sum(sum_in_fold) OVER (PARTITION BY item) - sum_in_fold)
+                       * 1000000)
+                      // (sum(n_in_fold) OVER (PARTITION BY item) - n_in_fold)
+                      AS BIGINT)
+       END AS enc_micro
+FROM per
+ORDER BY item, fold
+"""
+
+
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K deterministic contrastive negatives per purchase anchor.
+
+    The item vocabulary gets a dense index (ordered by item id); the
+    negative for (anchor, slot) is ``md5hash(event_id:slot) mod
+    |vocab|`` — uniform, reproducible on any cluster layout, and
+    identically computable by the oracle.  A draw that collides with
+    the anchor's positive item is dropped rather than redrawn (at most
+    one of K slots lost, deterministically on both engines).  The
+    vocabulary relation is |items| rows — a broadcast, never a shuffle
+    of the fact table.
+    """
+    e = _events_items(spark, sf_dir)
+    vocab = (
+        e.select("item")
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("item")).cast("long") - 1,
+        )
+    )
+    n_vocab = vocab.groupBy().agg(F.count(F.lit(1)).alias("n_vocab"))
+    anchors = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("item").alias("pos_item")
+    )
+    slots = anchors.select(
+        "event_id",
+        "pos_item",
+        F.explode(F.sequence(F.lit(0), F.lit(N_NEG - 1))).alias("slot"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("event_id"), F.col("slot"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    drawn = slots.crossJoin(F.broadcast(n_vocab)).withColumn(
+        "idx", F.pmod(h, F.col("n_vocab"))
+    )
+    return (
+        drawn.join(F.broadcast(vocab), "idx")
+        .filter(F.col("item") != F.col("pos_item"))
+        .select(
+            "event_id",
+            F.col("slot").cast("long").alias("slot"),
+            "pos_item",
+            F.col("item").alias("neg_item"),
+        )
+        .orderBy("event_id", "slot")
+    )
+
+
+NEGATIVE_SAMPLING_SQL = f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+vocab AS (
+  SELECT item, row_number() OVER (ORDER BY item) - 1 AS idx
+  FROM (SELECT DISTINCT item FROM base)
+),
+nv AS (SELECT count(*) AS n_vocab FROM vocab),
+slots AS (
+  SELECT b.event_id, b.item AS pos_item, s.slot
+  FROM base b, (SELECT unnest(range({N_NEG})) AS slot) s
+  WHERE b.event_type = 'purchase'
+),
+drawn AS (
+  SELECT s.event_id, s.pos_item, s.slot,
+         (('0x' || substr(md5(s.event_id || ':' || s.slot), 1, 15))::BIGINT
+          % nv.n_vocab + nv.n_vocab) % nv.n_vocab AS idx
+  FROM slots s, nv
+)
+SELECT d.event_id, d.slot, d.pos_item, v.item AS neg_item
+FROM drawn d JOIN vocab v USING (idx)
+WHERE v.item != d.pos_item
+ORDER BY event_id, slot
+"""
+
+
+def coclick_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive POSITIVES from temporal co-click: (i1 < i2) clicked
+    by the same user within ``COCLICK_WINDOW_S``, counted by distinct
+    supporting users, support-filtered, top-``COCLICK_TOP`` by count.
+
+    Unlike the global basket co-occurrence (``item_cooccurrence_topk``)
+    this pairs only temporally-close clicks — the day-level signal
+    a two-tower model wants.  The self-join is keyed on user_id, so a
+    pair candidate never crosses users: per-user click volume in a
+    24-hour window bounds the expansion, not corpus size.
+    """
+    c = _events_items(spark, sf_dir).filter(F.col("event_type") == "click")
+    a = c.select("user_id", F.col("item").alias("i1"), F.unix_micros("ts").alias("t1"))
+    b = c.select("user_id", F.col("item").alias("i2"), F.unix_micros("ts").alias("t2"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("i1") < F.col("i2"))
+            & (F.abs(F.col("t1") - F.col("t2")) <= F.lit(COCLICK_WINDOW_S * 1_000_000))
+        )
+        .select("user_id", "i1", "i2")
+        .distinct()
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= COCLICK_MIN_SUPPORT)
+    )
+    return pairs.orderBy(F.desc("n_users"), "i1", "i2").limit(COCLICK_TOP)
+
+
+COCLICK_POSITIVE_SQL = f"""
+WITH clicks AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         epoch_us(ts) AS t
+  FROM events
+  WHERE event_type = 'click'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+pairs AS (
+  SELECT DISTINCT a.user_id, a.item AS i1, b.item AS i2
+  FROM clicks a JOIN clicks b
+    ON a.user_id = b.user_id
+   AND a.item < b.item
+   AND abs(a.t - b.t) <= {COCLICK_WINDOW_S * 1_000_000}
+)
+SELECT i1, i2, count(*) AS n_users
+FROM pairs
+GROUP BY i1, i2
+HAVING count(*) >= {COCLICK_MIN_SUPPORT}
+ORDER BY n_users DESC, i1, i2
+LIMIT {COCLICK_TOP}
+"""
+
+
+SPARK_QUERIES = {
+    "kfold_target_encoding": kfold_target_encoding,
+    "negative_sampling_pairs": negative_sampling_pairs,
+    "coclick_positive_pairs": coclick_positive_pairs,
+}
+
+ORACLE_SQL = {
+    "kfold_target_encoding": KFOLD_TARGET_ENCODING_SQL,
+    "negative_sampling_pairs": NEGATIVE_SAMPLING_SQL,
+    "coclick_positive_pairs": COCLICK_POSITIVE_SQL,
+}

@@ -32,6 +32,7 @@ _MODULES = (
     "projet_meteo_etl_spark.plans.incremental",
     "projet_meteo_etl_spark.plans.experiments",
     "projet_meteo_etl_spark.plans.layout",
+    "projet_meteo_etl_spark.plans.feature_eng",
     "projet_meteo_etl_spark.operators.quality_queries",
     "projet_meteo_etl_spark.sources.sinks",
     "projet_meteo_etl_spark.operators.dedup",

@@ -119,6 +119,13 @@ EXPECTED_QUERIES = {
     "token_budget_selection", "train_test_split_report",
     # weighted sampling + shard layout (plans/curation.py)
     "weighted_sample_wor", "shard_assignment_audit",
+    # feature engineering (plans/feature_eng.py)
+    "kfold_target_encoding", "negative_sampling_pairs",
+    "coclick_positive_pairs",
+    # mixture weights + curriculum phases (plans/curation.py)
+    "mixture_temperature_weights", "curriculum_quality_buckets",
+    # LSH index-quality eval (operators/dedup.py)
+    "lsh_candidate_precision",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",
