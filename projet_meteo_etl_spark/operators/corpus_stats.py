@@ -766,8 +766,83 @@ ORDER BY d.doc_id
 """
 
 
+#: top-K vocabulary for the OOV-coverage audit — deliberately SMALLER
+#: than the corpus vocabulary (31 distinct tokens in the driver data)
+#: so the out-of-vocabulary tail is non-empty and the audit has signal
+OOV_VOCAB_K = 16
+
+
+def oov_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: per source, the token volume NOT
+    covered by the global top-``OOV_VOCAB_K`` vocabulary (by collection
+    frequency, ties by token) — the pre-tokenizer-training check that
+    decides whether a fixed vocab budget covers every source, or a
+    long-tail source will explode into UNK/byte fallbacks.
+
+    Scale shape: the vocabulary is K rows — broadcast into the token
+    scan as a left anti/semi membership probe; the only shuffle is the
+    per-source aggregate.  All outputs are integers (ppm via DIV).
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    # two consumers (vocab ranking + the membership probe) — persist so
+    # tokenize runs once; released when the result is dropped
+    toks = _doc_tokens(d).filter(F.length("tok") > 0).persist()
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(OOV_VOCAB_K)
+        .select("tok")
+    )
+    src = d.select("doc_id", "source")
+    flagged = (
+        toks.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left")
+        .join(src, "doc_id")
+    )
+    out = (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_ppm", F.expr("n_oov * 1000000 DIV n_tokens"))
+        .orderBy("source")
+    )
+    return scoped_cache(out, toks)
+
+
+OOV_RATE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+toksf AS (SELECT * FROM toks WHERE length(tok) > 0),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS tf FROM toksf GROUP BY tok
+    ORDER BY tf DESC, tok ASC LIMIT {OOV_VOCAB_K}
+  )
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // count(*) AS oov_ppm
+FROM toksf t
+LEFT JOIN vocab v USING (tok)
+JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 SPARK_QUERIES = {
     "text_repetition_filter": text_repetition_filter,
+    "oov_rate_audit": oov_rate_audit,
     "corpus_vocab_topk": corpus_vocab_topk,
     "bigram_lm_doc_scores": bigram_lm_doc_scores,
     "lm_holdout_nll": lm_holdout_nll,
@@ -778,6 +853,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "text_repetition_filter": TEXT_REPETITION_SQL,
+    "oov_rate_audit": OOV_RATE_SQL,
     "corpus_vocab_topk": CORPUS_VOCAB_SQL,
     "bigram_lm_doc_scores": BIGRAM_LM_SQL,
     "lm_holdout_nll": LM_HOLDOUT_SQL,

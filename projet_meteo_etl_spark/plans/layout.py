@@ -239,12 +239,109 @@ ORDER BY layout
 """
 
 
+#: compaction target per output file — test-scale constant; production
+#: sets 128 MiB–1 GiB.  The PLAN is size-independent: first-fit in
+#: partition order over an exclusive prefix sum.
+TARGET_FILE_BYTES = 65536
+
+
+def small_files_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/rewrite step every
+    100 TB table needs): simulated input files are the (day, hour)
+    partitions of the event log with estimated on-disk bytes; within
+    each day, files are first-fit packed in hour order into output
+    files of ``TARGET_FILE_BYTES`` via an exclusive prefix sum — output
+    file id = prefix_bytes DIV target, pure integer arithmetic.
+
+    Per day the plan reports input file count, total bytes, planned
+    output file count, the largest planned file, and the fill rate in
+    ppm of (outputs × target) — the numbers that justify running the
+    rewrite.  One groupBy over the log + per-day windows: no join, no
+    single-partition stage (windows partition by day).
+    """
+    e = load_table(spark, sf_dir, "events")
+    files = e.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.lit(32) + F.coalesce(F.length("props"), F.lit(0)))
+        .cast("long")
+        .alias("bytes_est"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("day")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "prefix_bytes", F.coalesce(F.sum("bytes_est").over(w), F.lit(0))
+    ).withColumn(
+        "out_file",
+        F.expr(f"prefix_bytes DIV {TARGET_FILE_BYTES}").cast("long"),
+    )
+    per_out = planned.groupBy("day", "out_file").agg(
+        F.sum("bytes_est").alias("out_bytes"),
+        F.count(F.lit(1)).alias("n_inputs"),
+    )
+    return (
+        per_out.groupBy("day")
+        .agg(
+            F.sum("n_inputs").cast("long").alias("n_input_files"),
+            F.sum("out_bytes").cast("long").alias("total_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_output_files"),
+            F.max("out_bytes").cast("long").alias("max_output_bytes"),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr(
+                f"total_bytes * 1000000 DIV (n_output_files * {TARGET_FILE_BYTES})"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH files AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+         count(*) AS n_rows,
+         CAST(sum(32 + coalesce(length(props), 0)) AS BIGINT) AS bytes_est
+  FROM events GROUP BY 1, 2
+),
+planned AS (
+  SELECT *,
+         CAST(coalesce(sum(bytes_est) OVER (PARTITION BY day ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {TARGET_FILE_BYTES} AS BIGINT) AS out_file
+  FROM files
+),
+per_out AS (
+  SELECT day, out_file, sum(bytes_est) AS out_bytes, count(*) AS n_inputs
+  FROM planned GROUP BY 1, 2
+)
+SELECT day,
+       CAST(sum(n_inputs) AS BIGINT) AS n_input_files,
+       CAST(sum(out_bytes) AS BIGINT) AS total_bytes,
+       CAST(count(*) AS BIGINT) AS n_output_files,
+       CAST(max(out_bytes) AS BIGINT) AS max_output_bytes,
+       CAST(sum(out_bytes) AS BIGINT) * 1000000
+         // (count(*) * {TARGET_FILE_BYTES}) AS fill_ppm
+FROM per_out
+GROUP BY day
+ORDER BY day
+"""
+
+
 SPARK_QUERIES = {
     "zorder_layout_audit": zorder_layout_audit,
     "zone_pruning_estimate": zone_pruning_estimate,
+    "small_files_compaction_plan": small_files_compaction_plan,
 }
 
 ORACLE_SQL = {
     "zorder_layout_audit": ZORDER_AUDIT_SQL,
     "zone_pruning_estimate": ZONE_PRUNING_SQL,
+    "small_files_compaction_plan": COMPACTION_PLAN_SQL,
 }

@@ -1372,6 +1372,65 @@ ORDER BY day
 """
 
 
+def stream_chained_dedup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: watermarked
+    dedup on (user_id, day) feeding a 1-day tumbling-window count —
+    daily active users computed end-to-end inside a single incremental
+    plan (Spark's multiple-stateful-operator pipeline), not as a
+    dedup stream post-aggregated in batch like
+    :func:`stream_dedup_user_day`.
+
+    Append mode is mandatory for chained state; the final day's window
+    only closes when the watermark passes its end, so the source is the
+    heartbeat staging (:func:`_staged_events_dir_with_heartbeat`) — the
+    keep-alive pattern that makes the bounded replay emit every window.
+    The 1-hour watermark delay is sized for the test replay's ordered
+    input; production sizes it to observed lateness.  Oracle: the same
+    batch ``count(DISTINCT user_id)`` per day as the unchained twin — a
+    dropped or double-counted key anywhere in the two-operator state
+    chain is a hash mismatch.
+    """
+    from projet_meteo_etl_spark.catalog import harden_session
+
+    harden_session(spark)
+    ts_is_long = _ts_is_long(sf_dir)
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_is_long))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_events_dir_with_heartbeat(sf_dir))
+    )
+    if ts_is_long:
+        e = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        e = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # NOTE: the sentinel rows must NOT be filtered inside the stream —
+    # a `user_id >= 0` predicate gets pushed down to the parquet scan,
+    # which prunes the heartbeat files entirely (row-group stats), so
+    # the watermark never advances past the data.  Instead they flow
+    # through dedup+window like real rows and their sentinel DAYS are
+    # dropped from the aggregated output against the batch max day.
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .withColumn("day", F.to_date("ts"))
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sink = _run_to_memory(agg, "append")
+    from projet_meteo_etl_spark.catalog import load_table
+
+    max_day = load_table(spark, sf_dir, "events").agg(
+        F.max(F.to_date("ts")).alias("max_day")
+    )
+    return (
+        sink.select(F.to_date(F.col("w.start")).alias("day"), "n_users")
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("max_day"))
+        .select("day", "n_users")
+        .orderBy("day")
+    )
+
+
 def _staged_events_dir_with_heartbeat(sf_dir: str) -> str:
     """The standard staged events directory plus a trailing heartbeat
     file: two sentinel rows (user_id −1, one per join side) 2 days past
@@ -1510,6 +1569,7 @@ SPARK_QUERIES = {
     "stream_pit_features": stream_pit_features,
     "stream_pit_features_files": stream_pit_features_files,
     "stream_dedup_user_day": stream_dedup_user_day,
+    "stream_chained_dedup_dau": stream_chained_dedup_dau,
     "stream_user_running_totals": stream_user_running_totals,
     "stream_user_totals_files": stream_user_totals_files,
     "stream_late_event_dropper": stream_late_event_dropper,
@@ -1535,6 +1595,8 @@ ORACLE_SQL = {
     "stream_pit_features": _PIT_SQL,
     "stream_pit_features_files": _PIT_SQL,
     "stream_dedup_user_day": STREAM_DEDUP_SQL,
+    # chained dedup→window state must reproduce the same batch answer
+    "stream_chained_dedup_dau": STREAM_DEDUP_SQL,
     # deterministic replay of the staged 4-slice watermark cut
     "stream_late_event_dropper": STREAM_LATE_DROP_SQL,
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,

@@ -1,0 +1,167 @@
+"""Feature-engineering operators (plans/feature_eng.py): leakage
+properties, determinism, and domain invariants — plus the round-5
+curation/layout/corpus additions that share this test surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.plans.feature_eng import (
+    N_FOLDS,
+    N_NEG,
+    coclick_positive_pairs,
+    kfold_target_encoding,
+    negative_sampling_pairs,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_kfold_encoding_is_leakage_free(spark):
+    """enc(item, fold) must equal the label mean computed with that
+    fold's rows EXCLUDED — verified against a Python replay."""
+    rows = kfold_target_encoding(spark, SF).collect()
+    assert rows
+    e = load_table(spark, SF, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    ).collect()
+    sums: dict[tuple, list] = {}
+    for r in e:
+        if r["item"] is None:
+            continue
+        key = (r["item"], r["user_id"] % N_FOLDS)
+        s = sums.setdefault(key, [0, 0])
+        s[0] += r["cents"]
+        s[1] += 1
+    for r in rows:
+        out_s = sum(v[0] for (it, f), v in sums.items()
+                    if it == r["item"] and f != r["fold"])
+        out_n = sum(v[1] for (it, f), v in sums.items()
+                    if it == r["item"] and f != r["fold"])
+        assert r["n_out"] == out_n
+        if out_n:
+            assert r["enc_micro"] == (out_s * 1_000_000) // out_n
+        else:
+            assert r["enc_micro"] is None
+
+
+def test_negative_sampling_deterministic_and_valid(spark):
+    """Negatives are reproducible, within the vocabulary, never the
+    positive, and at most N_NEG per anchor."""
+    a = negative_sampling_pairs(spark, SF).collect()
+    b = negative_sampling_pairs(spark, SF).collect()
+    assert a == b and a
+    vocab = {
+        r["item"]
+        for r in load_table(spark, SF, "events")
+        .select(F.get_json_object("props", "$.k").cast("long").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+        .collect()
+    }
+    per_anchor: dict[int, int] = {}
+    for r in a:
+        assert r["neg_item"] in vocab
+        assert r["neg_item"] != r["pos_item"]
+        assert 0 <= r["slot"] < N_NEG
+        per_anchor[r["event_id"]] = per_anchor.get(r["event_id"], 0) + 1
+    assert max(per_anchor.values()) <= N_NEG
+
+
+def test_coclick_pairs_ordered_and_supported(spark):
+    from projet_meteo_etl_spark.plans.feature_eng import (
+        COCLICK_MIN_SUPPORT,
+        COCLICK_TOP,
+    )
+
+    rows = coclick_positive_pairs(spark, SF).collect()
+    assert 0 < len(rows) <= COCLICK_TOP
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["i1"] < r["i2"]
+        assert r["n_users"] >= COCLICK_MIN_SUPPORT
+
+
+def test_mixture_temperature_weights_invariants(spark):
+    """Weights sum to ≤1e6 ppm (integer floor), small sources are
+    up-sampled relative to their share, and draws stay bounded."""
+    from projet_meteo_etl_spark.plans.curation import mixture_temperature_weights
+
+    rows = mixture_temperature_weights(spark, SF).collect()
+    assert rows
+    assert sum(r["weight_ppm"] for r in rows) <= 1_000_000
+    total = sum(r["n_docs"] for r in rows)
+    assert all(0 <= r["draws_per_epoch"] <= total for r in rows)
+    # α=0.5 flattens the distribution: the smallest source's weight
+    # share must exceed its raw doc share, the largest's must not
+    smallest = min(rows, key=lambda r: r["n_docs"])
+    largest = max(rows, key=lambda r: r["n_docs"])
+    if smallest["n_docs"] < largest["n_docs"]:
+        assert smallest["weight_ppm"] * total >= smallest["n_docs"] * 1_000_000
+        assert largest["weight_ppm"] * total <= largest["n_docs"] * 1_000_000
+
+
+def test_curriculum_buckets_cover_and_order(spark):
+    from projet_meteo_etl_spark.plans.curation import curriculum_quality_buckets
+
+    rows = curriculum_quality_buckets(spark, SF).collect()
+    assert [r["phase"] for r in rows] == list(range(1, 11))
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # easy→hard: an earlier phase's worst doc scores ≥ a later phase's best
+    for a, b in zip(rows, rows[1:]):
+        assert a["min_score"] >= b["max_score"] - 1e-9
+
+
+def test_lsh_candidate_precision_bounds(spark):
+    from projet_meteo_etl_spark.operators.dedup import lsh_candidate_precision
+
+    r = lsh_candidate_precision(spark, SF).collect()[0]
+    assert r["n_true_pairs"] > 0
+    assert r["n_hits"] <= min(r["n_candidates"], r["n_true_pairs"])
+    assert 0 <= r["precision_ppm"] <= 1_000_000
+    assert 0 <= r["recall_ppm"] <= 1_000_000
+
+
+def test_compaction_plan_invariants(spark):
+    from projet_meteo_etl_spark.plans.layout import (
+        TARGET_FILE_BYTES,
+        small_files_compaction_plan,
+    )
+
+    rows = small_files_compaction_plan(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_output_files"] <= r["n_input_files"]
+        # first-fit on the exclusive prefix can overshoot one input per
+        # bin, never more
+        assert r["n_output_files"] >= r["total_bytes"] // TARGET_FILE_BYTES - 1
+        assert 0 < r["fill_ppm"]
+
+
+def test_oov_rate_audit_consistent(spark):
+    from projet_meteo_etl_spark.operators.corpus_stats import oov_rate_audit
+
+    rows = oov_rate_audit(spark, SF).collect()
+    assert rows
+    assert all(0 <= r["n_oov"] <= r["n_tokens"] for r in rows)
+    # K=16 < the 31-token corpus vocabulary → the tail must be visible
+    assert any(r["n_oov"] > 0 for r in rows)
+
+
+def test_chained_dau_equals_unchained_twin(spark):
+    """The chained dedup→window pipeline must produce exactly the
+    unchained dedup-then-batch-aggregate result."""
+    from projet_meteo_etl_spark.streaming.structured import (
+        stream_chained_dedup_dau,
+        stream_dedup_user_day,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = [(r["day"], r["n_users"]) for r in stream_chained_dedup_dau(spark, sf).collect()]
+    b = [(r["day"], r["n_users"]) for r in stream_dedup_user_day(spark, sf).collect()]
+    assert a == b and a

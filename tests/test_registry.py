@@ -126,6 +126,10 @@ EXPECTED_QUERIES = {
     "mixture_temperature_weights", "curriculum_quality_buckets",
     # LSH index-quality eval (operators/dedup.py)
     "lsh_candidate_precision",
+    # chained stateful streaming (streaming/structured.py)
+    "stream_chained_dedup_dau",
+    # compaction planner (plans/layout.py) + OOV audit (corpus_stats.py)
+    "small_files_compaction_plan", "oov_rate_audit",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",
