@@ -119,6 +119,65 @@ ORDER BY doc_id
 """
 
 
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: per source, subword tokens per word
+    (BPE-ish regex tokens ÷ whitespace words, in ppm) and characters
+    per subword token — the pre-training check that flags sources a
+    fixed tokenizer fragments badly (high fertility = wasted context
+    length for that source).  Integer ppm throughout; one projection +
+    one per-source aggregate, no joins.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        ws_token_count(F.col("text")).alias("n_words"),
+        bpe_ish_token_count(F.col("text")).alias("n_subwords"),
+        F.length(F.regexp_replace("text", _WS, "")).cast("long").alias("n_chars_nospace"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+            F.sum("n_chars_nospace").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.expr("n_subwords * 1000000 DIV greatest(n_words, 1)"),
+        )
+        .withColumn(
+            "chars_per_subword_ppm",
+            F.expr("n_chars * 1000000 DIV greatest(n_subwords, 1)"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = rf"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS n_subwords,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+           AS n_chars_nospace
+  FROM documents
+)
+SELECT source,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+       CAST(sum(n_chars_nospace) AS BIGINT) AS n_chars,
+       CAST(sum(n_subwords) AS BIGINT) * 1000000
+         // greatest(CAST(sum(n_words) AS BIGINT), 1) AS fertility_ppm,
+       CAST(sum(n_chars_nospace) AS BIGINT) * 1000000
+         // greatest(CAST(sum(n_subwords) AS BIGINT), 1) AS chars_per_subword_ppm
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 def _count_base(d: DataFrame, with_fp: bool = False) -> DataFrame:
     """One projection computing every expensive text statistic EXACTLY
     ONCE — token count, distinct-token count, stopword hits (and
@@ -819,6 +878,7 @@ SPARK_QUERIES = {
     "gopher_quality_rules": gopher_quality_rules,
     "c4_line_filter": c4_line_filter,
     "pii_pattern_audit": pii_pattern_audit,
+    "tokenizer_fertility_by_source": tokenizer_fertility_by_source,
 }
 
 ORACLE_SQL = {
@@ -832,4 +892,5 @@ ORACLE_SQL = {
     "gopher_quality_rules": GOPHER_RULES_SQL,
     "c4_line_filter": C4_LINE_SQL,
     "pii_pattern_audit": _pii_sql(),
+    "tokenizer_fertility_by_source": TOKENIZER_FERTILITY_SQL,
 }

@@ -933,6 +933,84 @@ ORDER BY phase
 """
 
 
+#: total sample budget the Neyman allocation distributes
+NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: budget ``n_h ∝
+    N_h·σ_h`` across event-type strata — the variance-minimizing split
+    of a fixed labeling/eval budget, computed from exact integer
+    moments.
+
+    ``varnum_h = N_h·Σx² − (Σx)²  (= N_h²·σ_h²)`` stays in BIGINT from
+    exact cent sums, and ``√varnum = N_h·σ_h`` is the Neyman weight
+    directly — one IEEE-correctly-rounded sqrt per stratum, so the
+    doubles (and their floors) are bit-identical cross-engine, and the
+    final allocation is pure integer arithmetic, capped at the stratum
+    population.  One aggregate over the log + a 1-row broadcast; no
+    shuffle beyond the 5-group agg.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.expr("cents * cents")).alias("s2"),
+    )
+    per = per.withColumn(
+        "weight",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)"
+        ),
+    )
+    tot = per.agg(F.sum("weight").alias("denom"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_rows",
+            F.expr("weight * 1000 DIV greatest(n_rows, 1)").alias("sd_milli"),
+            "weight",
+            F.least(
+                F.col("n_rows"),
+                F.expr(f"{NEYMAN_BUDGET} * weight DIV greatest(denom, 1)"),
+            ).alias("allocation"),
+        )
+        .orderBy("event_type")
+    )
+
+
+NEYMAN_ALLOCATION_SQL = f"""
+WITH per AS (
+  SELECT event_type,
+         count(*) AS n_rows,
+         sum(cents) AS s1,
+         sum(cents * cents) AS s2
+  FROM (SELECT event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events)
+  GROUP BY event_type
+),
+weighted AS (
+  SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(floor(sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)
+           AS weight
+  FROM per
+),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS denom FROM weighted)
+SELECT event_type, n_rows,
+       weight * 1000 // greatest(n_rows, 1) AS sd_milli,
+       weight,
+       least(n_rows, {NEYMAN_BUDGET} * weight // greatest(denom, 1))
+         AS allocation
+FROM weighted, tot
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
@@ -947,6 +1025,7 @@ SPARK_QUERIES = {
     "shard_assignment_audit": shard_assignment_audit,
     "mixture_temperature_weights": mixture_temperature_weights,
     "curriculum_quality_buckets": curriculum_quality_buckets,
+    "neyman_allocation_plan": neyman_allocation_plan,
 }
 
 ORACLE_SQL = {
@@ -963,4 +1042,5 @@ ORACLE_SQL = {
     "shard_assignment_audit": SHARD_AUDIT_SQL,
     "mixture_temperature_weights": MIXTURE_TEMPERATURE_SQL,
     "curriculum_quality_buckets": _curriculum_sql(),
+    "neyman_allocation_plan": NEYMAN_ALLOCATION_SQL,
 }

@@ -266,14 +266,74 @@ LIMIT {COCLICK_TOP}
 """
 
 
+def propensity_ipw_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity weights for de-biased click-through training:
+    per item, the view→purchase propensity (ppm) and the IPW a
+    purchased impression carries (1/propensity, in micros) — the
+    standard correction when training on logged feedback whose exposure
+    distribution is skewed.  One per-item aggregate over the log,
+    all-integer ratios; items never purchased carry NULL weight
+    (no-support flag) rather than a fabricated cap.
+    """
+    e = _events_items(spark, sf_dir)
+    per = e.groupBy("item").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_views"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    return (
+        per.filter(F.col("n_views") > 0)
+        .select(
+            "item",
+            "n_views",
+            "n_purchases",
+            F.expr("n_purchases * 1000000 DIV n_views").alias("propensity_ppm"),
+            F.when(
+                F.col("n_purchases") > 0,
+                F.expr("n_views * 1000000 DIV n_purchases"),
+            ).alias("ipw_micro"),
+        )
+        .orderBy("item")
+    )
+
+
+PROPENSITY_IPW_SQL = """
+WITH base AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, event_type
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+per AS (
+  SELECT item,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_views,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases
+  FROM base GROUP BY item
+)
+SELECT item, n_views, n_purchases,
+       n_purchases * 1000000 // n_views AS propensity_ppm,
+       CASE WHEN n_purchases > 0
+            THEN n_views * 1000000 // n_purchases END AS ipw_micro
+FROM per
+WHERE n_views > 0
+ORDER BY item
+"""
+
+
 SPARK_QUERIES = {
     "kfold_target_encoding": kfold_target_encoding,
+    "propensity_ipw_weights": propensity_ipw_weights,
     "negative_sampling_pairs": negative_sampling_pairs,
     "coclick_positive_pairs": coclick_positive_pairs,
 }
 
 ORACLE_SQL = {
     "kfold_target_encoding": KFOLD_TARGET_ENCODING_SQL,
+    "propensity_ipw_weights": PROPENSITY_IPW_SQL,
     "negative_sampling_pairs": NEGATIVE_SAMPLING_SQL,
     "coclick_positive_pairs": COCLICK_POSITIVE_SQL,
 }

@@ -334,14 +334,82 @@ ORDER BY day
 """
 
 
+#: hash-sampled "forget set": users with md5-prefix % FORGET_MOD == 0
+FORGET_MOD = 20
+#: rewrite threshold — files with more than this many ppm of deleted
+#: rows get rewritten; below it a deletion vector suffices
+DV_REWRITE_PPM = 20_000
+
+
+def deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten planner: given a (hash-sampled,
+    deterministic) set of users to erase, decide per day-partition file
+    whether to attach a deletion vector or rewrite the file — the
+    Delta/Iceberg DV-vs-rewrite decision, driven by the deleted-row
+    density.  A DV keeps reads cheap when deletions are sparse; past
+    ``DV_REWRITE_PPM`` the scan overhead justifies rewriting.
+
+    One pass over the log (projection + per-day aggregate); the forget
+    set is a predicate, not a table — at 100 TB the real id list would
+    broadcast as a Bloom/join, but the plan arithmetic is identical.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    flagged = e.select(
+        F.to_date("ts").alias("day"),
+        (F.pmod(h, F.lit(FORGET_MOD)) == 0).cast("int").alias("forget"),
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("forget").cast("long").alias("n_deleted"),
+        )
+        .withColumn("deleted_ppm", F.expr("n_deleted * 1000000 DIV n_rows"))
+        .withColumn(
+            "plan",
+            F.when(F.col("n_deleted") == 0, F.lit("noop"))
+            .when(F.col("deleted_ppm") > DV_REWRITE_PPM, F.lit("rewrite"))
+            .otherwise(F.lit("deletion_vector")),
+        )
+        .orderBy("day")
+    )
+
+
+DELETION_VECTOR_SQL = f"""
+WITH flagged AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {FORGET_MOD} = 0 THEN 1 ELSE 0 END AS forget
+  FROM events
+),
+per AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(forget) AS BIGINT) AS n_deleted
+  FROM flagged GROUP BY day
+)
+SELECT day, n_rows, n_deleted,
+       n_deleted * 1000000 // n_rows AS deleted_ppm,
+       CASE WHEN n_deleted = 0 THEN 'noop'
+            WHEN n_deleted * 1000000 // n_rows > {DV_REWRITE_PPM} THEN 'rewrite'
+            ELSE 'deletion_vector' END AS plan
+FROM per
+ORDER BY day
+"""
+
+
 SPARK_QUERIES = {
     "zorder_layout_audit": zorder_layout_audit,
     "zone_pruning_estimate": zone_pruning_estimate,
     "small_files_compaction_plan": small_files_compaction_plan,
+    "deletion_vector_plan": deletion_vector_plan,
 }
 
 ORACLE_SQL = {
     "zorder_layout_audit": ZORDER_AUDIT_SQL,
     "zone_pruning_estimate": ZONE_PRUNING_SQL,
     "small_files_compaction_plan": COMPACTION_PLAN_SQL,
+    "deletion_vector_plan": DELETION_VECTOR_SQL,
 }

@@ -153,6 +153,67 @@ def test_oov_rate_audit_consistent(spark):
     assert any(r["n_oov"] > 0 for r in rows)
 
 
+def test_neyman_allocation_properties(spark):
+    """Allocation ∝ N_h·σ_h within integer truncation, never exceeds
+    the stratum population or the total budget."""
+    from projet_meteo_etl_spark.plans.curation import (
+        NEYMAN_BUDGET,
+        neyman_allocation_plan,
+    )
+
+    rows = neyman_allocation_plan(spark, SF).collect()
+    assert rows
+    assert sum(r["allocation"] for r in rows) <= NEYMAN_BUDGET
+    denom = sum(r["weight"] for r in rows)
+    for r in rows:
+        assert 0 <= r["allocation"] <= r["n_rows"]
+        want = min(r["n_rows"], NEYMAN_BUDGET * r["weight"] // max(denom, 1))
+        assert r["allocation"] == want
+
+
+def test_propensity_ipw_inverse_relation(spark):
+    from projet_meteo_etl_spark.plans.feature_eng import propensity_ipw_weights
+
+    rows = propensity_ipw_weights(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_views"] > 0
+        if r["n_purchases"] > 0:
+            assert r["ipw_micro"] == r["n_views"] * 1_000_000 // r["n_purchases"]
+        else:
+            assert r["ipw_micro"] is None
+
+
+def test_tokenizer_fertility_sane(spark):
+    """Subword count ≥ word count (the regex splits punctuation off),
+    so fertility ≥ 1e6 ppm; chars per subword is a small positive."""
+    from projet_meteo_etl_spark.operators.text import tokenizer_fertility_by_source
+
+    rows = tokenizer_fertility_by_source(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["fertility_ppm"] >= 1_000_000
+        assert 0 < r["chars_per_subword_ppm"] < 50_000_000
+
+
+def test_deletion_vector_plan_thresholds(spark):
+    from projet_meteo_etl_spark.plans.layout import (
+        DV_REWRITE_PPM,
+        deletion_vector_plan,
+    )
+
+    rows = deletion_vector_plan(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_deleted"] <= r["n_rows"]
+        if r["plan"] == "noop":
+            assert r["n_deleted"] == 0
+        elif r["plan"] == "rewrite":
+            assert r["deleted_ppm"] > DV_REWRITE_PPM
+        else:
+            assert 0 < r["deleted_ppm"] <= DV_REWRITE_PPM
+
+
 def test_chained_dau_equals_unchained_twin(spark):
     """The chained dedup→window pipeline must produce exactly the
     unchained dedup-then-batch-aggregate result."""

@@ -130,6 +130,9 @@ EXPECTED_QUERIES = {
     "stream_chained_dedup_dau",
     # compaction planner (plans/layout.py) + OOV audit (corpus_stats.py)
     "small_files_compaction_plan", "oov_rate_audit",
+    # round-5 batch 3: allocation / IPW / fertility / DV planner
+    "neyman_allocation_plan", "propensity_ipw_weights",
+    "tokenizer_fertility_by_source", "deletion_vector_plan",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",
