@@ -416,8 +416,120 @@ ORDER BY q_doc, rank
 """
 
 
+#: NDCG cutoff and the 1-indexed integer-micro discount table
+#: ``floor(1e6 / log2(i+1))`` — precomputed so NO transcendental runs
+#: in either engine; the literals are embedded identically in the Spark
+#: plan and the oracle SQL, keeping DCG pure integer arithmetic.
+NDCG_K = 10
+_NDCG_DISC = [1000000, 630929, 500000, 430676, 386852, 356207, 333333,
+              315464, 301029, 289064]
+
+
+def ndcg_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of a behavioral ranker: the SYSTEM ranks items by view
+    count (ties → item id), graded relevance is the purchase count
+    capped at 4, and the IDEAL ranking re-sorts the same catalog by
+    relevance — the standard offline ranking eval, reduced to integer
+    arithmetic via a precomputed discount table (see ``_NDCG_DISC``).
+
+    Scale shape: one per-item aggregate of the log (map-side combine),
+    then two rankings over the ITEM CATALOG — a domain-bounded
+    relation, not the fact table — and a 1-row reduction.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        "event_type",
+    ).filter(F.col("item").isNotNull())
+    per = e.groupBy("item").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "n_views"
+        ),
+        F.least(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)),
+            F.lit(4),
+        )
+        .cast("long")
+        .alias("rel"),
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    sys_rk = F.row_number().over(Window.orderBy(F.desc("n_views"), F.asc("item")))
+    ideal_rk = F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("item")))
+    ranked = per.select(
+        "item",
+        "rel",
+        sys_rk.alias("sys_rk"),
+        ideal_rk.alias("ideal_rk"),
+    )
+    return ranked.agg(
+        F.sum(
+            F.when(
+                F.col("sys_rk") <= NDCG_K,
+                F.col("rel") * F.element_at(disc, F.col("sys_rk")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_micro"),
+        F.sum(
+            F.when(
+                F.col("ideal_rk") <= NDCG_K,
+                F.col("rel") * F.element_at(disc, F.col("ideal_rk")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("idcg_micro"),
+    ).select(
+        "dcg_micro",
+        "idcg_micro",
+        F.expr("dcg_micro * 1000000 DIV greatest(idcg_micro, 1)").alias(
+            "ndcg_ppm"
+        ),
+    )
+
+
+def _ndcg_disc_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISC)
+    )
+    return f"CASE {rank_col} {whens} ELSE 0 END"
+
+
+NDCG_EVAL_SQL = f"""
+WITH base AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, event_type
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+per AS (
+  SELECT item,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+         CAST(least(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 4)
+              AS BIGINT) AS rel
+  FROM base GROUP BY item
+),
+ranked AS (
+  SELECT item, rel,
+         row_number() OVER (ORDER BY n_views DESC, item ASC) AS sys_rk,
+         row_number() OVER (ORDER BY rel DESC, item ASC) AS ideal_rk
+  FROM per
+)
+SELECT CAST(sum(CASE WHEN sys_rk <= {NDCG_K}
+                     THEN rel * ({_ndcg_disc_case('sys_rk')}) ELSE 0 END)
+            AS BIGINT) AS dcg_micro,
+       CAST(sum(CASE WHEN ideal_rk <= {NDCG_K}
+                     THEN rel * ({_ndcg_disc_case('ideal_rk')}) ELSE 0 END)
+            AS BIGINT) AS idcg_micro,
+       CAST(sum(CASE WHEN sys_rk <= {NDCG_K}
+                     THEN rel * ({_ndcg_disc_case('sys_rk')}) ELSE 0 END)
+            AS BIGINT) * 1000000
+         // greatest(CAST(sum(CASE WHEN ideal_rk <= {NDCG_K}
+                                   THEN rel * ({_ndcg_disc_case('ideal_rk')}) ELSE 0 END)
+                          AS BIGINT), 1) AS ndcg_ppm
+FROM ranked
+"""
+
+
 SPARK_QUERIES = {
     "tfidf_topk_similar": tfidf_topk_similar,
+    "ndcg_at_k_eval": ndcg_at_k_eval,
     "bm25_keyword_search": bm25_keyword_search,
     "hybrid_rrf_search": hybrid_rrf_search,
 }
@@ -426,4 +538,5 @@ ORACLE_SQL = {
     "tfidf_topk_similar": TFIDF_TOPK_SQL,
     "bm25_keyword_search": BM25_SQL,
     "hybrid_rrf_search": HYBRID_RRF_SQL,
+    "ndcg_at_k_eval": NDCG_EVAL_SQL,
 }

@@ -359,8 +359,98 @@ ORDER BY rk
 """
 
 
+#: bootstrap replica count; order-statistic CI indices below assume 32
+N_BOOT = 32
+
+
+def bootstrap_ci_purchase_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap CI for the mean purchase value, fully
+    deterministic: replica ``b`` is the half-sample of purchases whose
+    ``md5(event_id:b)`` is even (subsample bootstrap — membership is a
+    pure function of the row, so no RNG stream and no driver loop), and
+    the CI is an ORDER STATISTIC of the 32 replica means (2nd / 31st ≈
+    p5 / p95), which keeps every output integer-exact — no float
+    percentile interpolation to diverge cross-engine.
+
+    Scale shape: one map-side-combinable aggregate over a 32-way
+    explode of the purchase slice (32× scan rows, zero extra shuffle
+    keys beyond the replica id); the order-statistic window runs over
+    exactly ``N_BOOT`` rows.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    full = e.agg(
+        F.expr("sum(cents) * 1000000 DIV count(*)").alias("point_micro")
+    )
+    reps = e.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BOOT - 1))).alias("b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    per = (
+        reps.filter(F.pmod(h, F.lit(2)) == 0)
+        .groupBy("b")
+        .agg(F.expr("sum(cents) * 1000000 DIV count(*)").alias("mean_micro"))
+    )
+    from pyspark.sql import Window
+
+    ranked = per.withColumn(
+        "rk", F.row_number().over(Window.orderBy("mean_micro", "b"))
+    )
+    ci = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.max(F.when(F.col("rk") == 2, F.col("mean_micro"))).alias("ci_lo_micro"),
+        F.max(F.when(F.col("rk") == N_BOOT - 1, F.col("mean_micro"))).alias(
+            "ci_hi_micro"
+        ),
+    )
+    return ci.crossJoin(F.broadcast(full)).select(
+        "point_micro", "n_replicas", "ci_lo_micro", "ci_hi_micro"
+    )
+
+
+BOOTSTRAP_CI_SQL = f"""
+WITH p AS (
+  SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+full_mean AS (
+  SELECT CAST(sum(cents) AS BIGINT) * 1000000 // count(*) AS point_micro FROM p
+),
+reps AS (
+  SELECT p.event_id, p.cents, b.b
+  FROM p, (SELECT unnest(range({N_BOOT})) AS b) b
+  WHERE ('0x' || substr(md5(p.event_id || ':' || b.b), 1, 15))::BIGINT % 2 = 0
+),
+per AS (
+  SELECT b, CAST(sum(cents) AS BIGINT) * 1000000 // count(*) AS mean_micro
+  FROM reps GROUP BY b
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY mean_micro, b) AS rk FROM per
+)
+SELECT (SELECT point_micro FROM full_mean) AS point_micro,
+       CAST(count(*) AS BIGINT) AS n_replicas,
+       max(CASE WHEN rk = 2 THEN mean_micro END) AS ci_lo_micro,
+       max(CASE WHEN rk = {N_BOOT - 1} THEN mean_micro END) AS ci_hi_micro
+FROM ranked
+"""
+
+
 SPARK_QUERIES = {
     "ab_test_analysis": ab_test_analysis,
+    "bootstrap_ci_purchase_mean": bootstrap_ci_purchase_mean,
     "user_behavior_entropy": user_behavior_entropy,
     "chi_square_priority_weekday": chi_square_priority_weekday,
     "revenue_delta_contributors": revenue_delta_contributors,
@@ -368,6 +458,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "ab_test_analysis": AB_TEST_SQL,
+    "bootstrap_ci_purchase_mean": BOOTSTRAP_CI_SQL,
     "user_behavior_entropy": ENTROPY_SQL,
     "chi_square_priority_weekday": CHI2_SQL,
     "revenue_delta_contributors": REVENUE_DELTA_SQL,

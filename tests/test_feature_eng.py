@@ -214,6 +214,27 @@ def test_deletion_vector_plan_thresholds(spark):
             assert 0 < r["deleted_ppm"] <= DV_REWRITE_PPM
 
 
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    from projet_meteo_etl_spark.plans.experiments import (
+        N_BOOT,
+        bootstrap_ci_purchase_mean,
+    )
+
+    r = bootstrap_ci_purchase_mean(spark, SF).collect()[0]
+    assert r["n_replicas"] == N_BOOT
+    assert r["ci_lo_micro"] <= r["ci_hi_micro"]
+    # half-sample means of a well-populated slice bracket the point
+    assert r["ci_lo_micro"] <= r["point_micro"] <= r["ci_hi_micro"]
+
+
+def test_ndcg_eval_bounds(spark):
+    from projet_meteo_etl_spark.operators.retrieval import ndcg_at_k_eval
+
+    r = ndcg_at_k_eval(spark, SF).collect()[0]
+    assert 0 < r["dcg_micro"] <= r["idcg_micro"]
+    assert 0 < r["ndcg_ppm"] <= 1_000_000
+
+
 def test_chained_dau_equals_unchained_twin(spark):
     """The chained dedup→window pipeline must produce exactly the
     unchained dedup-then-batch-aggregate result."""

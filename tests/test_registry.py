@@ -133,6 +133,8 @@ EXPECTED_QUERIES = {
     # round-5 batch 3: allocation / IPW / fertility / DV planner
     "neyman_allocation_plan", "propensity_ipw_weights",
     "tokenizer_fertility_by_source", "deletion_vector_plan",
+    # round-5 batch 4: bootstrap CI + ranking eval
+    "bootstrap_ci_purchase_mean", "ndcg_at_k_eval",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

@@ -39,6 +39,16 @@ ALLOWED = {
     "join_order_advisor": "per-candidate-join estimates (constant count)",
     # window over an explicit LIMIT
     "vocab_zipf_fit": "top-ZIPF_K terms via limit() before the window",
+    # bucket_prefix offset window over the score-bucket rollup,
+    # bounded by the pround(score,4)×10000 value domain (≤10001 rows)
+    "curriculum_quality_buckets": "quality-score div-1e4 buckets (domain bounded)",
+    # dense-index ranking of the ITEM VOCABULARY (distinct items), a
+    # catalog-sized relation, not the event log
+    "negative_sampling_pairs": "item vocabulary after distinct (|items| rows)",
+    # order statistic over exactly N_BOOT replica means (32 rows)
+    "bootstrap_ci_purchase_mean": "N_BOOT=32 bootstrap replica rollup",
+    # two rankings of the item-catalog aggregate (|items| rows)
+    "ndcg_at_k_eval": "item catalog aggregate (domain bounded)",
 }
 
 
