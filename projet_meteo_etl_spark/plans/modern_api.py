@@ -440,8 +440,61 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType API surface: ``create_map`` → ``transform_values``
+    (lambda over the map) → ``explode`` to (key, value) rows — the
+    side of the column API the TPC-H-style queries never touch.  The
+    oracle verifies VALUES, not representation: DuckDB reproduces the
+    same rows with a plain UNION ALL per key, so the check pins the
+    map semantics (every key present, lambda applied) without needing
+    DuckDB's MAP type to round-trip identically.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        e.orderBy("event_id")
+        .limit(500)
+        .select(
+            "event_id",
+            F.create_map(
+                F.lit("type"), F.col("event_type"),
+                F.lit("day"), F.to_date("ts").cast("string"),
+                F.lit("band"),
+                F.when(F.col("value") > 50, F.lit("hi")).otherwise(F.lit("lo")),
+            ).alias("m"),
+        )
+        .select(
+            "event_id",
+            F.transform_values("m", lambda _, v: F.upper(v)).alias("m"),
+        )
+    )
+    return (
+        base.select("event_id", F.explode("m").alias("map_key", "map_value"))
+        .orderBy("event_id", "map_key")
+    )
+
+
+MAP_SHOWCASE_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day_s,
+         CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS band
+  FROM events ORDER BY event_id LIMIT 500
+),
+rows_ AS (
+  SELECT event_id, 'type' AS map_key, upper(event_type) AS map_value FROM base
+  UNION ALL
+  SELECT event_id, 'day', upper(day_s) FROM base
+  UNION ALL
+  SELECT event_id, 'band', upper(band) FROM base
+)
+SELECT event_id, map_key, map_value
+FROM rows_
+ORDER BY event_id, map_key
+"""
+
+
 SPARK_QUERIES = {
     "pyds_ticks_station_stats": pyds_ticks_station_stats,
+    "map_functions_showcase": map_functions_showcase,
     "udtf_token_run_lengths": udtf_token_run_lengths,
     "variant_props_extract": variant_props_extract,
     "cogroup_asof_purchase_click": cogroup_asof_purchase_click,
@@ -451,6 +504,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "pyds_ticks_station_stats": PYDS_TICKS_SQL,
+    "map_functions_showcase": MAP_SHOWCASE_SQL,
     "udtf_token_run_lengths": UDTF_TOKEN_RUNS_SQL,
     "variant_props_extract": VARIANT_PROPS_SQL,
     "cogroup_asof_purchase_click": COGROUP_ASOF_SQL,

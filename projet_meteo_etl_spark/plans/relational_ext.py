@@ -678,8 +678,69 @@ WHERE ('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15))::BIGINT % 
 """
 
 
+#: rows one task should own after salting, and the salt-factor ceiling
+SALT_TARGET_ROWS = 8192
+SALT_MAX = 32
+
+
+def salt_factor_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation advisor: per join key (event_type), the salt
+    factor a salted join/aggregation should use — ``ceil(key_rows /
+    SALT_TARGET_ROWS)`` capped at ``SALT_MAX`` — plus the key's row
+    share and a skew flag (key > 4× the mean key size).  This is the
+    measurement pass that turns ad-hoc salting (see
+    ``salted_skew_join``) into a data-driven plan; at 100 TB it runs as
+    one map-side-combinable aggregate over the fact table and a 1-row
+    broadcast for the mean.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_rows",
+            F.expr("n_rows * 1000000 DIV total_rows").alias("share_ppm"),
+            F.least(
+                F.lit(SALT_MAX),
+                F.expr(f"(n_rows + {SALT_TARGET_ROWS} - 1) DIV {SALT_TARGET_ROWS}"),
+            )
+            .cast("long")
+            .alias("salt_factor"),
+            (F.col("n_rows") * F.col("n_keys") > F.col("total_rows") * 4).alias(
+                "is_skewed"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+SALT_ADVISOR_SQL = f"""
+WITH per AS (
+  SELECT event_type, count(*) AS n_rows FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM per
+)
+SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+       n_rows * 1000000 // total_rows AS share_ppm,
+       least({SALT_MAX}, (n_rows + {SALT_TARGET_ROWS} - 1) // {SALT_TARGET_ROWS})
+         AS salt_factor,
+       n_rows * n_keys > total_rows * 4 AS is_skewed
+FROM per, tot
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
+    "salt_factor_advisor": salt_factor_advisor,
     "q7_supplier_nation_volume": q7_supplier_nation_volume,
     "q10_returned_items": q10_returned_items,
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
@@ -700,6 +761,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "q6_forecast_revenue": Q6_SQL,
+    "salt_factor_advisor": SALT_ADVISOR_SQL,
     "q7_supplier_nation_volume": Q7_SQL,
     "q10_returned_items": Q10_SQL,
     "q12_priority_by_returnflag": Q12_SQL,

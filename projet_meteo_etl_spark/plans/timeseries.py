@@ -1098,8 +1098,61 @@ LIMIT {DECAY_TOP_N}
 """
 
 
+def events_hour_of_week_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week traffic profile: events bucketed by (ISO weekday,
+    hour) with each cell's ppm share of total — the seasonality map
+    capacity planning and anomaly baselines read.
+
+    The ISO weekday is derived from epoch-day arithmetic
+    (``(epoch_day + 3) % 7 + 1`` — 1970-01-01 was a Thursday), not an
+    engine ``dayofweek``, because Spark (1=Sunday) and DuckDB
+    (0=Sunday) disagree on numbering; integer arithmetic on the UTC
+    epoch is convention-free and exact in both.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = e.select(
+        F.expr("unix_micros(ts) DIV 86400000000 + 3").alias("eday3"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).select(
+        (F.pmod("eday3", F.lit(7)) + 1).cast("int").alias("dow_iso"), "hour"
+    )
+    per = cells.groupBy("dow_iso", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    tot = per.agg(F.sum("n_events").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "dow_iso",
+            "hour",
+            "n_events",
+            F.expr("n_events * 1000000 DIV total").alias("share_ppm"),
+        )
+        .orderBy("dow_iso", "hour")
+    )
+
+
+HOUR_OF_WEEK_SQL = """
+WITH cells AS (
+  SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS INTEGER) AS dow_iso,
+         CAST(extract(hour FROM ts) AS INTEGER) AS hour
+  FROM events
+),
+per AS (
+  SELECT dow_iso, hour, CAST(count(*) AS BIGINT) AS n_events
+  FROM cells GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM per)
+SELECT dow_iso, hour, n_events,
+       n_events * 1000000 // total AS share_ppm
+FROM per, tot
+ORDER BY dow_iso, hour
+"""
+
+
 SPARK_QUERIES = {
     "user_decayed_engagement": user_decayed_engagement,
+    "events_hour_of_week_seasonality": events_hour_of_week_seasonality,
     "revenue_autocorrelation": revenue_autocorrelation,
     "user_value_trend": user_value_trend,
     "user_hourly_ffill": user_hourly_ffill,
@@ -1132,6 +1185,7 @@ SELECT user_id, event_id, ewma_value FROM r ORDER BY user_id, event_id
 
 ORACLE_SQL = {
     "user_decayed_engagement": DECAYED_ENGAGEMENT_SQL,
+    "events_hour_of_week_seasonality": HOUR_OF_WEEK_SQL,
     "user_value_trend": USER_TREND_SQL,
     "user_hourly_ffill": USER_FFILL_SQL,
     "user_value_ewma": USER_EWMA_SQL,

@@ -235,6 +235,45 @@ def test_ndcg_eval_bounds(spark):
     assert 0 < r["ndcg_ppm"] <= 1_000_000
 
 
+def test_salt_factor_advisor_consistent(spark):
+    from projet_meteo_etl_spark.plans.relational_ext import (
+        SALT_MAX,
+        SALT_TARGET_ROWS,
+        salt_factor_advisor,
+    )
+
+    rows = salt_factor_advisor(spark, SF).collect()
+    assert rows
+    total = sum(r["n_rows"] for r in rows)
+    for r in rows:
+        want = min(SALT_MAX, -(-r["n_rows"] // SALT_TARGET_ROWS))
+        assert r["salt_factor"] == want
+        assert r["share_ppm"] == r["n_rows"] * 1_000_000 // total
+
+
+def test_hour_of_week_shares_sum(spark):
+    from projet_meteo_etl_spark.plans.timeseries import (
+        events_hour_of_week_seasonality,
+    )
+
+    rows = events_hour_of_week_seasonality(spark, SF).collect()
+    assert rows
+    assert all(1 <= r["dow_iso"] <= 7 and 0 <= r["hour"] <= 23 for r in rows)
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+
+
+def test_map_showcase_every_key_per_event(spark):
+    from projet_meteo_etl_spark.plans.modern_api import map_functions_showcase
+
+    rows = map_functions_showcase(spark, SF).collect()
+    per_event: dict[int, set] = {}
+    for r in rows:
+        per_event.setdefault(r["event_id"], set()).add(r["map_key"])
+        assert r["map_value"] == r["map_value"].upper()
+    assert all(ks == {"type", "day", "band"} for ks in per_event.values())
+    assert len(per_event) == 500
+
+
 def test_chained_dau_equals_unchained_twin(spark):
     """The chained dedup→window pipeline must produce exactly the
     unchained dedup-then-batch-aggregate result."""

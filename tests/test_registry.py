@@ -135,6 +135,9 @@ EXPECTED_QUERIES = {
     "tokenizer_fertility_by_source", "deletion_vector_plan",
     # round-5 batch 4: bootstrap CI + ranking eval
     "bootstrap_ci_purchase_mean", "ndcg_at_k_eval",
+    # round-5 batch 5: skew advisor / seasonality / MapType surface
+    "salt_factor_advisor", "events_hour_of_week_seasonality",
+    "map_functions_showcase",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",
