@@ -158,6 +158,18 @@ def main() -> int:
                 "stream_backfill_seam": seam_probe,
             }
         )
+        # round-5 additions with join-expansion shapes: the LSH index
+        # eval (quadratic-family truth side) and the temporal co-click
+        # pair miner (per-user self-join)
+        from projet_meteo_etl_spark.plans import feature_eng
+
+        probes.update(
+            {
+                "lsh_candidate_precision": dedup.lsh_candidate_precision,
+                "coclick_positive_pairs": feature_eng.coclick_positive_pairs,
+                "kfold_target_encoding": feature_eng.kfold_target_encoding,
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
