@@ -304,11 +304,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_payload_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup accounting over the opaque binary column: assets
+    grouped by payload digest within kind, reporting duplicate groups,
+    redundant assets, and the pair count ``Σ C(size, 2)`` a pairwise
+    verifier would process — the media-dedup shape (pHash/aHash bucket
+    → verify) with the perceptual hash STUBBED to an exact digest, as
+    the codec stubs elsewhere in this module: swapping in a real pHash
+    changes only the digest expression, not the group/verify plan.
+
+    Digest grouping shuffles 64-byte digests, never payload bytes; the
+    pair arithmetic is integer (sizes are group-local).
+    """
+    m = with_media_payload(load_table(spark, sf_dir, "documents"))
+    groups = (
+        m.select("kind", F.sha2(F.hex("payload"), 256).alias("digest"))
+        .groupBy("kind", "digest")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        groups.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_payloads"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_groups"),
+            F.sum(F.col("sz") - 1).cast("long").alias("n_redundant_assets"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).cast("long").alias(
+                "n_verify_pairs"
+            ),
+        )
+        .orderBy("kind")
+    )
+
+
+MULTIMODAL_PAYLOAD_DUP_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+         CASE (doc_id % 3)::INT
+           WHEN 0 THEN from_hex('89504E470D0A1A0A')
+           WHEN 1 THEN from_hex('52494646')
+           ELSE from_hex('000000186674797069736F6D')
+         END || encode(text) AS payload
+  FROM documents
+),
+groups AS (
+  SELECT kind, sha256(hex(payload)) AS digest, count(*) AS sz
+  FROM media GROUP BY 1, 2
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT) AS n_distinct_payloads,
+       CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(sum(sz - 1) AS BIGINT) AS n_redundant_assets,
+       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_verify_pairs
+FROM groups
+GROUP BY kind
+ORDER BY kind
+"""
+
+
 SPARK_QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_features": multimodal_features,
     "multimodal_thumbnails": multimodal_thumbnails,
+    "multimodal_payload_near_dup": multimodal_payload_near_dup,
 }
 
 # DuckDB cannot substring a BLOB, but the payload is deterministic
@@ -370,4 +431,5 @@ ORACLE_SQL = {
     "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_thumbnails": MULTIMODAL_THUMBS_SQL,
+    "multimodal_payload_near_dup": MULTIMODAL_PAYLOAD_DUP_SQL,
 }

@@ -759,8 +759,79 @@ ORDER BY key_space
 """
 
 
+def robust_scaler_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-scaler fit (the sklearn ``RobustScaler`` parameters, per
+    event-type slice): rank-exact Q1/median/Q3 of the cent values, the
+    IQR, and 1.5×IQR clip bounds — the outlier-insensitive
+    normalization constants a feature pipeline exports before
+    training.
+
+    Percentiles are RANK-SELECTED (value at ``ceil(q·n)`` in the
+    (cents, event_id) total order), not interpolated: Spark
+    ``percentile`` interpolates and DuckDB ``quantile_disc`` floors, so
+    neither builtin is cross-engine-stable — the explicit rank is, and
+    it keeps every output an exact integer.  The window partitions by
+    event_type; 1.5×IQR is computed as ``(3·iqr) DIV 2``.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    picked = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.max(F.when(F.expr("rn = (n + 3) DIV 4"), F.col("cents"))).alias("q1_cents"),
+        F.max(F.when(F.expr("rn = (n + 1) DIV 2"), F.col("cents"))).alias(
+            "median_cents"
+        ),
+        F.max(F.when(F.expr("rn = (3 * n + 3) DIV 4"), F.col("cents"))).alias(
+            "q3_cents"
+        ),
+    )
+    return (
+        picked.withColumn("iqr_cents", F.expr("q3_cents - q1_cents"))
+        .withColumn("clip_lo_cents", F.expr("q1_cents - (3 * iqr_cents) DIV 2"))
+        .withColumn("clip_hi_cents", F.expr("q3_cents + (3 * iqr_cents) DIV 2"))
+        .orderBy("event_type")
+    )
+
+
+ROBUST_SCALER_SQL = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+                                     event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+picked AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n_rows,
+         max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1_cents,
+         max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS median_cents,
+         max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3_cents
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_rows, q1_cents, median_cents, q3_cents,
+       q3_cents - q1_cents AS iqr_cents,
+       q1_cents - (3 * (q3_cents - q1_cents)) // 2 AS clip_lo_cents,
+       q3_cents + (3 * (q3_cents - q1_cents)) // 2 AS clip_hi_cents
+FROM picked
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "profile_numeric_stats": profile_numeric_stats,
+    "robust_scaler_params": robust_scaler_params,
     "profile_numeric_histograms": profile_numeric_histograms,
     "profile_correlations": profile_correlations,
     "profile_group_percentiles": profile_group_percentiles,
@@ -773,6 +844,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "profile_numeric_stats": PROFILE_STATS_SQL,
+    "robust_scaler_params": ROBUST_SCALER_SQL,
     "profile_numeric_histograms": PROFILE_HIST_SQL,
     "profile_correlations": _corr_sql(),
     "profile_group_percentiles": _group_percentiles_sql(),

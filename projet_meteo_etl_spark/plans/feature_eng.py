@@ -324,9 +324,186 @@ ORDER BY item
 """
 
 
+#: expanding-window CV fold count
+N_TS_FOLDS = 5
+
+
+def time_series_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window time-series cross-validation folds: the date
+    span splits into ``N_TS_FOLDS + 1`` slices; fold k trains on
+    slices 1..k and tests on slice k+1 (the last fold's test runs to
+    the max date).  This is the temporal counterpart of
+    :func:`kfold_target_encoding`'s user-hashed folds — for forecasting
+    targets, a hash split would leak the future into training.
+
+    All date arithmetic is integer epoch-days; the per-day rollup the
+    fold counts aggregate over is date-domain bounded, and the bounds
+    ride as a 1-row broadcast.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("eday")
+    )
+    daily = e.groupBy("eday").agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.agg(
+        F.min("eday").alias("d0"), F.max("eday").alias("d1")
+    )
+    folds = spark.range(1, N_TS_FOLDS + 1).select(
+        F.col("id").cast("int").alias("fold")
+    )
+    cuts = folds.crossJoin(F.broadcast(bounds)).select(
+        "fold",
+        "d0",
+        "d1",
+        F.expr(
+            f"d0 + fold * greatest((d1 - d0 + 1) DIV {N_TS_FOLDS + 1}, 1) - 1"
+        ).alias("train_end"),
+        F.expr(
+            f"CASE WHEN fold = {N_TS_FOLDS} THEN d1 "
+            f"ELSE d0 + (fold + 1) * greatest((d1 - d0 + 1) DIV {N_TS_FOLDS + 1}, 1) - 1 END"
+        ).alias("test_end"),
+    )
+    joined = daily.crossJoin(F.broadcast(cuts))
+    return (
+        joined.groupBy("fold", "train_end", "test_end")
+        .agg(
+            F.sum(F.when(F.col("eday") <= F.col("train_end"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("eday") > F.col("train_end"))
+                    & (F.col("eday") <= F.col("test_end")),
+                    F.col("n"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_test"),
+        )
+        .select(
+            "fold",
+            F.date_from_unix_date(F.col("train_end").cast("int")).alias(
+                "train_end_day"
+            ),
+            F.date_from_unix_date(F.col("test_end").cast("int")).alias(
+                "test_end_day"
+            ),
+            "n_train",
+            "n_test",
+        )
+        .orderBy("fold")
+    )
+
+
+TS_CV_FOLDS_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS eday, count(*) AS n
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(eday) AS d0, max(eday) AS d1 FROM daily),
+cuts AS (
+  SELECT f.fold::INTEGER AS fold, b.d0, b.d1,
+         b.d0 + f.fold * greatest((b.d1 - b.d0 + 1) // {N_TS_FOLDS + 1}, 1) - 1
+           AS train_end,
+         CASE WHEN f.fold = {N_TS_FOLDS} THEN b.d1
+              ELSE b.d0 + (f.fold + 1)
+                   * greatest((b.d1 - b.d0 + 1) // {N_TS_FOLDS + 1}, 1) - 1 END
+           AS test_end
+  FROM (SELECT unnest(range(1, {N_TS_FOLDS + 1})) AS fold) f, bounds b
+)
+SELECT c.fold,
+       DATE '1970-01-01' + CAST(c.train_end AS INTEGER) AS train_end_day,
+       DATE '1970-01-01' + CAST(c.test_end AS INTEGER) AS test_end_day,
+       CAST(sum(CASE WHEN d.eday <= c.train_end THEN d.n ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(sum(CASE WHEN d.eday > c.train_end AND d.eday <= c.test_end
+                     THEN d.n ELSE 0 END) AS BIGINT) AS n_test
+FROM daily d, cuts c
+GROUP BY c.fold, c.train_end, c.test_end
+ORDER BY c.fold
+"""
+
+
+#: feature-hashing table sizes to audit
+HASH_DIMS = (16, 64, 256)
+
+
+def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit: the item
+    vocabulary hashed into tables of ``HASH_DIMS`` buckets, reporting
+    occupancy, the heaviest bucket, and the collision rate — the
+    check run before fixing a hashed-feature dimensionality, where an
+    undersized table silently aliases features.
+
+    The vocabulary is catalog-sized; the whole audit is |vocab|×|dims|
+    rows of integer arithmetic after one distinct over the log.
+    """
+    e = _events_items(spark, sf_dir)
+    vocab = e.select("item").distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("item").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = vocab.select("item", h.alias("h")).crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(d,) for d in HASH_DIMS], "n_buckets int"
+            )
+        )
+    )
+    per_bucket = (
+        hashed.select(
+            "n_buckets", F.pmod("h", F.col("n_buckets")).alias("bucket")
+        )
+        .groupBy("n_buckets", "bucket")
+        .agg(F.count(F.lit(1)).alias("load"))
+    )
+    return (
+        per_bucket.groupBy("n_buckets")
+        .agg(
+            F.sum("load").cast("long").alias("n_items"),
+            F.count(F.lit(1)).cast("long").alias("n_occupied"),
+            F.max("load").cast("long").alias("max_load"),
+        )
+        .withColumn(
+            "collision_ppm",
+            F.expr("(n_items - n_occupied) * 1000000 DIV n_items"),
+        )
+        .orderBy("n_buckets")
+    )
+
+
+FEATURE_HASH_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+hashed AS (
+  SELECT v.item, d.n_buckets,
+         ('0x' || substr(md5(CAST(v.item AS VARCHAR)), 1, 15))::BIGINT
+           % d.n_buckets AS bucket
+  FROM vocab v,
+       (SELECT unnest([{', '.join(str(d) for d in HASH_DIMS)}]) AS n_buckets) d
+),
+per_bucket AS (
+  SELECT n_buckets, bucket, count(*) AS load
+  FROM hashed GROUP BY 1, 2
+)
+SELECT CAST(n_buckets AS INTEGER) AS n_buckets,
+       CAST(sum(load) AS BIGINT) AS n_items,
+       CAST(count(*) AS BIGINT) AS n_occupied,
+       CAST(max(load) AS BIGINT) AS max_load,
+       (CAST(sum(load) AS BIGINT) - count(*)) * 1000000
+         // CAST(sum(load) AS BIGINT) AS collision_ppm
+FROM per_bucket
+GROUP BY n_buckets
+ORDER BY n_buckets
+"""
+
+
 SPARK_QUERIES = {
     "kfold_target_encoding": kfold_target_encoding,
     "propensity_ipw_weights": propensity_ipw_weights,
+    "time_series_cv_folds": time_series_cv_folds,
+    "feature_hash_collision_audit": feature_hash_collision_audit,
     "negative_sampling_pairs": negative_sampling_pairs,
     "coclick_positive_pairs": coclick_positive_pairs,
 }
@@ -334,6 +511,8 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "kfold_target_encoding": KFOLD_TARGET_ENCODING_SQL,
     "propensity_ipw_weights": PROPENSITY_IPW_SQL,
+    "time_series_cv_folds": TS_CV_FOLDS_SQL,
+    "feature_hash_collision_audit": FEATURE_HASH_SQL,
     "negative_sampling_pairs": NEGATIVE_SAMPLING_SQL,
     "coclick_positive_pairs": COCLICK_POSITIVE_SQL,
 }

@@ -274,6 +274,85 @@ def test_map_showcase_every_key_per_event(spark):
     assert len(per_event) == 500
 
 
+def test_robust_scaler_params_rank_exact(spark):
+    """Q1 ≤ median ≤ Q3, clip bounds bracket the quartiles, and the
+    median matches a Python rank replay for one slice."""
+    from projet_meteo_etl_spark.operators.profiling import robust_scaler_params
+
+    rows = robust_scaler_params(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["q1_cents"] <= r["median_cents"] <= r["q3_cents"]
+        assert r["clip_lo_cents"] <= r["q1_cents"]
+        assert r["clip_hi_cents"] >= r["q3_cents"]
+    one = rows[0]
+    cents = sorted(
+        r["c"]
+        for r in load_table(spark, SF, "events")
+        .filter(F.col("event_type") == one["event_type"])
+        .select(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("c"))
+        .collect()
+    )
+    n = len(cents)
+    assert one["median_cents"] == cents[(n + 1) // 2 - 1]
+    assert one["q1_cents"] == cents[(n + 3) // 4 - 1]
+
+
+def test_time_series_cv_folds_expand_without_leakage(spark):
+    from projet_meteo_etl_spark.plans.feature_eng import (
+        N_TS_FOLDS,
+        time_series_cv_folds,
+    )
+
+    rows = time_series_cv_folds(spark, SF).collect()
+    assert [r["fold"] for r in rows] == list(range(1, N_TS_FOLDS + 1))
+    for a, b in zip(rows, rows[1:]):
+        # expanding: later folds train on strictly more data
+        assert b["train_end_day"] > a["train_end_day"]
+        assert b["n_train"] >= a["n_train"] + a["n_test"] - 1
+    for r in rows:
+        assert r["test_end_day"] > r["train_end_day"]
+        assert r["n_test"] > 0
+    total = load_table(spark, SF, "events").count()
+    last = rows[-1]
+    assert last["n_train"] + last["n_test"] == total
+
+
+def test_feature_hash_collision_decreases_with_dim(spark):
+    from projet_meteo_etl_spark.plans.feature_eng import (
+        HASH_DIMS,
+        feature_hash_collision_audit,
+    )
+
+    rows = feature_hash_collision_audit(spark, SF).collect()
+    assert [r["n_buckets"] for r in rows] == sorted(HASH_DIMS)
+    for r in rows:
+        assert r["n_occupied"] <= min(r["n_items"], r["n_buckets"])
+        assert r["max_load"] >= -(-r["n_items"] // r["n_buckets"])
+    colls = [r["collision_ppm"] for r in rows]
+    assert colls == sorted(colls, reverse=True)  # bigger table, fewer collisions
+
+
+def test_multimodal_payload_dup_consistent_with_metadata(spark):
+    """Redundant assets per kind must equal n_assets − distinct_payloads
+    from the metadata scan (same digest)."""
+    from projet_meteo_etl_spark.operators.multimodal import (
+        multimodal_metadata,
+        multimodal_payload_near_dup,
+    )
+
+    meta = {r["kind"]: r for r in multimodal_metadata(spark, SF).collect()}
+    dup = {r["kind"]: r for r in multimodal_payload_near_dup(spark, SF).collect()}
+    assert meta.keys() == dup.keys()
+    for k in meta:
+        assert dup[k]["n_distinct_payloads"] == meta[k]["distinct_payloads"]
+        assert (
+            dup[k]["n_redundant_assets"]
+            == meta[k]["n_assets"] - meta[k]["distinct_payloads"]
+        )
+        assert dup[k]["n_verify_pairs"] >= dup[k]["n_redundant_assets"]
+
+
 def test_chained_dau_equals_unchained_twin(spark):
     """The chained dedup→window pipeline must produce exactly the
     unchained dedup-then-batch-aggregate result."""

@@ -138,6 +138,9 @@ EXPECTED_QUERIES = {
     # round-5 batch 5: skew advisor / seasonality / MapType surface
     "salt_factor_advisor", "events_hour_of_week_seasonality",
     "map_functions_showcase",
+    # round-5 batch 6: scaler fit / temporal CV / hashing audit / media dedup
+    "robust_scaler_params", "time_series_cv_folds",
+    "feature_hash_collision_audit", "multimodal_payload_near_dup",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",
