@@ -664,11 +664,193 @@ ORDER BY query_id, rank
 """
 
 
+#: embedding dimensionality (matches the testdata corpus)
+PCA_DIM = 64
+#: unrolled power-iteration rounds
+PCA_ITERS = 3
+
+
+def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by ``PCA_ITERS``
+    unrolled power iterations over the exact integer covariance — the
+    spectral health check (is the space collapsing onto one axis?) and
+    the whitening/compression primitive an embedding store runs.
+
+    Distributed shape: ONE ``mapInPandas`` pass computes per-Arrow-batch
+    Gram partials (QᵀQ, with elements quantized to integer micros up
+    front), so the shuffle carries d² = 4096 partial cells per batch —
+    never a row-pair join, never N·d² intermediate rows.  The d×d
+    covariance ``N·ΣQᵢQⱼ − ΣQᵢ·ΣQⱼ`` is assembled in DECIMAL(38,0)
+    (overflow-proof at any corpus BIGINT can count), normalized to
+    integer units of its own L∞ norm, and the 3 matvec+renormalize
+    rounds run as broadcast joins over the 4096-row matrix relation.
+    Everything after quantization is integer arithmetic with
+    truncating division (identical in Spark ``DIV`` and DuckDB ``//``),
+    so the component is bit-identical cross-engine — including its
+    sign, which is pinned by the deterministic all-ones start vector.
+
+    Per-batch int64 safety: |q| ≤ ~1e7 micros ⇒ |q·q| ≤ 1e14; Arrow
+    batches are ≤ 10k rows ⇒ partial cells ≤ 1e18 < 2⁶³.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        d = PCA_DIM
+        ii = np.repeat(np.arange(1, d + 1), d)
+        jj = np.tile(np.arange(1, d + 1), d)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+            g = q.T @ q
+            yield pd.concat(
+                [
+                    pd.DataFrame({"i": ii, "j": jj, "s": g.ravel()}),
+                    pd.DataFrame(
+                        {"i": np.arange(1, d + 1), "j": 0, "s": q.sum(axis=0)}
+                    ),
+                    pd.DataFrame({"i": [0], "j": [0], "s": [len(q)]}),
+                ]
+            )
+
+    # persisted: six consumers (n, the two sum legs, the Gram cells,
+    # and the covariance feeding both cmax and M) — without the cache
+    # each would re-run the corpus-wide Python Gram pass
+    # one partition: the partials relation is d²+d+1 ≈ 4.2k rows — at 32
+    # shuffle partitions every downstream matvec stage would pay 32-task
+    # scheduling for a few hundred rows of work
+    agg = (
+        e.mapInPandas(gram, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+        .coalesce(1)
+        .persist()
+    )
+    n = agg.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("s").alias("n")
+    )
+    sums = agg.filter((F.col("j") == 0) & (F.col("i") > 0)).select(
+        F.col("i"), F.col("s").alias("dim_sum")
+    )
+    gram_df = agg.filter((F.col("i") > 0) & (F.col("j") > 0))
+    cov = (
+        gram_df.join(F.broadcast(sums.withColumnRenamed("dim_sum", "si")), "i")
+        .join(
+            F.broadcast(
+                sums.select(F.col("i").alias("j"), F.col("dim_sum").alias("sj"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s") - F.col("si") * F.col("sj")).alias("c"),
+        )
+    )
+    cmax = cov.agg(
+        F.greatest(F.max(F.abs(F.col("c"))), F.lit(1).cast("decimal(38,0)")).alias(
+            "cmax"
+        )
+    )
+    m = (
+        cov.crossJoin(F.broadcast(cmax))
+        .select(
+            "i",
+            "j",
+            F.expr("CAST(c * 1000000 DIV cmax AS BIGINT)").alias("m"),
+        )
+        .persist()
+    )
+    x = sums.select(F.col("i").alias("j"), F.lit(1000000).cast("long").alias("x"))
+    mk = None
+    for _ in range(PCA_ITERS):
+        y = (
+            m.join(F.broadcast(x), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("m") * F.col("x")).alias("y"))
+        )
+        mk = y.agg(
+            F.greatest(F.max(F.abs(F.col("y"))), F.lit(1)).cast("long").alias("mk")
+        )
+        x = y.crossJoin(F.broadcast(mk)).select(
+            F.col("i").alias("j"),
+            F.expr(
+                "CAST(CAST(y AS DECIMAL(38,0)) * 1000000 DIV mk AS BIGINT)"
+            ).alias("x"),
+        )
+    out = (
+        x.crossJoin(F.broadcast(mk))
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            F.col("x").alias("comp_micro"),
+            F.col("mk").alias("growth_linf"),
+        )
+        .orderBy("dim")
+    )
+    return scoped_cache(out, m, agg)
+
+
+def _pca_iter_sql(k: int) -> str:
+    """One unrolled power-iteration round as oracle CTEs."""
+    prev = f"x{k - 1}" if k > 1 else "x0"
+    return f"""
+y{k} AS (
+  SELECT m.i, CAST(sum(m.m * {prev}.x) AS BIGINT) AS y
+  FROM m JOIN {prev} ON {prev}.j = m.j GROUP BY 1
+),
+mk{k} AS (SELECT greatest(max(abs(y)), 1) AS mk FROM y{k}),
+x{k} AS (
+  SELECT y{k}.i AS j,
+         CAST(y{k}.y::HUGEINT * 1000000 // mk{k}.mk AS BIGINT) AS x
+  FROM y{k}, mk{k}
+)"""
+
+
+PCA_POWER_SQL = f"""
+WITH e AS (
+  SELECT vec_id, t.i,
+         CAST(floor(embedding[t.i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(1, {PCA_DIM + 1}) t(i)
+),
+nn AS (SELECT count(*) // {PCA_DIM} AS n FROM e),
+s AS (SELECT i, CAST(sum(q) AS BIGINT) AS dim_sum FROM e GROUP BY i),
+g AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS gsum
+  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2
+),
+cov AS (
+  SELECT g.i, g.j,
+         nn.n::HUGEINT * g.gsum - si.dim_sum::HUGEINT * sj.dim_sum AS c
+  FROM g
+  JOIN s si ON si.i = g.i
+  JOIN s sj ON sj.i = g.j
+  CROSS JOIN nn
+),
+cm AS (SELECT greatest(max(abs(c)), 1) AS cmax FROM cov),
+m AS (
+  SELECT i, j, CAST(c * 1000000 // cmax AS BIGINT) AS m FROM cov, cm
+),
+x0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS x FROM s),
+{','.join(_pca_iter_sql(k) for k in range(1, PCA_ITERS + 1))}
+SELECT CAST(x{PCA_ITERS}.j AS INTEGER) AS dim,
+       x{PCA_ITERS}.x AS comp_micro,
+       CAST(mk{PCA_ITERS}.mk AS BIGINT) AS growth_linf
+FROM x{PCA_ITERS}, mk{PCA_ITERS}
+ORDER BY dim
+"""
+
+
 SPARK_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "semdedup_prune": semdedup_prune,
     "pq_codebook_audit": pq_codebook_audit,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "pca_power_component": pca_power_component,
 }
 
 ORACLE_SQL = {
@@ -676,4 +858,5 @@ ORACLE_SQL = {
     "semdedup_prune": SEMDEDUP_SQL,
     "pq_codebook_audit": PQ_AUDIT_SQL,
     "ann_pq_adc_topk": ANN_PQ_ADC_SQL,
+    "pca_power_component": PCA_POWER_SQL,
 }

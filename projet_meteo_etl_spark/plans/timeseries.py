@@ -1150,9 +1150,85 @@ ORDER BY dow_iso, hour
 """
 
 
+#: shared Holt recursion SQL — identical text on both engines except
+#: the integer-division spelling, so the smoothing arithmetic can never
+#: silently diverge between the query and its oracle
+def _holt_sql(div: str) -> str:
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT day, d_cents, row_number() OVER (ORDER BY day) AS rn
+  FROM holt_daily
+),
+h(rn, day, d_cents, lvl, trd, fit) AS (
+  SELECT rn, day, d_cents, d_cents,
+         coalesce((SELECT d2.d_cents FROM d d2 WHERE d2.rn = 2), d_cents)
+           - d_cents,
+         CAST(NULL AS BIGINT)
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.day, d.d_cents,
+         (d.d_cents + h.lvl + h.trd) {div} 2,
+         ((d.d_cents + h.lvl + h.trd) {div} 2 - h.lvl + h.trd) {div} 2,
+         h.lvl + h.trd
+  FROM h JOIN d ON d.rn = h.rn + 1
+)
+SELECT day AS sale_day, d_cents, fit AS fitted_cents,
+       lvl AS level_cents, trd AS trend_cents,
+       abs(d_cents - fit) AS abs_err_cents
+FROM h ORDER BY sale_day
+"""
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (α = β = ½) of daily purchase
+    revenue — level + trend one-step-ahead fits, the forecasting
+    baseline one notch above :func:`seasonal_forecast_error`'s
+    seasonal-naive.
+
+    Like EWMA the recursion ``l_t = ½(x_t + l_{t−1} + b_{t−1}),
+    b_t = ½(l_t − l_{t−1} + b_{t−1})`` cannot be a window frame — here
+    it runs as a ``WITH RECURSIVE`` CTE *inside the Spark plan* (depth =
+    number of DAYS, date-domain bounded, never row count; the
+    corpus-sized work is the ordinary map-combinable day rollup
+    feeding it).  α = β = ½ keeps every state integer via halving with
+    truncating division — identical in Spark ``DIV`` and DuckDB ``//``
+    even for negative trends — so levels, trends, and fits are
+    engine-exact with no float recursion anywhere.  Init: l₁ = x₁,
+    b₁ = x₂ − x₁ (the classic two-point start; 0 for a 1-day series).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    daily = (
+        e.select(F.to_date("ts").alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("d_cents"))
+    )
+    # materialize the (date-domain-bounded) rollup BEFORE the recursion:
+    # a plain temp view would inline the full event-log aggregate into
+    # every recursion step — T re-scans of the corpus for a T-row series
+    daily.coalesce(1).localCheckpoint(eager=True).createOrReplaceTempView(
+        "holt_daily"
+    )
+    return spark.sql(_holt_sql("DIV"))
+
+
+HOLT_LINEAR_SQL = f"""
+WITH RECURSIVE holt_daily AS (
+  SELECT ts::DATE AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS d_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+{_holt_sql('//').lstrip().replace('WITH RECURSIVE d AS', ', d AS', 1)}
+"""
+
+
 SPARK_QUERIES = {
     "user_decayed_engagement": user_decayed_engagement,
     "events_hour_of_week_seasonality": events_hour_of_week_seasonality,
+    "holt_linear_forecast": holt_linear_forecast,
     "revenue_autocorrelation": revenue_autocorrelation,
     "user_value_trend": user_value_trend,
     "user_hourly_ffill": user_hourly_ffill,
@@ -1186,6 +1262,7 @@ SELECT user_id, event_id, ewma_value FROM r ORDER BY user_id, event_id
 ORACLE_SQL = {
     "user_decayed_engagement": DECAYED_ENGAGEMENT_SQL,
     "events_hour_of_week_seasonality": HOUR_OF_WEEK_SQL,
+    "holt_linear_forecast": HOLT_LINEAR_SQL,
     "user_value_trend": USER_TREND_SQL,
     "user_hourly_ffill": USER_FFILL_SQL,
     "user_value_ewma": USER_EWMA_SQL,

@@ -33,6 +33,7 @@ _MODULES = (
     "projet_meteo_etl_spark.plans.experiments",
     "projet_meteo_etl_spark.plans.layout",
     "projet_meteo_etl_spark.plans.feature_eng",
+    "projet_meteo_etl_spark.plans.model_eval",
     "projet_meteo_etl_spark.operators.quality_queries",
     "projet_meteo_etl_spark.sources.sinks",
     "projet_meteo_etl_spark.operators.dedup",
@@ -100,7 +101,11 @@ def _frozen_priority() -> list[str]:
     the never-verified-first priority is worse than failing loudly.
     """
     here = os.path.dirname(os.path.abspath(__file__))
-    for fname in ("frozen_order_r4.json", "frozen_order_r3.json"):
+    for fname in (
+        "frozen_order_r5.json",
+        "frozen_order_r4.json",
+        "frozen_order_r3.json",
+    ):
         path = os.path.join(here, fname)
         try:
             with open(path) as f:

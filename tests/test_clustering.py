@@ -97,3 +97,50 @@ def test_ann_pq_adc_topk_shape_and_determinism(spark):
         assert [r.rank for r in rows] == list(range(1, PQ_TOP_K + 1))
         dists = [r.adc_micros for r in rows]
         assert dists == sorted(dists)
+
+
+def test_pca_power_component_matches_integer_replay(spark):
+    """The component must equal a pure-Python integer replay of the
+    quantize → exact covariance → L∞-normalize → 3 power iterations
+    pipeline (truncating division throughout, as both engines do)."""
+    import math
+
+    import duckdb
+
+    from projet_meteo_etl_spark.operators.clustering import (
+        PCA_DIM,
+        PCA_ITERS,
+        pca_power_component,
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    vecs = [
+        [int(math.floor(float(x) * 1e6 + 0.5)) for x in row[0]]
+        for row in duckdb.sql(
+            f"SELECT embedding FROM '{SF}/embeddings.parquet'"
+        ).fetchall()
+    ]
+    n, d = len(vecs), PCA_DIM
+    s = [sum(v[i] for v in vecs) for i in range(d)]
+    g = [
+        [sum(v[i] * v[j] for v in vecs) for j in range(d)]
+        for i in range(d)
+    ]
+    c = [[n * g[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+    cmax = max(max(abs(x) for x in row) for row in c)
+    m = [[tdiv(c[i][j] * 1_000_000, max(cmax, 1)) for j in range(d)] for i in range(d)]
+    x = [1_000_000] * d
+    mk = 1
+    for _ in range(PCA_ITERS):
+        y = [sum(m[i][j] * x[j] for j in range(d)) for i in range(d)]
+        mk = max(max(abs(v) for v in y), 1)
+        x = [tdiv(v * 1_000_000, mk) for v in y]
+    got = pca_power_component(spark, SF).collect()
+    assert [r["dim"] for r in got] == list(range(1, d + 1))
+    assert [r["comp_micro"] for r in got] == x
+    assert all(r["growth_linf"] == mk for r in got)
+    # L∞ normalization: the dominant coordinate sits exactly at ±1e6
+    assert max(abs(v) for v in x) == 1_000_000

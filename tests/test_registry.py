@@ -141,6 +141,9 @@ EXPECTED_QUERIES = {
     # round-5 batch 6: scaler fit / temporal CV / hashing audit / media dedup
     "robust_scaler_params", "time_series_cv_folds",
     "feature_hash_collision_audit", "multimodal_payload_near_dup",
+    # round-5 batch 7: rank-exact model eval / spectral probe / Holt
+    "auc_roc_eval", "ks_value_drift", "pca_power_component",
+    "holt_linear_forecast",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

@@ -357,3 +357,41 @@ def test_decayed_engagement_against_python_oracle(spark):
         u = r["user_id"]
         assert (r["n_purchases"], r["raw_cents"], r["decayed_cmicro"]) == agg[u]
         assert r["decayed_cmicro"] <= r["raw_cents"] * 1_000_000
+
+
+def test_holt_linear_matches_recursion_replay(spark):
+    """Levels/trends/fits must equal a literal Python replay of the
+    α=β=½ Holt recursion with truncating halving."""
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.timeseries import holt_linear_forecast
+    from tests.conftest import SF_SMOKE
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    daily = duckdb.sql(
+        f"SELECT ts::DATE AS day,"
+        f" CAST(sum(CAST(floor(value*100.0+0.5) AS BIGINT)) AS BIGINT)"
+        f" FROM '{SF_SMOKE}/events.parquet'"
+        f" WHERE event_type='purchase' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    cents = [c for _, c in daily]
+    lvl = cents[0]
+    trd = (cents[1] - cents[0]) if len(cents) > 1 else 0
+    expect = [(daily[0][0], cents[0], None, lvl, trd, None)]
+    for t in range(1, len(cents)):
+        fit = lvl + trd
+        new_lvl = tdiv(cents[t] + lvl + trd, 2)
+        trd = tdiv(new_lvl - lvl + trd, 2)
+        lvl = new_lvl
+        expect.append(
+            (daily[t][0], cents[t], fit, lvl, trd, abs(cents[t] - fit))
+        )
+    got = holt_linear_forecast(spark, SF_SMOKE).collect()
+    assert [
+        (r["sale_day"], r["d_cents"], r["fitted_cents"], r["level_cents"],
+         r["trend_cents"], r["abs_err_cents"])
+        for r in got
+    ] == expect
