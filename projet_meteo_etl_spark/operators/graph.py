@@ -147,5 +147,103 @@ LIMIT {TOP_N}
 """
 
 
-SPARK_QUERIES = {"pagerank_click_graph": pagerank_click_graph}
-ORACLE_SQL = {"pagerank_click_graph": PAGERANK_SQL}
+#: synchronous label-propagation rounds (unrolled; deterministic)
+N_LPA_ROUNDS = 2
+#: communities reported
+LPA_TOP = 50
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the symmetrized user–item click graph by
+    ``N_LPA_ROUNDS`` synchronous label-propagation rounds (Raghavan et
+    al. 2007), reported as the ``LPA_TOP`` largest communities.
+
+    Plain LPA is notoriously nondeterministic (random update order,
+    random tie-breaks); this variant is bit-reproducible on any cluster
+    layout: updates are SYNCHRONOUS (round k+1 sees only round k), the
+    new label is the modal label among neighbors with ties broken to
+    the LEXICOGRAPHICALLY SMALLEST label (both engines compare varchar
+    binary), and the initial label is the node's own id.
+
+    Scale: each round is one shuffle-join of the edge list (partitioned
+    once on dst and reused across rounds) with the |V|-row label
+    relation, then a (node, label) count and a per-node top-1 window —
+    map-side combinable, skew-bounded by max degree.  Output is the
+    community-size rollup (top ``LPA_TOP``), never the |V|-row
+    assignment.
+    """
+    edges = _edges(spark, sf_dir).repartition("dst").cache()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(N_LPA_ROUNDS):
+        nb = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("label"))
+        .limit(LPA_TOP)
+    )
+    return scoped_cache(out, edges)
+
+
+def _lpa_iter_sql(prev: str, this: str) -> str:
+    return f"""
+{this} AS (
+  SELECT node, label FROM (
+    SELECT e.src AS node, l.label,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM edges e JOIN {prev} l ON l.node = e.dst
+    GROUP BY e.src, l.label
+  ) WHERE rn = 1
+)"""
+
+
+LPA_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'u:' || user_id AS u,
+         'i:' || CAST(props->>'k' AS BIGINT) AS i
+  FROM events
+  WHERE event_type = 'click'
+    AND 'i:' || CAST(props->>'k' AS BIGINT) IS NOT NULL
+),
+edges AS (
+  SELECT u AS src, i AS dst FROM pairs
+  UNION ALL
+  SELECT i AS src, u AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{_lpa_iter_sql('l0', 'l1')},
+{_lpa_iter_sql('l1', 'l2')}
+SELECT label, CAST(count(*) AS BIGINT) AS n_members
+FROM l{N_LPA_ROUNDS}
+GROUP BY label
+ORDER BY n_members DESC, label ASC
+LIMIT {LPA_TOP}
+"""
+
+
+SPARK_QUERIES = {
+    "pagerank_click_graph": pagerank_click_graph,
+    "label_propagation_communities": label_propagation_communities,
+}
+ORACLE_SQL = {
+    "pagerank_click_graph": PAGERANK_SQL,
+    "label_propagation_communities": LPA_SQL,
+}

@@ -1238,6 +1238,77 @@ ORDER BY window_start
 """
 
 
+#: sliding-window heavy-hitter report depth
+TOPK_ITEMS_K = 5
+
+
+def stream_sliding_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: top-``TOPK_ITEMS_K`` clicked items per
+    6-hour window sliding by 3 hours — the trending-items panel every
+    event platform runs.
+
+    The INCREMENTAL part is the (window, item) count — per-key integer
+    state the stream maintains exactly (sum-mergeable across
+    micro-batches); the top-k RANKING runs batch-side on the folded
+    sink output (windows × items rows, domain-bounded), because a rank
+    is not incrementally maintainable under updates without holding
+    every candidate anyway.  Deterministic tie-break: higher count,
+    then smaller item id.  Same two-window-per-event expansion oracle
+    as :func:`stream_sliding_avg`.
+    """
+    e = _read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    item = F.get_json_object("props", "$.k").cast("long")
+    agg = (
+        e.select("ts", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .withWatermark("ts", "6 hours")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "item")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    sink = _run_to_memory(agg, "complete")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_clicks"), F.asc("item")
+    )
+    return (
+        sink.select(F.col("w.start").alias("window_start"), "item", "n_clicks")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOPK_ITEMS_K)
+        .select("window_start", "rnk", "item", "n_clicks")
+        .orderBy("window_start", "rnk")
+    )
+
+
+STREAM_TOPK_ITEMS_SQL = f"""
+WITH clicks AS (
+  SELECT ts, CAST(props->>'k' AS BIGINT) AS item
+  FROM events
+  WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
+),
+expanded AS (
+  SELECT time_bucket(INTERVAL '3 hours', ts) AS window_start, item FROM clicks
+  UNION ALL
+  SELECT time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours', item
+  FROM clicks
+),
+counts AS (
+  SELECT window_start, item, CAST(count(*) AS BIGINT) AS n_clicks
+  FROM expanded GROUP BY 1, 2
+)
+SELECT window_start, rnk, item, n_clicks FROM (
+  SELECT window_start, item, n_clicks,
+         CAST(row_number() OVER (PARTITION BY window_start
+                                 ORDER BY n_clicks DESC, item ASC)
+              AS BIGINT) AS rnk
+  FROM counts
+) WHERE rnk <= {TOPK_ITEMS_K}
+ORDER BY window_start, rnk
+"""
+
+
 def has_tws_runtime() -> bool:
     """``transformWithStateInPandas`` ships its own Python driver worker
     that requires ``google.protobuf`` (state-server wire protocol); gate
@@ -1580,6 +1651,7 @@ SPARK_QUERIES = {
     "stream_cms_item_counts": stream_cms_item_counts,
     "stream_session_windows": stream_session_windows,
     "stream_sliding_avg": stream_sliding_avg,
+    "stream_sliding_topk_items": stream_sliding_topk_items,
 }
 
 if has_tws_runtime():  # environment-gated: needs google.protobuf
@@ -1608,6 +1680,7 @@ ORACLE_SQL = {
     "stream_cms_item_counts": _stream_cms_sql(),
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_sliding_avg": STREAM_SLIDING_SQL,
+    "stream_sliding_topk_items": STREAM_TOPK_ITEMS_SQL,
 }
 
 if has_tws_runtime():

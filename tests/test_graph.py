@@ -32,3 +32,42 @@ def test_pagerank_is_bit_deterministic_across_runs(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_lpa_matches_python_replay(spark):
+    """The community rollup must equal a dict-based Python replay of
+    2 synchronous LPA rounds (modal neighbor label, min-label ties)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from projet_meteo_etl_spark.operators.graph import (
+        LPA_TOP,
+        N_LPA_ROUNDS,
+        label_propagation_communities,
+    )
+
+    pairs = duckdb.sql(
+        f"SELECT DISTINCT 'u:' || user_id,"
+        f" 'i:' || CAST(props->>'k' AS BIGINT)"
+        f" FROM '{SF_SMOKE}/events.parquet'"
+        f" WHERE event_type = 'click' AND (props->>'k') IS NOT NULL"
+    ).fetchall()
+    nbrs = defaultdict(list)
+    for u, i in pairs:
+        nbrs[u].append(i)
+        nbrs[i].append(u)
+    labels = {v: v for v in nbrs}
+    for _ in range(N_LPA_ROUNDS):
+        labels = {
+            v: min(
+                (l for l in Counter(labels[n] for n in ns).items()),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for v, ns in nbrs.items()
+        }
+    expect = sorted(
+        Counter(labels.values()).items(), key=lambda kv: (-kv[1], kv[0])
+    )[:LPA_TOP]
+    got = label_propagation_communities(spark, SF_SMOKE).collect()
+    assert [(r["label"], r["n_members"]) for r in got] == expect

@@ -144,6 +144,8 @@ EXPECTED_QUERIES = {
     # round-5 batch 7: rank-exact model eval / spectral probe / Holt
     "auc_roc_eval", "ks_value_drift", "pca_power_component",
     "holt_linear_forecast",
+    # round-5 batch 8: LPA communities + streaming heavy hitters
+    "label_propagation_communities", "stream_sliding_topk_items",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

@@ -327,3 +327,24 @@ def test_backfill_seam_equals_whole_log(spark):
     whole = structured.stream_tumbling_counts(spark, SF).collect()
     assert seam == whole
     assert len(seam) > 0
+
+
+def test_stream_sliding_topk_rank_invariants(spark):
+    """Per-window ranks are contiguous from 1, counts non-increasing
+    with rank, and no window reports more than K items."""
+    from projet_meteo_etl_spark.streaming.structured import (
+        TOPK_ITEMS_K,
+        stream_sliding_topk_items,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = stream_sliding_topk_items(spark, SF_SMOKE).collect()
+    assert rows
+    by_w: dict = {}
+    for r in rows:
+        by_w.setdefault(r["window_start"], []).append(r)
+    for w, rs in by_w.items():
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOPK_ITEMS_K
+        counts = [r["n_clicks"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
