@@ -170,6 +170,25 @@ def main() -> int:
                 "kfold_target_encoding": feature_eng.kfold_target_encoding,
             }
         )
+        # round-5 batches 7-8: rank-stat evals (per-distinct-score
+        # rollups must stay value-domain bounded), the Gram-partial PCA
+        # (one corpus pass, d² shuffle cells), the recursive-CTE Holt
+        # (depth = days, invariant under row replication), and LPA
+        # (edge-list join growth)
+        from projet_meteo_etl_spark.operators import graph
+        from projet_meteo_etl_spark.plans import model_eval
+
+        probes.update(
+            {
+                "auc_roc_eval": model_eval.auc_roc_eval,
+                "ks_value_drift": model_eval.ks_value_drift,
+                "pca_power_component": clustering.pca_power_component,
+                "holt_linear_forecast": timeseries.holt_linear_forecast,
+                "label_propagation_communities": (
+                    graph.label_propagation_communities
+                ),
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
