@@ -267,12 +267,218 @@ LIMIT 1
 """
 
 
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-way ANOVA of cent value across the event types — the
+    "does the grouping explain the metric at all?" gate run before any
+    per-group model or treatment comparison.
+
+    Between/within sums of squares from exact integer moments:
+    SSB = Σ_g S_g²/n_g − S²/N and SSW = Q − Σ_g S_g²/n_g, each term
+    floored ONCE at 1e6 scale via DECIMAL(38) truncating division
+    (identical on both engines), so the F statistic is a deterministic
+    integer ratio — no float moment accumulators whose partial-sum
+    order could vary with partitioning.  One map-combinable aggregate
+    over the log; everything after is k rows.
+    """
+    e = _cents_events(spark, sf_dir)
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_g"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("q_g"),
+    )
+    terms = per.select(
+        "n_g",
+        "s_g",
+        "q_g",
+        F.expr(
+            "CAST(s_g * s_g * 1000000 DIV n_g AS DECIMAL(38,0))"
+        ).alias("t_g"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum("t_g").alias("t_sum"),
+    )
+    return agg.select(
+        "k",
+        "n",
+        F.expr(
+            "CAST(t_sum - s * s * 1000000 DIV n AS BIGINT)"
+        ).alias("ssb_micro"),
+        F.expr("CAST(q * 1000000 - t_sum AS BIGINT)").alias("ssw_micro"),
+        F.expr(
+            "CAST((t_sum - s * s * 1000000 DIV n) * (n - k) * 1000000"
+            " DIV ((q * 1000000 - t_sum) * (k - 1)) AS BIGINT)"
+        ).alias("f_micro"),
+    )
+
+
+ANOVA_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(cents) AS BIGINT) AS s_g,
+         CAST(sum(cents * cents) AS BIGINT) AS q_g
+  FROM base GROUP BY 1
+),
+terms AS (
+  SELECT n_g, s_g, q_g,
+         s_g::HUGEINT * s_g * 1000000 // n_g AS t_g
+  FROM per
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(q_g) AS BIGINT) AS q,
+         sum(t_g) AS t_sum
+  FROM terms
+)
+SELECT k, n,
+       CAST(t_sum - s::HUGEINT * s * 1000000 // n AS BIGINT) AS ssb_micro,
+       CAST(q::HUGEINT * 1000000 - t_sum AS BIGINT) AS ssw_micro,
+       CAST((t_sum - s::HUGEINT * s * 1000000 // n) * (n - k) * 1000000
+            // ((q::HUGEINT * 1000000 - t_sum) * (k - 1)) AS BIGINT)
+         AS f_micro
+FROM agg
+"""
+
+
+#: Kaplan–Meier survival scale (micro-units of probability)
+KM_SCALE = 1_000_000
+
+
+def kaplan_meier_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of days from a user's first signup
+    to their first purchase, right-censored at the end of the log —
+    the time-to-conversion analysis a growth team runs.
+
+    Per user: duration = first-purchase eday − first-signup eday (an
+    EVENT) or log-end − signup eday (CENSORED) — one per-user
+    aggregate.  The curve itself lives on the DURATION GRID (bounded by
+    the date domain, never row count): risk sets are suffix sums over
+    the per-duration rollup, and the product-limit estimator
+    ``S(t) = Π (1 − d_u/n_u)`` runs as a ``WITH RECURSIVE`` CTE in the
+    Spark plan with one truncating integer division per step
+    (``S_micro·(n−d) DIV n``), bit-identical in DuckDB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("eday"),
+    )
+    per_user = (
+        base.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("eday"))).alias(
+                "d_signup"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("eday"))
+            ).alias("d_first_purchase"),
+        )
+        .filter(F.col("d_signup").isNotNull())
+    )
+    log_end = base.agg(F.max("eday").alias("d_end"))
+    durations = per_user.crossJoin(F.broadcast(log_end)).select(
+        F.when(
+            F.col("d_first_purchase") >= F.col("d_signup"),
+            F.col("d_first_purchase") - F.col("d_signup"),
+        ).alias("t_event"),
+        F.when(
+            F.col("d_first_purchase").isNull()
+            | (F.col("d_first_purchase") < F.col("d_signup")),
+            F.col("d_end") - F.col("d_signup"),
+        ).alias("t_censor"),
+    )
+    grid = durations.select(
+        F.coalesce("t_event", "t_censor").alias("t"),
+        F.when(F.col("t_event").isNotNull(), 1).otherwise(0).alias("is_event"),
+    ).groupBy("t").agg(
+        F.sum("is_event").cast("long").alias("d_t"),
+        F.sum(F.expr("1 - is_event")).cast("long").alias("c_t"),
+    )
+    grid.createOrReplaceTempView("km_grid_raw")
+    # suffix-sum risk sets + the product-limit recursion, both over the
+    # date-domain-bounded duration grid
+    return spark.sql(_km_sql("DIV"))
+
+
+def _km_sql(div: str) -> str:
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT t, d_t, c_t,
+         sum(d_t + c_t) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t,
+         row_number() OVER (ORDER BY t) AS rn
+  FROM km_grid_raw
+),
+s(rn, t, d_t, c_t, n_t, s_micro) AS (
+  SELECT rn, t, d_t, c_t, n_t,
+         CAST({KM_SCALE} AS BIGINT) * (n_t - d_t) {div} n_t
+  FROM g WHERE rn = 1
+  UNION ALL
+  SELECT g.rn, g.t, g.d_t, g.c_t, g.n_t,
+         s.s_micro * (g.n_t - g.d_t) {div} g.n_t
+  FROM s JOIN g ON g.rn = s.rn + 1
+)
+SELECT t AS duration_days, CAST(n_t AS BIGINT) AS n_at_risk,
+       d_t AS n_events, c_t AS n_censored,
+       CAST(s_micro AS BIGINT) AS survival_micro
+FROM s ORDER BY duration_days
+"""
+
+
+KM_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS eday
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN eday END) AS d_signup,
+         min(CASE WHEN event_type = 'purchase' THEN eday END)
+           AS d_first_purchase
+  FROM base GROUP BY 1
+),
+log_end AS (SELECT max(eday) AS d_end FROM base),
+durations AS (
+  SELECT CASE WHEN d_first_purchase >= d_signup
+              THEN d_first_purchase - d_signup END AS t_event,
+         CASE WHEN d_first_purchase IS NULL OR d_first_purchase < d_signup
+              THEN d_end - d_signup END AS t_censor
+  FROM per_user, log_end
+  WHERE d_signup IS NOT NULL
+),
+km_grid_raw AS (
+  SELECT coalesce(t_event, t_censor) AS t,
+         CAST(sum(CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS d_t,
+         CAST(sum(CASE WHEN t_event IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_t
+  FROM durations GROUP BY 1
+)
+{_km_sql('//').lstrip().replace('WITH RECURSIVE g AS', ', g AS', 1)}
+"""
+
+
 SPARK_QUERIES = {
     "auc_roc_eval": auc_roc_eval,
     "ks_value_drift": ks_value_drift,
+    "anova_value_by_type": anova_value_by_type,
+    "kaplan_meier_first_purchase": kaplan_meier_first_purchase,
 }
 
 ORACLE_SQL = {
     "auc_roc_eval": AUC_ROC_SQL,
     "ks_value_drift": KS_VALUE_DRIFT_SQL,
+    "anova_value_by_type": ANOVA_SQL,
+    "kaplan_meier_first_purchase": KM_SQL,
 }

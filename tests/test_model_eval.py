@@ -64,3 +64,80 @@ def test_ks_matches_ecdf_replay(spark):
     assert r["at_cents"] == best_at
     assert r["ks_ppm"] == best_d2 * 1_000_000 // (len(early) * len(late))
     assert 0 <= r["ks_ppm"] <= 1_000_000
+
+
+def test_anova_matches_integer_replay(spark):
+    from projet_meteo_etl_spark.plans.model_eval import anova_value_by_type
+
+    r = anova_value_by_type(spark, SF).collect()[0]
+    ev = _events()
+    groups: dict = {}
+    for t, _, c in ev:
+        g = groups.setdefault(t, [0, 0, 0])
+        g[0] += 1
+        g[1] += c
+        g[2] += c * c
+    k = len(groups)
+    n = sum(g[0] for g in groups.values())
+    s = sum(g[1] for g in groups.values())
+    q = sum(g[2] for g in groups.values())
+    t_sum = sum(g[1] * g[1] * 1_000_000 // g[0] for g in groups.values())
+    ssb = t_sum - s * s * 1_000_000 // n
+    ssw = q * 1_000_000 - t_sum
+    assert (r["k"], r["n"]) == (k, n)
+    assert r["ssb_micro"] == ssb
+    assert r["ssw_micro"] == ssw
+    assert r["f_micro"] == ssb * (n - k) * 1_000_000 // (ssw * (k - 1))
+    assert r["f_micro"] >= 0
+
+
+def test_kaplan_meier_matches_recursion_replay(spark):
+    from projet_meteo_etl_spark.plans.model_eval import (
+        KM_SCALE,
+        kaplan_meier_first_purchase,
+    )
+
+    rows = kaplan_meier_first_purchase(spark, SF).collect()
+    ev = _events_users()
+    d_end = max(d for _, _, d in ev)
+    per: dict = {}
+    for u, t, d in ev:
+        s = per.setdefault(u, [None, None])
+        if t == "signup":
+            s[0] = d if s[0] is None else min(s[0], d)
+        if t == "purchase":
+            s[1] = d if s[1] is None else min(s[1], d)
+    durations = []
+    for signup, purch in per.values():
+        if signup is None:
+            continue
+        if purch is not None and purch >= signup:
+            durations.append((purch - signup, 1))
+        else:
+            durations.append((d_end - signup, 0))
+    grid: dict = {}
+    for t, is_ev in durations:
+        g = grid.setdefault(t, [0, 0])
+        g[is_ev == 0] += 1  # [d_t, c_t]
+    ts = sorted(grid)
+    expect, s_micro = [], KM_SCALE
+    at_risk = len(durations)
+    for t in ts:
+        d_t, c_t = grid[t]
+        s_micro = s_micro * (at_risk - d_t) // at_risk
+        expect.append((t, at_risk, d_t, c_t, s_micro))
+        at_risk -= d_t + c_t
+    assert [
+        (r["duration_days"], r["n_at_risk"], r["n_events"], r["n_censored"],
+         r["survival_micro"])
+        for r in rows
+    ] == expect
+    sm = [r["survival_micro"] for r in rows]
+    assert sm == sorted(sm, reverse=True) and all(0 <= v <= KM_SCALE for v in sm)
+
+
+def _events_users():
+    return duckdb.sql(
+        f"SELECT user_id, event_type, epoch_us(ts) // 86400000000"
+        f" FROM '{SF}/events.parquet'"
+    ).fetchall()

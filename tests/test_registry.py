@@ -146,6 +146,8 @@ EXPECTED_QUERIES = {
     "holt_linear_forecast",
     # round-5 batch 8: LPA communities + streaming heavy hitters
     "label_propagation_communities", "stream_sliding_topk_items",
+    # round-5 batch 9: exact ANOVA + Kaplan-Meier survival
+    "anova_value_by_type", "kaplan_meier_first_purchase",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

@@ -53,6 +53,8 @@ ALLOWED = {
     "ks_value_drift": "per-cents distribution rollup (~50k rows max)",
     # row_number over the per-day revenue rollup feeding the recursion
     "holt_linear_forecast": "per-day revenue rollup (date-domain bounded)",
+    # suffix-sum risk sets over the duration grid (date-domain bounded)
+    "kaplan_meier_first_purchase": "per-duration survival rollup",
 }
 
 
