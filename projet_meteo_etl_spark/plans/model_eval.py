@@ -405,7 +405,13 @@ def kaplan_meier_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_event").cast("long").alias("d_t"),
         F.sum(F.expr("1 - is_event")).cast("long").alias("c_t"),
     )
-    grid.createOrReplaceTempView("km_grid_raw")
+    # materialize the (duration-domain-bounded) grid BEFORE the
+    # recursion: a plain temp view would inline the per-user aggregate
+    # into every recursion step — T re-scans of the event log for a
+    # T-row curve (18.6 s → ~2 s at sf0.1)
+    grid.coalesce(1).localCheckpoint(eager=True).createOrReplaceTempView(
+        "km_grid_raw"
+    )
     # suffix-sum risk sets + the product-limit recursion, both over the
     # date-domain-bounded duration grid
     return spark.sql(_km_sql("DIV"))

@@ -187,6 +187,13 @@ def main() -> int:
                 "label_propagation_communities": (
                     graph.label_propagation_communities
                 ),
+                # batch 9: one map-combinable moment aggregate (ANOVA)
+                # and a per-user agg feeding a date-domain-bounded
+                # recursive product-limit (KM) — both should be ~flat
+                "anova_value_by_type": model_eval.anova_value_by_type,
+                "kaplan_meier_first_purchase": (
+                    model_eval.kaplan_meier_first_purchase
+                ),
             }
         )
         timings = {}
