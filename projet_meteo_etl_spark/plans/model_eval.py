@@ -475,11 +475,226 @@ km_grid_raw AS (
 """
 
 
+def _daily_rev_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day (purchase revenue cents, click count) series — the
+    date-domain-bounded rollup both rank-correlation queries run on."""
+    base = _cents_events(spark, sf_dir)
+    return base.groupBy("eday").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rev"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clk"),
+    )
+
+
+def spearman_daily_rev_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between daily purchase revenue
+    and daily click volume — the monotone-association check ("do clicks
+    move with money at all?") run before any linear model; robust to
+    the revenue outliers that break the Pearson number in
+    ``profile_correlations``.
+
+    Ranks use the average-rank tie convention, DOUBLED so they stay
+    integral: ``u = 2·rank + cnt_eq − 1`` (= twice the average rank,
+    since ``rank`` already counts strictly-smaller values + 1).  The
+    Pearson form on those integer ranks then needs no square root:
+    the report is the SIGNED SQUARED rho, ``sign(num)·num²·1e6 DIV
+    (den_x·den_y)``, one truncating DECIMAL(38) division — the same
+    signed-square-micro convention as the F / tau statistics here.
+
+    Scale shape: one map-combinable shuffle from the event log to the
+    per-day rollup (date-domain bounded); the two unpartitioned rank
+    windows and the final 1-row aggregate run over that rollup, never
+    the log (allowlisted in ``tests/test_window_lint.py``).
+    """
+    daily = _daily_rev_clicks(spark, sf_dir)
+    w_rev = Window.orderBy("rev")
+    w_clk = Window.orderBy("clk")
+    ranked = daily.select(
+        (
+            2 * F.rank().over(w_rev)
+            + F.count(F.lit(1)).over(Window.partitionBy("rev"))
+            - 1
+        )
+        .cast("decimal(38,0)")
+        .alias("u"),
+        (
+            2 * F.rank().over(w_clk)
+            + F.count(F.lit(1)).over(Window.partitionBy("clk"))
+            - 1
+        )
+        .cast("decimal(38,0)")
+        .alias("v"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.expr("u * u")).alias("suu"),
+        F.sum(F.expr("v * v")).alias("svv"),
+        F.sum(F.expr("u * v")).alias("suv"),
+    )
+    return agg.select(
+        "n_days",
+        F.expr("CAST(n_days * suv - su * sv AS BIGINT)").alias("num"),
+        F.expr("CAST(n_days * suu - su * su AS BIGINT)").alias("den_x"),
+        F.expr("CAST(n_days * svv - sv * sv AS BIGINT)").alias("den_y"),
+        F.expr(
+            "CAST(CASE WHEN n_days * suv - su * sv < 0 THEN -1 ELSE 1 END"
+            " * ((n_days * suv - su * sv) * (n_days * suv - su * sv)"
+            "    * 1000000"
+            "    DIV ((n_days * suu - su * su) * (n_days * svv - sv * sv)))"
+            " AS BIGINT)"
+        ).alias("rho_sq_signed_micro"),
+    )
+
+
+SPEARMAN_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS eday,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+daily AS (
+  SELECT eday,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                       ELSE 0 END) AS BIGINT) AS rev,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clk
+  FROM base GROUP BY 1
+),
+ranked AS (
+  SELECT (2 * rank() OVER (ORDER BY rev)
+          + count(*) OVER (PARTITION BY rev) - 1)::HUGEINT AS u,
+         (2 * rank() OVER (ORDER BY clk)
+          + count(*) OVER (PARTITION BY clk) - 1)::HUGEINT AS v
+  FROM daily
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         sum(u) AS su, sum(v) AS sv,
+         sum(u * u) AS suu, sum(v * v) AS svv, sum(u * v) AS suv
+  FROM ranked
+)
+SELECT n_days,
+       CAST(n_days * suv - su * sv AS BIGINT) AS num,
+       CAST(n_days * suu - su * su AS BIGINT) AS den_x,
+       CAST(n_days * svv - sv * sv AS BIGINT) AS den_y,
+       CAST(CASE WHEN n_days * suv - su * sv < 0 THEN -1 ELSE 1 END
+            * ((n_days * suv - su * sv) * (n_days * suv - su * sv)
+               * 1000000
+               // ((n_days * suu - su * su) * (n_days * svv - sv * sv)))
+            AS BIGINT) AS rho_sq_signed_micro
+FROM agg
+"""
+
+
+def kendall_daily_rev_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b between the same daily revenue / click
+    series — the pairwise-agreement complement to Spearman (tau reacts
+    to every inversion equally, Spearman to their distance), with the
+    standard tie correction in the denominator.
+
+    All-pairs over the DAILY rollup (a date-domain-bounded relation:
+    the pair count grows with days², never with event rows), so the
+    broadcast nested-loop self-join is scale-safe by construction.
+    Concordance is decided by sign comparison — no products of
+    revenue deltas, so nothing can overflow — and the report is the
+    signed squared tau-b in micro-units, same convention as Spearman.
+    """
+    daily = _daily_rev_clicks(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.eday") < F.col("b.eday"))
+    dx_pos = F.col("a.rev") > F.col("b.rev")
+    dx_neg = F.col("a.rev") < F.col("b.rev")
+    dy_pos = F.col("a.clk") > F.col("b.clk")
+    dy_neg = F.col("a.clk") < F.col("b.clk")
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when((dx_pos & dy_pos) | (dx_neg & dy_neg), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("concordant"),
+        F.sum(
+            F.when((dx_pos & dy_neg) | (dx_neg & dy_pos), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("discordant"),
+        F.sum(F.when(F.col("a.rev") == F.col("b.rev"), 1).otherwise(0))
+        .cast("long")
+        .alias("tie_x"),
+        F.sum(F.when(F.col("a.clk") == F.col("b.clk"), 1).otherwise(0))
+        .cast("long")
+        .alias("tie_y"),
+    )
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "tie_x",
+        "tie_y",
+        F.expr(
+            "CAST(CASE WHEN concordant < discordant THEN -1 ELSE 1 END"
+            " * (CAST(concordant - discordant AS DECIMAL(38,0))"
+            "    * (concordant - discordant) * 1000000"
+            "    DIV (CAST(n_pairs - tie_x AS DECIMAL(38,0))"
+            "         * (n_pairs - tie_y))) AS BIGINT)"
+        ).alias("tau_b_sq_signed_micro"),
+    )
+
+
+KENDALL_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS eday,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+daily AS (
+  SELECT eday,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                       ELSE 0 END) AS BIGINT) AS rev,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clk
+  FROM base GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN (a.rev > b.rev AND a.clk > b.clk)
+                         OR (a.rev < b.rev AND a.clk < b.clk)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(sum(CASE WHEN (a.rev > b.rev AND a.clk < b.clk)
+                         OR (a.rev < b.rev AND a.clk > b.clk)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(sum(CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END)
+              AS BIGINT) AS tie_x,
+         CAST(sum(CASE WHEN a.clk = b.clk THEN 1 ELSE 0 END)
+              AS BIGINT) AS tie_y
+  FROM daily a JOIN daily b ON a.eday < b.eday
+)
+SELECT n_pairs, concordant, discordant, tie_x, tie_y,
+       CAST(CASE WHEN concordant < discordant THEN -1 ELSE 1 END
+            * ((concordant - discordant)::HUGEINT
+               * (concordant - discordant) * 1000000
+               // ((n_pairs - tie_x)::HUGEINT * (n_pairs - tie_y)))
+            AS BIGINT) AS tau_b_sq_signed_micro
+FROM agg
+"""
+
+
 SPARK_QUERIES = {
     "auc_roc_eval": auc_roc_eval,
     "ks_value_drift": ks_value_drift,
     "anova_value_by_type": anova_value_by_type,
     "kaplan_meier_first_purchase": kaplan_meier_first_purchase,
+    "spearman_daily_rev_clicks": spearman_daily_rev_clicks,
+    "kendall_daily_rev_clicks": kendall_daily_rev_clicks,
 }
 
 ORACLE_SQL = {
@@ -487,4 +702,6 @@ ORACLE_SQL = {
     "ks_value_drift": KS_VALUE_DRIFT_SQL,
     "anova_value_by_type": ANOVA_SQL,
     "kaplan_meier_first_purchase": KM_SQL,
+    "spearman_daily_rev_clicks": SPEARMAN_SQL,
+    "kendall_daily_rev_clicks": KENDALL_SQL,
 }

@@ -141,3 +141,93 @@ def _events_users():
         f"SELECT user_id, event_type, epoch_us(ts) // 86400000000"
         f" FROM '{SF}/events.parquet'"
     ).fetchall()
+
+
+def _daily_series():
+    return duckdb.sql(
+        f"SELECT epoch_us(ts) // 86400000000 AS eday,"
+        f" CAST(sum(CASE WHEN event_type = 'purchase'"
+        f"   THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+        f"   ELSE 0 END) AS BIGINT),"
+        f" CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+        f"   AS BIGINT)"
+        f" FROM '{SF}/events.parquet' GROUP BY 1"
+    ).fetchall()
+
+
+def _doubled_avg_ranks(xs):
+    """2× average rank (integer) per element, average-rank ties."""
+    s = sorted(xs)
+    import bisect
+
+    return [
+        2 * bisect.bisect_left(s, x) + (bisect.bisect_right(s, x)
+                                        - bisect.bisect_left(s, x)) + 1
+        for x in xs
+    ]
+
+
+def test_spearman_matches_rank_replay(spark):
+    from projet_meteo_etl_spark.plans.model_eval import (
+        spearman_daily_rev_clicks,
+    )
+
+    r = spearman_daily_rev_clicks(spark, SF).collect()[0]
+    daily = _daily_series()
+    u = _doubled_avg_ranks([rev for _, rev, _ in daily])
+    v = _doubled_avg_ranks([clk for _, _, clk in daily])
+    n = len(daily)
+    su, sv = sum(u), sum(v)
+    num = n * sum(a * b for a, b in zip(u, v)) - su * sv
+    den_x = n * sum(a * a for a in u) - su * su
+    den_y = n * sum(b * b for b in v) - sv * sv
+    sign = -1 if num < 0 else 1
+    assert (r["n_days"], r["num"], r["den_x"], r["den_y"]) == (
+        n, num, den_x, den_y,
+    )
+    assert r["rho_sq_signed_micro"] == sign * (
+        num * num * 1_000_000 // (den_x * den_y)
+    )
+    assert -1_000_000 <= r["rho_sq_signed_micro"] <= 1_000_000
+
+
+def test_kendall_matches_pair_replay(spark):
+    from projet_meteo_etl_spark.plans.model_eval import (
+        kendall_daily_rev_clicks,
+    )
+
+    r = kendall_daily_rev_clicks(spark, SF).collect()[0]
+    daily = sorted(_daily_series())
+    conc = disc = tie_x = tie_y = n0 = 0
+    for i in range(len(daily)):
+        for j in range(i + 1, len(daily)):
+            n0 += 1
+            dx = daily[i][1] - daily[j][1]
+            dy = daily[i][2] - daily[j][2]
+            if dx == 0:
+                tie_x += 1
+            if dy == 0:
+                tie_y += 1
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    assert (
+        r["n_pairs"], r["concordant"], r["discordant"],
+        r["tie_x"], r["tie_y"],
+    ) == (n0, conc, disc, tie_x, tie_y)
+    num = conc - disc
+    sign = -1 if num < 0 else 1
+    assert r["tau_b_sq_signed_micro"] == sign * (
+        num * num * 1_000_000 // ((n0 - tie_x) * (n0 - tie_y))
+    )
+    # tau and rho must agree on the DIRECTION of the association
+    from projet_meteo_etl_spark.plans.model_eval import (
+        spearman_daily_rev_clicks,
+    )
+
+    rho = spearman_daily_rev_clicks(spark, SF).collect()[0]
+    if r["tau_b_sq_signed_micro"] != 0 and rho["rho_sq_signed_micro"] != 0:
+        assert (r["tau_b_sq_signed_micro"] > 0) == (
+            rho["rho_sq_signed_micro"] > 0
+        )

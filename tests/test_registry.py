@@ -148,6 +148,7 @@ EXPECTED_QUERIES = {
     "label_propagation_communities", "stream_sliding_topk_items",
     # round-5 batch 9: exact ANOVA + Kaplan-Meier survival
     "anova_value_by_type", "kaplan_meier_first_purchase",
+    "spearman_daily_rev_clicks", "kendall_daily_rev_clicks",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",
