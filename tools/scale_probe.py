@@ -194,6 +194,15 @@ def main() -> int:
                 "kaplan_meier_first_purchase": (
                     model_eval.kaplan_meier_first_purchase
                 ),
+                # batch 10: both rank correlations reduce the log to the
+                # per-day rollup first — pair/window work is days²-bounded,
+                # so the probes should track the rollup shuffle only
+                "spearman_daily_rev_clicks": (
+                    model_eval.spearman_daily_rev_clicks
+                ),
+                "kendall_daily_rev_clicks": (
+                    model_eval.kendall_daily_rev_clicks
+                ),
             }
         )
         timings = {}
