@@ -1225,6 +1225,225 @@ WITH RECURSIVE holt_daily AS (
 """
 
 
+#: cross-correlation lead-lag window (days)
+CCF_MAX_LAG = 7
+
+
+def ccf_rev_clicks_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily click volume and daily
+    purchase revenue at lags 0..7 days — "do clicks today predict
+    revenue ℓ days out?", the panel that decides an attribution window
+    before anyone fits a model.  Complements the lag-1
+    :func:`revenue_autocorrelation` (self-similarity) with the
+    BETWEEN-series version at multiple horizons.
+
+    For each lag ℓ: pairs (clk at day d, rev at day d+ℓ) over days
+    where both sides exist.  Moments are exact DECIMAL(38,0) integer
+    sums per lag — order-independent, so the shuffle layout cannot
+    change them — and only the final Pearson ratio runs in doubles
+    (the same fixed correctly-rounded IEEE sequence as
+    ``revenue_autocorrelation``, rounded identically on both engines).
+
+    Scale shape: one map-combinable shuffle from the log to the daily
+    rollup; the lag expansion is |days|×8 rows joined back to the
+    |days|-row rollup — date-domain bounded, never row bounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.expr("unix_micros(ts) DIV 86400000000").alias("eday"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(0)
+            .alias("cents"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("c1"),
+        )
+        .groupBy("eday")
+        .agg(
+            F.sum("cents").cast("long").alias("rev"),
+            F.sum("c1").cast("long").alias("clk"),
+        )
+    )
+    lags = spark.range(0, CCF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    x = daily.select("eday", F.col("clk").cast("decimal(38,0)").alias("x"))
+    y = daily.select(
+        F.col("eday").alias("eday_y"),
+        F.col("rev").cast("decimal(38,0)").alias("y"),
+    )
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .withColumn("eday_y", F.col("eday") + F.col("lag"))
+        .join(y, "eday_y")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    ccf = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "lag", "n_pairs", pround(ccf, 6).alias("ccf")
+    ).orderBy("lag")
+
+
+CCF_SQL = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS eday,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clk
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(generate_series(0, {CCF_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT l.lag, a.clk::HUGEINT AS x, b.rev::HUGEINT AS y
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.eday = a.eday + l.lag
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+  floor(((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+        * 1000000.0 + 0.5) / 1000000.0 AS ccf
+FROM m
+ORDER BY lag
+"""
+
+
+def mann_kendall_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on the daily total purchase-revenue
+    series — the nonparametric "is revenue actually trending?" gate
+    run before acting on the :func:`revenue_theilsen_trend` slope (the
+    two are the standard pair: Theil–Sen estimates the slope,
+    Mann–Kendall decides whether it is distinguishable from noise).
+
+    S = Σ_{{i<j}} sign(rev_j − rev_i) over day-ordered pairs; the
+    tie-corrected variance is kept INTEGER by scaling by 18:
+    var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over tied-value groups.
+    The report is the signed squared continuity-corrected z in
+    micro-units — sign(S)·(|S|−1)²·18·1e6 DIV var18 — one truncating
+    DECIMAL(38) division, bit-identical cross-engine, no sqrt.
+
+    Scale shape: the pair count grows with days², never with event
+    rows — the self-join runs on the broadcast daily rollup and the
+    tie groups on a |days|-sized groupBy.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.expr("unix_micros(ts) DIV 86400000000").alias("eday"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(0)
+            .alias("cents"),
+        )
+        .groupBy("eday")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_agg = (
+        a.join(F.broadcast(b), F.col("a.eday") < F.col("b.eday"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum("t").cast("long").alias("n_days"),
+            F.sum(
+                F.expr("CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)")
+            ).alias("tie18"),
+        )
+    )
+    out = s_agg.crossJoin(F.broadcast(ties))
+    return out.select(
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        F.expr(
+            "CAST(CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)"
+            " * (2 * n_days + 5) - tie18 AS BIGINT)"
+        ).alias("var18"),
+        F.expr(
+            "CAST(CASE WHEN s_stat < 0 THEN -1 WHEN s_stat > 0 THEN 1"
+            " ELSE 0 END"
+            " * (CAST(abs(s_stat) - 1 AS DECIMAL(38,0))"
+            "    * (abs(s_stat) - 1) * 18 * 1000000"
+            "    DIV (CAST(n_days AS DECIMAL(38,0)) * (n_days - 1)"
+            "         * (2 * n_days + 5) - tie18)) AS BIGINT)"
+        ).alias("z_sq_signed_micro"),
+    )
+
+
+MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS eday,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev
+  FROM events GROUP BY 1
+),
+s_agg AS (
+  SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b ON a.eday < b.eday
+),
+ties AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n_days,
+         sum(t::HUGEINT * (t - 1) * (2 * t + 5)) AS tie18
+  FROM (SELECT count(*) AS t FROM daily GROUP BY rev)
+)
+SELECT n_days, n_pairs, s_stat,
+       CAST(n_days::HUGEINT * (n_days - 1) * (2 * n_days + 5) - tie18
+            AS BIGINT) AS var18,
+       CAST(CASE WHEN s_stat < 0 THEN -1 WHEN s_stat > 0 THEN 1
+                 ELSE 0 END
+            * ((abs(s_stat) - 1)::HUGEINT * (abs(s_stat) - 1)
+               * 18 * 1000000
+               // (n_days::HUGEINT * (n_days - 1) * (2 * n_days + 5)
+                   - tie18)) AS BIGINT) AS z_sq_signed_micro
+FROM s_agg, ties
+"""
+
+
 SPARK_QUERIES = {
     "user_decayed_engagement": user_decayed_engagement,
     "events_hour_of_week_seasonality": events_hour_of_week_seasonality,
@@ -1241,6 +1460,8 @@ SPARK_QUERIES = {
     "user_value_twap": user_value_twap,
     "events_value_psi": events_value_psi,
     "seasonal_forecast_error": seasonal_forecast_error,
+    "ccf_rev_clicks_lags": ccf_rev_clicks_lags,
+    "mann_kendall_revenue_trend": mann_kendall_revenue_trend,
 }
 
 USER_EWMA_SQL = f"""
@@ -1275,4 +1496,6 @@ ORACLE_SQL = {
     "events_value_psi": EVENTS_PSI_SQL,
     "seasonal_forecast_error": SEASONAL_FC_SQL,
     "revenue_autocorrelation": REVENUE_ACF_SQL,
+    "ccf_rev_clicks_lags": CCF_SQL,
+    "mann_kendall_revenue_trend": MANN_KENDALL_SQL,
 }

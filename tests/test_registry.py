@@ -149,6 +149,7 @@ EXPECTED_QUERIES = {
     # round-5 batch 9: exact ANOVA + Kaplan-Meier survival
     "anova_value_by_type", "kaplan_meier_first_purchase",
     "spearman_daily_rev_clicks", "kendall_daily_rev_clicks",
+    "ccf_rev_clicks_lags", "mann_kendall_revenue_trend",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

@@ -395,3 +395,76 @@ def test_holt_linear_matches_recursion_replay(spark):
          r["trend_cents"], r["abs_err_cents"])
         for r in got
     ] == expect
+
+
+def _daily_rev_clk():
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT epoch_us(ts) // 86400000000 AS eday,"
+        f" CAST(sum(CASE WHEN event_type = 'purchase'"
+        f"   THEN CAST(floor(value * 100 + 0.5) AS BIGINT)"
+        f"   ELSE 0 END) AS BIGINT) AS rev,"
+        f" CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+        f"   AS BIGINT) AS clk"
+        f" FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+
+
+def test_ccf_matches_python_replay(spark):
+    """Each lag's ccf must equal the literal paired-series Pearson done
+    in Python from exact integer sums (third engine vs Spark/DuckDB)."""
+    from projet_meteo_etl_spark.plans.timeseries import (
+        CCF_MAX_LAG,
+        ccf_rev_clicks_lags,
+    )
+
+    rows = {r["lag"]: r for r in ccf_rev_clicks_lags(spark, SF).collect()}
+    assert set(rows) == set(range(CCF_MAX_LAG + 1))
+    daily = {d: (rev, clk) for d, rev, clk in _daily_rev_clk()}
+    for lag, r in rows.items():
+        pairs = [
+            (daily[d][1], daily[d + lag][0])
+            for d in daily
+            if d + lag in daily
+        ]
+        n = len(pairs)
+        assert r["n_pairs"] == n
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        ccf = (n * sxy - sx * sy) / math.sqrt(
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+        )
+        assert abs(r["ccf"] - ccf) < 1e-6
+        assert -1.0 <= r["ccf"] <= 1.0
+
+
+def test_mann_kendall_matches_pair_replay(spark):
+    from projet_meteo_etl_spark.plans.timeseries import (
+        mann_kendall_revenue_trend,
+    )
+
+    r = mann_kendall_revenue_trend(spark, SF).collect()[0]
+    revs = [rev for _, rev, _ in _daily_rev_clk()]  # day-ordered
+    n = len(revs)
+    s = sum(
+        (revs[j] > revs[i]) - (revs[j] < revs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie18 = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(revs).values()
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    assert (r["n_days"], r["n_pairs"], r["s_stat"], r["var18"]) == (
+        n, n * (n - 1) // 2, s, var18,
+    )
+    sign = 0 if s == 0 else (1 if s > 0 else -1)
+    assert r["z_sq_signed_micro"] == sign * (
+        (abs(s) - 1) ** 2 * 18 * 1_000_000 // var18
+    )

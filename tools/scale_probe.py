@@ -203,6 +203,12 @@ def main() -> int:
                 "kendall_daily_rev_clicks": (
                     model_eval.kendall_daily_rev_clicks
                 ),
+                # batch 11: lag-join and pair-join over the daily rollup —
+                # both days-bounded after the one log shuffle
+                "ccf_rev_clicks_lags": timeseries.ccf_rev_clicks_lags,
+                "mann_kendall_revenue_trend": (
+                    timeseries.mann_kendall_revenue_trend
+                ),
             }
         )
         timings = {}
