@@ -688,6 +688,350 @@ FROM agg
 """
 
 
+#: pinball-loss quantile (×10 to stay integral: τ = PINBALL_TAU10/10)
+PINBALL_TAU10 = 9
+
+
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of a P90 value forecast per event type —
+    the proper scoring rule for quantile forecasts: fit the 0.9
+    quantile on the first time half, score it on the second.  This is
+    the eval a capacity/inventory forecast ships with; MAE/MSE can't
+    rank quantile forecasts, pinball can.
+
+    The P90 is RANK-SELECTED on the training half — the value at
+    ``ceil(0.9·n)`` in cents order, i.e. the smallest cents whose
+    cumulative count reaches the rank (ties make the (cents, event_id)
+    row order and the value-rollup form pick the SAME value, and the
+    rollup form never sorts rows) — and the loss stays integral by
+    scaling by 10: per test row ``y ≥ q̂ ? 9·(y−q̂) : (q̂−y)``, so the
+    mean loss is one truncating DECIMAL(38) division in micro-cents at
+    the end.
+
+    Scale shape: one scan tags halves (the bounds aggregate is a
+    broadcast 1-row); the quantile comes from a prefix sum over the
+    per-(type, distinct-cents) ROLLUP — value-domain bounded, the same
+    shape as ``auc_roc_eval`` — never from a row-level sort; and the
+    k-row quantile table broadcasts back onto the test-half aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("eday"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    bounds = base.agg(
+        F.min("eday").alias("d0"), F.max("eday").alias("d1")
+    )
+    tagged = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "half",
+        F.expr("CASE WHEN eday <= (d0 + d1) DIV 2 THEN 1 ELSE 2 END"),
+    )
+    counts = (
+        tagged.filter("half = 1")
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    q = (
+        cum.filter(F.expr(f"cum >= ({PINBALL_TAU10} * n + 9) DIV 10"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_train"),
+            F.min("cents").alias("q90_cents"),
+        )
+    )
+    test = tagged.filter("half = 2").join(F.broadcast(q), "event_type")
+    out = test.groupBy("event_type").agg(
+        F.max("n_train").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.max("q90_cents").alias("q90_cents"),
+        F.sum(
+            F.expr(
+                f"CAST(CASE WHEN cents >= q90_cents"
+                f" THEN {PINBALL_TAU10} * (cents - q90_cents)"
+                f" ELSE ({10 - PINBALL_TAU10}) * (q90_cents - cents)"
+                f" END AS DECIMAL(38,0))"
+            )
+        ).alias("loss10"),
+    )
+    return out.select(
+        "event_type",
+        "n_train",
+        "n_test",
+        "q90_cents",
+        F.expr("CAST(loss10 AS BIGINT)").alias("pinball_loss10"),
+        F.expr(
+            "CAST(loss10 * 1000000 DIV (10 * n_test) AS BIGINT)"
+        ).alias("mean_loss_microcents"),
+    ).orderBy("event_type")
+
+
+PINBALL_SQL = f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) // 86400000000 AS eday,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT min(eday) AS d0, max(eday) AS d1 FROM base),
+tagged AS (
+  SELECT b.*, CASE WHEN b.eday <= (d.d0 + d.d1) // 2 THEN 1 ELSE 2 END AS half
+  FROM base b, bounds d
+),
+train AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM tagged WHERE half = 1
+),
+q AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_train,
+         max(CASE WHEN rn = ({PINBALL_TAU10} * n + 9) // 10
+                  THEN cents END) AS q90_cents
+  FROM train GROUP BY event_type
+),
+test AS (
+  SELECT t.event_type, q.n_train, q.q90_cents, t.cents
+  FROM tagged t JOIN q USING (event_type) WHERE t.half = 2
+)
+SELECT event_type, n_train,
+       CAST(count(*) AS BIGINT) AS n_test,
+       q90_cents,
+       CAST(sum(CASE WHEN cents >= q90_cents
+                     THEN {PINBALL_TAU10}::HUGEINT * (cents - q90_cents)
+                     ELSE ({10 - PINBALL_TAU10})::HUGEINT
+                          * (q90_cents - cents) END) AS BIGINT)
+         AS pinball_loss10,
+       CAST(sum(CASE WHEN cents >= q90_cents
+                     THEN {PINBALL_TAU10}::HUGEINT * (cents - q90_cents)
+                     ELSE ({10 - PINBALL_TAU10})::HUGEINT
+                          * (q90_cents - cents) END)
+            * 1000000 // (10 * count(*)) AS BIGINT)
+         AS mean_loss_microcents
+FROM test
+GROUP BY event_type, n_train, q90_cents
+ORDER BY event_type
+"""
+
+
+def conformal_interval_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction-interval calibration per event type —
+    the distribution-free "is my ±interval honest?" check: fit a point
+    predictor on the first time third, take the 90% conformal quantile
+    of absolute residuals on the second, measure empirical coverage on
+    the third.  Proper three-way split, so the coverage number is a
+    genuine out-of-sample guarantee check, not resubstitution.
+
+    Everything is rank-exact integers: the fit median and the
+    calibration quantile are rank selections (the conformal rank is
+    ``ceil(0.9·(n_cal+1))``, clamped to n_cal — the unclamped rank
+    means an infinite interval, reported via ``qhat_clamped``), and
+    coverage is an integer ppm ratio.
+
+    Scale shape: one scan tags thirds; both rank selections are prefix
+    sums over per-(type, distinct-value) ROLLUPS (value-domain
+    bounded — no row-level sort anywhere); the k-row (median, q̂)
+    table broadcasts onto the test-third aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("eday"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    bounds = base.agg(F.min("eday").alias("d0"), F.max("eday").alias("d1"))
+    tagged = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "part",
+        F.expr(
+            "CASE WHEN eday <= d0 + (d1 - d0) DIV 3 THEN 1"
+            " WHEN eday <= d0 + (2 * (d1 - d0)) DIV 3 THEN 2"
+            " ELSE 3 END"
+        ),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fit_cum = (
+        tagged.filter("part = 1")
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "event_type",
+            "cents",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt")
+            .over(Window.partitionBy("event_type"))
+            .cast("long")
+            .alias("n"),
+        )
+    )
+    med = (
+        fit_cum.filter(F.expr("cum >= (n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_fit"),
+            F.min("cents").alias("median_cents"),
+        )
+    )
+    cal = tagged.filter("part = 2").join(F.broadcast(med), "event_type")
+    wscum = (
+        Window.partitionBy("event_type")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    score_cum = (
+        cal.select(
+            "event_type",
+            "n_fit",
+            "median_cents",
+            F.expr("abs(cents - median_cents)").alias("score"),
+        )
+        .groupBy("event_type", "n_fit", "median_cents", "score")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "event_type",
+            "n_fit",
+            "median_cents",
+            "score",
+            F.sum("cnt").over(wscum).alias("cum"),
+            F.sum("cnt")
+            .over(Window.partitionBy("event_type"))
+            .cast("long")
+            .alias("n_cal"),
+        )
+    )
+    qhat = (
+        score_cum.filter(
+            F.expr("cum >= LEAST((9 * (n_cal + 1) + 9) DIV 10, n_cal)")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_fit").alias("n_fit"),
+            F.max("median_cents").alias("median_cents"),
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.min("score").alias("qhat_cents"),
+            F.max(
+                F.expr(
+                    "CAST((9 * (n_cal + 1) + 9) DIV 10 > n_cal AS INT)"
+                )
+            ).alias("qhat_clamped"),
+        )
+    )
+    test = tagged.filter("part = 3").join(F.broadcast(qhat), "event_type")
+    return (
+        test.groupBy("event_type")
+        .agg(
+            F.max("n_fit").alias("n_fit"),
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("median_cents").alias("median_cents"),
+            F.max("qhat_cents").alias("qhat_cents"),
+            F.max("qhat_clamped").alias("qhat_clamped"),
+            F.sum(
+                F.expr(
+                    "CAST(abs(cents - median_cents) <= qhat_cents AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .withColumn(
+            "coverage_ppm",
+            F.expr(
+                "CAST(CAST(n_covered AS DECIMAL(38,0)) * 1000000"
+                " DIV n_test AS BIGINT)"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+CONFORMAL_SQL = """
+WITH base AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) // 86400000000 AS eday,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT min(eday) AS d0, max(eday) AS d1 FROM base),
+tagged AS (
+  SELECT b.*,
+         CASE WHEN b.eday <= d.d0 + (d.d1 - d.d0) // 3 THEN 1
+              WHEN b.eday <= d.d0 + (2 * (d.d1 - d.d0)) // 3 THEN 2
+              ELSE 3 END AS part
+  FROM base b, bounds d
+),
+fit AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM tagged WHERE part = 1
+),
+med AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n_fit,
+         max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS median_cents
+  FROM fit GROUP BY event_type
+),
+scored AS (
+  SELECT t.event_type, m.n_fit, m.median_cents,
+         abs(t.cents - m.median_cents) AS score,
+         row_number() OVER (PARTITION BY t.event_type
+                            ORDER BY abs(t.cents - m.median_cents),
+                                     t.event_id) AS rn,
+         count(*) OVER (PARTITION BY t.event_type) AS n_cal
+  FROM tagged t JOIN med m USING (event_type) WHERE t.part = 2
+),
+qhat AS (
+  SELECT event_type, max(n_fit) AS n_fit,
+         max(median_cents) AS median_cents,
+         CAST(max(n_cal) AS BIGINT) AS n_cal,
+         max(CASE WHEN rn = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)
+                  THEN score END) AS qhat_cents,
+         max(CASE WHEN (9 * (n_cal + 1) + 9) // 10 > n_cal
+                  THEN 1 ELSE 0 END) AS qhat_clamped
+  FROM scored GROUP BY event_type
+),
+test AS (
+  SELECT t.event_type, q.n_fit, q.n_cal, q.median_cents, q.qhat_cents,
+         q.qhat_clamped, t.cents
+  FROM tagged t JOIN qhat q USING (event_type) WHERE t.part = 3
+)
+SELECT event_type, n_fit, n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       median_cents, qhat_cents, CAST(qhat_clamped AS INT) AS qhat_clamped,
+       CAST(sum(CASE WHEN abs(cents - median_cents) <= qhat_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(sum(CASE WHEN abs(cents - median_cents) <= qhat_cents
+                     THEN 1 ELSE 0 END)::HUGEINT * 1000000 // count(*)
+            AS BIGINT) AS coverage_ppm
+FROM test
+GROUP BY event_type, n_fit, n_cal, median_cents, qhat_cents, qhat_clamped
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "auc_roc_eval": auc_roc_eval,
     "ks_value_drift": ks_value_drift,
@@ -695,6 +1039,8 @@ SPARK_QUERIES = {
     "kaplan_meier_first_purchase": kaplan_meier_first_purchase,
     "spearman_daily_rev_clicks": spearman_daily_rev_clicks,
     "kendall_daily_rev_clicks": kendall_daily_rev_clicks,
+    "pinball_loss_eval": pinball_loss_eval,
+    "conformal_interval_calibration": conformal_interval_calibration,
 }
 
 ORACLE_SQL = {
@@ -704,4 +1050,6 @@ ORACLE_SQL = {
     "kaplan_meier_first_purchase": KM_SQL,
     "spearman_daily_rev_clicks": SPEARMAN_SQL,
     "kendall_daily_rev_clicks": KENDALL_SQL,
+    "pinball_loss_eval": PINBALL_SQL,
+    "conformal_interval_calibration": CONFORMAL_SQL,
 }

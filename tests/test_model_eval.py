@@ -231,3 +231,82 @@ def test_kendall_matches_pair_replay(spark):
         assert (r["tau_b_sq_signed_micro"] > 0) == (
             rho["rho_sq_signed_micro"] > 0
         )
+
+
+def _typed_cents():
+    return duckdb.sql(
+        f"SELECT event_type, event_id,"
+        f" epoch_us(ts) // 86400000000 AS eday,"
+        f" CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents"
+        f" FROM '{SF}/events.parquet'"
+    ).fetchall()
+
+
+def test_pinball_matches_rank_replay(spark):
+    """Per type: the rank-selected P90 and the literal ×10 pinball sum
+    over the test half, replayed row-by-row in Python."""
+    from projet_meteo_etl_spark.plans.model_eval import pinball_loss_eval
+
+    rows = {r["event_type"]: r for r in pinball_loss_eval(spark, SF).collect()}
+    ev = _typed_cents()
+    d0 = min(r[2] for r in ev)
+    d1 = max(r[2] for r in ev)
+    mid = (d0 + d1) // 2
+    types = sorted({r[0] for r in ev})
+    assert set(rows) == set(types)
+    for t in types:
+        train = sorted(
+            (c, eid) for ty, eid, d, c in ev if ty == t and d <= mid
+        )
+        test = [c for ty, _, d, c in ev if ty == t and d > mid]
+        q90 = train[(9 * len(train) + 9) // 10 - 1][0]
+        loss10 = sum(
+            9 * (c - q90) if c >= q90 else (q90 - c) for c in test
+        )
+        r = rows[t]
+        assert (r["n_train"], r["n_test"], r["q90_cents"]) == (
+            len(train), len(test), q90,
+        )
+        assert r["pinball_loss10"] == loss10
+        assert r["mean_loss_microcents"] == loss10 * 1_000_000 // (
+            10 * len(test)
+        )
+
+
+def test_conformal_matches_rank_replay(spark):
+    from projet_meteo_etl_spark.plans.model_eval import (
+        conformal_interval_calibration,
+    )
+
+    rows = {
+        r["event_type"]: r
+        for r in conformal_interval_calibration(spark, SF).collect()
+    }
+    ev = _typed_cents()
+    d0 = min(r[2] for r in ev)
+    d1 = max(r[2] for r in ev)
+    c1 = d0 + (d1 - d0) // 3
+    c2 = d0 + (2 * (d1 - d0)) // 3
+    for t in sorted({r[0] for r in ev}):
+        fit = sorted(
+            (c, eid) for ty, eid, d, c in ev if ty == t and d <= c1
+        )
+        med = fit[(len(fit) + 1) // 2 - 1][0]
+        cal = sorted(
+            (abs(c - med), eid)
+            for ty, eid, d, c in ev
+            if ty == t and c1 < d <= c2
+        )
+        k = (9 * (len(cal) + 1) + 9) // 10
+        clamped = int(k > len(cal))
+        qhat = cal[min(k, len(cal)) - 1][0]
+        test = [c for ty, _, d, c in ev if ty == t and d > c2]
+        covered = sum(abs(c - med) <= qhat for c in test)
+        r = rows[t]
+        assert (
+            r["n_fit"], r["n_cal"], r["n_test"], r["median_cents"],
+            r["qhat_cents"], r["qhat_clamped"], r["n_covered"],
+        ) == (len(fit), len(cal), len(test), med, qhat, clamped, covered)
+        assert r["coverage_ppm"] == covered * 1_000_000 // len(test)
+        # a 90% conformal interval should cover roughly 90%: sanity band
+        assert 600_000 <= r["coverage_ppm"] <= 1_000_000

@@ -150,6 +150,7 @@ EXPECTED_QUERIES = {
     "anova_value_by_type", "kaplan_meier_first_purchase",
     "spearman_daily_rev_clicks", "kendall_daily_rev_clicks",
     "ccf_rev_clicks_lags", "mann_kendall_revenue_trend",
+    "pinball_loss_eval", "conformal_interval_calibration",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

@@ -209,6 +209,12 @@ def main() -> int:
                 "mann_kendall_revenue_trend": (
                     timeseries.mann_kendall_revenue_trend
                 ),
+                # batch 12: rank-selection on one time slice each, then a
+                # broadcast k-row quantile table onto the other slice's agg
+                "pinball_loss_eval": model_eval.pinball_loss_eval,
+                "conformal_interval_calibration": (
+                    model_eval.conformal_interval_calibration
+                ),
             }
         )
         timings = {}
