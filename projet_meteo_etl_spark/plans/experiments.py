@@ -448,12 +448,282 @@ FROM ranked
 """
 
 
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al. 2013): per-user
+    post-period purchase revenue adjusted by pre-period revenue as the
+    control covariate — the industry-standard variance-reduction step
+    that makes the same experiment decisive with a fraction of the
+    users.  Extends :func:`ab_test_analysis` (same md5 50/50
+    assignment) from conversion counts to a continuous metric.
+
+    Per user: X = pre-half purchase cents, Y = post-half purchase
+    cents (zero-filled — absence is signal).  θ = cov(X,Y)/var(X) is
+    fitted POOLED (assignment-independent, so the adjustment is
+    unbiased), and each arm reports mean Y and mean (Y − θ·(X − X̄))
+    plus the theoretical variance reduction ρ².  All moments are exact
+    DECIMAL(38,0) integer sums — order-independent across any
+    partitioning — and every double expression evaluates ONCE per arm
+    from those sums (the ``profile_correlations`` convention), so the
+    readout hash-matches DuckDB.
+
+    Scale shape: one event scan → per-(user, half) cents rollup →
+    |users|-sized pivot; the pooled 1-row moment table broadcasts onto
+    the 2-row arm aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("eday"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    bounds = base.agg(F.min("eday").alias("d0"), F.max("eday").alias("d1"))
+    variant = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.expr("eday <= (d0 + d1) DIV 2"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("x"),
+            F.sum(
+                F.when(F.expr("eday > (d0 + d1) DIV 2"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+        .select(variant.alias("variant"), "x", "y")
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy  # n² × cov
+    var_xn = n * sxx - sx * sx
+    var_yn = n * syy - sy * sy
+    theta = cov_n / var_xn
+    na = F.col("n_users").cast("double")
+    mean_y = F.col("sy_a").cast("double") / na
+    mean_x = F.col("sx_a").cast("double") / na
+    adj = mean_y - theta * (mean_x - sx / n)
+    return j.select(
+        "variant",
+        "n_users",
+        F.expr("CAST(sy_a AS BIGINT)").alias("sum_y_cents"),
+        pround(mean_y, 4).alias("mean_y_cents"),
+        pround(adj, 4).alias("mean_y_adj_cents"),
+        pround(theta, 6).alias("theta"),
+        pround(cov_n * cov_n / (var_xn * var_yn), 6).alias(
+            "var_reduction"
+        ),
+    ).orderBy("variant")
+
+
+CUPED_SQL = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS eday,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS cents
+  FROM events
+),
+bounds AS (SELECT min(eday) AS d0, max(eday) AS d1 FROM base),
+per_user AS (
+  SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                           1, 15))::UBIGINT AS BIGINT)
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         sum(CASE WHEN b.eday <= (d.d0 + d.d1) // 2
+                  THEN b.cents ELSE 0 END)::HUGEINT AS x,
+         sum(CASE WHEN b.eday > (d.d0 + d.d1) // 2
+                  THEN b.cents ELSE 0 END)::HUGEINT AS y
+  FROM base b, bounds d
+  GROUP BY user_id
+),
+pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM per_user
+),
+arms AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         sum(x) AS sx_a, sum(y) AS sy_a
+  FROM per_user GROUP BY variant
+)
+SELECT variant, n_users,
+       CAST(sy_a AS BIGINT) AS sum_y_cents,
+       {pround_sql("CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE)", 4)}
+         AS mean_y_cents,
+       {pround_sql(
+           "CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE)"
+           " - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           "     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           "    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           "       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+           "   * (CAST(sx_a AS DOUBLE) / CAST(n_users AS DOUBLE)"
+           "      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))", 4)}
+         AS mean_y_adj_cents,
+       {pround_sql(
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))", 6)}
+         AS theta,
+       {pround_sql(
+           "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           "    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+           " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           "    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+           "       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)}
+         AS var_reduction
+FROM arms, pooled
+ORDER BY variant
+"""
+
+
+def jackknife_ratio_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-day jackknife variance for the ratio metric revenue
+    per click — ratio metrics are the ones a naive per-row variance
+    gets WRONG (numerator and denominator co-vary), and the
+    day-blocked jackknife is the standard correction that also
+    respects within-day correlation.
+
+    Each leave-one-day-out replicate is an INTEGER micro-ratio
+    ``r_i = (S−s_i)·1e6 DIV (C−c_i)`` (days where the remaining click
+    total would be zero are dropped — those replicates are undefined);
+    the jackknife variance (n−1)·(n·Σr² − (Σr)²) DIV n² then runs in
+    exact DECIMAL(38,0) arithmetic end-to-end — no float accumulation
+    over replicates, which is what would break cross-engine hashing.
+
+    Scale shape: one event scan → per-day rollup; the 1-row total
+    broadcasts onto the |days|-row replicate relation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.expr("unix_micros(ts) DIV 86400000000").alias("eday"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+            )
+            .otherwise(0)
+            .alias("cents"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("c1"),
+        )
+        .groupBy("eday")
+        .agg(
+            F.sum("cents").cast("long").alias("s_i"),
+            F.sum("c1").cast("long").alias("c_i"),
+        )
+    )
+    tot = daily.agg(
+        F.sum("s_i").cast("long").alias("s"),
+        F.sum("c_i").cast("long").alias("c"),
+    )
+    reps = (
+        daily.crossJoin(F.broadcast(tot))
+        .filter(F.expr("c - c_i > 0"))
+        .select(
+            F.expr(
+                "CAST((CAST(s AS DECIMAL(38,0)) - s_i) * 1000000"
+                " DIV (c - c_i) AS DECIMAL(38,0))"
+            ).alias("r"),
+            "s",
+            "c",
+        )
+    )
+    agg = reps.groupBy("s", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("r").alias("sr"),
+        F.sum(F.expr("r * r")).alias("srr"),
+    )
+    return agg.select(
+        "n_days",
+        F.col("s").alias("total_cents"),
+        F.col("c").alias("total_clicks"),
+        F.expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 DIV c AS BIGINT)"
+        ).alias("ratio_micro"),
+        F.expr(
+            "CAST((n_days - 1) * (n_days * srr - sr * sr)"
+            " DIV (CAST(n_days AS DECIMAL(38,0)) * n_days) AS BIGINT)"
+        ).alias("jk_var_micro2"),
+    )
+
+
+JACKKNIFE_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS eday,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s_i,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_i
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(s_i) AS BIGINT) AS s, CAST(sum(c_i) AS BIGINT) AS c
+  FROM daily
+),
+reps AS (
+  SELECT (t.s::HUGEINT - d.s_i) * 1000000 // (t.c - d.c_i) AS r, t.s, t.c
+  FROM daily d, tot t
+  WHERE t.c - d.c_i > 0
+),
+agg AS (
+  SELECT s, c, CAST(count(*) AS BIGINT) AS n_days,
+         sum(r) AS sr, sum(r * r) AS srr
+  FROM reps GROUP BY s, c
+)
+SELECT n_days, s AS total_cents, c AS total_clicks,
+       CAST(s::HUGEINT * 1000000 // c AS BIGINT) AS ratio_micro,
+       CAST((n_days - 1) * (n_days * srr - sr * sr)
+            // (n_days::HUGEINT * n_days) AS BIGINT) AS jk_var_micro2
+FROM agg
+"""
+
+
 SPARK_QUERIES = {
     "ab_test_analysis": ab_test_analysis,
     "bootstrap_ci_purchase_mean": bootstrap_ci_purchase_mean,
     "user_behavior_entropy": user_behavior_entropy,
     "chi_square_priority_weekday": chi_square_priority_weekday,
     "revenue_delta_contributors": revenue_delta_contributors,
+    "cuped_adjusted_lift": cuped_adjusted_lift,
+    "jackknife_ratio_metric": jackknife_ratio_metric,
 }
 
 ORACLE_SQL = {
@@ -462,4 +732,6 @@ ORACLE_SQL = {
     "user_behavior_entropy": ENTROPY_SQL,
     "chi_square_priority_weekday": CHI2_SQL,
     "revenue_delta_contributors": REVENUE_DELTA_SQL,
+    "cuped_adjusted_lift": CUPED_SQL,
+    "jackknife_ratio_metric": JACKKNIFE_SQL,
 }

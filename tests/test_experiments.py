@@ -81,3 +81,86 @@ def test_revenue_delta_contributors_shares(spark):
     assert moves == sorted(moves, reverse=True)
     for r in rows:
         assert abs((r["rev_b"] - r["rev_a"]) - r["delta"]) < 0.011
+
+
+def test_cuped_matches_python_replay(spark):
+    """Arm means, theta, and the adjusted means replayed from exact
+    per-user integer sums in pure Python (third engine)."""
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.experiments import cuped_adjusted_lift
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["variant"]: r for r in cuped_adjusted_lift(spark, sf).collect()}
+    per_user = duckdb.sql(
+        f"""
+        WITH base AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS eday,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                      ELSE 0 END AS cents
+          FROM '{sf}/events.parquet'
+        ),
+        bounds AS (SELECT min(eday) AS d0, max(eday) AS d1 FROM base)
+        SELECT CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                            1, 15))::UBIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END,
+               sum(CASE WHEN b.eday <= (d.d0 + d.d1) // 2
+                        THEN b.cents ELSE 0 END),
+               sum(CASE WHEN b.eday > (d.d0 + d.d1) // 2
+                        THEN b.cents ELSE 0 END)
+        FROM base b, bounds d GROUP BY user_id
+        """
+    ).fetchall()
+    n = len(per_user)
+    sx = sum(x for _, x, _ in per_user)
+    sy = sum(y for _, _, y in per_user)
+    sxx = sum(x * x for _, x, _ in per_user)
+    sxy = sum(x * y for _, x, y in per_user)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    for v in ("A", "B"):
+        arm = [(x, y) for a, x, y in per_user if a == v]
+        na = len(arm)
+        sxa = sum(x for x, _ in arm)
+        sya = sum(y for _, y in arm)
+        r = rows[v]
+        assert (r["n_users"], r["sum_y_cents"]) == (na, sya)
+        adj = sya / na - theta * (sxa / na - sx / n)
+        assert abs(r["mean_y_adj_cents"] - adj) < 1e-3
+        assert abs(r["theta"] - theta) < 1e-5
+        assert 0.0 <= r["var_reduction"] <= 1.0
+
+
+def test_jackknife_matches_integer_replay(spark):
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.experiments import (
+        jackknife_ratio_metric,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r = jackknife_ratio_metric(spark, sf).collect()[0]
+    daily = duckdb.sql(
+        f"""
+        SELECT epoch_us(ts) // 86400000000,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM '{sf}/events.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    s = sum(si for _, si, _ in daily)
+    c = sum(ci for _, _, ci in daily)
+    reps = [
+        (s - si) * 1_000_000 // (c - ci)
+        for _, si, ci in daily
+        if c - ci > 0
+    ]
+    n = len(reps)
+    sr, srr = sum(reps), sum(x * x for x in reps)
+    assert (r["n_days"], r["total_cents"], r["total_clicks"]) == (n, s, c)
+    assert r["ratio_micro"] == s * 1_000_000 // c
+    assert r["jk_var_micro2"] == (n - 1) * (n * srr - sr * sr) // (n * n)
+    assert r["jk_var_micro2"] >= 0

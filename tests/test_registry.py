@@ -151,6 +151,7 @@ EXPECTED_QUERIES = {
     "spearman_daily_rev_clicks", "kendall_daily_rev_clicks",
     "ccf_rev_clicks_lags", "mann_kendall_revenue_trend",
     "pinball_loss_eval", "conformal_interval_calibration",
+    "cuped_adjusted_lift", "jackknife_ratio_metric",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

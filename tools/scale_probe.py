@@ -176,7 +176,7 @@ def main() -> int:
         # (depth = days, invariant under row replication), and LPA
         # (edge-list join growth)
         from projet_meteo_etl_spark.operators import graph
-        from projet_meteo_etl_spark.plans import model_eval
+        from projet_meteo_etl_spark.plans import experiments, model_eval
 
         probes.update(
             {
@@ -214,6 +214,12 @@ def main() -> int:
                 "pinball_loss_eval": model_eval.pinball_loss_eval,
                 "conformal_interval_calibration": (
                     model_eval.conformal_interval_calibration
+                ),
+                # batch 13: |users|-rollup moments (CUPED) and |days|-row
+                # integer replicates (jackknife) — log scan dominates
+                "cuped_adjusted_lift": experiments.cuped_adjusted_lift,
+                "jackknife_ratio_metric": (
+                    experiments.jackknife_ratio_metric
                 ),
             }
         )
