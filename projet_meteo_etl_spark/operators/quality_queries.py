@@ -256,6 +256,136 @@ ORDER BY fk_edge
 """
 
 
+#: k-anonymity suppression threshold and l-diversity floor
+K_ANON_MIN = 5
+L_DIV_MIN = 2
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity distribution over the (nation, market-segment)
+    quasi-identifier — the re-identification audit run before a table
+    leaves the governed zone: every row in an equivalence class of
+    size k is indistinguishable from k−1 others, and classes below the
+    suppression threshold (k < 5) are the privacy leak.
+
+    Output: one row per observed class size k — how many classes and
+    rows sit at that k, each row share in ppm, and whether that k is
+    below the suppression threshold.  Two hash aggregates (rows →
+    classes → k histogram), each strictly smaller than the last; the
+    1-row total broadcasts onto the k histogram.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    hist = classes.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )
+    tot = hist.agg(F.sum("n_rows").cast("long").alias("n_total"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_classes",
+            "n_rows",
+            F.expr(
+                "CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000000"
+                " DIV n_total AS BIGINT)"
+            ).alias("rows_ppm"),
+            F.expr(f"CAST(k < {K_ANON_MIN} AS INT)").alias("below_threshold"),
+        )
+        .orderBy("k")
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS k
+  FROM customer GROUP BY 1, 2
+),
+hist AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(k) AS BIGINT) AS n_rows
+  FROM classes GROUP BY k
+),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM hist)
+SELECT k, n_classes, n_rows,
+       CAST(n_rows::HUGEINT * 1000000 // n_total AS BIGINT) AS rows_ppm,
+       CAST(k < {K_ANON_MIN} AS INT) AS below_threshold
+FROM hist, tot
+ORDER BY k
+"""
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class l-diversity detail for the same quasi-identifier,
+    with account balance (banded to $1000) as the sensitive attribute:
+    a class can be k-anonymous yet still leak if every member shares
+    one sensitive value (l = 1) — the homogeneity attack k-anonymity
+    alone misses.
+
+    Output: one row per equivalence class — k, distinct sensitive
+    bands l, and the suppress flag (k < 5 OR l < 2) a release pipeline
+    would act on.  One hash aggregate at (class, band) grain, one at
+    class grain: both bounded by |classes|·|bands|, not row count.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    banded = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        # +1000-band offset keeps the dividend positive: Spark DIV
+        # truncates, DuckDB // floors — they agree only on non-negative
+        # dividends, and acctbal can be negative
+        F.expr(
+            "(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)"
+            " DIV 100000 - 1000"
+        ).alias("bal_band"),
+    )
+    per_band = banded.groupBy(
+        "c_nationkey", "c_mktsegment", "bal_band"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        per_band.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("n").cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "l_distinct",
+            F.expr(
+                f"CAST(k < {K_ANON_MIN} OR l_distinct < {L_DIV_MIN} AS INT)"
+            ).alias("suppress"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)
+           // 100000 - 1000 AS bal_band
+  FROM customer
+),
+per_band AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, CAST(count(*) AS BIGINT) AS n
+  FROM banded GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(sum(n) AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS l_distinct,
+       CAST(sum(n) < {K_ANON_MIN} OR count(*) < {L_DIV_MIN} AS INT)
+         AS suppress
+FROM per_band
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 SPARK_QUERIES = {
     "referential_integrity_audit": referential_integrity_audit,
     "range_audit_lineitem": range_audit_lineitem,
@@ -264,6 +394,8 @@ SPARK_QUERIES = {
     "date_range_audit": date_range_audit,
     "consistency_audit_documents": consistency_audit_documents,
     "count_reconciliation": count_reconciliation,
+    "k_anonymity_audit": k_anonymity_audit,
+    "l_diversity_audit": l_diversity_audit,
 }
 
 ORACLE_SQL = {
@@ -274,4 +406,6 @@ ORACLE_SQL = {
     "date_range_audit": DATE_RANGE_AUDIT_SQL,
     "consistency_audit_documents": CONSISTENCY_AUDIT_SQL,
     "count_reconciliation": COUNT_RECONCILIATION_SQL,
+    "k_anonymity_audit": K_ANONYMITY_SQL,
+    "l_diversity_audit": L_DIVERSITY_SQL,
 }

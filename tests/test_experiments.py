@@ -164,3 +164,52 @@ def test_jackknife_matches_integer_replay(spark):
     assert r["ratio_micro"] == s * 1_000_000 // c
     assert r["jk_var_micro2"] == (n - 1) * (n * srr - sr * sr) // (n * n)
     assert r["jk_var_micro2"] >= 0
+
+
+def test_k_anonymity_and_l_diversity_invariants(spark):
+    """Privacy audits: k histogram accounts for every customer row;
+    per-class k/l replayed from a pure-Python group-by."""
+    import duckdb
+    from collections import Counter
+
+    from projet_meteo_etl_spark.operators.quality_queries import (
+        K_ANON_MIN,
+        L_DIV_MIN,
+        k_anonymity_audit,
+        l_diversity_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cust = duckdb.sql(
+        f"SELECT c_nationkey, c_mktsegment,"
+        f" (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)"
+        f"   // 100000 - 1000"
+        f" FROM '{sf}/customer.parquet'"
+    ).fetchall()
+    classes = Counter((n, m) for n, m, _ in cust)
+    hist = Counter(classes.values())
+    rows = {r["k"]: r for r in k_anonymity_audit(spark, sf).collect()}
+    assert set(rows) == set(hist)
+    total = len(cust)
+    for k, n_classes in hist.items():
+        r = rows[k]
+        assert (r["n_classes"], r["n_rows"]) == (n_classes, k * n_classes)
+        assert r["rows_ppm"] == k * n_classes * 1_000_000 // total
+        assert r["below_threshold"] == int(k < K_ANON_MIN)
+    assert sum(r["n_rows"] for r in rows.values()) == total
+
+    ldiv = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in l_diversity_audit(spark, sf).collect()
+    }
+    bands: dict = {}
+    for n, m, b in cust:
+        bands.setdefault((n, m), set()).add(b)
+    assert set(ldiv) == set(classes)
+    for key, k in classes.items():
+        r = ldiv[key]
+        assert (r["k"], r["l_distinct"]) == (k, len(bands[key]))
+        assert r["suppress"] == int(
+            k < K_ANON_MIN or len(bands[key]) < L_DIV_MIN
+        )
+        assert 1 <= r["l_distinct"] <= r["k"]

@@ -152,6 +152,7 @@ EXPECTED_QUERIES = {
     "ccf_rev_clicks_lags", "mann_kendall_revenue_trend",
     "pinball_loss_eval", "conformal_interval_calibration",
     "cuped_adjusted_lift", "jackknife_ratio_metric",
+    "k_anonymity_audit", "l_diversity_audit",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",
