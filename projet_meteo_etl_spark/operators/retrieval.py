@@ -527,9 +527,138 @@ FROM ranked
 """
 
 
+#: reciprocal-rank micro table for MRR@K (1e6 // r, exact literals
+#: shared with the oracle — no division at eval time)
+_MRR_RECIP = [1_000_000 // r for r in range(1, NDCG_K + 1)]
+
+
+def mrr_hit_rate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 and Hit@10 of the same behavioral ranker
+    :func:`ndcg_at_k_eval` grades — but per USER: the system ranks the
+    item catalog by global view count, each purchasing user's relevant
+    set is the items they bought, and the user's score is the
+    reciprocal rank of the first relevant item (0 if none lands in the
+    top 10).  NDCG answers "is the list graded well overall"; MRR/Hit
+    answer "does the first thing a user wants surface" — the pair
+    every retrieval launch review wants together.
+
+    Reciprocal ranks come from a precomputed 1e6//r literal table, so
+    the report is exact integer ppm.  Scale shape: the parsed
+    projection (JSON extraction is the row-linear cost here) is
+    persisted so the log is scanned and parsed exactly once — no
+    shuffle added, both the map-combined catalog aggregate and the
+    filtered purchase-pair distinct read the cached projection; the
+    catalog ranking broadcasts onto the purchased pairs and the
+    per-user min-rank rollup reduces to one row.
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            "event_type",
+        )
+        .filter(F.col("item").isNotNull())
+        .persist()
+    )
+    per = e.groupBy("item").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "n_views"
+        )
+    )
+    sys_rk = F.row_number().over(
+        Window.orderBy(F.desc("n_views"), F.asc("item"))
+    )
+    catalog = per.select("item", sys_rk.alias("sys_rk"))
+    bought = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "item")
+        .distinct()
+    )
+    best = (
+        bought.join(F.broadcast(catalog), "item")
+        .groupBy("user_id")
+        .agg(F.min("sys_rk").cast("long").alias("best_rk"))
+    )
+    recip = F.array(*[F.lit(r) for r in _MRR_RECIP])
+    out = best.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_eval"),
+        F.sum(
+            F.when(F.col("best_rk") <= NDCG_K, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hits_at_k"),
+        F.sum(
+            F.when(
+                F.col("best_rk") <= NDCG_K,
+                F.element_at(recip, F.col("best_rk").cast("int")),
+            ).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("sum_recip_micro"),
+    ).select(
+        "n_users_eval",
+        "n_hits_at_k",
+        F.expr(
+            "CAST(CAST(n_hits_at_k AS DECIMAL(38,0)) * 1000000"
+            " DIV n_users_eval AS BIGINT)"
+        ).alias("hit_rate_ppm"),
+        F.expr(
+            "CAST(sum_recip_micro DIV n_users_eval AS BIGINT)"
+        ).alias("mrr_ppm"),
+    )
+    return scoped_cache(out, e)
+
+
+def _mrr_recip_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {v}" for i, v in enumerate(_MRR_RECIP)
+    )
+    return f"CASE {rank_col} {whens} ELSE 0 END"
+
+
+MRR_EVAL_SQL = f"""
+WITH base AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         event_type
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+per AS (
+  SELECT item,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views
+  FROM base GROUP BY item
+),
+catalog AS (
+  SELECT item, row_number() OVER (ORDER BY n_views DESC, item ASC) AS sys_rk
+  FROM per
+),
+bought AS (
+  SELECT DISTINCT user_id, item FROM base WHERE event_type = 'purchase'
+),
+best AS (
+  SELECT b.user_id, CAST(min(c.sys_rk) AS BIGINT) AS best_rk
+  FROM bought b JOIN catalog c USING (item)
+  GROUP BY b.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users_eval,
+       CAST(sum(CASE WHEN best_rk <= {NDCG_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits_at_k,
+       CAST(sum(CASE WHEN best_rk <= {NDCG_K} THEN 1 ELSE 0 END)::HUGEINT
+            * 1000000 // count(*) AS BIGINT) AS hit_rate_ppm,
+       CAST(sum(CASE WHEN best_rk <= {NDCG_K}
+                     THEN {_mrr_recip_case('best_rk')} ELSE 0 END)::HUGEINT
+            // count(*) AS BIGINT) AS mrr_ppm
+FROM best
+"""
+
+
 SPARK_QUERIES = {
     "tfidf_topk_similar": tfidf_topk_similar,
     "ndcg_at_k_eval": ndcg_at_k_eval,
+    "mrr_hit_rate_eval": mrr_hit_rate_eval,
     "bm25_keyword_search": bm25_keyword_search,
     "hybrid_rrf_search": hybrid_rrf_search,
 }
@@ -539,4 +668,5 @@ ORACLE_SQL = {
     "bm25_keyword_search": BM25_SQL,
     "hybrid_rrf_search": HYBRID_RRF_SQL,
     "ndcg_at_k_eval": NDCG_EVAL_SQL,
+    "mrr_hit_rate_eval": MRR_EVAL_SQL,
 }

@@ -365,3 +365,42 @@ def test_chained_dau_equals_unchained_twin(spark):
     a = [(r["day"], r["n_users"]) for r in stream_chained_dedup_dau(spark, sf).collect()]
     b = [(r["day"], r["n_users"]) for r in stream_dedup_user_day(spark, sf).collect()]
     assert a == b and a
+
+
+def test_mrr_matches_python_replay(spark):
+    """MRR@10 / Hit@10 replayed from a pure-Python catalog ranking."""
+    import duckdb
+
+    from projet_meteo_etl_spark.operators.retrieval import (
+        NDCG_K,
+        _MRR_RECIP,
+        mrr_hit_rate_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r = mrr_hit_rate_eval(spark, sf).collect()[0]
+    rows = duckdb.sql(
+        f"SELECT user_id,"
+        f" CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,"
+        f" event_type FROM '{sf}/events.parquet'"
+        f" WHERE json_extract_string(props, '$.k') IS NOT NULL"
+    ).fetchall()
+    views: dict = {}
+    for _, item, et in rows:
+        if et == "view":
+            views[item] = views.get(item, 0) + 1
+    items = {i for _, i, _ in rows}
+    ranked = sorted(items, key=lambda i: (-views.get(i, 0), i))
+    rank_of = {i: r_ + 1 for r_, i in enumerate(ranked)}
+    bought: dict = {}
+    for u, item, et in rows:
+        if et == "purchase":
+            bought.setdefault(u, set()).add(item)
+    best = {u: min(rank_of[i] for i in its) for u, its in bought.items()}
+    n = len(best)
+    hits = sum(1 for b in best.values() if b <= NDCG_K)
+    mrr_sum = sum(_MRR_RECIP[b - 1] for b in best.values() if b <= NDCG_K)
+    assert (r["n_users_eval"], r["n_hits_at_k"]) == (n, hits)
+    assert r["hit_rate_ppm"] == hits * 1_000_000 // n
+    assert r["mrr_ppm"] == mrr_sum // n
+    assert 0 <= r["mrr_ppm"] <= r["hit_rate_ppm"] <= 1_000_000

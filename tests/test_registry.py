@@ -153,6 +153,7 @@ EXPECTED_QUERIES = {
     "pinball_loss_eval", "conformal_interval_calibration",
     "cuped_adjusted_lift", "jackknife_ratio_metric",
     "k_anonymity_audit", "l_diversity_audit",
+    "mrr_hit_rate_eval",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

@@ -175,7 +175,7 @@ def main() -> int:
         # (one corpus pass, d² shuffle cells), the recursive-CTE Holt
         # (depth = days, invariant under row replication), and LPA
         # (edge-list join growth)
-        from projet_meteo_etl_spark.operators import graph
+        from projet_meteo_etl_spark.operators import graph, retrieval
         from projet_meteo_etl_spark.plans import experiments, model_eval
 
         probes.update(
@@ -221,6 +221,9 @@ def main() -> int:
                 "jackknife_ratio_metric": (
                     experiments.jackknife_ratio_metric
                 ),
+                # batch 15: catalog-bounded ranking broadcast onto the
+                # distinct (user, purchased-item) pairs
+                "mrr_hit_rate_eval": retrieval.mrr_hit_rate_eval,
             }
         )
         timings = {}
