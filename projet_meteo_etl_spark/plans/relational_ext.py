@@ -738,6 +738,164 @@ ORDER BY event_type
 """
 
 
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation —
+    the market-structure diagnostic a sourcing/risk team runs: a
+    nation whose revenue is one supplier is a single point of failure
+    regardless of its volume.
+
+    Revenue stays integral end-to-end in cent-percent units
+    (``price_cents · (100 − discount_pct)``) so the per-supplier sums
+    are order-independent; shares are ppm-floored integers and
+    HHI = Σ share_ppm² DIV 1e6 (0..1e6 scale, 1e6 = monopoly).  Plan:
+    one map-combinable (nation, supplier) aggregate of the fact table
+    with the supplier dim broadcast, then |nations|-sized arithmetic.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(38,0))"
+        " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    )
+    supp_rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    totals = supp_rev.groupBy("n_name").agg(
+        F.sum("rev").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    shares = supp_rev.join(F.broadcast(totals), "n_name").select(
+        "n_name",
+        "n_suppliers",
+        F.expr("CAST(rev * 1000000 DIV total AS DECIMAL(38,0))").alias(
+            "share_ppm"
+        ),
+    )
+    return (
+        shares.groupBy("n_name")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.max("share_ppm").cast("long").alias("top_share_ppm"),
+            F.expr(
+                "CAST(sum(share_ppm * share_ppm) DIV 1000000 AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+HHI_SQL = """
+WITH supp_rev AS (
+  SELECT n_name, s_suppkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+           AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT n_name, sum(rev) AS total,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM supp_rev GROUP BY 1
+),
+shares AS (
+  SELECT s.n_name, t.n_suppliers,
+         s.rev * 1000000 // t.total AS share_ppm
+  FROM supp_rev s JOIN totals t USING (n_name)
+)
+SELECT n_name, max(n_suppliers) AS n_suppliers,
+       CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+       CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+FROM shares
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification of the sold-part catalog: class A = parts
+    covering the first 80% of cumulative revenue, B to 95%, C the long
+    tail — the Pareto cut inventory and assortment planning starts
+    from.
+
+    Revenue is exact cent-percent integers; the cumulative share cuts
+    are cross-multiplied (``cum·100 ≤ total·80``) so no ratio is ever
+    floated.  The running sum orders by (revenue DESC, partkey) over
+    the PART CATALOG aggregate — a domain-bounded relation
+    (allowlisted in ``tests/test_window_lint.py``), never the fact
+    table.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.expr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(38,0))"
+        " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    )
+    part_rev = l.groupBy("l_partkey").agg(F.sum(rev).alias("rev"))
+    tot = part_rev.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    classed = (
+        part_rev.withColumn("cum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rev",
+            F.expr(
+                "CASE WHEN cum * 100 <= total * 80 THEN 'A'"
+                " WHEN cum * 100 <= total * 95 THEN 'B'"
+                " ELSE 'C' END"
+            ).alias("abc_class"),
+            "total",
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.expr("CAST(sum(rev) AS BIGINT)").alias("rev_centpct"),
+            F.expr(
+                "CAST(sum(rev) * 1000000 DIV max(total) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_SQL = """
+WITH part_rev AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+           AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS total FROM part_rev),
+classed AS (
+  SELECT rev, t.total,
+         CASE WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                <= t.total * 80 THEN 'A'
+              WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                <= t.total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM part_rev, tot t
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS rev_centpct,
+       CAST(sum(rev) * 1000000 // max(total) AS BIGINT) AS share_ppm
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
 SPARK_QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "salt_factor_advisor": salt_factor_advisor,
@@ -757,6 +915,8 @@ SPARK_QUERIES = {
     "salted_skew_aggregation": salted_skew_aggregation,
     "salted_skew_join": salted_skew_join,
     "lineitem_sample_stats": lineitem_sample_stats,
+    "hhi_supplier_concentration": hhi_supplier_concentration,
+    "abc_inventory_classes": abc_inventory_classes,
 }
 
 ORACLE_SQL = {
@@ -778,4 +938,6 @@ ORACLE_SQL = {
     "salted_skew_aggregation": SALTED_AGG_SQL,
     "salted_skew_join": SALTED_JOIN_SQL,
     "lineitem_sample_stats": LINEITEM_SAMPLE_SQL,
+    "hhi_supplier_concentration": HHI_SQL,
+    "abc_inventory_classes": ABC_SQL,
 }

@@ -213,3 +213,70 @@ def test_k_anonymity_and_l_diversity_invariants(spark):
             k < K_ANON_MIN or len(bands[key]) < L_DIV_MIN
         )
         assert 1 <= r["l_distinct"] <= r["k"]
+
+
+def test_hhi_and_abc_match_python_replay(spark):
+    """Market concentration + Pareto classes replayed in pure Python
+    from exact cent-percent revenue integers."""
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.relational_ext import (
+        abc_inventory_classes,
+        hhi_supplier_concentration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""
+        SELECT n_name, s_suppkey, l_partkey,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        FROM '{sf}/lineitem.parquet'
+        JOIN '{sf}/supplier.parquet' ON l_suppkey = s_suppkey
+        JOIN '{sf}/nation.parquet' ON s_nationkey = n_nationkey
+        """
+    ).fetchall()
+    # HHI per nation
+    supp: dict = {}
+    for nname, sk, _, r in rows:
+        supp[(nname, sk)] = supp.get((nname, sk), 0) + r
+    got = {
+        r["n_name"]: r
+        for r in hhi_supplier_concentration(spark, sf).collect()
+    }
+    nations = {n for n, _ in supp}
+    assert set(got) == nations
+    for nat in nations:
+        revs = [v for (n, _), v in supp.items() if n == nat]
+        total = sum(revs)
+        shares = [v * 1_000_000 // total for v in revs]
+        r = got[nat]
+        assert r["n_suppliers"] == len(revs)
+        assert r["top_share_ppm"] == max(shares)
+        assert r["hhi_ppm"] == sum(s * s for s in shares) // 1_000_000
+        assert r["hhi_ppm"] <= 1_000_000
+    # ABC classes
+    part: dict = {}
+    for _, _, pk, r in rows:
+        part[pk] = part.get(pk, 0) + r
+    total = sum(part.values())
+    ordered = sorted(part.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum, counts, sums = 0, {"A": 0, "B": 0, "C": 0}, {"A": 0, "B": 0, "C": 0}
+    for pk, r in ordered:
+        cum += r
+        cls = "A" if cum * 100 <= total * 80 else (
+            "B" if cum * 100 <= total * 95 else "C"
+        )
+        counts[cls] += 1
+        sums[cls] += r
+    gota = {r["abc_class"]: r for r in abc_inventory_classes(spark, sf).collect()}
+    for cls in ("A", "B", "C"):
+        assert (gota[cls]["n_parts"], gota[cls]["rev_centpct"]) == (
+            counts[cls], sums[cls],
+        )
+        assert gota[cls]["share_ppm"] == sums[cls] * 1_000_000 // total
+    # shares must partition the total (ppm floors lose < 3 ppm)
+    assert sum(counts.values()) == len(part)
+    assert 999_997 <= sum(
+        gota[c]["share_ppm"] for c in ("A", "B", "C")
+    ) <= 1_000_000

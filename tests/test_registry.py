@@ -154,6 +154,7 @@ EXPECTED_QUERIES = {
     "cuped_adjusted_lift", "jackknife_ratio_metric",
     "k_anonymity_audit", "l_diversity_audit",
     "mrr_hit_rate_eval",
+    "hhi_supplier_concentration", "abc_inventory_classes",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

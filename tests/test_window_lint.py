@@ -51,6 +51,8 @@ ALLOWED = {
     "ndcg_at_k_eval": "item catalog aggregate (domain bounded)",
     # one ranking of the same item-catalog aggregate
     "mrr_hit_rate_eval": "item catalog aggregate (domain bounded)",
+    # cumulative revenue over the sold-part catalog aggregate
+    "abc_inventory_classes": "part catalog aggregate (domain bounded)",
     # ECDF prefix over the per-distinct-cents rollup (value-domain bounded)
     "ks_value_drift": "per-cents distribution rollup (~50k rows max)",
     # row_number over the per-day revenue rollup feeding the recursion

@@ -176,7 +176,11 @@ def main() -> int:
         # (depth = days, invariant under row replication), and LPA
         # (edge-list join growth)
         from projet_meteo_etl_spark.operators import graph, retrieval
-        from projet_meteo_etl_spark.plans import experiments, model_eval
+        from projet_meteo_etl_spark.plans import (
+            experiments,
+            model_eval,
+            relational_ext,
+        )
 
         probes.update(
             {
@@ -224,6 +228,14 @@ def main() -> int:
                 # batch 15: catalog-bounded ranking broadcast onto the
                 # distinct (user, purchased-item) pairs
                 "mrr_hit_rate_eval": retrieval.mrr_hit_rate_eval,
+                # batch 16: map-combined (nation, supplier) / per-part
+                # aggregates; everything downstream is catalog-sized
+                "hhi_supplier_concentration": (
+                    relational_ext.hhi_supplier_concentration
+                ),
+                "abc_inventory_classes": (
+                    relational_ext.abc_inventory_classes
+                ),
             }
         )
         timings = {}
