@@ -354,20 +354,11 @@ FROM agg
 KM_SCALE = 1_000_000
 
 
-def kaplan_meier_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan–Meier survival curve of days from a user's first signup
-    to their first purchase, right-censored at the end of the log —
-    the time-to-conversion analysis a growth team runs.
-
-    Per user: duration = first-purchase eday − first-signup eday (an
-    EVENT) or log-end − signup eday (CENSORED) — one per-user
-    aggregate.  The curve itself lives on the DURATION GRID (bounded by
-    the date domain, never row count): risk sets are suffix sums over
-    the per-duration rollup, and the product-limit estimator
-    ``S(t) = Π (1 − d_u/n_u)`` runs as a ``WITH RECURSIVE`` CTE in the
-    Spark plan with one truncating integer division per step
-    (``S_micro·(n−d) DIV n``), bit-identical in DuckDB.
-    """
+def _survival_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared duration grid for the survival estimators: per duration
+    day t, event count ``d_t`` (first purchase t days after first
+    signup) and censor count ``c_t`` (no purchase by log end) — one
+    per-user aggregate of the log, output bounded by the date domain."""
     e = load_table(spark, sf_dir, "events")
     base = e.select(
         "user_id",
@@ -398,20 +389,36 @@ def kaplan_meier_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_end") - F.col("d_signup"),
         ).alias("t_censor"),
     )
-    grid = durations.select(
+    return durations.select(
         F.coalesce("t_event", "t_censor").alias("t"),
         F.when(F.col("t_event").isNotNull(), 1).otherwise(0).alias("is_event"),
     ).groupBy("t").agg(
         F.sum("is_event").cast("long").alias("d_t"),
         F.sum(F.expr("1 - is_event")).cast("long").alias("c_t"),
     )
+
+
+def kaplan_meier_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of days from a user's first signup
+    to their first purchase, right-censored at the end of the log —
+    the time-to-conversion analysis a growth team runs.
+
+    Per user: duration = first-purchase eday − first-signup eday (an
+    EVENT) or log-end − signup eday (CENSORED) — one per-user
+    aggregate.  The curve itself lives on the DURATION GRID (bounded by
+    the date domain, never row count): risk sets are suffix sums over
+    the per-duration rollup, and the product-limit estimator
+    ``S(t) = Π (1 − d_u/n_u)`` runs as a ``WITH RECURSIVE`` CTE in the
+    Spark plan with one truncating integer division per step
+    (``S_micro·(n−d) DIV n``), bit-identical in DuckDB.
+    """
     # materialize the (duration-domain-bounded) grid BEFORE the
     # recursion: a plain temp view would inline the per-user aggregate
     # into every recursion step — T re-scans of the event log for a
     # T-row curve (18.6 s → ~2 s at sf0.1)
-    grid.coalesce(1).localCheckpoint(eager=True).createOrReplaceTempView(
-        "km_grid_raw"
-    )
+    _survival_grid(spark, sf_dir).coalesce(1).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("km_grid_raw")
     # suffix-sum risk sets + the product-limit recursion, both over the
     # date-domain-bounded duration grid
     return spark.sql(_km_sql("DIV"))
@@ -472,6 +479,247 @@ km_grid_raw AS (
   FROM durations GROUP BY 1
 )
 {_km_sql('//').lstrip().replace('WITH RECURSIVE g AS', ', g AS', 1)}
+"""
+
+
+def nelson_aalen_cum_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over the same signup→purchase
+    duration grid as :func:`kaplan_meier_first_purchase` — the additive
+    counterpart (H(t) = Σ d/n) analysts overlay on the KM curve: where
+    KM answers "what fraction survives", the hazard slope shows WHEN
+    conversion pressure rises or fades.
+
+    Because the estimator is a SUM (not a product), no recursion is
+    needed: risk sets are a suffix sum and the cumulative hazard a
+    prefix sum over the duration grid, each step's ``d·1e6 DIV n``
+    floored once — deterministic integers, and the whole curve is two
+    window passes over a date-domain-bounded relation.
+    """
+    grid = _survival_grid(spark, sf_dir)
+    w_risk = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risked = grid.withColumn(
+        "n_t", F.sum(F.expr("d_t + c_t")).over(w_risk)
+    ).withColumn(
+        "hazard_step_micro",
+        F.expr(f"CAST(d_t * {KM_SCALE} AS BIGINT) DIV n_t"),
+    )
+    return risked.select(
+        F.col("t").alias("duration_days"),
+        F.col("n_t").cast("long").alias("n_at_risk"),
+        F.col("d_t").alias("n_events"),
+        F.col("c_t").alias("n_censored"),
+        "hazard_step_micro",
+        F.sum("hazard_step_micro")
+        .over(w_cum)
+        .cast("long")
+        .alias("cum_hazard_micro"),
+    ).orderBy("duration_days")
+
+
+NELSON_AALEN_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS eday
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN eday END) AS d_signup,
+         min(CASE WHEN event_type = 'purchase' THEN eday END)
+           AS d_first_purchase
+  FROM base GROUP BY 1
+),
+log_end AS (SELECT max(eday) AS d_end FROM base),
+durations AS (
+  SELECT CASE WHEN d_first_purchase >= d_signup
+              THEN d_first_purchase - d_signup END AS t_event,
+         CASE WHEN d_first_purchase IS NULL OR d_first_purchase < d_signup
+              THEN d_end - d_signup END AS t_censor
+  FROM per_user, log_end
+  WHERE d_signup IS NOT NULL
+),
+grid AS (
+  SELECT coalesce(t_event, t_censor) AS t,
+         CAST(sum(CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS d_t,
+         CAST(sum(CASE WHEN t_event IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_t
+  FROM durations GROUP BY 1
+),
+risked AS (
+  SELECT t, d_t, c_t,
+         sum(d_t + c_t) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t,
+         d_t * {KM_SCALE} // sum(d_t + c_t) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS hazard_step_micro
+  FROM grid
+)
+SELECT t AS duration_days, CAST(n_t AS BIGINT) AS n_at_risk,
+       d_t AS n_events, c_t AS n_censored,
+       CAST(hazard_step_micro AS BIGINT) AS hazard_step_micro,
+       CAST(sum(hazard_step_micro) OVER (ORDER BY t
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_hazard_micro
+FROM risked
+ORDER BY duration_days
+"""
+
+
+def propensity_forecast_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier-style forecast error of the item propensity model: the
+    first time half's per-item view→purchase rate predicts the second
+    half's realized rate; the report is the second-half-views-weighted
+    squared error in ppm², plus the skill score against the
+    everything-gets-the-global-rate baseline — the "is the per-item
+    model better than no model" gate.
+
+    All rates are ppm-floored integers (same convention as
+    ``propensity_ipw_weights``), errors are exact integer ppm², and
+    the weighted means are single truncating DECIMAL(38) divisions.
+    Scale shape: one scan tags halves, one per-(item, half) aggregate;
+    everything after is item-catalog-sized.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("eday"),
+    ).filter(F.col("item").isNotNull())
+    bounds = e.agg(F.min("eday").alias("d0"), F.max("eday").alias("d1"))
+    per = (
+        e.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "half",
+            F.expr("CASE WHEN eday <= (d0 + d1) DIV 2 THEN 1 ELSE 2 END"),
+        )
+        .groupBy("item")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("half") == 1) & (F.col("event_type") == "view"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("v1"),
+            F.sum(
+                F.when(
+                    (F.col("half") == 1)
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("p1"),
+            F.sum(
+                F.when(
+                    (F.col("half") == 2) & (F.col("event_type") == "view"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("v2"),
+            F.sum(
+                F.when(
+                    (F.col("half") == 2)
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("p2"),
+        )
+        .filter("v1 > 0 AND v2 > 0")
+    )
+    rates = per.select(
+        "v2",
+        F.expr("p1 * 1000000 DIV v1").alias("pred_ppm"),
+        F.expr("p2 * 1000000 DIV v2").alias("real_ppm"),
+    )
+    glob = per.agg(
+        F.expr(
+            "CAST(sum(p1) * 1000000 DIV sum(v1) AS BIGINT)"
+        ).alias("global_ppm")
+    )
+    agg = rates.crossJoin(F.broadcast(glob)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("v2").cast("long").alias("total_views2"),
+        F.sum(
+            F.expr(
+                "CAST(v2 AS DECIMAL(38,0))"
+                " * (pred_ppm - real_ppm) * (pred_ppm - real_ppm)"
+            )
+        ).alias("werr"),
+        F.sum(
+            F.expr(
+                "CAST(v2 AS DECIMAL(38,0))"
+                " * (global_ppm - real_ppm) * (global_ppm - real_ppm)"
+            )
+        ).alias("werr_base"),
+    )
+    return agg.select(
+        "n_items",
+        "total_views2",
+        F.expr("CAST(werr DIV total_views2 AS BIGINT)").alias(
+            "brier_ppm2"
+        ),
+        F.expr("CAST(werr_base DIV total_views2 AS BIGINT)").alias(
+            "brier_baseline_ppm2"
+        ),
+        F.expr(
+            "CAST(1000000 - werr * 1000000 DIV greatest(werr_base, 1)"
+            " AS BIGINT)"
+        ).alias("skill_ppm"),
+    )
+
+
+PROPENSITY_BRIER_SQL = """
+WITH base AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         event_type, epoch_us(ts) // 86400000000 AS eday
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+bounds AS (SELECT min(eday) AS d0, max(eday) AS d1 FROM base),
+per AS (
+  SELECT item,
+         CAST(sum(CASE WHEN b.eday <= (d.d0 + d.d1) // 2
+                        AND event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN b.eday <= (d.d0 + d.d1) // 2
+                        AND event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p1,
+         CAST(sum(CASE WHEN b.eday > (d.d0 + d.d1) // 2
+                        AND event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS v2,
+         CAST(sum(CASE WHEN b.eday > (d.d0 + d.d1) // 2
+                        AND event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p2
+  FROM base b, bounds d
+  GROUP BY item
+),
+kept AS (SELECT * FROM per WHERE v1 > 0 AND v2 > 0),
+gl AS (
+  SELECT CAST(sum(p1) * 1000000 // sum(v1) AS BIGINT) AS global_ppm
+  FROM kept
+),
+rates AS (
+  SELECT v2, p1 * 1000000 // v1 AS pred_ppm,
+         p2 * 1000000 // v2 AS real_ppm
+  FROM kept
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(v2) AS BIGINT) AS total_views2,
+         sum(v2::HUGEINT * (pred_ppm - real_ppm) * (pred_ppm - real_ppm))
+           AS werr,
+         sum(v2::HUGEINT * (g.global_ppm - real_ppm)
+             * (g.global_ppm - real_ppm)) AS werr_base
+  FROM rates, gl g
+)
+SELECT n_items, total_views2,
+       CAST(werr // total_views2 AS BIGINT) AS brier_ppm2,
+       CAST(werr_base // total_views2 AS BIGINT) AS brier_baseline_ppm2,
+       CAST(1000000 - werr * 1000000 // greatest(werr_base, 1) AS BIGINT)
+         AS skill_ppm
+FROM agg
 """
 
 
@@ -1041,6 +1289,8 @@ SPARK_QUERIES = {
     "kendall_daily_rev_clicks": kendall_daily_rev_clicks,
     "pinball_loss_eval": pinball_loss_eval,
     "conformal_interval_calibration": conformal_interval_calibration,
+    "nelson_aalen_cum_hazard": nelson_aalen_cum_hazard,
+    "propensity_forecast_brier": propensity_forecast_brier,
 }
 
 ORACLE_SQL = {
@@ -1052,4 +1302,6 @@ ORACLE_SQL = {
     "kendall_daily_rev_clicks": KENDALL_SQL,
     "pinball_loss_eval": PINBALL_SQL,
     "conformal_interval_calibration": CONFORMAL_SQL,
+    "nelson_aalen_cum_hazard": NELSON_AALEN_SQL,
+    "propensity_forecast_brier": PROPENSITY_BRIER_SQL,
 }

@@ -310,3 +310,70 @@ def test_conformal_matches_rank_replay(spark):
         assert r["coverage_ppm"] == covered * 1_000_000 // len(test)
         # a 90% conformal interval should cover roughly 90%: sanity band
         assert 600_000 <= r["coverage_ppm"] <= 1_000_000
+
+
+def test_nelson_aalen_matches_km_grid_replay(spark):
+    """NA hazard replayed from the same duration grid the KM test
+    builds; cross-check consistency with the KM curve's risk sets."""
+    from projet_meteo_etl_spark.plans.model_eval import (
+        KM_SCALE,
+        kaplan_meier_first_purchase,
+        nelson_aalen_cum_hazard,
+    )
+
+    na = nelson_aalen_cum_hazard(spark, SF).collect()
+    km = kaplan_meier_first_purchase(spark, SF).collect()
+    assert [
+        (r["duration_days"], r["n_at_risk"], r["n_events"], r["n_censored"])
+        for r in na
+    ] == [
+        (r["duration_days"], r["n_at_risk"], r["n_events"], r["n_censored"])
+        for r in km
+    ]
+    cum = 0
+    for r in na:
+        step = r["n_events"] * KM_SCALE // r["n_at_risk"]
+        assert r["hazard_step_micro"] == step
+        cum += step
+        assert r["cum_hazard_micro"] == cum
+    h = [r["cum_hazard_micro"] for r in na]
+    assert h == sorted(h) and h[0] >= 0
+
+
+def test_propensity_brier_matches_python_replay(spark):
+    from projet_meteo_etl_spark.plans.model_eval import (
+        propensity_forecast_brier,
+    )
+
+    r = propensity_forecast_brier(spark, SF).collect()[0]
+    rows = duckdb.sql(
+        f"SELECT CAST(json_extract_string(props, '$.k') AS BIGINT),"
+        f" event_type, epoch_us(ts) // 86400000000"
+        f" FROM '{SF}/events.parquet'"
+        f" WHERE json_extract_string(props, '$.k') IS NOT NULL"
+    ).fetchall()
+    d0 = min(d for _, _, d in rows)
+    d1 = max(d for _, _, d in rows)
+    mid = (d0 + d1) // 2
+    per: dict = {}
+    for item, et, d in rows:
+        v = per.setdefault(item, [0, 0, 0, 0])  # v1 p1 v2 p2
+        if et == "view":
+            v[0 if d <= mid else 2] += 1
+        elif et == "purchase":
+            v[1 if d <= mid else 3] += 1
+    kept = {i: v for i, v in per.items() if v[0] > 0 and v[2] > 0}
+    g = sum(v[1] for v in kept.values()) * 1_000_000 // sum(
+        v[0] for v in kept.values()
+    )
+    werr = werr_base = tv2 = 0
+    for v1, p1, v2, p2 in kept.values():
+        pred = p1 * 1_000_000 // v1
+        real = p2 * 1_000_000 // v2
+        werr += v2 * (pred - real) ** 2
+        werr_base += v2 * (g - real) ** 2
+        tv2 += v2
+    assert (r["n_items"], r["total_views2"]) == (len(kept), tv2)
+    assert r["brier_ppm2"] == werr // tv2
+    assert r["brier_baseline_ppm2"] == werr_base // tv2
+    assert r["skill_ppm"] == 1_000_000 - werr * 1_000_000 // max(werr_base, 1)

@@ -155,6 +155,7 @@ EXPECTED_QUERIES = {
     "k_anonymity_audit", "l_diversity_audit",
     "mrr_hit_rate_eval",
     "hhi_supplier_concentration", "abc_inventory_classes",
+    "nelson_aalen_cum_hazard", "propensity_forecast_brier",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

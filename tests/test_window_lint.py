@@ -59,6 +59,8 @@ ALLOWED = {
     "holt_linear_forecast": "per-day revenue rollup (date-domain bounded)",
     # suffix-sum risk sets over the duration grid (date-domain bounded)
     "kaplan_meier_first_purchase": "per-duration survival rollup",
+    # suffix risk sets + prefix hazard over the same duration grid
+    "nelson_aalen_cum_hazard": "per-duration survival rollup",
     # two rank windows over the per-day rev/click rollup
     "spearman_daily_rev_clicks": "per-day rollup (date-domain bounded)",
 }

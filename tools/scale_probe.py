@@ -236,6 +236,14 @@ def main() -> int:
                 "abc_inventory_classes": (
                     relational_ext.abc_inventory_classes
                 ),
+                # batch 17: survival grid (date-domain bounded, no
+                # recursion) and item-catalog forecast error
+                "nelson_aalen_cum_hazard": (
+                    model_eval.nelson_aalen_cum_hazard
+                ),
+                "propensity_forecast_brier": (
+                    model_eval.propensity_forecast_brier
+                ),
             }
         )
         timings = {}
