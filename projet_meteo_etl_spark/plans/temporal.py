@@ -726,6 +726,259 @@ ORDER BY user_id, event_id
 """
 
 
+def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (40/20/40) multi-touch attribution — the standard
+    position-based model next to :func:`last_touch_attribution`: every
+    click/view touch in the hour before a purchase shares the credit,
+    first and last touch 40% each, the middle touches splitting the
+    remaining 20%.
+
+    Credit is integer ppm with a deterministic remainder rule: 1 touch
+    → 1e6; 2 → 500k each; n ≥ 3 → 400k first, middles get
+    ``200000 DIV (n−2)`` each and the LAST touch takes 400k plus the
+    division remainder, so every purchase's credits sum to exactly
+    1e6.  Purchases with no in-horizon touch report as the 'organic'
+    channel.  Scale shape: the purchase×touch expansion is an
+    equi-join on user_id bounded by the attribution horizon (the same
+    family as ``range_join_clicks_after_purchase``); credits aggregate
+    straight to the |channels|-row report.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("tus").alias("p_tus"),
+        "cents",
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("t_id"),
+        F.col("tus").alias("t_tus"),
+    )
+    pairs = purchases.join(touches, "user_id").filter(
+        (F.col("t_tus") < F.col("p_tus"))
+        & (F.col("p_tus") - F.col("t_tus") <= ATTR_HORIZON_US)
+    )
+    wp = Window.partitionBy("p_id").orderBy("t_tus", "t_id")
+    wn = Window.partitionBy("p_id")
+    ranked = pairs.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    credit = F.expr(
+        "CASE WHEN n = 1 THEN 1000000"
+        " WHEN n = 2 THEN 500000"
+        " WHEN rn = 1 THEN 400000"
+        " WHEN rn = n THEN 400000 + 200000 - (n - 2) * (200000 DIV (n - 2))"
+        " ELSE 200000 DIV (n - 2) END"
+    )
+    credited = ranked.select(
+        "channel",
+        credit.cast("long").alias("credit_ppm"),
+        F.expr("CAST(cents AS DECIMAL(38,0))").alias("cents"),
+    )
+    touch_agg = credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.sum("credit_ppm").cast("long").alias("credit_ppm_sum"),
+        F.expr(
+            "CAST(sum(cents * credit_ppm) DIV 1000000 AS BIGINT)"
+        ).alias("credited_cents"),
+    )
+    organic = (
+        purchases.join(
+            pairs.select("p_id").distinct(), "p_id", "left_anti"
+        )
+        .agg(
+            F.lit("organic").alias("channel"),
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            (F.count(F.lit(1)) * 1000000).cast("long").alias(
+                "credit_ppm_sum"
+            ),
+            F.sum("cents").cast("long").alias("credited_cents"),
+        )
+    )
+    return touch_agg.unionByName(organic).orderBy("channel")
+
+
+POSITION_ATTR_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+purchases AS (
+  SELECT user_id, event_id AS p_id, tus AS p_tus, cents
+  FROM e WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, event_type AS channel, event_id AS t_id, tus AS t_tus
+  FROM e WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+  SELECT p.p_id, p.cents, t.channel, t.t_tus, t.t_id
+  FROM purchases p JOIN touches t USING (user_id)
+  WHERE t.t_tus < p.p_tus AND p.p_tus - t.t_tus <= {ATTR_HORIZON_US}
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY p_id ORDER BY t_tus, t_id) AS rn,
+         count(*) OVER (PARTITION BY p_id) AS n
+  FROM pairs
+),
+credited AS (
+  SELECT channel,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN rn = 1 THEN 400000
+              WHEN rn = n THEN 400000 + 200000 - (n - 2) * (200000 // (n - 2))
+              ELSE 200000 // (n - 2) END AS credit_ppm,
+         cents
+  FROM ranked
+),
+touch_agg AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+         CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum,
+         CAST(sum(cents::HUGEINT * credit_ppm) // 1000000 AS BIGINT)
+           AS credited_cents
+  FROM credited GROUP BY channel
+),
+organic AS (
+  SELECT 'organic' AS channel,
+         CAST(count(*) AS BIGINT) AS n_credits,
+         CAST(count(*) * 1000000 AS BIGINT) AS credit_ppm_sum,
+         CAST(sum(cents) AS BIGINT) AS credited_cents
+  FROM purchases p
+  WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.p_id = p.p_id)
+)
+SELECT * FROM touch_agg
+UNION ALL
+SELECT * FROM organic
+ORDER BY channel
+"""
+
+
+#: funnel latency stages: (from_type, to_type)
+FUNNEL_STAGES = (("view", "click"), ("click", "purchase"))
+
+
+def funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-exact P50/P90 of the per-user time between first funnel
+    events (first view→first click, first click→first purchase), in
+    hours — the "where do users stall" diagnostic behind
+    ``event_funnel_counts``'s pure conversion rates.
+
+    Gaps are integer hours; the percentiles are prefix-sum rank
+    selections over the per-(stage, distinct-gap) rollup — bounded by
+    the time domain, never user count (same rollup form as
+    ``pinball_loss_eval``).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.min(
+                F.when(F.col("event_type") == t, F.unix_micros("ts"))
+            ).alias(f"t_{t}")
+            for t in ("view", "click", "purchase")
+        ]
+    )
+    stages = []
+    for a, b in FUNNEL_STAGES:
+        stages.append(
+            per_user.filter(
+                F.col(f"t_{b}").isNotNull()
+                & F.col(f"t_{a}").isNotNull()
+                & (F.col(f"t_{b}") >= F.col(f"t_{a}"))
+            ).select(
+                F.lit(f"{a}->{b}").alias("stage"),
+                F.expr(
+                    f"(t_{b} - t_{a}) DIV 3600000000"
+                ).alias("gap_hours"),
+            )
+        )
+    gaps = stages[0].unionByName(stages[1])
+    counts = gaps.groupBy("stage", "gap_hours").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("stage")
+        .orderBy("gap_hours")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "stage",
+        "gap_hours",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("stage")).cast("long").alias("n"),
+    )
+    p50 = (
+        cum.filter(F.expr("cum >= (n + 1) DIV 2"))
+        .groupBy("stage")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            F.min("gap_hours").alias("p50_hours"),
+        )
+    )
+    p90 = (
+        cum.filter(F.expr("cum >= (9 * n + 9) DIV 10"))
+        .groupBy("stage")
+        .agg(F.min("gap_hours").alias("p90_hours"))
+    )
+    return p50.join(p90, "stage").orderBy("stage")
+
+
+FUNNEL_LATENCY_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS t_purchase
+  FROM events GROUP BY user_id
+),
+gaps AS (
+  SELECT 'view->click' AS stage,
+         (t_click - t_view) // 3600000000 AS gap_hours
+  FROM per_user
+  WHERE t_click IS NOT NULL AND t_view IS NOT NULL AND t_click >= t_view
+  UNION ALL
+  SELECT 'click->purchase',
+         (t_purchase - t_click) // 3600000000
+  FROM per_user
+  WHERE t_purchase IS NOT NULL AND t_click IS NOT NULL
+    AND t_purchase >= t_click
+),
+counts AS (
+  SELECT stage, gap_hours, CAST(count(*) AS BIGINT) AS cnt
+  FROM gaps GROUP BY 1, 2
+),
+cum AS (
+  SELECT stage, gap_hours,
+         sum(cnt) OVER (PARTITION BY stage ORDER BY gap_hours
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY stage) AS BIGINT) AS n
+  FROM counts
+),
+p50 AS (
+  SELECT stage, CAST(max(n) AS BIGINT) AS n_users,
+         min(gap_hours) AS p50_hours
+  FROM cum WHERE cum >= (n + 1) // 2 GROUP BY stage
+),
+p90 AS (
+  SELECT stage, min(gap_hours) AS p90_hours
+  FROM cum WHERE cum >= (9 * n + 9) // 10 GROUP BY stage
+)
+SELECT p50.stage, n_users, p50_hours, p90_hours
+FROM p50 JOIN p90 USING (stage)
+ORDER BY stage
+"""
+
+
 SPARK_QUERIES = {
     "pit_training_set_assembly": pit_training_set_assembly,
     "last_touch_attribution": last_touch_attribution,
@@ -736,6 +989,8 @@ SPARK_QUERIES = {
     "user_value_deciles": user_value_deciles,
     "event_transition_matrix": event_transition_matrix,
     "session_path_topk": session_path_topk,
+    "position_based_attribution": position_based_attribution,
+    "funnel_stage_latency": funnel_stage_latency,
 }
 
 ORACLE_SQL = {
@@ -748,4 +1003,6 @@ ORACLE_SQL = {
     "user_value_deciles": DECILES_SQL,
     "event_transition_matrix": TRANSITION_SQL,
     "session_path_topk": SESSION_PATH_SQL,
+    "position_based_attribution": POSITION_ATTR_SQL,
+    "funnel_stage_latency": FUNNEL_LATENCY_SQL,
 }

@@ -280,3 +280,97 @@ def test_hhi_and_abc_match_python_replay(spark):
     assert 999_997 <= sum(
         gota[c]["share_ppm"] for c in ("A", "B", "C")
     ) <= 1_000_000
+
+
+def test_position_attribution_credits_sum_to_one_per_purchase(spark):
+    """U-shaped credits: per-purchase ppm must sum to exactly 1e6;
+    channel totals replayed in pure Python."""
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.temporal import (
+        ATTR_HORIZON_US,
+        position_based_attribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["channel"]: r
+        for r in position_based_attribution(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id, event_type, epoch_us(ts),"
+        f" CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+        f" FROM '{sf}/events.parquet'"
+        f" WHERE event_type IN ('purchase', 'click', 'view')"
+    ).fetchall()
+    purch = [(u, i, t, c) for u, i, et, t, c in rows if et == "purchase"]
+    touch: dict = {}
+    for u, i, et, t, _ in rows:
+        if et in ("click", "view"):
+            touch.setdefault(u, []).append((t, i, et))
+    agg: dict = {}
+    organic_n = organic_cents = 0
+    for u, pid, pt, cents in purch:
+        win = sorted(
+            (t, i, et)
+            for t, i, et in touch.get(u, [])
+            if t < pt and pt - t <= ATTR_HORIZON_US
+        )
+        n = len(win)
+        if n == 0:
+            organic_n += 1
+            organic_cents += cents
+            continue
+        if n == 1:
+            credits = [1_000_000]
+        elif n == 2:
+            credits = [500_000, 500_000]
+        else:
+            # first 400k, middles floor-share 200k, last takes
+            # 400k + the division remainder
+            mid = 200_000 // (n - 2)
+            credits = (
+                [400_000]
+                + [mid] * (n - 2)
+                + [400_000 + 200_000 - (n - 2) * mid]
+            )
+        assert len(credits) == n
+        assert sum(credits) == 1_000_000
+        for (t, i, et), cr in zip(win, credits):
+            a = agg.setdefault(et, [0, 0, 0])
+            a[0] += 1
+            a[1] += cr
+            a[2] += cents * cr
+    for ch, (nc, cs, vc) in agg.items():
+        r = got[ch]
+        assert (r["n_credits"], r["credit_ppm_sum"]) == (nc, cs)
+        assert r["credited_cents"] == vc // 1_000_000
+    assert got["organic"]["n_credits"] == organic_n
+    assert got["organic"]["credited_cents"] == organic_cents
+
+
+def test_funnel_latency_matches_rank_replay(spark):
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.temporal import funnel_stage_latency
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["stage"]: r for r in funnel_stage_latency(spark, sf).collect()}
+    per_user = duckdb.sql(
+        f"SELECT min(CASE WHEN event_type='view' THEN epoch_us(ts) END),"
+        f" min(CASE WHEN event_type='click' THEN epoch_us(ts) END),"
+        f" min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END)"
+        f" FROM '{sf}/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    for stage, ai, bi in (("view->click", 0, 1), ("click->purchase", 1, 2)):
+        gaps = sorted(
+            (r[bi] - r[ai]) // 3_600_000_000
+            for r in per_user
+            if r[ai] is not None and r[bi] is not None and r[bi] >= r[ai]
+        )
+        n = len(gaps)
+        r = got[stage]
+        assert r["n_users"] == n
+        assert r["p50_hours"] == gaps[(n + 1) // 2 - 1]
+        assert r["p90_hours"] == gaps[(9 * n + 9) // 10 - 1]
+        assert r["p50_hours"] <= r["p90_hours"]

@@ -156,6 +156,7 @@ EXPECTED_QUERIES = {
     "mrr_hit_rate_eval",
     "hhi_supplier_concentration", "abc_inventory_classes",
     "nelson_aalen_cum_hazard", "propensity_forecast_brier",
+    "position_based_attribution", "funnel_stage_latency",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

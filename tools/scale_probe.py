@@ -180,6 +180,7 @@ def main() -> int:
             experiments,
             model_eval,
             relational_ext,
+            temporal,
         )
 
         probes.update(
@@ -244,6 +245,12 @@ def main() -> int:
                 "propensity_forecast_brier": (
                     model_eval.propensity_forecast_brier
                 ),
+                # batch 18: horizon-bounded purchase×touch expansion and
+                # hour-domain gap rollups
+                "position_based_attribution": (
+                    temporal.position_based_attribution
+                ),
+                "funnel_stage_latency": temporal.funnel_stage_latency,
             }
         )
         timings = {}
