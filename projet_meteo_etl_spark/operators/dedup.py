@@ -1182,7 +1182,143 @@ SELECT cluster_size, count(*) AS n_clusters FROM (
 """
 
 
+#: sorted-neighborhood window width (each doc pairs with the next W
+#: docs in its block's sort order)
+SNM_WINDOW = 2
+#: block = this many leading chars of the normalized sort key
+SNM_BLOCK_CHARS = 4
+#: sort key = this many leading chars of the normalized text
+SNM_KEY_CHARS = 24
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995) —
+    the classic BLOCKING paradigm the LSH/shingle family here doesn't
+    cover: sort records by a normalized key, slide a w-record window,
+    and only window-mates become candidate pairs.  The blocked variant
+    (window slides within a key-prefix block, losing only
+    block-boundary pairs) is the shuffle-partitionable form a cluster
+    runs.
+
+    Key = first 24 alphanumeric-squeezed lowercase chars; block = its
+    4-char prefix; window w=2.  The report grades the blocking itself:
+    candidate count vs the exact-duplicate truth (md5-equal texts),
+    with integer-ppm recall ("how many true dup pairs does the window
+    catch") and precision ("how many candidates are real").  Scale
+    shape: one scan → (block, key) projection; the rank window
+    partitions BY BLOCK; the neighbor join is an equi-join on block
+    with a rank-distance predicate — pairs ∝ w·n, never n².
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.substring(
+            F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")),
+            1,
+            SNM_KEY_CHARS,
+        ).alias("k"),
+    ).withColumn("blk", F.substring("k", 1, SNM_BLOCK_CHARS))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("blk").orderBy("k", "doc_id")
+    )
+    ranked = keyed.select("doc_id", "h", "k", "blk", rn.alias("rn"))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("b.rn") > F.col("a.rn"))
+        & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW),
+    ).select(
+        (F.col("a.h") == F.col("b.h")).cast("long").alias("hit")
+    )
+    truth = (
+        keyed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("k_size"))
+        .agg(
+            F.sum(
+                F.expr("k_size * (k_size - 1) DIV 2")
+            )
+            .cast("long")
+            .alias("n_truth_pairs")
+        )
+    )
+    blocks = keyed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("blk").cast("long").alias("n_blocks"),
+    )
+    cagg = cands.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("hit").cast("long").alias("n_hits"),
+    )
+    return (
+        blocks.crossJoin(F.broadcast(cagg))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "n_docs",
+            "n_blocks",
+            "n_candidates",
+            "n_truth_pairs",
+            "n_hits",
+            F.expr(
+                "CAST(n_hits * 1000000 DIV greatest(n_truth_pairs, 1)"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(n_hits * 1000000 DIV greatest(n_candidates, 1)"
+                " AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+    )
+
+
+SNM_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, md5(text) AS h,
+         substring(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+                   1, {SNM_KEY_CHARS}) AS k
+  FROM documents
+),
+blocked AS (
+  SELECT *, substring(k, 1, {SNM_BLOCK_CHARS}) AS blk FROM keyed
+),
+ranked AS (
+  SELECT doc_id, h, k, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY k, doc_id) AS rn
+  FROM blocked
+),
+cands AS (
+  SELECT CASE WHEN a.h = b.h THEN 1 ELSE 0 END AS hit
+  FROM ranked a JOIN ranked b
+    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+),
+truth AS (
+  SELECT CAST(sum(k_size * (k_size - 1) // 2) AS BIGINT) AS n_truth_pairs
+  FROM (SELECT count(*) AS k_size FROM blocked GROUP BY h)
+),
+blocks AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks
+  FROM blocked
+),
+cagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits
+  FROM cands
+)
+SELECT n_docs, n_blocks, n_candidates, n_truth_pairs, n_hits,
+       CAST(n_hits * 1000000 // greatest(n_truth_pairs, 1) AS BIGINT)
+         AS recall_ppm,
+       CAST(n_hits * 1000000 // greatest(n_candidates, 1) AS BIGINT)
+         AS precision_ppm
+FROM blocks, cagg, truth
+"""
+
+
 SPARK_QUERIES = {
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -1196,6 +1332,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "sorted_neighborhood_pairs": SNM_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint_groups": DEDUP_FINGERPRINT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

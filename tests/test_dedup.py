@@ -155,3 +155,49 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert r.contain_b_in_a < 0.1
     # symmetric Jaccard on the same pair is tiny
     assert all(p.jaccard < 0.1 for p in jac)
+
+
+def test_sorted_neighborhood_matches_python_replay(spark):
+    """Blocked SNM candidates, truth pairs, and recall/precision ppm
+    replayed in pure Python over the normalized keys."""
+    import re as _re
+
+    import duckdb
+
+    from projet_meteo_etl_spark.operators.dedup import (
+        SNM_BLOCK_CHARS,
+        SNM_KEY_CHARS,
+        SNM_WINDOW,
+        sorted_neighborhood_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r = sorted_neighborhood_pairs(spark, sf).collect()[0]
+    docs = duckdb.sql(
+        f"SELECT doc_id, md5(text), text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    keyed = []
+    for doc_id, h, text in docs:
+        k = _re.sub(r"[^a-zA-Z0-9]", "", text).lower()[:SNM_KEY_CHARS]
+        keyed.append((k[:SNM_BLOCK_CHARS], k, doc_id, h))
+    blocks: dict = {}
+    for blk, k, doc_id, h in keyed:
+        blocks.setdefault(blk, []).append((k, doc_id, h))
+    n_cands = n_hits = 0
+    for members in blocks.values():
+        members.sort()
+        for i, (_, _, h1) in enumerate(members):
+            for j in range(i + 1, min(i + SNM_WINDOW + 1, len(members))):
+                n_cands += 1
+                n_hits += h1 == members[j][2]
+    from collections import Counter
+
+    truth = sum(
+        c * (c - 1) // 2 for c in Counter(h for _, _, _, h in keyed).values()
+    )
+    assert (r["n_docs"], r["n_blocks"]) == (len(keyed), len(blocks))
+    assert (r["n_candidates"], r["n_hits"], r["n_truth_pairs"]) == (
+        n_cands, n_hits, truth,
+    )
+    assert r["recall_ppm"] == n_hits * 1_000_000 // max(truth, 1)
+    assert r["precision_ppm"] == n_hits * 1_000_000 // max(n_cands, 1)

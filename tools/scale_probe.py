@@ -175,7 +175,7 @@ def main() -> int:
         # (one corpus pass, d² shuffle cells), the recursive-CTE Holt
         # (depth = days, invariant under row replication), and LPA
         # (edge-list join growth)
-        from projet_meteo_etl_spark.operators import graph, retrieval
+        from projet_meteo_etl_spark.operators import dedup, graph, retrieval
         from projet_meteo_etl_spark.plans import (
             experiments,
             model_eval,
@@ -251,6 +251,10 @@ def main() -> int:
                     temporal.position_based_attribution
                 ),
                 "funnel_stage_latency": temporal.funnel_stage_latency,
+                # batch 19: blocked SNM — pairs ∝ w·n by construction
+                "sorted_neighborhood_pairs": (
+                    dedup.sorted_neighborhood_pairs
+                ),
             }
         )
         timings = {}
