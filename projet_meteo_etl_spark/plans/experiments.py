@@ -10,7 +10,7 @@ identically — the property that makes experiment analyses auditable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
@@ -716,6 +716,121 @@ FROM agg
 """
 
 
+def winsorized_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust A/B revenue readout: per-user purchase totals clipped at
+    the POOLED P99 before comparing arm means — the standard defense
+    against one whale user deciding the experiment (and clipping at
+    the pooled quantile, not per-arm, keeps the treatment comparison
+    unbiased).
+
+    The P99 is a rank selection via prefix sums over the per-distinct-
+    total rollup (value-domain bounded, no row sort — the
+    ``pinball_loss_eval`` form); means are exact integer micro-cents.
+    Same md5 50/50 assignment as :func:`ab_test_analysis` /
+    :func:`cuped_adjusted_lift`.
+    """
+    e = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .select(variant.alias("variant"), "y")
+    )
+    counts = per_user.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "y",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    p99 = (
+        cum.filter(F.expr("cum >= (99 * n + 99) DIV 100"))
+        .agg(F.min("y").alias("p99_cents"))
+    )
+    tagged = per_user.crossJoin(F.broadcast(p99))
+    return (
+        tagged.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.max("p99_cents").alias("p99_cents"),
+            F.sum(F.expr("CAST(y > p99_cents AS BIGINT)"))
+            .cast("long")
+            .alias("n_clipped"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum(F.expr("CAST(LEAST(y, p99_cents) AS DECIMAL(38,0))")).alias(
+                "syc"
+            ),
+        )
+        .select(
+            "variant",
+            "n_users",
+            "p99_cents",
+            "n_clipped",
+            F.expr("CAST(sy * 1000000 DIV n_users AS BIGINT)").alias(
+                "raw_mean_microcents"
+            ),
+            F.expr("CAST(syc * 1000000 DIV n_users AS BIGINT)").alias(
+                "clipped_mean_microcents"
+            ),
+        )
+        .orderBy("variant")
+    )
+
+
+WINSOR_AB_SQL = """
+WITH per_user AS (
+  SELECT CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                      1, 15))::UBIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+counts AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM per_user GROUP BY y),
+cum AS (
+  SELECT y,
+         sum(cnt) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM counts
+),
+p99 AS (
+  SELECT min(y) AS p99_cents FROM cum WHERE cum >= (99 * n + 99) // 100
+)
+SELECT variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       max(p99_cents) AS p99_cents,
+       CAST(sum(CASE WHEN y > p99_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       CAST(sum(y)::HUGEINT * 1000000 // count(*) AS BIGINT)
+         AS raw_mean_microcents,
+       CAST(sum(LEAST(y, p99_cents))::HUGEINT * 1000000 // count(*)
+            AS BIGINT) AS clipped_mean_microcents
+FROM per_user, p99
+GROUP BY variant
+ORDER BY variant
+"""
+
+
 SPARK_QUERIES = {
     "ab_test_analysis": ab_test_analysis,
     "bootstrap_ci_purchase_mean": bootstrap_ci_purchase_mean,
@@ -724,6 +839,7 @@ SPARK_QUERIES = {
     "revenue_delta_contributors": revenue_delta_contributors,
     "cuped_adjusted_lift": cuped_adjusted_lift,
     "jackknife_ratio_metric": jackknife_ratio_metric,
+    "winsorized_ab_lift": winsorized_ab_lift,
 }
 
 ORACLE_SQL = {
@@ -734,4 +850,5 @@ ORACLE_SQL = {
     "revenue_delta_contributors": REVENUE_DELTA_SQL,
     "cuped_adjusted_lift": CUPED_SQL,
     "jackknife_ratio_metric": JACKKNIFE_SQL,
+    "winsorized_ab_lift": WINSOR_AB_SQL,
 }

@@ -374,3 +374,36 @@ def test_funnel_latency_matches_rank_replay(spark):
         assert r["p50_hours"] == gaps[(n + 1) // 2 - 1]
         assert r["p90_hours"] == gaps[(9 * n + 9) // 10 - 1]
         assert r["p50_hours"] <= r["p90_hours"]
+
+
+def test_winsorized_ab_matches_python_replay(spark):
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.experiments import winsorized_ab_lift
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["variant"]: r for r in winsorized_ab_lift(spark, sf).collect()}
+    per_user = duckdb.sql(
+        f"""
+        SELECT CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                            1, 15))::UBIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT)
+        FROM '{sf}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    ys = sorted(y for _, y in per_user)
+    n = len(ys)
+    p99 = ys[(99 * n + 99) // 100 - 1]
+    for v in ("A", "B"):
+        arm = [y for a, y in per_user if a == v]
+        r = got[v]
+        assert (r["n_users"], r["p99_cents"]) == (len(arm), p99)
+        assert r["n_clipped"] == sum(1 for y in arm if y > p99)
+        assert r["raw_mean_microcents"] == sum(arm) * 1_000_000 // len(arm)
+        assert r["clipped_mean_microcents"] == sum(
+            min(y, p99) for y in arm
+        ) * 1_000_000 // len(arm)
+        assert r["clipped_mean_microcents"] <= r["raw_mean_microcents"]

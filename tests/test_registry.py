@@ -157,7 +157,7 @@ EXPECTED_QUERIES = {
     "hhi_supplier_concentration", "abc_inventory_classes",
     "nelson_aalen_cum_hazard", "propensity_forecast_brier",
     "position_based_attribution", "funnel_stage_latency",
-    "sorted_neighborhood_pairs",
+    "sorted_neighborhood_pairs", "winsorized_ab_lift",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

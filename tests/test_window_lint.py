@@ -53,6 +53,8 @@ ALLOWED = {
     "mrr_hit_rate_eval": "item catalog aggregate (domain bounded)",
     # cumulative revenue over the sold-part catalog aggregate
     "abc_inventory_classes": "part catalog aggregate (domain bounded)",
+    # P99 prefix over the per-distinct-user-total rollup
+    "winsorized_ab_lift": "user-total value rollup (domain bounded)",
     # ECDF prefix over the per-distinct-cents rollup (value-domain bounded)
     "ks_value_drift": "per-cents distribution rollup (~50k rows max)",
     # row_number over the per-day revenue rollup feeding the recursion

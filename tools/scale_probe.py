@@ -255,6 +255,8 @@ def main() -> int:
                 "sorted_neighborhood_pairs": (
                     dedup.sorted_neighborhood_pairs
                 ),
+                # batch 20: per-user rollup + value-domain P99 pick
+                "winsorized_ab_lift": experiments.winsorized_ab_lift,
             }
         )
         timings = {}
