@@ -840,7 +840,123 @@ ORDER BY d.source
 """
 
 
+#: pooled decile ranks evaluated by the quantile-alignment audit
+QA_DECILES = tuple(range(1, 10))
+
+
+def source_quantile_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile alignment of the document-length
+    distribution against the POOLED deciles — the distribution-drift
+    panel mixture tuning reads: a source whose mass sits in the pooled
+    top decile will dominate token budgets however its row share looks.
+    For every pooled decile boundary d10..d90 (rank-selected on the
+    pooled n_chars rollup), each source reports the ppm of ITS docs at
+    or below that boundary; a perfectly aligned source reads
+    100k/200k/…/900k.
+
+    Everything runs on length-domain rollups: the pooled boundary pick
+    is a prefix-sum rank selection, and the per-source CDF evaluation
+    joins the 9-row broadcast boundary table to the per-(source,
+    distinct-length) rollup — no row-level sort anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    pooled = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pooled.select(
+        "n_chars",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    deciles = spark.createDataFrame(
+        [(q,) for q in QA_DECILES], "decile int"
+    )
+    bounds = (
+        cum.crossJoin(F.broadcast(deciles))
+        .filter(F.expr("cum >= (decile * n + 9) DIV 10"))
+        .groupBy("decile")
+        .agg(F.min("n_chars").alias("boundary_chars"))
+    )
+    per_src = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_src")
+    )
+    at_or_below = (
+        per_src.crossJoin(F.broadcast(bounds))
+        .filter(F.col("n_chars") <= F.col("boundary_chars"))
+        .groupBy("source", "decile")
+        .agg(F.sum("cnt").cast("long").alias("n_below"))
+    )
+    # full (source × decile) grid: a source with nothing below a
+    # boundary must report 0 ppm, not vanish from the panel
+    grid = src_tot.crossJoin(F.broadcast(bounds))
+    return (
+        grid.join(at_or_below, ["source", "decile"], "left")
+        .select(
+            "source",
+            "decile",
+            "boundary_chars",
+            F.coalesce("n_below", F.lit(0)).cast("long").alias("n_below"),
+            "n_src",
+            F.expr(
+                "CAST(CAST(coalesce(n_below, 0) AS DECIMAL(38,0))"
+                " * 1000000 DIV n_src AS BIGINT)"
+            ).alias("frac_ppm"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+QUANTILE_ALIGN_SQL = f"""
+WITH pooled AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT n_chars,
+         sum(cnt) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM pooled
+),
+deciles AS (SELECT unnest([{', '.join(str(q) for q in QA_DECILES)}]) AS decile),
+bounds AS (
+  SELECT decile, min(n_chars) AS boundary_chars
+  FROM cum, deciles
+  WHERE cum >= (decile * n + 9) // 10
+  GROUP BY decile
+),
+per_src AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+src_tot AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src FROM per_src GROUP BY 1
+)
+, at_or_below AS (
+  SELECT p.source, b.decile, CAST(sum(p.cnt) AS BIGINT) AS n_below
+  FROM per_src p CROSS JOIN bounds b
+  WHERE p.n_chars <= b.boundary_chars
+  GROUP BY 1, 2
+)
+SELECT t.source, CAST(b.decile AS INT) AS decile, b.boundary_chars,
+       CAST(coalesce(a.n_below, 0) AS BIGINT) AS n_below, t.n_src,
+       CAST(coalesce(a.n_below, 0)::HUGEINT * 1000000 // t.n_src AS BIGINT)
+         AS frac_ppm
+FROM src_tot t
+CROSS JOIN bounds b
+LEFT JOIN at_or_below a ON a.source = t.source AND a.decile = b.decile
+ORDER BY t.source, decile
+"""
+
+
 SPARK_QUERIES = {
+    "source_quantile_alignment": source_quantile_alignment,
     "text_repetition_filter": text_repetition_filter,
     "oov_rate_audit": oov_rate_audit,
     "corpus_vocab_topk": corpus_vocab_topk,
@@ -852,6 +968,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "source_quantile_alignment": QUANTILE_ALIGN_SQL,
     "text_repetition_filter": TEXT_REPETITION_SQL,
     "oov_rate_audit": OOV_RATE_SQL,
     "corpus_vocab_topk": CORPUS_VOCAB_SQL,

@@ -258,3 +258,45 @@ def test_lm_holdout_nll_against_python_oracle(spark):
             assert r["avg_nll_micronats"] > 0
     # every test doc reported
     assert len(rows) == sum(1 for d in docs if not is_train(d))
+
+
+def test_quantile_alignment_matches_python_replay(spark):
+    """Pooled decile boundaries + per-source CDF ppm replayed in pure
+    Python; the pooled source-weighted CDF must hit the decile marks."""
+    import bisect
+
+    import duckdb
+
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        QA_DECILES,
+        source_quantile_alignment,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = source_quantile_alignment(spark, sf).collect()
+    docs = duckdb.sql(
+        f"SELECT source, n_chars FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    pooled = sorted(c for _, c in docs)
+    n = len(pooled)
+    bounds = {
+        q: pooled[(q * n + 9) // 10 - 1] for q in QA_DECILES
+    }
+    by_src: dict = {}
+    for s, c in docs:
+        by_src.setdefault(s, []).append(c)
+    got = {(r["source"], r["decile"]): r for r in rows}
+    for s, cs in by_src.items():
+        cs.sort()
+        for q in QA_DECILES:
+            r = got[(s, q)]
+            below = bisect.bisect_right(cs, bounds[q])
+            assert r["boundary_chars"] == bounds[q]
+            assert (r["n_below"], r["n_src"]) == (below, len(cs))
+            assert r["frac_ppm"] == below * 1_000_000 // len(cs)
+    # pooled CDF at each boundary is >= the decile mark by construction
+    for q in QA_DECILES:
+        tot_below = sum(
+            got[(s, q)]["n_below"] for s in by_src
+        )
+        assert tot_below >= (q * n + 9) // 10

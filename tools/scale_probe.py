@@ -257,6 +257,10 @@ def main() -> int:
                 ),
                 # batch 20: per-user rollup + value-domain P99 pick
                 "winsorized_ab_lift": experiments.winsorized_ab_lift,
+                # batch 21: length-domain rollups + 9-row broadcast grid
+                "source_quantile_alignment": (
+                    corpus_stats.source_quantile_alignment
+                ),
             }
         )
         timings = {}
