@@ -1309,6 +1309,76 @@ ORDER BY window_start, rnk
 """
 
 
+#: rate alert looks back this many windows for its baseline
+RATE_ALERT_LOOKBACK = 3
+
+
+def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-rate anomaly alert: 1-hour tumbling TOTAL event
+    counts maintained incrementally in stream state; batch-side, each
+    window compares against the sum of the previous 3 windows and
+    flags when ``2·n > sum_prev3`` — i.e. the hour runs over 1.5× its
+    trailing-3-hour mean, as a pure integer cross-multiplication (no
+    rate division anywhere).  This is the pager rule an event platform
+    attaches to its ingest: the count is the incremental part, the
+    trailing comparison runs on the folded sink (windows are
+    time-domain bounded), same split as
+    :func:`stream_sliding_topk_items`.
+
+    Only windows with a full 3-window lookback report — an alert
+    against a partial baseline is noise, not signal.
+    """
+    e = _read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = _run_to_memory(agg, "complete")
+    from pyspark.sql import Window
+
+    wprev = Window.orderBy("window_start").rowsBetween(
+        -RATE_ALERT_LOOKBACK, -1
+    )
+    return (
+        sink.select(F.col("w.start").alias("window_start"), "n_events")
+        .withColumn("n_prev", F.count(F.lit(1)).over(wprev).cast("long"))
+        .withColumn("sum_prev3", F.sum("n_events").over(wprev).cast("long"))
+        .filter(F.col("n_prev") == RATE_ALERT_LOOKBACK)
+        .select(
+            "window_start",
+            "n_events",
+            "sum_prev3",
+            F.expr("CAST(2 * n_events > sum_prev3 AS INT)").alias("alert"),
+        )
+        .orderBy("window_start")
+    )
+
+
+STREAM_RATE_ALERT_SQL = f"""
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+trailed AS (
+  SELECT window_start, n_events,
+         CAST(count(*) OVER (ORDER BY window_start
+           ROWS BETWEEN {RATE_ALERT_LOOKBACK} PRECEDING AND 1 PRECEDING)
+           AS BIGINT) AS n_prev,
+         CAST(sum(n_events) OVER (ORDER BY window_start
+           ROWS BETWEEN {RATE_ALERT_LOOKBACK} PRECEDING AND 1 PRECEDING)
+           AS BIGINT) AS sum_prev3
+  FROM counts
+)
+SELECT window_start, n_events, sum_prev3,
+       CAST(2 * n_events > sum_prev3 AS INT) AS alert
+FROM trailed
+WHERE n_prev = {RATE_ALERT_LOOKBACK}
+ORDER BY window_start
+"""
+
+
 def has_tws_runtime() -> bool:
     """``transformWithStateInPandas`` ships its own Python driver worker
     that requires ``google.protobuf`` (state-server wire protocol); gate
@@ -1652,6 +1722,7 @@ SPARK_QUERIES = {
     "stream_session_windows": stream_session_windows,
     "stream_sliding_avg": stream_sliding_avg,
     "stream_sliding_topk_items": stream_sliding_topk_items,
+    "stream_rate_alert": stream_rate_alert,
 }
 
 if has_tws_runtime():  # environment-gated: needs google.protobuf
@@ -1681,6 +1752,7 @@ ORACLE_SQL = {
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_sliding_avg": STREAM_SLIDING_SQL,
     "stream_sliding_topk_items": STREAM_TOPK_ITEMS_SQL,
+    "stream_rate_alert": STREAM_RATE_ALERT_SQL,
 }
 
 if has_tws_runtime():

@@ -158,7 +158,7 @@ EXPECTED_QUERIES = {
     "nelson_aalen_cum_hazard", "propensity_forecast_brier",
     "position_based_attribution", "funnel_stage_latency",
     "sorted_neighborhood_pairs", "winsorized_ab_lift",
-    "source_quantile_alignment",
+    "source_quantile_alignment", "stream_rate_alert",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

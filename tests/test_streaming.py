@@ -348,3 +348,28 @@ def test_stream_sliding_topk_rank_invariants(spark):
         assert len(rs) <= TOPK_ITEMS_K
         counts = [r["n_clicks"] for r in rs]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_stream_rate_alert_matches_batch_replay(spark):
+    """The streaming tumbling counts folded through the alert rule must
+    equal the plain batch hourly counts + trailing comparison."""
+    import duckdb
+
+    from projet_meteo_etl_spark.streaming.structured import (
+        RATE_ALERT_LOOKBACK,
+        stream_rate_alert,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = stream_rate_alert(spark, sf).collect()
+    hourly = duckdb.sql(
+        f"SELECT time_bucket(INTERVAL '1 hour', ts), CAST(count(*) AS BIGINT)"
+        f" FROM '{sf}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    counts = [n for _, n in hourly]
+    expect = []
+    for i in range(RATE_ALERT_LOOKBACK, len(counts)):
+        s3 = sum(counts[i - RATE_ALERT_LOOKBACK:i])
+        expect.append((counts[i], s3, int(2 * counts[i] > s3)))
+    assert [(r["n_events"], r["sum_prev3"], r["alert"]) for r in rows] == expect
+    assert len(rows) == len(counts) - RATE_ALERT_LOOKBACK
