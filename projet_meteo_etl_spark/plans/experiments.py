@@ -831,6 +831,175 @@ ORDER BY variant
 """
 
 
+def uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile (Qini-style) readout: users bucketed into
+    pooled deciles of PRE-period revenue, per-decile treatment-vs-
+    control mean of POST-period revenue — the "who does the treatment
+    actually move" panel that decides targeting, where the flat A/B
+    mean hides heterogeneous effects.
+
+    Decile boundaries are rank selections on the pooled pre-revenue
+    rollup (value-domain bounded); a user's decile is 1 + the count of
+    boundaries strictly below their pre value (identical arithmetic on
+    both engines, no interpolation).  Means are exact integer
+    micro-cents; uplift is their difference.  Same md5 assignment and
+    pre/post halves as :func:`cuped_adjusted_lift`.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("eday"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    bounds = base.agg(F.min("eday").alias("d0"), F.max("eday").alias("d1"))
+    variant = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    per_user = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.expr("eday <= (d0 + d1) DIV 2"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.expr("eday > (d0 + d1) DIV 2"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select("user_id", variant.alias("variant"), "x", "y")
+    )
+    counts = per_user.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "x",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("q"))
+    cuts = (
+        cum.crossJoin(F.broadcast(deciles))
+        .filter(F.expr("cum >= (q * n + 9) DIV 10"))
+        .groupBy("q")
+        .agg(F.min("x").alias("b"))
+    )
+    # decile = 1 + count of boundaries strictly below x (grouped by
+    # user_id so distinct users sharing (x, y) keep their multiplicity)
+    assigned = (
+        per_user.crossJoin(F.broadcast(cuts))
+        .groupBy("user_id", "variant", "y")
+        .agg(
+            (
+                1 + F.sum(F.expr("CAST(b < x AS INT)"))
+            )
+            .cast("int")
+            .alias("decile")
+        )
+    )
+    agg = assigned.groupBy("decile", "variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+    )
+    a = agg.filter("variant = 'A'").select(
+        "decile",
+        F.col("n_users").alias("n_a"),
+        F.expr("CAST(sy * 1000000 DIV n_users AS BIGINT)").alias(
+            "mean_y_a_micro"
+        ),
+    )
+    b = agg.filter("variant = 'B'").select(
+        "decile",
+        F.col("n_users").alias("n_b"),
+        F.expr("CAST(sy * 1000000 DIV n_users AS BIGINT)").alias(
+            "mean_y_b_micro"
+        ),
+    )
+    return (
+        a.join(b, "decile")
+        .select(
+            "decile",
+            "n_a",
+            "n_b",
+            "mean_y_a_micro",
+            "mean_y_b_micro",
+            F.expr("mean_y_a_micro - mean_y_b_micro").alias("uplift_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+UPLIFT_DECILE_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS eday,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS cents
+  FROM events
+),
+bounds AS (SELECT min(eday) AS d0, max(eday) AS d1 FROM base),
+per_user AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                      1, 15))::UBIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(sum(CASE WHEN b.eday <= (d.d0 + d.d1) // 2
+                       THEN b.cents ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN b.eday > (d.d0 + d.d1) // 2
+                       THEN b.cents ELSE 0 END) AS BIGINT) AS y
+  FROM base b, bounds d GROUP BY user_id
+),
+counts AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM per_user GROUP BY x),
+cum AS (
+  SELECT x,
+         sum(cnt) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM counts
+),
+qs AS (SELECT unnest(generate_series(1, 9)) AS q),
+cuts AS (
+  SELECT q, min(x) AS b FROM cum, qs
+  WHERE cum >= (q * n + 9) // 10 GROUP BY q
+),
+assigned AS (
+  SELECT p.variant, p.y,
+         CAST(1 + sum(CASE WHEN c.b < p.x THEN 1 ELSE 0 END) AS INT)
+           AS decile
+  FROM per_user p CROSS JOIN cuts c
+  GROUP BY p.user_id, p.variant, p.y
+),
+agg AS (
+  SELECT decile, variant,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(y)::HUGEINT * 1000000 // count(*) AS BIGINT) AS mean_micro
+  FROM assigned GROUP BY 1, 2
+)
+SELECT a.decile, a.n_users AS n_a, b.n_users AS n_b,
+       a.mean_micro AS mean_y_a_micro, b.mean_micro AS mean_y_b_micro,
+       a.mean_micro - b.mean_micro AS uplift_micro
+FROM (SELECT * FROM agg WHERE variant = 'A') a
+JOIN (SELECT * FROM agg WHERE variant = 'B') b USING (decile)
+ORDER BY a.decile
+"""
+
+
 SPARK_QUERIES = {
     "ab_test_analysis": ab_test_analysis,
     "bootstrap_ci_purchase_mean": bootstrap_ci_purchase_mean,
@@ -840,6 +1009,7 @@ SPARK_QUERIES = {
     "cuped_adjusted_lift": cuped_adjusted_lift,
     "jackknife_ratio_metric": jackknife_ratio_metric,
     "winsorized_ab_lift": winsorized_ab_lift,
+    "uplift_by_decile": uplift_by_decile,
 }
 
 ORACLE_SQL = {
@@ -851,4 +1021,5 @@ ORACLE_SQL = {
     "cuped_adjusted_lift": CUPED_SQL,
     "jackknife_ratio_metric": JACKKNIFE_SQL,
     "winsorized_ab_lift": WINSOR_AB_SQL,
+    "uplift_by_decile": UPLIFT_DECILE_SQL,
 }

@@ -407,3 +407,57 @@ def test_winsorized_ab_matches_python_replay(spark):
             min(y, p99) for y in arm
         ) * 1_000_000 // len(arm)
         assert r["clipped_mean_microcents"] <= r["raw_mean_microcents"]
+
+
+def test_uplift_decile_matches_python_replay(spark):
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.experiments import uplift_by_decile
+
+    sf = "/root/testdata/sf0.01"
+    rows = uplift_by_decile(spark, sf).collect()
+    per_user = duckdb.sql(
+        f"""
+        WITH base AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS eday,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                      ELSE 0 END AS cents
+          FROM '{sf}/events.parquet'
+        ),
+        bounds AS (SELECT min(eday) AS d0, max(eday) AS d1 FROM base)
+        SELECT CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                            1, 15))::UBIGINT % 2 = 0
+                    THEN 'A' ELSE 'B' END,
+               sum(CASE WHEN b.eday <= (d.d0 + d.d1) // 2
+                        THEN b.cents ELSE 0 END),
+               sum(CASE WHEN b.eday > (d.d0 + d.d1) // 2
+                        THEN b.cents ELSE 0 END)
+        FROM base b, bounds d GROUP BY user_id
+        """
+    ).fetchall()
+    xs = sorted(x for _, x, _ in per_user)
+    n = len(xs)
+    cuts = [xs[(q * n + 9) // 10 - 1] for q in range(1, 10)]
+    agg: dict = {}
+    for v, x, y in per_user:
+        dec = 1 + sum(1 for b in cuts if b < x)
+        a = agg.setdefault((dec, v), [0, 0])
+        a[0] += 1
+        a[1] += y
+    got = {r["decile"]: r for r in rows}
+    for dec in {d for d, _ in agg}:
+        if (dec, "A") not in agg or (dec, "B") not in agg:
+            assert dec not in got  # inner join drops one-armed deciles
+            continue
+        na, sa = agg[(dec, "A")]
+        nb, sb = agg[(dec, "B")]
+        r = got[dec]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["mean_y_a_micro"] == sa * 1_000_000 // na
+        assert r["mean_y_b_micro"] == sb * 1_000_000 // nb
+        assert r["uplift_micro"] == (
+            sa * 1_000_000 // na - sb * 1_000_000 // nb
+        )
+    # every user is in exactly one decile
+    assert sum(v[0] for v in agg.values()) == n

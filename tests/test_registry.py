@@ -159,6 +159,7 @@ EXPECTED_QUERIES = {
     "position_based_attribution", "funnel_stage_latency",
     "sorted_neighborhood_pairs", "winsorized_ab_lift",
     "source_quantile_alignment", "stream_rate_alert",
+    "uplift_by_decile",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

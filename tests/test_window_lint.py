@@ -57,6 +57,8 @@ ALLOWED = {
     "winsorized_ab_lift": "user-total value rollup (domain bounded)",
     # pooled decile prefix over the n_chars rollup
     "source_quantile_alignment": "doc-length rollup (domain bounded)",
+    # decile-cut prefix over the pre-revenue rollup
+    "uplift_by_decile": "user pre-revenue rollup (domain bounded)",
     # ECDF prefix over the per-distinct-cents rollup (value-domain bounded)
     "ks_value_drift": "per-cents distribution rollup (~50k rows max)",
     # row_number over the per-day revenue rollup feeding the recursion

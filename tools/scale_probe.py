@@ -261,6 +261,8 @@ def main() -> int:
                 "source_quantile_alignment": (
                     corpus_stats.source_quantile_alignment
                 ),
+                # batch 23: per-user rollup + 9-row decile-cut broadcast
+                "uplift_by_decile": experiments.uplift_by_decile,
             }
         )
         timings = {}
