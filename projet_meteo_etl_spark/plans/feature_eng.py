@@ -499,7 +499,126 @@ ORDER BY n_buckets
 """
 
 
+def regression_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact depth-1 regression-tree split: the quantity threshold that
+    most reduces the SSE of predicting line price — the CART split
+    criterion evaluated EXACTLY, distributed, with no sampling.  This
+    is the primitive feature-importance / binning probe a feature
+    platform runs per candidate column; the trick is that for an
+    integer-domain feature every candidate threshold lives on the
+    per-distinct-value rollup, so the whole search is prefix sums —
+    one shuffle to the ~50-row quantity rollup, then 50 integer
+    evaluations.
+
+    Score(t) = S_L²·1e6 DIV (n_L·n) + S_R²·1e6 DIV (n_R·n) — the
+    per-row form of the SSE-minimizing objective, each term floored
+    once (deterministic integers, every quotient ≤ mean²·1e6 so
+    nothing overflows Spark DIV's LONG result); argmax breaks ties
+    toward the smaller threshold.  The parent baseline
+    Q·1e6 DIV n − S²·1e6 DIV n² makes the reported score a genuine
+    per-row SSE drop.  Moments run in integer DOLLARS (the comparison
+    is scale-invariant), holding the DECIMAL(38) intermediates to
+    ~1e12 rows at this price domain.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.select(
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q"),
+        # integer DOLLARS: keeps every per-row-normalized score inside
+        # BIGINT (cent-scale squares overflow the final cast)
+        F.floor(F.col("l_extendedprice") + F.lit(0.5))
+        .cast("long")
+        .alias("dollars"),
+    )
+    roll = base.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("dollars").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.expr("CAST(dollars AS DECIMAL(38,0)) * dollars")).alias(
+            "qq"
+        ),
+    )
+    wcum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    tot = roll.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("s").alias("s_tot"),
+        F.sum("qq").alias("q_tot"),
+    )
+    cand = (
+        roll.select(
+            "q",
+            F.sum("cnt").over(wcum).cast("long").alias("n_l"),
+            F.sum("s").over(wcum).alias("s_l"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.expr("n_l < n"))  # a split must leave a right side
+        .select(
+            F.col("q").alias("split_q"),
+            "n_l",
+            F.expr("n - n_l").alias("n_r"),
+            # per-row score DIRECTLY: each quotient ≤ mean²·1e6, so it
+            # fits BIGINT on both engines (a raw s² DIV n quotient
+            # exceeds Spark DIV's LONG result type and wraps)
+            F.expr(
+                "CAST(s_l * s_l * 1000000"
+                "       DIV (CAST(n_l AS DECIMAL(38,0)) * n)"
+                " + (s_tot - s_l) * (s_tot - s_l) * 1000000"
+                "       DIV (CAST(n - n_l AS DECIMAL(38,0)) * n)"
+                " AS BIGINT)"
+            ).alias("score_per_row_micro"),
+            F.expr(
+                "CAST(q_tot * 1000000 DIV n"
+                " - s_tot * s_tot * 1000000"
+                "     DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ).alias("sse_parent_per_row_micro"),
+        )
+    )
+    return cand.orderBy(
+        F.desc("score_per_row_micro"), F.asc("split_q")
+    ).limit(1)
+
+
+STUMP_SQL = """
+WITH base AS (
+  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS dollars
+  FROM lineitem
+),
+roll AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS cnt,
+         sum(dollars::HUGEINT) AS s, sum(dollars::HUGEINT * dollars) AS qq
+  FROM base GROUP BY q
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, sum(s) AS s_tot, sum(qq) AS q_tot
+  FROM roll
+),
+cand AS (
+  SELECT q AS split_q,
+         CAST(sum(cnt) OVER w AS BIGINT) AS n_l,
+         sum(s) OVER w AS s_l
+  FROM roll WINDOW w AS (ORDER BY q
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT c.split_q, c.n_l, t.n - c.n_l AS n_r,
+         CAST(c.s_l * c.s_l * 1000000 // (c.n_l::HUGEINT * t.n)
+              + (t.s_tot - c.s_l) * (t.s_tot - c.s_l) * 1000000
+                // ((t.n - c.n_l)::HUGEINT * t.n) AS BIGINT)
+           AS score_per_row_micro,
+         CAST(t.q_tot * 1000000 // t.n
+              - t.s_tot * t.s_tot * 1000000 // (t.n::HUGEINT * t.n)
+              AS BIGINT) AS sse_parent_per_row_micro
+  FROM cand c, tot t
+  WHERE c.n_l < t.n
+)
+SELECT split_q, n_l, n_r, score_per_row_micro, sse_parent_per_row_micro
+FROM scored
+ORDER BY score_per_row_micro DESC, split_q ASC
+LIMIT 1
+"""
+
+
 SPARK_QUERIES = {
+    "regression_stump_split": regression_stump_split,
     "kfold_target_encoding": kfold_target_encoding,
     "propensity_ipw_weights": propensity_ipw_weights,
     "time_series_cv_folds": time_series_cv_folds,
@@ -509,6 +628,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "regression_stump_split": STUMP_SQL,
     "kfold_target_encoding": KFOLD_TARGET_ENCODING_SQL,
     "propensity_ipw_weights": PROPENSITY_IPW_SQL,
     "time_series_cv_folds": TS_CV_FOLDS_SQL,

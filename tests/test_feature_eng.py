@@ -404,3 +404,53 @@ def test_mrr_matches_python_replay(spark):
     assert r["hit_rate_ppm"] == hits * 1_000_000 // n
     assert r["mrr_ppm"] == mrr_sum // n
     assert 0 <= r["mrr_ppm"] <= r["hit_rate_ppm"] <= 1_000_000
+
+
+def test_stump_split_matches_python_replay(spark):
+    """The chosen threshold must be the argmax of the exact per-row
+    score over ALL candidate thresholds, replayed in pure Python."""
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.feature_eng import (
+        regression_stump_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r = regression_stump_split(spark, sf).collect()[0]
+    rows = duckdb.sql(
+        f"SELECT CAST(floor(l_quantity + 0.5) AS BIGINT),"
+        f" CAST(floor(l_extendedprice + 0.5) AS BIGINT)"
+        f" FROM '{sf}/lineitem.parquet'"
+    ).fetchall()
+    roll: dict = {}
+    for q, d in rows:
+        a = roll.setdefault(q, [0, 0, 0])
+        a[0] += 1
+        a[1] += d
+        a[2] += d * d
+    n = sum(a[0] for a in roll.values())
+    s_tot = sum(a[1] for a in roll.values())
+    q_tot = sum(a[2] for a in roll.values())
+    best = None
+    n_l = s_l = 0
+    for q in sorted(roll):
+        n_l += roll[q][0]
+        s_l += roll[q][1]
+        if n_l >= n:
+            break
+        score = s_l * s_l * 1_000_000 // (n_l * n) + (
+            s_tot - s_l
+        ) ** 2 * 1_000_000 // ((n - n_l) * n)
+        if best is None or score > best[0]:
+            best = (score, q, n_l, n - n_l)
+    assert (r["split_q"], r["n_l"], r["n_r"]) == (
+        best[1], best[2], best[3],
+    )
+    assert r["score_per_row_micro"] == best[0]
+    assert r["sse_parent_per_row_micro"] == (
+        q_tot * 1_000_000 // n - s_tot * s_tot * 1_000_000 // (n * n)
+    )
+    # splitting can only concentrate means: score >= parent's S²/n term
+    assert r["score_per_row_micro"] >= s_tot * s_tot * 1_000_000 // (
+        n * n
+    ) - 1

@@ -159,7 +159,7 @@ EXPECTED_QUERIES = {
     "position_based_attribution", "funnel_stage_latency",
     "sorted_neighborhood_pairs", "winsorized_ab_lift",
     "source_quantile_alignment", "stream_rate_alert",
-    "uplift_by_decile",
+    "uplift_by_decile", "regression_stump_split",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

@@ -263,6 +263,10 @@ def main() -> int:
                 ),
                 # batch 23: per-user rollup + 9-row decile-cut broadcast
                 "uplift_by_decile": experiments.uplift_by_decile,
+                # batch 24: 50-row split-candidate prefix scan
+                "regression_stump_split": (
+                    feature_eng.regression_stump_split
+                ),
             }
         )
         timings = {}
