@@ -422,15 +422,222 @@ ORDER BY d0.item
 )
 
 
+#: k-truss: edges must sit in ≥ K_TRUSS − 2 triangles; peel rounds
+K_TRUSS = 4
+TRUSS_ROUNDS = 2
+
+
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """(i1, i2, support): triangles per canonical edge, via the same
+    degree-oriented wedge closure as :func:`item_triangle_count`
+    (out-degree O(√E) under orientation, so the wedge join never
+    explodes on hubs); each oriented triangle contributes its three
+    edges back in canonical (min, max) form.  Callers pass a
+    localCheckpointed edge list, so the 3 consumers of ``oriented``
+    re-derive it from a materialized one-partition relation."""
+    deg = (
+        edges.select(F.col("i1").alias("item"))
+        .unionAll(edges.select(F.col("i2").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.select(F.col("item").alias("i1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("item").alias("i2"), F.col("deg").alias("deg2"))
+    lo_first = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("i1") < F.col("i2"))
+    )
+    oriented = (
+        edges.join(F.broadcast(d1), "i1")
+        .join(F.broadcast(d2), "i2")
+        .select(
+            F.when(lo_first, F.col("i1")).otherwise(F.col("i2")).alias("src"),
+            F.when(lo_first, F.col("i2")).otherwise(F.col("i1")).alias("dst"),
+            F.when(lo_first, F.col("deg2"))
+            .otherwise(F.col("deg1"))
+            .alias("ddeg"),
+        )
+    )
+    a = oriented.select(
+        "src", F.col("dst").alias("b"), F.col("ddeg").alias("bdeg")
+    )
+    b = oriented.select(
+        "src", F.col("dst").alias("c"), F.col("ddeg").alias("cdeg")
+    )
+    wedges = a.join(b, "src").filter(
+        (F.col("bdeg") < F.col("cdeg"))
+        | ((F.col("bdeg") == F.col("cdeg")) & (F.col("b") < F.col("c")))
+    )
+    closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closer, ["b", "c"]).select("src", "b", "c")
+    sides = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("src", "b").alias("i1"),
+                    F.greatest("src", "b").alias("i2"),
+                ),
+                F.struct(
+                    F.least("src", "c").alias("i1"),
+                    F.greatest("src", "c").alias("i2"),
+                ),
+                F.struct(
+                    F.least("b", "c").alias("i1"),
+                    F.greatest("b", "c").alias("i2"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.i1", "e.i2")
+    return sides.groupBy("i1", "i2").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
+def item_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 4-truss peel of the item co-click graph — the
+    cohesion filter one level above k-core: an edge survives only if
+    it closes ≥ 2 triangles, so bridges and barely-attached spokes
+    drop even when their endpoints have high degree.  Completes the
+    graph family (PageRank / triangles / k-core / LPA / k-truss).
+
+    The truss graph keeps only edges at or above the P90 co-click
+    support (rank-selected on the support rollup — a RELATIVE cut,
+    because this item graph is near-complete at every SF and a fixed
+    threshold is either vacuous or empty depending on scale; the
+    relative cut leaves the top-decile backbone where trusses are
+    meaningful).  ``TRUSS_ROUNDS`` = 2 unrolled support-recompute
+    rounds (peeling an edge can strand another; the fixpoint would
+    loop — same bounded-round convention as LPA and the k-core peel).
+    Per round the edge support comes from the degree-oriented wedge
+    closure (O(E^1.5) bound, no hub blowup) and the report is the
+    round's edge accounting — graph-sized, never corpus-sized.
+    """
+    ui = _user_items(spark, sf_dir)
+    co = _co_counts(ui)
+    counts = co.groupBy("n_users").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.orderBy("n_users").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.select(
+        "n_users",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    p90 = cum.filter(F.expr("cum >= (9 * n + 9) DIV 10")).agg(
+        F.min("n_users").alias("cut")
+    )
+    # the truss graph is CATALOG-bounded (≤ |items|² edges regardless
+    # of corpus size): localCheckpoint each round's edge list so the
+    # wedge/peel rounds run on a one-partition materialized relation
+    # instead of re-planning the basket self-join lineage — the same
+    # lineage-truncation the KM grid and the k-core peel use
+    und = (
+        co.crossJoin(F.broadcast(p90))
+        .filter(F.col("n_users") >= F.col("cut"))
+        .select("i1", "i2")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    rounds = []
+    cur = und
+    for r in range(1, TRUSS_ROUNDS + 1):
+        sup = _edge_support(cur)
+        kept = (
+            cur.join(sup, ["i1", "i2"], "left")
+            .filter(
+                F.coalesce(F.col("support"), F.lit(0)) >= K_TRUSS - 2
+            )
+            .select("i1", "i2")
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        n_in = cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges_in"))
+        n_kept = kept.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges_kept")
+        )
+        rounds.append(
+            n_in.crossJoin(F.broadcast(n_kept)).select(
+                F.lit(r).alias("round"), "n_edges_in", "n_edges_kept"
+            )
+        )
+        cur = kept
+    out = rounds[0]
+    for x in rounds[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("round")
+
+
+KTRUSS_SQL = f"""
+WITH {_BASKET_SQL},
+supcum AS (
+  SELECT n_users,
+         sum(cnt) OVER (ORDER BY n_users
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM (SELECT n_users, CAST(count(*) AS BIGINT) AS cnt
+        FROM co GROUP BY n_users)
+),
+p90 AS (SELECT min(n_users) AS cut FROM supcum WHERE cum >= (9 * n + 9) // 10),
+und0 AS (SELECT i1, i2 FROM co, p90 WHERE n_users >= cut),
+tri1 AS (
+  SELECT e1.i1 AS a, e1.i2 AS b, e2.i2 AS c
+  FROM und0 e1
+  JOIN und0 e2 ON e2.i1 = e1.i2
+  JOIN und0 e3 ON e3.i1 = e1.i1 AND e3.i2 = e2.i2
+),
+sup1 AS (
+  SELECT i1, i2, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT a AS i1, b AS i2 FROM tri1
+    UNION ALL SELECT a, c FROM tri1
+    UNION ALL SELECT b, c FROM tri1
+  ) GROUP BY 1, 2
+),
+und1 AS (
+  SELECT u.i1, u.i2 FROM und0 u
+  LEFT JOIN sup1 s ON s.i1 = u.i1 AND s.i2 = u.i2
+  WHERE coalesce(s.support, 0) >= {K_TRUSS - 2}
+),
+tri2 AS (
+  SELECT e1.i1 AS a, e1.i2 AS b, e2.i2 AS c
+  FROM und1 e1
+  JOIN und1 e2 ON e2.i1 = e1.i2
+  JOIN und1 e3 ON e3.i1 = e1.i1 AND e3.i2 = e2.i2
+),
+sup2 AS (
+  SELECT i1, i2, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT a AS i1, b AS i2 FROM tri2
+    UNION ALL SELECT a, c FROM tri2
+    UNION ALL SELECT b, c FROM tri2
+  ) GROUP BY 1, 2
+),
+und2 AS (
+  SELECT u.i1, u.i2 FROM und1 u
+  LEFT JOIN sup2 s ON s.i1 = u.i1 AND s.i2 = u.i2
+  WHERE coalesce(s.support, 0) >= {K_TRUSS - 2}
+)
+SELECT 1 AS round,
+       (SELECT CAST(count(*) AS BIGINT) FROM und0) AS n_edges_in,
+       (SELECT CAST(count(*) AS BIGINT) FROM und1) AS n_edges_kept
+UNION ALL
+SELECT 2,
+       (SELECT CAST(count(*) AS BIGINT) FROM und1),
+       (SELECT CAST(count(*) AS BIGINT) FROM und2)
+ORDER BY round
+"""
+
+
 SPARK_QUERIES = {
     "item_cooccurrence_topk": item_cooccurrence_topk,
     "item_jaccard_similarity": item_jaccard_similarity,
     "item_triangle_count": item_triangle_count,
     "item_kcore_peel": item_kcore_peel,
+    "item_ktruss_edges": item_ktruss_edges,
 }
 ORACLE_SQL = {
     "item_kcore_peel": KCORE_SQL,
     "item_cooccurrence_topk": COOCCUR_SQL,
     "item_jaccard_similarity": JACCARD_SQL,
     "item_triangle_count": TRIANGLE_SQL,
+    "item_ktruss_edges": KTRUSS_SQL,
 }

@@ -71,3 +71,57 @@ def test_lpa_matches_python_replay(spark):
     )[:LPA_TOP]
     got = label_propagation_communities(spark, SF_SMOKE).collect()
     assert [(r["label"], r["n_members"]) for r in got] == expect
+
+
+def test_ktruss_matches_python_replay(spark):
+    """Edge supports + 2 peel rounds replayed with a pure-Python
+    triangle enumeration over the same capped co-click graph."""
+    import duckdb
+    from itertools import combinations
+
+    from projet_meteo_etl_spark.operators.cooccur import (
+        K_TRUSS,
+        USER_ITEM_CAP,
+        item_ktruss_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = item_ktruss_edges(spark, sf).collect()
+    baskets = duckdb.sql(
+        f"SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item"
+        f" FROM '{sf}/events.parquet'"
+        f" WHERE event_type = 'click' AND (props->>'k') IS NOT NULL"
+    ).fetchall()
+    by_user: dict = {}
+    for u, i in baskets:
+        by_user.setdefault(u, []).append(i)
+    from collections import Counter
+
+    co: Counter = Counter()
+    for items in by_user.values():
+        items = sorted(items)[:USER_ITEM_CAP]
+        for a, b in combinations(items, 2):
+            co[(a, b)] += 1
+    # P90 cut: smallest support whose cumulative count reaches 90%
+    sups = sorted(co.values())
+    cut = sups[(9 * len(sups) + 9) // 10 - 1]
+    edges = {e for e, n in co.items() if n >= cut}
+
+    def peel(es):
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = Counter()
+        for a, b in es:
+            for c in adj[a] & adj[b]:
+                sup[(a, b)] += 1
+        return {e for e in es if sup[e] >= K_TRUSS - 2}
+
+    r1 = peel(edges)
+    r2 = peel(r1)
+    assert [(r["round"], r["n_edges_in"], r["n_edges_kept"]) for r in rows] == [
+        (1, len(edges), len(r1)),
+        (2, len(r1), len(r2)),
+    ]
+    assert len(r2) <= len(r1) <= len(edges)

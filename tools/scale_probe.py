@@ -267,6 +267,8 @@ def main() -> int:
                 "regression_stump_split": (
                     feature_eng.regression_stump_split
                 ),
+                # batch 25: two oriented-wedge support rounds + peels
+                "item_ktruss_edges": cooccur.item_ktruss_edges,
             }
         )
         timings = {}
