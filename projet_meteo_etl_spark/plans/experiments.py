@@ -1023,3 +1023,163 @@ ORACLE_SQL = {
     "winsorized_ab_lift": WINSOR_AB_SQL,
     "uplift_by_decile": UPLIFT_DECILE_SQL,
 }
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the purchase base — recency / frequency /
+    monetary quintile scores per user, reported as segment cell counts
+    (the CRM grid every lifecycle-marketing team starts from).
+
+    Per purchasing user: recency = log-end − last purchase eday,
+    frequency = purchase count, monetary = total cents.  Each
+    dimension's quintile cuts are rank selections on its OWN
+    value-domain rollup, and a user's score is 1 + the count of cuts
+    strictly below their value (1..5, ties resolve identically on
+    both engines — no interpolation, no row sort).  Output: one row
+    per populated (r, f, m) cell with its user count — at most 125
+    rows whatever the corpus size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    end = e.agg(
+        F.max(F.expr("unix_micros(ts) DIV 86400000000")).alias("d_end")
+    )
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(end))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.expr("d_end - unix_micros(ts) DIV 86400000000"))
+            .cast("long")
+            .alias("_neg"),
+            F.min(F.expr("d_end - unix_micros(ts) DIV 86400000000"))
+            .cast("long")
+            .alias("recency"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("monetary"),
+        )
+        .drop("_neg")
+        .persist()
+    )
+
+    def cuts(col: str) -> DataFrame:
+        counts = per_user.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        wcum = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = counts.select(
+            F.col(col).alias("v"),
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt")
+            .over(Window.partitionBy())
+            .cast("long")
+            .alias("n"),
+        )
+        qs = spark.range(1, 5).select(F.col("id").cast("int").alias("q"))
+        return (
+            cum.crossJoin(F.broadcast(qs))
+            .filter(F.expr("cum >= (q * n + 4) DIV 5"))
+            .groupBy("q")
+            .agg(F.min("v").alias("b"))
+            .agg(F.collect_list(F.struct("q", "b")).alias("bs"))
+            .select(
+                F.expr("transform(array_sort(bs), s -> s.b)").alias(
+                    f"cuts_{col}"
+                )
+            )
+        )
+
+    scored = (
+        per_user.crossJoin(F.broadcast(cuts("recency")))
+        .crossJoin(F.broadcast(cuts("frequency")))
+        .crossJoin(F.broadcast(cuts("monetary")))
+        .select(
+            F.expr(
+                "1 + size(filter(cuts_recency, c -> c < recency))"
+            ).alias("r_score"),
+            F.expr(
+                "1 + size(filter(cuts_frequency, c -> c < frequency))"
+            ).alias("f_score"),
+            F.expr(
+                "1 + size(filter(cuts_monetary, c -> c < monetary))"
+            ).alias("m_score"),
+        )
+    )
+    out = (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    return scoped_cache(out, per_user)
+
+
+RFM_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS eday,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+log_end AS (SELECT max(eday) AS d_end FROM e),
+per_user AS (
+  SELECT user_id,
+         CAST(min(d.d_end - eday) AS BIGINT) AS recency,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS monetary
+  FROM e, log_end d WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+rc AS (
+  SELECT q, min(v) AS b FROM (
+    SELECT recency AS v,
+           sum(cnt) OVER (ORDER BY recency
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           CAST(sum(cnt) OVER () AS BIGINT) AS n
+    FROM (SELECT recency, CAST(count(*) AS BIGINT) AS cnt
+          FROM per_user GROUP BY recency)
+  ), (SELECT unnest(generate_series(1, 4)) AS q)
+  WHERE cum >= (q * n + 4) // 5 GROUP BY q
+),
+fc AS (
+  SELECT q, min(v) AS b FROM (
+    SELECT frequency AS v,
+           sum(cnt) OVER (ORDER BY frequency
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           CAST(sum(cnt) OVER () AS BIGINT) AS n
+    FROM (SELECT frequency, CAST(count(*) AS BIGINT) AS cnt
+          FROM per_user GROUP BY frequency)
+  ), (SELECT unnest(generate_series(1, 4)) AS q)
+  WHERE cum >= (q * n + 4) // 5 GROUP BY q
+),
+mc AS (
+  SELECT q, min(v) AS b FROM (
+    SELECT monetary AS v,
+           sum(cnt) OVER (ORDER BY monetary
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           CAST(sum(cnt) OVER () AS BIGINT) AS n
+    FROM (SELECT monetary, CAST(count(*) AS BIGINT) AS cnt
+          FROM per_user GROUP BY monetary)
+  ), (SELECT unnest(generate_series(1, 4)) AS q)
+  WHERE cum >= (q * n + 4) // 5 GROUP BY q
+),
+scored AS (
+  SELECT CAST(1 + (SELECT count(*) FROM rc WHERE rc.b < p.recency) AS INT)
+           AS r_score,
+         CAST(1 + (SELECT count(*) FROM fc WHERE fc.b < p.frequency) AS INT)
+           AS f_score,
+         CAST(1 + (SELECT count(*) FROM mc WHERE mc.b < p.monetary) AS INT)
+           AS m_score
+  FROM per_user p
+)
+SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+SPARK_QUERIES["customer_rfm_segments"] = customer_rfm_segments
+ORACLE_SQL["customer_rfm_segments"] = RFM_SQL

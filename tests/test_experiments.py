@@ -461,3 +461,53 @@ def test_uplift_decile_matches_python_replay(spark):
         )
     # every user is in exactly one decile
     assert sum(v[0] for v in agg.values()) == n
+
+
+def test_rfm_segments_match_python_replay(spark):
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.experiments import (
+        customer_rfm_segments,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = customer_rfm_segments(spark, sf).collect()
+    per_user = duckdb.sql(
+        f"""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS eday,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM '{sf}/events.parquet'
+        ),
+        log_end AS (SELECT max(eday) AS d_end FROM e)
+        SELECT CAST(min(d.d_end - eday) AS BIGINT),
+               CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        FROM e, log_end d WHERE event_type = 'purchase'
+        GROUP BY user_id
+        """
+    ).fetchall()
+
+    def quint_cuts(vals):
+        s = sorted(vals)
+        n = len(s)
+        return [s[(q * n + 4) // 5 - 1] for q in range(1, 5)]
+
+    rc = quint_cuts([r for r, _, _ in per_user])
+    fc = quint_cuts([f for _, f, _ in per_user])
+    mc = quint_cuts([m for _, _, m in per_user])
+    from collections import Counter
+
+    expect: Counter = Counter()
+    for r, f, m in per_user:
+        expect[(
+            1 + sum(1 for c in rc if c < r),
+            1 + sum(1 for c in fc if c < f),
+            1 + sum(1 for c in mc if c < m),
+        )] += 1
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): r["n_users"]
+        for r in rows
+    }
+    assert got == dict(expect)
+    assert sum(got.values()) == len(per_user)
+    assert all(1 <= k <= 5 for cell in got for k in cell)

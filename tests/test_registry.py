@@ -160,7 +160,7 @@ EXPECTED_QUERIES = {
     "sorted_neighborhood_pairs", "winsorized_ab_lift",
     "source_quantile_alignment", "stream_rate_alert",
     "uplift_by_decile", "regression_stump_split",
-    "item_ktruss_edges",
+    "item_ktruss_edges", "customer_rfm_segments",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
     "kmeans_embedding_clusters",

@@ -61,6 +61,8 @@ ALLOWED = {
     "uplift_by_decile": "user pre-revenue rollup (domain bounded)",
     # split-candidate prefix over the ~50-value quantity rollup
     "regression_stump_split": "quantity rollup (domain bounded)",
+    # three quintile-cut prefixes over per-dimension value rollups
+    "customer_rfm_segments": "R/F/M value rollups (domain bounded)",
     # ECDF prefix over the per-distinct-cents rollup (value-domain bounded)
     "ks_value_drift": "per-cents distribution rollup (~50k rows max)",
     # row_number over the per-day revenue rollup feeding the recursion

@@ -269,6 +269,10 @@ def main() -> int:
                 ),
                 # batch 25: two oriented-wedge support rounds + peels
                 "item_ktruss_edges": cooccur.item_ktruss_edges,
+                # batch 26: per-user rollup + three 4-cut broadcasts
+                "customer_rfm_segments": (
+                    experiments.customer_rfm_segments
+                ),
             }
         )
         timings = {}
