@@ -9,10 +9,27 @@ downstream reach the parquet reader via Catalyst pushdown — check with
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: process-wide counter for :func:`unique_view` names
+_VIEW_SEQ = itertools.count()
+
+
+def unique_view(prefix: str) -> str:
+    """A per-call temp-view name (``prefix__vNNN``).
+
+    Queries that stage an intermediate behind ``createOrReplaceTempView``
+    (the ``WITH RECURSIVE`` plans) must not share a session-global name:
+    two concurrent invocations in one SparkSession — or user code that
+    happens to use the same view name — would silently clobber each
+    other before analysis binds the plan.  A monotone counter is enough;
+    uniqueness only needs to hold within this process/session.
+    """
+    return f"{prefix}__v{next(_VIEW_SEQ)}"
 
 TABLES = (
     "region",

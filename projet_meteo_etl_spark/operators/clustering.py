@@ -681,8 +681,16 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     front), so the shuffle carries d² = 4096 partial cells per batch —
     never a row-pair join, never N·d² intermediate rows.  The d×d
     covariance ``N·ΣQᵢQⱼ − ΣQᵢ·ΣQⱼ`` is assembled in DECIMAL(38,0)
-    (overflow-proof at any corpus BIGINT can count), normalized to
-    integer units of its own L∞ norm, and the 3 matvec+renormalize
+    (c grows as rows²·1e12, so the assembly itself holds to ~1e13
+    rows), normalized to integer units of its own L∞ norm via a
+    three-limb long division — ``(|c| DIV cmax)·1e6`` plus two
+    ``(rem·1e3) DIV cmax`` limbs — whose largest intermediate is
+    ``cmax·1e3``, not ``c·1e6``: the normalization stays exact (same
+    truncated value) to ~3e11 rows instead of overflowing DECIMAL(38)
+    (NULL in Spark / HUGEINT error in DuckDB) past ~1e9.  Sign is
+    applied explicitly around the positive-operand division so Spark
+    ``DIV`` and DuckDB ``//`` cannot disagree on negative covariance
+    cells.  The 3 matvec+renormalize
     rounds run as broadcast joins over the 4096-row matrix relation.
     Everything after quantization is integer arithmetic with
     truncating division (identical in Spark ``DIV`` and DuckDB ``//``),
@@ -757,12 +765,16 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cmax"
         )
     )
+    # three-limb exact normalization: trunc(|c|·1e6/cmax) assembled as
+    # quotient·1e6 + two (rem·1e3) DIV cmax limbs — largest intermediate
+    # cmax·1e3, so no c·1e6 DECIMAL(38) overflow; sign applied outside
+    # the positive-operand division (Spark DIV == DuckDB // there)
     m = (
         cov.crossJoin(F.broadcast(cmax))
         .select(
             "i",
             "j",
-            F.expr("CAST(c * 1000000 DIV cmax AS BIGINT)").alias("m"),
+            F.expr(f"CAST({_norm_limbs('DIV')} AS BIGINT)").alias("m"),
         )
         .persist()
     )
@@ -793,6 +805,21 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dim")
     )
     return scoped_cache(out, m, agg)
+
+
+def _norm_limbs(div: str) -> str:
+    """``sign(c) · trunc(|c|·1e6 / cmax)`` without ever forming
+    ``c·1e6``: quotient limb ×1e6 plus two remainder limbs ×1e3 each —
+    exact long division, largest intermediate ``cmax·1e3``.  ``div`` is
+    the engine's truncating integer division spelling (Spark ``DIV``,
+    DuckDB ``//`` — both truncate toward zero, and operands are kept
+    non-negative via abs so the remainder convention cannot differ)."""
+    return (
+        "(CASE WHEN c < 0 THEN -1 ELSE 1 END) * ("
+        f"(abs(c) {div} cmax) * 1000000"
+        f" + ((abs(c) % cmax) * 1000 {div} cmax) * 1000"
+        f" + ((abs(c) % cmax) * 1000 % cmax) * 1000 {div} cmax)"
+    )
 
 
 def _pca_iter_sql(k: int) -> str:
@@ -833,7 +860,7 @@ cov AS (
 ),
 cm AS (SELECT greatest(max(abs(c)), 1) AS cmax FROM cov),
 m AS (
-  SELECT i, j, CAST(c * 1000000 // cmax AS BIGINT) AS m FROM cov, cm
+  SELECT i, j, CAST({_norm_limbs('//')} AS BIGINT) AS m FROM cov, cm
 ),
 x0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS x FROM s),
 {','.join(_pca_iter_sql(k) for k in range(1, PCA_ITERS + 1))}

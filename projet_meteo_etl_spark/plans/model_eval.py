@@ -27,9 +27,10 @@ count), then prefix sums over that rollup.
 Scale shape: both queries shuffle the event log ONCE into a
 per-(group, distinct-cents) hash aggregate whose size is bounded by
 the cents domain (~50k rows here) times the constant group count; the
-prefix windows run over that rollup, never over the log.  The final
-ratios widen to DECIMAL(38) before the ×1e6, so they cannot overflow
-at any row count BIGINT can hold.
+prefix windows run over that rollup, never over the log.  The pair /
+cross-product numerators and the final ratios widen to DECIMAL(38)
+(HUGEINT on the oracle side) BEFORE any multiply, so they cannot
+overflow at any row count BIGINT can hold.
 """
 
 from __future__ import annotations
@@ -37,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, unique_view
 
 #: negative classes scored against the purchase positives
 AUC_NEG_TYPES = ("click", "error", "view")
@@ -86,12 +87,15 @@ def auc_roc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # num2 ≈ 2·n_pos·n_neg exceeds BIGINT once both classes pass ~2.1e9
+    # rows; widen the per-score term to DECIMAL(38,0) BEFORE the multiply
+    # so Spark cannot wrap silently where the HUGEINT oracle would raise.
     terms = per.select(
         "neg_type",
         "n_pos_s",
         "n_neg_s",
         (
-            F.col("n_pos_s")
+            F.col("n_pos_s").cast("decimal(38,0)")
             * (
                 F.lit(2) * F.coalesce(F.sum("n_neg_s").over(w), F.lit(0))
                 + F.col("n_neg_s")
@@ -103,7 +107,7 @@ def auc_roc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_pos_s").cast("long").alias("n_pos"),
             F.sum("n_neg_s").cast("long").alias("n_neg"),
-            F.sum("t2").cast("long").alias("num2"),
+            F.sum("t2").cast("decimal(38,0)").alias("num2"),
         )
         .select(
             "neg_type",
@@ -140,7 +144,7 @@ per AS (
 ),
 pre AS (
   SELECT neg_type, n_pos_s, n_neg_s,
-         n_pos_s * (2 * coalesce(sum(n_neg_s) OVER (
+         n_pos_s::HUGEINT * (2 * coalesce(sum(n_neg_s) OVER (
              PARTITION BY neg_type ORDER BY cents
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            + n_neg_s) AS t2
@@ -150,7 +154,7 @@ agg AS (
   SELECT neg_type,
          CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
          CAST(sum(n_neg_s) AS BIGINT) AS n_neg,
-         CAST(sum(t2) AS BIGINT) AS num2
+         sum(t2) AS num2
   FROM pre GROUP BY 1
 )
 SELECT neg_type, n_pos, n_neg,
@@ -207,8 +211,11 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         "n_early",
         "n_late",
+        # cum·N products reach n_early·n_late — past BIGINT once each half
+        # holds ~3e9 rows; widen before the multiply (HUGEINT on oracle).
         F.abs(
-            F.col("cum1") * F.col("n_late") - F.col("cum2") * F.col("n_early")
+            F.col("cum1").cast("decimal(38,0)") * F.col("n_late")
+            - F.col("cum2").cast("decimal(38,0)") * F.col("n_early")
         ).alias("d2"),
     )
     return (
@@ -258,11 +265,13 @@ tot AS (
   FROM per
 )
 SELECT t.n_early, t.n_late,
-       CAST(abs(c.cum1 * t.n_late - c.cum2 * t.n_early)::HUGEINT * 1000000
+       CAST(abs(c.cum1::HUGEINT * t.n_late - c.cum2::HUGEINT * t.n_early)
+            * 1000000
             // (t.n_early::HUGEINT * t.n_late) AS BIGINT) AS ks_ppm,
        c.cents AS at_cents
 FROM cum c, tot t
-ORDER BY abs(c.cum1 * t.n_late - c.cum2 * t.n_early) DESC, c.cents
+ORDER BY abs(c.cum1::HUGEINT * t.n_late - c.cum2::HUGEINT * t.n_early) DESC,
+         c.cents
 LIMIT 1
 """
 
@@ -415,23 +424,30 @@ def kaplan_meier_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (duration-domain-bounded) grid BEFORE the
     # recursion: a plain temp view would inline the per-user aggregate
     # into every recursion step — T re-scans of the event log for a
-    # T-row curve (18.6 s → ~2 s at sf0.1)
+    # T-row curve (18.6 s → ~2 s at sf0.1).  The view name is unique
+    # per call so concurrent invocations in one SparkSession (or user
+    # views of the same name) cannot clobber each other before the
+    # recursion binds its plan.
+    view = unique_view("km_grid_raw")
     _survival_grid(spark, sf_dir).coalesce(1).localCheckpoint(
         eager=True
-    ).createOrReplaceTempView("km_grid_raw")
+    ).createOrReplaceTempView(view)
     # suffix-sum risk sets + the product-limit recursion, both over the
-    # date-domain-bounded duration grid
-    return spark.sql(_km_sql("DIV"))
+    # date-domain-bounded duration grid; spark.sql analyzes eagerly, so
+    # the view can be dropped as soon as the plan is bound
+    out = spark.sql(_km_sql("DIV", src=view))
+    spark.catalog.dropTempView(view)
+    return out
 
 
-def _km_sql(div: str) -> str:
+def _km_sql(div: str, src: str = "km_grid_raw") -> str:
     return f"""
 WITH RECURSIVE g AS (
   SELECT t, d_t, c_t,
          sum(d_t + c_t) OVER (ORDER BY t
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t,
          row_number() OVER (ORDER BY t) AS rn
-  FROM km_grid_raw
+  FROM {src}
 ),
 s(rn, t, d_t, c_t, n_t, s_micro) AS (
   SELECT rn, t, d_t, c_t, n_t,

@@ -37,7 +37,11 @@ import pandas as pd  # annotation target for the pandas UDAF signature
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import harden_session, load_table
+from projet_meteo_etl_spark.catalog import (
+    harden_session,
+    load_table,
+    unique_view,
+)
 
 #: Custom-source shape: 8 stations × 1440 hourly ticks (≈ two months),
 #: temperature in integer centi-°C from a fixed congruence so Spark and
@@ -189,14 +193,17 @@ def udtf_token_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = j
 
     spark.udtf.register("token_runs", TokenRuns)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
-    return spark.sql(
-        """
+    view = unique_view("docs_v")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
         SELECT d.doc_id, r.tok, r.run_start, r.run_len
-        FROM docs_v d, LATERAL token_runs(d.text) r
+        FROM {view} d, LATERAL token_runs(d.text) r
         ORDER BY d.doc_id, r.run_start
         """
     )
+    spark.catalog.dropTempView(view)
+    return out
 
 
 UDTF_TOKEN_RUNS_SQL = """

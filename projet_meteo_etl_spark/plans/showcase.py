@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, unique_view
 from projet_meteo_etl_spark.functions.portable import pround
 
 
@@ -60,9 +60,10 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with ``grouping_id`` disambiguation —
     three aggregation granularities in one shuffle (via Spark SQL; the
     DataFrame API exposes only rollup/cube)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql(
-        """
+    view = unique_view("orders_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
         SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
                o_orderpriority,
                CAST(grouping_id(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
@@ -70,11 +71,13 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- Spark SQL, which would make the division DECIMAL too
                floor((sum(o_totalprice)) * 100.0D + 0.5D) / 100.0D AS total_price,
                count(*) AS n_orders
-        FROM orders_v
+        FROM {view}
         GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
         ORDER BY gid, order_year NULLS FIRST, o_orderpriority NULLS FIRST
         """
     )
+    spark.catalog.dropTempView(view)
+    return out
 
 
 GROUPING_SETS_SQL = """

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, unique_view
 from projet_meteo_etl_spark.functions.portable import pround
 
 
@@ -1153,11 +1153,11 @@ ORDER BY dow_iso, hour
 #: shared Holt recursion SQL — identical text on both engines except
 #: the integer-division spelling, so the smoothing arithmetic can never
 #: silently diverge between the query and its oracle
-def _holt_sql(div: str) -> str:
+def _holt_sql(div: str, src: str = "holt_daily") -> str:
     return f"""
 WITH RECURSIVE d AS (
   SELECT day, d_cents, row_number() OVER (ORDER BY day) AS rn
-  FROM holt_daily
+  FROM {src}
 ),
 h(rn, day, d_cents, lvl, trd, fit) AS (
   SELECT rn, day, d_cents, d_cents,
@@ -1207,11 +1207,16 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the (date-domain-bounded) rollup BEFORE the recursion:
     # a plain temp view would inline the full event-log aggregate into
-    # every recursion step — T re-scans of the corpus for a T-row series
+    # every recursion step — T re-scans of the corpus for a T-row series.
+    # Unique per-call view name: concurrent invocations in one session
+    # (or a user view of the same name) must not clobber each other.
+    view = unique_view("holt_daily")
     daily.coalesce(1).localCheckpoint(eager=True).createOrReplaceTempView(
-        "holt_daily"
+        view
     )
-    return spark.sql(_holt_sql("DIV"))
+    out = spark.sql(_holt_sql("DIV", src=view))
+    spark.catalog.dropTempView(view)
+    return out
 
 
 HOLT_LINEAR_SQL = f"""

@@ -1525,11 +1525,23 @@ def stream_chained_dedup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     only closes when the watermark passes its end, so the source is the
     heartbeat staging (:func:`_staged_events_dir_with_heartbeat`) — the
     keep-alive pattern that makes the bounded replay emit every window.
-    The 1-hour watermark delay is sized for the test replay's ordered
-    input; production sizes it to observed lateness.  Oracle: the same
-    batch ``count(DISTINCT user_id)`` per day as the unchained twin — a
-    dropped or double-counted key anywhere in the two-operator state
-    chain is a hash mismatch.
+
+    The dedup's event time is NORMALIZED to the key's day start (a
+    canonical per-key timestamp) rather than the raw ``ts``.  That
+    makes "no key is ever double counted" an INVARIANT instead of a
+    replay-order accident: with one event time per key, state eviction
+    (``wm > ts + delay``) implies lateness (``wm > ts``), so a
+    re-arriving duplicate is either deduped (state alive) or dropped
+    by the late-row filter — it can never be re-emitted.  (With raw
+    ``ts``, a key first seen early in a day could have its state
+    evicted mid-day and a same-day duplicate re-emitted once the
+    micro-batch slicing straddled the delay — a data-dependent hash.)
+    The 23 h delay tolerates a full day of replay disorder while still
+    letting the +48 h heartbeat close the final window (watermark
+    reaches max_day+1 01:00 > the last real window end).  Oracle: the
+    same batch ``count(DISTINCT user_id)`` per day as the unchained
+    twin — a dropped or double-counted key anywhere in the
+    two-operator state chain is a hash mismatch.
     """
     from projet_meteo_etl_spark.catalog import harden_session
 
@@ -1551,10 +1563,11 @@ def stream_chained_dedup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through dedup+window like real rows and their sentinel DAYS are
     # dropped from the aggregated output against the batch max day.
     agg = (
-        e.withWatermark("ts", "1 hour")
-        .withColumn("day", F.to_date("ts"))
+        e.withColumn("day", F.to_date("ts"))
+        .withColumn("day_ts", F.col("day").cast("timestamp"))
+        .withWatermark("day_ts", "23 hours")
         .dropDuplicatesWithinWatermark(["user_id", "day"])
-        .groupBy(F.window("ts", "1 day").alias("w"))
+        .groupBy(F.window("day_ts", "1 day").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
     sink = _run_to_memory(agg, "append")
