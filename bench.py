@@ -10,6 +10,17 @@ physical plan runs (scan → shuffle → agg/join/window) without paying
 driver-side collect serialization, which is the honest distributed cost.
 A warmup pass of the flagship query amortizes JVM/codegen startup out of
 the per-query numbers.
+
+Requalification mode (the ambient-vs-regression triage one-liner):
+
+    python bench.py --isolate <query> [<query> ...] [--reps N] [--settle S]
+
+waits ``S`` seconds for co-tenant load to settle (default 5), then runs
+ONLY the named queries in a fresh warmed session, ``N`` repetitions each
+(default 3), and prints one JSON line with per-query min/median and the
+load average — the protocol BASELINE.md prescribes before calling any
+bench delta a regression (this box's co-tenant load swings unchanged
+queries ±30-50%).
 """
 
 from __future__ import annotations
@@ -37,6 +48,70 @@ def _sf_of(path: str) -> float:
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _regime() -> dict:
+    try:
+        load1, load5, load15 = os.getloadavg()
+        return {
+            "loadavg_1m": round(load1, 2),
+            "loadavg_5m": round(load5, 2),
+            "loadavg_15m": round(load15, 2),
+            "unix_time": int(time.time()),
+        }
+    except OSError:
+        return {}
+
+
+def isolate(names: list[str], reps: int, settle: float) -> int:
+    """Re-time specific queries under controlled conditions: settle
+    wait, fresh warmed session, ``reps`` repetitions, median + min
+    reported.  The MIN is the best estimate of the code's intrinsic
+    cost on a shared box (co-tenant interference only ever adds time);
+    the median shows the regime spread."""
+    import statistics
+
+    queries, _ = registry.collect()
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        print(f"[bench] unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    time.sleep(settle)
+    spark = get_spark("bench-isolate")
+    spark.sparkContext.setLogLevel("ERROR")
+    from projet_meteo_etl_spark.plans.relational import revenue_by_nation
+
+    run_query(revenue_by_nation(spark, SF_DIR))
+    out: dict[str, dict] = {}
+    for name in names:
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                run_query(queries[name](spark, SF_DIR))
+                samples.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # noqa: BLE001 — report, keep going
+                print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+            finally:
+                spark.catalog.clearCache()
+        out[name] = {
+            "reps": len(samples),
+            "min": min(samples) if samples else -1.0,
+            "median": round(statistics.median(samples), 3) if samples else -1.0,
+            "samples": samples,
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "isolated_query_wall_sec",
+                "unit": "sec",
+                "queries": out,
+                "sf": _sf_of(SF_DIR),
+                "regime": _regime(),
+            }
+        )
+    )
+    return 0
 
 
 def main() -> int:
@@ -71,16 +146,7 @@ def main() -> int:
     # identical code).  Recording the load average + timestamp with the
     # numbers lets cross-round per-query ratio reads attribute drift to
     # regime instead of silently mixing loaded and idle runs.
-    try:
-        load1, load5, load15 = os.getloadavg()
-        regime = {
-            "loadavg_1m": round(load1, 2),
-            "loadavg_5m": round(load5, 2),
-            "loadavg_15m": round(load15, 2),
-            "unix_time": int(time.time()),
-        }
-    except OSError:
-        regime = {}
+    regime = _regime()
     payload = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -106,4 +172,19 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        args = sys.argv[2:]
+        reps, settle = 3, 5.0
+        if "--reps" in args:
+            i = args.index("--reps")
+            reps = int(args[i + 1])
+            del args[i : i + 2]
+        if "--settle" in args:
+            i = args.index("--settle")
+            settle = float(args[i + 1])
+            del args[i : i + 2]
+        if not args:
+            print("usage: bench.py --isolate <query> [...]", file=sys.stderr)
+            raise SystemExit(2)
+        raise SystemExit(isolate(args, reps, settle))
     raise SystemExit(main())
