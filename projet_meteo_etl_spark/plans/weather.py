@@ -3,10 +3,18 @@
 The driver's oracle tables don't include weather data, so this entry
 generates the deterministic synthetic fixtures (same generator the test
 suite uses, seed=42) under /tmp and runs the full pipeline: quirky-CSV +
-nested-JSON read → clean/convert → unionByName → quality gate.  It is a
-rows-only check (no oracle SQL): the golden count is asserted in
-tests/test_pipeline.py instead, mirroring the reference's golden 4936
-(/root/reference/test_etl_meteo.py:50-51).
+nested-JSON read → clean/convert → unionByName → quality gate.
+
+HASH-ORACLED (round 6; previously rows-only because DuckDB 1.x cannot
+read the latin-1 ``;``-CSV fixtures): the fixture generator now stages
+``expected_unified.parquet`` — the ground-truth unified table computed
+in PURE PYTHON from the generator's in-memory values *before* they were
+serialized into quirky CSV/JSON — and the DuckDB oracle reads that.
+The oracle is therefore independent of the engine under test: a bug in
+any of S1-S4/P1-P13/U1 (mis-parsed cell, wrong unit constant, dropped
+or duplicated row) breaks the value hash.  The golden 686 count and the
+reference's golden-4936-analogue contract stay pinned in
+tests/test_pipeline.py (/root/reference/test_etl_meteo.py:50-51).
 """
 
 from __future__ import annotations
@@ -32,6 +40,13 @@ def _fixtures() -> dict:
     else:
         fx = generate_weather_fixtures(d)  # idempotent, deterministic
     return fx
+
+
+# the oracle SQL below embeds the staged ground-truth path, and the
+# driver may evaluate the oracle BEFORE the Spark query runs — so the
+# fixtures (including expected_unified.parquet) are materialized at
+# import time.  Cheap (~700 records, marker-cached) and idempotent.
+_EXPECTED_PARQUET = _fixtures()["expected_path"]
 
 
 def weather_etl_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,4 +89,69 @@ SPARK_QUERIES = {
     "weather_quality_report": weather_quality_report,
 }
 
-ORACLE_SQL: dict[str, str] = {}
+WEATHER_UNIFIED_SQL = f"""
+SELECT date_heure_utc, temperature_c, humidite_pct, pression_hpa,
+       vent_vitesse_ms, id_station, source_donnees, pluie_accum_mm
+FROM read_parquet('{_EXPECTED_PARQUET}')
+ORDER BY id_station, date_heure_utc
+"""
+
+# the fused quality report, recomputed over the ground-truth parquet
+# with the exact observed-string formats quality.py's verdict_cols emit
+WEATHER_QUALITY_SQL = f"""
+WITH u AS (SELECT * FROM read_parquet('{_EXPECTED_PARQUET}')),
+a AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN temperature_c IS NULL THEN 1 ELSE 0 END) AS nulls_t,
+         sum(CASE WHEN temperature_c < -50.0 OR temperature_c > 50.0
+                  THEN 1 ELSE 0 END) AS oor_t,
+         sum(CASE WHEN humidite_pct < 0.0 OR humidite_pct > 100.0
+                  THEN 1 ELSE 0 END) AS oor_h,
+         sum(CASE WHEN pression_hpa < 800.0 OR pression_hpa > 1100.0
+                  THEN 1 ELSE 0 END) AS oor_p,
+         sum(CASE WHEN vent_vitesse_ms < 0.0 OR vent_vitesse_ms > 50.0
+                  THEN 1 ELSE 0 END) AS oor_w,
+         count(*) - count(DISTINCT (date_heure_utc, id_station)) AS dups
+  FROM u
+)
+SELECT * FROM (
+  SELECT 'expect_count' AS "check", TRUE AS passed,
+         '{{''total'': ' || CAST(total AS VARCHAR)
+           || ', ''expected'': None}}' AS observed
+  FROM a
+  UNION ALL
+  SELECT 'expect_no_nulls(temperature_c)', nulls_t <= 0,
+         '{{''temperature_c'': ' || CAST(nulls_t AS VARCHAR) || '}}'
+  FROM a
+  UNION ALL
+  SELECT 'expect_in_range(temperature_c,[-50.0,50.0])', oor_t = 0,
+         '{{''violations'': ' || CAST(oor_t AS VARCHAR)
+           || ', ''lo'': -50.0, ''hi'': 50.0}}'
+  FROM a
+  UNION ALL
+  SELECT 'expect_in_range(humidite_pct,[0.0,100.0])', oor_h = 0,
+         '{{''violations'': ' || CAST(oor_h AS VARCHAR)
+           || ', ''lo'': 0.0, ''hi'': 100.0}}'
+  FROM a
+  UNION ALL
+  SELECT 'expect_in_range(pression_hpa,[800.0,1100.0])', oor_p = 0,
+         '{{''violations'': ' || CAST(oor_p AS VARCHAR)
+           || ', ''lo'': 800.0, ''hi'': 1100.0}}'
+  FROM a
+  UNION ALL
+  SELECT 'expect_in_range(vent_vitesse_ms,[0.0,50.0])', oor_w = 0,
+         '{{''violations'': ' || CAST(oor_w AS VARCHAR)
+           || ', ''lo'': 0.0, ''hi'': 50.0}}'
+  FROM a
+  UNION ALL
+  SELECT 'expect_unique(date_heure_utc,id_station)', dups = 0,
+         '{{''duplicates'': ' || CAST(dups AS VARCHAR) || '}}'
+  FROM a
+)
+ORDER BY "check"
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "weather_etl_unified": WEATHER_UNIFIED_SQL,
+    "weather_quality_report": WEATHER_QUALITY_SQL,
+}

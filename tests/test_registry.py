@@ -233,9 +233,11 @@ EXPECTED_QUERIES = {
     "stream_cms_item_counts",
 }
 
-# rows-only by necessity: engine-specific hashing/sketches/batching
+# rows-only by necessity: engine-specific hashing/sketches/batching.
+# (weather_etl_unified / weather_quality_report graduated to hash oracles
+# in round 6: DuckDB can't read their latin-1 CSV inputs, but it CAN read
+# the pure-Python ground-truth parquet the fixture generator now stages.)
 EXPECTED_ROWS_ONLY = {
-    "weather_etl_unified", "weather_quality_report",  # latin-1 CSV inputs DuckDB 1.0 can't read
     "approx_user_stats", "hll_sketch_mergeability",   # sketch internals
 }
 
