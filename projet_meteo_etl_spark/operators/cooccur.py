@@ -321,7 +321,15 @@ def _kcore_peel_rounds(
     """Synchronous k-core peeling over an undirected edge list
     (columns ``i1``/``i2``, one row per edge) — factored out so tests
     can drive it with adversarial synthetic graphs (e.g. a node whose
-    whole neighborhood peels in round 1)."""
+    whole neighborhood peels in round 1).
+
+    Convergence telemetry: every output row carries
+    ``n_pending_peel`` — the number of survivors whose post-final-round
+    degree is still below ``K_CORE``, i.e. the nodes one more round
+    would peel.  0 means the bounded unroll REACHED the fixpoint (the
+    report is the true k-core); non-zero tells the consumer exactly
+    how far the truncated iteration stopped short instead of silently
+    presenting a truncated result as converged."""
     cached = [edges, *(extra_cached or [])]
 
     def degrees(e: DataFrame) -> DataFrame:
@@ -365,13 +373,21 @@ def _kcore_peel_rounds(
     rounds = peeled[0]
     for p in peeled[1:]:
         rounds = rounds.unionByName(p)
+    # residual: survivors another round would peel (0 ⟺ fixpoint reached)
+    pending = cur_deg.agg(
+        F.sum(F.when(F.col("deg") < K_CORE, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pending_peel")
+    )
     out = (
         d0.withColumnRenamed("deg", "deg0")
         .join(rounds, "item", "left")
+        .crossJoin(F.broadcast(pending))
         .select(
             "item",
             F.col("deg0").cast("long").alias("initial_degree"),
             F.coalesce("peel_round", F.lit(0)).cast("int").alias("peel_round"),
+            F.coalesce("n_pending_peel", F.lit(0)).alias("n_pending_peel"),
         )
         .orderBy("item")
     )
@@ -412,11 +428,18 @@ d0 AS (
     + f""",
 rounds AS (
   {' UNION ALL '.join(f"SELECT item, {r} AS peel_round FROM p{r}" for r in range(1, KCORE_ROUNDS + 1))}
+),
+pending AS (
+  SELECT CAST(coalesce(sum(CASE WHEN deg < {K_CORE} THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_pending_peel
+  FROM d{KCORE_ROUNDS}
 )
 SELECT d0.item,
        CAST(d0.deg AS BIGINT) AS initial_degree,
-       CAST(coalesce(rounds.peel_round, 0) AS INTEGER) AS peel_round
+       CAST(coalesce(rounds.peel_round, 0) AS INTEGER) AS peel_round,
+       pending.n_pending_peel
 FROM d0 LEFT JOIN rounds ON rounds.item = d0.item
+CROSS JOIN pending
 ORDER BY d0.item
 """
 )
@@ -556,9 +579,18 @@ def item_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_kept = kept.agg(
             F.count(F.lit(1)).cast("long").alias("n_edges_kept")
         )
+        # convergence telemetry: a round that drops nothing proves the
+        # fixpoint (support can only shrink as edges peel) — so
+        # `converged` on the FINAL row tells the consumer whether the
+        # bounded unroll truncated a still-moving iteration
         rounds.append(
             n_in.crossJoin(F.broadcast(n_kept)).select(
-                F.lit(r).alias("round"), "n_edges_in", "n_edges_kept"
+                F.lit(r).alias("round"),
+                "n_edges_in",
+                "n_edges_kept",
+                (F.col("n_edges_in") == F.col("n_edges_kept")).alias(
+                    "converged"
+                ),
             )
         )
         cur = kept
@@ -618,11 +650,14 @@ und2 AS (
 )
 SELECT 1 AS round,
        (SELECT CAST(count(*) AS BIGINT) FROM und0) AS n_edges_in,
-       (SELECT CAST(count(*) AS BIGINT) FROM und1) AS n_edges_kept
+       (SELECT CAST(count(*) AS BIGINT) FROM und1) AS n_edges_kept,
+       (SELECT count(*) FROM und0) = (SELECT count(*) FROM und1)
+         AS converged
 UNION ALL
 SELECT 2,
        (SELECT CAST(count(*) AS BIGINT) FROM und1),
-       (SELECT CAST(count(*) AS BIGINT) FROM und2)
+       (SELECT CAST(count(*) AS BIGINT) FROM und2),
+       (SELECT count(*) FROM und1) = (SELECT count(*) FROM und2)
 ORDER BY round
 """
 

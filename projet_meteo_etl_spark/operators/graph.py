@@ -171,6 +171,13 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     map-side combinable, skew-bounded by max degree.  Output is the
     community-size rollup (top ``LPA_TOP``), never the |V|-row
     assignment.
+
+    Convergence telemetry: every row carries ``n_changed_last_round``
+    — how many nodes flipped label between the last two rounds.  0
+    means the bounded unroll reached a fixpoint; non-zero quantifies
+    how far the truncated iteration still had to move, so a consumer
+    can size more rounds instead of trusting a silently truncated
+    result.
     """
     edges = _edges(spark, sf_dir).repartition("dst").cache()
     labels = edges.select(F.col("src").alias("node")).distinct().select(
@@ -178,7 +185,9 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from pyspark.sql import Window
 
+    prev = labels
     for _ in range(N_LPA_ROUNDS):
+        prev = labels
         nb = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
@@ -193,13 +202,38 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     from projet_meteo_etl_spark.cachescope import scoped_cache
 
+    # the final two label relations each feed two consumers (residual
+    # count + community rollup / next-round join): persist so neither
+    # re-runs its round chain
+    prev = prev.persist()
+    labels = labels.persist()
+    changed = (
+        labels.join(
+            prev.withColumnRenamed("label", "prev_label"), "node"
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("label") != F.col("prev_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_changed_last_round")
+        )
+    )
     out = (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .crossJoin(F.broadcast(changed))
+        .select(
+            "label",
+            "n_members",
+            F.coalesce("n_changed_last_round", F.lit(0)).alias(
+                "n_changed_last_round"
+            ),
+        )
         .orderBy(F.desc("n_members"), F.asc("label"))
         .limit(LPA_TOP)
     )
-    return scoped_cache(out, edges)
+    return scoped_cache(out, edges, prev, labels)
 
 
 def _lpa_iter_sql(prev: str, this: str) -> str:
@@ -230,10 +264,17 @@ edges AS (
 ),
 l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
 {_lpa_iter_sql('l0', 'l1')},
-{_lpa_iter_sql('l1', 'l2')}
-SELECT label, CAST(count(*) AS BIGINT) AS n_members
-FROM l{N_LPA_ROUNDS}
-GROUP BY label
+{_lpa_iter_sql('l1', 'l2')},
+changed AS (
+  SELECT CAST(coalesce(sum(CASE WHEN a.label <> b.label THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS n_changed_last_round
+  FROM l{N_LPA_ROUNDS} a
+  JOIN l{N_LPA_ROUNDS - 1} b ON b.node = a.node
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+       changed.n_changed_last_round
+FROM l{N_LPA_ROUNDS}, changed
+GROUP BY label, changed.n_changed_last_round
 ORDER BY n_members DESC, label ASC
 LIMIT {LPA_TOP}
 """

@@ -173,3 +173,49 @@ def test_kcore_peels_nodes_isolated_by_peeling(spark):
     for i in range(K_CORE):
         assert got[2000 + i] == (1, 1), "leaves peel in round 1"
     assert got[1000] == (K_CORE, 2), "isolated-by-peeling hub peels round 2"
+
+
+def test_kcore_residual_reports_truncated_iteration(spark):
+    """Convergence telemetry: an 'onion' whose peeling cascade is one
+    layer deeper than the bounded unroll must report a NON-ZERO
+    ``n_pending_peel`` (the truncated iteration is not presented as
+    converged), while a graph that reaches fixpoint reports 0."""
+    from projet_meteo_etl_spark.operators.cooccur import (
+        K_CORE,
+        KCORE_ROUNDS,
+        _kcore_peel_rounds,
+    )
+
+    assert KCORE_ROUNDS == 3, "onion construction below is depth-sized"
+    # depth-4 onion: leaves peel r1, hubs r2, mids r3 — and X survives
+    # every bounded round at degree K_CORE (its 10 mid supporters are
+    # alive at each check) but is stranded once the mids peel in r3,
+    # so round 4 WOULD peel it: n_pending_peel must be 1.
+    edges = []
+    X = 0
+    mids = list(range(1, 11))  # 10 mids: deg = 9 hubs + X = K_CORE
+    nxt = 100
+    for m in mids:
+        edges.append((X, m))
+        for _ in range(K_CORE - 1):  # 9 hubs per mid
+            h = nxt
+            nxt += 1
+            edges.append((m, h))
+            for _ in range(K_CORE - 1):  # 9 leaves per hub
+                edges.append((h, nxt))
+                nxt += 1
+    df = spark.createDataFrame(edges, ["i1", "i2"])
+    rows = _kcore_peel_rounds(df).collect()
+    by_item = {r["item"]: r for r in rows}
+    assert by_item[X]["peel_round"] == 0, "X survives the bounded unroll"
+    assert {r["n_pending_peel"] for r in rows} == {1}, (
+        "exactly X is pending another peel round"
+    )
+    # fixpoint case: a clique alone converges — residual must be 0
+    clique = [
+        (a, b) for a in range(K_CORE + 2) for b in range(K_CORE + 2) if a < b
+    ]
+    rows2 = _kcore_peel_rounds(
+        spark.createDataFrame(clique, ["i1", "i2"])
+    ).collect()
+    assert {r["n_pending_peel"] for r in rows2} == {0}

@@ -58,7 +58,9 @@ def test_lpa_matches_python_replay(spark):
         nbrs[u].append(i)
         nbrs[i].append(u)
     labels = {v: v for v in nbrs}
+    prev = labels
     for _ in range(N_LPA_ROUNDS):
+        prev = labels
         labels = {
             v: min(
                 (l for l in Counter(labels[n] for n in ns).items()),
@@ -69,8 +71,11 @@ def test_lpa_matches_python_replay(spark):
     expect = sorted(
         Counter(labels.values()).items(), key=lambda kv: (-kv[1], kv[0])
     )[:LPA_TOP]
+    expect_changed = sum(1 for v in labels if labels[v] != prev[v])
     got = label_propagation_communities(spark, SF_SMOKE).collect()
     assert [(r["label"], r["n_members"]) for r in got] == expect
+    # convergence telemetry: residual equals the replay's flip count
+    assert {r["n_changed_last_round"] for r in got} == {expect_changed}
 
 
 def test_ktruss_matches_python_replay(spark):
@@ -125,3 +130,8 @@ def test_ktruss_matches_python_replay(spark):
         (2, len(r1), len(r2)),
     ]
     assert len(r2) <= len(r1) <= len(edges)
+    # convergence telemetry: a round that drops nothing proves fixpoint
+    assert [r["converged"] for r in rows] == [
+        len(edges) == len(r1),
+        len(r1) == len(r2),
+    ]
