@@ -50,7 +50,7 @@ EXPECTED_QUERIES = {
     "incremental_dedup_report", "length_band_filter",
     # multimodal
     "multimodal_metadata", "multimodal_frame_sample", "multimodal_features",
-    "multimodal_thumbnails",
+    "multimodal_thumbnails", "multimodal_header_decode",
     # sketches
     "approx_user_stats", "hll_sketch_mergeability",
     # similarity
