@@ -829,7 +829,125 @@ ORDER BY event_type
 """
 
 
+#: dictionary-encoding advisory cutoff: suggest dict when the column's
+#: distinct count is at most 1/10 of its row count
+CARD_DICT_RATIO = 10
+
+
+def column_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality / encoding profile of the ``orders`` columns — the
+    catalog statistics a layout advisor (dictionary vs plain encoding,
+    join-side estimates, partition-key screening) reads before writing
+    a table at scale.
+
+    Per column: rows, nulls, distinct values, the modal value with its
+    ppm share (ties break to the lexicographically smallest value, both
+    engines compare varchar binary), and the encoding suggestion
+    (``dict`` when distinct ≤ rows/10).  One ``stack`` unpivot makes
+    this a SINGLE shuffle at (column, value) grain — per-column scans
+    would pay k passes over the table; the rollup is value-domain
+    bounded per column.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.expr(
+            "stack(4,"
+            " 'o_orderstatus', CAST(o_orderstatus AS STRING),"
+            " 'o_orderpriority', CAST(o_orderpriority AS STRING),"
+            " 'o_custkey', CAST(o_custkey AS STRING),"
+            " 'order_year', CAST(year(o_orderdate) AS STRING)"
+            ") AS (col_name, val)"
+        )
+    )
+    per_val = stacked.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w_top = Window.partitionBy("col_name").orderBy(
+        F.desc("n"), F.asc("val")
+    )
+    tops = (
+        per_val.filter(F.col("val").isNotNull())
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select("col_name", F.col("val").alias("top_value"),
+                F.col("n").alias("top_n"))
+    )
+    stats = per_val.groupBy("col_name").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("val").isNotNull(), 1)).cast("long").alias(
+            "n_distinct"
+        ),
+    )
+    return (
+        stats.join(tops, "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "top_value",
+            F.expr(
+                "CAST(CAST(top_n AS DECIMAL(38,0)) * 1000000"
+                " DIV n_rows AS BIGINT)"
+            ).alias("top_share_ppm"),
+            F.expr(
+                f"CASE WHEN n_distinct * {CARD_DICT_RATIO} <= n_rows"
+                f" THEN 'dict' ELSE 'plain' END"
+            ).alias("suggested_encoding"),
+        )
+        .orderBy("col_name")
+    )
+
+
+COLUMN_CARDINALITY_SQL = f"""
+WITH stacked AS (
+  SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS val
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR) FROM orders
+),
+per_val AS (
+  SELECT col_name, val, CAST(count(*) AS BIGINT) AS n
+  FROM stacked GROUP BY 1, 2
+),
+tops AS (
+  SELECT col_name, val AS top_value, n AS top_n FROM (
+    SELECT col_name, val, n,
+           row_number() OVER (PARTITION BY col_name
+                              ORDER BY n DESC, val ASC) AS rn
+    FROM per_val WHERE val IS NOT NULL
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT col_name,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN val IS NULL THEN n ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_distinct
+  FROM per_val GROUP BY 1
+)
+SELECT s.col_name, s.n_rows, s.n_nulls, s.n_distinct, t.top_value,
+       CAST(t.top_n::HUGEINT * 1000000 // s.n_rows AS BIGINT)
+         AS top_share_ppm,
+       CASE WHEN s.n_distinct * {CARD_DICT_RATIO} <= s.n_rows
+            THEN 'dict' ELSE 'plain' END AS suggested_encoding
+FROM stats s JOIN tops t USING (col_name)
+ORDER BY col_name
+"""
+
+
 SPARK_QUERIES = {
+    "column_cardinality_profile": column_cardinality_profile,
     "profile_numeric_stats": profile_numeric_stats,
     "robust_scaler_params": robust_scaler_params,
     "profile_numeric_histograms": profile_numeric_histograms,
@@ -843,6 +961,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "column_cardinality_profile": COLUMN_CARDINALITY_SQL,
     "profile_numeric_stats": PROFILE_STATS_SQL,
     "robust_scaler_params": ROBUST_SCALER_SQL,
     "profile_numeric_histograms": PROFILE_HIST_SQL,

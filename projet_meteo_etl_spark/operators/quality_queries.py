@@ -14,7 +14,7 @@ improvement over the reference's one-scan-per-check pattern
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
@@ -386,7 +386,181 @@ ORDER BY 1, 2
 """
 
 
+#: t-closeness release threshold (t = 0.2, the working value from the
+#: Li/Li/Venkatasubramanian paper's examples), in ppm
+T_CLOSE_MAX_PPM = 200_000
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness for the same (nation, market-segment) classes and
+    $1000-banded balance sensitive attribute as
+    :func:`l_diversity_audit` — the third rung of the release-audit
+    ladder: a class can be k-anonymous AND l-diverse while its
+    sensitive DISTRIBUTION still leaks (all its balances in the top
+    bands).  t-closeness bounds the Earth Mover's Distance between
+    each class's band distribution and the global one.
+
+    For an ordered 1-D attribute on m equal bands, EMD is the mean
+    absolute cumulative gap:  ``Σ_j |P≤j − Q≤j| / (m−1)``.  Computed
+    exactly with cross-multiplied integer prefix sums —
+    ``Σ_j |cumc_j·N − cumg_j·k|`` over the GLOBAL band spine (every
+    class × band cell exists via the spine join, so a band absent from
+    a class contributes its full gap), one truncating ÷ at the end.
+
+    Scale: two hash rollups (global per-band, class per-band), then
+    everything is |classes|·|bands| — catalog-bounded, never row
+    bounded; the global cumulative relation broadcasts.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    banded = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        # same positive-offset band as l_diversity_audit
+        F.expr(
+            "(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)"
+            " DIV 100000 - 1000"
+        ).alias("bal_band"),
+    )
+    g = banded.groupBy("bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("gn")
+    )
+    wg = Window.orderBy("bal_band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gcum = g.select(
+        "bal_band", F.sum("gn").over(wg).cast("long").alias("cumg")
+    )
+    gtot = g.agg(
+        F.sum("gn").cast("long").alias("n_total"),
+        F.greatest(F.count(F.lit(1)) - 1, F.lit(1))
+        .cast("long")
+        .alias("m1"),
+    )
+    cb = banded.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("cn")
+    )
+    classes = cb.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cn").cast("long").alias("k")
+    )
+    spine = classes.crossJoin(F.broadcast(gcum.select("bal_band")))
+    wc = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "bal_band"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cells = (
+        spine.join(cb, ["c_nationkey", "c_mktsegment", "bal_band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "k",
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+        .withColumn("cumc", F.sum("cn").over(wc).cast("long"))
+        .join(F.broadcast(gcum), "bal_band")
+        .crossJoin(F.broadcast(gtot))
+    )
+    return (
+        cells.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.max("k").alias("k"),
+            F.sum(
+                F.expr(
+                    "abs(CAST(cumc AS DECIMAL(38,0)) * n_total"
+                    " - CAST(cumg AS DECIMAL(38,0)) * k)"
+                )
+            ).alias("gap"),
+            F.max("n_total").alias("n_total"),
+            F.max("m1").alias("m1"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("k").cast("long").alias("k"),
+            F.expr(
+                "CAST(gap * 1000000"
+                " DIV (CAST(k AS DECIMAL(38,0)) * n_total * m1) AS BIGINT)"
+            ).alias("t_emd_ppm"),
+            F.expr(
+                f"CAST(gap * 1000000"
+                f" DIV (CAST(k AS DECIMAL(38,0)) * n_total * m1)"
+                f" > {T_CLOSE_MAX_PPM} AS INT)"
+            ).alias("breach"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)
+           // 100000 - 1000 AS bal_band
+  FROM customer
+),
+g AS (
+  SELECT bal_band, CAST(count(*) AS BIGINT) AS gn
+  FROM banded GROUP BY 1
+),
+gcum AS (
+  SELECT bal_band,
+         CAST(sum(gn) OVER (ORDER BY bal_band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cumg
+  FROM g
+),
+gtot AS (
+  SELECT CAST(sum(gn) AS BIGINT) AS n_total,
+         CAST(greatest(count(*) - 1, 1) AS BIGINT) AS m1
+  FROM g
+),
+cb AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(count(*) AS BIGINT) AS cn
+  FROM banded GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(sum(cn) AS BIGINT) AS k
+  FROM cb GROUP BY 1, 2
+),
+cells AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, s.bal_band, cl.k,
+         coalesce(cb.cn, 0) AS cn
+  FROM classes cl
+  CROSS JOIN (SELECT bal_band FROM gcum) s
+  LEFT JOIN cb ON cb.c_nationkey = cl.c_nationkey
+              AND cb.c_mktsegment = cl.c_mktsegment
+              AND cb.bal_band = s.bal_band
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, k,
+         CAST(sum(cn) OVER (PARTITION BY c_nationkey, c_mktsegment
+           ORDER BY bal_band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cumc
+  FROM cells
+),
+gaps AS (
+  SELECT c.c_nationkey, c.c_mktsegment, max(c.k) AS k,
+         sum(abs(c.cumc::HUGEINT * t.n_total - g.cumg::HUGEINT * c.k))
+           AS gap,
+         max(t.n_total) AS n_total, max(t.m1) AS m1
+  FROM cum c
+  JOIN gcum g ON g.bal_band = c.bal_band
+  CROSS JOIN gtot t
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, CAST(k AS BIGINT) AS k,
+       CAST(gap * 1000000 // (k::HUGEINT * n_total * m1) AS BIGINT)
+         AS t_emd_ppm,
+       CAST(gap * 1000000 // (k::HUGEINT * n_total * m1)
+            > {T_CLOSE_MAX_PPM} AS INT) AS breach
+FROM gaps
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 SPARK_QUERIES = {
+    "t_closeness_audit": t_closeness_audit,
     "referential_integrity_audit": referential_integrity_audit,
     "range_audit_lineitem": range_audit_lineitem,
     "null_audit_events": null_audit_events,
@@ -399,6 +573,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "t_closeness_audit": T_CLOSENESS_SQL,
     "referential_integrity_audit": REFERENTIAL_INTEGRITY_SQL,
     "range_audit_lineitem": RANGE_AUDIT_SQL,
     "null_audit_events": NULL_AUDIT_SQL,

@@ -867,7 +867,119 @@ def _pii_sql() -> str:
     )
 
 
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between two independent document-quality filters —
+    the redundancy check run before adding a filter to a curation
+    stack: κ ≈ 1 means the new rule is dead weight, κ ≈ 0 means it
+    cuts on a genuinely different axis (and the union loss needs
+    re-budgeting).  Filter A = character-length band [200, 20000];
+    filter B = token-count band [40, 4000].
+
+    κ = (p_o − p_e)/(1 − p_e) evaluated as ONE exact integer ratio:
+    with the 2×2 confusion counts,
+    ``κ = (N·(n11+n00) − (a1·b1 + a0·b0)) / (N² − (a1·b1 + a0·b0))``.
+    Numerator may be negative, so the truncating division runs on
+    ``abs`` with the sign applied outside (Spark ``DIV`` / DuckDB
+    ``//`` agree only on non-negative dividends).  All products widen
+    to DECIMAL(38,0)/HUGEINT — N² passes BIGINT at ~3e9 docs.
+
+    Scale: one map-combinable aggregate over the corpus; the κ
+    arithmetic is a 1-row projection.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.length(F.trim("text"))
+    ntok = F.when(chars == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), _WS))
+    )
+    flags = d.select(
+        F.when((chars >= 200) & (chars <= 20000), 1).otherwise(0).alias("a"),
+        F.when((ntok >= 40) & (ntok <= 4000), 1).otherwise(0).alias("b"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.expr("CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.expr("CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n00"),
+    )
+    pe_prod = (
+        "(CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+        " + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))"
+    )
+    num = f"(CAST(n AS DECIMAL(38,0)) * (n11 + n00) - {pe_prod})"
+    den = f"(CAST(n AS DECIMAL(38,0)) * n - {pe_prod})"
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("n11").alias("n_both_pass"),
+        F.col("n10").alias("n_only_a"),
+        F.col("n01").alias("n_only_b"),
+        F.col("n00").alias("n_both_fail"),
+        F.expr(
+            "CAST(CAST(n11 + n00 AS DECIMAL(38,0)) * 1000000 DIV n"
+            " AS BIGINT)"
+        ).alias("po_ppm"),
+        F.expr(
+            f"CAST({pe_prod} * 1000000"
+            f" DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {den} = 0 THEN 1000000"
+            f" ELSE (CASE WHEN {num} < 0 THEN -1 ELSE 1 END)"
+            f" * (abs({num}) * 1000000 DIV {den}) END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+def _kappa_sql() -> str:
+    pe_prod = (
+        "((n11 + n10)::HUGEINT * (n11 + n01)"
+        " + (n01 + n00)::HUGEINT * (n10 + n00))"
+    )
+    num = f"(n::HUGEINT * (n11 + n00) - {pe_prod})"
+    den = f"(n::HUGEINT * n - {pe_prod})"
+    return rf"""
+WITH flags AS (
+  SELECT CASE WHEN length(trim(text)) BETWEEN 200 AND 20000
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+              BETWEEN 40 AND 4000 THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n11,
+         CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n10,
+         CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n01,
+         CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n00
+  FROM flags
+)
+SELECT n AS n_docs, n11 AS n_both_pass, n10 AS n_only_a,
+       n01 AS n_only_b, n00 AS n_both_fail,
+       CAST((n11 + n00)::HUGEINT * 1000000 // n AS BIGINT) AS po_ppm,
+       CAST({pe_prod} * 1000000 // (n::HUGEINT * n) AS BIGINT) AS pe_ppm,
+       CAST(CASE WHEN {den} = 0 THEN 1000000
+            ELSE (CASE WHEN {num} < 0 THEN -1 ELSE 1 END)
+                 * (abs({num}) * 1000000 // {den}) END AS BIGINT)
+         AS kappa_ppm
+FROM agg
+"""
+
+
 SPARK_QUERIES = {
+    "filter_agreement_kappa": filter_agreement_kappa,
     "langid_confusion_matrix": langid_confusion_matrix,
     "training_data_pipeline": training_data_pipeline,
     "near_dup_edit_distance": near_dup_edit_distance,
@@ -882,6 +994,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "filter_agreement_kappa": _kappa_sql(),
     "langid_confusion_matrix": LANGID_CONFUSION_SQL,
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "near_dup_edit_distance": NEAR_DUP_EDIT_SQL,

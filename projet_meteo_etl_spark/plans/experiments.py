@@ -1000,7 +1000,114 @@ ORDER BY a.decile
 """
 
 
+#: χ²(df=9) critical value at α=0.001, in micro units — the standard
+#: SRM alert threshold for a 10-way uniform split
+SRM_CRIT_MICRO = 27_877_000
+
+
+def srm_chi_square_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: users hashed into 10 equal
+    traffic buckets (same md5 assignment family as
+    :func:`ab_test_analysis`), uniform-fit χ² in exact micro units,
+    flagged against the χ²(9, α=0.001) critical value — the first
+    alarm every experimentation platform runs before any readout is
+    trusted, since a biased splitter invalidates all of them.
+
+    Exactness: with o_i the bucket count and N total,
+    ``(o_i − N/10)²/(N/10) = (10·o_i − N)²/(10·N)``, so
+    ``chi2_micro = Σ(10·o_i − N)² · 1e6 DIV (10·N)`` — one truncating
+    division at the end, all accumulation in DECIMAL(38,0) (HUGEINT on
+    the oracle), overflow-safe past 1e12 users.  The 0..9 bucket spine
+    is generated explicitly and left-joined so an EMPTY bucket (tiny
+    subsets; the very thing SRM should scream about) still contributes
+    its full (0 − N/10)² deviation instead of silently vanishing.
+
+    Scale: one distinct-user rollup (map-side combinable) → 10-row
+    relation; everything after is constant-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 10
+    ).cast("int")
+    per = (
+        e.select("user_id")
+        .distinct()
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    spine = spark.createDataFrame([(b,) for b in range(10)], "bucket int")
+    filled = spine.join(per, "bucket", "left").select(
+        "bucket", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_users")
+    )
+    tot = filled.agg(F.sum("n_users").cast("long").alias("n"))
+    chi = (
+        filled.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(10 * n_users - n AS DECIMAL(38,0))"
+                    " * (10 * n_users - n)"
+                )
+            ).alias("dev2"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            F.expr(
+                "CAST(dev2 * 1000000 DIV (10 * CAST(n AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("chi2_micro")
+        )
+    )
+    return (
+        filled.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "bucket",
+            "n_users",
+            F.expr("CAST(n * 1000000 DIV 10 AS BIGINT)").alias(
+                "expected_micro"
+            ),
+            "chi2_micro",
+            (F.col("chi2_micro") > F.lit(SRM_CRIT_MICRO)).alias("srm_flag"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SRM_SQL = f"""
+WITH per AS (
+  SELECT CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 10
+              AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM (SELECT DISTINCT user_id FROM events)
+  GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+filled AS (
+  SELECT s.bucket, CAST(coalesce(p.n_obs, 0) AS BIGINT) AS n_users
+  FROM spine s LEFT JOIN per p ON p.bucket = s.bucket
+),
+tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n FROM filled),
+chi AS (
+  SELECT CAST(sum((10 * n_users - n)::HUGEINT * (10 * n_users - n))
+              * 1000000 // (10 * n::HUGEINT) AS BIGINT) AS chi2_micro
+  FROM filled, tot GROUP BY n
+)
+SELECT CAST(f.bucket AS INTEGER) AS bucket, f.n_users,
+       CAST(t.n * 1000000 // 10 AS BIGINT) AS expected_micro,
+       c.chi2_micro,
+       c.chi2_micro > {SRM_CRIT_MICRO} AS srm_flag
+FROM filled f, tot t, chi c
+ORDER BY bucket
+"""
+
+
 SPARK_QUERIES = {
+    "srm_chi_square_check": srm_chi_square_check,
     "ab_test_analysis": ab_test_analysis,
     "bootstrap_ci_purchase_mean": bootstrap_ci_purchase_mean,
     "user_behavior_entropy": user_behavior_entropy,
@@ -1013,6 +1120,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "srm_chi_square_check": SRM_SQL,
     "ab_test_analysis": AB_TEST_SQL,
     "bootstrap_ci_purchase_mean": BOOTSTRAP_CI_SQL,
     "user_behavior_entropy": ENTROPY_SQL,

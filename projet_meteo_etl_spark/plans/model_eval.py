@@ -1296,7 +1296,152 @@ ORDER BY event_type
 """
 
 
+def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at the nine decile thresholds of the score
+    distribution — the operating-point panel read next to
+    :func:`auc_roc_eval`'s single ranking number when choosing a
+    production cutoff (purchase = positive, cent value = score,
+    "predict positive" = score ≥ threshold).
+
+    Same distributed shape as the AUC: ONE map-combinable shuffle from
+    the event log to the per-distinct-cents rollup (value-domain
+    bounded), then inclusive prefix sums over that rollup.  Thresholds
+    are rank-selected ON THE ROLLUP (smallest cents whose cumulative
+    count reaches d·N/10 — the two-pass bucket-prefix pattern, never a
+    row-level ``ntile``), and TP/FP at a threshold are suffix sums
+    derived from the same prefix relation.  Every reported ratio is an
+    exact ``·1e6 DIV`` integer, so no float boundary can flip a row.
+    """
+    base = _cents_events(spark, sf_dir)
+    per = base.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("pos_s"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("neg_s"),
+    )
+    w_inc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "cents",
+        "pos_s",
+        "neg_s",
+        F.sum(F.expr("pos_s + neg_s")).over(w_inc).alias("cum_all"),
+        F.sum("pos_s").over(w_inc).alias("cum_pos"),
+        F.sum("neg_s").over(w_inc).alias("cum_neg"),
+    )
+    tot = per.agg(
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum("neg_s").cast("long").alias("n_neg"),
+    )
+    deciles = spark.createDataFrame([(d,) for d in range(1, 10)], "decile int")
+    picked = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(deciles))
+        .filter(
+            F.col("cum_all")
+            >= F.expr("(decile * (n_pos + n_neg) + 9) DIV 10")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("decile").orderBy("cents")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return picked.select(
+        "decile",
+        F.col("cents").alias("threshold_cents"),
+        # predict positive ⟺ score ≥ threshold: suffix sums including
+        # the threshold row itself
+        (F.col("n_pos") - F.col("cum_pos") + F.col("pos_s"))
+        .cast("long")
+        .alias("tp"),
+        (F.col("n_neg") - F.col("cum_neg") + F.col("neg_s"))
+        .cast("long")
+        .alias("fp"),
+        (F.col("cum_pos") - F.col("pos_s")).cast("long").alias("fn"),
+        # DECIMAL(38,0) before the ×1e6 so counts past ~9e12 cannot
+        # silently wrap (DuckDB's BIGINT would raise; keep failure
+        # modes aligned — same convention as auc_roc_eval)
+        F.expr(
+            "CAST(CAST(n_pos - cum_pos + pos_s AS DECIMAL(38,0)) * 1000000"
+            " DIV ((n_pos - cum_pos + pos_s) + (n_neg - cum_neg + neg_s))"
+            " AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CAST(n_pos - cum_pos + pos_s AS DECIMAL(38,0)) * 1000000"
+            " DIV n_pos AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(CAST(2 * (n_pos - cum_pos + pos_s) AS DECIMAL(38,0))"
+            " * 1000000"
+            " DIV (2 * (n_pos - cum_pos + pos_s)"
+            "      + (n_neg - cum_neg + neg_s) + (cum_pos - pos_s))"
+            " AS BIGINT)"
+        ).alias("f1_ppm"),
+    ).orderBy("decile")
+
+
+PR_CURVE_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+per AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_s,
+         CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS neg_s
+  FROM base GROUP BY 1
+),
+cum AS (
+  SELECT cents, pos_s, neg_s,
+         sum(pos_s + neg_s) OVER w AS cum_all,
+         sum(pos_s) OVER w AS cum_pos,
+         sum(neg_s) OVER w AS cum_neg
+  FROM per
+  WINDOW w AS (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+         CAST(sum(neg_s) AS BIGINT) AS n_neg
+  FROM per
+),
+picked AS (
+  SELECT d.decile, c.cents, c.pos_s, c.neg_s, c.cum_pos, c.cum_neg,
+         t.n_pos, t.n_neg,
+         row_number() OVER (PARTITION BY d.decile ORDER BY c.cents) AS rn
+  FROM cum c
+  CROSS JOIN tot t
+  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS decile) d
+  WHERE c.cum_all >= (d.decile * (t.n_pos + t.n_neg) + 9) // 10
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       cents AS threshold_cents,
+       CAST(n_pos - cum_pos + pos_s AS BIGINT) AS tp,
+       CAST(n_neg - cum_neg + neg_s AS BIGINT) AS fp,
+       CAST(cum_pos - pos_s AS BIGINT) AS fn,
+       CAST((n_pos - cum_pos + pos_s)::HUGEINT * 1000000
+            // ((n_pos - cum_pos + pos_s) + (n_neg - cum_neg + neg_s))
+            AS BIGINT) AS precision_ppm,
+       CAST((n_pos - cum_pos + pos_s)::HUGEINT * 1000000 // n_pos AS BIGINT)
+         AS recall_ppm,
+       CAST((2 * (n_pos - cum_pos + pos_s))::HUGEINT * 1000000
+            // (2 * (n_pos - cum_pos + pos_s)
+                + (n_neg - cum_neg + neg_s) + (cum_pos - pos_s))
+            AS BIGINT) AS f1_ppm
+FROM picked
+WHERE rn = 1
+ORDER BY decile
+"""
+
+
 SPARK_QUERIES = {
+    "pr_curve_points": pr_curve_points,
     "auc_roc_eval": auc_roc_eval,
     "ks_value_drift": ks_value_drift,
     "anova_value_by_type": anova_value_by_type,
@@ -1310,6 +1455,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "pr_curve_points": PR_CURVE_SQL,
     "auc_roc_eval": AUC_ROC_SQL,
     "ks_value_drift": KS_VALUE_DRIFT_SQL,
     "anova_value_by_type": ANOVA_SQL,

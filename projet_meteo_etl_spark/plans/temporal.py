@@ -979,7 +979,114 @@ ORDER BY stage
 """
 
 
+#: serving-window width (days) for the cold-start coverage audit
+COLD_START_WINDOW_DAYS = 7
+
+
+def cold_start_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start coverage of the serving window — for the last
+    ``COLD_START_WINDOW_DAYS`` days of the log, what fraction of active
+    users and clicked items were NEVER seen before the window opened.
+    This is the audit a recommender/feature-store team runs before
+    trusting offline metrics: entities with no history get no
+    aggregates from :func:`pit_training_set_assembly`-style features,
+    so a high cold share means offline eval overstates production
+    quality.
+
+    One pass per entity type to a (entity, first_day, last_day) rollup
+    (map-side combinable min/max — never a self-join against history),
+    then a constant-size accounting row per entity.  All shares are
+    exact ``·1e6 DIV`` integers.
+    """
+    e = load_table(spark, sf_dir, "events")
+    eday = F.expr("unix_micros(ts) DIV 86400000000")
+    users = e.select(F.col("user_id").alias("ent"), eday.alias("eday"))
+    items = e.filter(F.col("event_type") == "click").select(
+        F.get_json_object("props", "$.k").cast("long").alias("ent"),
+        eday.alias("eday"),
+    ).filter(F.col("ent").isNotNull())
+
+    def account(rel, label: str) -> DataFrame:
+        per = rel.groupBy("ent").agg(
+            F.min("eday").alias("first_day"), F.max("eday").alias("last_day")
+        )
+        cut = per.agg(
+            (F.max("last_day") - F.lit(COLD_START_WINDOW_DAYS - 1)).alias(
+                "w0"
+            )
+        )
+        return (
+            per.crossJoin(F.broadcast(cut))
+            .filter(F.col("last_day") >= F.col("w0"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_active"),
+                F.sum(
+                    F.when(F.col("first_day") >= F.col("w0"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_cold"),
+            )
+            .select(
+                F.lit(label).alias("entity"),
+                "n_active",
+                "n_cold",
+                F.expr(
+                    "CAST(CAST(n_cold AS DECIMAL(38,0)) * 1000000"
+                    " DIV n_active AS BIGINT)"
+                ).alias("cold_ppm"),
+            )
+        )
+
+    return (
+        account(users, "user")
+        .unionByName(account(items, "item"))
+        .orderBy("entity")
+    )
+
+
+COLD_START_SQL = f"""
+WITH u AS (
+  SELECT user_id AS ent, epoch_us(ts) // 86400000000 AS eday FROM events
+),
+up AS (
+  SELECT ent, min(eday) AS first_day, max(eday) AS last_day
+  FROM u GROUP BY 1
+),
+uc AS (SELECT max(last_day) - {COLD_START_WINDOW_DAYS - 1} AS w0 FROM up),
+ua AS (
+  SELECT 'user' AS entity,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN first_day >= w0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cold
+  FROM up, uc WHERE last_day >= w0
+),
+i AS (
+  SELECT CAST(props->>'k' AS BIGINT) AS ent,
+         epoch_us(ts) // 86400000000 AS eday
+  FROM events
+  WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
+),
+ip AS (
+  SELECT ent, min(eday) AS first_day, max(eday) AS last_day
+  FROM i GROUP BY 1
+),
+ic AS (SELECT max(last_day) - {COLD_START_WINDOW_DAYS - 1} AS w0 FROM ip),
+ia AS (
+  SELECT 'item' AS entity,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN first_day >= w0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cold
+  FROM ip, ic WHERE last_day >= w0
+)
+SELECT entity, n_active, n_cold,
+       CAST(n_cold::HUGEINT * 1000000 // n_active AS BIGINT) AS cold_ppm
+FROM (SELECT * FROM ua UNION ALL SELECT * FROM ia)
+ORDER BY entity
+"""
+
+
 SPARK_QUERIES = {
+    "cold_start_coverage": cold_start_coverage,
     "pit_training_set_assembly": pit_training_set_assembly,
     "last_touch_attribution": last_touch_attribution,
     "asof_purchase_before_click": asof_purchase_before_click,
@@ -994,6 +1101,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cold_start_coverage": COLD_START_SQL,
     "pit_training_set_assembly": PIT_ASSEMBLY_SQL,
     "last_touch_attribution": LAST_TOUCH_SQL,
     "asof_purchase_before_click": ASOF_SQL,

@@ -474,7 +474,108 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Q4 shape: priority counts over an EXISTS semi-join (late lineitems)
+# ---------------------------------------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — orders per priority in one quarter having at
+    least one LATE line item.  The schema carries no
+    commit/receipt dates, so "late" is proxied as a line shipped more
+    than 60 days after the order date; the plan shape is the point:
+    a date-filtered order scan semi-joined (EXISTS, never a fan-out
+    join + distinct) against lineitem with a cross-table predicate,
+    then a priority rollup.
+
+    Scale: the semi-join shuffles on orderkey once; the EXISTS form
+    keeps it one row per qualifying order regardless of how many lines
+    are late — the fan-out-then-distinct rewrite would shuffle |late
+    lines| rows instead.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution (outer join + double agg)
+# ---------------------------------------------------------------------------
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — how many customers placed exactly N qualifying
+    orders, INCLUDING the zero-order customers (the part an inner join
+    silently drops).  Qualifying excludes '1-URGENT' priority (standing
+    in for Q13's comment-pattern exclusion).
+
+    Plan shape: customer LEFT OUTER orders (count(o_orderkey) counts
+    only matched rows, so childless customers land in the N=0 bucket),
+    then a second aggregation over the per-customer counts.  Both
+    aggregations are map-side combinable; the outer join shuffles on
+    custkey once — at 100 TB the orders side pre-aggregates to
+    (custkey, count) BEFORE the join, which is what grouping on the
+    join key lets AQE/Catalyst do here.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 SPARK_QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q13_customer_distribution": q13_customer_distribution,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -485,6 +586,8 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q4_order_priority": Q4_SQL,
+    "q13_customer_distribution": Q13_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,

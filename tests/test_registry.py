@@ -20,10 +20,11 @@ EXPECTED_QUERIES = {
     "orders_above_customer_avg", "order_status_pivot", "cube_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue", "modern_aggregates_showcase",
     "salted_skew_aggregation", "lineitem_sample_stats",
-    # tpch fill (Q2/Q8/Q9/Q11/Q16/Q20/Q21 shapes on the schema subset)
+    # tpch fill (the full 22 as of round 6: Q4/Q13 joined Q2/Q8/Q9/Q11/
+    # Q16/Q20/Q21 on the schema subset)
     "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
     "q11_important_parts", "q16_supplier_part_counts", "q20_excess_suppliers",
-    "q21_waiting_suppliers",
+    "q21_waiting_suppliers", "q4_order_priority", "q13_customer_distribution",
     # showcases
     "ranking_functions_showcase", "grouping_sets_revenue", "array_functions_showcase",
     "unpivot_returnflag_measures",
@@ -32,7 +33,7 @@ EXPECTED_QUERIES = {
     "weather_etl_unified", "weather_quality_report",
     # temporal + timeseries
     "asof_purchase_before_click", "range_join_clicks_after_purchase",
-    "pit_training_set_assembly",
+    "pit_training_set_assembly", "cold_start_coverage",
     "user_value_trend", "user_hourly_ffill", "user_value_ewma",
     # quality audits
     "range_audit_lineitem", "null_audit_events", "duplicate_audit",
@@ -61,6 +62,7 @@ EXPECTED_QUERIES = {
     "training_data_pipeline", "near_dup_edit_distance",
     "text_token_stats", "text_quality_score",
     "text_langid", "text_fingerprints", "gopher_quality_rules",
+    "filter_agreement_kappa",
     "c4_line_filter", "pii_pattern_audit",
     # data selection (DSIR + boilerplate) and the bloom sketch audit
     "dsir_importance_weights", "boilerplate_segment_filter",
@@ -113,6 +115,7 @@ EXPECTED_QUERIES = {
     "embedding_int8_quantize",
     # numeric profiler (operators/profiling.py)
     "profile_numeric_stats", "profile_numeric_histograms",
+    "column_cardinality_profile",
     # anomaly + SCD2 history (plans/timeseries.py)
     "events_zscore_outliers", "scd2_value_band_history",
     # budgeted selection + split (plans/curation.py)
@@ -143,6 +146,7 @@ EXPECTED_QUERIES = {
     "feature_hash_collision_audit", "multimodal_payload_near_dup",
     # round-5 batch 7: rank-exact model eval / spectral probe / Holt
     "auc_roc_eval", "ks_value_drift", "pca_power_component",
+    "pr_curve_points",
     "holt_linear_forecast",
     # round-5 batch 8: LPA communities + streaming heavy hitters
     "label_propagation_communities", "stream_sliding_topk_items",
@@ -152,7 +156,7 @@ EXPECTED_QUERIES = {
     "ccf_rev_clicks_lags", "mann_kendall_revenue_trend",
     "pinball_loss_eval", "conformal_interval_calibration",
     "cuped_adjusted_lift", "jackknife_ratio_metric",
-    "k_anonymity_audit", "l_diversity_audit",
+    "k_anonymity_audit", "l_diversity_audit", "t_closeness_audit",
     "mrr_hit_rate_eval",
     "hhi_supplier_concentration", "abc_inventory_classes",
     "nelson_aalen_cum_hazard", "propensity_forecast_brier",
@@ -190,7 +194,7 @@ EXPECTED_QUERIES = {
     "events_rolling_3day_revenue",
     "pareto_frontier_parts",
     "session_path_topk",
-    "ab_test_analysis",
+    "ab_test_analysis", "srm_chi_square_check",
     "user_behavior_entropy",
     "profile_higher_moments",
     "token_pmi_topk",
