@@ -65,6 +65,10 @@ ALLOWED = {
     "customer_rfm_segments": "R/F/M value rollups (domain bounded)",
     # ECDF prefix over the per-distinct-cents rollup (value-domain bounded)
     "ks_value_drift": "per-cents distribution rollup (~50k rows max)",
+    # threshold prefix over the same per-cents rollup (value-domain bounded)
+    "pr_curve_points": "per-cents distribution rollup (~50k rows max)",
+    # global-band cumulative over the $1000-band rollup (band-domain bounded)
+    "t_closeness_audit": "balance-band rollup (~100 bands)",
     # row_number over the per-day revenue rollup feeding the recursion
     "holt_linear_forecast": "per-day revenue rollup (date-domain bounded)",
     # suffix-sum risk sets over the duration grid (date-domain bounded)
