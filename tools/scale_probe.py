@@ -275,6 +275,36 @@ def main() -> int:
                 ),
             }
         )
+        # round-6 additions: TPC-H Q4/Q13 (semi-join / outer-join +
+        # double agg), value-domain rollup evals (PR curve, SRM,
+        # t-closeness, κ), the stack-unpivot profiler, the min/max-day
+        # cold-start rollup, and the build+parse multimodal round trip
+        from projet_meteo_etl_spark.operators import (
+            multimodal,
+            profiling,
+            quality_queries,
+        )
+        from projet_meteo_etl_spark.plans import tpch_fill
+
+        probes.update(
+            {
+                "q4_order_priority": tpch_fill.q4_order_priority,
+                "q13_customer_distribution": (
+                    tpch_fill.q13_customer_distribution
+                ),
+                "pr_curve_points": model_eval.pr_curve_points,
+                "srm_chi_square_check": experiments.srm_chi_square_check,
+                "t_closeness_audit": quality_queries.t_closeness_audit,
+                "column_cardinality_profile": (
+                    profiling.column_cardinality_profile
+                ),
+                "filter_agreement_kappa": tx.filter_agreement_kappa,
+                "cold_start_coverage": temporal.cold_start_coverage,
+                "multimodal_header_decode": (
+                    multimodal.multimodal_header_decode
+                ),
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
