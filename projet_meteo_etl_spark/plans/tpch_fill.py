@@ -1,5 +1,6 @@
-"""TPC-H fill-in queries (Q2/Q8/Q9/Q11/Q16/Q20/Q21 shapes) adapted to the
-synthetic schema.
+"""TPC-H fill-in queries (Q2/Q4/Q8/Q9/Q11/Q13/Q16/Q20/Q21 shapes) adapted
+to the synthetic schema — completing dedicated coverage of all 22 TPC-H
+query shapes across this module and plans/relational*.py.
 
 The driver's test tables carry no ``partsupp`` table and ``lineitem`` has
 no ``l_commitdate``/``l_receiptdate``, so the queries that need them are
@@ -28,6 +29,12 @@ EXISTS), not the retail semantics:
 * ``q21_waiting_suppliers`` — double-correlated EXISTS / NOT EXISTS
   (the only supplier with returned lines in a multi-supplier order),
   decorrelated into one per-order distinct-count aggregate.
+* ``q4_order_priority``     — EXISTS semi-join with a cross-table
+  predicate ("late" line), priority rollup; lateness proxied as
+  shipped >60 days after order date (no commit/receipt dates).
+* ``q13_customer_distribution`` — customer⟕orders double aggregation
+  keeping the zero-order bucket; the comment-pattern exclusion
+  proxied by order priority.
 
 Reference parity note: the reference repo (``/root/reference``) has no
 joins at all (SURVEY.md §2.5) — this module is part of the beyond-
