@@ -955,7 +955,107 @@ ORDER BY t.source, decile
 """
 
 
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: the doc stream cut into 10
+    doc-id deciles, reporting per decile how many NEVER-BEFORE-SEEN
+    terms appear and the cumulative vocabulary — the saturation read
+    that sizes tokenizer vocabularies and predicts how much new data a
+    vocab refresh actually buys (a flattening curve means more corpus
+    adds tokens, not words).
+
+    "First seen in decile b" is just ``min(bucket)`` per term — one
+    token-keyed map-combinable aggregate, no ordered scan of the
+    corpus; deciles are doc-id VALUE ranges (``doc_id·10 DIV (max+1)``,
+    broadcast max), so no corpus-sized ranking window exists anywhere.
+    The 0..9 spine is explicit, so an empty decile (tiny subsets)
+    reports zeros instead of vanishing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    docs = d.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "text",
+        F.expr("CAST(least(9, doc_id * 10 DIV (mx + 1)) AS INT)").alias(
+            "bucket"
+        ),
+    )
+    toks = docs.select(
+        "bucket", F.explode(F.split(F.trim("text"), _WS)).alias("tok")
+    )
+    per_tok = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    per_docs = docs.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    new_terms = (
+        toks.groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_terms"))
+    )
+    spine = spark.createDataFrame([(b,) for b in range(10)], "bucket int")
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(per_docs, "bucket", "left")
+        .join(per_tok, "bucket", "left")
+        .join(new_terms, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_new_terms", F.lit(0))
+            .cast("long")
+            .alias("n_new_terms"),
+        )
+        .withColumn(
+            "cum_terms", F.sum("n_new_terms").over(w).cast("long")
+        )
+        .orderBy("bucket")
+    )
+
+
+HEAPS_GROWTH_SQL = r"""
+WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+docs AS (
+  SELECT doc_id, text,
+         CAST(least(9, doc_id * 10 // (mx + 1)) AS INTEGER) AS bucket
+  FROM documents, mx
+),
+toks AS (
+  SELECT bucket, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM docs
+),
+per_tok AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1
+),
+per_docs AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs FROM docs GROUP BY 1
+),
+new_terms AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_terms FROM (
+    SELECT tok, min(bucket) AS bucket FROM toks GROUP BY tok
+  ) GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(0, 9)) AS bucket)
+SELECT CAST(s.bucket AS INTEGER) AS bucket,
+       CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+       CAST(sum(coalesce(n.n_new_terms, 0)) OVER (ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_terms
+FROM spine s
+LEFT JOIN per_docs d ON d.bucket = s.bucket
+LEFT JOIN per_tok t ON t.bucket = s.bucket
+LEFT JOIN new_terms n ON n.bucket = s.bucket
+ORDER BY bucket
+"""
+
+
 SPARK_QUERIES = {
+    "heaps_vocab_growth": heaps_vocab_growth,
     "source_quantile_alignment": source_quantile_alignment,
     "text_repetition_filter": text_repetition_filter,
     "oov_rate_audit": oov_rate_audit,
@@ -968,6 +1068,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "heaps_vocab_growth": HEAPS_GROWTH_SQL,
     "source_quantile_alignment": QUANTILE_ALIGN_SQL,
     "text_repetition_filter": TEXT_REPETITION_SQL,
     "oov_rate_audit": OOV_RATE_SQL,

@@ -39,7 +39,7 @@ exact-Jaccard and LSH paths (broadcast anti-join on the stop set).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.cachescope import scoped_cache
@@ -1317,7 +1317,92 @@ FROM blocks, cagg, truth
 """
 
 
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted exact-dedup accounting per source — the number a
+    training-data budget actually cares about: doc-level dup counts
+    understate (or overstate) the win when duplicates skew long or
+    short, so this reports TOKENS removed by keep-first fingerprint
+    dedup, per source, with the ppm share of that source's tokens.
+
+    One corpus scan computes (fingerprint, tokens, source); copies
+    beyond the group's keeper (min doc_id) are marked by a
+    fingerprint-partitioned rank — fingerprint groups are duplicate
+    clusters, bounded by the corpus's true duplication factor, so the
+    window never sees an unbounded partition.  All counts exact
+    integers; ppm by truncating division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        fingerprint(F.col("text")).alias("fp"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    marked = base.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+            F.sum(F.col("is_dup") * F.col("n_tokens"))
+            .cast("long")
+            .alias("n_dup_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_dup_docs",
+            "n_dup_tokens",
+            F.expr(
+                "CAST(CASE WHEN n_tokens = 0 THEN 0"
+                " ELSE CAST(n_dup_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV n_tokens END AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_TOKEN_SAVINGS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+marked AS (
+  SELECT source, n_tokens,
+         CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM base
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(sum(is_dup * n_tokens) AS BIGINT) AS n_dup_tokens,
+       CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+            ELSE sum(is_dup * n_tokens)::HUGEINT * 1000000
+                 // sum(n_tokens) END AS BIGINT) AS savings_ppm
+FROM marked
+GROUP BY source
+ORDER BY source
+"""
+
+
 SPARK_QUERIES = {
+    "dedup_token_savings": dedup_token_savings,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
@@ -1332,6 +1417,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dedup_token_savings": DEDUP_TOKEN_SAVINGS_SQL,
     "sorted_neighborhood_pairs": SNM_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint_groups": DEDUP_FINGERPRINT_SQL,

@@ -1085,7 +1085,168 @@ ORDER BY entity
 """
 
 
+def linear_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-touch) multi-channel attribution — the third of
+    the three standard credit models next to
+    :func:`last_touch_attribution` and
+    :func:`position_based_attribution`: each purchase's value splits
+    EQUALLY across the channels (view / click / signup) that touched
+    the user within the 1 h horizon before it; untouched purchases go
+    to an explicit ``organic`` channel.
+
+    Same single user-shuffle window shape as the as-of family: one
+    conditional running ``max`` per channel over the strictly-preceding
+    frame — never a purchase×touch join.  Credits are exact integer
+    MICRO-cents: each of the k present channels gets
+    ``cents·1e6 DIV k`` and the division remainder goes to the
+    alphabetically-first present channel, so every purchase's credits
+    sum to exactly ``cents·1e6`` and the global invariant
+    ``Σ credit = total_cents·1e6`` holds to the last unit.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    ).filter(F.col("event_type").isin("view", "click", "signup", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = e
+    for ch in ("view", "click", "signup"):
+        tagged = tagged.withColumn(
+            f"last_{ch}",
+            F.max(
+                F.when(F.col("event_type") == ch, F.col("tus"))
+            ).over(w),
+        )
+    flags = tagged.filter(F.col("event_type") == "purchase").select(
+        "cents",
+        *[
+            (
+                F.col(f"last_{ch}").isNotNull()
+                & (F.col("tus") - F.col(f"last_{ch}") <= ATTR_HORIZON_US)
+            )
+            .cast("int")
+            .alias(f"f_{ch}")
+            for ch in ("view", "click", "signup")
+        ],
+    ).withColumn("k", F.expr("f_view + f_click + f_signup"))
+    # per-channel micro-cent credit with the remainder pinned to the
+    # alphabetically-first present channel (click < signup < view)
+    base_share = "CAST(cents AS DECIMAL(38,0)) * 1000000 DIV k"
+    rem = f"CAST(cents AS DECIMAL(38,0)) * 1000000 - k * ({base_share})"
+    credits = flags.select(
+        F.expr(
+            f"""stack(4,
+            'click', f_click,
+            CASE WHEN k = 0 OR f_click = 0 THEN CAST(0 AS DECIMAL(38,0))
+                 WHEN f_click = 1 THEN ({base_share}) + ({rem})
+                 ELSE CAST(0 AS DECIMAL(38,0)) END,
+            'signup', f_signup,
+            CASE WHEN k = 0 OR f_signup = 0 THEN CAST(0 AS DECIMAL(38,0))
+                 WHEN f_click = 0 THEN ({base_share}) + ({rem})
+                 ELSE ({base_share}) END,
+            'view', f_view,
+            CASE WHEN k = 0 OR f_view = 0 THEN CAST(0 AS DECIMAL(38,0))
+                 WHEN f_click = 0 AND f_signup = 0
+                   THEN ({base_share}) + ({rem})
+                 ELSE ({base_share}) END,
+            'organic', CAST(k = 0 AS INT),
+            CASE WHEN k = 0
+                 THEN CAST(cents AS DECIMAL(38,0)) * 1000000
+                 ELSE CAST(0 AS DECIMAL(38,0)) END
+            ) AS (channel, touched, credit)"""
+        )
+    )
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.sum("touched").cast("long").alias("n_purchases_touched"),
+            F.sum("credit").cast("decimal(38,0)").cast("long").alias(
+                "credit_micro_cents"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+LINEAR_ATTR_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+),
+tagged AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'view' THEN tus END) OVER w AS last_view,
+         max(CASE WHEN event_type = 'click' THEN tus END) OVER w
+           AS last_click,
+         max(CASE WHEN event_type = 'signup' THEN tus END) OVER w
+           AS last_signup
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+flags AS (
+  SELECT cents,
+         CASE WHEN last_view IS NOT NULL
+                   AND tus - last_view <= {ATTR_HORIZON_US}
+              THEN 1 ELSE 0 END AS f_view,
+         CASE WHEN last_click IS NOT NULL
+                   AND tus - last_click <= {ATTR_HORIZON_US}
+              THEN 1 ELSE 0 END AS f_click,
+         CASE WHEN last_signup IS NOT NULL
+                   AND tus - last_signup <= {ATTR_HORIZON_US}
+              THEN 1 ELSE 0 END AS f_signup
+  FROM tagged WHERE event_type = 'purchase'
+),
+k AS (SELECT *, f_view + f_click + f_signup AS k FROM flags),
+credits AS (
+  SELECT 'click' AS channel, f_click AS touched,
+         CASE WHEN k = 0 OR f_click = 0 THEN 0::HUGEINT
+              WHEN f_click = 1 THEN cents::HUGEINT * 1000000 // k
+                   + (cents::HUGEINT * 1000000
+                      - k * (cents::HUGEINT * 1000000 // k))
+              ELSE 0::HUGEINT END AS credit
+  FROM k
+  UNION ALL
+  SELECT 'signup', f_signup,
+         CASE WHEN k = 0 OR f_signup = 0 THEN 0::HUGEINT
+              WHEN f_click = 0 THEN cents::HUGEINT * 1000000 // k
+                   + (cents::HUGEINT * 1000000
+                      - k * (cents::HUGEINT * 1000000 // k))
+              ELSE cents::HUGEINT * 1000000 // k END
+  FROM k
+  UNION ALL
+  SELECT 'view', f_view,
+         CASE WHEN k = 0 OR f_view = 0 THEN 0::HUGEINT
+              WHEN f_click = 0 AND f_signup = 0
+                THEN cents::HUGEINT * 1000000 // k
+                     + (cents::HUGEINT * 1000000
+                        - k * (cents::HUGEINT * 1000000 // k))
+              ELSE cents::HUGEINT * 1000000 // k END
+  FROM k
+  UNION ALL
+  SELECT 'organic', CASE WHEN k = 0 THEN 1 ELSE 0 END,
+         CASE WHEN k = 0 THEN cents::HUGEINT * 1000000 ELSE 0::HUGEINT END
+  FROM k
+)
+SELECT channel,
+       CAST(sum(touched) AS BIGINT) AS n_purchases_touched,
+       CAST(sum(credit) AS BIGINT) AS credit_micro_cents
+FROM credits
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 SPARK_QUERIES = {
+    "linear_attribution_credit": linear_attribution_credit,
     "cold_start_coverage": cold_start_coverage,
     "pit_training_set_assembly": pit_training_set_assembly,
     "last_touch_attribution": last_touch_attribution,
@@ -1101,6 +1262,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "linear_attribution_credit": LINEAR_ATTR_SQL,
     "cold_start_coverage": COLD_START_SQL,
     "pit_training_set_assembly": PIT_ASSEMBLY_SQL,
     "last_touch_attribution": LAST_TOUCH_SQL,

@@ -1449,7 +1449,128 @@ FROM s_agg, ties
 """
 
 
+def weekday_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive weekday decomposition of daily purchase revenue —
+    ``revenue(d) = grand mean + weekday effect + residual`` — the panel
+    that turns :func:`events_hour_of_week_seasonality`'s count profile
+    into a VALUE model, and the de-seasonalization step before any
+    trend/changepoint read on weekly-cyclic business data.
+
+    All in exact integer cents: grand mean and per-weekday means are
+    single truncating divisions over exact sums, the effect is their
+    difference, and the worst residual day per weekday (largest
+    |revenue − weekday mean|, ties to the earliest day) is an exact
+    integer argmax.  Shape: one map-combinable shuffle from the log to
+    the per-day rollup (date-domain bounded); the weekday rollup and
+    broadcast grand mean are 7-and-1-row relations.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = (
+        e.select(
+            F.expr("unix_micros(ts) DIV 86400000000").alias("eday"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("eday")
+        .agg(F.sum("cents").alias("d_cents"))
+        .select(
+            "eday",
+            "d_cents",
+            # ISO weekday from the epoch-day (1970-01-01 = Thursday=4)
+            F.expr("CAST((eday + 3) % 7 + 1 AS INT)").alias("dow_iso"),
+        )
+    )
+    gm = daily.agg(
+        F.expr("CAST(sum(d_cents) DIV count(*) AS BIGINT)").alias("gm_cents")
+    )
+    per_dow = daily.groupBy("dow_iso").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("CAST(sum(d_cents) DIV count(*) AS BIGINT)").alias(
+            "mean_cents"
+        ),
+    )
+    resid = (
+        daily.join(F.broadcast(per_dow), "dow_iso")
+        .select(
+            "dow_iso",
+            "eday",
+            F.abs(F.col("d_cents") - F.col("mean_cents")).alias("abs_resid"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("dow_iso").orderBy(
+                    F.desc("abs_resid"), F.asc("eday")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "dow_iso",
+            F.col("abs_resid").alias("max_abs_resid_cents"),
+            F.col("eday").alias("worst_eday"),
+        )
+    )
+    return (
+        per_dow.join(resid, "dow_iso")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            "dow_iso",
+            "n_days",
+            "mean_cents",
+            (F.col("mean_cents") - F.col("gm_cents"))
+            .cast("long")
+            .alias("effect_cents"),
+            "max_abs_resid_cents",
+            "worst_eday",
+        )
+        .orderBy("dow_iso")
+    )
+
+
+WEEKDAY_DECOMP_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS eday,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS d_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+tagged AS (
+  SELECT eday, d_cents, CAST((eday + 3) % 7 + 1 AS INTEGER) AS dow_iso
+  FROM daily
+),
+gm AS (SELECT CAST(sum(d_cents) // count(*) AS BIGINT) AS gm_cents
+       FROM tagged),
+per_dow AS (
+  SELECT dow_iso, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(d_cents) // count(*) AS BIGINT) AS mean_cents
+  FROM tagged GROUP BY 1
+),
+resid AS (
+  SELECT dow_iso, abs_resid AS max_abs_resid_cents, eday AS worst_eday
+  FROM (
+    SELECT t.dow_iso, t.eday,
+           CAST(abs(t.d_cents - p.mean_cents) AS BIGINT) AS abs_resid,
+           row_number() OVER (PARTITION BY t.dow_iso
+                              ORDER BY abs(t.d_cents - p.mean_cents) DESC,
+                                       t.eday ASC) AS rn
+    FROM tagged t JOIN per_dow p USING (dow_iso)
+  ) WHERE rn = 1
+)
+SELECT p.dow_iso, p.n_days, p.mean_cents,
+       CAST(p.mean_cents - g.gm_cents AS BIGINT) AS effect_cents,
+       r.max_abs_resid_cents, r.worst_eday
+FROM per_dow p JOIN resid r USING (dow_iso) CROSS JOIN gm g
+ORDER BY p.dow_iso
+"""
+
+
 SPARK_QUERIES = {
+    "weekday_seasonal_decomposition": weekday_seasonal_decomposition,
     "user_decayed_engagement": user_decayed_engagement,
     "events_hour_of_week_seasonality": events_hour_of_week_seasonality,
     "holt_linear_forecast": holt_linear_forecast,
@@ -1486,6 +1607,7 @@ SELECT user_id, event_id, ewma_value FROM r ORDER BY user_id, event_id
 """
 
 ORACLE_SQL = {
+    "weekday_seasonal_decomposition": WEEKDAY_DECOMP_SQL,
     "user_decayed_engagement": DECAYED_ENGAGEMENT_SQL,
     "events_hour_of_week_seasonality": HOUR_OF_WEEK_SQL,
     "holt_linear_forecast": HOLT_LINEAR_SQL,

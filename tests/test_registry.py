@@ -34,6 +34,7 @@ EXPECTED_QUERIES = {
     # temporal + timeseries
     "asof_purchase_before_click", "range_join_clicks_after_purchase",
     "pit_training_set_assembly", "cold_start_coverage",
+    "linear_attribution_credit",
     "user_value_trend", "user_hourly_ffill", "user_value_ewma",
     # quality audits
     "range_audit_lineitem", "null_audit_events", "duplicate_audit",
@@ -45,7 +46,7 @@ EXPECTED_QUERIES = {
     "dedup_exact", "dedup_fingerprint_groups", "ngram_jaccard_pairs",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_connected_components", "winnow_fingerprint_pairs",
-    "containment_pairs",
+    "containment_pairs", "dedup_token_savings",
     # curation
     "pack_sequences", "stratified_sample_mix", "benchmark_decontamination",
     "incremental_dedup_report", "length_band_filter",
@@ -110,7 +111,7 @@ EXPECTED_QUERIES = {
     # sparse retrieval (operators/retrieval.py)
     "tfidf_topk_similar", "bm25_keyword_search",
     # corpus statistics (operators/corpus_stats.py)
-    "text_repetition_filter", "corpus_vocab_topk",
+    "text_repetition_filter", "corpus_vocab_topk", "heaps_vocab_growth",
     # embedding compression (operators/similarity.py)
     "embedding_int8_quantize",
     # numeric profiler (operators/profiling.py)
@@ -118,6 +119,7 @@ EXPECTED_QUERIES = {
     "column_cardinality_profile",
     # anomaly + SCD2 history (plans/timeseries.py)
     "events_zscore_outliers", "scd2_value_band_history",
+    "weekday_seasonal_decomposition",
     # budgeted selection + split (plans/curation.py)
     "token_budget_selection", "train_test_split_report",
     # weighted sampling + shard layout (plans/curation.py)
