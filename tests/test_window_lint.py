@@ -69,6 +69,8 @@ ALLOWED = {
     "pr_curve_points": "per-cents distribution rollup (~50k rows max)",
     # global-band cumulative over the $1000-band rollup (band-domain bounded)
     "t_closeness_audit": "balance-band rollup (~100 bands)",
+    # cumulative-vocab prefix over the literal 10-row decile spine
+    "heaps_vocab_growth": "10-row decile spine (constant)",
     # row_number over the per-day revenue rollup feeding the recursion
     "holt_linear_forecast": "per-day revenue rollup (date-domain bounded)",
     # suffix-sum risk sets over the duration grid (date-domain bounded)

@@ -303,6 +303,17 @@ def main() -> int:
                 "multimodal_header_decode": (
                     multimodal.multimodal_header_decode
                 ),
+                # round-6 batch 2: date/weekday rollups, fp-partitioned
+                # dup ranking, min-bucket vocab growth, and the
+                # one-window linear attribution
+                "weekday_seasonal_decomposition": (
+                    timeseries.weekday_seasonal_decomposition
+                ),
+                "dedup_token_savings": dedup.dedup_token_savings,
+                "heaps_vocab_growth": corpus_stats.heaps_vocab_growth,
+                "linear_attribution_credit": (
+                    temporal.linear_attribution_credit
+                ),
             }
         )
         timings = {}
