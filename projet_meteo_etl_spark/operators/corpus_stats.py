@@ -1054,7 +1054,140 @@ ORDER BY bucket
 """
 
 
+#: vocabulary budgets evaluated by the coverage curve
+COVERAGE_BUDGETS = (1_000, 2_000, 5_000, 10_000, 20_000)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of the best-K vocabulary for each budget K —
+    the curve a tokenizer budget is chosen from ("32k covers 99.1%,
+    64k buys 0.4 more"): what fraction of all token OCCURRENCES the K
+    highest-frequency terms cover.
+
+    Computed WITHOUT ranking the vocabulary: coverage at K only needs
+    the tf of the K-th term, and that is a rank selection on the
+    per-DISTINCT-TF rollup (terms-with-tf ≥ t cumulative), which is
+    value-domain bounded — a corpus with billions of distinct tokens
+    never sees a vocab-wide sort/window.  Tie terms at the cut share a
+    tf, so the partial take ``cum_mass(t*) − (cum_terms(t*) − K)·t*``
+    is tie-invariant and exact; budgets beyond the vocabulary clamp to
+    full coverage.  All integers, ppm by one truncating division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.trim("text"), _WS)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    roll = tf.groupBy("tf").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    w = Window.orderBy(F.desc("tf")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = roll.select(
+        "tf",
+        F.sum("n_terms").over(w).cast("long").alias("cum_terms"),
+        F.sum(F.expr("CAST(tf AS DECIMAL(38,0)) * n_terms"))
+        .over(w)
+        .alias("cum_mass"),
+    )
+    tot = roll.agg(
+        F.sum("n_terms").cast("long").alias("vocab_size"),
+        F.sum(F.expr("CAST(tf AS DECIMAL(38,0)) * n_terms")).alias(
+            "total_mass"
+        ),
+    )
+    budgets = spark.createDataFrame(
+        [(k,) for k in COVERAGE_BUDGETS], "k_budget long"
+    )
+    picked = (
+        cum.crossJoin(F.broadcast(budgets))
+        .filter(F.col("cum_terms") >= F.col("k_budget"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("k_budget").orderBy(F.desc("tf"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "k_budget",
+            F.expr(
+                "CAST(cum_mass - (cum_terms - k_budget)"
+                " * CAST(tf AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            ).alias("covered"),
+        )
+    )
+    return (
+        budgets.join(picked, "k_budget", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k_budget",
+            "vocab_size",
+            F.coalesce("covered", F.col("total_mass"))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.col("total_mass").cast("long").alias("total_tokens"),
+            F.expr(
+                "CAST(coalesce(covered, total_mass) * 1000000"
+                " DIV total_mass AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("k_budget")
+    )
+
+
+VOCAB_COVERAGE_SQL = rf"""
+WITH tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+  ) GROUP BY tok
+),
+roll AS (SELECT tf, CAST(count(*) AS BIGINT) AS n_terms FROM tf GROUP BY tf),
+cum AS (
+  SELECT tf,
+         CAST(sum(n_terms) OVER w AS BIGINT) AS cum_terms,
+         sum(tf::HUGEINT * n_terms) OVER w AS cum_mass
+  FROM roll
+  WINDOW w AS (ORDER BY tf DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT CAST(sum(n_terms) AS BIGINT) AS vocab_size,
+         sum(tf::HUGEINT * n_terms) AS total_mass
+  FROM roll
+),
+budgets AS (
+  SELECT unnest([{', '.join(str(k) for k in COVERAGE_BUDGETS)}])::BIGINT
+    AS k_budget
+),
+picked AS (
+  SELECT k_budget,
+         cum_mass - (cum_terms - k_budget) * tf::HUGEINT AS covered
+  FROM (
+    SELECT b.k_budget, c.tf, c.cum_terms, c.cum_mass,
+           row_number() OVER (PARTITION BY b.k_budget
+                              ORDER BY c.tf DESC) AS rn
+    FROM cum c CROSS JOIN budgets b
+    WHERE c.cum_terms >= b.k_budget
+  ) WHERE rn = 1
+)
+SELECT b.k_budget, t.vocab_size,
+       CAST(coalesce(p.covered, t.total_mass) AS BIGINT) AS covered_tokens,
+       CAST(t.total_mass AS BIGINT) AS total_tokens,
+       CAST(coalesce(p.covered, t.total_mass) * 1000000 // t.total_mass
+            AS BIGINT) AS coverage_ppm
+FROM budgets b
+LEFT JOIN picked p USING (k_budget)
+CROSS JOIN tot t
+ORDER BY b.k_budget
+"""
+
+
 SPARK_QUERIES = {
+    "vocab_coverage_curve": vocab_coverage_curve,
     "heaps_vocab_growth": heaps_vocab_growth,
     "source_quantile_alignment": source_quantile_alignment,
     "text_repetition_filter": text_repetition_filter,
@@ -1068,6 +1201,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "vocab_coverage_curve": VOCAB_COVERAGE_SQL,
     "heaps_vocab_growth": HEAPS_GROWTH_SQL,
     "source_quantile_alignment": QUANTILE_ALIGN_SQL,
     "text_repetition_filter": TEXT_REPETITION_SQL,

@@ -1245,7 +1245,156 @@ ORDER BY channel
 """
 
 
+def session_duration_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-length report over the same 30-minute-gap sessionization
+    as :func:`session_path_topk`: rank-exact P50/P90/P99 session
+    durations (seconds) plus session count and mean events/session —
+    the engagement panel next to the path mining.
+
+    Percentiles are selected on the per-distinct-duration-second
+    ROLLUP (smallest duration whose cumulative session count reaches
+    the rank — the value-domain two-pass pattern), never by sorting
+    sessions; the rank itself is ``ceil(q·n)`` evaluated as the exact
+    integer ``(q_num·n + 99) DIV 100``.  Mean is an exact ppm division.
+    Shape: one user_id shuffle (sessionize), one session rollup, one
+    duration-domain rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    base = e.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    flagged = base.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("tus").over(wo).isNull()
+            | (F.col("tus") - F.lag("tus").over(wo) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        flagged.withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                Window.partitionBy("user_id")
+                .orderBy("tus", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.max("tus").alias("mx"),
+            F.min("tus").alias("mn"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        # integer µs→s division (a double divide could round an exact
+        # quotient across the truncation boundary)
+        .select(
+            F.expr("CAST((mx - mn) DIV 1000000 AS BIGINT)").alias("dur_s"),
+            "n_events",
+        )
+    )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    # two consumers (duration rollup + totals): persist so the
+    # sessionization window pass runs once
+    sess = sess.persist()
+    per_dur = sess.groupBy("dur_s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy("dur_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_dur.select(
+        "dur_s", F.sum("cnt").over(w).alias("cum")
+    )
+    tot = sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+    # one spine join picks all three percentiles in ONE pass over the
+    # cumulative rollup (a per-quantile filter would re-plan the whole
+    # sessionization once per point)
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
+    picked = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.expr("(q * n_sessions + 99) DIV 100"))
+        .agg(
+            *[
+                F.min(F.when(F.col("q") == q, F.col("dur_s"))).alias(
+                    f"p{q}_duration_s"
+                )
+                for q in (50, 90, 99)
+            ]
+        )
+    )
+    out = tot.crossJoin(F.broadcast(picked)).select(
+        "n_sessions",
+        F.expr(
+            "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000"
+            " DIV n_sessions AS BIGINT)"
+        ).alias("mean_events_ppm"),
+        "p50_duration_s",
+        "p90_duration_s",
+        "p99_duration_s",
+    )
+    return scoped_cache(out, sess)
+
+
+SESSION_DURATION_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+),
+flagged AS (
+  SELECT user_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+                  OR tus - lag(tus) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id,
+         tus
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sess_id,
+         CAST((max(tus) - min(tus)) // 1000000 AS BIGINT) AS dur_s,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+),
+per_dur AS (
+  SELECT dur_s, CAST(count(*) AS BIGINT) AS cnt FROM per_sess GROUP BY 1
+),
+cum AS (
+  SELECT dur_s, sum(cnt) OVER (ORDER BY dur_s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_dur
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(n_events) AS BIGINT) AS n_events
+  FROM per_sess
+)
+SELECT t.n_sessions,
+       CAST(t.n_events::HUGEINT * 1000000 // t.n_sessions AS BIGINT)
+         AS mean_events_ppm,
+       (SELECT CAST(min(dur_s) AS BIGINT) FROM cum, tot
+        WHERE cum >= (50 * n_sessions + 99) // 100) AS p50_duration_s,
+       (SELECT CAST(min(dur_s) AS BIGINT) FROM cum, tot
+        WHERE cum >= (90 * n_sessions + 99) // 100) AS p90_duration_s,
+       (SELECT CAST(min(dur_s) AS BIGINT) FROM cum, tot
+        WHERE cum >= (99 * n_sessions + 99) // 100) AS p99_duration_s
+FROM tot t
+"""
+
+
 SPARK_QUERIES = {
+    "session_duration_percentiles": session_duration_percentiles,
     "linear_attribution_credit": linear_attribution_credit,
     "cold_start_coverage": cold_start_coverage,
     "pit_training_set_assembly": pit_training_set_assembly,
@@ -1262,6 +1411,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "session_duration_percentiles": SESSION_DURATION_SQL,
     "linear_attribution_credit": LINEAR_ATTR_SQL,
     "cold_start_coverage": COLD_START_SQL,
     "pit_training_set_assembly": PIT_ASSEMBLY_SQL,

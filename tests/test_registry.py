@@ -34,7 +34,7 @@ EXPECTED_QUERIES = {
     # temporal + timeseries
     "asof_purchase_before_click", "range_join_clicks_after_purchase",
     "pit_training_set_assembly", "cold_start_coverage",
-    "linear_attribution_credit",
+    "linear_attribution_credit", "session_duration_percentiles",
     "user_value_trend", "user_hourly_ffill", "user_value_ewma",
     # quality audits
     "range_audit_lineitem", "null_audit_events", "duplicate_audit",
@@ -112,6 +112,7 @@ EXPECTED_QUERIES = {
     "tfidf_topk_similar", "bm25_keyword_search",
     # corpus statistics (operators/corpus_stats.py)
     "text_repetition_filter", "corpus_vocab_topk", "heaps_vocab_growth",
+    "vocab_coverage_curve",
     # embedding compression (operators/similarity.py)
     "embedding_int8_quantize",
     # numeric profiler (operators/profiling.py)

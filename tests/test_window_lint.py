@@ -71,6 +71,10 @@ ALLOWED = {
     "t_closeness_audit": "balance-band rollup (~100 bands)",
     # cumulative-vocab prefix over the literal 10-row decile spine
     "heaps_vocab_growth": "10-row decile spine (constant)",
+    # coverage prefix over the distinct-TF rollup (value-domain bounded)
+    "vocab_coverage_curve": "distinct-tf rollup (value-domain bounded)",
+    # percentile prefix over the duration-second rollup (domain bounded)
+    "session_duration_percentiles": "session-duration rollup (seconds domain)",
     # row_number over the per-day revenue rollup feeding the recursion
     "holt_linear_forecast": "per-day revenue rollup (date-domain bounded)",
     # suffix-sum risk sets over the duration grid (date-domain bounded)

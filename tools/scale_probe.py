@@ -314,6 +314,12 @@ def main() -> int:
                 "linear_attribution_credit": (
                     temporal.linear_attribution_credit
                 ),
+                # round-6 batch 3: distinct-tf rollup coverage and the
+                # persisted one-pass sessionization percentile panel
+                "vocab_coverage_curve": corpus_stats.vocab_coverage_curve,
+                "session_duration_percentiles": (
+                    temporal.session_duration_percentiles
+                ),
             }
         )
         timings = {}
