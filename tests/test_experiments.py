@@ -511,3 +511,60 @@ def test_rfm_segments_match_python_replay(spark):
     assert got == dict(expect)
     assert sum(got.values()) == len(per_user)
     assert all(1 <= k <= 5 for cell in got for k in cell)
+
+
+def test_linear_attribution_conserves_value(spark):
+    """The linear model's headline invariant: per-purchase credits sum
+    EXACTLY to cents*1e6 (deterministic remainder rule), so the channel
+    totals must reconstruct total purchase value to the last micro-cent
+    — and a Python replay pins every channel's share."""
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.temporal import (
+        ATTR_HORIZON_US,
+        linear_attribution_credit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["channel"]: r for r in linear_attribution_credit(spark, sf).collect()
+    }
+    total_cents = duckdb.sql(
+        f"SELECT CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))"
+        f" AS BIGINT) FROM '{sf}/events.parquet'"
+        f" WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert sum(r["credit_micro_cents"] for r in got.values()) == (
+        total_cents * 1_000_000
+    )
+    # Python replay of the equal-split + remainder-to-first rule
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id, event_type, epoch_us(ts),"
+        f" CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+        f" FROM '{sf}/events.parquet'"
+        f" WHERE event_type IN ('purchase', 'click', 'view', 'signup')"
+    ).fetchall()
+    last: dict = {}
+    expect = {c: [0, 0] for c in ("click", "organic", "signup", "view")}
+    for u, i, et, t, cents in sorted(rows, key=lambda r: (r[0], r[3], r[1])):
+        if et != "purchase":
+            last.setdefault(u, {})[et] = t
+            continue
+        present = sorted(
+            ch
+            for ch, lt in last.get(u, {}).items()
+            if t - lt <= ATTR_HORIZON_US
+        )
+        if not present:
+            expect["organic"][0] += 1
+            expect["organic"][1] += cents * 1_000_000
+            continue
+        k = len(present)
+        share = cents * 1_000_000 // k
+        rem = cents * 1_000_000 - k * share
+        for ch in present:
+            expect[ch][0] += 1
+            expect[ch][1] += share + (rem if ch == present[0] else 0)
+    for ch, (n, credit) in expect.items():
+        assert got[ch]["n_purchases_touched"] == n, ch
+        assert got[ch]["credit_micro_cents"] == credit, ch
