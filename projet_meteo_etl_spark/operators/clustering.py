@@ -690,8 +690,11 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NULL in Spark / HUGEINT error in DuckDB) past ~1e9.  Sign is
     applied explicitly around the positive-operand division so Spark
     ``DIV`` and DuckDB ``//`` cannot disagree on negative covariance
-    cells.  The 3 matvec+renormalize
-    rounds run as broadcast joins over the 4096-row matrix relation.
+    cells.  The 3 matvec+renormalize rounds run partition-locally in
+    one exact-int64 kernel over the coalesced d×d relation — the
+    matrix is scale-invariant, so distributing its microseconds of
+    arithmetic across 32 tasks per stage only bought scheduling
+    constants (~4 s of wall at sf0.1).
     Everything after quantization is integer arithmetic with
     truncating division (identical in Spark ``DIV`` and DuckDB ``//``),
     so the component is bit-identical cross-engine — including its
@@ -778,30 +781,58 @@ def pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    x = sums.select(F.col("i").alias("j"), F.lit(1000000).cast("long").alias("x"))
-    mk = None
-    for _ in range(PCA_ITERS):
-        y = (
-            m.join(F.broadcast(x), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("m") * F.col("x")).alias("y"))
+    # the d×d matrix is SCALE-INVARIANT (4096 cells whatever the corpus
+    # size), so the 3 matvec+renormalize rounds run partition-locally in
+    # ONE exact-integer kernel — the earlier broadcast-join formulation
+    # paid 3×(join + agg + renorm) stage-scheduling constants for
+    # microseconds of arithmetic (~4 s of the query's 8 s wall).
+    # Arithmetic is bit-identical to the unrolled-CTE oracle: int64
+    # matvec (|m|,|x| ≤ 1e6 ⇒ |y| ≤ 64·1e12, exact), then the ×1e6
+    # renorm in unbounded Python ints with truncation toward zero.
+    def power_iters(batches, _d=PCA_DIM, _iters=PCA_ITERS):
+        import numpy as np
+        import pandas as pd
+
+        rows = [pdf for pdf in batches if len(pdf)]
+        if not rows:
+            # empty corpus ⇒ empty result (matches the empty x0 the
+            # SQL unroll produces)
+            yield pd.DataFrame(
+                {
+                    "dim": pd.Series([], dtype="int32"),
+                    "comp_micro": pd.Series([], dtype="int64"),
+                    "growth_linf": pd.Series([], dtype="int64"),
+                }
+            )
+            return
+        pdf = pd.concat(rows)
+        mat = np.zeros((_d, _d), dtype=np.int64)
+        if len(pdf):
+            mat[
+                pdf["i"].to_numpy(np.int64) - 1,
+                pdf["j"].to_numpy(np.int64) - 1,
+            ] = pdf["m"].to_numpy(np.int64)
+        x = [1_000_000] * _d
+        mk = 1
+        for _ in range(_iters):
+            y = mat @ np.asarray(x, dtype=np.int64)
+            mk = max(int(np.abs(y).max(initial=0)), 1)
+            # y·1e6 exceeds int64 — renorm in Python ints, trunc to zero
+            x = [
+                (1 if v >= 0 else -1) * (abs(int(v)) * 1_000_000 // mk)
+                for v in y
+            ]
+        yield pd.DataFrame(
+            {
+                "dim": np.arange(1, _d + 1, dtype=np.int32),
+                "comp_micro": np.asarray(x, dtype=np.int64),
+                "growth_linf": np.full(_d, mk, dtype=np.int64),
+            }
         )
-        mk = y.agg(
-            F.greatest(F.max(F.abs(F.col("y"))), F.lit(1)).cast("long").alias("mk")
-        )
-        x = y.crossJoin(F.broadcast(mk)).select(
-            F.col("i").alias("j"),
-            F.expr(
-                "CAST(CAST(y AS DECIMAL(38,0)) * 1000000 DIV mk AS BIGINT)"
-            ).alias("x"),
-        )
+
     out = (
-        x.crossJoin(F.broadcast(mk))
-        .select(
-            F.col("j").cast("int").alias("dim"),
-            F.col("x").alias("comp_micro"),
-            F.col("mk").alias("growth_linf"),
-        )
+        m.coalesce(1)
+        .mapInPandas(power_iters, "dim int, comp_micro long, growth_linf long")
         .orderBy("dim")
     )
     return scoped_cache(out, m, agg)
