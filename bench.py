@@ -173,18 +173,25 @@ def main() -> int:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        usage = (
+            "usage: bench.py --isolate <query> [...] [--reps N] [--settle S]"
+        )
         args = sys.argv[2:]
         reps, settle = 3, 5.0
-        if "--reps" in args:
-            i = args.index("--reps")
-            reps = int(args[i + 1])
-            del args[i : i + 2]
-        if "--settle" in args:
-            i = args.index("--settle")
-            settle = float(args[i + 1])
-            del args[i : i + 2]
-        if not args:
-            print("usage: bench.py --isolate <query> [...]", file=sys.stderr)
+        try:
+            if "--reps" in args:
+                i = args.index("--reps")
+                reps = int(args[i + 1])
+                del args[i : i + 2]
+            if "--settle" in args:
+                i = args.index("--settle")
+                settle = float(args[i + 1])
+                del args[i : i + 2]
+        except (IndexError, ValueError):
+            print(usage, file=sys.stderr)
+            raise SystemExit(2) from None
+        if not args or reps < 1 or settle < 0:
+            print(usage, file=sys.stderr)
             raise SystemExit(2)
         raise SystemExit(isolate(args, reps, settle))
     raise SystemExit(main())

@@ -1331,15 +1331,14 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     window never sees an unbounded partition.  All counts exact
     integers; ppm by truncating division.
     """
+    from projet_meteo_etl_spark.operators.text import ws_token_count
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
-    )
     base = d.select(
         "doc_id",
         "source",
         fingerprint(F.col("text")).alias("fp"),
-        toks.cast("long").alias("n_tokens"),
+        ws_token_count(F.col("text")).alias("n_tokens"),
     )
     w = Window.partitionBy("fp").orderBy("doc_id")
     marked = base.withColumn(

@@ -201,13 +201,16 @@ def parse_media_header(payload: bytes) -> dict | None:
                 "bits": bits,
             }
         return None
-    if payload[:2] == b"P6":
+    if payload[:2] == b"P6" and (
+        len(payload) > 2 and (chr(payload[2]).isspace() or payload[2:3] == b"#")
+    ):
         # PPM: "P6" <ws> width <ws> height <ws> maxval; '#'-to-EOL
-        # comments may appear between any tokens
+        # comments may appear between any tokens.  The magic must be
+        # FOLLOWED by whitespace/comment — "P6123" is not a PPM.
         head = payload[2:512].decode("latin-1", "replace")
         toks: list[str] = []
         i = 0
-        while i < len(head) and len(toks) < 2:
+        while i < len(head) and len(toks) < 3:
             c = head[i]
             if c == "#":
                 while i < len(head) and head[i] != "\n":
@@ -220,14 +223,18 @@ def parse_media_header(payload: bytes) -> dict | None:
                     j += 1
                 toks.append(head[i:j])
                 i = j
-        if len(toks) == 2 and all(t.isdigit() for t in toks):
+        if len(toks) == 3 and all(t.isdigit() for t in toks):
+            maxval = int(toks[2])
+            if not 0 < maxval < 65536:
+                return None
             return {
                 "format": "ppm",
                 "width": int(toks[0]),
                 "height": int(toks[1]),
                 "sample_rate": None,
                 "channels": None,
-                "bits": 8,
+                # per the P6 spec: maxval < 256 ⇒ 1 byte/sample, else 2
+                "bits": 8 if maxval < 256 else 16,
             }
         return None
     if (

@@ -240,11 +240,41 @@ def ann_ivf_topk(
     let a borderline cell flip the cut; after rounding, ties break on
     cell id deterministically.
     """
+    scored, assigned = _ivf_scored_candidates(spark, sf_dir, nprobe)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+    return scoped_cache(out, assigned)
+
+
+def _ivf_scored_candidates(
+    spark: SparkSession, sf_dir: str, max_nprobe: int
+) -> tuple[DataFrame, DataFrame]:
+    """The SHARED IVF candidate pipeline — cell assignment, probe
+    choice, candidate scoring — factored so :func:`ann_ivf_topk` and
+    :func:`ann_ivf_recall_curve` cannot drift apart (the curve's
+    validity rests on measuring exactly the production plan; a tweak
+    to rounding or tie-breaks here changes both in lockstep).
+
+    Returns ``(scored, assigned)``: ``scored`` has one row per
+    (query, candidate) within the ``max_nprobe`` nearest cells,
+    carrying ``cell_rank`` (the probe rank of the candidate's cell —
+    probe lists at narrower widths are prefixes of wider ones, so a
+    ``cell_rank <= p`` filter reproduces nprobe=p exactly) and the
+    pround-6 ``cosine``.  ``assigned`` is the persisted cell
+    assignment (three consumers: query side, probe broadcast, probed-
+    cell scan — unpersisted, the k-way centroid scoring re-runs each
+    time, 7.7 s → ~2 s at sf0.1); callers must keep it alive via
+    ``scoped_cache``.
+    """
     e = load_table(spark, sf_dir, "embeddings")
     cents = _label_centroids_df(e).select(
         F.col("label").alias("cell_id"), "centroid"
     )
-
     # cell assignment: nearest centroid by cosine (corpus ⋈ broadcast(k))
     scored_cells = e.join(F.broadcast(cents)).select(
         "vec_id",
@@ -257,13 +287,9 @@ def ann_ivf_topk(
         scored_cells.withColumn("r", F.row_number().over(assign_w))
         .filter(F.col("r") == 1)
         .select("vec_id", "embedding", "cell")
-        # consumed three times below (query side, probe broadcast, and
-        # the probed-cell scan) — persist or the k-way centroid scoring
-        # re-runs each time (7.7 s → ~2 s at sf0.1)
         .persist()
     )
-
-    # query side: probe the nprobe nearest cells
+    # query side: probe the max_nprobe nearest cells, rank attached
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -274,24 +300,21 @@ def ann_ivf_topk(
             "query_id", "qv", F.col("cell_id").alias("cell"),
             pround(cosine(F.col("qv"), F.col("centroid")), 6).alias("qsim"),
         )
-        .withColumn("r", F.row_number().over(probe_w))
-        .filter(F.col("r") <= nprobe)
-        .select("query_id", "qv", "cell")
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= max_nprobe)
+        .select("query_id", "qv", "cell", "cell_rank")
     )
-
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", pround(cosine(F.col("qv"), F.col("embedding")), 6))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell_rank",
+            pround(cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("query_id", "rank")
-    )
-    return scoped_cache(out, assigned)
+    return scored, assigned
 
 
 _COS6_SQL = (
@@ -669,52 +692,13 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ann_bruteforce_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    e = load_table(spark, sf_dir, "embeddings")
-    cents = _label_centroids_df(e).select(
-        F.col("label").alias("cell_id"), "centroid"
+    # the WIDEST width once through the SAME pipeline ann_ivf_topk
+    # runs; persisted — every curve point re-reads this relation, not
+    # the corpus
+    scored, assigned = _ivf_scored_candidates(
+        spark, sf_dir, max(RECALL_NPROBES)
     )
-    scored_cells = e.join(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        F.col("cell_id").alias("cell"),
-        pround(cosine(F.col("embedding"), F.col("centroid")), 6).alias("csim"),
-    )
-    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
-    assigned = (
-        scored_cells.withColumn("r", F.row_number().over(assign_w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "embedding", "cell")
-        .persist()
-    )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    # probe the WIDEST width once, keeping the probe rank: narrower
-    # widths are prefixes of this list
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cell"))
-    probes = (
-        q.join(F.broadcast(cents))
-        .select(
-            "query_id", "qv", F.col("cell_id").alias("cell"),
-            pround(cosine(F.col("qv"), F.col("centroid")), 6).alias("qsim"),
-        )
-        .withColumn("cell_rank", F.row_number().over(probe_w))
-        .filter(F.col("cell_rank") <= max(RECALL_NPROBES))
-        .select("query_id", "qv", "cell", "cell_rank")
-    )
-    # one scoring pass over the widest candidate set, cell_rank attached;
-    # persisted — every curve point re-reads this relation, not the corpus
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "cell_rank",
-            pround(cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
-        )
-        .persist()
-    )
+    scored = scored.persist()
     rank_w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

@@ -888,9 +888,7 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     chars = F.length(F.trim("text"))
-    ntok = F.when(chars == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim("text"), _WS))
-    )
+    ntok = ws_token_count(F.col("text"))
     flags = d.select(
         F.when((chars >= 200) & (chars <= 20000), 1).otherwise(0).alias("a"),
         F.when((ntok >= 40) & (ntok <= 4000), 1).otherwise(0).alias("b"),

@@ -1347,7 +1347,7 @@ WITH base AS (
   SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
 ),
 flagged AS (
-  SELECT user_id, tus,
+  SELECT user_id, event_id, tus,
          CASE WHEN lag(tus) OVER w IS NULL
                   OR tus - lag(tus) OVER w > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS new_sess
@@ -1355,8 +1355,12 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
 ),
 sess AS (
+  -- the running sum MUST carry the same event_id tie-break as the lag
+  -- ordering: a tie pair can hold the session-opening flag, and an
+  -- order-arbitrary frame could put the 0-row before the 1-row,
+  -- shifting it into the previous session
   SELECT user_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id,
          tus
   FROM flagged

@@ -27,18 +27,24 @@ from pyspark.sql import functions as F
 
 
 def _fixtures() -> dict:
-    from projet_meteo_etl_spark.sources.weather_fixtures import generate_weather_fixtures
+    from projet_meteo_etl_spark.sources.weather_fixtures import (
+        fixture_manifest,
+        generate_weather_fixtures,
+    )
 
     d = os.path.join(tempfile.gettempdir(), "spark_graft_weather_fixtures")
     os.makedirs(d, exist_ok=True)
     marker = os.path.join(d, ".complete")
-    fx = None
-    if not os.path.exists(marker):
-        fx = generate_weather_fixtures(d)
-        with open(marker, "w") as f:
-            f.write("ok")
-    else:
-        fx = generate_weather_fixtures(d)  # idempotent, deterministic
+    fx = fixture_manifest(d)
+    # marker honored: when a prior process fully staged the fixtures
+    # (incl. the ground-truth parquet), DON'T rewrite them — this runs
+    # at import time, and a concurrent oracle may be mid-read of the
+    # very files a rewrite would truncate
+    if os.path.exists(marker) and os.path.exists(fx["expected_path"]):
+        return fx
+    fx = generate_weather_fixtures(d)
+    with open(marker, "w") as f:
+        f.write("ok")
     return fx
 
 

@@ -185,6 +185,31 @@ def generate_weather_fixtures(out_dir: str, seed: int = 42) -> dict:
     }
 
 
+def fixture_manifest(out_dir: str) -> dict:
+    """The return value of :func:`generate_weather_fixtures` WITHOUT
+    writing anything — every path is deterministic, so callers that
+    know the fixtures already exist (marker file) can skip the
+    regeneration entirely.  This matters because the registry imports
+    trigger fixture staging: two concurrent processes (bench --isolate
+    next to pytest, per the BASELINE requalification protocol) must not
+    race on rewriting the same /tmp files an oracle may be reading."""
+    manifests = {
+        station_id: {
+            date: os.path.join(out_dir, f"wu_{slug}_{date}.csv")
+            for date in DATES
+        }
+        for station_id, slug in CSV_STATIONS.items()
+    }
+    return {
+        "csv_manifests": manifests,
+        "json_path": os.path.join(out_dir, "infoclimat.json"),
+        "expected_path": os.path.join(out_dir, "expected_unified.parquet"),
+        "golden_csv": 14 * 25,
+        "golden_json": 2 * 7 * 24,
+        "golden_total": 14 * 25 + 2 * 7 * 24,
+    }
+
+
 def _write_expected_parquet(rows: list[dict], path: str) -> None:
     """Stage the pure-Python ground truth as parquet — the artifact the
     DuckDB oracle hashes the Spark pipeline's output against.  This is
@@ -222,4 +247,8 @@ def _write_expected_parquet(rows: list[dict], path: str) -> None:
         "pluie_accum_mm",
     ):
         arrays[c] = pa.array([r[c] for r in rows], pa.float64())
-    pq.write_table(pa.table({c: arrays[c] for c in cols}), path)
+    # atomic publish: a concurrent oracle must never read a
+    # half-written parquet
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.table({c: arrays[c] for c in cols}), tmp)
+    os.replace(tmp, path)

@@ -126,12 +126,20 @@ def test_parse_media_header_golden_bytes():
     # binary PPM with a comment between tokens
     ppm = b"P6\n# a comment\n640 480\n255\n" + bytes(3)
     h = mm.parse_media_header(ppm)
-    assert (h["format"], h["width"], h["height"]) == ("ppm", 640, 480)
+    assert (h["format"], h["width"], h["height"], h["bits"]) == (
+        "ppm", 640, 480, 8,
+    )
+    # 16-bit PPM: maxval >= 256 means 2 bytes per sample
+    assert mm.parse_media_header(b"P6 4 2 65535 " + bytes(48))["bits"] == 16
 
-    # undecodable: PNG magic, truncated BMP, garbage
+    # undecodable: PNG magic, truncated BMP, garbage, magic not
+    # followed by whitespace, maxval out of the spec range
     assert mm.parse_media_header(b"\x89PNG\r\n\x1a\n....") is None
     assert mm.parse_media_header(b"BM\x00\x00") is None
     assert mm.parse_media_header(b"garbage") is None
+    assert mm.parse_media_header(b"P6123 456 255 ") is None
+    assert mm.parse_media_header(b"P6 4 2 0 ") is None
+    assert mm.parse_media_header(b"P6 4 2 70000 ") is None
 
 
 def test_decode_media_real_header_path():
