@@ -979,9 +979,12 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
     )
+    # split('') yields a single empty-string token for blank documents;
+    # drop it so '' never counts as a vocabulary term or in n_tokens
+    # (keeps blank-text semantics consistent with ws_token_count)
     toks = docs.select(
         "bucket", F.explode(F.split(F.trim("text"), _WS)).alias("tok")
-    )
+    ).filter(F.col("tok") != "")
     per_tok = toks.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens")
     )
@@ -1023,8 +1026,10 @@ docs AS (
   FROM documents, mx
 ),
 toks AS (
-  SELECT bucket, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-  FROM docs
+  SELECT bucket, tok FROM (
+    SELECT bucket, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM docs
+  ) WHERE tok <> ''
 ),
 per_tok AS (
   SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
@@ -1074,8 +1079,11 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     full coverage.  All integers, ppm by one truncating division.
     """
     d = load_table(spark, sf_dir, "documents")
+    # blank documents split to one '' token — exclude it from the
+    # vocabulary and the token mass (same convention as ws_token_count)
     tf = (
         d.select(F.explode(F.split(F.trim("text"), _WS)).alias("tok"))
+        .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1129,9 +1137,12 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("covered_tokens"),
             F.col("total_mass").cast("long").alias("total_tokens"),
+            # empty-corpus guard: total_mass = 0 ⇒ Spark DIV NULL vs
+            # DuckDB // raise — pin both to 0
             F.expr(
-                "CAST(coalesce(covered, total_mass) * 1000000"
-                " DIV total_mass AS BIGINT)"
+                "CAST(CASE WHEN total_mass = 0 THEN 0"
+                " ELSE coalesce(covered, total_mass) * 1000000"
+                " DIV total_mass END AS BIGINT)"
             ).alias("coverage_ppm"),
         )
         .orderBy("k_budget")
@@ -1143,7 +1154,7 @@ WITH tf AS (
   SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM (
     SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
     FROM documents
-  ) GROUP BY tok
+  ) WHERE tok <> '' GROUP BY tok
 ),
 roll AS (SELECT tf, CAST(count(*) AS BIGINT) AS n_terms FROM tf GROUP BY tf),
 cum AS (
@@ -1177,8 +1188,9 @@ picked AS (
 SELECT b.k_budget, t.vocab_size,
        CAST(coalesce(p.covered, t.total_mass) AS BIGINT) AS covered_tokens,
        CAST(t.total_mass AS BIGINT) AS total_tokens,
-       CAST(coalesce(p.covered, t.total_mass) * 1000000 // t.total_mass
-            AS BIGINT) AS coverage_ppm
+       CAST(CASE WHEN t.total_mass = 0 THEN 0
+            ELSE coalesce(p.covered, t.total_mass) * 1000000
+                 // t.total_mass END AS BIGINT) AS coverage_ppm
 FROM budgets b
 LEFT JOIN picked p USING (k_budget)
 CROSS JOIN tot t

@@ -1365,21 +1365,29 @@ def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DECIMAL(38,0) before the ×1e6 so counts past ~9e12 cannot
         # silently wrap (DuckDB's BIGINT would raise; keep failure
         # modes aligned — same convention as auc_roc_eval)
+        # zero-denominator guards: a degenerate log (no positives, or a
+        # threshold with no predicted positives) gives Spark DIV NULL
+        # but DuckDB // an error — pin both engines to 0
         F.expr(
-            "CAST(CAST(n_pos - cum_pos + pos_s AS DECIMAL(38,0)) * 1000000"
+            "CAST(CASE WHEN (n_pos - cum_pos + pos_s)"
+            "            + (n_neg - cum_neg + neg_s) = 0 THEN 0"
+            " ELSE CAST(n_pos - cum_pos + pos_s AS DECIMAL(38,0)) * 1000000"
             " DIV ((n_pos - cum_pos + pos_s) + (n_neg - cum_neg + neg_s))"
-            " AS BIGINT)"
+            " END AS BIGINT)"
         ).alias("precision_ppm"),
         F.expr(
-            "CAST(CAST(n_pos - cum_pos + pos_s AS DECIMAL(38,0)) * 1000000"
-            " DIV n_pos AS BIGINT)"
+            "CAST(CASE WHEN n_pos = 0 THEN 0"
+            " ELSE CAST(n_pos - cum_pos + pos_s AS DECIMAL(38,0)) * 1000000"
+            " DIV n_pos END AS BIGINT)"
         ).alias("recall_ppm"),
         F.expr(
-            "CAST(CAST(2 * (n_pos - cum_pos + pos_s) AS DECIMAL(38,0))"
+            "CAST(CASE WHEN 2 * (n_pos - cum_pos + pos_s)"
+            "     + (n_neg - cum_neg + neg_s) + (cum_pos - pos_s) = 0 THEN 0"
+            " ELSE CAST(2 * (n_pos - cum_pos + pos_s) AS DECIMAL(38,0))"
             " * 1000000"
             " DIV (2 * (n_pos - cum_pos + pos_s)"
             "      + (n_neg - cum_neg + neg_s) + (cum_pos - pos_s))"
-            " AS BIGINT)"
+            " END AS BIGINT)"
         ).alias("f1_ppm"),
     ).orderBy("decile")
 
@@ -1425,15 +1433,21 @@ SELECT CAST(decile AS INTEGER) AS decile,
        CAST(n_pos - cum_pos + pos_s AS BIGINT) AS tp,
        CAST(n_neg - cum_neg + neg_s AS BIGINT) AS fp,
        CAST(cum_pos - pos_s AS BIGINT) AS fn,
-       CAST((n_pos - cum_pos + pos_s)::HUGEINT * 1000000
+       CAST(CASE WHEN (n_pos - cum_pos + pos_s)
+                      + (n_neg - cum_neg + neg_s) = 0 THEN 0
+            ELSE (n_pos - cum_pos + pos_s)::HUGEINT * 1000000
             // ((n_pos - cum_pos + pos_s) + (n_neg - cum_neg + neg_s))
-            AS BIGINT) AS precision_ppm,
-       CAST((n_pos - cum_pos + pos_s)::HUGEINT * 1000000 // n_pos AS BIGINT)
-         AS recall_ppm,
-       CAST((2 * (n_pos - cum_pos + pos_s))::HUGEINT * 1000000
+            END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN n_pos = 0 THEN 0
+            ELSE (n_pos - cum_pos + pos_s)::HUGEINT * 1000000 // n_pos
+            END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN 2 * (n_pos - cum_pos + pos_s)
+                      + (n_neg - cum_neg + neg_s) + (cum_pos - pos_s) = 0
+            THEN 0
+            ELSE (2 * (n_pos - cum_pos + pos_s))::HUGEINT * 1000000
             // (2 * (n_pos - cum_pos + pos_s)
                 + (n_neg - cum_neg + neg_s) + (cum_pos - pos_s))
-            AS BIGINT) AS f1_ppm
+            END AS BIGINT) AS f1_ppm
 FROM picked
 WHERE rn = 1
 ORDER BY decile

@@ -1030,9 +1030,13 @@ def cold_start_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(label).alias("entity"),
                 "n_active",
                 "n_cold",
+                # degenerate-input guard: an empty serving window gives
+                # n_active = 0, where Spark DIV would yield NULL but
+                # DuckDB // raises — pin both engines to 0
                 F.expr(
-                    "CAST(CAST(n_cold AS DECIMAL(38,0)) * 1000000"
-                    " DIV n_active AS BIGINT)"
+                    "CAST(CASE WHEN n_active = 0 THEN 0"
+                    " ELSE CAST(n_cold AS DECIMAL(38,0)) * 1000000"
+                    " DIV n_active END AS BIGINT)"
                 ).alias("cold_ppm"),
             )
         )
@@ -1061,10 +1065,13 @@ ua AS (
   FROM up, uc WHERE last_day >= w0
 ),
 i AS (
-  SELECT CAST(props->>'k' AS BIGINT) AS ent,
+  -- TRY_CAST + post-cast filter mirrors the Spark side's
+  -- get_json_object(...).cast('long') null-on-non-numeric semantics
+  -- (a plain CAST would raise where Spark silently drops the row)
+  SELECT TRY_CAST(props->>'k' AS BIGINT) AS ent,
          epoch_us(ts) // 86400000000 AS eday
   FROM events
-  WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
+  WHERE event_type = 'click' AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
 ),
 ip AS (
   SELECT ent, min(eday) AS first_day, max(eday) AS last_day
@@ -1079,7 +1086,9 @@ ia AS (
   FROM ip, ic WHERE last_day >= w0
 )
 SELECT entity, n_active, n_cold,
-       CAST(n_cold::HUGEINT * 1000000 // n_active AS BIGINT) AS cold_ppm
+       CAST(CASE WHEN n_active = 0 THEN 0
+            ELSE n_cold::HUGEINT * 1000000 // n_active END AS BIGINT)
+         AS cold_ppm
 FROM (SELECT * FROM ua UNION ALL SELECT * FROM ia)
 ORDER BY entity
 """
@@ -1331,9 +1340,12 @@ def session_duration_percentiles(
     )
     out = tot.crossJoin(F.broadcast(picked)).select(
         "n_sessions",
+        # empty-log guard: n_sessions = 0 ⇒ Spark DIV NULL vs DuckDB
+        # // raise — pin both to 0
         F.expr(
-            "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000"
-            " DIV n_sessions AS BIGINT)"
+            "CAST(CASE WHEN n_sessions = 0 THEN 0"
+            " ELSE CAST(n_events AS DECIMAL(38,0)) * 1000000"
+            " DIV n_sessions END AS BIGINT)"
         ).alias("mean_events_ppm"),
         "p50_duration_s",
         "p90_duration_s",
@@ -1385,8 +1397,9 @@ tot AS (
   FROM per_sess
 )
 SELECT t.n_sessions,
-       CAST(t.n_events::HUGEINT * 1000000 // t.n_sessions AS BIGINT)
-         AS mean_events_ppm,
+       CAST(CASE WHEN t.n_sessions = 0 THEN 0
+            ELSE t.n_events::HUGEINT * 1000000 // t.n_sessions END
+            AS BIGINT) AS mean_events_ppm,
        (SELECT CAST(min(dur_s) AS BIGINT) FROM cum, tot
         WHERE cum >= (50 * n_sessions + 99) // 100) AS p50_duration_s,
        (SELECT CAST(min(dur_s) AS BIGINT) FROM cum, tot

@@ -42,9 +42,38 @@ def _fixtures() -> dict:
     # very files a rewrite would truncate
     if os.path.exists(marker) and os.path.exists(fx["expected_path"]):
         return fx
-    fx = generate_weather_fixtures(d)
-    with open(marker, "w") as f:
-        f.write("ok")
+    # first-time generation is serialized with an O_EXCL lock: two fresh
+    # concurrent processes (e.g. bench --isolate next to pytest on a new
+    # machine) must not both enter the generator — only the parquet write
+    # is per-file atomic, so a concurrent oracle could read a torn CSV
+    lock = os.path.join(d, ".lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        import time
+
+        for _ in range(600):  # wait ≤60 s for the winner's marker
+            if os.path.exists(marker) and os.path.exists(
+                fx["expected_path"]
+            ):
+                return fx
+            time.sleep(0.1)
+        # stale lock (the generating process died): generate ourselves —
+        # per-file tmp+replace writes keep even this path torn-read-free
+        fx = generate_weather_fixtures(d)
+        with open(marker, "w") as f:
+            f.write("ok")
+        return fx
+    try:
+        fx = generate_weather_fixtures(d)
+        with open(marker, "w") as f:
+            f.write("ok")
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
     return fx
 
 

@@ -81,14 +81,31 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # round-2-era unverified names, audits first): queries added after
     # round 2 sort AFTER that block so they cannot displace queries that
     # have waited two rounds for a driver row.
-    done = _previously_verified()
-    frozen = _frozen_priority()
+    # queries rewritten AFTER their last green driver row must be re-drawn:
+    # the redraw manifest subtracts them from the verified set so they sort
+    # back into the never-verified prefix (at its head).
+    redraw = _force_redraw()
+    done = _previously_verified() - set(redraw)
+    frozen = redraw + [n for n in _frozen_priority() if n not in redraw]
     rank = {n: i for i, n in enumerate(frozen)}
     pending = [k for k in queries if k not in done]
     pending.sort(key=lambda k: (rank.get(k, len(rank)), list(queries).index(k)))
     ordered = {k: queries[k] for k in pending}
     ordered.update((k, v) for k, v in queries.items() if k in done)
     return ordered, oracles
+
+
+def _force_redraw() -> list[str]:
+    """Names whose code changed after their newest driver CORRECTNESS row
+    (round-6 verdict item 1): treat them as never-verified so the sampling
+    driver re-draws them first.  Missing manifest ⇒ nothing to redraw."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "redraw_r7.json")) as f:
+            names = json.load(f)
+    except FileNotFoundError:
+        return []
+    return [n for n in names if isinstance(n, str)]
 
 
 def _frozen_priority() -> list[str]:

@@ -113,8 +113,12 @@ def generate_weather_fixtures(out_dir: str, seed: int = 42) -> dict:
                 "°F;%;in;mph;in;junk",  # the units row pandas skiprows=[2] drops
                 *rows[1:],
             ]
-            with open(path, "w", encoding="latin-1") as f:
+            # tmp + os.replace: a concurrent reader can never observe a
+            # torn/partial CSV, matching the parquet publish below
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w", encoding="latin-1") as f:
                 f.write("\n".join(lines) + "\n")
+            os.replace(tmp, path)
             manifest[date] = path
         manifests[station_id] = manifest
 
@@ -169,8 +173,10 @@ def generate_weather_fixtures(out_dir: str, seed: int = 42) -> dict:
     hourly[JSON_STATIONS[0]].append("not-a-dict")  # skipped silently (S4)
 
     json_path = os.path.join(out_dir, "infoclimat.json")
-    with open(json_path, "w", encoding="utf-8") as f:
+    tmp = f"{json_path}.tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"hourly": hourly, "metadata": {"v": 1}}, f)
+    os.replace(tmp, json_path)
 
     expected_path = os.path.join(out_dir, "expected_unified.parquet")
     _write_expected_parquet(expected_rows, expected_path)
