@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table, unique_view
+from projet_meteo_etl_spark.catalog import load_table
 
 #: negative classes scored against the purchase positives
 AUC_NEG_TYPES = ("click", "error", "view")
@@ -415,29 +415,70 @@ def kaplan_meier_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per user: duration = first-purchase eday − first-signup eday (an
     EVENT) or log-end − signup eday (CENSORED) — one per-user
     aggregate.  The curve itself lives on the DURATION GRID (bounded by
-    the date domain, never row count): risk sets are suffix sums over
-    the per-duration rollup, and the product-limit estimator
-    ``S(t) = Π (1 − d_u/n_u)`` runs as a ``WITH RECURSIVE`` CTE in the
-    Spark plan with one truncating integer division per step
-    (``S_micro·(n−d) DIV n``), bit-identical in DuckDB.
+    the date domain, never row count): the product-limit estimator
+    ``S(t) = Π (1 − d_u/n_u)`` is a sequential recurrence over that
+    grid, so — like the PCA power iteration
+    (``operators/clustering.py``) — it runs partition-locally in ONE
+    exact-integer ``mapInPandas`` kernel over the coalesced grid.  The
+    earlier ``WITH RECURSIVE`` Spark plan scheduled one stage per
+    recursion step (depth = distinct durations ⇒ a fixed ~5 s
+    scheduling constant at any data size); the kernel does the same
+    truncating divisions (``S_micro·(n−d) // n`` on non-negative
+    operands, == Spark ``DIV`` == DuckDB ``//``) in microseconds and
+    stays bit-identical to the recursive-CTE oracle.
     """
-    # materialize the (duration-domain-bounded) grid BEFORE the
-    # recursion: a plain temp view would inline the per-user aggregate
-    # into every recursion step — T re-scans of the event log for a
-    # T-row curve (18.6 s → ~2 s at sf0.1).  The view name is unique
-    # per call so concurrent invocations in one SparkSession (or user
-    # views of the same name) cannot clobber each other before the
-    # recursion binds its plan.
-    view = unique_view("km_grid_raw")
-    _survival_grid(spark, sf_dir).coalesce(1).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView(view)
-    # suffix-sum risk sets + the product-limit recursion, both over the
-    # date-domain-bounded duration grid; spark.sql analyzes eagerly, so
-    # the view can be dropped as soon as the plan is bound
-    out = spark.sql(_km_sql("DIV", src=view))
-    spark.catalog.dropTempView(view)
-    return out
+
+    def km_kernel(batches, _scale=KM_SCALE):
+        import pandas as pd
+
+        rows = [pdf for pdf in batches if len(pdf)]
+        cols = (
+            "duration_days",
+            "n_at_risk",
+            "n_events",
+            "n_censored",
+            "survival_micro",
+        )
+        if not rows:
+            # empty log ⇒ empty curve (matches the empty recursion seed)
+            yield pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in cols}
+            )
+            return
+        pdf = pd.concat(rows).sort_values("t")
+        t = [int(v) for v in pdf["t"]]
+        d = [int(v) for v in pdf["d_t"]]
+        c = [int(v) for v in pdf["c_t"]]
+        # risk set = suffix sum of (d_t + c_t); product-limit steps in
+        # unbounded Python ints, floor == trunc on non-negative operands
+        n = sum(d) + sum(c)
+        n_at_risk, surv = [], []
+        s = _scale
+        for i in range(len(t)):
+            s = s * (n - d[i]) // n
+            n_at_risk.append(n)
+            surv.append(s)
+            n -= d[i] + c[i]
+        yield pd.DataFrame(
+            {
+                "duration_days": pd.Series(t, dtype="int64"),
+                "n_at_risk": pd.Series(n_at_risk, dtype="int64"),
+                "n_events": pd.Series(d, dtype="int64"),
+                "n_censored": pd.Series(c, dtype="int64"),
+                "survival_micro": pd.Series(surv, dtype="int64"),
+            }
+        )
+
+    return (
+        _survival_grid(spark, sf_dir)
+        .coalesce(1)
+        .mapInPandas(
+            km_kernel,
+            "duration_days long, n_at_risk long, n_events long,"
+            " n_censored long, survival_micro long",
+        )
+        .orderBy("duration_days")
+    )
 
 
 def _km_sql(div: str, src: str = "km_grid_raw") -> str:

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table, unique_view
+from projet_meteo_etl_spark.catalog import load_table
 from projet_meteo_etl_spark.functions.portable import pround
 
 
@@ -1186,15 +1186,20 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal-naive.
 
     Like EWMA the recursion ``l_t = ½(x_t + l_{t−1} + b_{t−1}),
-    b_t = ½(l_t − l_{t−1} + b_{t−1})`` cannot be a window frame — here
-    it runs as a ``WITH RECURSIVE`` CTE *inside the Spark plan* (depth =
-    number of DAYS, date-domain bounded, never row count; the
-    corpus-sized work is the ordinary map-combinable day rollup
-    feeding it).  α = β = ½ keeps every state integer via halving with
-    truncating division — identical in Spark ``DIV`` and DuckDB ``//``
-    even for negative trends — so levels, trends, and fits are
-    engine-exact with no float recursion anywhere.  Init: l₁ = x₁,
-    b₁ = x₂ − x₁ (the classic two-point start; 0 for a 1-day series).
+    b_t = ½(l_t − l_{t−1} + b_{t−1})`` cannot be a window frame — and
+    its state is the DAY rollup (date-domain bounded, never row count),
+    so like the PCA power iteration (``operators/clustering.py``) the
+    whole recurrence runs partition-locally in ONE exact-integer
+    ``mapInPandas`` kernel over the coalesced rollup.  The earlier
+    ``WITH RECURSIVE`` Spark plan scheduled one stage per day (~5–6 s
+    of fixed constant at any data size); the kernel does the identical
+    arithmetic — α = β = ½ halving with division TRUNCATING TOWARD
+    ZERO, matching Spark ``DIV`` / DuckDB ``//`` even for negative
+    trends (Python ``//`` floors, so the kernel wraps it sign-outside-
+    abs) — and stays bit-identical to the recursive-CTE oracle.  Init:
+    l₁ = x₁, b₁ = x₂ − x₁ (the classic two-point start; 0 for a 1-day
+    series).  The corpus-sized work remains the ordinary
+    map-combinable day rollup feeding the kernel.
     """
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
@@ -1205,18 +1210,57 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("c").alias("d_cents"))
     )
-    # materialize the (date-domain-bounded) rollup BEFORE the recursion:
-    # a plain temp view would inline the full event-log aggregate into
-    # every recursion step — T re-scans of the corpus for a T-row series.
-    # Unique per-call view name: concurrent invocations in one session
-    # (or a user view of the same name) must not clobber each other.
-    view = unique_view("holt_daily")
-    daily.coalesce(1).localCheckpoint(eager=True).createOrReplaceTempView(
-        view
+
+    def holt_kernel(batches):
+        import pandas as pd
+
+        rows = [p for p in batches if len(p)]
+        if not rows:
+            return  # empty log ⇒ empty series, like the empty seed
+        pdf = pd.concat(rows).sort_values("day")
+        days = list(pdf["day"])
+        x = [int(v) for v in pdf["d_cents"]]
+
+        def tdiv2(a):  # trunc-toward-zero halving == Spark DIV 2
+            return -((-a) // 2) if a < 0 else a // 2
+
+        lvl = x[0]
+        trd = (x[1] - x[0]) if len(x) > 1 else 0
+        fits, lvls, trds = [None], [lvl], [trd]
+        for t in range(1, len(x)):
+            fit = lvl + trd
+            lvl_new = tdiv2(x[t] + lvl + trd)
+            trd = tdiv2(lvl_new - lvl + trd)
+            lvl = lvl_new
+            fits.append(fit)
+            lvls.append(lvl)
+            trds.append(trd)
+        yield pd.DataFrame(
+            {
+                "sale_day": days,
+                "d_cents": pd.Series(x, dtype="int64"),
+                "fitted_cents": pd.array(fits, dtype="Int64"),
+                "level_cents": pd.Series(lvls, dtype="int64"),
+                "trend_cents": pd.Series(trds, dtype="int64"),
+                "abs_err_cents": pd.array(
+                    [
+                        None if f is None else abs(x[i] - f)
+                        for i, f in enumerate(fits)
+                    ],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    return (
+        daily.coalesce(1)
+        .mapInPandas(
+            holt_kernel,
+            "sale_day date, d_cents long, fitted_cents long,"
+            " level_cents long, trend_cents long, abs_err_cents long",
+        )
+        .orderBy("sale_day")
     )
-    out = spark.sql(_holt_sql("DIV", src=view))
-    spark.catalog.dropTempView(view)
-    return out
 
 
 HOLT_LINEAR_SQL = f"""
