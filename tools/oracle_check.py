@@ -129,6 +129,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    n_hash = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -146,6 +147,7 @@ def main() -> int:
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{spark_s:.1f}s]")
+            n_rows_only += 1
             continue
         try:
             rel = con.sql(sql)
@@ -175,7 +177,12 @@ def main() -> int:
             failures += 1
         else:
             print(f"OK    {name}: {len(srows)} rows [{spark_s:.1f}s]")
-    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+            n_hash += 1
+    verdict = "ALL OK" if failures == 0 else f"{failures} FAILURES"
+    print(
+        f"\n{verdict} — {n_hash} hash / {n_rows_only} rows-only"
+        f" / {failures} fail"
+    )
     return 1 if failures else 0
 
 
