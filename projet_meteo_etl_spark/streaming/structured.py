@@ -129,7 +129,9 @@ def _staged_events_dir(sf_dir: str, n_files: int = 4) -> str:
     return d
 
 
-def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _read_events_stream(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
     from projet_meteo_etl_spark.catalog import harden_session
 
     # pin UTC/non-ANSI like every load_table path: on a non-UTC driver
@@ -137,9 +139,18 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UTC-assuming oracles
     harden_session(spark)
     ts_is_long = _ts_is_long(sf_dir)
+    # files_per_trigger: COMPLETE-mode aggregations are slicing-invariant
+    # (all state retained; the final table equals the batch answer
+    # whatever the micro-batch boundaries), so those callers pass 2 —
+    # still multi-batch (incremental state + watermark advance are
+    # exercised) but half the per-trigger planning constant, which
+    # dominates these queries' wall at test scale.  Update/append-mode
+    # callers keep 1: their SINK CONTENTS (per-batch update rows,
+    # watermark-timed append emissions) depend on the slice boundaries
+    # their oracles replay.
     raw = (
         spark.readStream.schema(_events_raw_schema(ts_is_long))
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(_staged_events_dir(sf_dir))
     )
     if ts_is_long:
@@ -336,7 +347,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     output mode.  For the bounded input the materialized result is
     exactly the batch answer — hash-checked against the same oracle.
     """
-    e = _read_events_stream(spark, sf_dir)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -840,7 +851,7 @@ def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from projet_meteo_etl_spark.catalog import load_table
 
-    e = _read_events_stream(spark, sf_dir)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -885,7 +896,7 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HLL_ALPHA_EXPR,
     )
 
-    e = _read_events_stream(spark, sf_dir).select("event_type", "user_id")
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select("event_type", "user_id")
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -995,7 +1006,7 @@ def stream_cms_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             % CMS_W
         )
 
-    e = _read_events_stream(spark, sf_dir).filter(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).filter(
         F.col("event_type") == "click"
     )
     items = e.select(
@@ -1102,7 +1113,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded input reproduces the batch answer; hash-checked against the
     same oracle as :func:`streaming.windows.events_session_windows`.
     """
-    e = _read_events_stream(spark, sf_dir)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         e.withWatermark("ts", "30 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -1203,7 +1214,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in two windows, expanded at scan time inside the stream.
     Complete mode; integer-cent averaging; same oracle as the batch
     query."""
-    e = _read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).filter(F.col("event_type") == "purchase")
     cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
     agg = (
         e.withWatermark("ts", "1 hour")
@@ -1256,7 +1267,7 @@ def stream_sliding_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     then smaller item id.  Same two-window-per-event expansion oracle
     as :func:`stream_sliding_avg`.
     """
-    e = _read_events_stream(spark, sf_dir).filter(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).filter(
         F.col("event_type") == "click"
     )
     item = F.get_json_object("props", "$.k").cast("long")
@@ -1328,7 +1339,7 @@ def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only windows with a full 3-window lookback report — an alert
     against a partial baseline is noise, not signal.
     """
-    e = _read_events_stream(spark, sf_dir)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
