@@ -75,10 +75,9 @@ ALLOWED = {
     "vocab_coverage_curve": "distinct-tf rollup (value-domain bounded)",
     # percentile prefix over the duration-second rollup (domain bounded)
     "session_duration_percentiles": "session-duration rollup (seconds domain)",
-    # row_number over the per-day revenue rollup feeding the recursion
-    "holt_linear_forecast": "per-day revenue rollup (date-domain bounded)",
-    # suffix-sum risk sets over the duration grid (date-domain bounded)
-    "kaplan_meier_first_purchase": "per-duration survival rollup",
+    # (holt_linear_forecast / kaplan_meier_first_purchase left this list
+    # in round 7: their recursions now run in partition-local kernels,
+    # no window remains in either plan)
     # suffix risk sets + prefix hazard over the same duration grid
     "nelson_aalen_cum_hazard": "per-duration survival rollup",
     # two rank windows over the per-day rev/click rollup
