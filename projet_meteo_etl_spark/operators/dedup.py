@@ -1400,7 +1400,235 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination + cross-source duplication
+# ---------------------------------------------------------------------------
+
+#: n-gram order for the contamination / cross-source audits — the
+#: 8-gram convention sits in the published 8..13 decontamination range
+#: and is long enough that shared phrases imply shared provenance
+N_CONTAM = 8
+
+#: eval docs whose distinct-8-gram overlap with train reaches this ppm
+#: are flagged as contaminated (the "drop from eval" list)
+CONTAM_FLAG_PPM = 500_000
+
+
+def ngram_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: the top doc-id decile plays the
+    EVAL SET, the rest is TRAIN; per eval doc, the fraction of its
+    distinct 8-grams that appear anywhere in train — the check run
+    before trusting any benchmark number, since an eval doc whose
+    n-grams the model trained on measures memorization, not skill.
+
+    Scale shape: the train side collapses to a DISTINCT 8-gram-hash
+    set (one map-combinable shuffle on the 60-bit md5-prefix hash);
+    eval grams left-join that set on the hash key — the standard
+    linear decontamination join, no pairwise doc comparison anywhere.
+    Short eval docs (< 8 tokens) report 0 grams / 0 ppm rather than
+    vanishing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    bucket = F.expr("CAST(least(9, doc_id * 10 DIV (mx + 1)) AS INT)")
+    g = (
+        word_shingle_hashes(d, n=N_CONTAM)
+        .crossJoin(F.broadcast(mx))
+        .select("doc_id", "h", bucket.alias("bucket"))
+    )
+    train = g.filter(F.col("bucket") < 9).select("h").distinct()
+    ev = g.filter(F.col("bucket") == 9)
+    per = (
+        ev.join(train.select("h", F.lit(1).alias("hit")), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+    spine = (
+        d.crossJoin(F.broadcast(mx))
+        .select("doc_id", bucket.alias("bucket"))
+        .filter(F.col("bucket") == 9)
+        .select("doc_id")
+    )
+    return (
+        spine.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_ngrams, 0) = 0 THEN 0"
+                " ELSE n_contaminated * 1000000 DIV n_ngrams END"
+                " AS BIGINT)"
+            ).alias("contamination_ppm"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_ngrams, 0) > 0 AND"
+                f" n_contaminated * 1000000 DIV n_ngrams >= {CONTAM_FLAG_PPM}"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_CONTAMINATION_SQL = rf"""
+WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(0, len(tk) - {N_CONTAM}),
+                  i -> array_to_string(tk[i+1:i+{N_CONTAM}], ' '))) AS shingle
+    FROM tk
+  ) WHERE len(shingle) > 0
+),
+g AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h,
+         CAST(least(9, doc_id * 10 // (mx + 1)) AS INTEGER) AS bucket
+  FROM tri, mx
+),
+train AS (SELECT DISTINCT h FROM g WHERE bucket < 9),
+ev AS (SELECT doc_id, h FROM g WHERE bucket = 9),
+per AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cont
+  FROM ev e LEFT JOIN train t ON t.h = e.h GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(p.n_cont, 0) AS BIGINT) AS n_contaminated,
+       CAST(CASE WHEN coalesce(p.n_ngrams, 0) = 0 THEN 0
+            ELSE p.n_cont * 1000000 // p.n_ngrams END AS BIGINT)
+         AS contamination_ppm,
+       CAST(CASE WHEN coalesce(p.n_ngrams, 0) > 0
+                  AND p.n_cont * 1000000 // p.n_ngrams >= {CONTAM_FLAG_PPM}
+            THEN 1 ELSE 0 END AS INTEGER) AS flagged
+FROM (SELECT doc_id FROM documents, mx
+      WHERE least(9, doc_id * 10 // (mx + 1)) = 9) d
+LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE duplication matrix: for every source pair, how many
+    distinct 8-grams they share and the containment of the smaller
+    gram set in the overlap — the provenance diagnostic a data team
+    runs before mixing corpora ("how much of source B is already in
+    source A"), one level above the per-doc near-dup queries.
+
+    Scale shape: grams collapse to a DISTINCT (source, hash) inverted
+    index first (map-combinable), and the pair join is keyed on the
+    gram hash — per-gram fan-out is bounded by the SOURCE CATALOG
+    (dozens at any corpus size, ≤ |sources|² pairs per gram), so the
+    join is linear in the index, never doc-pairwise.  Only overlapping
+    pairs report (a zero row per absent pair would be |sources|² spam).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        word_shingle_hashes(d, n=N_CONTAM)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    per_src = g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    a = g.select(F.col("source").alias("src_a"), "h")
+    b = g.select(F.col("source").alias("src_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("src_a"),
+                    F.col("n_grams").alias("grams_a"),
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("src_b"),
+                    F.col("n_grams").alias("grams_b"),
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "grams_a",
+            "grams_b",
+            # containment of the smaller set in the overlap; a pair row
+            # exists ⇒ both sides have ≥ 1 gram, so no zero guard needed
+            F.expr(
+                "CAST(n_shared * 1000000 DIV least(grams_a, grams_b)"
+                " AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_CONTAMINATION_SQL = rf"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(0, len(tk) - {N_CONTAM}),
+                  i -> array_to_string(tk[i+1:i+{N_CONTAM}], ' '))) AS shingle
+    FROM tk
+  ) WHERE len(shingle) > 0
+),
+g AS (
+  SELECT DISTINCT d.source,
+         ('0x' || substr(md5(t.shingle), 1, 15))::BIGINT AS h
+  FROM tri t JOIN documents d USING (doc_id)
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1
+),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.n_shared,
+       pa.n_grams AS grams_a, pb.n_grams AS grams_b,
+       CAST(s.n_shared * 1000000 // least(pa.n_grams, pb.n_grams)
+            AS BIGINT) AS containment_ppm
+FROM shared s
+JOIN per_src pa ON pa.source = s.src_a
+JOIN per_src pb ON pb.source = s.src_b
+ORDER BY s.src_a, s.src_b
+"""
+
+
 SPARK_QUERIES = {
+    "ngram_contamination_audit": ngram_contamination_audit,
+    "source_contamination_matrix": source_contamination_matrix,
     "dedup_token_savings": dedup_token_savings,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "dedup_exact": dedup_exact,
@@ -1416,6 +1644,8 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ngram_contamination_audit": NGRAM_CONTAMINATION_SQL,
+    "source_contamination_matrix": SOURCE_CONTAMINATION_SQL,
     "dedup_token_savings": DEDUP_TOKEN_SAVINGS_SQL,
     "sorted_neighborhood_pairs": SNM_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

@@ -1263,6 +1263,104 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cusum_revenue_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM control chart over daily purchase revenue — the
+    classic sequential drift detector (Page's test) a finance/ops team
+    keeps on a revenue stream: ``S⁺_t = max(0, S⁺_{t−1} + x_t − μ − k)``
+    accumulates sustained upward drift, ``S⁻`` the mirror image, and a
+    day alarms when either side exceeds the decision interval ``h``.
+    Slack ``k = μ DIV 20`` (5 % of the mean day) absorbs noise;
+    ``h = μ`` (one full mean day of accumulated drift) fires the pager.
+
+    Like Holt above, the recurrence's state is the DAY rollup — date-
+    domain bounded — so it runs partition-locally in one exact-integer
+    ``mapInPandas`` kernel over the coalesced rollup (all values
+    non-negative, so Python ``//`` == Spark ``DIV`` == DuckDB ``//``),
+    bit-identical to the recursive-CTE oracle.  The corpus-sized work
+    is the ordinary map-combinable day rollup feeding it.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    daily = (
+        e.select(F.to_date("ts").alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("d_cents"))
+    )
+
+    def cusum_kernel(batches):
+        import pandas as pd
+
+        rows = [p for p in batches if len(p)]
+        if not rows:
+            return  # empty log ⇒ empty chart
+        pdf = pd.concat(rows).sort_values("day")
+        days = list(pdf["day"])
+        x = [int(v) for v in pdf["d_cents"]]
+        mu = sum(x) // len(x)  # non-negative: floor == trunc == DIV
+        k = mu // 20
+        sp = sn = 0
+        pos, neg, alarm = [], [], []
+        for v in x:
+            sp = max(0, sp + v - mu - k)
+            sn = max(0, sn + mu - k - v)
+            pos.append(sp)
+            neg.append(sn)
+            alarm.append(1 if (sp > mu or sn > mu) else 0)
+        yield pd.DataFrame(
+            {
+                "sale_day": days,
+                "d_cents": pd.Series(x, dtype="int64"),
+                "cusum_pos": pd.Series(pos, dtype="int64"),
+                "cusum_neg": pd.Series(neg, dtype="int64"),
+                "alarm": pd.Series(alarm, dtype="int32"),
+            }
+        )
+
+    return (
+        daily.coalesce(1)
+        .mapInPandas(
+            cusum_kernel,
+            "sale_day date, d_cents long, cusum_pos long,"
+            " cusum_neg long, alarm int",
+        )
+        .orderBy("sale_day")
+    )
+
+
+CUSUM_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT ts::DATE AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+p AS (
+  SELECT CAST(sum(x) // count(*) AS BIGINT) AS mu FROM daily
+),
+d AS (
+  SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily
+),
+c(rn, day, x, sp, sn) AS (
+  SELECT rn, day, x,
+         greatest(x - mu - mu // 20, 0),
+         greatest(mu - mu // 20 - x, 0)
+  FROM d, p WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.day, d.x,
+         greatest(c.sp + d.x - p.mu - p.mu // 20, 0),
+         greatest(c.sn + p.mu - p.mu // 20 - d.x, 0)
+  FROM c JOIN d ON d.rn = c.rn + 1, p
+)
+SELECT day AS sale_day, x AS d_cents,
+       CAST(sp AS BIGINT) AS cusum_pos, CAST(sn AS BIGINT) AS cusum_neg,
+       CAST(CASE WHEN sp > mu OR sn > mu THEN 1 ELSE 0 END AS INTEGER)
+         AS alarm
+FROM c, p ORDER BY sale_day
+"""
+
+
 HOLT_LINEAR_SQL = f"""
 WITH RECURSIVE holt_daily AS (
   SELECT ts::DATE AS day,
@@ -1618,6 +1716,7 @@ SPARK_QUERIES = {
     "user_decayed_engagement": user_decayed_engagement,
     "events_hour_of_week_seasonality": events_hour_of_week_seasonality,
     "holt_linear_forecast": holt_linear_forecast,
+    "cusum_revenue_drift": cusum_revenue_drift,
     "revenue_autocorrelation": revenue_autocorrelation,
     "user_value_trend": user_value_trend,
     "user_hourly_ffill": user_hourly_ffill,
@@ -1655,6 +1754,7 @@ ORACLE_SQL = {
     "user_decayed_engagement": DECAYED_ENGAGEMENT_SQL,
     "events_hour_of_week_seasonality": HOUR_OF_WEEK_SQL,
     "holt_linear_forecast": HOLT_LINEAR_SQL,
+    "cusum_revenue_drift": CUSUM_SQL,
     "user_value_trend": USER_TREND_SQL,
     "user_hourly_ffill": USER_FFILL_SQL,
     "user_value_ewma": USER_EWMA_SQL,

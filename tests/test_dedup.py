@@ -201,3 +201,92 @@ def test_sorted_neighborhood_matches_python_replay(spark):
     )
     assert r["recall_ppm"] == n_hits * 1_000_000 // max(truth, 1)
     assert r["precision_ppm"] == n_hits * 1_000_000 // max(n_cands, 1)
+
+
+def _doc_8gram_hash_sets(sf: str) -> dict:
+    """doc_id -> set of 60-bit md5-prefix hashes of its distinct
+    8-grams — the same portable key both engines derive."""
+    import hashlib
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, trim(text), source FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    out = {}
+    for doc_id, text, source in docs:
+        toks = text.split()
+        grams = {
+            " ".join(toks[i : i + 8]) for i in range(max(len(toks) - 7, 0))
+        }
+        out[doc_id] = (
+            source,
+            {
+                int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                for g in grams
+                if g
+            },
+        )
+    return out
+
+
+def test_ngram_contamination_matches_python_replay(spark):
+    from projet_meteo_etl_spark.operators.dedup import (
+        CONTAM_FLAG_PPM,
+        ngram_contamination_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sets = _doc_8gram_hash_sets(sf)
+    mx = max(sets)
+    train: set = set()
+    ev = {}
+    for doc_id, (_, hs) in sets.items():
+        if min(9, doc_id * 10 // (mx + 1)) == 9:
+            ev[doc_id] = hs
+        else:
+            train |= hs
+    rows = ngram_contamination_audit(spark, sf).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(ev)
+    for r in rows:
+        hs = ev[r["doc_id"]]
+        n_cont = len(hs & train)
+        assert (r["n_ngrams"], r["n_contaminated"]) == (len(hs), n_cont)
+        ppm = n_cont * 1_000_000 // len(hs) if hs else 0
+        assert r["contamination_ppm"] == ppm
+        assert r["flagged"] == (1 if hs and ppm >= CONTAM_FLAG_PPM else 0)
+
+
+def test_source_contamination_matrix_matches_python_replay(spark):
+    from collections import defaultdict
+
+    from projet_meteo_etl_spark.operators.dedup import (
+        source_contamination_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    per_src = defaultdict(set)
+    for _, (source, hs) in _doc_8gram_hash_sets(sf).items():
+        per_src[source] |= hs
+    rows = source_contamination_matrix(spark, sf).collect()
+    expect = {}
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(per_src[a] & per_src[b])
+            if shared:
+                expect[(a, b)] = (
+                    shared,
+                    len(per_src[a]),
+                    len(per_src[b]),
+                    shared
+                    * 1_000_000
+                    // min(len(per_src[a]), len(per_src[b])),
+                )
+    got = {
+        (r["src_a"], r["src_b"]): (
+            r["n_shared"], r["grams_a"], r["grams_b"], r["containment_ppm"],
+        )
+        for r in rows
+    }
+    assert got == expect

@@ -47,6 +47,7 @@ EXPECTED_QUERIES = {
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_connected_components", "winnow_fingerprint_pairs",
     "containment_pairs", "dedup_token_savings",
+    "ngram_contamination_audit", "source_contamination_matrix",
     # curation
     "pack_sequences", "stratified_sample_mix", "benchmark_decontamination",
     "incremental_dedup_report", "length_band_filter",
@@ -151,6 +152,7 @@ EXPECTED_QUERIES = {
     "auc_roc_eval", "ks_value_drift", "pca_power_component",
     "pr_curve_points",
     "holt_linear_forecast",
+    "cusum_revenue_drift",
     # round-5 batch 8: LPA communities + streaming heavy hitters
     "label_propagation_communities", "stream_sliding_topk_items",
     # round-5 batch 9: exact ANOVA + Kaplan-Meier survival

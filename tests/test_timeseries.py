@@ -468,3 +468,34 @@ def test_mann_kendall_matches_pair_replay(spark):
     assert r["z_sq_signed_micro"] == sign * (
         (abs(s) - 1) ** 2 * 18 * 1_000_000 // var18
     )
+
+
+def test_cusum_matches_python_replay(spark):
+    """CUSUM states and alarms must equal a literal Python replay of
+    Page's recursion with integer slack/threshold."""
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.timeseries import cusum_revenue_drift
+    from tests.conftest import SF_SMOKE
+
+    daily = duckdb.sql(
+        f"SELECT ts::DATE AS day,"
+        f" CAST(sum(CAST(floor(value*100.0+0.5) AS BIGINT)) AS BIGINT)"
+        f" FROM '{SF_SMOKE}/events.parquet'"
+        f" WHERE event_type='purchase' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    x = [c for _, c in daily]
+    mu = sum(x) // len(x)
+    k = mu // 20
+    sp = sn = 0
+    expect = []
+    for (day, c) in daily:
+        sp = max(0, sp + c - mu - k)
+        sn = max(0, sn + mu - k - c)
+        expect.append((day, c, sp, sn, 1 if (sp > mu or sn > mu) else 0))
+    got = cusum_revenue_drift(spark, SF_SMOKE).collect()
+    assert [
+        (r["sale_day"], r["d_cents"], r["cusum_pos"], r["cusum_neg"],
+         r["alarm"])
+        for r in got
+    ] == expect

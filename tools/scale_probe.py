@@ -320,6 +320,15 @@ def main() -> int:
                 "session_duration_percentiles": (
                     temporal.session_duration_percentiles
                 ),
+                # round-7: decontamination joins (distinct-gram index,
+                # linear) and the partition-local CUSUM kernel
+                "ngram_contamination_audit": (
+                    dedup.ngram_contamination_audit
+                ),
+                "source_contamination_matrix": (
+                    dedup.source_contamination_matrix
+                ),
+                "cusum_revenue_drift": timeseries.cusum_revenue_drift,
             }
         )
         timings = {}
