@@ -125,9 +125,9 @@ def item_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BASKET_SQL = f"""
 clicked AS (
-  SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item
+  SELECT DISTINCT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item
   FROM events
-  WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
+  WHERE event_type = 'click' AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
 ),
 capped AS (
   SELECT user_id, item FROM (

@@ -1427,6 +1427,12 @@ def ngram_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear decontamination join, no pairwise doc comparison anywhere.
     Short eval docs (< 8 tokens) report 0 grams / 0 ppm rather than
     vanishing.
+
+    Complements ``plans.curation.benchmark_decontamination``, which
+    answers the mirror question (which TRAIN docs to quarantine for
+    touching the held-out set, broadcast-join shaped because benchmarks
+    are tiny); this one scores each EVAL doc's burn fraction, the
+    report that decides whether a benchmark number is still meaningful.
     """
     d = load_table(spark, sf_dir, "documents")
     mx = d.agg(F.max("doc_id").alias("mx"))
@@ -1533,6 +1539,12 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dozens at any corpus size, ≤ |sources|² pairs per gram), so the
     join is linear in the index, never doc-pairwise.  Only overlapping
     pairs report (a zero row per absent pair would be |sources|² spam).
+
+    Complements ``operators.selection.cross_source_overlap``, which
+    compares sources by WHOLE-DOC prefix fingerprints (the URL-proxy
+    crawl dedup key — catches re-crawled documents); gram-level
+    containment additionally surfaces partial copying (quotes,
+    boilerplate, licensing text) that no full-doc fingerprint shares.
     """
     d = load_table(spark, sf_dir, "documents")
     g = (

@@ -118,10 +118,10 @@ def _iter_sql(prev: str, this: str) -> str:
 PAGERANK_SQL = f"""
 WITH pairs AS (
   SELECT DISTINCT 'u:' || user_id AS u,
-         'i:' || CAST(props->>'k' AS BIGINT) AS i
+         'i:' || TRY_CAST(props->>'k' AS BIGINT) AS i
   FROM events
   WHERE event_type = 'click'
-    AND 'i:' || CAST(props->>'k' AS BIGINT) IS NOT NULL
+    AND 'i:' || TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
 ),
 edges AS (
   SELECT u AS src, i AS dst FROM pairs
@@ -252,10 +252,10 @@ def _lpa_iter_sql(prev: str, this: str) -> str:
 LPA_SQL = f"""
 WITH pairs AS (
   SELECT DISTINCT 'u:' || user_id AS u,
-         'i:' || CAST(props->>'k' AS BIGINT) AS i
+         'i:' || TRY_CAST(props->>'k' AS BIGINT) AS i
   FROM events
   WHERE event_type = 'click'
-    AND 'i:' || CAST(props->>'k' AS BIGINT) IS NOT NULL
+    AND 'i:' || TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
 ),
 edges AS (
   SELECT u AS src, i AS dst FROM pairs
@@ -280,11 +280,127 @@ LIMIT {LPA_TOP}
 """
 
 
+#: BFS unroll depth (hops) and seed-set size
+BFS_HOPS = 3
+BFS_SEEDS = 5
+
+
+def click_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS reachability over the symmetrized user–item
+    click graph: min hop distance from the ``BFS_SEEDS`` highest-degree
+    item nodes (the "how far does influence spread from the head items"
+    audit, and the building block of seed-expansion labeling).  Output
+    is the per-distance node histogram — distance −1 collects nodes the
+    ``BFS_HOPS``-hop unroll did NOT reach, so truncation is explicit in
+    the result, never silent.
+
+    Deterministic: seeds are (degree DESC, node ASC)-ranked, distances
+    are integer minima — no floats anywhere.  Scale: each hop is one
+    join of the (≤|V|-row) frontier against the edge list partitioned
+    once on ``src`` and reused across hops (the Pregel-as-joins layout
+    PageRank above uses); the unroll is a static 3-round DAG, and the
+    output is the distance rollup, never the |V|-row assignment.
+    """
+    edges = _edges(spark, sf_dir).repartition("src").cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        deg.filter(F.col("src").startswith("i:"))
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(BFS_SEEDS)
+        .select(F.col("src").alias("node"))
+    )
+    dist = seeds.select("node", F.lit(0).alias("d"))
+    for k in range(1, BFS_HOPS + 1):
+        frontier = dist.filter(F.col("d") == k - 1).select(
+            F.col("node").alias("src")
+        )
+        reached = (
+            frontier.join(edges, "src")
+            .select(F.col("dst").alias("node"), F.lit(k).alias("d"))
+            .distinct()
+        )
+        dist = (
+            dist.unionByName(reached).groupBy("node").agg(F.min("d").alias("d"))
+        )
+    nodes = deg.select(F.col("src").alias("node"))
+    labeled = nodes.join(dist, "node", "left").select(
+        F.coalesce("d", F.lit(-1)).cast("int").alias("distance")
+    )
+    tot = labeled.agg(F.count(F.lit(1)).alias("n_total"))
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
+        labeled.groupBy("distance")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "distance",
+            "n_nodes",
+            F.expr("CAST(n_nodes * 1000000 DIV n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("distance")
+    )
+    return scoped_cache(out, edges)
+
+
+def _bfs_iter_sql(prev: str, this: str, k: int) -> str:
+    return f"""
+{this} AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM {prev}
+    UNION ALL
+    SELECT DISTINCT e.dst AS node, {k} AS d
+    FROM {prev} f JOIN edges e ON e.src = f.node
+    WHERE f.d = {k - 1}
+  ) GROUP BY node
+)"""
+
+
+BFS_REACH_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'u:' || user_id AS u,
+         'i:' || TRY_CAST(props->>'k' AS BIGINT) AS i
+  FROM events
+  WHERE event_type = 'click'
+    AND 'i:' || TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+),
+edges AS (
+  SELECT u AS src, i AS dst FROM pairs
+  UNION ALL
+  SELECT i AS src, u AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+d0 AS (
+  SELECT src AS node, 0 AS d FROM deg
+  WHERE src LIKE 'i:%'
+  ORDER BY deg DESC, src ASC LIMIT {BFS_SEEDS}
+),
+{_bfs_iter_sql('d0', 'd1', 1)},
+{_bfs_iter_sql('d1', 'd2', 2)},
+{_bfs_iter_sql('d2', 'd3', 3)},
+labeled AS (
+  SELECT CAST(coalesce(x.d, -1) AS INTEGER) AS distance
+  FROM deg LEFT JOIN d{BFS_HOPS} x ON x.node = deg.src
+),
+tot AS (SELECT count(*) AS n_total FROM labeled)
+SELECT distance, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(count(*) * 1000000 // (SELECT n_total FROM tot) AS BIGINT)
+         AS share_ppm
+FROM labeled
+GROUP BY distance
+ORDER BY distance
+"""
+
+
 SPARK_QUERIES = {
     "pagerank_click_graph": pagerank_click_graph,
     "label_propagation_communities": label_propagation_communities,
+    "click_graph_bfs_reach": click_graph_bfs_reach,
 }
 ORACLE_SQL = {
     "pagerank_click_graph": PAGERANK_SQL,
     "label_propagation_communities": LPA_SQL,
+    "click_graph_bfs_reach": BFS_REACH_SQL,
 }

@@ -1074,9 +1074,9 @@ def _stream_cms_sql() -> str:
 
     return f"""
 WITH items AS (
-  SELECT CAST(props->>'k' AS BIGINT) AS item
+  SELECT TRY_CAST(props->>'k' AS BIGINT) AS item
   FROM events
-  WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
+  WHERE event_type = 'click' AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
 ),
 cells AS (
   SELECT r.row_i,
@@ -1295,9 +1295,9 @@ def stream_sliding_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_TOPK_ITEMS_SQL = f"""
 WITH clicks AS (
-  SELECT ts, CAST(props->>'k' AS BIGINT) AS item
+  SELECT ts, TRY_CAST(props->>'k' AS BIGINT) AS item
   FROM events
-  WHERE event_type = 'click' AND (props->>'k') IS NOT NULL
+  WHERE event_type = 'click' AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
 ),
 expanded AS (
   SELECT time_bucket(INTERVAL '3 hours', ts) AS window_start, item FROM clicks

@@ -135,3 +135,53 @@ def test_ktruss_matches_python_replay(spark):
         len(edges) == len(r1),
         len(r1) == len(r2),
     ]
+
+
+def test_bfs_reach_matches_python_replay(spark):
+    """Distance histogram must equal a literal Python BFS from the
+    (degree DESC, node ASC) top-5 item seeds."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from projet_meteo_etl_spark.operators.graph import (
+        BFS_HOPS,
+        BFS_SEEDS,
+        click_graph_bfs_reach,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = duckdb.sql(
+        f"SELECT DISTINCT 'u:' || user_id,"
+        f" 'i:' || TRY_CAST(props->>'k' AS BIGINT)"
+        f" FROM '{sf}/events.parquet'"
+        f" WHERE event_type = 'click'"
+        f" AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL"
+    ).fetchall()
+    adj = defaultdict(set)
+    deg = Counter()
+    for u, i in pairs:
+        adj[u].add(i)
+        adj[i].add(u)
+        deg[u] += 1
+        deg[i] += 1
+    seeds = sorted(
+        (n for n in deg if n.startswith("i:")),
+        key=lambda n: (-deg[n], n),
+    )[:BFS_SEEDS]
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for k in range(1, BFS_HOPS + 1):
+        nxt = []
+        for n in frontier:
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = k
+                    nxt.append(m)
+        frontier = nxt
+    hist = Counter(dist.get(n, -1) for n in adj)
+    total = len(adj)
+    got = click_graph_bfs_reach(spark, sf).collect()
+    assert {
+        r["distance"]: (r["n_nodes"], r["share_ppm"]) for r in got
+    } == {d: (c, c * 1_000_000 // total) for d, c in hist.items()}

@@ -172,6 +172,7 @@ EXPECTED_QUERIES = {
     "item_ktruss_edges", "customer_rfm_segments",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
+    "click_graph_bfs_reach",
     "kmeans_embedding_clusters",
     "semdedup_prune",
     "item_cooccurrence_topk",
