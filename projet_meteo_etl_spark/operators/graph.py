@@ -302,14 +302,20 @@ def click_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is the distance rollup, never the |V|-row assignment.
     """
     edges = _edges(spark, sf_dir).repartition("src").cache()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     seeds = (
         deg.filter(F.col("src").startswith("i:"))
         .orderBy(F.desc("deg"), F.asc("src"))
         .limit(BFS_SEEDS)
         .select(F.col("src").alias("node"))
     )
-    dist = seeds.select("node", F.lit(0).alias("d"))
+    # materialize the frontier relation each round (k-truss's lineage
+    # cut): without it, round k's plan re-executes the seeds top-k and
+    # every earlier round's union+min as nested subtrees — 30 exchanges
+    # and 8 copies of the seed TakeOrdered for a 3-hop walk
+    dist = seeds.select("node", F.lit(0).alias("d")).localCheckpoint(
+        eager=True
+    )
     for k in range(1, BFS_HOPS + 1):
         frontier = dist.filter(F.col("d") == k - 1).select(
             F.col("node").alias("src")
@@ -320,7 +326,10 @@ def click_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         dist = (
-            dist.unionByName(reached).groupBy("node").agg(F.min("d").alias("d"))
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
         )
     nodes = deg.select(F.col("src").alias("node"))
     labeled = nodes.join(dist, "node", "left").select(
@@ -342,7 +351,7 @@ def click_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("distance")
     )
-    return scoped_cache(out, edges)
+    return scoped_cache(out, edges, deg)
 
 
 def _bfs_iter_sql(prev: str, this: str, k: int) -> str:
