@@ -1,11 +1,11 @@
-"""Graph analytics over the click stream — PageRank on the bipartite
-user–item graph.
+"""Graph analytics over the click stream — PageRank, label
+propagation, and bounded-hop BFS on the bipartite user–item graph.
 
 The reference has no graph surface (SURVEY.md §2.5); connected
 components (``operators/dedup.py``) covers the clustering side, and
-this module adds the iterative-propagation side: PageRank over the
-graph whose edges are distinct (user, item) click pairs (items from
-the ``props`` JSON payload), symmetrized so every node has out-degree.
+this module adds the iterative-propagation side over the graph whose
+edges are distinct (user, item) click pairs (items from the ``props``
+JSON payload), symmetrized so every node has out-degree.
 
 Determinism at any scale — the thing that usually makes distributed
 PageRank non-reproducible is float summation order.  Here rank is an
