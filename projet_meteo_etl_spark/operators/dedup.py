@@ -1437,10 +1437,14 @@ def ngram_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     mx = d.agg(F.max("doc_id").alias("mx"))
     bucket = F.expr("CAST(least(9, doc_id * 10 DIV (mx + 1)) AS INT)")
+    # persisted: the train and eval branches both consume the gram
+    # index — without the cache the corpus-wide split/shingle/md5 pass
+    # runs twice (the module's standard two-consumer persist pattern)
     g = (
         word_shingle_hashes(d, n=N_CONTAM)
         .crossJoin(F.broadcast(mx))
         .select("doc_id", "h", bucket.alias("bucket"))
+        .persist()
     )
     train = g.filter(F.col("bucket") < 9).select("h").distinct()
     ev = g.filter(F.col("bucket") == 9)
@@ -1460,7 +1464,7 @@ def ngram_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") == 9)
         .select("doc_id")
     )
-    return (
+    out = (
         spine.join(per, "doc_id", "left")
         .select(
             "doc_id",
@@ -1481,6 +1485,7 @@ def ngram_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    return scoped_cache(out, g)
 
 
 NGRAM_CONTAMINATION_SQL = rf"""
@@ -1547,11 +1552,15 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate, licensing text) that no full-doc fingerprint shares.
     """
     d = load_table(spark, sf_dir, "documents")
+    # persisted: three consumers (per-source sizes + both sides of the
+    # pair self-join) would each re-run the corpus-wide shingle/md5/
+    # distinct chain without the cache
     g = (
         word_shingle_hashes(d, n=N_CONTAM)
         .join(d.select("doc_id", "source"), "doc_id")
         .select("source", "h")
         .distinct()
+        .persist()
     )
     per_src = g.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
@@ -1564,7 +1573,7 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
-    return (
+    out = (
         shared.join(
             F.broadcast(
                 per_src.select(
@@ -1598,6 +1607,7 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+    return scoped_cache(out, g)
 
 
 SOURCE_CONTAMINATION_SQL = rf"""

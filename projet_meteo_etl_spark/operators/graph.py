@@ -102,6 +102,24 @@ def pagerank_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoped_cache(out, edges)
 
 
+# shared oracle fragment: the symmetrized click-graph edge list —
+# the SQL twin of _edges().  One definition, interpolated into every
+# graph oracle, so an edge-definition change (cast hardening, a new
+# event filter) can never desynchronize one oracle from the others.
+_EDGES_SQL = """WITH pairs AS (
+  SELECT DISTINCT 'u:' || user_id AS u,
+         'i:' || TRY_CAST(props->>'k' AS BIGINT) AS i
+  FROM events
+  WHERE event_type = 'click'
+    AND 'i:' || TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+),
+edges AS (
+  SELECT u AS src, i AS dst FROM pairs
+  UNION ALL
+  SELECT i AS src, u AS dst FROM pairs
+),"""
+
+
 def _iter_sql(prev: str, this: str) -> str:
     return f"""
 {this} AS (
@@ -116,18 +134,7 @@ def _iter_sql(prev: str, this: str) -> str:
 
 
 PAGERANK_SQL = f"""
-WITH pairs AS (
-  SELECT DISTINCT 'u:' || user_id AS u,
-         'i:' || TRY_CAST(props->>'k' AS BIGINT) AS i
-  FROM events
-  WHERE event_type = 'click'
-    AND 'i:' || TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
-),
-edges AS (
-  SELECT u AS src, i AS dst FROM pairs
-  UNION ALL
-  SELECT i AS src, u AS dst FROM pairs
-),
+{_EDGES_SQL}
 outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
 consts AS (
   SELECT count(*) AS n,
@@ -250,18 +257,7 @@ def _lpa_iter_sql(prev: str, this: str) -> str:
 
 
 LPA_SQL = f"""
-WITH pairs AS (
-  SELECT DISTINCT 'u:' || user_id AS u,
-         'i:' || TRY_CAST(props->>'k' AS BIGINT) AS i
-  FROM events
-  WHERE event_type = 'click'
-    AND 'i:' || TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
-),
-edges AS (
-  SELECT u AS src, i AS dst FROM pairs
-  UNION ALL
-  SELECT i AS src, u AS dst FROM pairs
-),
+{_EDGES_SQL}
 l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
 {_lpa_iter_sql('l0', 'l1')},
 {_lpa_iter_sql('l1', 'l2')},
@@ -368,18 +364,7 @@ def _bfs_iter_sql(prev: str, this: str, k: int) -> str:
 
 
 BFS_REACH_SQL = f"""
-WITH pairs AS (
-  SELECT DISTINCT 'u:' || user_id AS u,
-         'i:' || TRY_CAST(props->>'k' AS BIGINT) AS i
-  FROM events
-  WHERE event_type = 'click'
-    AND 'i:' || TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
-),
-edges AS (
-  SELECT u AS src, i AS dst FROM pairs
-  UNION ALL
-  SELECT i AS src, u AS dst FROM pairs
-),
+{_EDGES_SQL}
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
 d0 AS (
   SELECT src AS node, 0 AS d FROM deg

@@ -245,10 +245,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     true top-``CMS_PROBE_K`` tokens: ``(token, true_tf, cms_est,
     overcount)`` — ``cms_est ≥ true_tf`` always (one-sided error).
 
-    Unlike the HLL queries (engine-private seeding → rows-only check),
-    this sketch is built from **portable md5 bucket hashes** and exact
-    integer bucket sums, so the whole structure — build, merge, probe —
-    hash-checks against DuckDB end to end.
+    Unlike the native-HLL queries (engine-private seeding → contract-
+    flag oracles), this sketch is built from **portable md5 bucket
+    hashes** and exact integer bucket sums, so the whole structure —
+    build, merge, probe — hash-checks against DuckDB end to end by
+    VALUE, no flags needed.
 
     Scale: the build is ONE scan (each token explodes into its D
     (row, bucket) cells in-plan) feeding a (row, bucket)-keyed count —
@@ -539,7 +540,9 @@ def portable_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the estimate — not just the row shape — hash-checks against
     DuckDB.  Complements ``approx_user_stats`` /
     ``hll_sketch_mergeability``, which use the engines' native (and
-    mutually incompatible) HLL seedings and therefore verify rows-only.
+    mutually incompatible) HLL seedings and therefore hash-check their
+    CONTRACTS (accuracy band + mergeability flags) rather than the
+    estimates themselves.
 
     Two independent plan paths produce the estimate:
 
