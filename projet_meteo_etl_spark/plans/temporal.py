@@ -1410,7 +1410,240 @@ FROM tot t
 """
 
 
+#: absorbing-chain power iterations for the Markov attribution kernel —
+#: enough that truncated micro-unit mass movement has converged to the
+#: fixpoint for any journey graph with Σp ≤ 1 per state (each round
+#: multiplies residual mass by ≤ max Σp < 1 after truncation)
+MARKOV_ITERS = 32
+
+
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven fourth model
+    next to last-touch / position-based / linear: build the user-journey
+    transition chain (START → event types → CONV on first purchase, or
+    NULL when the journey ends unconverted), then credit each channel
+    by how much the chain's conversion probability DROPS when all
+    transitions into that channel are removed (Anderl et al.'s removal
+    effect).  This is the attribution marketers reach for when ordering
+    heuristics stop being defensible.
+
+    Exact cross-engine arithmetic: transition probabilities are
+    truncated micro-units (``cnt·1e6 DIV out``), and the absorption
+    vector is ``MARKOV_ITERS`` synchronous power iterations
+    ``x' = r + (Σ q·x) DIV 1e6`` in integers — bit-identical to the
+    DuckDB recursive-CTE oracle.  Removing edges can only lower the
+    (monotone) iteration, so removal effects are non-negative by
+    construction.
+
+    Scale shape: journeys are per-user ordered windows (one user_id
+    shuffle — the sessionization cost every attribution model here
+    pays); everything after the (src, dst) count rollup is a
+    channel-domain-bounded matrix (|event types|² rows), so the chain
+    solve runs partition-locally in one exact-integer kernel like the
+    PCA / KM / Holt / CUSUM collapses.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("st"),
+        (F.col("event_type") == "purchase").alias("is_p"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    w_all = Window.partitionBy("user_id")
+    rn = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "prn", F.min(F.when(F.col("is_p"), F.col("rn"))).over(w_all)
+    )
+    kept = rn.filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    seq = kept.select(
+        "user_id",
+        "rn",
+        "st",
+        "prn",
+        F.lag("st").over(w2).alias("prev"),
+        F.max("rn").over(w_all).alias("mx"),
+    )
+    steps = seq.select(
+        F.coalesce("prev", F.lit("START")).alias("src"), F.col("st").alias("dst")
+    ).unionByName(
+        seq.filter((F.col("rn") == F.col("mx")) & F.col("prn").isNull()).select(
+            F.col("st").alias("src"), F.lit("NULL").alias("dst")
+        )
+    )
+    cnt = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
+    p = cnt.join(tot, "src").select(
+        "src", "dst", F.expr("CAST(c * 1000000 DIV t AS BIGINT)").alias("pm")
+    )
+
+    def chain_kernel(batches, _iters=MARKOV_ITERS):
+        import pandas as pd
+
+        rows = [b for b in batches if len(b)]
+        if not rows:
+            return  # empty log ⇒ no channels
+        pdf = pd.concat(rows)
+        trip = list(
+            zip(pdf["src"].tolist(), pdf["dst"].tolist(), pdf["pm"].tolist())
+        )
+        transient = sorted({s for s, _, _ in trip})
+        r = {s: int(m) for s, d, m in trip if d == "CONV"}
+        channels = sorted(c for c in transient if c != "START")
+
+        def absorb(dropped=None):
+            q = {
+                (s, d): int(m)
+                for s, d, m in trip
+                if d in transient and d != dropped
+            }
+            x = {s: 0 for s in transient}
+            for _ in range(_iters):
+                x = {
+                    s: r.get(s, 0)
+                    + sum(q.get((s, t), 0) * x[t] for t in transient)
+                    // 1_000_000
+                    for s in transient
+                }
+            return x.get("START", 0)
+
+        pf = absorb()
+        out = []
+        for c in channels:
+            pr = absorb(dropped=c)
+            re_c = pf - pr
+            out.append((c, pf, pr, re_c))
+        tot_re = sum(v[3] for v in out)
+        yield pd.DataFrame(
+            {
+                "channel": [v[0] for v in out],
+                "p_conv_full_ppm": pd.Series(
+                    [v[1] for v in out], dtype="int64"
+                ),
+                "p_conv_removed_ppm": pd.Series(
+                    [v[2] for v in out], dtype="int64"
+                ),
+                "removal_effect_ppm": pd.Series(
+                    [0 if pf == 0 else v[3] * 1_000_000 // pf for v in out],
+                    dtype="int64",
+                ),
+                "attribution_ppm": pd.Series(
+                    [
+                        0 if tot_re == 0 else v[3] * 1_000_000 // tot_re
+                        for v in out
+                    ],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return (
+        p.coalesce(1)
+        .mapInPandas(
+            chain_kernel,
+            "channel string, p_conv_full_ppm long, p_conv_removed_ppm long,"
+            " removal_effect_ppm long, attribution_ppm long",
+        )
+        .orderBy("channel")
+    )
+
+
+MARKOV_ATTR_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         CASE WHEN event_type = 'purchase' THEN 'CONV'
+              ELSE event_type END AS st,
+         event_type = 'purchase' AS is_p,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+cutoff AS (SELECT user_id, min(rn) AS prn FROM e WHERE is_p GROUP BY 1),
+kept AS (
+  SELECT e.*, c.prn FROM e LEFT JOIN cutoff c USING (user_id)
+  WHERE c.prn IS NULL OR e.rn <= c.prn
+),
+seq AS (
+  SELECT user_id, rn, st, prn,
+         lag(st) OVER (PARTITION BY user_id ORDER BY rn) AS prev,
+         max(rn) OVER (PARTITION BY user_id) AS mx
+  FROM kept
+),
+steps AS (
+  SELECT coalesce(prev, 'START') AS src, st AS dst FROM seq
+  UNION ALL
+  SELECT st AS src, 'NULL' AS dst FROM seq WHERE rn = mx AND prn IS NULL
+),
+cnt AS (SELECT src, dst, count(*) AS c FROM steps GROUP BY 1, 2),
+tot AS (SELECT src, sum(c) AS t FROM cnt GROUP BY 1),
+-- MATERIALIZED: the recursive iteration below references (through
+-- qmat/rvec/spine) this CTE; without materialization DuckDB re-inlines
+-- and re-runs the whole per-user journey pipeline once per iteration
+-- (32x the corpus scan — measured 17 s at sf0.001 vs 0.1 s materialized)
+p AS MATERIALIZED (
+  SELECT c.src, c.dst, CAST(c.c * 1000000 // t.t AS BIGINT) AS pm
+  FROM cnt c JOIN tot t USING (src)
+),
+scen AS (
+  SELECT 'full' AS scenario, CAST(NULL AS VARCHAR) AS dropped
+  UNION ALL
+  SELECT DISTINCT src, src FROM p WHERE src <> 'START'
+),
+spine AS (
+  SELECT s.scenario, t.src FROM scen s, (SELECT DISTINCT src FROM p) t
+),
+qmat AS (
+  -- transitions into transient states, minus the scenario's dropped
+  -- channel; the zero self-loop spine keeps every state present in
+  -- each recursion step even when nothing transitions into it
+  SELECT s.scenario, p.src, p.dst, p.pm
+  FROM p, scen s
+  WHERE p.dst IN (SELECT DISTINCT src FROM p)
+    AND p.dst <> coalesce(s.dropped, '')
+  UNION ALL
+  SELECT scenario, src, src, CAST(0 AS BIGINT) FROM spine
+),
+rvec AS (
+  SELECT s.scenario, p.src AS state, p.pm
+  FROM p, scen s WHERE p.dst = 'CONV'
+),
+it(k, scenario, state, x) AS (
+  SELECT 0, scenario, src, CAST(0 AS BIGINT) FROM spine
+  UNION ALL
+  SELECT i.k + 1, i.scenario, q.src,
+         CAST(coalesce(max(r.pm), 0)
+              + sum(q.pm * i.x) // 1000000 AS BIGINT)
+  FROM it i
+  JOIN qmat q ON q.scenario = i.scenario AND q.dst = i.state
+  LEFT JOIN rvec r ON r.scenario = i.scenario AND r.state = q.src
+  WHERE i.k < {MARKOV_ITERS}
+  GROUP BY i.k, i.scenario, q.src
+),
+final AS (
+  SELECT scenario, x FROM it WHERE k = {MARKOV_ITERS} AND state = 'START'
+),
+full_p AS (SELECT x AS pf FROM final WHERE scenario = 'full'),
+re AS (
+  SELECT f.scenario AS channel, fp.pf, f.x AS pr, fp.pf - f.x AS eff
+  FROM final f, full_p fp WHERE f.scenario <> 'full'
+),
+tot_re AS (SELECT sum(eff) AS t FROM re)
+SELECT channel,
+       CAST(pf AS BIGINT) AS p_conv_full_ppm,
+       CAST(pr AS BIGINT) AS p_conv_removed_ppm,
+       CAST(CASE WHEN pf = 0 THEN 0 ELSE eff * 1000000 // pf END AS BIGINT)
+         AS removal_effect_ppm,
+       CAST(CASE WHEN t = 0 THEN 0 ELSE eff * 1000000 // t END AS BIGINT)
+         AS attribution_ppm
+FROM re, tot_re
+ORDER BY channel
+"""
+
+
 SPARK_QUERIES = {
+    "markov_attribution_removal": markov_attribution_removal,
     "session_duration_percentiles": session_duration_percentiles,
     "linear_attribution_credit": linear_attribution_credit,
     "cold_start_coverage": cold_start_coverage,
@@ -1428,6 +1661,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "markov_attribution_removal": MARKOV_ATTR_SQL,
     "session_duration_percentiles": SESSION_DURATION_SQL,
     "linear_attribution_credit": LINEAR_ATTR_SQL,
     "cold_start_coverage": COLD_START_SQL,

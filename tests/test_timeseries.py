@@ -499,3 +499,80 @@ def test_cusum_matches_python_replay(spark):
          r["alarm"])
         for r in got
     ] == expect
+
+
+def test_markov_attribution_matches_python_replay(spark):
+    """Transition chain, absorption vectors, and removal effects must
+    equal a literal Python replay of the truncated power iteration."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.temporal import (
+        MARKOV_ITERS,
+        markov_attribution_removal,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type FROM '{SF_SMOKE}/events.parquet'"
+        f" ORDER BY user_id, epoch_us(ts), event_id"
+    ).fetchall()
+    journeys = defaultdict(list)
+    for uid, et in rows:
+        journeys[uid].append("CONV" if et == "purchase" else et)
+    steps = Counter()
+    for seq in journeys.values():
+        if "CONV" in seq:
+            seq = seq[: seq.index("CONV") + 1]
+            converted = True
+        else:
+            converted = False
+        prev = "START"
+        for st in seq:
+            steps[(prev, st)] += 1
+            prev = st
+        if not converted:
+            steps[(prev, "NULL")] += 1
+    # NOTE: the last loop also counts (prev, 'NULL') with prev = last
+    # state; for converted journeys prev ends at 'CONV' and no NULL
+    # step is added — matching the query's rn == mx AND prn IS NULL
+    out_tot = Counter()
+    for (s, _), c in steps.items():
+        out_tot[s] += c
+    pm = {k: c * 1_000_000 // out_tot[k[0]] for k, c in steps.items()}
+    transient = sorted({s for s, _ in pm})
+
+    def absorb(dropped=None):
+        q = {
+            (s, d): m
+            for (s, d), m in pm.items()
+            if d in transient and d != dropped
+        }
+        r = {s: m for (s, d), m in pm.items() if d == "CONV"}
+        x = {s: 0 for s in transient}
+        for _ in range(MARKOV_ITERS):
+            x = {
+                s: r.get(s, 0)
+                + sum(q.get((s, t), 0) * x[t] for t in transient) // 1_000_000
+                for s in transient
+            }
+        return x.get("START", 0)
+
+    pf = absorb()
+    channels = sorted(c for c in transient if c != "START")
+    eff = {c: pf - absorb(dropped=c) for c in channels}
+    tot = sum(eff.values())
+    got = markov_attribution_removal(spark, SF_SMOKE).collect()
+    assert [r["channel"] for r in got] == channels
+    for r in got:
+        c = r["channel"]
+        assert r["p_conv_full_ppm"] == pf
+        assert r["p_conv_removed_ppm"] == pf - eff[c]
+        assert r["removal_effect_ppm"] == (
+            0 if pf == 0 else eff[c] * 1_000_000 // pf
+        )
+        assert r["attribution_ppm"] == (
+            0 if tot == 0 else eff[c] * 1_000_000 // tot
+        )
+        assert eff[c] >= 0  # monotone: removal can only lower conversion

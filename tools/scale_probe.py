@@ -329,6 +329,9 @@ def main() -> int:
                     dedup.source_contamination_matrix
                 ),
                 "cusum_revenue_drift": timeseries.cusum_revenue_drift,
+                "markov_attribution_removal": (
+                    temporal.markov_attribution_removal
+                ),
             }
         )
         timings = {}
