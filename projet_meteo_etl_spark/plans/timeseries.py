@@ -1288,6 +1288,17 @@ def cusum_revenue_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("c").alias("d_cents"))
     )
+    return cusum_fold(daily)
+
+
+def cusum_fold(daily: DataFrame) -> DataFrame:
+    """The CUSUM recurrence over a ``(day, d_cents)`` relation as a
+    partition-local exact-integer kernel — shared by the batch query
+    above and the streaming twin (``streaming.structured``), whose
+    incremental part is the day rollup and whose detector is this same
+    fold over the folded sink.  The kernel closure is defined INSIDE
+    this function so it pickles by value (driver-session Python workers
+    cannot import this package from a foreign cwd)."""
 
     def cusum_kernel(batches):
         import pandas as pd

@@ -1727,7 +1727,62 @@ ORDER BY p.user_id
 """
 
 
+def stream_cusum_revenue_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift detector: the daily purchase-revenue
+    rollup is maintained incrementally in stream state (1-day tumbling
+    windows, append mode, heartbeat-closed so the final day emits),
+    then the two-sided Page recurrence runs over the folded sink via
+    the SAME partition-local integer kernel as the batch twin
+    (``plans.timeseries.cusum_fold``) — the standard split for
+    sequential detectors on streams: counts are the incremental part,
+    the date-domain-bounded recursion is the cheap batch tail (same
+    architecture as :func:`stream_rate_alert`'s trailing comparison).
+    Oracle: the batch twin's recursive-CTE SQL — any day miscounted or
+    double-emitted anywhere in the windowed state is a hash mismatch.
+    """
+    from projet_meteo_etl_spark.catalog import harden_session, load_table
+    from projet_meteo_etl_spark.plans.timeseries import cusum_fold
+
+    harden_session(spark)
+    ts_is_long = _ts_is_long(sf_dir)
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_is_long))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_events_dir_with_heartbeat(sf_dir))
+    )
+    if ts_is_long:
+        e = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        e = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # the heartbeat purchase (user_id −1, value 0) must flow through —
+    # filtering it here would be pushed down to the scan and prune the
+    # heartbeat file before the watermark sees it; its +2d day row is
+    # dropped against the batch max day below
+    agg = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "cents",
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"),
+        )
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.sum("cents").alias("d_cents"))
+    )
+    sink = _run_to_memory(agg, "append")
+    max_day = load_table(spark, sf_dir, "events").agg(
+        F.max(F.to_date("ts")).alias("max_day")
+    )
+    daily = (
+        sink.select(F.to_date(F.col("w.start")).alias("day"), "d_cents")
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("max_day"))
+        .select("day", "d_cents")
+    )
+    return cusum_fold(daily)
+
+
 SPARK_QUERIES = {
+    "stream_cusum_revenue_alert": stream_cusum_revenue_alert,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_tumbling_counts_update": stream_tumbling_counts_update,
     "stream_backfill_seam": stream_backfill_seam,
@@ -1752,7 +1807,12 @@ SPARK_QUERIES = {
 if has_tws_runtime():  # environment-gated: needs google.protobuf
     SPARK_QUERIES["stream_tws_user_totals"] = stream_tws_user_totals
 
+from projet_meteo_etl_spark.plans.timeseries import CUSUM_SQL as _CUSUM_SQL
+
 ORACLE_SQL = {
+    # streaming twin shares the batch recursion oracle — physical
+    # strategy differs, answers must not
+    "stream_cusum_revenue_alert": _CUSUM_SQL,
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_tumbling_counts_update": STREAM_TUMBLING_SQL,
     # the seam must reproduce the WHOLE-log aggregate exactly

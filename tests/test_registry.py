@@ -154,6 +154,7 @@ EXPECTED_QUERIES = {
     "holt_linear_forecast",
     "cusum_revenue_drift",
     "markov_attribution_removal",
+    "stream_cusum_revenue_alert",
     # round-5 batch 8: LPA communities + streaming heavy hitters
     "label_propagation_communities", "stream_sliding_topk_items",
     # round-5 batch 9: exact ANOVA + Kaplan-Meier survival

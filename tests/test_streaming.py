@@ -373,3 +373,17 @@ def test_stream_rate_alert_matches_batch_replay(spark):
         expect.append((counts[i], s3, int(2 * counts[i] > s3)))
     assert [(r["n_events"], r["sum_prev3"], r["alert"]) for r in rows] == expect
     assert len(rows) == len(counts) - RATE_ALERT_LOOKBACK
+
+
+def test_stream_cusum_equals_batch_twin(spark):
+    """The streaming CUSUM (incremental day rollup -> shared kernel)
+    must equal the batch query row-for-row."""
+    from projet_meteo_etl_spark.plans.timeseries import cusum_revenue_drift
+    from projet_meteo_etl_spark.streaming.structured import (
+        stream_cusum_revenue_alert,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = [tuple(r) for r in stream_cusum_revenue_alert(spark, SF_SMOKE).collect()]
+    want = [tuple(r) for r in cusum_revenue_drift(spark, SF_SMOKE).collect()]
+    assert got == want and len(got) > 0
