@@ -552,20 +552,12 @@ ORDER BY d.source
 CALIB_BUCKETS = 10
 
 
-def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calibration curve for the quality classifier: documents bucketed
-    into score deciles (rank-exact NTILE on the integer score sum, doc
-    id tie-break), each decile reporting its agreement with the
-    INDEPENDENT repetition filter — does a higher model score actually
-    mean cleaner text?  This is the eval every learned quality filter
-    gets before it gates a corpus: a flat curve means the model adds
-    nothing over the cheap heuristic.
-
-    Deciles come from ``row_number``/bucket arithmetic on integers (no
-    NTILE float boundary), keep rates divide integer counts, and the
-    mean score per decile divides integer sums — engine-exact
-    throughout.
-    """
+def _calibration_bucketed(spark: SparkSession, sf_dir: str):
+    """Shared decile construction for the calibration curve and the
+    ECE/MCE summary: (classifier score ⋈ repetition filter) ranked by
+    the two-pass exact bucket-prefix plan into ``CALIB_BUCKETS``
+    integer deciles.  Returns (bucketed, scored) — callers must pass
+    ``scored`` to ``scoped_cache`` so its persist is released."""
     from projet_meteo_etl_spark.operators.corpus_stats import (
         text_repetition_filter,
     )
@@ -609,6 +601,24 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr(f"((rn - 1) * {CALIB_BUCKETS}) div n") + 1).cast("int"),
         )
     )
+    return bucketed, scored
+
+
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the quality classifier: documents bucketed
+    into score deciles (rank-exact NTILE on the integer score sum, doc
+    id tie-break), each decile reporting its agreement with the
+    INDEPENDENT repetition filter — does a higher model score actually
+    mean cleaner text?  This is the eval every learned quality filter
+    gets before it gates a corpus: a flat curve means the model adds
+    nothing over the cheap heuristic.
+
+    Deciles come from ``row_number``/bucket arithmetic on integers (no
+    NTILE float boundary), keep rates divide integer counts, and the
+    mean score per decile divides integer sums — engine-exact
+    throughout.
+    """
+    bucketed, scored = _calibration_bucketed(spark, sf_dir)
     out = (
         bucketed.groupBy("decile")
         .agg(
@@ -623,6 +633,115 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("decile")
     )
     return scoped_cache(out, scored)
+
+
+def calibration_ece_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error of the quality classifier —
+    the one-number companions to :func:`quality_score_calibration`'s
+    reliability curve: ECE = Σ_b (n_b/N)·|acc_b − conf_b| and
+    MCE = max_b |acc_b − conf_b|, with the repetition filter's keep
+    rate as accuracy and the mean milli-score as confidence.  This is
+    the number a filter-threshold review actually compares across model
+    versions; the curve shows WHERE miscalibration lives, ECE/MCE say
+    HOW MUCH.
+
+    The classifier's summed per-feature milli-score is not a bounded
+    probability (trigram weights can push a decile's mean past 1.0), so
+    confidence is CLAMPED to [0, feat_b·1000] before the gap — exactly
+    the clamp a practitioner applies before reading ECE off an
+    unnormalized scorer, and it keeps both metrics in [0, 1e6] ppm.
+
+    Exact integer form: per decile the gap numerator is
+    ``|keep_b·1000·feat_b − clamp(score_b)·n_b|`` in DECIMAL(38,0)
+    (safe past 1e9-doc deciles where the int64 product would wrap),
+    each bucket's contribution truncates once (``·1e6 DIV
+    (feat_b·1000)``), and ECE divides the bucket sum by N — the
+    identical truncation order in DuckDB HUGEINT, so the ppm values
+    hash cross-engine.
+    """
+    bucketed, scored = _calibration_bucketed(spark, sf_dir)
+    per = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("rep_keep").alias("keep_b"),
+        F.sum("score_sum_milli").alias("score_b"),
+        F.sum("n_features").alias("feat_b"),
+        F.max("n").alias("n"),
+    )
+    terms = per.select(
+        "n",
+        "n_b",
+        "feat_b",
+        F.expr(
+            "abs(CAST(keep_b AS DECIMAL(38,0)) * 1000 * feat_b"
+            " - least(greatest(CAST(score_b AS DECIMAL(38,0)), 0),"
+            "         CAST(feat_b AS DECIMAL(38,0)) * 1000) * n_b)"
+        ).alias("gap"),
+    )
+    out = terms.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.expr(
+            "CAST(sum(CASE WHEN feat_b = 0 THEN 0"
+            " ELSE gap * 1000000 DIV (CAST(feat_b AS DECIMAL(38,0)) * 1000)"
+            " END) DIV max(n) AS BIGINT)"
+        ).alias("ece_ppm"),
+        F.expr(
+            "CAST(max(CASE WHEN feat_b = 0 THEN 0"
+            " ELSE gap * 1000000"
+            " DIV (CAST(feat_b AS DECIMAL(38,0)) * 1000 * n_b)"
+            " END) AS BIGINT)"
+        ).alias("mce_ppm"),
+    )
+    return scoped_cache(out, scored)
+
+
+def _calibration_prefix_sql() -> str:
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        TEXT_REPETITION_SQL,
+    )
+    from projet_meteo_etl_spark.operators.importance import FASTTEXT_SQL
+
+    return f"""
+WITH ft AS ({FASTTEXT_SQL}),
+rep AS ({TEXT_REPETITION_SQL}),
+b AS (
+  SELECT ft.doc_id, ft.n_features, ft.score_sum_milli,
+         CASE WHEN rep.keep THEN 1 ELSE 0 END AS rep_keep,
+         row_number() OVER (ORDER BY ft.score_sum_milli, ft.doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM ft JOIN rep ON rep.doc_id = ft.doc_id
+)"""
+
+
+def _ece_sql() -> str:
+    return f"""
+{_calibration_prefix_sql()},
+per AS (
+  SELECT ((rn - 1) * {CALIB_BUCKETS}) // n + 1 AS decile,
+         count(*) AS n_b,
+         sum(rep_keep) AS keep_b,
+         sum(score_sum_milli) AS score_b,
+         sum(n_features) AS feat_b,
+         max(n) AS n
+  FROM b GROUP BY 1
+),
+terms AS (
+  SELECT n, n_b, feat_b,
+         abs(keep_b::HUGEINT * 1000 * feat_b
+             - least(greatest(score_b::HUGEINT, 0),
+                     feat_b::HUGEINT * 1000) * n_b) AS gap
+  FROM per
+)
+SELECT CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN feat_b = 0 THEN 0
+                ELSE gap * 1000000 // (feat_b::HUGEINT * 1000) END)
+            // max(n) AS BIGINT) AS ece_ppm,
+       CAST(max(CASE WHEN feat_b = 0 THEN 0
+                ELSE gap * 1000000 // (feat_b::HUGEINT * 1000 * n_b) END)
+            AS BIGINT) AS mce_ppm
+FROM terms
+"""
 
 
 def _calibration_sql() -> str:
@@ -659,11 +778,13 @@ SPARK_QUERIES = {
     "dedup_retention_policy": dedup_retention_policy,
     "corpus_report_card": corpus_report_card,
     "quality_score_calibration": quality_score_calibration,
+    "calibration_ece_summary": calibration_ece_summary,
 }
 
 ORACLE_SQL = {
     "corpus_report_card": _report_card_sql(),
     "quality_score_calibration": _calibration_sql(),
+    "calibration_ece_summary": _ece_sql(),
     "policy_blocklist_audit": POLICY_BLOCKLIST_SQL,
     "prefix_dup_groups": PREFIX_DUP_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,

@@ -241,6 +241,7 @@ EXPECTED_QUERIES = {
     "stream_hll_users",
     # classifier calibration curve (operators/selection.py)
     "quality_score_calibration",
+    "calibration_ece_summary",
     # CMS as streaming state (streaming/structured.py)
     "stream_cms_item_counts",
 }

@@ -148,3 +148,45 @@ def test_quality_score_calibration_structure(spark):
     scores = [r["mean_score"] for r in rows]
     assert scores == sorted(scores)
     assert all(0.0 <= r["rep_keep_rate"] <= 1.0 for r in rows)
+
+
+def test_calibration_ece_matches_curve_replay(spark):
+    """ECE/MCE must equal the exact-integer recomputation from the
+    decile sums the calibration machinery produces."""
+    from projet_meteo_etl_spark.operators.selection import (
+        _calibration_bucketed,
+        calibration_ece_summary,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bucketed, scored = _calibration_bucketed(spark, sf)
+    per = (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.sum("rep_keep").alias("keep_b"),
+            F.sum("score_sum_milli").alias("score_b"),
+            F.sum("n_features").alias("feat_b"),
+            F.max("n").alias("n"),
+        )
+        .collect()
+    )
+    scored.unpersist()
+    n = per[0]["n"]
+    contribs, gaps = [], []
+    for r in per:
+        conf = min(max(r["score_b"], 0), r["feat_b"] * 1000)
+        gap = abs(r["keep_b"] * 1000 * r["feat_b"] - conf * r["n_b"])
+        if r["feat_b"] > 0:
+            contribs.append(gap * 1_000_000 // (r["feat_b"] * 1000))
+            gaps.append(gap * 1_000_000 // (r["feat_b"] * 1000 * r["n_b"]))
+        else:
+            contribs.append(0)
+            gaps.append(0)
+    got = calibration_ece_summary(spark, sf).collect()[0]
+    assert got["n_docs"] == n
+    assert got["n_buckets"] == len(per)
+    assert got["ece_ppm"] == sum(contribs) // n
+    assert got["mce_ppm"] == max(gaps)
+    # sanity: MCE dominates ECE, both within [0, 1e6]
+    assert 0 <= got["ece_ppm"] <= got["mce_ppm"] <= 1_000_000

@@ -332,6 +332,9 @@ def main() -> int:
                 "markov_attribution_removal": (
                     temporal.markov_attribution_removal
                 ),
+                "calibration_ece_summary": (
+                    selection.calibration_ece_summary
+                ),
             }
         )
         timings = {}
