@@ -31,6 +31,8 @@ ALLOWED = {
     "pareto_frontier_parts": "price-domain dollar buckets (~1.2k rows)",
     "user_value_deciles": "LTV $100 buckets (value-domain bounded)",
     "quality_score_calibration": "score div-1000 buckets (domain bounded)",
+    # same shared _calibration_bucketed two-pass plan as the curve
+    "calibration_ece_summary": "score div-1000 buckets (domain bounded)",
     "corpus_token_gini": "token-count div-64 buckets (max-doc-len bounded)",
     # windows over domain-bounded rollups
     "revenue_changepoint": "per-day revenue rollup (date-domain bounded)",
