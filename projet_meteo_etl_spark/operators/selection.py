@@ -745,21 +745,10 @@ FROM terms
 
 
 def _calibration_sql() -> str:
-    from projet_meteo_etl_spark.operators.corpus_stats import (
-        TEXT_REPETITION_SQL,
-    )
-    from projet_meteo_etl_spark.operators.importance import FASTTEXT_SQL
-
+    # the ft/rep/b decile prefix is SHARED with the ECE oracle — one
+    # definition, so the two oracles' bucketing can never desynchronize
     return f"""
-WITH ft AS ({FASTTEXT_SQL}),
-rep AS ({TEXT_REPETITION_SQL}),
-b AS (
-  SELECT ft.doc_id, ft.n_features, ft.score_sum_milli,
-         CASE WHEN rep.keep THEN 1 ELSE 0 END AS rep_keep,
-         row_number() OVER (ORDER BY ft.score_sum_milli, ft.doc_id) AS rn,
-         count(*) OVER () AS n
-  FROM ft JOIN rep ON rep.doc_id = ft.doc_id
-)
+{_calibration_prefix_sql()}
 SELECT CAST(((rn - 1) * {CALIB_BUCKETS}) // n + 1 AS INTEGER) AS decile,
        CAST(count(*) AS BIGINT) AS n_docs,
        {pround_sql('sum(score_sum_milli) * 1.0 / sum(n_features) / 1000.0', 6)} AS mean_score,

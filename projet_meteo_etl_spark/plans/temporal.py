@@ -1458,6 +1458,9 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = rn.filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
     w2 = Window.partitionBy("user_id").orderBy("rn")
+    # persisted: both unionByName branches of `steps` consume seq —
+    # without the cache the corpus scan + per-user window pipeline
+    # runs twice (the standard two-consumer persist pattern)
     seq = kept.select(
         "user_id",
         "rn",
@@ -1465,7 +1468,7 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prn",
         F.lag("st").over(w2).alias("prev"),
         F.max("rn").over(w_all).alias("mx"),
-    )
+    ).persist()
     steps = seq.select(
         F.coalesce("prev", F.lit("START")).alias("src"), F.col("st").alias("dst")
     ).unionByName(
@@ -1539,7 +1542,9 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
         p.coalesce(1)
         .mapInPandas(
             chain_kernel,
@@ -1548,6 +1553,7 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+    return scoped_cache(out, seq)
 
 
 MARKOV_ATTR_SQL = f"""
@@ -1587,9 +1593,12 @@ p AS MATERIALIZED (
   FROM cnt c JOIN tot t USING (src)
 ),
 scen AS (
+  -- removal scenarios carry an 'rm:' prefix so the baseline label can
+  -- never collide with a channel literally named 'full' (an event_type
+  -- is user data — any string is possible); dropped stays the raw name
   SELECT 'full' AS scenario, CAST(NULL AS VARCHAR) AS dropped
   UNION ALL
-  SELECT DISTINCT src, src FROM p WHERE src <> 'START'
+  SELECT DISTINCT 'rm:' || src, src FROM p WHERE src <> 'START'
 ),
 spine AS (
   SELECT s.scenario, t.src FROM scen s, (SELECT DISTINCT src FROM p) t
@@ -1601,7 +1610,7 @@ qmat AS (
   SELECT s.scenario, p.src, p.dst, p.pm
   FROM p, scen s
   WHERE p.dst IN (SELECT DISTINCT src FROM p)
-    AND p.dst <> coalesce(s.dropped, '')
+    AND (s.dropped IS NULL OR p.dst <> s.dropped)
   UNION ALL
   SELECT scenario, src, src, CAST(0 AS BIGINT) FROM spine
 ),
@@ -1626,8 +1635,9 @@ final AS (
 ),
 full_p AS (SELECT x AS pf FROM final WHERE scenario = 'full'),
 re AS (
-  SELECT f.scenario AS channel, fp.pf, f.x AS pr, fp.pf - f.x AS eff
-  FROM final f, full_p fp WHERE f.scenario <> 'full'
+  SELECT substr(f.scenario, 4) AS channel, fp.pf, f.x AS pr,
+         fp.pf - f.x AS eff
+  FROM final f, full_p fp WHERE f.scenario LIKE 'rm:%'
 ),
 tot_re AS (SELECT sum(eff) AS t FROM re)
 SELECT channel,
