@@ -1446,8 +1446,13 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("tus"),
+        # real channels carry a 'ch:' prefix so the synthetic absorbing/
+        # terminal state names (CONV / NULL / START) can never collide
+        # with an event_type literally named one of them — event_type is
+        # user data, any string is possible (same rule as the 'rm:'
+        # scenario prefix in the oracle)
         F.when(F.col("event_type") == "purchase", F.lit("CONV"))
-        .otherwise(F.col("event_type"))
+        .otherwise(F.concat(F.lit("ch:"), F.col("event_type")))
         .alias("st"),
         (F.col("event_type") == "purchase").alias("is_p"),
     )
@@ -1517,7 +1522,7 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in channels:
             pr = absorb(dropped=c)
             re_c = pf - pr
-            out.append((c, pf, pr, re_c))
+            out.append((c[3:], pf, pr, re_c))  # strip the 'ch:' prefix
         tot_re = sum(v[3] for v in out)
         yield pd.DataFrame(
             {
@@ -1559,8 +1564,11 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 MARKOV_ATTR_SQL = f"""
 WITH RECURSIVE e AS (
   SELECT user_id, event_id, epoch_us(ts) AS tus,
+         -- real channels carry a 'ch:' prefix (see the Spark kernel):
+         -- an event_type literally named CONV/NULL/START must not merge
+         -- with the synthetic absorbing/terminal states
          CASE WHEN event_type = 'purchase' THEN 'CONV'
-              ELSE event_type END AS st,
+              ELSE 'ch:' || event_type END AS st,
          event_type = 'purchase' AS is_p,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn
@@ -1635,7 +1643,8 @@ final AS (
 ),
 full_p AS (SELECT x AS pf FROM final WHERE scenario = 'full'),
 re AS (
-  SELECT substr(f.scenario, 4) AS channel, fp.pf, f.x AS pr,
+  -- scenario is 'rm:ch:<event_type>'; strip both prefixes for output
+  SELECT substr(f.scenario, 7) AS channel, fp.pf, f.x AS pr,
          fp.pf - f.x AS eff
   FROM final f, full_p fp WHERE f.scenario LIKE 'rm:%'
 ),

@@ -1309,8 +1309,16 @@ def cusum_fold(daily: DataFrame) -> DataFrame:
         pdf = pd.concat(rows).sort_values("day")
         days = list(pdf["day"])
         x = [int(v) for v in pdf["d_cents"]]
-        mu = sum(x) // len(x)  # non-negative: floor == trunc == DIV
-        k = mu // 20
+
+        def tdiv(a, b):  # trunc-toward-zero == Spark DIV == DuckDB //
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        # Python // floors; the oracle's BIGINT // truncates — sign-
+        # outside-abs keeps the two identical even if daily revenue ever
+        # goes negative (e.g. refunds added to fixtures later).
+        mu = tdiv(sum(x), len(x))
+        k = tdiv(mu, 20)
         sp = sn = 0
         pos, neg, alarm = [], [], []
         for v in x:

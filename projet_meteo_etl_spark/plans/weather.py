@@ -47,23 +47,28 @@ def _fixtures() -> dict:
     # machine) must not both enter the generator — only the parquet write
     # is per-file atomic, so a concurrent oracle could read a torn CSV
     lock = os.path.join(d, ".lock")
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        import time
+    fd = None
+    while fd is None:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            import time
 
-        for _ in range(600):  # wait ≤60 s for the winner's marker
-            if os.path.exists(marker) and os.path.exists(
-                fx["expected_path"]
-            ):
-                return fx
-            time.sleep(0.1)
-        # stale lock (the generating process died): generate ourselves —
-        # per-file tmp+replace writes keep even this path torn-read-free
-        fx = generate_weather_fixtures(d)
-        with open(marker, "w") as f:
-            f.write("ok")
-        return fx
+            for _ in range(600):  # wait ≤60 s for the winner's marker
+                if os.path.exists(marker) and os.path.exists(
+                    fx["expected_path"]
+                ):
+                    return fx
+                time.sleep(0.1)
+            # stale lock (the generating process died): reclaim it and
+            # retry the O_EXCL acquisition — generating WITHOUT the lock
+            # would let two timed-out waiters regenerate concurrently
+            # (the exact race the lock exists to prevent) and would leave
+            # the stale lock taxing every future fresh process 60 s
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass  # another waiter reclaimed it first — loop retries
     try:
         fx = generate_weather_fixtures(d)
         with open(marker, "w") as f:

@@ -98,13 +98,17 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 def _force_redraw() -> list[str]:
     """Names whose code changed after their newest driver CORRECTNESS row
     (round-6 verdict item 1): treat them as never-verified so the sampling
-    driver re-draws them first.  Missing manifest ⇒ nothing to redraw."""
+    driver re-draws them first.  Only the NEWEST ``redraw_r*.json`` manifest
+    is live — older rounds' manifests are retired once their names have
+    fresh green rows (keeping them active would re-subtract already-green
+    names and waste the driver's 50-query sample window on redundant
+    redraws).  Missing manifest ⇒ nothing to redraw."""
     here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(here, "redraw_r7.json")) as f:
-            names = json.load(f)
-    except FileNotFoundError:
+    manifests = sorted(glob.glob(os.path.join(here, "redraw_r*.json")))
+    if not manifests:
         return []
+    with open(manifests[-1]) as f:
+        names = json.load(f)
     return [n for n in names if isinstance(n, str)]
 
 

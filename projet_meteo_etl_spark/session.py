@@ -52,6 +52,12 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
+        # embedded Derby (JDBC sink tests) writes derby.log to the JVM's cwd
+        # by default — keep build droppings out of the repo tree
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.stream.error.file=/tmp/derby.log -Dderby.system.home=/tmp",
+        )
     )
     if master:
         builder = builder.master(master)

@@ -139,15 +139,22 @@ def _read_events_stream(
     # UTC-assuming oracles
     harden_session(spark)
     ts_is_long = _ts_is_long(sf_dir)
-    # files_per_trigger: COMPLETE-mode aggregations are slicing-invariant
-    # (all state retained; the final table equals the batch answer
-    # whatever the micro-batch boundaries), so those callers pass 2 —
-    # still multi-batch (incremental state + watermark advance are
-    # exercised) but half the per-trigger planning constant, which
-    # dominates these queries' wall at test scale.  Update/append-mode
-    # callers keep 1: their SINK CONTENTS (per-batch update rows,
-    # watermark-timed append emissions) depend on the slice boundaries
-    # their oracles replay.
+    # files_per_trigger: callers whose REGISTERED RESULT is slicing-
+    # invariant pass 2 — still multi-batch (incremental state + watermark
+    # advance are exercised) but half the per-trigger planning constant,
+    # which dominates these queries' wall at test scale.  Invariant
+    # classes (audited per stream, round 8; table in BASELINE.md):
+    # complete-mode aggs (all state retained), final-state folds over
+    # update sinks (the fold keeps only each key's LAST update),
+    # exactly-once emission state machines over the (ts, event_id)-
+    # ordered source (pit features), watermarked joins/dedups whose
+    # docstrings prove no premature eviction at ANY batching (fewer
+    # batches ⇒ the watermark advances in bigger steps but never
+    # further ⇒ strictly LESS eviction), and heartbeat-closed append
+    # windows (the heartbeat + terminal no-data batch flush the same
+    # final set whatever the earlier slicing).  Callers keep 1 ONLY
+    # when the oracle replays the exact 4×1-file boundaries
+    # (stream_late_event_dropper's per-file watermark cut).
     raw = (
         spark.readStream.schema(_events_raw_schema(ts_is_long))
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -421,7 +428,7 @@ def stream_backfill_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the seam; the cut predicate must drop every replayed row
     tail = _normalize(
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .option("pathGlobFilter", "events_[123].parquet")
         .parquet(d)
     ).filter(
@@ -482,7 +489,7 @@ def stream_tumbling_counts_update(
     ``LAST_STATE_METRICS`` records the eviction
     (``tests/test_streaming.py`` asserts ``numRowsRemoved > 0``).
     """
-    e = _read_events_stream(spark, sf_dir)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -524,7 +531,7 @@ def stream_user_running_totals(
     """
     import pandas as pd
 
-    e = _read_events_stream(spark, sf_dir).select(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
         "user_id",
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
     )
@@ -613,7 +620,7 @@ def stream_pit_features(
     """
     import pandas as pd
 
-    e = _read_events_stream(spark, sf_dir).select(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
         F.pmod(F.col("user_id"), F.lit(N_PIT_SHARDS)).alias("shard"),
         "user_id",
         "event_id",
@@ -1170,7 +1177,7 @@ def stream_stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataF
     in-range pair is emitted before its state expires, so the appended
     result equals the batch range join — hash-checked against it.
     """
-    e = _read_events_stream(spark, sf_dir)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
     p = (
         e.filter(F.col("event_type") == "purchase")
         .select("user_id", F.col("ts").alias("p_ts"))
@@ -1501,7 +1508,7 @@ def stream_dedup_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that makes streaming dedup viable on an unbounded 100 TB
     feed where batch ``dropDuplicates`` could not even start.
     """
-    e = _read_events_stream(spark, sf_dir)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
     dd = (
         e.withColumn("day", F.to_date("ts"))
         .withWatermark("ts", "48 hours")
@@ -1560,7 +1567,7 @@ def stream_chained_dedup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_is_long = _ts_is_long(sf_dir)
     raw = (
         spark.readStream.schema(_events_raw_schema(ts_is_long))
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(_staged_events_dir_with_heartbeat(sf_dir))
     )
     if ts_is_long:
@@ -1672,7 +1679,7 @@ def stream_left_outer_lonely_purchases(spark: SparkSession, sf_dir: str) -> Data
     ts_is_long = _ts_is_long(sf_dir)
     raw = (
         spark.readStream.schema(_events_raw_schema(ts_is_long))
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(_staged_events_dir_with_heartbeat(sf_dir))
     )
     if ts_is_long:
@@ -1747,7 +1754,7 @@ def stream_cusum_revenue_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_is_long = _ts_is_long(sf_dir)
     raw = (
         spark.readStream.schema(_events_raw_schema(ts_is_long))
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(_staged_events_dir_with_heartbeat(sf_dir))
     )
     if ts_is_long:
