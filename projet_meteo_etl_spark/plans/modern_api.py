@@ -353,6 +353,10 @@ def pandas_udaf_user_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDAF sees each user's values as one pandas Series.  Exact-median
     semantics (mean of the two middles on even counts) match DuckDB's
     ``median`` on DOUBLE bit-for-bit: same two doubles, same mean.
+
+    Sibling surfaces: :func:`pandas_udf_scalar_hatch` is the vectorized
+    SCALAR extension point (this one is the grouped-AGGREGATE contract);
+    ``sql_udf_discount_bands`` is the pure-SQL function path.
     """
     harden_session(spark)
 
@@ -499,8 +503,89 @@ ORDER BY event_id, map_key
 """
 
 
+def pandas_udf_scalar_hatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's USER-FACING vectorized-scalar extension point,
+    contract-tested end to end: a custom saturation score
+    (``c·1e6 // (c + 50000)`` — a diminishing-returns engagement curve
+    no single built-in expresses) is registered once through the public
+    :func:`projet_meteo_etl_spark.functions.udf_hatch.register_vectorized_scalar`
+    API and then invoked through BOTH routes the hatch promises — the
+    returned Column callable and the SQL-registered function name —
+    with ``n_sql_route_equal == n_events`` certifying the two routes
+    agree row-for-row.  SURVEY §2.5 calls for exactly this surface
+    ("the engine should expose a ``pandas_udf`` escape hatch for
+    genuinely custom scalars"); the reference's own custom logic is
+    unregistered per-cell lambdas (``/root/reference/etl_meteo.py:53-59``).
+
+    Distinct from its two registered siblings (cross-referenced in
+    their docstrings): ``sql_udf_discount_bands`` is a pure-SQL (JVM,
+    codegen-able) function — the preferred path when expressible — and
+    ``pandas_udaf_user_median`` is the grouped-AGGREGATE pandas
+    contract.  This one is the vectorized SCALAR hatch.
+
+    Exactness: inputs are clamped to non-negative int64 cents
+    (``greatest(c, 0)``), so numpy's flooring ``//`` equals DuckDB's
+    truncating ``//`` and the score is integer-exact cross-engine.
+    Scale: pure Arrow-batched map work — no shuffle, no state; the
+    score pipelines into the one groupBy the report needs anyway.
+    """
+    harden_session(spark)
+
+    from projet_meteo_etl_spark.functions.udf_hatch import (
+        register_vectorized_scalar,
+    )
+
+    def sat_score(c: pd.Series) -> pd.Series:  # self-contained for the gate
+        import numpy as np
+        import pandas as pd
+
+        a = np.maximum(c.to_numpy("int64"), 0)
+        return pd.Series(a * 1_000_000 // (a + 50_000))
+
+    score = register_vectorized_scalar(
+        spark, "sat_score_ppm", sat_score, "long"
+    )
+    e = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    scored = e.select(
+        "event_type",
+        score(cents).alias("s"),
+        F.expr(
+            "sat_score_ppm(CAST(floor(value * 100.0 + 0.5) AS BIGINT))"
+        ).alias("s_sql"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("s").alias("sum_sat_ppm"),
+            F.max("s").alias("max_sat_ppm"),
+            F.sum((F.col("s") == F.col("s_sql")).cast("long")).alias(
+                "n_sql_route_equal"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+PANDAS_UDF_HATCH_SQL = """
+WITH s AS (
+  SELECT event_type,
+         greatest(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0) AS c
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(c * 1000000 // (c + 50000)) AS BIGINT) AS sum_sat_ppm,
+       CAST(max(c * 1000000 // (c + 50000)) AS BIGINT) AS max_sat_ppm,
+       CAST(count(*) AS BIGINT) AS n_sql_route_equal
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "pyds_ticks_station_stats": pyds_ticks_station_stats,
+    "pandas_udf_scalar_hatch": pandas_udf_scalar_hatch,
     "map_functions_showcase": map_functions_showcase,
     "udtf_token_run_lengths": udtf_token_run_lengths,
     "variant_props_extract": variant_props_extract,
@@ -511,6 +596,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "pyds_ticks_station_stats": PYDS_TICKS_SQL,
+    "pandas_udf_scalar_hatch": PANDAS_UDF_HATCH_SQL,
     "map_functions_showcase": MAP_SHOWCASE_SQL,
     "udtf_token_run_lengths": UDTF_TOKEN_RUNS_SQL,
     "variant_props_extract": VARIANT_PROPS_SQL,

@@ -145,6 +145,12 @@ def sql_udf_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     session catalog, inlined by Catalyst at plan time — the physical
     plan is pure codegen'd expressions, indistinguishable from writing
     the CASE inline, with no Python worker in the loop.
+
+    Sibling surfaces: this is the PREFERRED path when the logic is
+    SQL-expressible; ``plans.modern_api.pandas_udf_scalar_hatch`` is
+    the vectorized-Python scalar escape hatch for when it is not, and
+    ``plans.modern_api.pandas_udaf_user_median`` the grouped-aggregate
+    contract.
     """
     load_tables(spark, sf_dir, ("lineitem",))
     spark.sql(

@@ -3,6 +3,7 @@ partition planning), Python UDTF, and VARIANT extraction."""
 
 from __future__ import annotations
 
+import pandas as pd  # resolution target for pandas_udf type hints
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.plans import modern_api
@@ -138,3 +139,37 @@ def test_variant_extract_null_safety(spark):
     )
     got = df.select(k.alias("k")).collect()
     assert [r["k"] for r in got] == [5, None, None]
+
+
+def test_udf_hatch_both_routes_agree(spark):
+    """The escape hatch registers a scalar reachable from BOTH the
+    Column route (returned callable) and spark.sql — same values."""
+    from projet_meteo_etl_spark.functions.udf_hatch import (
+        register_vectorized_scalar,
+    )
+
+    def double_plus_one(s: pd.Series) -> pd.Series:
+        return s * 2 + 1
+
+    fn = register_vectorized_scalar(
+        spark, "t_double_plus_one", double_plus_one, "long"
+    )
+    df = spark.range(5)
+    col_route = [r[0] for r in df.select(fn("id")).collect()]
+    df.createOrReplaceTempView("t_hatch_in")
+    sql_route = [
+        r[0]
+        for r in spark.sql(
+            "SELECT t_double_plus_one(id) FROM t_hatch_in ORDER BY id"
+        ).collect()
+    ]
+    assert sorted(col_route) == sql_route == [1, 3, 5, 7, 9]
+
+
+def test_udf_hatch_query_internal_contract(spark):
+    """n_sql_route_equal == n_events in the registered query: the SQL
+    route and the Column route computed identical scores on every row."""
+    out = modern_api.pandas_udf_scalar_hatch(spark, SF_SMOKE).collect()
+    assert out, "expected at least one event_type"
+    for row in out:
+        assert row["n_sql_route_equal"] == row["n_events"]

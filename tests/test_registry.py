@@ -104,6 +104,7 @@ EXPECTED_QUERIES = {
     "pyds_ticks_station_stats", "udtf_token_run_lengths",
     "variant_props_extract", "cogroup_asof_purchase_click",
     "pandas_udaf_user_median", "arrow_vector_norms",
+    "pandas_udf_scalar_hatch",
     # ORC / XML sinks
     "sink_orc_roundtrip", "sink_xml_roundtrip",
     # SQL-text surface (plans/sql_surface.py)

@@ -335,6 +335,13 @@ def main() -> int:
                 "calibration_ece_summary": (
                     selection.calibration_ece_summary
                 ),
+                # round-8: the flagship linear ops promoted to the 100×
+                # probe tier (verdict item 3) — hash-groupBy exact dedup,
+                # banded-signature LSH, and the term-partitioned
+                # inverted-index BM25
+                "dedup_exact": dedup.dedup_exact,
+                "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+                "bm25_keyword_search": retrieval.bm25_keyword_search,
             }
         )
         timings = {}
