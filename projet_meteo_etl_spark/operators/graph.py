@@ -388,13 +388,186 @@ ORDER BY distance
 """
 
 
+#: HITS output size per side and the fixed synchronous round count
+HITS_TOP_N = 15
+
+
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS on the BIPARTITE click graph (users = hubs,
+    items = authorities, directed u→i edges — unlike
+    :func:`pagerank_click_graph`'s symmetrized walk): two synchronous
+    mutual-reinforcement rounds, L1-renormalized to integer units of
+    1e-12 after every propagation, reporting the top-``HITS_TOP_N``
+    of each side.
+
+    Exactness: hub/authority mass is integer end-to-end — propagation
+    is an integer sum over edges (order-independent), renormalization
+    is ``mass·SCALE DIV total`` with the multiply widened to
+    DECIMAL(38,0)/HUGEINT (raw mass alone approaches int64 at ~100×
+    users) — so Spark and DuckDB iterate bit-identically, same recipe
+    as PageRank's damped step.
+
+    Scale: each half-round is one join (edge list ⋈ |side| score rows)
+    plus a groupBy on the other side — the Pregel-as-joins layout; the
+    1-row L1 totals broadcast.  Round count fixed (2 full rounds ⇒
+    static DAG, no lineage growth).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    pairs = (
+        e.select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("long").alias("i"),
+        )
+        .filter(F.col("i").isNotNull())
+        .distinct()
+        .persist()  # four propagation joins consume the edge list
+    )
+
+    kept: list[DataFrame] = [pairs]
+
+    def _renorm(df: DataFrame, key: str, raw: str) -> DataFrame:
+        # persist the raw mass (consumed by its L1 total and the scaled
+        # select — unpersisted, the two-consumer pattern recomputes the
+        # whole upstream chain 2× per level: 2⁴ pairs scans by h2), then
+        # COLLECT the 1-row total — the sanctioned scalar-collect class
+        # (PageRank's |V| count) — so the scaled select is a literal
+        # expression fused into the next round's join stage instead of a
+        # per-round broadcast-join stage (4 fewer stages; the rounds are
+        # sequential either way)
+        df = df.persist()
+        kept.append(df)
+        t = df.agg(
+            F.sum(F.col(raw).cast("decimal(38,0)")).alias("t")
+        ).collect()[0][0]
+        return df.select(
+            key,
+            F.expr(
+                f"CAST(CAST({raw} AS DECIMAL(38,0)) * {SCALE}"
+                f" DIV CAST('{t}' AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("s"),
+        )
+
+    # h0 = SCALE for every user ⇒ a1_raw(i) = SCALE·indeg(i)
+    a1 = _renorm(
+        pairs.groupBy("i").agg(
+            (F.count(F.lit(1)) * F.lit(SCALE)).alias("raw")
+        ),
+        "i",
+        "raw",
+    )
+    h1 = _renorm(
+        pairs.join(a1, "i").groupBy("u").agg(F.sum("s").alias("raw")),
+        "u",
+        "raw",
+    )
+    a2 = _renorm(
+        pairs.join(h1, "u").groupBy("i").agg(F.sum("s").alias("raw")),
+        "i",
+        "raw",
+    )
+    h2 = _renorm(
+        pairs.join(a2, "i").groupBy("u").agg(F.sum("s").alias("raw")),
+        "u",
+        "raw",
+    )
+    both = a2.select(
+        F.lit("authority").alias("kind"),
+        F.concat(F.lit("i:"), F.col("i")).alias("node"),
+        F.col("s").alias("score_scaled"),
+    ).unionByName(
+        h2.select(
+            F.lit("hub").alias("kind"),
+            F.concat(F.lit("u:"), F.col("u")).alias("node"),
+            F.col("s").alias("score_scaled"),
+        )
+    )
+    from pyspark.sql import Window
+
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    w = Window.partitionBy("kind").orderBy(
+        F.desc("score_scaled"), F.asc("node")
+    )
+    out = (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HITS_TOP_N)
+        .select(
+            "kind",
+            "node",
+            "score_scaled",
+            pround(F.col("score_scaled") / F.lit(float(SCALE)), 9).alias(
+                "score"
+            ),
+        )
+        .orderBy("kind", F.desc("score_scaled"), F.asc("node"))
+    )
+    return scoped_cache(out, *kept)
+
+
+HITS_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, TRY_CAST(props->>'k' AS BIGINT) AS i
+  FROM events
+  WHERE event_type = 'click' AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+),
+a1r AS (SELECT i, count(*)::HUGEINT * {SCALE} AS raw FROM pairs GROUP BY i),
+a1 AS (
+  SELECT i, CAST(raw * {SCALE} // (SELECT sum(raw) FROM a1r) AS BIGINT) AS s
+  FROM a1r
+),
+h1r AS (
+  SELECT p.u, sum(a.s)::HUGEINT AS raw FROM pairs p JOIN a1 a USING (i)
+  GROUP BY p.u
+),
+h1 AS (
+  SELECT u, CAST(raw * {SCALE} // (SELECT sum(raw) FROM h1r) AS BIGINT) AS s
+  FROM h1r
+),
+a2r AS (
+  SELECT p.i, sum(h.s)::HUGEINT AS raw FROM pairs p JOIN h1 h USING (u)
+  GROUP BY p.i
+),
+a2 AS (
+  SELECT i, CAST(raw * {SCALE} // (SELECT sum(raw) FROM a2r) AS BIGINT) AS s
+  FROM a2r
+),
+h2r AS (
+  SELECT p.u, sum(a.s)::HUGEINT AS raw FROM pairs p JOIN a2 a USING (i)
+  GROUP BY p.u
+),
+h2 AS (
+  SELECT u, CAST(raw * {SCALE} // (SELECT sum(raw) FROM h2r) AS BIGINT) AS s
+  FROM h2r
+),
+sides AS (
+  SELECT 'authority' AS kind, 'i:' || i AS node, s AS score_scaled FROM a2
+  UNION ALL
+  SELECT 'hub', 'u:' || u, s FROM h2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY kind
+             ORDER BY score_scaled DESC, node ASC) AS rn
+  FROM sides
+)
+SELECT kind, node, score_scaled,
+       floor((score_scaled * 1.0 / {SCALE}.0) * 1000000000.0 + 0.5)
+         / 1000000000.0 AS score
+FROM ranked WHERE rn <= {HITS_TOP_N}
+ORDER BY kind, score_scaled DESC, node ASC
+"""
+
+
 SPARK_QUERIES = {
     "pagerank_click_graph": pagerank_click_graph,
     "label_propagation_communities": label_propagation_communities,
     "click_graph_bfs_reach": click_graph_bfs_reach,
+    "hits_hub_authority": hits_hub_authority,
 }
 ORACLE_SQL = {
     "pagerank_click_graph": PAGERANK_SQL,
     "label_propagation_communities": LPA_SQL,
     "click_graph_bfs_reach": BFS_REACH_SQL,
+    "hits_hub_authority": HITS_SQL,
 }

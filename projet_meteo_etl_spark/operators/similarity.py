@@ -1592,8 +1592,143 @@ ORDER BY query_id, rank
 """
 
 
+#: JL probe shape: anchor count (pairs = n(n−1)/2) and target dims
+JL_ANCHORS = 20
+JL_K = 16
+
+
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distance-preservation audit: project the
+    anchor embeddings from ``DIM``=64 to ``JL_K``=16 dims with a
+    deterministic ±1 sign matrix (md5-parity of ``"d:j"`` — the same
+    hash both engines own), then report per anchor-pair the ratio of
+    the projected squared distance to its expectation
+    (``q2·(DIM/JL_K)/d2`` in ppm).  This is the measurement a team runs
+    before adopting a random-projection index tier (cheaper ANN, LSH
+    seeding, PQ pre-rotation): how much pairwise geometry does the
+    sketch keep?
+
+    Exactness: component deltas are quantized to integer micro-units
+    FIRST (``floor((a−b)·1e6 + 0.5)`` on exactly-widened float32→double
+    values), so every projection / distance sum is an order-independent
+    integer sum; the one ratio is a widened integer DIV.  Scale: the
+    anchor set is fixed (190 pairs — broadcast), the sign matrix is
+    DIM×JL_K=1024 literal-generated rows (broadcast); the same plan
+    over a corpus-wide audit replaces the anchor cross join with an
+    LSH-candidate pair list, the per-pair work unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < JL_ANCHORS
+    )
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = F.broadcast(a).join(
+        F.broadcast(b), F.col("va") < F.col("vb")
+    )
+    wexp = pairs.select(
+        "va",
+        "vb",
+        F.posexplode(
+            F.zip_with(
+                "ea",
+                "eb",
+                lambda x, y: F.floor(
+                    (x.cast("double") - y.cast("double")) * 1_000_000.0
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+        ).alias("d", "w"),
+    ).persist()  # two consumers: the projection and the exact distance
+    signs = (
+        spark.range(DIM)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(JL_K).select(F.col("id").alias("j")))
+        .select(
+            "d",
+            "j",
+            F.expr(
+                "CASE WHEN ascii(substr(md5(concat(CAST(d AS STRING),"
+                " ':', CAST(j AS STRING))), 1, 1)) % 2 = 0"
+                " THEN 1 ELSE -1 END"
+            ).alias("s"),
+        )
+    )
+    proj = (
+        wexp.join(F.broadcast(signs), "d")
+        .groupBy("va", "vb", "j")
+        .agg(F.sum(F.col("s") * F.col("w")).alias("pj"))
+    )
+    q2 = proj.groupBy("va", "vb").agg(
+        F.sum(F.col("pj") * F.col("pj")).alias("q2")
+    )
+    d2 = wexp.groupBy("va", "vb").agg(
+        F.sum(F.col("w") * F.col("w")).alias("d2")
+    )
+    out = (
+        q2.join(d2, ["va", "vb"])
+        .select(
+            "va",
+            "vb",
+            "d2",
+            "q2",
+            F.expr(
+                "CAST(CASE WHEN d2 = 0 THEN 1000000"
+                f" ELSE CAST(q2 AS DECIMAL(38,0)) * {DIM // JL_K} * 1000000"
+                " DIV d2 END AS BIGINT)"
+            ).alias("distortion_ppm"),
+        )
+        .orderBy("va", "vb")
+    )
+    return scoped_cache(out, wexp)
+
+
+JL_DISTORTION_SQL = f"""
+WITH anch AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {JL_ANCHORS}
+),
+pairs AS (
+  SELECT a1.vec_id AS va, a2.vec_id AS vb,
+         a1.embedding AS ea, a2.embedding AS eb
+  FROM anch a1 JOIN anch a2 ON a1.vec_id < a2.vec_id
+),
+wexp AS (
+  SELECT va, vb, g.d - 1 AS d,
+         CAST(floor((CAST(ea[g.d] AS DOUBLE) - CAST(eb[g.d] AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS w
+  FROM pairs, generate_series(1, {DIM}) AS g(d)
+),
+signs AS (
+  SELECT dd.d, jj.j,
+         CASE WHEN ascii(substr(md5(dd.d || ':' || jj.j), 1, 1)) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, {DIM - 1}) dd(d),
+       generate_series(0, {JL_K - 1}) jj(j)
+),
+proj AS (
+  SELECT w.va, w.vb, s.j, CAST(sum(s.s * w.w) AS BIGINT) AS pj
+  FROM wexp w JOIN signs s USING (d)
+  GROUP BY 1, 2, 3
+),
+q2t AS (
+  SELECT va, vb, CAST(sum(pj * pj) AS BIGINT) AS q2
+  FROM proj GROUP BY 1, 2
+),
+d2t AS (
+  SELECT va, vb, CAST(sum(w * w) AS BIGINT) AS d2
+  FROM wexp GROUP BY 1, 2
+)
+SELECT va, vb, d2, q2,
+       CAST(CASE WHEN d2 = 0 THEN 1000000
+            ELSE q2::HUGEINT * {DIM // JL_K} * 1000000 // d2
+            END AS BIGINT) AS distortion_ppm
+FROM q2t JOIN d2t USING (va, vb)
+ORDER BY va, vb
+"""
+
+
 SPARK_QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "jl_projection_distortion": jl_projection_distortion,
     "triplet_margin_mining": triplet_margin_mining,
     "knn_label_accuracy": knn_label_accuracy,
     "mmr_diversified_topk": mmr_diversified_topk,
@@ -1609,6 +1744,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "jl_projection_distortion": JL_DISTORTION_SQL,
     "triplet_margin_mining": TRIPLET_SQL,
     "knn_label_accuracy": KNN_ACCURACY_SQL,
     "mmr_diversified_topk": MMR_SQL,

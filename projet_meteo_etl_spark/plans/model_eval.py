@@ -276,6 +276,141 @@ LIMIT 1
 """
 
 
+def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney rank-sum TEST (purchase vs click cent
+    values): the tie-corrected normal-approximation statistic, emitted
+    transcendental-free as the signed squared z in micro-units (the
+    Spearman/Kendall/ANOVA convention).
+
+    Sibling cross-reference: :func:`auc_roc_eval` computes the SAME U
+    statistic's ratio form (AUC = U/(n₁n₂)) as a ranking-quality
+    metric; this query is the SIGNIFICANCE side — midrank U, the
+    Σ(t³−t) tie correction, and z² against the null — which AUC does
+    not report.  Kept separate the way a stats library separates
+    `roc_auc_score` from `mannwhitneyu`.
+
+    Exact integer pipeline: doubled midranks (a tie group occupying
+    ranks [lo,hi] has midrank·2 = lo+hi = 2·cum−t+1, always an
+    integer), doubled U, and a FIXED evaluation order for the report
+    (q1 = d² DIV n₁n₂ first, then the tie-corrected scale) so both
+    engines truncate identically — d² alone exceeds BIGINT at ~100×
+    corpus, hence the DECIMAL(38,0)/HUGEINT widening before the
+    multiply.  One unpartitioned prefix window, over the per-cents
+    value-domain rollup (same bounded class as ``ks_value_drift``).
+    """
+    base = _cents_events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    per = base.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("cx"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("cy"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "cx",
+        "cy",
+        (F.col("cx") + F.col("cy")).alias("t"),
+        F.sum(F.col("cx") + F.col("cy")).over(w).alias("cum_all"),
+    )
+    agg = cum.agg(
+        F.sum("cx").cast("long").alias("n_x"),
+        F.sum("cy").cast("long").alias("n_y"),
+        # Σ over X of doubled midranks: midrank2 = 2·cum − t + 1
+        F.sum(
+            F.col("cx")
+            * (F.lit(2) * F.col("cum_all") - F.col("t") + F.lit(1))
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie3"),
+    )
+    # d = U2x − n_x·n_y (doubled distance from the null mean); the
+    # report's operation order is FIXED — q1 = d² DIV (n_x·n_y) first,
+    # then the tie-corrected scale — so both engines truncate alike
+    staged = agg.select(
+        "n_x",
+        "n_y",
+        "tie3",
+        F.expr(
+            "s2 - CAST(n_x AS DECIMAL(38,0)) * (n_x + 1)"
+        ).alias("u2x"),
+        F.expr(
+            "s2 - CAST(n_x AS DECIMAL(38,0)) * (n_x + 1)"
+            " - CAST(n_x AS DECIMAL(38,0)) * n_y"
+        ).alias("d"),
+        F.expr("CAST(n_x AS DECIMAL(38,0)) + n_y").alias("n"),
+    )
+    return staged.select(
+        "n_x",
+        "n_y",
+        F.col("u2x").cast("long").alias("u2_x"),
+        F.col("tie3").cast("long").alias("tie_cubed_sum"),
+        F.expr(
+            "CAST(CASE WHEN n_x = 0 OR n_y = 0"
+            "           OR (n + 1) * n * (n - 1) - tie3 = 0 THEN 0"
+            " ELSE (CASE WHEN d < 0 THEN -1 ELSE 1 END)"
+            "      * ((3 * ((d * d) DIV (CAST(n_x AS DECIMAL(38,0)) * n_y))"
+            "          * 1000000 * n * (n - 1))"
+            "         DIV ((n + 1) * n * (n - 1) - tie3))"
+            " END AS BIGINT)"
+        ).alias("z_sq_signed_ppm"),
+    )
+
+
+MANN_WHITNEY_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+per AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cx,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cy
+  FROM base GROUP BY 1
+),
+cum AS (
+  SELECT cx, cy, cx + cy AS t,
+         sum(cx + cy) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+  FROM per
+),
+agg AS (
+  SELECT CAST(sum(cx) AS BIGINT) AS n_x,
+         CAST(sum(cy) AS BIGINT) AS n_y,
+         CAST(sum(cx * (2 * cum_all - t + 1)) AS HUGEINT) AS s2,
+         CAST(sum(t::HUGEINT * t * t - t) AS HUGEINT) AS tie3
+  FROM cum
+),
+st AS (
+  SELECT n_x, n_y, tie3,
+         s2 - n_x::HUGEINT * (n_x + 1) AS u2x,
+         s2 - n_x::HUGEINT * (n_x + 1) - n_x::HUGEINT * n_y AS d,
+         n_x::HUGEINT + n_y AS n
+  FROM agg
+)
+SELECT n_x, n_y,
+       CAST(u2x AS BIGINT) AS u2_x,
+       CAST(tie3 AS BIGINT) AS tie_cubed_sum,
+       CAST(CASE WHEN n_x = 0 OR n_y = 0
+                  OR (n + 1) * n * (n - 1) - tie3 = 0 THEN 0
+            ELSE (CASE WHEN d < 0 THEN -1 ELSE 1 END)
+                 * ((3 * ((d * d) // (n_x::HUGEINT * n_y))
+                     * 1000000 * n * (n - 1))
+                    // ((n + 1) * n * (n - 1) - tie3))
+            END AS BIGINT) AS z_sq_signed_ppm
+FROM st
+"""
+
+
 def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact one-way ANOVA of cent value across the event types — the
     "does the grouping explain the metric at all?" gate run before any
@@ -1499,6 +1634,7 @@ SPARK_QUERIES = {
     "pr_curve_points": pr_curve_points,
     "auc_roc_eval": auc_roc_eval,
     "ks_value_drift": ks_value_drift,
+    "mann_whitney_value_shift": mann_whitney_value_shift,
     "anova_value_by_type": anova_value_by_type,
     "kaplan_meier_first_purchase": kaplan_meier_first_purchase,
     "spearman_daily_rev_clicks": spearman_daily_rev_clicks,
@@ -1513,6 +1649,7 @@ ORACLE_SQL = {
     "pr_curve_points": PR_CURVE_SQL,
     "auc_roc_eval": AUC_ROC_SQL,
     "ks_value_drift": KS_VALUE_DRIFT_SQL,
+    "mann_whitney_value_shift": MANN_WHITNEY_SQL,
     "anova_value_by_type": ANOVA_SQL,
     "kaplan_meier_first_purchase": KM_SQL,
     "spearman_daily_rev_clicks": SPEARMAN_SQL,

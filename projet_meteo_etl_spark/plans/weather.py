@@ -25,6 +25,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from projet_meteo_etl_spark.functions.portable import pround
+
 
 def _fixtures() -> dict:
     from projet_meteo_etl_spark.sources.weather_fixtures import (
@@ -124,9 +126,87 @@ def weather_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_report_df(unified, WEATHER_EXPECTATIONS).orderBy("check")
 
 
+def weather_station_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-station climate summary over the unified table — the
+    report a consumer of the reference's MongoDB collection would run
+    next (the reference itself stops at global min/max dates,
+    ``/root/reference/etl_meteo.py:127-129``): observation count,
+    temperature min/max, mean pressure, rain total per (station, day).
+
+    Exactness: min/max on doubles are comparison-only (safe); the two
+    SUMS run in integer centi-units so partial-aggregation merge order
+    cannot flip a rounding boundary.  The oracle recomputes from the
+    independently-staged ground-truth parquet, so this also extends the
+    pipeline-vs-ground-truth contract to per-day granularity.
+    """
+    u = weather_etl_unified(spark, sf_dir)
+    press_c = F.expr("CAST(floor(pression_hpa * 100.0 + 0.5) AS BIGINT)")
+    rain_c = F.expr("CAST(floor(pluie_accum_mm * 100.0 + 0.5) AS BIGINT)")
+    return (
+        u.groupBy(
+            "id_station", F.to_date("date_heure_utc").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.min("temperature_c").alias("temp_min"),
+            F.max("temperature_c").alias("temp_max"),
+            pround(
+                F.sum(press_c) / F.lit(100.0) / F.count("pression_hpa"), 4
+            ).alias("press_avg"),
+            (F.sum(rain_c) / F.lit(100.0)).alias("rain_total_mm"),
+        )
+        .orderBy("id_station", "day")
+    )
+
+
+def weather_anomaly_rate_by_station(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-station physical-plausibility anomaly rate — the reference's
+    EP3 audit (``/root/reference/quality_audit.py:42-69``: 4 range
+    scans + a global ``anomalies/total×100``) generalized to the
+    grouping a station operator needs and FUSED into one scan (the
+    reference issues one collection scan per field).  Rate is exact
+    integer ppm (``violations·1e6 DIV total``); the four range
+    constraints are the reference's own (temp [-50,50] °C, humidity
+    [0,100] %, pressure [800,1100] hPa, wind [0,50] m/s,
+    ``quality_audit.py:11-16``).
+    """
+    u = weather_etl_unified(spark, sf_dir)
+
+    def oor(col: str, lo: float, hi: float):
+        return F.sum(
+            F.when(
+                (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi)), 1
+            ).otherwise(0)
+        ).cast("long")
+
+    per = u.groupBy("id_station").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        oor("temperature_c", -50.0, 50.0).alias("oor_temp"),
+        oor("humidite_pct", 0.0, 100.0).alias("oor_hum"),
+        oor("pression_hpa", 800.0, 1100.0).alias("oor_press"),
+        oor("vent_vitesse_ms", 0.0, 50.0).alias("oor_wind"),
+    )
+    return per.select(
+        "id_station",
+        "n_obs",
+        "oor_temp",
+        "oor_hum",
+        "oor_press",
+        "oor_wind",
+        F.expr(
+            "CAST((oor_temp + oor_hum + oor_press + oor_wind) * 1000000"
+            " DIV (4 * n_obs) AS BIGINT)"
+        ).alias("anomaly_rate_ppm"),
+    ).orderBy("id_station")
+
+
 SPARK_QUERIES = {
     "weather_etl_unified": weather_etl_unified,
     "weather_quality_report": weather_quality_report,
+    "weather_station_daily_rollup": weather_station_daily_rollup,
+    "weather_anomaly_rate_by_station": weather_anomaly_rate_by_station,
 }
 
 WEATHER_UNIFIED_SQL = f"""
@@ -191,7 +271,44 @@ SELECT * FROM (
 ORDER BY "check"
 """
 
+WEATHER_DAILY_SQL = f"""
+WITH u AS (SELECT * FROM read_parquet('{_EXPECTED_PARQUET}'))
+SELECT id_station, CAST(date_heure_utc AS DATE) AS day,
+       count(*) AS n_obs,
+       min(temperature_c) AS temp_min,
+       max(temperature_c) AS temp_max,
+       floor((sum(CAST(floor(pression_hpa * 100.0 + 0.5) AS BIGINT))
+              / 100.0 / count(pression_hpa)) * 10000.0 + 0.5) / 10000.0
+         AS press_avg,
+       sum(CAST(floor(pluie_accum_mm * 100.0 + 0.5) AS BIGINT)) / 100.0
+         AS rain_total_mm
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+WEATHER_ANOMALY_SQL = f"""
+WITH u AS (SELECT * FROM read_parquet('{_EXPECTED_PARQUET}')),
+per AS (
+  SELECT id_station,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(CASE WHEN temperature_c < -50.0 OR temperature_c > 50.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS oor_temp,
+         CAST(sum(CASE WHEN humidite_pct < 0.0 OR humidite_pct > 100.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS oor_hum,
+         CAST(sum(CASE WHEN pression_hpa < 800.0 OR pression_hpa > 1100.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS oor_press,
+         CAST(sum(CASE WHEN vent_vitesse_ms < 0.0 OR vent_vitesse_ms > 50.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS oor_wind
+  FROM u GROUP BY 1
+)
+SELECT id_station, n_obs, oor_temp, oor_hum, oor_press, oor_wind,
+       CAST((oor_temp + oor_hum + oor_press + oor_wind) * 1000000
+            // (4 * n_obs) AS BIGINT) AS anomaly_rate_ppm
+FROM per ORDER BY id_station
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "weather_etl_unified": WEATHER_UNIFIED_SQL,
     "weather_quality_report": WEATHER_QUALITY_SQL,
+    "weather_station_daily_rollup": WEATHER_DAILY_SQL,
+    "weather_anomaly_rate_by_station": WEATHER_ANOMALY_SQL,
 }

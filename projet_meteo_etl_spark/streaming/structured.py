@@ -1788,8 +1788,101 @@ def stream_cusum_revenue_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_fold(daily)
 
 
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` keyed UPSERT — the sink surface none of the
+    other 21 streams exercise: each micro-batch MERGEs its rows into a
+    keyed parquet table (last-write-wins per ``user_id`` on the
+    (ts, event_id) order), the pattern production pipelines use to
+    maintain a serving table from a stream when the sink has no native
+    merge (plain parquet here; with Delta/Iceberg the body becomes
+    ``MERGE INTO`` — see the README's lakehouse environment gate).
+
+    Each generation directory is written by the executors; only the
+    current-generation POINTER lives on the driver, so state scales as
+    |keys| in the table, never with stream length.  Last-write-wins on
+    a total order key makes the final table independent of micro-batch
+    slicing (2 files/trigger, audited class).  Oracle: the batch
+    argmax — each user's latest purchase.
+    """
+    import shutil
+    import tempfile
+
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).filter(
+        F.col("event_type") == "purchase"
+    )
+    rows = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias(
+            "last_cents"
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_upsert_")
+    current: list[str] = []  # generation pointer (driver-side only)
+
+    from pyspark.sql import Window
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # runs on the DRIVER once per micro-batch; the heavy work
+        # (dedup window, parquet write) executes on the cluster
+        s = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        merged = batch_df
+        if current:
+            merged = merged.unionByName(s.read.parquet(current[0]))
+        gen = os.path.join(root, f"gen_{batch_id}")
+        (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .write.mode("overwrite")
+            .parquet(gen)
+        )
+        prev = current[0] if current else None
+        current.clear()
+        current.append(gen)
+        if prev:
+            shutil.rmtree(prev, ignore_errors=True)
+
+    old = _pin_stream_confs(spark, None)
+    try:
+        q = (
+            rows.writeStream.foreachBatch(upsert)
+            .option(
+                "checkpointLocation", os.path.join(root, "chk")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _restore_stream_confs(spark, old)
+    if not current:  # no purchases at all → empty BATCH frame
+        final = spark.createDataFrame([], schema=rows.schema)
+        return _scoped_rmtree(final, root)
+    final = spark.read.parquet(current[0]).orderBy("user_id")
+    return _scoped_rmtree(final, root)
+
+
+FOREACHBATCH_UPSERT_SQL = """
+SELECT user_id, ts, event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+         AS last_cents
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 SPARK_QUERIES = {
     "stream_cusum_revenue_alert": stream_cusum_revenue_alert,
+    "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_tumbling_counts_update": stream_tumbling_counts_update,
     "stream_backfill_seam": stream_backfill_seam,
@@ -1820,6 +1913,7 @@ ORACLE_SQL = {
     # streaming twin shares the batch recursion oracle — physical
     # strategy differs, answers must not
     "stream_cusum_revenue_alert": _CUSUM_SQL,
+    "stream_foreachbatch_upsert": FOREACHBATCH_UPSERT_SQL,
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_tumbling_counts_update": STREAM_TUMBLING_SQL,
     # the seam must reproduce the WHOLE-log aggregate exactly

@@ -435,6 +435,59 @@ ORDER BY event_type, epoch_day
 """
 
 
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour, day, AND week
+    rollups of the event stream in ONE shuffle via GROUPING SETS — the
+    TimescaleDB/Druid multi-grain materialization pattern, where each
+    coarser grain would otherwise be a separate scan (here the single
+    Expand feeds one hash aggregation; at 100 TB this is 1 pass over
+    the fact table instead of 3).
+
+    ``date_trunc('week')`` is Monday-anchored in both engines; sums are
+    exact integer cents.  Sibling: ``grouping_sets_revenue`` shows the
+    same operator over categorical dimensions — this is the TIME-grain
+    instance an events pipeline actually materializes.
+    """
+    from projet_meteo_etl_spark.catalog import unique_view
+
+    view = unique_view("events_mg")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        SELECT CASE WHEN grouping(date_trunc('hour', ts)) = 0 THEN 'hour'
+                    WHEN grouping(date_trunc('day', ts)) = 0 THEN 'day'
+                    ELSE 'week' END AS grain,
+               coalesce(date_trunc('hour', ts), date_trunc('day', ts),
+                        date_trunc('week', ts)) AS bucket_start,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 100.0D + 0.5D) AS BIGINT)) / 100.0D
+                 AS sum_value
+        FROM {view}
+        GROUP BY GROUPING SETS ((date_trunc('hour', ts)),
+                                (date_trunc('day', ts)),
+                                (date_trunc('week', ts)))
+        ORDER BY grain, bucket_start
+        """
+    )
+    spark.catalog.dropTempView(view)
+    return out
+
+
+EVENTS_MULTI_GRAIN_SQL = """
+SELECT CASE WHEN grouping(date_trunc('hour', ts)) = 0 THEN 'hour'
+            WHEN grouping(date_trunc('day', ts)) = 0 THEN 'day'
+            ELSE 'week' END AS grain,
+       coalesce(date_trunc('hour', ts), date_trunc('day', ts),
+                date_trunc('week', ts)) AS bucket_start,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('hour', ts)), (date_trunc('day', ts)),
+                        (date_trunc('week', ts)))
+ORDER BY grain, bucket_start
+"""
+
+
 SPARK_QUERIES = {
     "events_json_typed_extract": events_json_typed_extract,
     "events_dau_wau": events_dau_wau,
@@ -445,6 +498,7 @@ SPARK_QUERIES = {
     "events_session_windows": events_session_windows,
     "events_json_props": events_json_props,
     "events_late_data_filter": events_late_data_filter,
+    "events_multi_grain_rollup": events_multi_grain_rollup,
 }
 
 ORACLE_SQL = {
@@ -457,4 +511,5 @@ ORACLE_SQL = {
     "events_session_windows": EVENTS_SESSION_SQL,
     "events_json_props": EVENTS_JSON_PROPS_SQL,
     "events_late_data_filter": EVENTS_LATE_SQL,
+    "events_multi_grain_rollup": EVENTS_MULTI_GRAIN_SQL,
 }

@@ -31,6 +31,7 @@ EXPECTED_QUERIES = {
     "sql_interface_q1",
     # weather (reference surface)
     "weather_etl_unified", "weather_quality_report",
+    "weather_station_daily_rollup", "weather_anomaly_rate_by_station",
     # temporal + timeseries
     "asof_purchase_before_click", "range_join_clicks_after_purchase",
     "pit_training_set_assembly", "cold_start_coverage",
@@ -58,6 +59,7 @@ EXPECTED_QUERIES = {
     "approx_user_stats", "hll_sketch_mergeability",
     # similarity
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+    "jl_projection_distortion",
     "triplet_margin_mining", "knn_label_accuracy", "mmr_diversified_topk",
     "embedding_label_centroids",
     # text
@@ -92,6 +94,7 @@ EXPECTED_QUERIES = {
     "events_tumbling_counts", "events_sliding_avg", "events_session_windows",
     "events_json_typed_extract",
     "events_json_props", "events_late_data_filter",
+    "events_multi_grain_rollup",
     # structured streaming
     "stream_tumbling_counts", "stream_tumbling_counts_update",
     "stream_backfill_seam",
@@ -150,12 +153,14 @@ EXPECTED_QUERIES = {
     "robust_scaler_params", "time_series_cv_folds",
     "feature_hash_collision_audit", "multimodal_payload_near_dup",
     # round-5 batch 7: rank-exact model eval / spectral probe / Holt
-    "auc_roc_eval", "ks_value_drift", "pca_power_component",
+    "auc_roc_eval", "ks_value_drift", "mann_whitney_value_shift",
+    "pca_power_component",
     "pr_curve_points",
     "holt_linear_forecast",
     "cusum_revenue_drift",
     "markov_attribution_removal",
     "stream_cusum_revenue_alert",
+    "stream_foreachbatch_upsert",
     # round-5 batch 8: LPA communities + streaming heavy hitters
     "label_propagation_communities", "stream_sliding_topk_items",
     # round-5 batch 9: exact ANOVA + Kaplan-Meier survival
@@ -175,6 +180,7 @@ EXPECTED_QUERIES = {
     "item_ktruss_edges", "customer_rfm_segments",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
+    "hits_hub_authority",
     "click_graph_bfs_reach",
     "kmeans_embedding_clusters",
     "semdedup_prune",
