@@ -228,6 +228,107 @@ ORDER BY doc_id, run_start
 """
 
 
+def udtf_partitioned_session_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Python UDTF with a **TABLE argument** (``PARTITION BY … ORDER
+    BY``) — the Spark-4 polymorphic-table-function surface
+    :func:`udtf_token_run_lengths` (scalar-arg LATERAL) does not touch:
+    the engine hands each UDTF instance ONE user's rows in event order,
+    ``eval`` consumes them imperatively, ``terminate`` emits the
+    per-partition summary.  This is the API for per-group sequential
+    logic that has no window-function form; here it recomputes 30-min
+    sessionization (deliberately — the built-in twins
+    ``events_session_windows`` / ``session_duration_percentiles`` pin
+    the semantics, so the oracle is known-good and what's under test is
+    the partitioned-UDTF contract itself).
+
+    Scale: partitions stream through instances one group at a time —
+    state is O(1) per instance (prev-ts + counters), work is one linear
+    scan per user, parallelism is |users| like any keyed shuffle.
+    """
+    harden_session(spark)
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "user_id: long, n_sessions: long,"
+            " longest_session_events: long, total_events: long"
+        )
+    )
+    class SessionStats:  # self-contained for the gate
+        def __init__(self) -> None:
+            self.user = None
+            self.prev = None
+            self.cur = 0
+            self.longest = 0
+            self.sessions = 0
+            self.total = 0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.total += 1
+            if self.prev is None or row["tus"] - self.prev > 1_800_000_000:
+                self.sessions += 1
+                self.longest = max(self.longest, self.cur)
+                self.cur = 0
+            self.cur += 1
+            self.prev = row["tus"]
+
+        def terminate(self):
+            if self.user is not None:
+                yield (
+                    self.user,
+                    self.sessions,
+                    max(self.longest, self.cur),
+                    self.total,
+                )
+
+    spark.udtf.register("session_stats_udtf", SessionStats)
+    view = unique_view("events_udtf_v")
+    load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_micros(ts) AS tus", "event_id"
+    ).createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        SELECT user_id, n_sessions, longest_session_events, total_events
+        FROM session_stats_udtf(
+            TABLE({view}) PARTITION BY user_id ORDER BY (tus, event_id))
+        ORDER BY user_id
+        """
+    )
+    spark.catalog.dropTempView(view)
+    return out
+
+
+UDTF_SESSION_STATS_SQL = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+numbered AS (
+  SELECT user_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sid, count(*) AS n FROM numbered GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS longest_session_events,
+       CAST(sum(n) AS BIGINT) AS total_events
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
 def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed extraction from semi-structured event properties via the
     VARIANT type: ``parse_json`` once, ``try_variant_get`` per path.
@@ -586,6 +687,7 @@ FROM s GROUP BY event_type ORDER BY event_type
 SPARK_QUERIES = {
     "pyds_ticks_station_stats": pyds_ticks_station_stats,
     "pandas_udf_scalar_hatch": pandas_udf_scalar_hatch,
+    "udtf_partitioned_session_stats": udtf_partitioned_session_stats,
     "map_functions_showcase": map_functions_showcase,
     "udtf_token_run_lengths": udtf_token_run_lengths,
     "variant_props_extract": variant_props_extract,
@@ -597,6 +699,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "pyds_ticks_station_stats": PYDS_TICKS_SQL,
     "pandas_udf_scalar_hatch": PANDAS_UDF_HATCH_SQL,
+    "udtf_partitioned_session_stats": UDTF_SESSION_STATS_SQL,
     "map_functions_showcase": MAP_SHOWCASE_SQL,
     "udtf_token_run_lengths": UDTF_TOKEN_RUNS_SQL,
     "variant_props_extract": VARIANT_PROPS_SQL,

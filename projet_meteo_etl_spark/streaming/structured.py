@@ -1880,9 +1880,239 @@ ORDER BY user_id
 """
 
 
+def stream_session_custom_timeout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom sessionization in explicit GroupState with
+    **EventTimeTimeout** — the state-expiry callback surface no other
+    stream exercises (the ``applyInPandasWithState`` twins all run
+    ``NoTimeout``; :func:`stream_session_windows` uses the built-in
+    ``session_window``): per-user open-session state, 30-min gap rule
+    applied imperatively per batch, and ``setTimeoutTimestamp(last +
+    30 min)`` so the WATERMARK — not a data row — closes a session
+    whose user went quiet.  ``state.hasTimedOut`` branches emit those.
+
+    Emission-set invariance at any batching (the audited 2-files class):
+    a same-session event (gap ≤ 30 min) always finds its state alive —
+    on the (ts, event_id)-ordered source the watermark lags every
+    processed row by the 10-min delay, so wm ≤ ts−10min < last+30min —
+    and once a timeout HAS fired, wm ≥ last+30min means every later
+    event is a new session by the gap rule anyway: eviction implies
+    session-break, the same invariant that makes the chained dedup
+    exact.  The far-future heartbeat flushes the final open sessions;
+    the heartbeat's own session never times out (wm stops 10 min short
+    of it) and is additionally dropped by the sink-side user filter.
+    Oracle: the SAME gaps-and-islands SQL as the built-in twin.
+    """
+    import pandas as pd
+
+    from projet_meteo_etl_spark.catalog import harden_session
+
+    harden_session(spark)
+    ts_is_long = _ts_is_long(sf_dir)
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_is_long))
+        .option("maxFilesPerTrigger", 2)
+        .parquet(_staged_events_dir_with_heartbeat(sf_dir))
+    )
+    e = (
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_is_long
+        else raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    e = e.withWatermark("ts", "10 minutes").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+    out_schema = (
+        "user_id bigint, start_us bigint, n_events bigint, cents bigint"
+    )
+    state_schema = "start_us long, last_us long, n long, cents long"
+    GAP_US = 1_800_000_000
+
+    def sessionize(key, pdf_iter, state):
+        import pandas as pd
+
+        uid = key[0]
+        closed = []
+        if state.hasTimedOut:
+            s0, l0, n0, c0 = state.get
+            closed.append((uid, s0, n0, c0))
+            state.remove()
+        else:
+            chunks = [p for p in pdf_iter if len(p)]
+            if chunks:
+                pdf = (
+                    chunks[0]
+                    if len(chunks) == 1
+                    else pd.concat(chunks, ignore_index=True)
+                ).sort_values(["tus", "event_id"])
+                if state.exists:
+                    s0, l0, n0, c0 = state.get
+                else:
+                    s0 = None
+                for tus, cents in zip(pdf["tus"], pdf["cents"]):
+                    tus, cents = int(tus), int(cents)
+                    if s0 is None:
+                        s0, l0, n0, c0 = tus, tus, 1, cents
+                    elif tus - l0 > 1_800_000_000:
+                        closed.append((uid, s0, n0, c0))
+                        s0, l0, n0, c0 = tus, tus, 1, cents
+                    else:
+                        l0, n0, c0 = tus, n0 + 1, c0 + cents
+                state.update((s0, l0, n0, c0))
+                # the watermark, not a row, will close a quiet session
+                state.setTimeoutTimestamp(l0 // 1000 + 1_800_000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "start_us", "n_events", "cents"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sessions = e.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    sink = _run_to_memory(
+        sessions, "append", partitions=GROUP_STATE_PARTITIONS
+    )
+    return (
+        sink.filter(F.col("user_id") >= 0)  # drop the heartbeat session
+        .select(
+            "user_id",
+            F.timestamp_micros("start_us").alias("session_start"),
+            "n_events",
+            (F.col("cents") / F.lit(100.0)).alias("session_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def stream_rocksdb_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`stream_user_running_totals` with the state store PINNED to
+    the RocksDB provider for the query's lifetime — the spill-to-disk
+    backend a 100 TB deployment runs on (per-key state no longer bound
+    by executor heap).  Until now RocksDB was only reachable via the
+    ``SPARK_GRAFT_STREAM_STATE`` env switch, i.e. never exercised by the
+    driver gate; this registers the provider swap as a contract: same
+    oracle, bit-identical totals — results must be provider-independent.
+    The conf is bound at stream start (the inner call drives the stream
+    to completion), then restored.
+    """
+    old = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    try:
+        return stream_user_running_totals(spark, sf_dir)
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, old)
+
+
+def stream_checkpoint_restart_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once across a query RESTART — the checkpoint-recovery
+    contract no other stream exercises: phase 1 runs an ``availableNow``
+    hourly rollup over the first two staged files and STOPS; two more
+    files then arrive; phase 2 restarts from the SAME checkpoint over
+    the same directory.  The file source's seen-files log resumes at
+    the recorded offset, so phase-1 rows are never reprocessed — if
+    they were, the complete-mode aggregate would double-count and the
+    hash (the same whole-log oracle as :func:`stream_tumbling_counts`)
+    would catch it.  This is the crash/upgrade/redeploy path every
+    production stream lives on.
+
+    Aggregation state is itself restored from the checkpoint: phase 2
+    must produce counts equal to batch over BOTH phases' rows, which
+    only happens if phase 1's state survived the stop.
+    """
+    import shutil
+    import tempfile
+
+    from projet_meteo_etl_spark.catalog import harden_session
+
+    harden_session(spark)
+    src = _staged_events_dir(sf_dir)
+    run = tempfile.mkdtemp(prefix="spark_graft_restart_")
+    data, chk = os.path.join(run, "data"), os.path.join(run, "chk")
+    os.makedirs(data)
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    ts_is_long = _ts_is_long(sf_dir)
+
+    def _phase(label: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(_events_raw_schema(ts_is_long))
+            # complete mode = slicing-invariant (audited class); the
+            # restart seam between the phases is the contract under test
+            .option("maxFilesPerTrigger", 2)
+            .parquet(data)
+        )
+        e = (
+            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if ts_is_long
+            else raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = e.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        name = f"restart_sink_{label}_{next(_COUNTER)}"
+        old = _pin_stream_confs(spark, None)
+        try:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            _restore_stream_confs(spark, old)
+        return spark.table(name)
+
+    try:
+        for f in files[:2]:
+            shutil.copy(os.path.join(src, f), os.path.join(data, f))
+        _phase("p1")  # phase 1: process, checkpoint, stop
+        for f in files[2:]:
+            shutil.copy(os.path.join(src, f), os.path.join(data, f))
+        sink = _phase("p2")  # restart: resume offsets + restored state
+    except Exception:
+        shutil.rmtree(run, ignore_errors=True)
+        raise
+    out = sink.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
+    return _scoped_rmtree(out, run)
+
+
 SPARK_QUERIES = {
     "stream_cusum_revenue_alert": stream_cusum_revenue_alert,
     "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
+    "stream_checkpoint_restart_totals": stream_checkpoint_restart_totals,
+    "stream_session_custom_timeout": stream_session_custom_timeout,
+    "stream_rocksdb_user_totals": stream_rocksdb_user_totals,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_tumbling_counts_update": stream_tumbling_counts_update,
     "stream_backfill_seam": stream_backfill_seam,
@@ -1914,6 +2144,9 @@ ORACLE_SQL = {
     # strategy differs, answers must not
     "stream_cusum_revenue_alert": _CUSUM_SQL,
     "stream_foreachbatch_upsert": FOREACHBATCH_UPSERT_SQL,
+    "stream_checkpoint_restart_totals": STREAM_TUMBLING_SQL,
+    "stream_session_custom_timeout": STREAM_SESSION_SQL,
+    "stream_rocksdb_user_totals": STREAM_USER_TOTALS_SQL,
     "stream_tumbling_counts": STREAM_TUMBLING_SQL,
     "stream_tumbling_counts_update": STREAM_TUMBLING_SQL,
     # the seam must reproduce the WHOLE-log aggregate exactly

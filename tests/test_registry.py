@@ -107,7 +107,7 @@ EXPECTED_QUERIES = {
     "pyds_ticks_station_stats", "udtf_token_run_lengths",
     "variant_props_extract", "cogroup_asof_purchase_click",
     "pandas_udaf_user_median", "arrow_vector_norms",
-    "pandas_udf_scalar_hatch",
+    "pandas_udf_scalar_hatch", "udtf_partitioned_session_stats",
     # ORC / XML sinks
     "sink_orc_roundtrip", "sink_xml_roundtrip",
     # SQL-text surface (plans/sql_surface.py)
@@ -161,6 +161,8 @@ EXPECTED_QUERIES = {
     "markov_attribution_removal",
     "stream_cusum_revenue_alert",
     "stream_foreachbatch_upsert",
+    "stream_checkpoint_restart_totals", "stream_session_custom_timeout",
+    "stream_rocksdb_user_totals",
     # round-5 batch 8: LPA communities + streaming heavy hitters
     "label_propagation_communities", "stream_sliding_topk_items",
     # round-5 batch 9: exact ANOVA + Kaplan-Meier survival

@@ -344,6 +344,21 @@ def main() -> int:
                 "bm25_keyword_search": retrieval.bm25_keyword_search,
             }
         )
+        # round-8 additions: Pregel-as-joins HITS (edge-linear rounds),
+        # the value-domain-rollup rank test, the one-shuffle grouping-
+        # sets time rollup, and the anchor-bounded JL audit
+        from projet_meteo_etl_spark.operators import graph as gr
+        from projet_meteo_etl_spark.operators import similarity as sim
+        from projet_meteo_etl_spark.streaming import windows as wnd
+
+        probes.update(
+            {
+                "hits_hub_authority": gr.hits_hub_authority,
+                "mann_whitney_value_shift": model_eval.mann_whitney_value_shift,
+                "events_multi_grain_rollup": wnd.events_multi_grain_rollup,
+                "jl_projection_distortion": sim.jl_projection_distortion,
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
