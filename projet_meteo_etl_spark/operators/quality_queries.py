@@ -559,7 +559,79 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+#: declared FD candidates: (table, determinant, dependent) — one true
+#: FD (nation's region assignment) and three expected violations, so
+#: the audit demonstrably separates the classes
+FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("events", "user_id", "event_type"),
+)
+
+
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style functional-dependency check: for each declared
+    candidate ``det → dep``, count determinant values that map to more
+    than one distinct dependent value.  This is the profiling primitive
+    behind "is this column a reliable key for that attribute?" —
+    schema-on-read pipelines (the reference's Mongo collection is
+    schemaless by construction) run exactly this before trusting a
+    denormalization.
+
+    One groupBy per candidate (the distinct-count runs map-side
+    partial); the per-candidate result is a single row, so the union
+    is 4 rows.  ``violation_ppm`` is exact integer.
+    """
+    outs = []
+    for table, det, dep in FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        g = t.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).cast("long").alias("n_det_values"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+            ).select(
+                F.lit(f"{table}.{det}->{dep}").alias("fd"),
+                "n_det_values",
+                "n_violating",
+                F.expr(
+                    "CAST(n_violating * 1000000 DIV n_det_values AS BIGINT)"
+                ).alias("violation_ppm"),
+                (F.col("n_violating") == 0).cast("int").alias("fd_holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fd")
+
+
+def _fd_sql_one(table: str, det: str, dep: str) -> str:
+    return f"""
+SELECT '{table}.{det}->{dep}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_det_values,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS violation_ppm,
+       CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS INTEGER) AS fd_holds
+FROM (SELECT {det}, count(DISTINCT {dep}) AS nd FROM {table} GROUP BY 1)
+"""
+
+
+FD_AUDIT_SQL = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(_fd_sql_one(*c) for c in FD_CANDIDATES)
+    + ") ORDER BY fd"
+)
+
+
 SPARK_QUERIES = {
+    "functional_dependency_audit": functional_dependency_audit,
     "t_closeness_audit": t_closeness_audit,
     "referential_integrity_audit": referential_integrity_audit,
     "range_audit_lineitem": range_audit_lineitem,
@@ -573,6 +645,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "functional_dependency_audit": FD_AUDIT_SQL,
     "t_closeness_audit": T_CLOSENESS_SQL,
     "referential_integrity_audit": REFERENTIAL_INTEGRITY_SQL,
     "range_audit_lineitem": RANGE_AUDIT_SQL,

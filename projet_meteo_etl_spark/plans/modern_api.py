@@ -165,6 +165,128 @@ ORDER BY station_id
 """
 
 
+#: streaming custom-source shape: stations × hours, chunked so the
+#: bounded replay takes several micro-batches (offset = hours consumed)
+PYDS_STREAM_STATIONS = 6
+PYDS_STREAM_HOURS = 480
+PYDS_STREAM_CHUNK = 120
+
+
+def pyds_stream_ticks_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom **streaming** Python DataSource
+    (``SimpleDataSourceStreamReader``) — the source-side streaming
+    extension point (:func:`pyds_ticks_station_stats` covers the batch
+    reader): the reader owns its OFFSET (hours consumed), each
+    micro-batch ingests the next chunk, and ``readBetweenOffsets``
+    makes the range replayable for recovery — the contract a Kafka-like
+    connector implements.  Totals are a complete-mode aggregation, so
+    the bounded replay's final table equals the batch formula the
+    DuckDB oracle computes independently.
+
+    Scale note: a python stream source feeds offsets from the driver,
+    but rows materialize on executors per batch; throughput scales with
+    partitions for the full ``DataSourceStreamReader`` variant — the
+    simple reader here is the single-partition control-plane shape.
+    """
+    harden_session(spark)
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    n_st, n_h, chunk = (
+        PYDS_STREAM_STATIONS,
+        PYDS_STREAM_HOURS,
+        PYDS_STREAM_CHUNK,
+    )
+
+    class TickStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"h": 0}
+
+        def _rows(self, h0: int, h1: int):
+            # a list ITERATOR, not a generator: the runner pickles the
+            # prefetched batch (generators can't pickle) AND calls
+            # next() on it to validate end-of-stream emptiness
+            return iter(
+                [
+                    (s, h, (s * 41 + h * 17) % 3000 - 1500)
+                    for h in range(h0, h1)
+                    for s in range(n_st)
+                ]
+            )
+
+        def read(self, start):
+            h0 = int(start["h"])
+            h1 = min(h0 + chunk, n_h)
+            return (self._rows(h0, h1), {"h": h1})
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(int(start["h"]), int(end["h"]))
+
+    class TickStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "tick_stream"
+
+        def schema(self):
+            return "station_id int, hour_idx int, temp_centi int"
+
+        def simpleStreamReader(self, schema):
+            return TickStreamReader()
+
+    spark.dataSource.register(TickStreamSource)
+    ticks = spark.readStream.format("tick_stream").load()
+    agg = ticks.groupBy(
+        F.col("station_id").cast("long").alias("station_id")
+    ).agg(
+        F.count("*").alias("n_obs"),
+        F.min("temp_centi").cast("long").alias("min_centi"),
+        F.max("temp_centi").cast("long").alias("max_centi"),
+        F.sum("temp_centi").cast("long").alias("sum_centi"),
+    )
+    # custom runner: availableNow snapshots only the FIRST prefetched
+    # chunk for a simple python stream reader — processAllAvailable
+    # instead drains micro-batches until the offset stops advancing
+    from projet_meteo_etl_spark.streaming.structured import (
+        _COUNTER,
+        _pin_stream_confs,
+        _restore_stream_confs,
+    )
+
+    name = f"pyds_stream_sink_{next(_COUNTER)}"
+    old = _pin_stream_confs(spark, None)
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        _restore_stream_confs(spark, old)
+    return spark.table(name).orderBy("station_id")
+
+
+PYDS_STREAM_SQL = f"""
+WITH ticks AS (
+  SELECT s.s AS station_id,
+         (s.s * 41 + h.h * 17) % 3000 - 1500 AS temp_centi
+  FROM generate_series(0, {PYDS_STREAM_STATIONS - 1}) s(s),
+       generate_series(0, {PYDS_STREAM_HOURS - 1}) h(h)
+)
+SELECT station_id, count(*) AS n_obs,
+       min(temp_centi) AS min_centi,
+       max(temp_centi) AS max_centi,
+       CAST(sum(temp_centi) AS BIGINT) AS sum_centi
+FROM ticks GROUP BY station_id ORDER BY station_id
+"""
+
+
 def udtf_token_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs of consecutively repeated tokens per document, via a Python
     UDTF in a LATERAL join.
@@ -686,6 +808,7 @@ FROM s GROUP BY event_type ORDER BY event_type
 
 SPARK_QUERIES = {
     "pyds_ticks_station_stats": pyds_ticks_station_stats,
+    "pyds_stream_ticks_totals": pyds_stream_ticks_totals,
     "pandas_udf_scalar_hatch": pandas_udf_scalar_hatch,
     "udtf_partitioned_session_stats": udtf_partitioned_session_stats,
     "map_functions_showcase": map_functions_showcase,
@@ -698,6 +821,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "pyds_ticks_station_stats": PYDS_TICKS_SQL,
+    "pyds_stream_ticks_totals": PYDS_STREAM_SQL,
     "pandas_udf_scalar_hatch": PANDAS_UDF_HATCH_SQL,
     "udtf_partitioned_session_stats": UDTF_SESSION_STATS_SQL,
     "map_functions_showcase": MAP_SHOWCASE_SQL,

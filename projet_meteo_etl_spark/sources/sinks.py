@@ -250,7 +250,72 @@ ORDER BY o_orderpriority
 """
 
 
+#: binaryFile-source fixture shape: N small deterministic ASCII files
+BINARYFILE_N = 12
+
+
+def binaryfile_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-media ingest via the ``binaryFile`` SOURCE — reading real
+    files into ``(path, length, content: binary)`` rows, the front door
+    of every multimodal pipeline (``operators/multimodal.py`` processes
+    binary COLUMNS; this is how those columns enter from a bucket of
+    media files).  The audit digests each ingested blob (JVM-side md5
+    over the bytes) and checks length — the oracle rebuilds the same
+    deterministic ASCII payloads with SQL string ops and must produce
+    identical digests, so a torn read or encoding mutation anywhere in
+    the source path flips the hash.
+
+    Scale: binaryFile splits by FILE (one row per object, never split
+    mid-blob) — exactly right for media; size caps and content pruning
+    happen via ``pathGlobFilter``/``modifiedAfter`` options upstream.
+    """
+    import tempfile
+
+    d = os.path.join(staging_root(sf_dir), "binfiles")
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        for i in range(BINARYFILE_N):
+            payload = (f"tick:{i};" * (40 + i)).encode("ascii")
+            fd, tmp = tempfile.mkstemp(dir=d)
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, os.path.join(d, f"part_{i:02d}.bin"))
+        open(marker, "w").close()
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    return (
+        back.select(
+            F.regexp_extract(
+                F.col("path"), r"part_(\d+)\.bin$", 1
+            )
+            .cast("long")
+            .alias("file_idx"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("md5_hex"),
+        )
+        .orderBy("file_idx")
+    )
+
+
+BINARYFILE_SQL = f"""
+WITH files AS (
+  SELECT i.i AS file_idx,
+         repeat('tick:' || i.i || ';', 40 + i.i) AS payload
+  FROM generate_series(0, {BINARYFILE_N - 1}) i(i)
+)
+SELECT file_idx,
+       CAST(length(payload) AS BIGINT) AS n_bytes,
+       md5(payload) AS md5_hex
+FROM files ORDER BY file_idx
+"""
+
+
 SPARK_QUERIES = {
+    "binaryfile_ingest_audit": binaryfile_ingest_audit,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "sink_pruned_partition_read": sink_pruned_partition_read,
     "sink_text_formats_roundtrip": sink_text_formats_roundtrip,
@@ -259,6 +324,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "binaryfile_ingest_audit": BINARYFILE_SQL,
     "sink_partitioned_roundtrip": SINK_PARTITIONED_SQL,
     "sink_pruned_partition_read": SINK_PRUNED_SQL,
     "sink_text_formats_roundtrip": SINK_TEXT_FORMATS_SQL,

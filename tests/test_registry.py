@@ -39,6 +39,7 @@ EXPECTED_QUERIES = {
     "user_value_trend", "user_hourly_ffill", "user_value_ewma",
     # quality audits
     "range_audit_lineitem", "null_audit_events", "duplicate_audit",
+    "functional_dependency_audit",
     "date_range_audit", "consistency_audit_documents", "count_reconciliation",
     # sinks
     "sink_partitioned_roundtrip", "sink_pruned_partition_read",
@@ -108,8 +109,9 @@ EXPECTED_QUERIES = {
     "variant_props_extract", "cogroup_asof_purchase_click",
     "pandas_udaf_user_median", "arrow_vector_norms",
     "pandas_udf_scalar_hatch", "udtf_partitioned_session_stats",
+    "pyds_stream_ticks_totals",
     # ORC / XML sinks
-    "sink_orc_roundtrip", "sink_xml_roundtrip",
+    "sink_orc_roundtrip", "sink_xml_roundtrip", "binaryfile_ingest_audit",
     # SQL-text surface (plans/sql_surface.py)
     "recursive_cte_daily_orders", "pipe_syntax_returnflag_revenue",
     "sql_udf_discount_bands", "observed_load_metrics",
