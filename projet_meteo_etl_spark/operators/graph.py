@@ -449,26 +449,37 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
 
-    # h0 = SCALE for every user ⇒ a1_raw(i) = SCALE·indeg(i)
+    # h0 = SCALE for every user ⇒ a1_raw(i) = SCALE·indeg(i).  Raw mass
+    # products and propagation sums are DECIMAL(38,0) end-to-end — the
+    # seed product wraps int64 at indegree > 9.2e6 and a degree-1e7 hub
+    # wraps the per-node sum, while the oracle's HUGEINT stays exact
     a1 = _renorm(
         pairs.groupBy("i").agg(
-            (F.count(F.lit(1)) * F.lit(SCALE)).alias("raw")
+            (F.count(F.lit(1)).cast("decimal(38,0)") * F.lit(SCALE)).alias(
+                "raw"
+            )
         ),
         "i",
         "raw",
     )
     h1 = _renorm(
-        pairs.join(a1, "i").groupBy("u").agg(F.sum("s").alias("raw")),
+        pairs.join(a1, "i")
+        .groupBy("u")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("raw")),
         "u",
         "raw",
     )
     a2 = _renorm(
-        pairs.join(h1, "u").groupBy("i").agg(F.sum("s").alias("raw")),
+        pairs.join(h1, "u")
+        .groupBy("i")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("raw")),
         "i",
         "raw",
     )
     h2 = _renorm(
-        pairs.join(a2, "i").groupBy("u").agg(F.sum("s").alias("raw")),
+        pairs.join(a2, "i")
+        .groupBy("u")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("raw")),
         "u",
         "raw",
     )

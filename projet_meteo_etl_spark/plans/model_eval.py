@@ -356,7 +356,10 @@ def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN n_x = 0 OR n_y = 0"
             "           OR (n + 1) * n * (n - 1) - tie3 = 0 THEN 0"
             " ELSE (CASE WHEN d < 0 THEN -1 ELSE 1 END)"
-            "      * ((3 * ((d * d) DIV (CAST(n_x AS DECIMAL(38,0)) * n_y))"
+            # DIV yields BIGINT even on decimal operands — lead the
+            # product with a DECIMAL so 3·q1·1e6 can't wrap at ~100×
+            "      * ((CAST(3 AS DECIMAL(38,0))"
+            "          * ((d * d) DIV (CAST(n_x AS DECIMAL(38,0)) * n_y))"
             "          * 1000000 * n * (n - 1))"
             "         DIV ((n + 1) * n * (n - 1) - tie3))"
             " END AS BIGINT)"

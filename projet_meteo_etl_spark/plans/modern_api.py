@@ -169,7 +169,7 @@ ORDER BY station_id
 #: bounded replay takes several micro-batches (offset = hours consumed)
 PYDS_STREAM_STATIONS = 6
 PYDS_STREAM_HOURS = 480
-PYDS_STREAM_CHUNK = 120
+PYDS_STREAM_CHUNK = 240  # 2 micro-batches: offsets still advance, half the per-batch python-runner constant
 
 
 def pyds_stream_ticks_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,30 +246,12 @@ def pyds_stream_ticks_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("temp_centi").cast("long").alias("max_centi"),
         F.sum("temp_centi").cast("long").alias("sum_centi"),
     )
-    # custom runner: availableNow snapshots only the FIRST prefetched
-    # chunk for a simple python stream reader — processAllAvailable
-    # instead drains micro-batches until the offset stops advancing
-    from projet_meteo_etl_spark.streaming.structured import (
-        _COUNTER,
-        _pin_stream_confs,
-        _restore_stream_confs,
-    )
+    # drain="process_all": availableNow snapshots only the FIRST
+    # prefetched chunk for a simple python stream reader
+    from projet_meteo_etl_spark.streaming.structured import _run_to_memory
 
-    name = f"pyds_stream_sink_{next(_COUNTER)}"
-    old = _pin_stream_confs(spark, None)
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
-    finally:
-        _restore_stream_confs(spark, old)
-    return spark.table(name).orderBy("station_id")
+    sink = _run_to_memory(agg, "complete", drain="process_all")
+    return sink.orderBy("station_id")
 
 
 PYDS_STREAM_SQL = f"""

@@ -56,6 +56,10 @@ def _fixtures() -> dict:
         except FileExistsError:
             import time
 
+            try:  # identity of the lock we are waiting on
+                seen = os.stat(lock)
+            except FileNotFoundError:
+                continue  # released between open and stat — retry
             for _ in range(600):  # wait ≤60 s for the winner's marker
                 if os.path.exists(marker) and os.path.exists(
                     fx["expected_path"]
@@ -66,11 +70,19 @@ def _fixtures() -> dict:
             # retry the O_EXCL acquisition — generating WITHOUT the lock
             # would let two timed-out waiters regenerate concurrently
             # (the exact race the lock exists to prevent) and would leave
-            # the stale lock taxing every future fresh process 60 s
+            # the stale lock taxing every future fresh process 60 s.
+            # Reclaim ONLY if it is still the same inode we timed out on:
+            # a blind unlink could delete a fellow waiter's freshly
+            # acquired LIVE lock and re-admit the double-generator race
             try:
-                os.unlink(lock)
+                cur = os.stat(lock)
+                if (cur.st_ino, cur.st_mtime_ns) == (
+                    seen.st_ino,
+                    seen.st_mtime_ns,
+                ):
+                    os.unlink(lock)
             except OSError:
-                pass  # another waiter reclaimed it first — loop retries
+                pass  # replaced or reclaimed by another waiter — retry
     try:
         fx = generate_weather_fixtures(d)
         with open(marker, "w") as f:

@@ -103,8 +103,15 @@ def _force_redraw() -> list[str]:
     fresh green rows (keeping them active would re-subtract already-green
     names and waste the driver's 50-query sample window on redundant
     redraws).  Missing manifest ⇒ nothing to redraw."""
+    import re
+
     here = os.path.dirname(os.path.abspath(__file__))
-    manifests = sorted(glob.glob(os.path.join(here, "redraw_r*.json")))
+    # numeric round key: lexicographic sort would rank redraw_r9 after
+    # redraw_r10 and silently pin a stale manifest from round 10 on
+    manifests = sorted(
+        glob.glob(os.path.join(here, "redraw_r*.json")),
+        key=lambda p: int(re.search(r"redraw_r(\d+)", p).group(1)),
+    )
     if not manifests:
         return []
     with open(manifests[-1]) as f:

@@ -165,6 +165,30 @@ def _read_events_stream(
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _read_events_stream_hb(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int = 2
+) -> DataFrame:
+    """:func:`_read_events_stream` over the HEARTBEAT staging
+    (:func:`_staged_events_dir_with_heartbeat`) — one definition of the
+    schema/trigger/ts-normalization block for every heartbeat-closed
+    stream, so a trigger or normalization change can never drift
+    between call sites.  Callers must let the sentinel rows FLOW
+    THROUGH (filtering them here would push down to the scan and prune
+    the heartbeat file) and drop their aggregated output instead."""
+    from projet_meteo_etl_spark.catalog import harden_session
+
+    harden_session(spark)
+    ts_is_long = _ts_is_long(sf_dir)
+    raw = (
+        spark.readStream.schema(_events_raw_schema(ts_is_long))
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(_staged_events_dir_with_heartbeat(sf_dir))
+    )
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 #: state-store partition count for the test-scale streams.  Stateful
 #: operators pay a fixed per-(partition × micro-batch) store cost, so
 #: tiny per-batch volumes want few state partitions (5× wall at sf0.1);
@@ -247,23 +271,36 @@ def _run_to_memory(
     output_mode: str,
     label: str | None = None,
     partitions: str | None = None,
+    checkpoint_location: str | None = None,
+    drain: str = "available_now",
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink and
     return the sink table (a normal batch DataFrame).  Shuffle-partition
     count is pinned for the query's lifetime (bound at stream start) and
     restored afterwards.  With ``label``, state-operator progress
-    metrics are accumulated into ``LAST_STATE_METRICS[label]``."""
+    metrics are accumulated into ``LAST_STATE_METRICS[label]``.
+    ``checkpoint_location`` makes the run resumable (restart contract);
+    ``drain="process_all"`` loops micro-batches until the source's
+    offset stops advancing instead of using ``availableNow`` — required
+    for simple python stream readers, whose availableNow snapshot is
+    only the first prefetched chunk."""
     spark = df.sparkSession
     name = f"stream_sink_{next(_COUNTER)}"
     old = _pin_stream_confs(spark, partitions)
     try:
-        q = (
+        w = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint_location is not None:
+            w = w.option("checkpointLocation", checkpoint_location)
+        if drain == "process_all":
+            q = w.start()
+            q.processAllAvailable()
+            q.stop()
+        else:
+            q = w.trigger(availableNow=True).start()
         q.awaitTermination()
         if label is not None:
             acc = {"numRowsRemoved": 0, "numRowsUpdated": 0, "numRowsTotal": 0}
@@ -1561,19 +1598,7 @@ def stream_chained_dedup_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin — a dropped or double-counted key anywhere in the
     two-operator state chain is a hash mismatch.
     """
-    from projet_meteo_etl_spark.catalog import harden_session
-
-    harden_session(spark)
-    ts_is_long = _ts_is_long(sf_dir)
-    raw = (
-        spark.readStream.schema(_events_raw_schema(ts_is_long))
-        .option("maxFilesPerTrigger", 2)
-        .parquet(_staged_events_dir_with_heartbeat(sf_dir))
-    )
-    if ts_is_long:
-        e = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        e = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    e = _read_events_stream_hb(spark, sf_dir)
     # NOTE: the sentinel rows must NOT be filtered inside the stream —
     # a `user_id >= 0` predicate gets pushed down to the parquet scan,
     # which prunes the heartbeat files entirely (row-group stats), so
@@ -1673,19 +1698,7 @@ def stream_left_outer_lonely_purchases(spark: SparkSession, sf_dir: str) -> Data
     equals the batch left join row-for-row and hash-checks against the
     DuckDB oracle.
     """
-    from projet_meteo_etl_spark.catalog import harden_session
-
-    harden_session(spark)
-    ts_is_long = _ts_is_long(sf_dir)
-    raw = (
-        spark.readStream.schema(_events_raw_schema(ts_is_long))
-        .option("maxFilesPerTrigger", 2)
-        .parquet(_staged_events_dir_with_heartbeat(sf_dir))
-    )
-    if ts_is_long:
-        e = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        e = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    e = _read_events_stream_hb(spark, sf_dir)
     p = (
         e.filter(F.col("event_type") == "purchase")
         .select("user_id", F.col("ts").alias("p_ts"))
@@ -1747,20 +1760,10 @@ def stream_cusum_revenue_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the batch twin's recursive-CTE SQL — any day miscounted or
     double-emitted anywhere in the windowed state is a hash mismatch.
     """
-    from projet_meteo_etl_spark.catalog import harden_session, load_table
+    from projet_meteo_etl_spark.catalog import load_table
     from projet_meteo_etl_spark.plans.timeseries import cusum_fold
 
-    harden_session(spark)
-    ts_is_long = _ts_is_long(sf_dir)
-    raw = (
-        spark.readStream.schema(_events_raw_schema(ts_is_long))
-        .option("maxFilesPerTrigger", 2)
-        .parquet(_staged_events_dir_with_heartbeat(sf_dir))
-    )
-    if ts_is_long:
-        e = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        e = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    e = _read_events_stream_hb(spark, sf_dir)
     # the heartbeat purchase (user_id −1, value 0) must flow through —
     # filtering it here would be pushed down to the scan and prune the
     # heartbeat file before the watermark sees it; its +2d day row is
@@ -1896,34 +1899,34 @@ def stream_session_custom_timeout(
     a same-session event (gap ≤ 30 min) always finds its state alive —
     on the (ts, event_id)-ordered source the watermark lags every
     processed row by the 10-min delay, so wm ≤ ts−10min < last+30min —
-    and once a timeout HAS fired, wm ≥ last+30min means every later
-    event is a new session by the gap rule anyway: eviction implies
-    session-break, the same invariant that makes the chained dedup
-    exact.  The far-future heartbeat flushes the final open sessions;
-    the heartbeat's own session never times out (wm stops 10 min short
-    of it) and is additionally dropped by the sink-side user filter.
-    Oracle: the SAME gaps-and-islands SQL as the built-in twin.
+    and once the watermark HAS closed a session (wm ≥ last+30min),
+    every later event is ≥ wm+10min and so a new session by the gap
+    rule anyway: eviction implies session-break, the same invariant
+    that makes the chained dedup exact.  The far-future heartbeat
+    flushes the final open sessions; the heartbeat's own session never
+    closes (wm stops 10 min short of it) and is additionally dropped by
+    the sink-side user filter.  Oracle: the SAME gaps-and-islands SQL
+    as the built-in twin.
+
+    **Key-group sharding** (the ``stream_pit_features`` pattern): state
+    is keyed by ``user_id % N_PIT_SHARDS`` with the shard's open
+    sessions as parallel arrays, because the ~5 ms serializer constant
+    per (group × micro-batch) made the per-user-key draft 10.3 s
+    in-bench at |users| keys; the shard timeout is set to the EARLIEST
+    open session's deadline and the callback closes exactly those whose
+    deadline the watermark passed (``getCurrentWatermarkMs``), keeping
+    the rest — per-user semantics unchanged.  A shard receiving data
+    every batch never gets the timeout callback, so the data path runs
+    the same wm sweep after applying its rows.
     """
     import pandas as pd
 
-    from projet_meteo_etl_spark.catalog import harden_session
-
-    harden_session(spark)
-    ts_is_long = _ts_is_long(sf_dir)
-    raw = (
-        spark.readStream.schema(_events_raw_schema(ts_is_long))
-        .option("maxFilesPerTrigger", 2)
-        .parquet(_staged_events_dir_with_heartbeat(sf_dir))
-    )
-    e = (
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        if ts_is_long
-        else raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    e = _read_events_stream_hb(spark, sf_dir)
     e = e.withWatermark("ts", "10 minutes").select(
+        F.pmod(F.col("user_id"), F.lit(N_PIT_SHARDS)).alias("shard"),
         "user_id",
-        "ts",
         "event_id",
+        "ts",  # carries the watermark for the event-time timeout
         F.unix_micros("ts").alias("tus"),
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
     )
@@ -1931,42 +1934,72 @@ def stream_session_custom_timeout(
     out_schema = (
         "user_id bigint, start_us bigint, n_events bigint, cents bigint"
     )
-    state_schema = "start_us long, last_us long, n long, cents long"
-    GAP_US = 1_800_000_000
+    state_schema = (
+        "uids array<long>, starts array<long>, lasts array<long>,"
+        " ns array<long>, cs array<long>"
+    )
 
     def sessionize(key, pdf_iter, state):
         import pandas as pd
 
-        uid = key[0]
-        closed = []
-        if state.hasTimedOut:
-            s0, l0, n0, c0 = state.get
-            closed.append((uid, s0, n0, c0))
-            state.remove()
+        GAP_US, GAP_MS = 1_800_000_000, 1_800_000
+        if state.exists:
+            uids, starts, lasts, ns, cs = state.get
+            open_map = {
+                int(u): [int(a), int(b), int(c), int(d)]
+                for u, a, b, c, d in zip(uids, starts, lasts, ns, cs)
+            }
         else:
+            open_map = {}
+        closed = []
+        if not state.hasTimedOut:
             chunks = [p for p in pdf_iter if len(p)]
             if chunks:
                 pdf = (
                     chunks[0]
                     if len(chunks) == 1
                     else pd.concat(chunks, ignore_index=True)
-                ).sort_values(["tus", "event_id"])
-                if state.exists:
-                    s0, l0, n0, c0 = state.get
-                else:
-                    s0 = None
-                for tus, cents in zip(pdf["tus"], pdf["cents"]):
-                    tus, cents = int(tus), int(cents)
-                    if s0 is None:
-                        s0, l0, n0, c0 = tus, tus, 1, cents
-                    elif tus - l0 > 1_800_000_000:
-                        closed.append((uid, s0, n0, c0))
-                        s0, l0, n0, c0 = tus, tus, 1, cents
-                    else:
-                        l0, n0, c0 = tus, n0 + 1, c0 + cents
-                state.update((s0, l0, n0, c0))
-                # the watermark, not a row, will close a quiet session
-                state.setTimeoutTimestamp(l0 // 1000 + 1_800_000)
+                ).sort_values(["user_id", "tus", "event_id"])
+                for uid, g in pdf.groupby("user_id", sort=False):
+                    uid = int(uid)
+                    cur = open_map.get(uid)
+                    for tus, cents in zip(g["tus"], g["cents"]):
+                        tus, cents = int(tus), int(cents)
+                        if cur is None:
+                            cur = [tus, tus, 1, cents]
+                        elif tus - cur[1] > GAP_US:
+                            closed.append((uid, cur[0], cur[2], cur[3]))
+                            cur = [tus, tus, 1, cents]
+                        else:
+                            cur[1], cur[2], cur[3] = (
+                                tus,
+                                cur[2] + 1,
+                                cur[3] + cents,
+                            )
+                    open_map[uid] = cur
+        # both paths: the watermark closes every session it has passed
+        wm = state.getCurrentWatermarkMs()
+        still = {}
+        for uid, cur in open_map.items():
+            if cur[1] // 1000 + GAP_MS <= wm:
+                closed.append((uid, cur[0], cur[2], cur[3]))
+            else:
+                still[uid] = cur
+        if still:
+            ids = sorted(still)
+            state.update(
+                (
+                    ids,
+                    [still[u][0] for u in ids],
+                    [still[u][1] for u in ids],
+                    [still[u][2] for u in ids],
+                    [still[u][3] for u in ids],
+                )
+            )
+            nxt = min(v[1] for v in still.values()) // 1000 + GAP_MS
+            state.setTimeoutTimestamp(max(nxt, wm + 1))
+        elif state.exists:
+            state.remove()
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -1975,7 +2008,7 @@ def stream_session_custom_timeout(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    sessions = e.groupBy("user_id").applyInPandasWithState(
+    sessions = e.groupBy("shard").applyInPandasWithState(
         sessionize,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -1983,7 +2016,7 @@ def stream_session_custom_timeout(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     sink = _run_to_memory(
-        sessions, "append", partitions=GROUP_STATE_PARTITIONS
+        sessions, "append", partitions=PIT_STATE_PARTITIONS
     )
     return (
         sink.filter(F.col("user_id") >= 0)  # drop the heartbeat session
@@ -2050,7 +2083,7 @@ def stream_checkpoint_restart_totals(
     files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
     ts_is_long = _ts_is_long(sf_dir)
 
-    def _phase(label: str) -> DataFrame:
+    def _phase() -> DataFrame:
         raw = (
             spark.readStream.schema(_events_raw_schema(ts_is_long))
             # complete mode = slicing-invariant (audited class); the
@@ -2072,29 +2105,15 @@ def stream_checkpoint_restart_totals(
                 / F.lit(100.0)
             ).alias("sum_value"),
         )
-        name = f"restart_sink_{label}_{next(_COUNTER)}"
-        old = _pin_stream_confs(spark, None)
-        try:
-            q = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("complete")
-                .option("checkpointLocation", chk)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        finally:
-            _restore_stream_confs(spark, old)
-        return spark.table(name)
+        return _run_to_memory(agg, "complete", checkpoint_location=chk)
 
     try:
         for f in files[:2]:
             shutil.copy(os.path.join(src, f), os.path.join(data, f))
-        _phase("p1")  # phase 1: process, checkpoint, stop
+        _phase()  # phase 1: process, checkpoint, stop
         for f in files[2:]:
             shutil.copy(os.path.join(src, f), os.path.join(data, f))
-        sink = _phase("p2")  # restart: resume offsets + restored state
+        sink = _phase()  # restart: resume offsets + restored state
     except Exception:
         shutil.rmtree(run, ignore_errors=True)
         raise
