@@ -235,7 +235,122 @@ ORDER BY l_returnflag, measure
 """
 
 
+def collation_segment_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive reconciliation via Spark 4 **collations**: two
+    upstream feeds deliver the market segment cased differently (raw
+    TPC-H upper vs an initcap-style feed — the inconsistency every
+    multi-source union inherits), and the grouping key is the column
+    COLLATED to ``UTF8_LCASE`` — the engine-level way to make equality,
+    grouping and joins case-insensitive without rewriting every
+    predicate through ``lower()`` (which defeats statistics and rewrites
+    the data).  The report canonicalizes the group label and counts the
+    distinct binary spellings each collated group absorbed.
+
+    The second feed's casing is built with explicit substr/upper/lower
+    (not ``initcap``) so the oracle's SQL is expression-identical.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    raw = c.select(F.col("c_mktsegment").alias("seg"))
+    recased = c.select(
+        F.concat(
+            F.upper(F.expr("substr(c_mktsegment, 1, 1)")),
+            F.lower(F.expr("substr(c_mktsegment, 2)")),
+        ).alias("seg")
+    )
+    u = raw.unionByName(recased)
+    return (
+        u.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.collate(F.col("seg"), "UTF8_BINARY")).alias(
+                "n_spellings"
+            ),
+        )
+        .select(
+            # the collated key keeps an arbitrary representative
+            # spelling AND the collation in its type — canonicalize the
+            # value (lower) and the type (back to binary collation)
+            F.collate(F.lower("k"), "UTF8_BINARY").alias("segment"),
+            "n_rows",
+            "n_spellings",
+        )
+        .orderBy("segment")
+    )
+
+
+COLLATION_RECONCILE_SQL = """
+WITH u AS (
+  SELECT c_mktsegment AS seg FROM customer
+  UNION ALL
+  SELECT upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+  FROM customer
+)
+SELECT lower(seg) AS segment,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT seg) AS BIGINT) AS n_spellings
+FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
+#: the three join strategies a user can pin per-relation
+JOIN_HINTS = (("broadcast", "BROADCAST"), ("merge", "MERGE"),
+              ("shuffle_hash", "SHUFFLE_HASH"))
+
+
+def join_hints_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINTS as a checked contract: the same
+    orders⋈customer aggregation under ``BROADCAST``, ``MERGE`` and
+    ``SHUFFLE_HASH`` hints — one row per strategy, all three required
+    to produce identical numbers (strategy choice is physical, never
+    semantic).  Hints are how a user overrides Catalyst when runtime
+    knowledge beats statistics (a dimension known to fit memory, a
+    skew-prone build side); ``tests/test_plans.py`` additionally
+    asserts each hint actually selected its operator in the physical
+    plan, so this query guards the API end-to-end.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    outs = []
+    for label, hint in JOIN_HINTS:
+        j = o.join(
+            c.hint(hint), o["o_custkey"] == c["c_custkey"]
+        )
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(cents).alias("sum_cents"),
+                F.countDistinct("c_nationkey").alias("n_nations"),
+            ).select(
+                F.lit(label).alias("strategy"),
+                "n_rows",
+                "sum_cents",
+                "n_nations",
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("strategy")
+
+
+JOIN_HINTS_SQL = """
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_cents,
+         CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT s.strategy, a.n_rows, a.sum_cents, a.n_nations
+FROM agg a, (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) s(strategy)
+ORDER BY s.strategy
+"""
+
+
 SPARK_QUERIES = {
+    "collation_segment_reconcile": collation_segment_reconcile,
+    "join_hints_showcase": join_hints_showcase,
     "sql_interface_q1": sql_interface_q1,
     "ranking_functions_showcase": ranking_functions_showcase,
     "grouping_sets_revenue": grouping_sets_revenue,
@@ -244,6 +359,8 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "collation_segment_reconcile": COLLATION_RECONCILE_SQL,
+    "join_hints_showcase": JOIN_HINTS_SQL,
     "sql_interface_q1": SQL_INTERFACE_Q1_SQL,
     "ranking_functions_showcase": RANKING_SQL,
     "grouping_sets_revenue": GROUPING_SETS_SQL,

@@ -126,6 +126,73 @@ ORDER BY p.user_id, p_id
 """
 
 
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE interval join (no equi key), made shuffle-joinable by BIN
+    BUCKETING: per purchase, count ALL clicks — any user — in the
+    following 10 minutes.  Without a key, Catalyst's only plan is a
+    broadcast-nested-loop (rows² comparisons); the rewrite buckets both
+    sides into 10-minute bins and explodes each purchase into its two
+    candidate bins — any in-range click lands in exactly ONE of them,
+    so the bin becomes an exact equi key (hash/sort-merge join), with
+    the precise interval predicate refined post-join.  This is the
+    Databricks range-join-optimization technique expressed as plain
+    DataFrame ops, and THE scale path for interval joins at 100 TB:
+    cost drops from |P|·|C| to Σ_bin |P_bin|·|C_bin|.
+
+    Sibling: :func:`range_join_clicks_after_purchase` has a user_id
+    equi key, so it never needed the rewrite; this operator covers the
+    keyless case (global windows, sensor fusion, ad exposure).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bin_us = 600_000_000
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.unix_micros("ts").alias("cus")
+    )
+    c_b = c.withColumn("bin", F.expr(f"cus DIV {bin_us}"))
+    probe = p.select(
+        "p_id",
+        "pus",
+        F.explode(
+            F.array(
+                F.expr(f"pus DIV {bin_us}"),
+                F.expr(f"pus DIV {bin_us} + 1"),
+            )
+        ).alias("bin"),
+    )
+    j = probe.join(c_b, "bin", "left")
+    return (
+        j.groupBy("p_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("cus") > F.col("pus"))
+                    & (F.col("cus") <= F.col("pus") + bin_us),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clicks_10m")
+        )
+        .orderBy("p_id")
+    )
+
+
+RANGE_JOIN_BINNED_SQL = """
+SELECT p.event_id AS p_id,
+       CAST(sum(CASE WHEN c.ts > p.ts
+                      AND epoch_us(c.ts) <= epoch_us(p.ts) + 600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks_10m
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+  ON c.ts > p.ts AND epoch_us(c.ts) <= epoch_us(p.ts) + 600000000
+GROUP BY 1 ORDER BY 1
+"""
+
+
 #: funnel step window: each stage must follow the previous within 48 h
 FUNNEL_STEP_US = 48 * 3600 * 1_000_000
 
@@ -1670,6 +1737,7 @@ SPARK_QUERIES = {
     "last_touch_attribution": last_touch_attribution,
     "asof_purchase_before_click": asof_purchase_before_click,
     "range_join_clicks_after_purchase": range_join_clicks_after_purchase,
+    "range_join_binned": range_join_binned,
     "event_funnel_counts": event_funnel_counts,
     "cohort_retention": cohort_retention,
     "user_value_deciles": user_value_deciles,
@@ -1688,6 +1756,7 @@ ORACLE_SQL = {
     "last_touch_attribution": LAST_TOUCH_SQL,
     "asof_purchase_before_click": ASOF_SQL,
     "range_join_clicks_after_purchase": RANGE_JOIN_SQL,
+    "range_join_binned": RANGE_JOIN_BINNED_SQL,
     "event_funnel_counts": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,
     "user_value_deciles": DECILES_SQL,

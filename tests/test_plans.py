@@ -393,3 +393,40 @@ def test_pit_assembly_has_no_leakage(spark):
             assert r["last_click_cents"] == want, (u, eid)
             assert r["label_cents"] == math.floor(val * 100 + 0.5)
     assert n_labels == len(got)
+
+
+def test_join_hints_select_their_operators(spark):
+    """Each strategy hint must actually pick its physical join node."""
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    expected = {
+        "BROADCAST": "BroadcastHashJoin",
+        "MERGE": "SortMergeJoin",
+        "SHUFFLE_HASH": "ShuffledHashJoin",
+    }
+    for hint, node in expected.items():
+        j = o.join(c.hint(hint), o["o_custkey"] == c["c_custkey"]).agg(
+            F.count(F.lit(1))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, f"{hint} did not select {node}:\n{plan[:500]}"
+
+
+def test_range_join_binned_is_equi_join(spark):
+    """The binned rewrite must plan a hash/merge join, never a
+    broadcast-nested-loop over the raw interval predicate."""
+    from projet_meteo_etl_spark.plans.temporal import range_join_binned
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        range_join_binned(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan

@@ -27,6 +27,7 @@ EXPECTED_QUERIES = {
     "q21_waiting_suppliers", "q4_order_priority", "q13_customer_distribution",
     # showcases
     "ranking_functions_showcase", "grouping_sets_revenue", "array_functions_showcase",
+    "collation_segment_reconcile", "join_hints_showcase",
     "unpivot_returnflag_measures",
     "sql_interface_q1",
     # weather (reference surface)
@@ -34,6 +35,7 @@ EXPECTED_QUERIES = {
     "weather_station_daily_rollup", "weather_anomaly_rate_by_station",
     # temporal + timeseries
     "asof_purchase_before_click", "range_join_clicks_after_purchase",
+    "range_join_binned",
     "pit_training_set_assembly", "cold_start_coverage",
     "linear_attribution_credit", "session_duration_percentiles",
     "user_value_trend", "user_hourly_ffill", "user_value_ewma",
