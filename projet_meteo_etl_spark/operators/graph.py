@@ -388,6 +388,119 @@ ORDER BY distance
 """
 
 
+#: personalized-PageRank rounds — EVEN so the bipartite walk from item
+#: seeds ends on the item side (see the docstring)
+PPR_ITERS = 4
+
+
+def personalized_pagerank_seeds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank: the :func:`pagerank_click_graph` walk
+    with the TELEPORT restricted to the ``BFS_SEEDS`` highest-degree
+    item nodes — relevance-to-the-seed-set ranking, the recommender /
+    seed-expansion variant (global PageRank answers "important overall";
+    PPR answers "important NEAR these items").  Same exact-integer
+    recipe as the global walk (per-edge floor contributions, damped
+    base mass — here ``0.15·SCALE DIV |seeds|`` paid only to seeds, r₀
+    mass only on seeds) so DuckDB iterates bit-identically, same
+    Pregel-as-joins scale shape, static DAG.  ``PPR_ITERS`` is EVEN
+    (4): from item seeds on the bipartite graph, rank mass alternates
+    sides each hop (items→users→items…), so an even round count lands
+    the ranking back on the item side plus the users reached at the
+    final hop's frontier — a node holds rank only when the walk can
+    stand on it that round, mirrored exactly by the oracle's unroll.
+    """
+    edges = _edges(spark, sf_dir).repartition("src").cache()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        outdeg.filter(F.col("src").startswith("i:"))
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(BFS_SEEDS)
+        .select(F.col("src").alias("node"), F.lit(1).alias("is_seed"))
+        .localCheckpoint(eager=True)  # cut the TakeOrdered out of every
+        # round's lineage (the BFS lesson: 8 copies otherwise)
+    )
+    base = int(0.15 * SCALE) // BFS_SEEDS
+    r0 = SCALE // BFS_SEEDS
+    ranks = seeds.select("node", F.lit(r0).alias("r"))
+    deg = outdeg.withColumnRenamed("src", "node")
+    edges_by_node = edges.withColumnRenamed("src", "node")
+    for _ in range(PPR_ITERS):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(edges_by_node, "node")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("r") / F.col("deg")).alias("c"),
+            )
+        )
+        spread = contrib.groupBy("node").agg(
+            F.floor(F.lit(DAMP) * F.sum("c")).cast("long").alias("dr")
+        )
+        ranks = spread.join(F.broadcast(seeds), "node", "left").select(
+            "node",
+            (
+                F.col("dr")
+                + F.when(F.col("is_seed") == 1, F.lit(base)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("r"),
+        )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
+        ranks.select(
+            "node",
+            F.col("r").alias("rank_scaled"),
+            pround(F.col("r") / F.lit(float(SCALE)), 9).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("node"))
+        .limit(TOP_N)
+    )
+    return scoped_cache(out, edges)
+
+
+def _ppr_iter_sql(prev: str, this: str) -> str:
+    return f"""
+{this} AS (
+  SELECT e.dst AS node,
+         CAST(floor({DAMP} * sum(floor(r.r * 1.0 / d.deg)))
+              + coalesce(max(s.base), 0) AS BIGINT) AS r
+  FROM {prev} r
+  JOIN outdeg d ON d.src = r.node
+  JOIN edges e ON e.src = r.node
+  LEFT JOIN seedbase s ON s.node = e.dst
+  GROUP BY e.dst
+)"""
+
+
+PPR_SQL = f"""
+{_EDGES_SQL}
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+seeds AS (
+  SELECT src AS node FROM outdeg WHERE src LIKE 'i:%'
+  ORDER BY deg DESC, src ASC LIMIT {BFS_SEEDS}
+),
+seedbase AS (
+  SELECT node, CAST({int(0.15 * SCALE)} // {BFS_SEEDS} AS BIGINT) AS base
+  FROM seeds
+),
+r0 AS (
+  SELECT node, CAST({SCALE} // {BFS_SEEDS} AS BIGINT) AS r FROM seeds
+),
+{_ppr_iter_sql('r0', 'r1')},
+{_ppr_iter_sql('r1', 'r2')},
+{_ppr_iter_sql('r2', 'r3')},
+{_ppr_iter_sql('r3', 'r4')}
+SELECT node, r AS rank_scaled,
+       floor((r * 1.0 / {SCALE}.0) * 1000000000.0 + 0.5) / 1000000000.0 AS rank
+FROM r4
+ORDER BY rank_scaled DESC, node ASC
+LIMIT {TOP_N}
+"""
+
+
 #: HITS output size per side and the fixed synchronous round count
 HITS_TOP_N = 15
 
@@ -575,10 +688,12 @@ SPARK_QUERIES = {
     "label_propagation_communities": label_propagation_communities,
     "click_graph_bfs_reach": click_graph_bfs_reach,
     "hits_hub_authority": hits_hub_authority,
+    "personalized_pagerank_seeds": personalized_pagerank_seeds,
 }
 ORACLE_SQL = {
     "pagerank_click_graph": PAGERANK_SQL,
     "label_propagation_communities": LPA_SQL,
     "click_graph_bfs_reach": BFS_REACH_SQL,
     "hits_hub_authority": HITS_SQL,
+    "personalized_pagerank_seeds": PPR_SQL,
 }

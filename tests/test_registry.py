@@ -186,7 +186,7 @@ EXPECTED_QUERIES = {
     "item_ktruss_edges", "customer_rfm_segments",
     # graph analytics (operators/graph.py)
     "pagerank_click_graph",
-    "hits_hub_authority",
+    "hits_hub_authority", "personalized_pagerank_seeds",
     "click_graph_bfs_reach",
     "kmeans_embedding_clusters",
     "semdedup_prune",
