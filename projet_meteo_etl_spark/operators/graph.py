@@ -61,6 +61,44 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionByName(rev)
 
 
+def _damped_walk(ranks, deg, edges_by_node, n_rounds: int, add_base):
+    """The shared Pregel-as-joins damped-walk loop (PageRank and its
+    personalized variant differ ONLY in where the teleport mass lands):
+    per-edge ``floor(rank/outdeg)`` contributions, ``floor(DAMP·Σ)``,
+    then the caller's base-mass step — one definition so the exact-
+    integer recipe can never drift between the twins."""
+    for _ in range(n_rounds):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(edges_by_node, "node")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("r") / F.col("deg")).alias("c"),
+            )
+        )
+        spread = contrib.groupBy("node").agg(
+            F.floor(F.lit(DAMP) * F.sum("c")).cast("long").alias("dr")
+        )
+        ranks = add_base(spread)
+    return ranks
+
+
+def _walk_topn(ranks, edges) -> DataFrame:
+    """Shared top-``TOP_N`` report tail of the two walks."""
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
+        ranks.select(
+            "node",
+            F.col("r").alias("rank_scaled"),
+            pround(F.col("r") / F.lit(float(SCALE)), 9).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("node"))
+        .limit(TOP_N)
+    )
+    return scoped_cache(out, edges)
+
+
 def pagerank_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``TOP_N`` nodes of the symmetrized user–item click graph by
     3-iteration damped PageRank (integer rank units of 1e-12)."""
@@ -74,32 +112,16 @@ def pagerank_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = outdeg.withColumnRenamed("src", "node")
     edges_by_node = edges.withColumnRenamed("src", "node")
-    for _ in range(N_ITER):
-        contrib = (
-            ranks.join(deg, "node")
-            .join(edges_by_node, "node")
-            .select(
-                F.col("dst").alias("node"),
-                F.floor(F.col("r") / F.col("deg")).alias("c"),
-            )
-        )
-        ranks = contrib.groupBy("node").agg(
-            (F.lit(base) + F.floor(F.lit(DAMP) * F.sum("c")))
-            .cast("long")
-            .alias("r")
-        )
-    from projet_meteo_etl_spark.cachescope import scoped_cache
-
-    out = (
-        ranks.select(
-            "node",
-            F.col("r").alias("rank_scaled"),
-            pround(F.col("r") / F.lit(float(SCALE)), 9).alias("rank"),
-        )
-        .orderBy(F.desc("rank_scaled"), F.asc("node"))
-        .limit(TOP_N)
+    ranks = _damped_walk(
+        ranks,
+        deg,
+        edges_by_node,
+        N_ITER,
+        lambda s: s.select(
+            "node", (F.lit(base) + F.col("dr")).cast("long").alias("r")
+        ),
     )
-    return scoped_cache(out, edges)
+    return _walk_topn(ranks, edges)
 
 
 # shared oracle fragment: the symmetrized click-graph edge list —
@@ -120,17 +142,27 @@ edges AS (
 ),"""
 
 
-def _iter_sql(prev: str, this: str) -> str:
+def _damped_iter_sql(
+    prev: str, this: str, base_term: str, extra_join: str = ""
+) -> str:
+    """One oracle-side definition of the damped-walk round — the SQL
+    twin of ``_damped_walk``, parameterized on the teleport term so the
+    global and personalized variants cannot drift."""
     return f"""
 {this} AS (
   SELECT e.dst AS node,
-         CAST((SELECT base FROM consts)
-              + floor({DAMP} * sum(floor(r.r * 1.0 / d.deg))) AS BIGINT) AS r
+         CAST(floor({DAMP} * sum(floor(r.r * 1.0 / d.deg)))
+              + {base_term} AS BIGINT) AS r
   FROM {prev} r
   JOIN outdeg d ON d.src = r.node
   JOIN edges e ON e.src = r.node
+  {extra_join}
   GROUP BY e.dst
 )"""
+
+
+def _iter_sql(prev: str, this: str) -> str:
+    return _damped_iter_sql(prev, this, "(SELECT base FROM consts)")
 
 
 PAGERANK_SQL = f"""
@@ -426,19 +458,9 @@ def personalized_pagerank_seeds(
     ranks = seeds.select("node", F.lit(r0).alias("r"))
     deg = outdeg.withColumnRenamed("src", "node")
     edges_by_node = edges.withColumnRenamed("src", "node")
-    for _ in range(PPR_ITERS):
-        contrib = (
-            ranks.join(deg, "node")
-            .join(edges_by_node, "node")
-            .select(
-                F.col("dst").alias("node"),
-                F.floor(F.col("r") / F.col("deg")).alias("c"),
-            )
-        )
-        spread = contrib.groupBy("node").agg(
-            F.floor(F.lit(DAMP) * F.sum("c")).cast("long").alias("dr")
-        )
-        ranks = spread.join(F.broadcast(seeds), "node", "left").select(
+
+    def add_seed_base(spread):
+        return spread.join(F.broadcast(seeds), "node", "left").select(
             "node",
             (
                 F.col("dr")
@@ -447,32 +469,18 @@ def personalized_pagerank_seeds(
                 )
             ).alias("r"),
         )
-    from projet_meteo_etl_spark.cachescope import scoped_cache
 
-    out = (
-        ranks.select(
-            "node",
-            F.col("r").alias("rank_scaled"),
-            pround(F.col("r") / F.lit(float(SCALE)), 9).alias("rank"),
-        )
-        .orderBy(F.desc("rank_scaled"), F.asc("node"))
-        .limit(TOP_N)
+    ranks = _damped_walk(ranks, deg, edges_by_node, PPR_ITERS, add_seed_base)
+    return _walk_topn(ranks, edges)
+
+
+def _ppr_sql_round(prev: str, this: str) -> str:
+    return _damped_iter_sql(
+        prev,
+        this,
+        "coalesce(max(s.base), 0)",
+        "LEFT JOIN seedbase s ON s.node = e.dst",
     )
-    return scoped_cache(out, edges)
-
-
-def _ppr_iter_sql(prev: str, this: str) -> str:
-    return f"""
-{this} AS (
-  SELECT e.dst AS node,
-         CAST(floor({DAMP} * sum(floor(r.r * 1.0 / d.deg)))
-              + coalesce(max(s.base), 0) AS BIGINT) AS r
-  FROM {prev} r
-  JOIN outdeg d ON d.src = r.node
-  JOIN edges e ON e.src = r.node
-  LEFT JOIN seedbase s ON s.node = e.dst
-  GROUP BY e.dst
-)"""
 
 
 PPR_SQL = f"""
@@ -489,10 +497,10 @@ seedbase AS (
 r0 AS (
   SELECT node, CAST({SCALE} // {BFS_SEEDS} AS BIGINT) AS r FROM seeds
 ),
-{_ppr_iter_sql('r0', 'r1')},
-{_ppr_iter_sql('r1', 'r2')},
-{_ppr_iter_sql('r2', 'r3')},
-{_ppr_iter_sql('r3', 'r4')}
+{_ppr_sql_round('r0', 'r1')},
+{_ppr_sql_round('r1', 'r2')},
+{_ppr_sql_round('r2', 'r3')},
+{_ppr_sql_round('r3', 'r4')}
 SELECT node, r AS rank_scaled,
        floor((r * 1.0 / {SCALE}.0) * 1000000000.0 + 0.5) / 1000000000.0 AS rank
 FROM r4

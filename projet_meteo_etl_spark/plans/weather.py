@@ -71,16 +71,29 @@ def _fixtures() -> dict:
             # would let two timed-out waiters regenerate concurrently
             # (the exact race the lock exists to prevent) and would leave
             # the stale lock taxing every future fresh process 60 s.
-            # Reclaim ONLY if it is still the same inode we timed out on:
-            # a blind unlink could delete a fellow waiter's freshly
-            # acquired LIVE lock and re-admit the double-generator race
+            # Reclaim via ATOMIC RENAME: exactly one waiter's rename of
+            # the observed inode succeeds (stat-then-unlink would let a
+            # second waiter delete the first's freshly re-acquired LIVE
+            # lock); the identity check keeps a waiter from renaming a
+            # lock that was already released and re-acquired meanwhile
             try:
                 cur = os.stat(lock)
                 if (cur.st_ino, cur.st_mtime_ns) == (
                     seen.st_ino,
                     seen.st_mtime_ns,
                 ):
-                    os.unlink(lock)
+                    reclaim = f"{lock}.reclaim.{os.getpid()}"
+                    os.rename(lock, reclaim)
+                    got = os.stat(reclaim)
+                    if (got.st_ino, got.st_mtime_ns) == (
+                        seen.st_ino,
+                        seen.st_mtime_ns,
+                    ):
+                        os.unlink(reclaim)  # reclaimed the stale lock
+                    else:
+                        # the rename raced a fresh acquisition and moved
+                        # a LIVE lock — put it back (detected, restored)
+                        os.rename(reclaim, lock)
             except OSError:
                 pass  # replaced or reclaimed by another waiter — retry
     try:

@@ -107,13 +107,17 @@ def _force_redraw() -> list[str]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     # numeric round key: lexicographic sort would rank redraw_r9 after
-    # redraw_r10 and silently pin a stale manifest from round 10 on
-    manifests = sorted(
-        glob.glob(os.path.join(here, "redraw_r*.json")),
-        key=lambda p: int(re.search(r"redraw_r(\d+)", p).group(1)),
-    )
-    if not manifests:
+    # redraw_r10 and silently pin a stale manifest from round 10 on.
+    # Non-numeric strays (editor backups, experiment copies) are
+    # ignored rather than crashing the whole driver contract.
+    numbered = []
+    for p in glob.glob(os.path.join(here, "redraw_r*.json")):
+        m = re.search(r"redraw_r(\d+)\.json$", p)
+        if m:
+            numbered.append((int(m.group(1)), p))
+    if not numbered:
         return []
+    manifests = [p for _, p in sorted(numbered)]
     with open(manifests[-1]) as f:
         names = json.load(f)
     return [n for n in names if isinstance(n, str)]

@@ -130,7 +130,10 @@ def _staged_events_dir(sf_dir: str, n_files: int = 4) -> str:
 
 
 def _read_events_stream(
-    spark: SparkSession, sf_dir: str, files_per_trigger: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    files_per_trigger: int = 1,
+    staging=None,
 ) -> DataFrame:
     from projet_meteo_etl_spark.catalog import harden_session
 
@@ -158,7 +161,7 @@ def _read_events_stream(
     raw = (
         spark.readStream.schema(_events_raw_schema(ts_is_long))
         .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(_staged_events_dir(sf_dir))
+        .parquet((staging or _staged_events_dir)(sf_dir))
     )
     if ts_is_long:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -169,24 +172,18 @@ def _read_events_stream_hb(
     spark: SparkSession, sf_dir: str, files_per_trigger: int = 2
 ) -> DataFrame:
     """:func:`_read_events_stream` over the HEARTBEAT staging
-    (:func:`_staged_events_dir_with_heartbeat`) — one definition of the
-    schema/trigger/ts-normalization block for every heartbeat-closed
-    stream, so a trigger or normalization change can never drift
-    between call sites.  Callers must let the sentinel rows FLOW
-    THROUGH (filtering them here would push down to the scan and prune
-    the heartbeat file) and drop their aggregated output instead."""
-    from projet_meteo_etl_spark.catalog import harden_session
-
-    harden_session(spark)
-    ts_is_long = _ts_is_long(sf_dir)
-    raw = (
-        spark.readStream.schema(_events_raw_schema(ts_is_long))
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(_staged_events_dir_with_heartbeat(sf_dir))
+    (:func:`_staged_events_dir_with_heartbeat`) — the DELEGATING
+    variant, so the schema/trigger/ts-normalization block has exactly
+    one definition and can never drift between the two stagings.
+    Callers must let the sentinel rows FLOW THROUGH (filtering them
+    here would push down to the scan and prune the heartbeat file) and
+    drop their aggregated output instead."""
+    return _read_events_stream(
+        spark,
+        sf_dir,
+        files_per_trigger,
+        staging=_staged_events_dir_with_heartbeat,
     )
-    if ts_is_long:
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 #: state-store partition count for the test-scale streams.  Stateful

@@ -356,6 +356,9 @@ def main() -> int:
         probes.update(
             {
                 "hits_hub_authority": gr.hits_hub_authority,
+                "personalized_pagerank_seeds": (
+                    gr.personalized_pagerank_seeds
+                ),
                 "mann_whitney_value_shift": model_eval.mann_whitney_value_shift,
                 "events_multi_grain_rollup": wnd.events_multi_grain_rollup,
                 "jl_projection_distortion": sim.jl_projection_distortion,
