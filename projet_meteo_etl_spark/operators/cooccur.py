@@ -662,12 +662,168 @@ ORDER BY round
 """
 
 
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_N`` directional association rules (ant → cons) over
+    the click baskets, by LIFT — the classic market-basket readout
+    (Agrawal & Srikant 1994) that :func:`item_cooccurrence_topk` stops
+    short of: co-count is symmetric popularity, confidence and lift
+    are the directional "does clicking ant PREDICT clicking cons"
+    metrics a recommender actually ranks by.
+
+    Exact-integer metrics: ``confidence_ppm = n_co·1e6 DIV n_ant`` and
+    ``lift_ppm = n_co·n_users·1e6 DIV (n_ant·n_cons)``, the numerator
+    widened to DECIMAL(38,0)/HUGEINT before the multiply (n_co·n_users
+    ·1e6 clears BIGINT at ~100× corpus — the ``mann_whitney`` overflow
+    discipline).  Support floor ``MIN_SUPPORT`` keeps singleton
+    co-occurrences from minting infinite-lift noise rules.
+
+    Scale: one undirected pair rollup (the shared ``_co_counts``
+    self-join, per-user baskets capped at ``USER_ITEM_CAP`` so the
+    pair expansion is Σcap² not Σbasket²), mirrored into the two rule
+    directions map-side; degree lookups broadcast onto the pair table.
+    """
+    ui = _user_items(spark, sf_dir)
+    n_users = ui.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    deg = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    co = _co_counts(ui).filter(F.col("n_users") >= MIN_SUPPORT)
+    directed = co.selectExpr(
+        "i1 AS ant", "i2 AS cons", "n_users AS n_co"
+    ).unionByName(
+        co.selectExpr("i2 AS ant", "i1 AS cons", "n_users AS n_co")
+    )
+    out = (
+        directed.join(
+            F.broadcast(deg.selectExpr("item AS ant", "n_item AS n_ant")),
+            "ant",
+        )
+        .join(
+            F.broadcast(deg.selectExpr("item AS cons", "n_item AS n_cons")),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_users.selectExpr("n_users AS n_total")))
+        .select(
+            "ant",
+            "cons",
+            "n_co",
+            "n_ant",
+            "n_cons",
+            F.expr("CAST(n_co * 1000000 DIV n_ant AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(CAST(n_co AS DECIMAL(38,0)) * n_total * 1000000"
+                " DIV (CAST(n_ant AS DECIMAL(38,0)) * n_cons) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), F.asc("ant"), F.asc("cons"))
+        .limit(TOP_N)
+    )
+    return scoped_cache(out, ui)
+
+
+ASSOC_RULES_SQL = f"""
+WITH {_BASKET_SQL},
+users AS (SELECT count(DISTINCT user_id) AS n_total FROM capped),
+deg AS (SELECT item, count(*) AS n_item FROM capped GROUP BY item),
+directed AS (
+  SELECT i1 AS ant, i2 AS cons, n_users AS n_co FROM co
+  WHERE n_users >= {MIN_SUPPORT}
+  UNION ALL
+  SELECT i2 AS ant, i1 AS cons, n_users AS n_co FROM co
+  WHERE n_users >= {MIN_SUPPORT}
+)
+SELECT d.ant, d.cons, CAST(d.n_co AS BIGINT) AS n_co,
+       CAST(a.n_item AS BIGINT) AS n_ant,
+       CAST(c.n_item AS BIGINT) AS n_cons,
+       CAST(d.n_co * 1000000 // a.n_item AS BIGINT) AS confidence_ppm,
+       CAST(CAST(d.n_co AS HUGEINT) * u.n_total * 1000000
+            // (CAST(a.n_item AS HUGEINT) * c.n_item) AS BIGINT)
+         AS lift_ppm
+FROM directed d
+JOIN deg a ON a.item = d.ant
+JOIN deg c ON c.item = d.cons
+CROSS JOIN users u
+ORDER BY lift_ppm DESC, ant ASC, cons ASC
+LIMIT {TOP_N}
+"""
+
+
+#: resource-allocation contributions come only from DISCRIMINATIVE
+#: items: an item clicked by more users than this cap contributes
+#: ≤ 1e6/cap ≈ noise per pair anyway, and excluding it bounds the
+#: self-join fan-out at cap² rows per item (the containment/LSH df-cap
+#: discipline) — the cap is part of the operator's semantics and is
+#: mirrored verbatim in the oracle.
+RA_DEG_CAP = 64
+
+
+def link_prediction_ra_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_N`` USER pairs by the resource-allocation index (Zhou
+    et al. 2009) over shared clicked items: RA(u1,u2) = Σ_{shared item
+    z} 1/deg(z) — the inverse-frequency cousin of common-neighbor link
+    prediction, where sharing a RARE item says far more than sharing a
+    blockbuster.  Complements :func:`item_jaccard_similarity` (item
+    side, set overlap) with the user side and popularity weighting.
+
+    Exact integers: each shared item contributes ``1_000_000 DIV
+    deg``; the score is an integer sum (order-independent) in micro
+    units.  Scale: contributions flow only through items with deg ≤
+    ``RA_DEG_CAP`` (see the cap note above), so the item self-join
+    fans out at most cap² per item — Σdf² stays linear in the item
+    count, never |users|².
+    """
+    ui = _user_items(spark, sf_dir)
+    deg = ui.groupBy("item").agg(F.count(F.lit(1)).alias("deg"))
+    rare = (
+        ui.join(
+            F.broadcast(deg.filter(F.col("deg") <= RA_DEG_CAP)), "item"
+        )
+        .withColumn("contrib", F.expr("CAST(1000000 DIV deg AS BIGINT)"))
+    )
+    a = rare.select("item", F.col("user_id").alias("u1"), "contrib")
+    b = rare.select("item", F.col("user_id").alias("u2"))
+    out = (
+        a.join(b, "item")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(
+            F.sum("contrib").alias("ra_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+        .orderBy(F.desc("ra_micro"), F.asc("u1"), F.asc("u2"))
+        .limit(TOP_N)
+    )
+    return scoped_cache(out, ui)
+
+
+RA_INDEX_SQL = f"""
+WITH {_BASKET_SQL},
+deg AS (SELECT item, count(*) AS deg FROM capped GROUP BY item),
+rare AS (
+  SELECT c.user_id, c.item, CAST(1000000 // d.deg AS BIGINT) AS contrib
+  FROM capped c JOIN deg d ON d.item = c.item
+  WHERE d.deg <= {RA_DEG_CAP}
+)
+SELECT a.user_id AS u1, b.user_id AS u2,
+       CAST(sum(a.contrib) AS BIGINT) AS ra_micro,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM rare a JOIN rare b ON a.item = b.item AND a.user_id < b.user_id
+GROUP BY a.user_id, b.user_id
+ORDER BY ra_micro DESC, u1 ASC, u2 ASC
+LIMIT {TOP_N}
+"""
+
+
 SPARK_QUERIES = {
     "item_cooccurrence_topk": item_cooccurrence_topk,
     "item_jaccard_similarity": item_jaccard_similarity,
     "item_triangle_count": item_triangle_count,
     "item_kcore_peel": item_kcore_peel,
     "item_ktruss_edges": item_ktruss_edges,
+    "association_rules_lift": association_rules_lift,
+    "link_prediction_ra_index": link_prediction_ra_index,
 }
 ORACLE_SQL = {
     "item_kcore_peel": KCORE_SQL,
@@ -675,4 +831,6 @@ ORACLE_SQL = {
     "item_jaccard_similarity": JACCARD_SQL,
     "item_triangle_count": TRIANGLE_SQL,
     "item_ktruss_edges": KTRUSS_SQL,
+    "association_rules_lift": ASSOC_RULES_SQL,
+    "link_prediction_ra_index": RA_INDEX_SQL,
 }

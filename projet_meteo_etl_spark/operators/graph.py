@@ -691,12 +691,146 @@ ORDER BY kind, score_scaled DESC, node ASC
 """
 
 
+#: Bellman–Ford relaxation rounds (unrolled; ≥ the longest useful path)
+BF_ROUNDS = 4
+#: cheapest-path sources: the highest-degree item nodes, BFS's seed rule
+BF_SEEDS = 3
+#: cheapest non-seed destinations reported
+BF_TOP_N = 30
+
+
+def cheapest_path_bellman_ford(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-round WEIGHTED shortest path (Bellman–Ford) over the
+    click graph: min total cost from the ``BF_SEEDS`` highest-degree
+    item nodes, where an edge's cost is inverse click multiplicity —
+    ``1000 + 1_000_000 DIV clicks(u,i)`` — so heavily-reinforced
+    user–item affinities are cheap to traverse and the result reads as
+    "the ``BF_TOP_N`` nodes most strongly wired to the head items",
+    the weighted refinement of :func:`click_graph_bfs_reach`'s hop
+    metric (2 strong hops can now beat 1 weak hop).
+
+    Each round relaxes EVERY settled node, not just the newest
+    frontier: a node first reached in round 1 at cost 9000 and again
+    in round 2 at cost 4000 must re-propagate its improvement, which a
+    frontier-only walk (correct for BFS, where later ⇒ never cheaper)
+    would silently drop.  Costs are exact integers, so min() is
+    order-independent and both engines agree bit-for-bit.
+
+    Scale: the edge list is weighted by a (user,item) click-count
+    rollup of the raw scan (one shuffle), partitioned once on ``src``
+    and reused by all ``BF_ROUNDS`` join rounds; the cost table is
+    ≤|V| rows and each round is one join + one min-aggregate with a
+    ``localCheckpoint`` lineage cut — the same static Pregel-as-joins
+    DAG as PageRank above, with round count fixed so the plan cannot
+    grow with data.  Reference parity: the reference has no graph
+    surface (SURVEY §2.5); this extends the BFS auditing family.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    pc = (
+        e.select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("u"),
+            F.concat(
+                F.lit("i:"), F.get_json_object("props", "$.k").cast("long")
+            ).alias("i"),
+        )
+        .filter(F.col("i").isNotNull())
+        .groupBy("u", "i")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("w", F.expr("CAST(1000 + 1000000 DIV c AS BIGINT)"))
+    )
+    fwd = pc.select(F.col("u").alias("src"), F.col("i").alias("dst"), "w")
+    rev = pc.select(F.col("i").alias("src"), F.col("u").alias("dst"), "w")
+    edges = fwd.unionByName(rev).repartition("src").cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        deg.filter(F.col("src").startswith("i:"))
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(BF_SEEDS)
+        .select(F.col("src").alias("node"))
+    )
+    dist = seeds.select(
+        "node", F.lit(0).cast("long").alias("cost")
+    ).localCheckpoint(eager=True)
+    for _ in range(BF_ROUNDS):
+        relaxed = (
+            dist.withColumnRenamed("node", "src")
+            .join(edges, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
+        dist.filter(F.col("cost") > 0)  # seeds stay at min cost 0
+        .orderBy(F.asc("cost"), F.asc("node"))
+        .limit(BF_TOP_N)
+    )
+    return scoped_cache(out, edges)
+
+
+def _bf_iter_sql(prev: str, this: str) -> str:
+    return f"""
+{this} AS (
+  SELECT node, min(cost) AS cost FROM (
+    SELECT node, cost FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, f.cost + e.w AS cost
+    FROM {prev} f JOIN wedges e ON e.src = f.node
+  ) GROUP BY node
+)"""
+
+
+BELLMAN_FORD_SQL = f"""
+WITH pc AS (
+  SELECT 'u:' || user_id AS u,
+         'i:' || TRY_CAST(props->>'k' AS BIGINT) AS i,
+         count(*) AS c
+  FROM events
+  WHERE event_type = 'click'
+    AND 'i:' || TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  GROUP BY 1, 2
+),
+wedges AS (
+  SELECT u AS src, i AS dst, CAST(1000 + 1000000 // c AS BIGINT) AS w FROM pc
+  UNION ALL
+  SELECT i AS src, u AS dst, CAST(1000 + 1000000 // c AS BIGINT) AS w FROM pc
+),
+deg AS (SELECT src, count(*) AS deg FROM wedges GROUP BY src),
+d0 AS (
+  SELECT src AS node, CAST(0 AS BIGINT) AS cost FROM deg
+  WHERE src LIKE 'i:%'
+  ORDER BY deg DESC, src ASC LIMIT {BF_SEEDS}
+),
+{_bf_iter_sql('d0', 'd1')},
+{_bf_iter_sql('d1', 'd2')},
+{_bf_iter_sql('d2', 'd3')},
+{_bf_iter_sql('d3', 'd4')}
+SELECT node, cost FROM d{BF_ROUNDS}
+WHERE cost > 0
+ORDER BY cost ASC, node ASC
+LIMIT {BF_TOP_N}
+"""
+
+
 SPARK_QUERIES = {
     "pagerank_click_graph": pagerank_click_graph,
     "label_propagation_communities": label_propagation_communities,
     "click_graph_bfs_reach": click_graph_bfs_reach,
     "hits_hub_authority": hits_hub_authority,
     "personalized_pagerank_seeds": personalized_pagerank_seeds,
+    "cheapest_path_bellman_ford": cheapest_path_bellman_ford,
 }
 ORACLE_SQL = {
     "pagerank_click_graph": PAGERANK_SQL,
@@ -704,4 +838,5 @@ ORACLE_SQL = {
     "click_graph_bfs_reach": BFS_REACH_SQL,
     "hits_hub_authority": HITS_SQL,
     "personalized_pagerank_seeds": PPR_SQL,
+    "cheapest_path_bellman_ford": BELLMAN_FORD_SQL,
 }

@@ -1106,6 +1106,269 @@ ORDER BY bucket
 """
 
 
+#: randomization-inference relabelings — fixed, so the explode factor
+#: (and the plan) never grows with data
+N_PERM = 128
+
+
+def permutation_test_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact randomization test (Fisher 1935): is weekend purchase
+    value different from weekday?  The observed statistic is the
+    difference of group means in micro-cents; the null distribution is
+    ``N_PERM`` deterministic relabelings — permutation ``r`` assigns
+    each purchase to a pseudo-group by ``md5(event_id:perm:r)`` parity
+    (the ``bootstrap_ci`` membership-is-a-pure-function-of-the-row
+    trick, so there is no RNG stream, no driver loop, and any executor
+    computes any row's label) — and the p-value is the add-one-smoothed
+    extreme share ``(1 + #{|T_r| ≥ |T_obs|})·1e6 DIV (N_PERM+1)``.
+
+    Where the siblings stop: :func:`bootstrap_ci_purchase_mean` gives a
+    CI (no hypothesis), ``mann_whitney_value_shift`` tests RANKS via a
+    normal approximation — this is the exact-inference member: no
+    distributional assumption, integer end-to-end (every mean is
+    ``sum·1e6 DIV n``, every comparison is on integers), so both
+    engines agree bit-for-bit.
+
+    Scale: one explode of the purchase slice by the fixed ``N_PERM``
+    (map-side-combinable sums per label — 128 output groups), observed
+    row broadcast onto the 128-row null table.  At 100× data the
+    explode stays linear and the group count stays 128.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = e.select(
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+        (F.expr("weekday(ts)") >= 5).alias("wk"),
+    )
+    mean_diff = (
+        "CAST(sum(CASE WHEN g THEN cents END) * 1000000"
+        " DIV greatest(sum(CASE WHEN g THEN 1 ELSE 0 END), 1)"
+        " - sum(CASE WHEN NOT g THEN cents END) * 1000000"
+        " DIV greatest(sum(CASE WHEN NOT g THEN 1 ELSE 0 END), 1)"
+        " AS BIGINT)"
+    )
+    obs = p.withColumn("g", F.col("wk")).agg(
+        F.expr("sum(CASE WHEN g THEN 1 ELSE 0 END)").alias("n_weekend"),
+        F.expr("sum(CASE WHEN NOT g THEN 1 ELSE 0 END)").alias("n_weekday"),
+        F.expr(mean_diff).alias("t_obs_micro"),
+    )
+    reps = p.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("r"),
+    ).withColumn(
+        "g",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("event_id"), F.lit("perm"), F.col("r")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 1,
+    )
+    null_t = reps.groupBy("r").agg(F.expr(mean_diff).alias("t_r"))
+    out = (
+        null_t.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n_weekend").alias("n_weekend"),
+            F.max("n_weekday").alias("n_weekday"),
+            F.max("t_obs_micro").alias("t_obs_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_perms"),
+            F.expr(
+                "CAST(sum(CASE WHEN abs(t_r) >= abs(t_obs_micro)"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_extreme"),
+        )
+        .select(
+            "n_weekend",
+            "n_weekday",
+            "t_obs_micro",
+            "n_perms",
+            "n_extreme",
+            F.expr(
+                f"CAST((1 + n_extreme) * 1000000 DIV {N_PERM + 1}"
+                " AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+    )
+    return out
+
+
+PERMUTATION_SQL = f"""
+WITH p AS (
+  SELECT event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         datepart('isodow', ts) >= 6 AS wk
+  FROM events WHERE event_type = 'purchase'
+),
+obs AS (
+  SELECT CAST(sum(CASE WHEN wk THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+         CAST(sum(CASE WHEN NOT wk THEN 1 ELSE 0 END) AS BIGINT) AS n_weekday,
+         CAST(sum(CASE WHEN wk THEN cents END) * 1000000
+              // greatest(sum(CASE WHEN wk THEN 1 ELSE 0 END), 1)
+            - sum(CASE WHEN NOT wk THEN cents END) * 1000000
+              // greatest(sum(CASE WHEN NOT wk THEN 1 ELSE 0 END), 1)
+            AS BIGINT) AS t_obs_micro
+  FROM p
+),
+reps AS (
+  SELECT p.cents,
+         b.r,
+         ('0x' || substr(md5(p.event_id || ':perm:' || b.r), 1, 15))::BIGINT
+           % 2 = 1 AS g
+  FROM p, (SELECT unnest(range({N_PERM})) AS r) b
+),
+null_t AS (
+  SELECT r,
+         CAST(sum(CASE WHEN g THEN cents END) * 1000000
+              // greatest(sum(CASE WHEN g THEN 1 ELSE 0 END), 1)
+            - sum(CASE WHEN NOT g THEN cents END) * 1000000
+              // greatest(sum(CASE WHEN NOT g THEN 1 ELSE 0 END), 1)
+            AS BIGINT) AS t_r
+  FROM reps GROUP BY r
+)
+SELECT o.n_weekend, o.n_weekday, o.t_obs_micro,
+       CAST(count(*) AS BIGINT) AS n_perms,
+       CAST(sum(CASE WHEN abs(t_r) >= abs(o.t_obs_micro)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST((1 + sum(CASE WHEN abs(t_r) >= abs(o.t_obs_micro)
+                     THEN 1 ELSE 0 END)) * 1000000 // {N_PERM + 1}
+            AS BIGINT) AS p_ppm
+FROM null_t, obs o
+GROUP BY o.n_weekend, o.n_weekday, o.t_obs_micro
+"""
+
+
+def diff_in_diff_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: users split 50/50 by the
+    same md5 assignment as :func:`ab_test_analysis`, time split at the
+    midpoint day of the observed range, metric = mean purchase cents
+    per (arm, period) cell in micro units, and the DiD estimator
+    ``(T_post − T_pre) − (C_post − C_pre)`` — the panel-data causal
+    readout the plain A/B and CUPED variants don't give (it nets out
+    both the arm's level difference and the common time trend).
+
+    Every cell mean is ``sum·1e6 DIV n`` and the cutoff is integer day
+    arithmetic (``min_day + days_between DIV 2``), so the single
+    output row is exact in both engines.  Scale: one event scan into a
+    4-cell aggregate; the cutoff scalar is a 1-row broadcast.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = e.select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2),
+            )
+            == 1
+        ).alias("treat"),
+    )
+    cutoff = p.agg(
+        F.expr(
+            "date_add(min(day), CAST(datediff(max(day), min(day)) DIV 2"
+            " AS INT))"
+        ).alias("cutoff_day")
+    )
+    cells = (
+        p.crossJoin(F.broadcast(cutoff))
+        .withColumn("post", F.col("day") >= F.col("cutoff_day"))
+        .groupBy()
+        .agg(
+            F.max("cutoff_day").alias("cutoff_day"),
+            *[
+                F.expr(
+                    f"CAST(sum(CASE WHEN treat = {t} AND post = {po}"
+                    f" THEN cents END) * 1000000"
+                    f" DIV greatest(sum(CASE WHEN treat = {t} AND"
+                    f" post = {po} THEN 1 ELSE 0 END), 1) AS BIGINT)"
+                ).alias(name)
+                for name, t, po in (
+                    ("c_pre_micro", "false", "false"),
+                    ("c_post_micro", "false", "true"),
+                    ("t_pre_micro", "true", "false"),
+                    ("t_post_micro", "true", "true"),
+                )
+            ],
+        )
+    )
+    return cells.select(
+        "cutoff_day",
+        "c_pre_micro",
+        "c_post_micro",
+        "t_pre_micro",
+        "t_post_micro",
+        F.expr(
+            "CAST((t_post_micro - t_pre_micro)"
+            " - (c_post_micro - c_pre_micro) AS BIGINT)"
+        ).alias("did_micro"),
+    )
+
+
+DIFF_IN_DIFF_SQL = """
+WITH p AS (
+  SELECT ts::DATE AS day,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 2 = 1 AS treat
+  FROM events WHERE event_type = 'purchase'
+),
+cut AS (
+  SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INTEGER)
+           AS cutoff_day FROM p
+),
+lab AS (
+  SELECT p.*, p.day >= c.cutoff_day AS post FROM p, cut c
+),
+cells AS (
+  SELECT
+    (SELECT cutoff_day FROM cut) AS cutoff_day,
+    CAST(sum(CASE WHEN NOT treat AND NOT post THEN cents END) * 1000000
+         // greatest(sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END), 1)
+         AS BIGINT) AS c_pre_micro,
+    CAST(sum(CASE WHEN NOT treat AND post THEN cents END) * 1000000
+         // greatest(sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END), 1)
+         AS BIGINT) AS c_post_micro,
+    CAST(sum(CASE WHEN treat AND NOT post THEN cents END) * 1000000
+         // greatest(sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END), 1)
+         AS BIGINT) AS t_pre_micro,
+    CAST(sum(CASE WHEN treat AND post THEN cents END) * 1000000
+         // greatest(sum(CASE WHEN treat AND post THEN 1 ELSE 0 END), 1)
+         AS BIGINT) AS t_post_micro
+  FROM lab
+)
+SELECT cutoff_day, c_pre_micro, c_post_micro, t_pre_micro, t_post_micro,
+       CAST((t_post_micro - t_pre_micro) - (c_post_micro - c_pre_micro)
+            AS BIGINT) AS did_micro
+FROM cells
+"""
+
+
 SPARK_QUERIES = {
     "srm_chi_square_check": srm_chi_square_check,
     "ab_test_analysis": ab_test_analysis,
@@ -1117,9 +1380,13 @@ SPARK_QUERIES = {
     "jackknife_ratio_metric": jackknife_ratio_metric,
     "winsorized_ab_lift": winsorized_ab_lift,
     "uplift_by_decile": uplift_by_decile,
+    "permutation_test_weekend_lift": permutation_test_weekend_lift,
+    "diff_in_diff_lift": diff_in_diff_lift,
 }
 
 ORACLE_SQL = {
+    "permutation_test_weekend_lift": PERMUTATION_SQL,
+    "diff_in_diff_lift": DIFF_IN_DIFF_SQL,
     "srm_chi_square_check": SRM_SQL,
     "ab_test_analysis": AB_TEST_SQL,
     "bootstrap_ci_purchase_mean": BOOTSTRAP_CI_SQL,

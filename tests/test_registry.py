@@ -257,6 +257,11 @@ EXPECTED_QUERIES = {
     "calibration_ece_summary",
     # CMS as streaming state (streaming/structured.py)
     "stream_cms_item_counts",
+    # round-8 batch 2: weighted shortest path, market-basket rules,
+    # RA link prediction, randomization inference, DiD
+    "cheapest_path_bellman_ford",
+    "association_rules_lift", "link_prediction_ra_index",
+    "permutation_test_weekend_lift", "diff_in_diff_lift",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -379,6 +379,22 @@ def main() -> int:
                 "join_hints_showcase": showcase.join_hints_showcase,
             }
         )
+        # round-8 batch 2: weighted shortest path (Pregel-as-joins,
+        # click-count-weighted edges), the capped-fan-out basket pair
+        # ops, and the fixed-128-explode randomization test
+        from projet_meteo_etl_spark.plans import experiments
+
+        probes.update(
+            {
+                "cheapest_path_bellman_ford": gr.cheapest_path_bellman_ford,
+                "association_rules_lift": cooccur.association_rules_lift,
+                "link_prediction_ra_index": cooccur.link_prediction_ra_index,
+                "permutation_test_weekend_lift": (
+                    experiments.permutation_test_weekend_lift
+                ),
+                "diff_in_diff_lift": experiments.diff_in_diff_lift,
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
