@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
 N_ITER = 3
 DAMP = 0.85
@@ -824,6 +824,107 @@ LIMIT {BF_TOP_N}
 """
 
 
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the symmetrized click graph (Newman
+    2002): the Pearson correlation of endpoint degrees over the
+    directed edge list — positive means hubs link to hubs (a core that
+    no balanced partitioner can split cleanly), negative means a
+    hub-and-spoke topology (the usual bipartite shape, and the reason
+    the skew-join mitigations in ``relational_ext`` exist).  The one
+    scalar a graph engine reports before choosing a partitioning
+    strategy.
+
+    Exactness: the five degree moments (n, Σd_src, Σd_src², Σd_dst²,
+    Σd_src·d_dst) accumulate as DECIMAL(38,0)/HUGEINT integers
+    (order-independent under any partitioning; Σd·d ≤ |E|·d_max²
+    stays far inside 38 digits), and the correlation is ONE fixed
+    sequence of IEEE double ops over those sums (the
+    ``profile_correlations`` convention) rounded with ``pround`` —
+    bit-identical cross-engine.  Symmetrization makes the src and dst
+    degree distributions equal, but both moment sets are accumulated
+    anyway so the formula is the general directed one.
+
+    Scale: degree table = one groupBy of the edge list; the two degree
+    lookups join on the edge keys (broadcast at dim scale, co-keyed
+    shuffle beyond); the moment aggregate is map-side combinable into
+    a single row.
+    """
+    edges = _edges(spark, sf_dir).repartition("src").cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    labeled = (
+        edges.join(deg.withColumnRenamed("deg", "dx"), "src")
+        .join(
+            deg.selectExpr("src AS dst", "deg AS dy"),
+            "dst",
+        )
+    )
+    m = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dy").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            (F.col("dx").cast("decimal(38,0)") * F.col("dx")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
+        F.sum(
+            (F.col("dy").cast("decimal(38,0)") * F.col("dy")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("syy"),
+        F.sum(
+            (F.col("dx").cast("decimal(38,0)") * F.col("dy")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxy"),
+    )
+    n = F.col("n_edges").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov_n = n * F.col("sxy").cast("double") - sx * sy
+    var_x = n * F.col("sxx").cast("double") - sx * sx
+    var_y = n * F.col("syy").cast("double") - sy * sy
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = m.select(
+        "n_edges",
+        F.col("sx").cast("long").alias("sum_deg"),
+        pround(cov_n / F.sqrt(var_x * var_y), 9).alias("assortativity"),
+    )
+    return scoped_cache(out, edges)
+
+
+ASSORTATIVITY_SQL = f"""
+{_EDGES_SQL}
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+lab AS (
+  SELECT CAST(a.deg AS HUGEINT) AS dx, CAST(b.deg AS HUGEINT) AS dy
+  FROM edges e
+  JOIN deg a ON a.src = e.src
+  JOIN deg b ON b.src = e.dst
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         sum(dx) AS sx, sum(dy) AS sy,
+         sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+         sum(dx * dy) AS sxy
+  FROM lab
+)
+SELECT n_edges,
+       CAST(sx AS BIGINT) AS sum_deg,
+       {pround_sql(
+           "(CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           " * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)"
+           " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
+           9,
+       )} AS assortativity
+FROM m
+"""
+
+
 SPARK_QUERIES = {
     "pagerank_click_graph": pagerank_click_graph,
     "label_propagation_communities": label_propagation_communities,
@@ -831,6 +932,7 @@ SPARK_QUERIES = {
     "hits_hub_authority": hits_hub_authority,
     "personalized_pagerank_seeds": personalized_pagerank_seeds,
     "cheapest_path_bellman_ford": cheapest_path_bellman_ford,
+    "degree_assortativity": degree_assortativity,
 }
 ORACLE_SQL = {
     "pagerank_click_graph": PAGERANK_SQL,
@@ -839,4 +941,5 @@ ORACLE_SQL = {
     "hits_hub_authority": HITS_SQL,
     "personalized_pagerank_seeds": PPR_SQL,
     "cheapest_path_bellman_ford": BELLMAN_FORD_SQL,
+    "degree_assortativity": ASSORTATIVITY_SQL,
 }

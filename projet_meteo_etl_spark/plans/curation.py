@@ -1011,6 +1011,135 @@ ORDER BY event_type
 """
 
 
+#: shingle width for the novelty curve — the contamination audit's 8
+N_NOVELTY = 8
+
+
+def source_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve of the corpus sources: add sources in
+    deterministic (name-ascending) order and report, per source, how
+    many of its distinct 8-gram shingles are NEW — unseen in every
+    earlier source.  This is the greedy-coverage readout behind data
+    mixing decisions ("does adding source X buy new text, or re-buy
+    what web-common already covers"), the set-level complement of
+    :func:`benchmark_decontamination` (which quarantines specific
+    docs) and ``cross_source_overlap`` (which reports pairwise
+    overlap, not the sequential marginal).
+
+    Exact and linear: one corpus-wide shingle pass (the shared
+    ``word_shingle_hashes`` 60-bit md5 index), a distinct (source, h)
+    rollup, min-source-rank per gram (map-combinable), and a
+    source-count-sized report with a running sum over the
+    source-domain-bounded rank axis.  No pairwise source×source work:
+    the marginal against ALL predecessors falls out of the single
+    min-rank aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # per-source gram sets: reuse the shared shingle helper by keying
+    # it on source — per-row array_distinct plus the distinct() below
+    # yields exactly the per-source distinct gram set
+    sh = word_shingle_hashes(
+        d.select(F.col("source").alias("doc_id"), "text"), n=N_NOVELTY
+    ).select(F.col("doc_id").alias("source"), "h").distinct().persist()
+    ranks = (
+        sh.select("source")
+        .distinct()
+        .withColumn(
+            "src_rank",
+            F.row_number().over(Window.orderBy(F.asc("source"))).cast(
+                "long"
+            ),
+        )
+    )
+    first = (
+        sh.join(F.broadcast(ranks), "source")
+        .groupBy("h")
+        .agg(F.min("src_rank").alias("first_rank"))
+        .groupBy("first_rank")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_grams"))
+    )
+    per_src = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_grams")
+    )
+    out = (
+        ranks.join(per_src, "source")
+        .join(first, F.col("src_rank") == F.col("first_rank"), "left")
+        .select(
+            "source",
+            "src_rank",
+            "distinct_grams",
+            F.coalesce("new_grams", F.lit(0)).cast("long").alias("new_grams"),
+        )
+        .withColumn(
+            "cum_grams",
+            F.sum("new_grams").over(
+                # source-domain-bounded prefix window (a handful of rows)
+                Window.orderBy("src_rank").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr(
+                "CAST(new_grams * 1000000"
+                " DIV greatest(distinct_grams, 1) AS BIGINT)"
+            ),
+        )
+        .orderBy("src_rank")
+    )
+    return scoped_cache(out, sh)
+
+
+SOURCE_NOVELTY_SQL = rf"""
+WITH tk AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source,
+           unnest(list_transform(generate_series(0, len(tk) - {N_NOVELTY}),
+                  i -> array_to_string(tk[i+1:i+{N_NOVELTY}], ' ')))
+             AS shingle
+    FROM tk
+  ) WHERE len(shingle) > 0
+),
+sh AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+  FROM tri
+),
+ranks AS (
+  SELECT source, row_number() OVER (ORDER BY source ASC) AS src_rank
+  FROM (SELECT DISTINCT source FROM sh)
+),
+first AS (
+  SELECT first_rank, CAST(count(*) AS BIGINT) AS new_grams FROM (
+    SELECT s.h, min(r.src_rank) AS first_rank
+    FROM sh s JOIN ranks r ON r.source = s.source
+    GROUP BY s.h
+  ) GROUP BY first_rank
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS distinct_grams
+  FROM sh GROUP BY source
+)
+SELECT r.source, r.src_rank, p.distinct_grams,
+       CAST(coalesce(f.new_grams, 0) AS BIGINT) AS new_grams,
+       CAST(sum(coalesce(f.new_grams, 0)) OVER (
+              ORDER BY r.src_rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_grams,
+       CAST(coalesce(f.new_grams, 0) * 1000000
+            // greatest(p.distinct_grams, 1) AS BIGINT) AS novelty_ppm
+FROM ranks r
+JOIN per_src p ON p.source = r.source
+LEFT JOIN first f ON f.first_rank = r.src_rank
+ORDER BY r.src_rank
+"""
+
+
 SPARK_QUERIES = {
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
@@ -1026,9 +1155,11 @@ SPARK_QUERIES = {
     "mixture_temperature_weights": mixture_temperature_weights,
     "curriculum_quality_buckets": curriculum_quality_buckets,
     "neyman_allocation_plan": neyman_allocation_plan,
+    "source_novelty_curve": source_novelty_curve,
 }
 
 ORACLE_SQL = {
+    "source_novelty_curve": SOURCE_NOVELTY_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "per_group_sample": PER_GROUP_SAMPLE_SQL,

@@ -1730,6 +1730,178 @@ ORDER BY p.dow_iso
 """
 
 
+#: Holt–Winters season length (weekly) and init span
+HW_SEASON = 7
+
+
+def holt_winters_weekly_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt–Winters ADDITIVE triple exponential smoothing (α = β = γ =
+    ½, weekly season m = 7) of daily purchase revenue — level + trend
+    + per-weekday-slot seasonal state, one-step-ahead fits from day 8
+    on.  Completes the forecasting ladder: seasonal-naive
+    (:func:`seasonal_forecast_error`) → level+trend
+    (:func:`holt_linear_forecast`) → level+trend+season (this).
+
+    Init is the classic first-season scheme: l₇ = floor-mean of days
+    1..7, b₇ = 0, s_p = x_p − l₇ for slots p = 1..7; fits start at day
+    8 (a series shorter than 8 days yields an empty report rather than
+    an undefined one).  The recursion per day t with slot p = ((t−1)
+    mod 7) + 1:  fit = l + b + s_p;  l' = (x_t − s_p + l + b) ÷ 2;
+    b' = (l' − l + b) ÷ 2;  s_p' = (x_t − l' + s_p) ÷ 2 — every ÷
+    truncating toward zero (Spark ``DIV`` == DuckDB ``//`` == the
+    kernel's sign-outside-abs halving), so the whole state trajectory
+    is exact integers and bit-identical cross-engine.
+
+    Like the Holt/KM/Markov/CUSUM family the recursion's state is the
+    DAY rollup — date-domain bounded, never row count — so it runs
+    partition-locally in one exact-integer ``mapInPandas`` kernel over
+    the coalesced rollup; the corpus-sized work stays in the ordinary
+    map-combinable day aggregate feeding it.  The oracle carries the 7
+    seasonal slots as FIXED recursion columns indexed by t mod 7 (no
+    ring shifting), the mechanical unrolled-state recursive-CTE twin.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    daily = (
+        e.select(F.to_date("ts").alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("d_cents"))
+    )
+
+    def hw_kernel(batches):
+        import pandas as pd
+
+        rows = [p for p in batches if len(p)]
+        if not rows:
+            return
+        pdf = pd.concat(rows).sort_values("day")
+        days = list(pdf["day"])
+        x = [int(v) for v in pdf["d_cents"]]
+        m = 7
+        if len(x) <= m:
+            return  # fits start at day m+1; shorter series ⇒ empty
+
+        def tdiv2(a):  # trunc-toward-zero halving == Spark DIV 2
+            return -((-a) // 2) if a < 0 else a // 2
+
+        lvl = sum(x[:m]) // m  # positive ⇒ floor == trunc
+        trd = 0
+        s = [x[p] - lvl for p in range(m)]  # slot p = t-1 mod 7
+        out = []
+        for t in range(m, len(x)):
+            p = t % m
+            fit = lvl + trd + s[p]
+            lvl_new = tdiv2(x[t] - s[p] + lvl + trd)
+            trd = tdiv2(lvl_new - lvl + trd)
+            s[p] = tdiv2(x[t] - lvl_new + s[p])
+            lvl = lvl_new
+            out.append(
+                (days[t], x[t], fit, lvl, trd, s[p], abs(x[t] - fit))
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "sale_day",
+                "d_cents",
+                "fitted_cents",
+                "level_cents",
+                "trend_cents",
+                "seasonal_cents",
+                "abs_err_cents",
+            ],
+        )
+
+    return (
+        daily.coalesce(1)
+        .mapInPandas(
+            hw_kernel,
+            "sale_day date, d_cents long, fitted_cents long,"
+            " level_cents long, trend_cents long, seasonal_cents long,"
+            " abs_err_cents long",
+        )
+        .orderBy("sale_day")
+    )
+
+
+# the recursive step cannot reference its own output aliases, so the
+# shared subterms — S (the current slot's seasonal, a 7-way CASE over
+# the fixed state columns) and L (the new level, which contains S) —
+# are inlined into every expression that needs them:
+_HW_S = (
+    "CASE "
+    + " ".join(
+        f"WHEN (d.rn - 1) % {HW_SEASON} = {p} THEN h.s{p}"
+        for p in range(HW_SEASON)
+    )
+    + " END"
+)
+_HW_L = f"((d.d_cents - {_HW_S} + h.lvl + h.trd) // 2)"
+
+
+def _hw_seasonal_col(p: int) -> str:
+    """Seasonal slot ``p`` after one step: updated when this day lands
+    on slot ``p`` (where S == h.s{p}), carried otherwise."""
+    return (
+        f"CASE WHEN (d.rn - 1) % {HW_SEASON} = {p} THEN "
+        f"(d.d_cents - {_HW_L} + h.s{p}) // 2 "
+        f"ELSE h.s{p} END AS s{p}"
+    )
+
+
+HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE hw_daily AS (
+  SELECT ts::DATE AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS d_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+d AS (
+  SELECT day, d_cents, row_number() OVER (ORDER BY day) AS rn
+  FROM hw_daily
+),
+init AS (
+  SELECT CAST(sum(CASE WHEN rn <= {HW_SEASON} THEN d_cents END)
+              // {HW_SEASON} AS BIGINT) AS a
+  FROM d WHERE (SELECT max(rn) FROM d) > {HW_SEASON}
+),
+s0 AS (
+  SELECT (SELECT a FROM init) AS lvl, CAST(0 AS BIGINT) AS trd,
+         {", ".join(
+             f"max(CASE WHEN rn = {p + 1} THEN d_cents END)"
+             f" - (SELECT a FROM init) AS s{p}"
+             for p in range(HW_SEASON)
+         )}
+  FROM d WHERE (SELECT max(rn) FROM d) > {HW_SEASON}
+),
+h(rn, day, d_cents, fit, lvl, trd,
+  {", ".join(f"s{p}" for p in range(HW_SEASON))}, s_used) AS (
+  SELECT CAST({HW_SEASON} AS BIGINT), CAST(NULL AS DATE),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         lvl, trd, {", ".join(f"s{p}" for p in range(HW_SEASON))},
+         CAST(NULL AS BIGINT)
+  FROM s0
+  UNION ALL
+  SELECT d.rn, d.day, d.d_cents,
+         h.lvl + h.trd + {_HW_S} AS fit,
+         {_HW_L} AS lvl,
+         ({_HW_L} - h.lvl + h.trd) // 2 AS trd,
+         {", ".join(_hw_seasonal_col(p) for p in range(HW_SEASON))},
+         (d.d_cents - {_HW_L} + {_HW_S}) // 2 AS s_used
+  FROM h JOIN d ON d.rn = h.rn + 1
+)
+SELECT day AS sale_day, d_cents, fit AS fitted_cents,
+       lvl AS level_cents, trd AS trend_cents,
+       s_used AS seasonal_cents,
+       abs(d_cents - fit) AS abs_err_cents
+FROM h WHERE rn > {HW_SEASON}
+ORDER BY sale_day
+"""
+
+
 SPARK_QUERIES = {
     "weekday_seasonal_decomposition": weekday_seasonal_decomposition,
     "user_decayed_engagement": user_decayed_engagement,
@@ -1750,6 +1922,7 @@ SPARK_QUERIES = {
     "seasonal_forecast_error": seasonal_forecast_error,
     "ccf_rev_clicks_lags": ccf_rev_clicks_lags,
     "mann_kendall_revenue_trend": mann_kendall_revenue_trend,
+    "holt_winters_weekly_forecast": holt_winters_weekly_forecast,
 }
 
 USER_EWMA_SQL = f"""
@@ -1788,4 +1961,5 @@ ORACLE_SQL = {
     "revenue_autocorrelation": REVENUE_ACF_SQL,
     "ccf_rev_clicks_lags": CCF_SQL,
     "mann_kendall_revenue_trend": MANN_KENDALL_SQL,
+    "holt_winters_weekly_forecast": HOLT_WINTERS_SQL,
 }

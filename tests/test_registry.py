@@ -262,6 +262,9 @@ EXPECTED_QUERIES = {
     "cheapest_path_bellman_ford",
     "association_rules_lift", "link_prediction_ra_index",
     "permutation_test_weekend_lift", "diff_in_diff_lift",
+    # round-8 batch 3: assortativity, source marginal novelty, HW
+    "degree_assortativity", "source_novelty_curve",
+    "holt_winters_weekly_forecast",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

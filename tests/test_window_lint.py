@@ -68,6 +68,7 @@ ALLOWED = {
     # ECDF prefix over the per-distinct-cents rollup (value-domain bounded)
     "ks_value_drift": "per-cents distribution rollup (~50k rows max)",
     "mann_whitney_value_shift": "per-cents pooled rollup (value-domain bounded)",
+    "source_novelty_curve": "per-source rollup (source-domain bounded)",
     # threshold prefix over the same per-cents rollup (value-domain bounded)
     "pr_curve_points": "per-cents distribution rollup (~50k rows max)",
     # global-band cumulative over the $1000-band rollup (band-domain bounded)

@@ -393,6 +393,13 @@ def main() -> int:
                     experiments.permutation_test_weekend_lift
                 ),
                 "diff_in_diff_lift": experiments.diff_in_diff_lift,
+                # batch 3: edge-linear moment aggregate, corpus-linear
+                # gram pass, and the date-domain-bounded HW kernel
+                "degree_assortativity": gr.degree_assortativity,
+                "source_novelty_curve": curation.source_novelty_curve,
+                "holt_winters_weekly_forecast": (
+                    timeseries.holt_winters_weekly_forecast
+                ),
             }
         )
         timings = {}
