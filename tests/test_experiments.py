@@ -568,3 +568,40 @@ def test_linear_attribution_conserves_value(spark):
     for ch, (n, credit) in expect.items():
         assert got[ch]["n_purchases_touched"] == n, ch
         assert got[ch]["credit_micro_cents"] == credit, ch
+
+
+def test_permutation_test_contract(spark):
+    """p must lie in [1/(R+1), 1] (add-one smoothing), the null must
+    have exactly N_PERM draws, and the readout must be partition-
+    independent (pure-hash relabelings, integer statistics)."""
+    from projet_meteo_etl_spark.plans.experiments import (
+        N_PERM,
+        permutation_test_weekend_lift,
+    )
+
+    r = permutation_test_weekend_lift(spark, SF_SMOKE).collect()[0]
+    assert r["n_perms"] == N_PERM
+    assert 0 <= r["n_extreme"] <= N_PERM
+    lo = 1_000_000 // (N_PERM + 1)
+    assert lo <= r["p_ppm"] <= 1_000_000
+    assert r["n_weekend"] > 0 and r["n_weekday"] > 0
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r2 = permutation_test_weekend_lift(spark, SF_SMOKE).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert r.asDict() == r2.asDict()
+
+
+def test_diff_in_diff_identity_and_cells(spark):
+    """did_micro must equal the 2x2 cell identity, and every cell mean
+    must be a plausible positive purchase value."""
+    from projet_meteo_etl_spark.plans.experiments import diff_in_diff_lift
+
+    r = diff_in_diff_lift(spark, SF_SMOKE).collect()[0]
+    assert r["did_micro"] == (r["t_post_micro"] - r["t_pre_micro"]) - (
+        r["c_post_micro"] - r["c_pre_micro"]
+    )
+    for c in ("c_pre_micro", "c_post_micro", "t_pre_micro", "t_post_micro"):
+        assert r[c] > 0

@@ -185,3 +185,73 @@ def test_bfs_reach_matches_python_replay(spark):
     assert {
         r["distance"]: (r["n_nodes"], r["share_ppm"]) for r in got
     } == {d: (c, c * 1_000_000 // total) for d, c in hist.items()}
+
+
+def test_bellman_ford_matches_python_replay(spark):
+    """The weighted cheapest-path report must equal a dict-based
+    Bellman-Ford replay (same weights, seeds, and round count)."""
+    import duckdb
+    from collections import defaultdict
+
+    from projet_meteo_etl_spark.operators.graph import (
+        BF_ROUNDS,
+        BF_SEEDS,
+        BF_TOP_N,
+        cheapest_path_bellman_ford,
+    )
+
+    pc = duckdb.sql(
+        f"""
+        SELECT 'u:' || user_id AS u,
+               'i:' || TRY_CAST(props->>'k' AS BIGINT) AS i, count(*) AS c
+        FROM '{SF_SMOKE}/events.parquet'
+        WHERE event_type = 'click'
+          AND 'i:' || TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    adj = defaultdict(list)
+    deg = defaultdict(int)
+    for u, i, c in pc:
+        w = 1000 + 1_000_000 // c
+        adj[u].append((i, w))
+        adj[i].append((u, w))
+        deg[u] += 1
+        deg[i] += 1
+    seeds = sorted(
+        (n for n in deg if n.startswith("i:")),
+        key=lambda n: (-deg[n], n),
+    )[:BF_SEEDS]
+    dist = {n: 0 for n in seeds}
+    for _ in range(BF_ROUNDS):
+        nxt = dict(dist)
+        for node, cost in dist.items():
+            for dst, w in adj[node]:
+                if dst not in nxt or cost + w < nxt[dst]:
+                    nxt[dst] = cost + w
+        dist = nxt
+    expect = sorted(
+        ((c, n) for n, c in dist.items() if c > 0),
+    )[:BF_TOP_N]
+    got = [
+        (r["cost"], r["node"])
+        for r in cheapest_path_bellman_ford(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_assortativity_bounds_and_determinism(spark):
+    """Assortativity is a correlation: must lie in [-1, 1]; exact
+    integer moments make it partition-independent."""
+    from projet_meteo_etl_spark.operators.graph import degree_assortativity
+
+    r = degree_assortativity(spark, SF_SMOKE).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_edges"] > 0 and r["sum_deg"] > 0
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r2 = degree_assortativity(spark, SF_SMOKE).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert r.asDict() == r2.asDict()

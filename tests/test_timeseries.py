@@ -576,3 +576,49 @@ def test_markov_attribution_matches_python_replay(spark):
             0 if tot == 0 else eff[c] * 1_000_000 // tot
         )
         assert eff[c] >= 0  # monotone: removal can only lower conversion
+
+
+def test_holt_winters_matches_python_replay(spark):
+    """Every output column of the Holt–Winters kernel must equal a
+    literal Python replay of the α=β=γ=½, m=7 additive recursion with
+    truncating halving and the classic first-season init."""
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.timeseries import (
+        HW_SEASON,
+        holt_winters_weekly_forecast,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def tdiv2(a: int) -> int:
+        return -((-a) // 2) if a < 0 else a // 2
+
+    daily = duckdb.sql(
+        f"SELECT ts::DATE AS day,"
+        f" CAST(sum(CAST(floor(value*100.0+0.5) AS BIGINT)) AS BIGINT)"
+        f" FROM '{SF_SMOKE}/events.parquet'"
+        f" WHERE event_type='purchase' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    x = [c for _, c in daily]
+    m = HW_SEASON
+    assert len(x) > m, "fixture must span more than one season"
+    lvl = sum(x[:m]) // m
+    trd = 0
+    s = [x[p] - lvl for p in range(m)]
+    expect = []
+    for t in range(m, len(x)):
+        p = t % m
+        fit = lvl + trd + s[p]
+        new_lvl = tdiv2(x[t] - s[p] + lvl + trd)
+        trd = tdiv2(new_lvl - lvl + trd)
+        s[p] = tdiv2(x[t] - new_lvl + s[p])
+        lvl = new_lvl
+        expect.append(
+            (daily[t][0], x[t], fit, lvl, trd, s[p], abs(x[t] - fit))
+        )
+    got = holt_winters_weekly_forecast(spark, SF_SMOKE).collect()
+    assert [
+        (r["sale_day"], r["d_cents"], r["fitted_cents"], r["level_cents"],
+         r["trend_cents"], r["seasonal_cents"], r["abs_err_cents"])
+        for r in got
+    ] == expect
