@@ -1728,7 +1728,163 @@ ORDER BY channel
 """
 
 
+#: the four non-conversion channels, in bit order — masks are 0..15
+SHAPLEY_CHANNELS = ("click", "error", "signup", "view")
+#: n=4 ⇒ coalition weight s!(n−1−s)!/n! = {3,1,1,3}/12 — exact at
+#: denominator 12, so Shapley sums are exact integers in ppm/12 units
+SHAPLEY_W12 = (3, 1, 1, 3)
+
+
+def shapley_attribution_channels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley-value attribution over the four engagement
+    channels (Shapley 1953; the marketing form of Zhao et al. 2018):
+    each user's coalition is the SET of channel event types they
+    emitted, the characteristic function v(S) is the conversion rate
+    (has-a-purchase) of users with exactly coalition S, and channel
+    i's credit is Σ_{S∌i} w(|S|)·(v(S∪{i}) − v(S)) with the factorial
+    weights w = {3,1,1,3}/12.  Fourth member of the attribution family
+    — last-touch (one channel takes all), linear (equal split),
+    position-based (U-shaped), Markov removal (path-based) — and the
+    only one with the fairness axioms.
+
+    Exactness: with n = 4 the 16 coalition rates are ppm integers and
+    the weights clear at denominator 12, so ``shapley_scaled`` (ppm/12
+    units) is an exact integer sum; ``shapley_ppm`` is one truncating
+    division both engines perform identically.  Empty coalitions get
+    v = 0 via a generated 0..15 spine, so both engines see all 16
+    subsets.
+
+    Scale: one event scan → per-user channel-bitmask + converted-flag
+    rollup (map-combinable) → a 16-row coalition table; the Shapley
+    sum is a 4×8 join over that table — constant beyond the scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    mask_expr = " + ".join(
+        f"CAST(max(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END)"
+        f" * {1 << b} AS INT)"
+        for b, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    users = e.groupBy("user_id").agg(
+        F.expr(f"{mask_expr}").alias("mask"),
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        ).alias("conv"),
+    )
+    spine = spark.range(0, 16).select(F.col("id").cast("int").alias("mask"))
+    v = (
+        spine.join(
+            users.groupBy("mask").agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("conv").alias("n_conv"),
+            ),
+            "mask",
+            "left",
+        )
+        .select(
+            "mask",
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_users, 0) = 0 THEN 0"
+                " ELSE coalesce(n_conv, 0) * 1000000 DIV n_users END"
+                " AS BIGINT)"
+            ).alias("v_ppm"),
+        )
+    )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    v = v.persist()
+    # per channel i: join v(S) for S without i against v(S ∪ {i})
+    parts = []
+    for b, ch in enumerate(SHAPLEY_CHANNELS):
+        bit = 1 << b
+        s = v.filter(F.expr(f"(mask & {bit}) = 0")).select(
+            F.col("mask").alias("m0"), F.col("v_ppm").alias("v0")
+        )
+        si = v.select(
+            F.col("mask").alias("m1"), F.col("v_ppm").alias("v1")
+        )
+        w_case = " ".join(
+            f"WHEN bit_count(m0) = {sz} THEN {w}"
+            for sz, w in enumerate(SHAPLEY_W12)
+        )
+        parts.append(
+            s.join(F.broadcast(si), F.expr(f"m1 = m0 + {bit}"))
+            .select(
+                F.lit(ch).alias("channel"),
+                F.expr(f"CAST((CASE {w_case} END) * (v1 - v0) AS BIGINT)")
+                .alias("term"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    out = (
+        allp.groupBy("channel")
+        .agg(F.sum("term").cast("long").alias("shapley_scaled"))
+        .select(
+            "channel",
+            "shapley_scaled",
+            F.expr("CAST(shapley_scaled DIV 12 AS BIGINT)").alias(
+                "shapley_ppm"
+            ),
+        )
+        .orderBy("channel")
+    )
+    return scoped_cache(out, v)
+
+
+def _shapley_terms_sql() -> str:
+    chans = []
+    for b, ch in enumerate(SHAPLEY_CHANNELS):
+        bit = 1 << b
+        w_case = " ".join(
+            f"WHEN bit_count(s.mask) = {sz} THEN {w}"
+            for sz, w in enumerate(SHAPLEY_W12)
+        )
+        chans.append(
+            f"SELECT '{ch}' AS channel,"
+            f" CAST((CASE {w_case} END) * (si.v_ppm - s.v_ppm) AS BIGINT)"
+            f" AS term"
+            f" FROM v s JOIN v si ON si.mask = s.mask + {bit}"
+            f" WHERE (s.mask & {bit}) = 0"
+        )
+    return " UNION ALL ".join(chans)
+
+
+SHAPLEY_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         {" + ".join(
+             f"CAST(max(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END)"
+             f" * {1 << b} AS INTEGER)"
+             for b, ch in enumerate(SHAPLEY_CHANNELS)
+         )} AS mask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+per AS (
+  SELECT mask, count(*) AS n_users, sum(conv) AS n_conv
+  FROM users GROUP BY mask
+),
+v AS (
+  SELECT sp.mask,
+         CAST(CASE WHEN coalesce(p.n_users, 0) = 0 THEN 0
+              ELSE coalesce(p.n_conv, 0) * 1000000 // p.n_users END
+              AS BIGINT) AS v_ppm
+  FROM (SELECT unnest(range(16))::INTEGER AS mask) sp
+  LEFT JOIN per p ON p.mask = sp.mask
+),
+terms AS ({_shapley_terms_sql()})
+SELECT channel, CAST(sum(term) AS BIGINT) AS shapley_scaled,
+       CAST(CAST(sum(term) AS BIGINT) // 12 AS BIGINT) AS shapley_ppm
+FROM terms GROUP BY channel
+ORDER BY channel
+"""
+
+
 SPARK_QUERIES = {
+    "shapley_attribution_channels": shapley_attribution_channels,
     "markov_attribution_removal": markov_attribution_removal,
     "session_duration_percentiles": session_duration_percentiles,
     "linear_attribution_credit": linear_attribution_credit,
@@ -1748,6 +1904,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "shapley_attribution_channels": SHAPLEY_SQL,
     "markov_attribution_removal": MARKOV_ATTR_SQL,
     "session_duration_percentiles": SESSION_DURATION_SQL,
     "linear_attribution_credit": LINEAR_ATTR_SQL,

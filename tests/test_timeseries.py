@@ -622,3 +622,52 @@ def test_holt_winters_matches_python_replay(spark):
          r["trend_cents"], r["seasonal_cents"], r["abs_err_cents"])
         for r in got
     ] == expect
+
+
+def test_shapley_attribution_matches_python_replay(spark):
+    """Shapley credits must equal a dict-based replay over the 16
+    coalition conversion rates, and must satisfy the efficiency axiom
+    exactly in scaled units: sum(shapley_scaled) == 12*(v(N) - v(0))."""
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.temporal import (
+        SHAPLEY_CHANNELS,
+        SHAPLEY_W12,
+        shapley_attribution_channels,
+    )
+    from tests.conftest import SF_SMOKE
+
+    mask_expr = " + ".join(
+        f"max(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END) * {1 << b}"
+        for b, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    per = dict()
+    for mask, n, c in duckdb.sql(
+        f"""
+        SELECT mask, count(*), sum(conv) FROM (
+          SELECT user_id, {mask_expr} AS mask,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+          FROM '{SF_SMOKE}/events.parquet' GROUP BY user_id
+        ) GROUP BY mask
+        """
+    ).fetchall():
+        per[mask] = (n, c)
+    v = {
+        m: (per[m][1] * 1_000_000 // per[m][0] if m in per else 0)
+        for m in range(16)
+    }
+    expect = {}
+    for b, ch in enumerate(SHAPLEY_CHANNELS):
+        bit = 1 << b
+        expect[ch] = sum(
+            SHAPLEY_W12[bin(m).count("1")] * (v[m | bit] - v[m])
+            for m in range(16)
+            if not m & bit
+        )
+    got = {
+        r["channel"]: r["shapley_scaled"]
+        for r in shapley_attribution_channels(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == 12 * (v[15] - v[0])  # efficiency axiom

@@ -400,6 +400,11 @@ def main() -> int:
                 "holt_winters_weekly_forecast": (
                     timeseries.holt_winters_weekly_forecast
                 ),
+                # batch 4: one user-rollup shuffle + a 16-row coalition
+                # table — constant beyond the scan
+                "shapley_attribution_channels": (
+                    temporal.shapley_attribution_channels
+                ),
             }
         )
         timings = {}
