@@ -617,6 +617,111 @@ LIMIT 1
 """
 
 
+#: pseudo-count strength of the pooled prior — the classic additive
+#: (Dirichlet) smoothing constant; fixed so the smoothing is part of
+#: the operator's contract
+EB_PRIOR_K = 20
+#: report size (each side of the shrinkage movers panel)
+EB_TOP_N = 20
+
+
+def eb_shrunk_item_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed per-item view→click rate: every item's
+    raw CTR is shrunk toward the POOLED rate with ``EB_PRIOR_K``
+    pseudo-views — ``shrunk = (clicks + K·m) / (views + K)`` — the
+    additive-smoothing estimator every ranking/ads stack feeds its
+    models instead of raw rates, because a 1-view/1-click item is not
+    a 100%-CTR item.  Complements :func:`kfold_target_encoding` (which
+    smooths a TARGET encoding across folds) with the canonical
+    rate-smoothing form, reported as the ``EB_TOP_N`` items the
+    shrinkage moves MOST in each direction — exactly the long-tail
+    items a raw-rate ranker misorders.
+
+    Exact integers end-to-end: the pooled rate m is one ppm division,
+    ``shrunk_ppm = (clicks·1e6 + K·m_ppm) DIV (views + K)``, and the
+    movers rank on |shrunk − raw| with deterministic item tie-break.
+    Scale: one event scan → per-item (views, clicks) rollup
+    (map-combinable); the pooled 1-row aggregate broadcasts; the
+    movers panel is a top-k window over the item catalog.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        "event_type",
+    ).filter(F.col("item").isNotNull())
+    per = e.groupBy("item").agg(
+        F.expr(
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+        ).alias("views"),
+        F.expr(
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+        ).alias("clicks"),
+    ).filter(F.col("views") > 0)
+    pooled = per.agg(
+        F.expr("CAST(sum(clicks) * 1000000 DIV sum(views) AS BIGINT)").alias(
+            "m_ppm"
+        )
+    )
+    scored = (
+        per.crossJoin(F.broadcast(pooled))
+        .select(
+            "item",
+            "views",
+            "clicks",
+            "m_ppm",
+            F.expr("CAST(clicks * 1000000 DIV views AS BIGINT)").alias(
+                "raw_ppm"
+            ),
+            F.expr(
+                f"CAST((clicks * 1000000 + {EB_PRIOR_K} * m_ppm)"
+                f" DIV (views + {EB_PRIOR_K}) AS BIGINT)"
+            ).alias("shrunk_ppm"),
+        )
+        .withColumn(
+            "shift_ppm", F.expr("CAST(shrunk_ppm - raw_ppm AS BIGINT)")
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc(F.abs(F.col("shift_ppm"))), F.asc("item")
+        )
+        .limit(2 * EB_TOP_N)
+        .select(
+            "item", "views", "clicks", "raw_ppm", "shrunk_ppm", "shift_ppm"
+        )
+        .orderBy(F.asc("item"))
+    )
+
+
+EB_SHRUNK_CTR_SQL = f"""
+WITH per AS (
+  SELECT TRY_CAST(props->>'k' AS BIGINT) AS item,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+  FROM events
+  WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  GROUP BY 1
+  HAVING sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+),
+pooled AS (
+  SELECT CAST(sum(clicks) * 1000000 // sum(views) AS BIGINT) AS m_ppm
+  FROM per
+),
+scored AS (
+  SELECT item, CAST(views AS BIGINT) AS views,
+         CAST(clicks AS BIGINT) AS clicks,
+         CAST(clicks * 1000000 // views AS BIGINT) AS raw_ppm,
+         CAST((clicks * 1000000 + {EB_PRIOR_K} * m_ppm)
+              // (views + {EB_PRIOR_K}) AS BIGINT) AS shrunk_ppm
+  FROM per, pooled
+)
+SELECT item, views, clicks, raw_ppm, shrunk_ppm,
+       CAST(shrunk_ppm - raw_ppm AS BIGINT) AS shift_ppm
+FROM scored
+ORDER BY abs(shrunk_ppm - raw_ppm) DESC, item ASC
+LIMIT {2 * EB_TOP_N}
+"""
+
+
 SPARK_QUERIES = {
     "regression_stump_split": regression_stump_split,
     "kfold_target_encoding": kfold_target_encoding,
@@ -625,6 +730,7 @@ SPARK_QUERIES = {
     "feature_hash_collision_audit": feature_hash_collision_audit,
     "negative_sampling_pairs": negative_sampling_pairs,
     "coclick_positive_pairs": coclick_positive_pairs,
+    "eb_shrunk_item_ctr": eb_shrunk_item_ctr,
 }
 
 ORACLE_SQL = {
@@ -635,4 +741,5 @@ ORACLE_SQL = {
     "feature_hash_collision_audit": FEATURE_HASH_SQL,
     "negative_sampling_pairs": NEGATIVE_SAMPLING_SQL,
     "coclick_positive_pairs": COCLICK_POSITIVE_SQL,
+    "eb_shrunk_item_ctr": EB_SHRUNK_CTR_SQL,
 }

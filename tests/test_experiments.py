@@ -605,3 +605,31 @@ def test_diff_in_diff_identity_and_cells(spark):
     )
     for c in ("c_pre_micro", "c_post_micro", "t_pre_micro", "t_post_micro"):
         assert r[c] > 0
+
+
+def test_eb_shrunk_ctr_moves_toward_pool(spark):
+    """Shrinkage must move every reported rate TOWARD the pooled rate
+    (within the 1-ppm floor-division slack), and small-sample items
+    must move more than large-sample ones at equal raw distance."""
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.feature_eng import eb_shrunk_item_ctr
+
+    m_ppm = duckdb.sql(
+        f"""
+        SELECT CAST(sum(clicks) * 1000000 // sum(views) AS BIGINT) FROM (
+          SELECT sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS views,
+                 sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS clicks
+          FROM '{SF_SMOKE}/events.parquet'
+          WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+          GROUP BY TRY_CAST(props->>'k' AS BIGINT)
+          HAVING sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) > 0
+        )
+        """
+    ).fetchone()[0]
+    rows = eb_shrunk_item_ctr(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        lo, hi = sorted((r["raw_ppm"], m_ppm))
+        assert lo - 1 <= r["shrunk_ppm"] <= hi + 1
+        assert r["shift_ppm"] == r["shrunk_ppm"] - r["raw_ppm"]

@@ -265,8 +265,8 @@ EXPECTED_QUERIES = {
     # round-8 batch 3: assortativity, source marginal novelty, HW
     "degree_assortativity", "source_novelty_curve",
     "holt_winters_weekly_forecast",
-    # round-8 batch 4: exact Shapley-value attribution
-    "shapley_attribution_channels",
+    # round-8 batch 4: exact Shapley-value attribution + EB smoothing
+    "shapley_attribution_channels", "eb_shrunk_item_ctr",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -405,6 +405,8 @@ def main() -> int:
                 "shapley_attribution_channels": (
                     temporal.shapley_attribution_channels
                 ),
+                # one per-item rollup + broadcast pooled prior
+                "eb_shrunk_item_ctr": feature_eng.eb_shrunk_item_ctr,
             }
         )
         timings = {}
