@@ -172,32 +172,20 @@ LIMIT {TOP_N}
 TRI_MIN_SUPPORT = 5
 
 
-def item_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-item triangle participation on the item co-click graph
-    (edges = item pairs with ≥ ``TRI_MIN_SUPPORT`` co-clicking users),
-    top ``TOP_N`` items — the clustering-structure diagnostic
-    (community density, link-spam detection) over the same graph
-    PageRank ranks.
-
-    Scale: the classic MapReduce triangle algorithm (Suri &
-    Vassilvitskii 2011) — orient every edge from its lower-(degree,
-    id) endpoint to the higher one, enumerate wedges only at each
-    node's oriented out-neighbors, and close them against the oriented
-    edge list.  Orientation bounds out-degree by O(√E) regardless of
-    raw degree skew, so the wedge self-join is O(Σ outdeg²) ≤ O(E^1.5)
-    — never the O(Σ deg²) explosion a hub node causes in the naive
-    form.  Every triangle is counted exactly once (at its unique apex
-    with two oriented out-edges).  The wedge join and the closure join
-    both key on oriented edges — one partitioning, reused.
-    """
-    ui = _user_items(spark, sf_dir)
+def _oriented_triangles(ui: DataFrame):
+    """Shared Suri–Vassilvitskii triangle relations over the co-click
+    backbone: ``(und, deg, oriented, tri)`` — the support-filtered
+    undirected edge list (persisted: consumed by orientation and both
+    degree lookups), per-item degree, the degree-oriented edge list
+    (persisted: wedge + closure joins), and the closed triangles, one
+    row per triangle at its unique low-degree apex.  Used by
+    :func:`item_triangle_count` (per-item participation) and
+    :func:`clustering_coefficient_bands` (transitivity panel) so the
+    orientation recipe cannot drift between them."""
     und = (
         _co_counts(ui)
         .filter(F.col("n_users") >= TRI_MIN_SUPPORT)
         .select("i1", "i2")
-        # consumed 5× (orientation input + both degree lookups, which
-        # each union it twice): persist the |E|-row edge list so the
-        # basket self-join runs once
         .persist()
     )
     deg = (
@@ -229,6 +217,29 @@ def item_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = wedges.join(closer, ["b", "c"]).select("src", "b", "c")
+    return und, deg, oriented, tri
+
+
+def item_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item triangle participation on the item co-click graph
+    (edges = item pairs with ≥ ``TRI_MIN_SUPPORT`` co-clicking users),
+    top ``TOP_N`` items — the clustering-structure diagnostic
+    (community density, link-spam detection) over the same graph
+    PageRank ranks.
+
+    Scale: the classic MapReduce triangle algorithm (Suri &
+    Vassilvitskii 2011) — orient every edge from its lower-(degree,
+    id) endpoint to the higher one, enumerate wedges only at each
+    node's oriented out-neighbors, and close them against the oriented
+    edge list.  Orientation bounds out-degree by O(√E) regardless of
+    raw degree skew, so the wedge self-join is O(Σ outdeg²) ≤ O(E^1.5)
+    — never the O(Σ deg²) explosion a hub node causes in the naive
+    form.  Every triangle is counted exactly once (at its unique apex
+    with two oriented out-edges).  The wedge join and the closure join
+    both key on oriented edges — one partitioning, reused.
+    """
+    ui = _user_items(spark, sf_dir)
+    und, deg, oriented, tri = _oriented_triangles(ui)
     out = (
         tri.select(F.explode(F.array("src", "b", "c")).alias("item"))
         .groupBy("item")
@@ -816,6 +827,148 @@ LIMIT {TOP_N}
 """
 
 
+#: degree bands of the clustering-coefficient panel — the CASE ladder
+#: is shared verbatim with the oracle
+CC_BANDS = ((2, 3), (4, 7), (8, 15), (16, 31), (32, None))
+
+
+def _cc_band_case(deg_expr: str) -> str:
+    whens = []
+    for lo, hi in CC_BANDS:
+        label = f"{lo:02d}-{hi:02d}" if hi is not None else f"{lo:02d}+"
+        cond = (
+            f"{deg_expr} BETWEEN {lo} AND {hi}"
+            if hi is not None
+            else f"{deg_expr} >= {lo}"
+        )
+        whens.append(f"WHEN {cond} THEN '{label}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+def clustering_coefficient_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transitivity panel of the item co-click backbone (Watts &
+    Strogatz 1998): per degree band — and an ``all`` row — the node
+    count, triangle participation, wedge count, the WEIGHTED
+    clustering coefficient Σ2t_v / Σdeg(deg−1) (the band's
+    transitivity; the ``all`` row is the graph's global transitivity
+    3·triangles/wedges), and the mean LOCAL coefficient.  The
+    structure diagnostic read next to :func:`item_triangle_count`:
+    high transitivity at high degree = a dense community core no
+    balanced partitioner splits cleanly; low = hub-and-spoke.
+
+    Exact: t_v and deg are integers, every coefficient is one
+    DECIMAL(38,0)/HUGEINT-widened ppm division, and the mean local
+    coefficient is the integer mean of per-node ppm coefficients.
+    Nodes of degree < 2 close no wedge and are excluded (local CC is
+    undefined there), which both engines apply identically.
+
+    Scale: reuses the degree-oriented triangle relations
+    (out-degree-bounded wedge join, O(E^1.5) worst case); the panel
+    itself is a band-count-sized rollup of the |V|-row per-item join.
+    """
+    ui = _user_items(spark, sf_dir)
+    und, deg, oriented, tri = _oriented_triangles(ui)
+    t_per = (
+        tri.select(F.explode(F.array("src", "b", "c")).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("t_v"))
+    )
+    nodes = (
+        deg.filter(F.col("deg") >= 2)
+        .join(t_per, "item", "left")
+        .select(
+            "item",
+            "deg",
+            F.coalesce("t_v", F.lit(0)).alias("t_v"),
+            F.expr("deg * (deg - 1)").alias("wedges2"),
+        )
+        .withColumn(
+            "local_cc_ppm",
+            F.expr("CAST(2 * t_v * 1000000 DIV (deg * (deg - 1)) AS BIGINT)"),
+        )
+    )
+    band = F.expr(_cc_band_case("deg"))
+    rollup = (
+        nodes.withColumn("band", band)
+        .unionByName(nodes.withColumn("band", F.lit("all")))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr("CAST(sum(t_v) AS BIGINT)").alias("tri_slots"),
+            F.expr("CAST(sum(wedges2) DIV 2 AS BIGINT)").alias("n_wedges"),
+            F.expr(
+                "CAST(CAST(sum(2 * t_v) AS DECIMAL(38,0)) * 1000000"
+                " DIV sum(wedges2) AS BIGINT)"
+            ).alias("transitivity_ppm"),
+            F.expr(
+                "CAST(sum(local_cc_ppm) DIV count(*) AS BIGINT)"
+            ).alias("mean_local_cc_ppm"),
+        )
+        .orderBy("band")
+    )
+    return scoped_cache(rollup, ui, und, oriented)
+
+
+CLUSTERING_COEFF_SQL = f"""
+WITH {_BASKET_SQL},
+und AS (SELECT i1, i2 FROM co WHERE n_users >= {TRI_MIN_SUPPORT}),
+deg AS (
+  SELECT item, count(*) AS deg FROM (
+    SELECT i1 AS item FROM und UNION ALL SELECT i2 FROM und
+  ) GROUP BY item
+),
+o AS (
+  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND i1 < i2)
+              THEN i1 ELSE i2 END AS src,
+         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND i1 < i2)
+              THEN i2 ELSE i1 END AS dst,
+         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND i1 < i2)
+              THEN d2.deg ELSE d1.deg END AS ddeg
+  FROM und
+  JOIN deg d1 ON d1.item = und.i1
+  JOIN deg d2 ON d2.item = und.i2
+),
+tri AS (
+  SELECT w.src, w.b, w.c
+  FROM (
+    SELECT x.src, x.dst AS b, y.dst AS c
+    FROM o x JOIN o y ON x.src = y.src
+    WHERE x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst)
+  ) w
+  JOIN o z ON z.src = w.b AND z.dst = w.c
+),
+t_per AS (
+  SELECT item, count(*) AS t_v FROM (
+    SELECT unnest([src, b, c]) AS item FROM tri
+  ) GROUP BY item
+),
+nodes AS (
+  SELECT d.item, d.deg, coalesce(t.t_v, 0) AS t_v,
+         d.deg * (d.deg - 1) AS wedges2,
+         CAST(2 * coalesce(t.t_v, 0) * 1000000
+              // (d.deg * (d.deg - 1)) AS BIGINT) AS local_cc_ppm
+  FROM deg d LEFT JOIN t_per t ON t.item = d.item
+  WHERE d.deg >= 2
+),
+labeled AS (
+  SELECT {_cc_band_case('deg')} AS band, * FROM nodes
+  UNION ALL
+  SELECT 'all' AS band, * FROM nodes
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(t_v) AS BIGINT) AS tri_slots,
+       CAST(sum(wedges2) // 2 AS BIGINT) AS n_wedges,
+       CAST(CAST(sum(2 * t_v) AS HUGEINT) * 1000000
+            // sum(wedges2) AS BIGINT) AS transitivity_ppm,
+       CAST(sum(local_cc_ppm) // count(*) AS BIGINT) AS mean_local_cc_ppm
+FROM labeled
+GROUP BY band
+ORDER BY band
+"""
+
+
 SPARK_QUERIES = {
     "item_cooccurrence_topk": item_cooccurrence_topk,
     "item_jaccard_similarity": item_jaccard_similarity,
@@ -824,8 +977,10 @@ SPARK_QUERIES = {
     "item_ktruss_edges": item_ktruss_edges,
     "association_rules_lift": association_rules_lift,
     "link_prediction_ra_index": link_prediction_ra_index,
+    "clustering_coefficient_bands": clustering_coefficient_bands,
 }
 ORACLE_SQL = {
+    "clustering_coefficient_bands": CLUSTERING_COEFF_SQL,
     "item_kcore_peel": KCORE_SQL,
     "item_cooccurrence_topk": COOCCUR_SQL,
     "item_jaccard_similarity": JACCARD_SQL,

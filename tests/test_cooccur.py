@@ -294,3 +294,27 @@ def test_ra_index_matches_python_replay(spark):
         for r in link_prediction_ra_index(spark, SF_SMOKE).collect()
     ]
     assert got == expect
+
+
+def test_clustering_coefficient_identities(spark):
+    """The 'all' row must carry exactly 3 triangle slots per closed
+    triangle, band rows must partition it, and every coefficient must
+    be a valid ppm rate."""
+    from projet_meteo_etl_spark.operators.cooccur import (
+        clustering_coefficient_bands,
+    )
+
+    from tests.conftest import SF_ORACLE
+
+    # sf0.001 has no support>=5 backbone; the gate SF does
+    rows = {r["band"]: r for r in
+            clustering_coefficient_bands(spark, SF_ORACLE).collect()}
+    assert "all" in rows
+    alln = rows.pop("all")
+    assert alln["tri_slots"] % 3 == 0  # every triangle has 3 corners
+    assert sum(r["n_items"] for r in rows.values()) == alln["n_items"]
+    assert sum(r["tri_slots"] for r in rows.values()) == alln["tri_slots"]
+    assert sum(r["n_wedges"] for r in rows.values()) == alln["n_wedges"]
+    for r in list(rows.values()) + [alln]:
+        assert 0 <= r["transitivity_ppm"] <= 1_000_000
+        assert 0 <= r["mean_local_cc_ppm"] <= 1_000_000

@@ -267,6 +267,8 @@ EXPECTED_QUERIES = {
     "holt_winters_weekly_forecast",
     # round-8 batch 4: exact Shapley-value attribution + EB smoothing
     "shapley_attribution_channels", "eb_shrunk_item_ctr",
+    # round-8 batch 5: transitivity panel over the co-click backbone
+    "clustering_coefficient_bands",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -407,6 +407,10 @@ def main() -> int:
                 ),
                 # one per-item rollup + broadcast pooled prior
                 "eb_shrunk_item_ctr": feature_eng.eb_shrunk_item_ctr,
+                # shares the degree-oriented triangle relations
+                "clustering_coefficient_bands": (
+                    cooccur.clustering_coefficient_bands
+                ),
             }
         )
         timings = {}
