@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 from projet_meteo_etl_spark.functions.twopass import bucket_prefix, exact_ntile
 
 
@@ -328,6 +328,190 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+#: fixed-point scale for the retention-fit logs (integer milli-nats,
+#: the vocab_zipf_fit convention)
+RET_LOG_SCALE = 1000
+
+
+def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: OLS fit of ln(retention rate) against
+    week-offset over the POOLED retention curve — the one-number decay
+    summary ("we lose half the surviving actives every H weeks") a
+    growth team reads off the triangle :func:`cohort_retention`
+    reports.  Right-censoring handled: offset w's denominator counts
+    only users whose observation window reaches w (first activity ≥
+    7·w days before the log's end), so late cohorts don't drag the
+    tail down.
+
+    Exactness: retention rates are ppm integers; ln(rate) is floored
+    to integer milli-nats (the ``vocab_zipf_fit`` fixed-point
+    convention) so the regression moments are exact integer sums, and
+    slope / r² / half-life are one fixed IEEE double sequence over
+    them, ``pround``-ed identically in both engines.
+
+    Scale: the distinct (user, day) pass and first-activity rollup are
+    the corpus-sized work (shared shape with the cohort triangle);
+    the fit runs over the week-offset domain — a handful of rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    maxd = ud.agg(F.max("day").alias("max_day"))
+    fw = first.crossJoin(F.broadcast(maxd)).select(
+        "user_id",
+        "first_day",
+        F.floor(F.datediff(F.col("max_day"), F.col("first_day")) / 7)
+        .cast("long")
+        .alias("max_offset"),
+    )
+    active = (
+        ud.join(fw, "user_id")
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7)
+            .cast("long")
+            .alias("w"),
+        )
+        .filter(F.col("w") >= 1)
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    eligible = (
+        fw.select("user_id", F.col("max_offset"))
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, 64).select(F.col("id").alias("w"))
+            )
+        )
+        .filter(F.col("w") <= F.col("max_offset"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_eligible"))
+    )
+    pts = (
+        eligible.join(active, "w")
+        .filter((F.col("n_active") > 0) & (F.col("n_eligible") > 0))
+        .select(
+            F.col("w").alias("lx"),
+            F.floor(
+                F.lit(float(RET_LOG_SCALE))
+                * F.log(
+                    F.expr(
+                        "CAST(n_active * 1000000 DIV n_eligible AS BIGINT)"
+                    )
+                )
+            )
+            .cast("long")
+            .alias("ly"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x / F.lit(float(RET_LOG_SCALE))  # nats per week
+    import math
+
+    return m.select(
+        F.col("n").cast("long").alias("n_weeks"),
+        pround(slope, 9).alias("decay_slope"),
+        F.when(
+            slope < 0, pround(F.lit(math.log(2.0)) / (-slope), 6)
+        ).alias("halflife_weeks"),
+        pround(cov_n * cov_n / (var_x * var_y), 9).alias("r2"),
+    )
+
+
+RETENTION_HALFLIFE_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+maxd AS (SELECT max(day) AS max_day FROM ud),
+fw AS (
+  SELECT f.user_id, f.first_day,
+         CAST(floor(date_diff('day', f.first_day, m.max_day) / 7.0)
+              AS BIGINT) AS max_offset
+  FROM first f, maxd m
+),
+active AS (
+  SELECT w, count(*) AS n_active FROM (
+    SELECT DISTINCT u.user_id,
+           CAST(floor(date_diff('day', f.first_day, u.day) / 7.0) AS BIGINT)
+             AS w
+    FROM ud u JOIN fw f ON f.user_id = u.user_id
+  ) WHERE w >= 1 GROUP BY w
+),
+eligible AS (
+  SELECT g.w, count(*) AS n_eligible
+  FROM fw, (SELECT unnest(range(1, 64))::BIGINT AS w) g
+  WHERE g.w <= fw.max_offset
+  GROUP BY g.w
+),
+pts AS (
+  SELECT e.w AS lx,
+         CAST(floor({RET_LOG_SCALE}.0
+              * ln(CAST(a.n_active * 1000000 // e.n_eligible AS BIGINT)))
+              AS BIGINT) AS ly
+  FROM eligible e JOIN active a ON a.w = e.w
+  WHERE a.n_active > 0 AND e.n_eligible > 0
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx * lx) AS sxx, sum(ly * ly) AS syy,
+         sum(lx * ly) AS sxy
+  FROM pts
+)
+SELECT n AS n_weeks,
+       {pround_sql(
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           f" / {RET_LOG_SCALE}.0",
+           9,
+       )} AS decay_slope,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / {RET_LOG_SCALE}.0 < 0
+            THEN {pround_sql(
+                "ln(2.0) / (-((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                f" / {RET_LOG_SCALE}.0))",
+                6,
+            )}
+       END AS halflife_weeks,
+       {pround_sql(
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+           " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
+           9,
+       )} AS r2
+FROM m
+"""
 
 
 COHORT_SQL = """
@@ -1884,6 +2068,7 @@ ORDER BY channel
 
 
 SPARK_QUERIES = {
+    "retention_halflife_fit": retention_halflife_fit,
     "shapley_attribution_channels": shapley_attribution_channels,
     "markov_attribution_removal": markov_attribution_removal,
     "session_duration_percentiles": session_duration_percentiles,
@@ -1904,6 +2089,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "retention_halflife_fit": RETENTION_HALFLIFE_SQL,
     "shapley_attribution_channels": SHAPLEY_SQL,
     "markov_attribution_removal": MARKOV_ATTR_SQL,
     "session_duration_percentiles": SESSION_DURATION_SQL,

@@ -269,6 +269,8 @@ EXPECTED_QUERIES = {
     "shapley_attribution_channels", "eb_shrunk_item_ctr",
     # round-8 batch 5: transitivity panel over the co-click backbone
     "clustering_coefficient_bands",
+    # round-8 batch 6: retention half-life (censoring-aware decay fit)
+    "retention_halflife_fit",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

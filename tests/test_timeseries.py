@@ -671,3 +671,30 @@ def test_shapley_attribution_matches_python_replay(spark):
     }
     assert got == expect
     assert sum(got.values()) == 12 * (v[15] - v[0])  # efficiency axiom
+
+
+def test_retention_halflife_contract(spark):
+    """Fit sanity: >=2 points, r2 in [0,1], half-life consistent with
+    the emitted slope, and partition-independent."""
+    import math
+
+    from projet_meteo_etl_spark.plans.temporal import retention_halflife_fit
+    from tests.conftest import SF_SMOKE
+
+    r = retention_halflife_fit(spark, SF_SMOKE).collect()[0]
+    assert r["n_weeks"] >= 2
+    if r["r2"] is not None:  # None = degenerate flat curve (var_y = 0)
+        assert 0.0 <= r["r2"] <= 1.0 + 1e-9
+    if r["decay_slope"] is not None and r["decay_slope"] < 0:
+        assert r["halflife_weeks"] is not None
+        expect = math.log(2.0) / (-r["decay_slope"])
+        assert abs(r["halflife_weeks"] - expect) < max(1e-3, expect * 1e-4)
+    else:
+        assert r["halflife_weeks"] is None
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r2 = retention_halflife_fit(spark, SF_SMOKE).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert r.asDict() == r2.asDict()

@@ -411,6 +411,8 @@ def main() -> int:
                 "clustering_coefficient_bands": (
                     cooccur.clustering_coefficient_bands
                 ),
+                # distinct (user, day) pass + week-domain fit
+                "retention_halflife_fit": temporal.retention_halflife_fit,
             }
         )
         timings = {}
