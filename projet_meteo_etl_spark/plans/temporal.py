@@ -353,7 +353,10 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the distinct (user, day) pass and first-activity rollup are
     the corpus-sized work (shared shape with the cohort triangle);
-    the fit runs over the week-offset domain — a handful of rows.
+    the fit runs over the week-offset domain — a handful of rows.  The
+    offset spine is a static 1..63 range (both engines share the bound
+    verbatim): a log spanning more than 63 weeks would need the spine
+    widened — stated here so the cap is never silent.
     """
     e = load_table(spark, sf_dir, "events")
     ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
