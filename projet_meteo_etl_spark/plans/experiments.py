@@ -1144,10 +1144,15 @@ def permutation_test_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         (F.expr("weekday(ts)") >= 5).alias("wk"),
     )
+    # cent sums widen to DECIMAL(38,0) BEFORE the ·1e6: a LongType sum
+    # wraps at ~9.2e12 cents of group revenue (the mann_whitney
+    # overflow discipline); DuckDB's sum(BIGINT) is HUGEINT already
     mean_diff = (
-        "CAST(sum(CASE WHEN g THEN cents END) * 1000000"
+        "CAST(CAST(sum(CASE WHEN g THEN cents END) AS DECIMAL(38,0))"
+        " * 1000000"
         " DIV greatest(sum(CASE WHEN g THEN 1 ELSE 0 END), 1)"
-        " - sum(CASE WHEN NOT g THEN cents END) * 1000000"
+        " - CAST(sum(CASE WHEN NOT g THEN cents END) AS DECIMAL(38,0))"
+        " * 1000000"
         " DIV greatest(sum(CASE WHEN NOT g THEN 1 ELSE 0 END), 1)"
         " AS BIGINT)"
     )
@@ -1241,15 +1246,20 @@ null_t AS (
             AS BIGINT) AS t_r
   FROM reps GROUP BY r
 )
-SELECT o.n_weekend, o.n_weekday, o.t_obs_micro,
+-- ungrouped aggregate + scalar subqueries (not GROUP BY over the cross
+-- join): an empty null_t must still emit the 1-row readout Spark's
+-- ungrouped .agg() emits, or the row counts diverge on degenerate input
+SELECT (SELECT n_weekend FROM obs) AS n_weekend,
+       (SELECT n_weekday FROM obs) AS n_weekday,
+       (SELECT t_obs_micro FROM obs) AS t_obs_micro,
        CAST(count(*) AS BIGINT) AS n_perms,
-       CAST(sum(CASE WHEN abs(t_r) >= abs(o.t_obs_micro)
+       CAST(sum(CASE WHEN abs(t_r) >= abs((SELECT t_obs_micro FROM obs))
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
-       CAST((1 + sum(CASE WHEN abs(t_r) >= abs(o.t_obs_micro)
+       CAST((1 + sum(CASE WHEN abs(t_r)
+                              >= abs((SELECT t_obs_micro FROM obs))
                      THEN 1 ELSE 0 END)) * 1000000 // {N_PERM + 1}
             AS BIGINT) AS p_ppm
-FROM null_t, obs o
-GROUP BY o.n_weekend, o.n_weekday, o.t_obs_micro
+FROM null_t
 """
 
 
@@ -1303,8 +1313,10 @@ def diff_in_diff_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cutoff_day").alias("cutoff_day"),
             *[
                 F.expr(
-                    f"CAST(sum(CASE WHEN treat = {t} AND post = {po}"
-                    f" THEN cents END) * 1000000"
+                    # DECIMAL(38,0)-widened before the ·1e6 (overflow
+                    # discipline; DuckDB's sum is HUGEINT already)
+                    f"CAST(CAST(sum(CASE WHEN treat = {t} AND post = {po}"
+                    f" THEN cents END) AS DECIMAL(38,0)) * 1000000"
                     f" DIV greatest(sum(CASE WHEN treat = {t} AND"
                     f" post = {po} THEN 1 ELSE 0 END), 1) AS BIGINT)"
                 ).alias(name)

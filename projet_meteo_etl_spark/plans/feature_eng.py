@@ -655,7 +655,9 @@ def eb_shrunk_item_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
         ).alias("clicks"),
-    ).filter(F.col("views") > 0)
+    ).filter(F.col("views") > 0).persist()
+    # persisted: pooled and scored both consume it — without the cache
+    # the events scan + rollup runs twice (released via scoped_cache)
     pooled = per.agg(
         F.expr("CAST(sum(clicks) * 1000000 DIV sum(views) AS BIGINT)").alias(
             "m_ppm"
@@ -680,7 +682,9 @@ def eb_shrunk_item_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shift_ppm", F.expr("CAST(shrunk_ppm - raw_ppm AS BIGINT)")
         )
     )
-    return (
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
         scored.orderBy(
             F.desc(F.abs(F.col("shift_ppm"))), F.asc("item")
         )
@@ -690,6 +694,7 @@ def eb_shrunk_item_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("item"))
     )
+    return scoped_cache(out, per)
 
 
 EB_SHRUNK_CTR_SQL = f"""

@@ -359,7 +359,10 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     widened — stated here so the cap is never silent.
     """
     e = load_table(spark, sf_dir, "events")
-    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # ud feeds first/maxd/the active join, and fw feeds active AND
+    # eligible — persist both so the corpus-sized distinct pass runs
+    # once, not ~5× (released via scoped_cache below)
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct().persist()
     first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
     maxd = ud.agg(F.max("day").alias("max_day"))
     fw = first.crossJoin(F.broadcast(maxd)).select(
@@ -368,7 +371,7 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.datediff(F.col("max_day"), F.col("first_day")) / 7)
         .cast("long")
         .alias("max_offset"),
-    )
+    ).persist()
     active = (
         ud.join(fw, "user_id")
         .select(
@@ -395,7 +398,10 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = (
         eligible.join(active, "w")
-        .filter((F.col("n_active") > 0) & (F.col("n_eligible") > 0))
+        # rate floor: a ppm rate that floor-divides to 0 would make the
+        # oracle's ln() hard-error and Spark's F.log return NULL — drop
+        # sub-ppm offsets (identically in both engines) instead
+        .filter(F.col("n_active") * 1_000_000 >= F.col("n_eligible"))
         .select(
             F.col("w").alias("lx"),
             F.floor(
@@ -428,7 +434,9 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = cov_n / var_x / F.lit(float(RET_LOG_SCALE))  # nats per week
     import math
 
-    return m.select(
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = m.select(
         F.col("n").cast("long").alias("n_weeks"),
         pround(slope, 9).alias("decay_slope"),
         F.when(
@@ -436,6 +444,7 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("halflife_weeks"),
         pround(cov_n * cov_n / (var_x * var_y), 9).alias("r2"),
     )
+    return scoped_cache(out, ud, fw)
 
 
 RETENTION_HALFLIFE_SQL = f"""
@@ -470,7 +479,7 @@ pts AS (
               * ln(CAST(a.n_active * 1000000 // e.n_eligible AS BIGINT)))
               AS BIGINT) AS ly
   FROM eligible e JOIN active a ON a.w = e.w
-  WHERE a.n_active > 0 AND e.n_eligible > 0
+  WHERE a.n_active * 1000000 >= e.n_eligible
 ),
 m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,

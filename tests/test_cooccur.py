@@ -228,19 +228,30 @@ def test_association_rules_metrics_are_self_consistent(spark):
         association_rules_lift,
     )
 
+    import duckdb
+
+    from projet_meteo_etl_spark.operators.cooccur import USER_ITEM_CAP
+
+    # the per-user item cap never removes a user's LAST item, so the
+    # distinct-user count is cap-independent
+    assert USER_ITEM_CAP >= 1
+    n_total = duckdb.sql(
+        f"""
+        SELECT count(DISTINCT user_id)
+        FROM '{SF_SMOKE}/events.parquet'
+        WHERE event_type = 'click'
+          AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+        """
+    ).fetchone()[0]
     rows = association_rules_lift(spark, SF_SMOKE).collect()
     assert rows, "smoke fixture must yield rules"
-    n_total = None
     lifts = [r["lift_ppm"] for r in rows]
     assert lifts == sorted(lifts, reverse=True)
     for r in rows:
         assert r["confidence_ppm"] == r["n_co"] * 1_000_000 // r["n_ant"]
-        if n_total is None:
-            # recover n_total from the first row's lift (floor-exact
-            # inverse is not possible, so bound-check instead)
-            lo = r["lift_ppm"] * r["n_ant"] * r["n_cons"]
-            hi = (r["lift_ppm"] + 1) * r["n_ant"] * r["n_cons"]
-            assert lo // (r["n_co"] * 1_000_000) <= hi
+        assert r["lift_ppm"] == (
+            r["n_co"] * n_total * 1_000_000 // (r["n_ant"] * r["n_cons"])
+        )
         assert r["n_co"] >= 3  # MIN_SUPPORT floor
 
 
