@@ -889,7 +889,13 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = m.select(
         "n_edges",
         F.col("sx").cast("long").alias("sum_deg"),
-        pround(cov_n / F.sqrt(var_x * var_y), 9).alias("assortativity"),
+        # degenerate graph (every node same degree) ⇒ var_x*var_y == 0;
+        # CASE-guard so ANSI Spark emits NULL like the oracle's NULLIF
+        # instead of raising DIVIDE_BY_ZERO
+        F.when(
+            var_x * var_y > 0,
+            pround(cov_n / F.sqrt(var_x * var_y), 9),
+        ).alias("assortativity"),
     )
     return scoped_cache(out, edges)
 
@@ -915,10 +921,10 @@ SELECT n_edges,
        {pround_sql(
            "(CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)"
            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-           " / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           " / NULLIF(sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)"
            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
            " * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)"
-           " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
+           " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)",
            9,
        )} AS assortativity
 FROM m

@@ -1,0 +1,481 @@
+"""Portable mergeable quantile sketch — the missing member of the
+portable sketch family (HLL / CMS / Bloom, ``operators/sketches.py``).
+
+A 100 TB profiler reports p50/p99 from MERGEABLE partials, never from a
+global sort: each shard summarizes its rows into a fixed-size sketch,
+partials merge associatively, and the quantile is read off the merged
+sketch.  The sketch here is the **bottom-k priority sample** (KMV-style):
+every row gets a deterministic 60-bit priority from the md5 of its
+unique key, and the sketch is the ``k`` rows with the smallest
+priorities together with their values — the sampling core of the
+KLL/Manku-Rajagopalan family, without the level hierarchy (which exists
+to shave the sample size from O(1/ε²) to O(1/ε·log log); at k=256 the
+flat sample's ±O(1/√k) rank error is the classic reservoir bound and
+the merge algebra is exact).
+
+Why bottom-k and not literal KLL: KLL's compaction keeps alternate
+elements chosen by random coins, which makes the RESULT depend on merge
+order unless the coins are derandomized per level — whereas bottom-k is
+a pure semilattice (``merge = union → keep k smallest``), so any merge
+tree over any sharding yields the IDENTICAL sample.  That is the
+property that lets the estimate itself — not just its error contract —
+hash-check against DuckDB, the ``portable_hll_distinct`` recipe
+(``operators/sketches.py:567``).
+
+Scale shape: a naive "rank by hash per group" would globally sort each
+group's rows in one task.  Instead the k smallest priorities are found
+with a THRESHOLD PRE-FILTER: keep rows with ``h·n_g < 2^60·(OVER·k)``
+(expected survivors ``OVER·k`` per group, automatic keep-everything when
+``n_g ≤ OVER·k``), then rank only the survivor relation, which is
+sample-size-bounded, not data-bounded.  With OVER=4 the probability
+that fewer than k of a group's rows survive is Chernoff-negligible
+(< e^{-k/4}); and because BOTH engines apply the identical filter, even
+that event could not split the hash — it would only widen the (audited)
+rank error.  The exact-quantile error column uses the repo's two-pass
+``bucket_prefix`` rank (``functions/twopass.py``) — no global sort
+anywhere in the plan.
+
+Reference parity: the reference audits fixed physical ranges
+(``/root/reference/quality_audit.py:11-16``); the sketch generalizes
+those to percentile-derived ADAPTIVE ranges
+(:func:`quantile_adaptive_range_audit`) — the p01/p99 band a 100 TB
+profiler would derive instead of hand-coding constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.functions.twopass import bucket_prefix
+
+#: sketch size: k smallest md5 priorities per group (rank error ~1/√k)
+QSK_K = 256
+#: threshold oversampling factor — expected survivors per group = OVER·k
+QSK_OVER = 4
+#: shard count for the merge-proof path
+QSK_SHARDS = 4
+#: probed percentiles (integer percent, lower nearest-rank convention)
+QSK_QS = (1, 25, 50, 75, 99)
+#: the 60-bit md5-prefix priority domain (15 hex chars)
+H60 = 1 << 60
+
+_QS_SQL = ", ".join(str(q) for q in QSK_QS)
+
+
+def _priority(key) -> F.Column:
+    """60-bit md5-prefix priority — identical on both engines:
+    Spark ``conv(substring(md5(s),1,15),16,10)`` ==
+    DuckDB ``('0x' || substr(md5(s),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def _surv_filter() -> str:
+    """Survivor predicate ``h·n_g < 2^60·(OVER·k)`` with the product
+    DECIMAL(38,0)-widened (h is up to 2^60; ×n_g overflows a long at
+    any real scale — DuckDB is HUGEINT natively)."""
+    return (
+        f"CAST(h AS DECIMAL(38,0)) * n_g"
+        f" < CAST({H60} AS DECIMAL(38,0)) * {QSK_OVER * QSK_K}"
+    )
+
+
+def _sample_quantiles(
+    sample: DataFrame, qdf: DataFrame, alias: str
+) -> DataFrame:
+    """Lower nearest-rank quantile picks from a (tiny) k-sample:
+    value-rank the sample per group, pick rank ``(q·(m−1)) DIV 100 + 1``
+    for each probed percentile.  All windows run over the
+    sample-bounded relation."""
+    w_v = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    s = sample.withColumn("vr", F.row_number().over(w_v))
+    m = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("m"))
+    spine = m.crossJoin(F.broadcast(qdf)).withColumn(
+        "r", F.expr("(q_pct * (m - 1)) div 100 + 1")
+    )
+    return (
+        s.join(F.broadcast(spine), "event_type")
+        .filter(F.col("vr") == F.col("r"))
+        .select("event_type", "q_pct", F.col("cents").alias(alias))
+    )
+
+
+def _qspine(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(q,) for q in QSK_QS], "q_pct int")
+
+
+def portable_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles (p1/p25/p50/p75/p99, cents) from
+    the portable bottom-k sketch, built twice — **direct** (one
+    threshold-filtered pass) and **sharded→merged** (per-shard bottom-k
+    partials unioned and re-pruned, the rollup-table merge path) — with
+    the exact quantile and ppm error alongside.  ``merge_agrees`` is
+    the numerically-proved mergeability flag: bottom-k is a semilattice,
+    so the two paths are algebraically equal and the oracle hash pins
+    BOTH (the ``portable_hll_distinct`` contract, for ranks).
+
+    100 TB stance: the sketch build is scan + broadcast-joined group
+    counts + threshold filter (survivors ≈ OVER·k per group — constant);
+    every window in the plan runs over survivor- or sample-bounded
+    relations.  The exact-rank error column uses the two-pass
+    ``bucket_prefix`` rank, cents-domain bucketed, never a global sort.
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rows = e.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+        _priority(F.col("event_id").cast("string")).alias("h"),
+    )
+    ng = rows.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_g"))
+    # survivors feed the direct AND sharded paths: persist the ~OVER·k-
+    # per-group relation (released via scoped_cache)
+    surv = (
+        rows.join(F.broadcast(ng), "event_type")
+        .filter(F.expr(_surv_filter()))
+        .select("event_type", "event_id", "cents", "h")
+        .persist()
+    )
+
+    w_g = Window.partitionBy("event_type").orderBy("h", "event_id")
+    direct = surv.withColumn("rk", F.row_number().over(w_g)).filter(
+        F.col("rk") <= QSK_K
+    )
+    w_s = Window.partitionBy("event_type", "shard").orderBy("h", "event_id")
+    shard_k = (
+        surv.withColumn("shard", F.pmod(F.col("h"), F.lit(QSK_SHARDS)))
+        .withColumn("rk", F.row_number().over(w_s))
+        .filter(F.col("rk") <= QSK_K)
+        .drop("rk", "shard")
+    )
+    merged = shard_k.withColumn("rk", F.row_number().over(w_g)).filter(
+        F.col("rk") <= QSK_K
+    )
+
+    qdf = _qspine(spark)
+    d_est = _sample_quantiles(direct, qdf, "est_direct_cents")
+    m_est = _sample_quantiles(merged, qdf, "est_merged_cents")
+
+    # exact nearest-rank values via the two-pass bucket-prefix rank
+    full = rows.withColumn("vbucket", F.expr("cents div 100"))
+    pre = bucket_prefix(
+        full,
+        "vbucket",
+        {"n": (F.count(F.lit(1)), "sum")},
+        partition_cols=["event_type"],
+    )
+    w_b = Window.partitionBy("event_type", "vbucket").orderBy(
+        "cents", "event_id"
+    )
+    ranked = (
+        full.join(F.broadcast(pre), ["event_type", "vbucket"])
+        .withColumn(
+            "grk",
+            F.coalesce("pre_n", F.lit(0)) + F.row_number().over(w_b),
+        )
+    )
+    ex_spine = ng.crossJoin(F.broadcast(qdf)).withColumn(
+        "r_ex", F.expr("(q_pct * (n_g - 1)) div 100 + 1")
+    )
+    exact = (
+        ranked.join(F.broadcast(ex_spine), "event_type")
+        .filter(F.col("grk") == F.col("r_ex"))
+        .select(
+            "event_type",
+            "q_pct",
+            F.col("n_g").alias("n_rows"),
+            F.col("cents").alias("exact_cents"),
+        )
+    )
+
+    out = (
+        exact.join(d_est, ["event_type", "q_pct"])
+        .join(m_est, ["event_type", "q_pct"])
+        .select(
+            "event_type",
+            "q_pct",
+            "n_rows",
+            "est_direct_cents",
+            "est_merged_cents",
+            (F.col("est_direct_cents") == F.col("est_merged_cents"))
+            .cast("int")
+            .alias("merge_agrees"),
+            "exact_cents",
+            # cents are bounded by the value domain (≤ ~1e7), so the
+            # ×1e6 product stays far inside a long at any row count
+            F.expr(
+                "CAST(abs(est_direct_cents - exact_cents) * 1000000"
+                " DIV greatest(exact_cents, 1) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("event_type", "q_pct")
+    )
+    return scoped_cache(out, surv)
+
+
+PORTABLE_QUANTILE_SQL = f"""
+WITH rows_ AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE value IS NOT NULL
+),
+ng AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g
+  FROM rows_ GROUP BY event_type
+),
+surv AS (
+  SELECT r.event_type, r.event_id, r.cents, r.h
+  FROM rows_ r JOIN ng USING (event_type)
+  WHERE CAST(h AS HUGEINT) * n_g
+        < CAST({H60} AS HUGEINT) * {QSK_OVER * QSK_K}
+),
+direct AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY h, event_id) AS rk
+    FROM surv) WHERE rk <= {QSK_K}
+),
+shard_k AS (
+  SELECT event_type, event_id, cents, h FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, h % {QSK_SHARDS}
+      ORDER BY h, event_id) AS rk
+    FROM surv) WHERE rk <= {QSK_K}
+),
+merged AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY h, event_id) AS rk
+    FROM shard_k) WHERE rk <= {QSK_K}
+),
+qs AS (SELECT CAST(unnest([{_QS_SQL}]) AS INTEGER) AS q_pct),
+d_v AS (
+  SELECT event_type, cents,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cents, event_id) AS vr,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM direct
+),
+d_est AS (
+  SELECT event_type, q_pct, cents AS est_direct_cents
+  FROM d_v JOIN qs ON vr = (q_pct * (m - 1)) // 100 + 1
+),
+m_v AS (
+  SELECT event_type, cents,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cents, event_id) AS vr,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM merged
+),
+m_est AS (
+  SELECT event_type, q_pct, cents AS est_merged_cents
+  FROM m_v JOIN qs ON vr = (q_pct * (m - 1)) // 100 + 1
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cents, event_id) AS grk
+  FROM rows_
+),
+ex AS (
+  SELECT r.event_type, q.q_pct, n.n_g AS n_rows, r.cents AS exact_cents
+  FROM ranked r JOIN ng n USING (event_type)
+  JOIN qs q ON r.grk = (q.q_pct * (n.n_g - 1)) // 100 + 1
+)
+SELECT ex.event_type, ex.q_pct, n_rows, est_direct_cents, est_merged_cents,
+       CAST(CASE WHEN est_direct_cents = est_merged_cents
+                 THEN 1 ELSE 0 END AS INTEGER) AS merge_agrees,
+       exact_cents,
+       CAST(abs(est_direct_cents - exact_cents) * 1000000
+            // greatest(exact_cents, 1) AS BIGINT) AS err_ppm
+FROM ex
+JOIN d_est ON d_est.event_type = ex.event_type AND d_est.q_pct = ex.q_pct
+JOIN m_est ON m_est.event_type = ex.event_type AND m_est.q_pct = ex.q_pct
+ORDER BY ex.event_type, ex.q_pct
+"""
+
+
+#: lineitem measures audited by the adaptive-range audit
+QSK_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+#: adaptive band percentiles (lo, hi)
+QSK_LO_PCT, QSK_HI_PCT = 1, 99
+
+
+def quantile_adaptive_range_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Percentile-adaptive range audit over the lineitem measures — the
+    reference's fixed physical ranges
+    (``/root/reference/quality_audit.py:11-16``, temperature ∈ [−50,60]
+    etc.) generalized the way a 100 TB profiler derives them: a p01/p99
+    band read off the portable bottom-k sketch, then a Q4-style
+    ``expect_in_range`` count of rows outside the band, per measure in
+    one unpivoted pass.
+
+    The 4-row bounds relation broadcasts back onto the audit scan — the
+    sketch build and the audit are the only two passes over the data
+    (the classic two-pass profile; no global sort, no collect).  Rows
+    keyed by ``measure:orderkey:linenumber`` so each measure's sample
+    draws independent priorities from the same md5 stream.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_expr = "stack({n}, {args}) as (measure, x)".format(
+        n=len(QSK_MEASURES),
+        args=", ".join(f"'{m}', {m}" for m in QSK_MEASURES),
+    )
+    rows = li.select(
+        F.expr(stack_expr),
+        "l_orderkey",
+        "l_linenumber",
+    ).filter(F.col("x").isNotNull()).select(
+        "measure",
+        F.floor(F.col("x") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        _priority(
+            F.concat_ws(
+                ":",
+                F.col("measure"),
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("h"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    ng = rows.groupBy("measure").agg(F.count(F.lit(1)).alias("n_g"))
+    surv = rows.join(F.broadcast(ng), "measure").filter(F.expr(_surv_filter()))
+    w_g = Window.partitionBy("measure").orderBy("h", "k1", "k2")
+    sample = surv.withColumn("rk", F.row_number().over(w_g)).filter(
+        F.col("rk") <= QSK_K
+    )
+    w_v = Window.partitionBy("measure").orderBy("cents", "k1", "k2")
+    s = sample.withColumn("vr", F.row_number().over(w_v))
+    m = s.groupBy("measure").agg(F.count(F.lit(1)).alias("m"))
+    bounds = (
+        s.join(F.broadcast(m), "measure")
+        .withColumn(
+            "r_lo", F.expr(f"({QSK_LO_PCT} * (m - 1)) div 100 + 1")
+        )
+        .withColumn(
+            "r_hi", F.expr(f"({QSK_HI_PCT} * (m - 1)) div 100 + 1")
+        )
+        .groupBy("measure")
+        .agg(
+            F.max(F.when(F.col("vr") == F.col("r_lo"), F.col("cents"))).alias(
+                "lo_cents"
+            ),
+            F.max(F.when(F.col("vr") == F.col("r_hi"), F.col("cents"))).alias(
+                "hi_cents"
+            ),
+        )
+    )
+    return (
+        rows.join(F.broadcast(bounds), "measure")
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("lo_cents").alias("lo_cents"),
+            F.max("hi_cents").alias("hi_cents"),
+            F.sum((F.col("cents") < F.col("lo_cents")).cast("long")).alias(
+                "n_below"
+            ),
+            F.sum((F.col("cents") > F.col("hi_cents")).cast("long")).alias(
+                "n_above"
+            ),
+        )
+        .select(
+            "measure",
+            "n_rows",
+            "lo_cents",
+            "hi_cents",
+            "n_below",
+            "n_above",
+            F.expr(
+                "CAST((n_below + n_above) * 1000000 DIV n_rows AS BIGINT)"
+            ).alias("out_ppm"),
+        )
+        .orderBy("measure")
+    )
+
+
+def _adaptive_range_sql() -> str:
+    unpivot = "\n  UNION ALL\n".join(
+        f"  SELECT '{m}' AS measure,"
+        f" CAST(floor({m} * 100.0 + 0.5) AS BIGINT) AS cents,"
+        f" l_orderkey AS k1, l_linenumber AS k2"
+        f" FROM lineitem WHERE {m} IS NOT NULL"
+        for m in QSK_MEASURES
+    )
+    return f"""
+WITH unp AS (
+{unpivot}
+),
+rows_ AS (
+  SELECT measure, cents, k1, k2,
+         ('0x' || substr(md5(measure || ':' || CAST(k1 AS VARCHAR)
+                          || ':' || CAST(k2 AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM unp
+),
+ng AS (
+  SELECT measure, CAST(count(*) AS BIGINT) AS n_g FROM rows_ GROUP BY measure
+),
+surv AS (
+  SELECT r.* FROM rows_ r JOIN ng USING (measure)
+  WHERE CAST(h AS HUGEINT) * n_g
+        < CAST({H60} AS HUGEINT) * {QSK_OVER * QSK_K}
+),
+sample_ AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY measure ORDER BY h, k1, k2) AS rk
+    FROM surv) WHERE rk <= {QSK_K}
+),
+s_v AS (
+  SELECT measure, cents,
+         row_number() OVER (
+           PARTITION BY measure ORDER BY cents, k1, k2) AS vr,
+         count(*) OVER (PARTITION BY measure) AS m
+  FROM sample_
+),
+bounds AS (
+  SELECT measure,
+         max(CASE WHEN vr = ({QSK_LO_PCT} * (m - 1)) // 100 + 1
+                  THEN cents END) AS lo_cents,
+         max(CASE WHEN vr = ({QSK_HI_PCT} * (m - 1)) // 100 + 1
+                  THEN cents END) AS hi_cents
+  FROM s_v GROUP BY measure
+)
+SELECT r.measure,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       max(lo_cents) AS lo_cents,
+       max(hi_cents) AS hi_cents,
+       CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below,
+       CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       CAST((sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END)
+             + sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END)) * 1000000
+            // count(*) AS BIGINT) AS out_ppm
+FROM rows_ r JOIN bounds USING (measure)
+GROUP BY r.measure
+ORDER BY r.measure
+"""
+
+
+ADAPTIVE_RANGE_SQL = _adaptive_range_sql()
+
+
+SPARK_QUERIES = {
+    "portable_quantile_sketch": portable_quantile_sketch,
+    "quantile_adaptive_range_audit": quantile_adaptive_range_audit,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "portable_quantile_sketch": PORTABLE_QUANTILE_SQL,
+    "quantile_adaptive_range_audit": ADAPTIVE_RANGE_SQL,
+}

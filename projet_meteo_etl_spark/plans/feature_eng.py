@@ -659,9 +659,14 @@ def eb_shrunk_item_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: pooled and scored both consume it — without the cache
     # the events scan + rollup runs twice (released via scoped_cache)
     pooled = per.agg(
-        F.expr("CAST(sum(clicks) * 1000000 DIV sum(views) AS BIGINT)").alias(
-            "m_ppm"
-        )
+        # DECIMAL(38,0)-widen before the ×1e6: a LongType product wraps
+        # (ANSI: throws) past ~9.2e12 total click events — the corpus
+        # scale this module's other ppm products already widen for
+        # (the DuckDB twin is HUGEINT natively)
+        F.expr(
+            "CAST(CAST(sum(clicks) AS DECIMAL(38,0)) * 1000000"
+            " DIV sum(views) AS BIGINT)"
+        ).alias("m_ppm")
     )
     scored = (
         per.crossJoin(F.broadcast(pooled))

@@ -431,7 +431,12 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n * sxy - sx * sy
     var_x = n * sxx - sx * sx
     var_y = n * syy - sy * sy
-    slope = cov_n / var_x / F.lit(float(RET_LOG_SCALE))  # nats per week
+    # <2 surviving points (or all at the same week) ⇒ var_x == 0; CASE-
+    # guard so ANSI Spark emits NULL like the oracle's NULLIF instead
+    # of raising DIVIDE_BY_ZERO (same for the var_x*var_y r2 term)
+    slope = F.when(
+        var_x > 0, cov_n / var_x / F.lit(float(RET_LOG_SCALE))
+    )  # nats per week; NULL when degenerate
     import math
 
     from projet_meteo_etl_spark.cachescope import scoped_cache
@@ -442,7 +447,10 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             slope < 0, pround(F.lit(math.log(2.0)) / (-slope), 6)
         ).alias("halflife_weeks"),
-        pround(cov_n * cov_n / (var_x * var_y), 9).alias("r2"),
+        F.when(
+            var_x * var_y > 0,
+            pround(cov_n * cov_n / (var_x * var_y), 9),
+        ).alias("r2"),
     )
     return scoped_cache(out, ud, fw)
 
@@ -492,21 +500,21 @@ SELECT n AS n_weeks,
        {pround_sql(
            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-           " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-           " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           " / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)"
            f" / {RET_LOG_SCALE}.0",
            9,
        )} AS decay_slope,
        CASE WHEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
                  / {RET_LOG_SCALE}.0 < 0
             THEN {pround_sql(
                 "ln(2.0) / (-((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
                 " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-                " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-                " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                " / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)"
                 f" / {RET_LOG_SCALE}.0))",
                 6,
             )}
@@ -516,10 +524,10 @@ SELECT n AS n_weeks,
            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
            " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-           " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           " / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
-           " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
+           " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)",
            9,
        )} AS r2
 FROM m

@@ -1788,7 +1788,11 @@ def holt_winters_weekly_forecast(
         def tdiv2(a):  # trunc-toward-zero halving == Spark DIV 2
             return -((-a) // 2) if a < 0 else a // 2
 
-        lvl = sum(x[:m]) // m  # positive ⇒ floor == trunc
+        s7 = sum(x[:m])
+        # trunc-toward-zero to match the oracle's // regardless of the
+        # first week's sign (a negative-revenue first week would make
+        # Python floor division diverge bit-for-bit)
+        lvl = -((-s7) // m) if s7 < 0 else s7 // m
         trd = 0
         s = [x[p] - lvl for p in range(m)]  # slot p = t-1 mod 7
         out = []

@@ -39,6 +39,7 @@ _MODULES = (
     "projet_meteo_etl_spark.operators.dedup",
     "projet_meteo_etl_spark.operators.multimodal",
     "projet_meteo_etl_spark.operators.sketches",
+    "projet_meteo_etl_spark.operators.quantiles",
     "projet_meteo_etl_spark.operators.similarity",
     "projet_meteo_etl_spark.operators.retrieval",
     "projet_meteo_etl_spark.operators.text",

@@ -255,3 +255,31 @@ def test_assortativity_bounds_and_determinism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert r.asDict() == r2.asDict()
+
+
+def test_assortativity_degenerate_graph_emits_null(spark, tmp_path):
+    """Every node same degree ⇒ var_x·var_y = 0: both engines must emit
+    NULL (r8 ADVICE: unguarded sqrt-denominator threw DIVIDE_BY_ZERO
+    under ANSI Spark while the DuckDB oracle returned NULL)."""
+    import duckdb
+
+    from projet_meteo_etl_spark.operators.graph import (
+        ASSORTATIVITY_SQL,
+        degree_assortativity,
+    )
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "click", '{"k": 7}')],
+        "user_id long, event_type string, props string",
+    ).write.parquet(d + "/events.parquet")
+    r = degree_assortativity(spark, d).collect()[0]
+    assert r["n_edges"] == 2 and r["assortativity"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    o = con.execute(ASSORTATIVITY_SQL).fetchone()
+    assert o[0] == 2 and o[2] is None

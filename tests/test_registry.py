@@ -271,6 +271,9 @@ EXPECTED_QUERIES = {
     "clustering_coefficient_bands",
     # round-8 batch 6: retention half-life (censoring-aware decay fit)
     "retention_halflife_fit",
+    # round-9: portable bottom-k mergeable quantile sketch family
+    # (operators/quantiles.py)
+    "portable_quantile_sketch", "quantile_adaptive_range_audit",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -698,3 +698,42 @@ def test_retention_halflife_contract(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert r.asDict() == r2.asDict()
+
+
+def test_retention_halflife_single_point_emits_null(spark, tmp_path):
+    """Exactly one surviving regression point ⇒ var_x = 0: slope /
+    half-life / r2 must be NULL in BOTH engines (r8 ADVICE: unguarded
+    cov/var division threw DIVIDE_BY_ZERO under ANSI Spark while the
+    DuckDB oracle returned NULL)."""
+    import datetime as dt
+
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.temporal import (
+        RETENTION_HALFLIFE_SQL,
+        retention_halflife_fit,
+    )
+
+    d = str(tmp_path / "sf")
+    # one user: first day + a return exactly 1 week later ⇒ the only
+    # eligible-and-active offset is w=1 → a single (lx, ly) point
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2020, 1, 1, 12)),
+            (1, dt.datetime(2020, 1, 8, 12)),
+        ],
+        "user_id long, ts timestamp",
+    ).write.parquet(d + "/events.parquet")
+    r = retention_halflife_fit(spark, d).collect()[0]
+    assert r["n_weeks"] == 1
+    assert r["decay_slope"] is None
+    assert r["halflife_weeks"] is None
+    assert r["r2"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    o = con.execute(RETENTION_HALFLIFE_SQL).fetchone()
+    assert o[0] == 1 and o[1] is None and o[2] is None and o[3] is None

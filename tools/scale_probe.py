@@ -415,6 +415,23 @@ def main() -> int:
                 "retention_halflife_fit": temporal.retention_halflife_fit,
             }
         )
+        # round-9: the last two heavy r8 additions without probe rows —
+        # the degree-peeling loop (edge-linear rounds, value-domain peel
+        # ranks) and the EventTimeTimeout sessionizer.  The stream reads
+        # STAGED files like the seam probe, so it gets the genuinely
+        # replicated events dir built above (falls back to the real dir
+        # at n=1).
+        def custom_timeout_probe(s, d):
+            return structured.stream_session_custom_timeout(
+                s, seam_dir or d
+            )
+
+        probes.update(
+            {
+                "item_kcore_peel": cooccur.item_kcore_peel,
+                "stream_session_custom_timeout": custom_timeout_probe,
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
