@@ -1147,6 +1147,212 @@ ORDER BY true_clicks DESC, p.item ASC
 """
 
 
+def stream_quantile_sketch_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bottom-k quantile sketch as STREAMING STATE — the third
+    sketch-as-state twin next to :func:`stream_hll_users` (max-merge)
+    and :func:`stream_cms_item_counts` (sum-merge): per-event-type
+    GroupState carries the k rows with the smallest md5 priorities;
+    each micro-batch unions its rows in and re-prunes to k.  Bottom-k
+    is a semilattice (``merge = union → keep k smallest``), so the
+    maintained sample is EXACTLY the batch-built one at any batching —
+    the same algebra :func:`~projet_meteo_etl_spark.operators.quantiles.
+    portable_quantile_sketch` proves with its sharded path, here proved
+    against micro-batch slicing instead.  State is ≤ k rows per group
+    forever — running p50/p99 on an unbounded feed without keeping the
+    feed.
+
+    Priorities are computed JVM-side (vectorized md5) before the
+    stateful stage; the Python kernel only maintains the k-row sample.
+    The final emission per group (largest ``n_seen`` — monotone, since
+    a group is only invoked on batches containing its rows) is exploded
+    and the quantile picks read off with the module's lower
+    nearest-rank convention; DuckDB rebuilds the identical sample from
+    scratch, so the streamed ESTIMATES hash-check.
+    """
+    import pandas as pd
+
+    from projet_meteo_etl_spark.operators.quantiles import QSK_K, QSK_QS
+
+    k_keep = int(QSK_K)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).filter(
+        F.col("value").isNotNull()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = e.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+        h.alias("h"),
+    )
+
+    out_schema = (
+        "event_type string, n_seen bigint,"
+        " ids array<long>, cs array<long>"
+    )
+    state_schema = (
+        "n bigint, hs array<long>, ids array<long>, cs array<long>"
+    )
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            n, hs, ids, cs = state.get
+            n = int(n)
+            cur = pd.DataFrame(
+                {
+                    "h": pd.array(list(hs), dtype="int64"),
+                    "event_id": pd.array(list(ids), dtype="int64"),
+                    "cents": pd.array(list(cs), dtype="int64"),
+                }
+            )
+        else:
+            n = 0
+            cur = pd.DataFrame(
+                {
+                    "h": pd.array([], dtype="int64"),
+                    "event_id": pd.array([], dtype="int64"),
+                    "cents": pd.array([], dtype="int64"),
+                }
+            )
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            cur = (
+                pd.concat(
+                    [cur, pdf[["h", "event_id", "cents"]]],
+                    ignore_index=True,
+                )
+                .sort_values(["h", "event_id"])
+                .head(k_keep)
+            )
+        state.update(
+            (
+                n,
+                [int(x) for x in cur["h"]],
+                [int(x) for x in cur["event_id"]],
+                [int(x) for x in cur["cents"]],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "ids": [[int(x) for x in cur["event_id"]]],
+                "cs": [[int(x) for x in cur["cents"]]],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    updates = rows.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_memory(updates, "update")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    final = (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_seen", "ids", "cs")
+    )
+    ex = final.select(
+        "event_type",
+        "n_seen",
+        F.explode(F.arrays_zip("cs", "ids")).alias("z"),
+    ).select(
+        "event_type",
+        "n_seen",
+        F.col("z.cs").alias("cents"),
+        F.col("z.ids").alias("event_id"),
+    )
+    w_v = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    s = ex.withColumn("vr", F.row_number().over(w_v))
+    # rename the grouping key on the spine side: both relations re-read
+    # the same memory-sink plan, and a USING-join on the shared name
+    # trips the analyzer's conflicting-reference check
+    m = (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max("n_seen").alias("n_rows"),
+        )
+        .withColumnRenamed("event_type", "et")
+    )
+    qdf = spark.createDataFrame([(q,) for q in QSK_QS], "q_pct int")
+    spine = m.crossJoin(F.broadcast(qdf)).withColumn(
+        "r", F.expr("(q_pct * (m - 1)) div 100 + 1")
+    )
+    return (
+        s.select("event_type", "cents", "vr")
+        .join(
+            F.broadcast(spine),
+            (F.col("event_type") == F.col("et"))
+            & (F.col("vr") == F.col("r")),
+        )
+        .select(
+            "event_type",
+            "q_pct",
+            "n_rows",
+            F.col("cents").alias("est_cents"),
+        )
+        .orderBy("event_type", "q_pct")
+    )
+
+
+def _stream_quantile_sql() -> str:
+    from projet_meteo_etl_spark.operators.quantiles import QSK_K, QSK_QS
+
+    qs = ", ".join(str(q) for q in QSK_QS)
+    return f"""
+WITH rows_ AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE value IS NOT NULL
+),
+ng AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+  FROM rows_ GROUP BY event_type
+),
+bk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY h, event_id) AS rk
+    FROM rows_) WHERE rk <= {QSK_K}
+),
+s_v AS (
+  SELECT event_type, cents,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cents, event_id) AS vr,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM bk
+),
+qs AS (SELECT CAST(unnest([{qs}]) AS INTEGER) AS q_pct)
+SELECT s.event_type, q_pct, n_rows, cents AS est_cents
+FROM s_v s
+JOIN qs ON vr = (q_pct * (m - 1)) // 100 + 1
+JOIN ng USING (event_type)
+ORDER BY s.event_type, q_pct
+"""
+
+
+STREAM_QUANTILE_SQL = _stream_quantile_sql()
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization: ``session_window`` with a 30-minute gap
     per user — the stateful merging-window operator (sessions grow and
@@ -2144,6 +2350,7 @@ SPARK_QUERIES = {
     "stream_left_outer_lonely_purchases": stream_left_outer_lonely_purchases,
     "stream_hll_users": stream_hll_users,
     "stream_cms_item_counts": stream_cms_item_counts,
+    "stream_quantile_sketch_state": stream_quantile_sketch_state,
     "stream_session_windows": stream_session_windows,
     "stream_sliding_avg": stream_sliding_avg,
     "stream_sliding_topk_items": stream_sliding_topk_items,
@@ -2183,6 +2390,8 @@ ORACLE_SQL = {
     "stream_left_outer_lonely_purchases": STREAM_LEFT_OUTER_SQL,
     "stream_hll_users": _stream_hll_sql(),
     "stream_cms_item_counts": _stream_cms_sql(),
+    # streamed bottom-k sample must equal the batch-built one (semilattice)
+    "stream_quantile_sketch_state": STREAM_QUANTILE_SQL,
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_sliding_avg": STREAM_SLIDING_SQL,
     "stream_sliding_topk_items": STREAM_TOPK_ITEMS_SQL,

@@ -75,3 +75,22 @@ def test_adaptive_range_audit_contract(spark):
         # p01/p99 nearest-rank band: expected exclusion ~2%; allow
         # generous sampling slack at smoke scale
         assert r["n_below"] + r["n_above"] <= max(0.10 * r["n_rows"], 8)
+
+
+def test_stream_quantile_state_matches_batch_sketch(spark):
+    """The streamed bottom-k sample must yield the same estimates as
+    the batch sketch's direct path (bottom-k maintenance is a
+    semilattice — micro-batching cannot change the sample)."""
+    from projet_meteo_etl_spark.streaming.structured import (
+        stream_quantile_sketch_state,
+    )
+
+    streamed = {
+        (r["event_type"], r["q_pct"]): (r["n_rows"], r["est_cents"])
+        for r in stream_quantile_sketch_state(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r["event_type"], r["q_pct"]): (r["n_rows"], r["est_direct_cents"])
+        for r in portable_quantile_sketch(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch

@@ -272,8 +272,9 @@ EXPECTED_QUERIES = {
     # round-8 batch 6: retention half-life (censoring-aware decay fit)
     "retention_halflife_fit",
     # round-9: portable bottom-k mergeable quantile sketch family
-    # (operators/quantiles.py)
+    # (operators/quantiles.py + the sketch-as-state streaming twin)
     "portable_quantile_sketch", "quantile_adaptive_range_audit",
+    "stream_quantile_sketch_state",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

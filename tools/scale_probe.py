@@ -432,6 +432,19 @@ def main() -> int:
                 "stream_session_custom_timeout": custom_timeout_probe,
             }
         )
+        # round-9 additions: the portable bottom-k quantile sketch pair
+        # (threshold-filtered sample build + two-pass exact ranks; the
+        # adaptive audit re-scans with the 4-row bounds broadcast)
+        from projet_meteo_etl_spark.operators import quantiles
+
+        probes.update(
+            {
+                "portable_quantile_sketch": quantiles.portable_quantile_sketch,
+                "quantile_adaptive_range_audit": (
+                    quantiles.quantile_adaptive_range_audit
+                ),
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
