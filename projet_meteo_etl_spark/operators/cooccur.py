@@ -761,6 +761,169 @@ LIMIT {TOP_N}
 """
 
 
+#: minimum support for the 3-itemset lattice (items AND pairs AND
+#: triples): Apriori's downward closure means a triple can only reach
+#: this floor if all three of its pairs do — which is exactly the
+#: candidate pruning the plan exploits
+TRIPLE3_MIN_SUPPORT = 2
+
+
+def frequent_triples_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOP_N`` directional association rules over the 3-itemset
+    lattice — ``{a,b} → c`` by lift — extending
+    :func:`association_rules_lift` (which stops at 2-itemsets) the
+    Apriori way (Agrawal & Srikant 1994): a pair-antecedent rule is
+    what "customers who bought BOTH a and b also bought c" actually
+    asks, and the 2-item rules cannot express it.
+
+    **Apriori pruning is the scale story** — the naive per-user triple
+    expansion is Σcap³ (1000× the pair expansion this module already
+    bounds): instead (1) only FREQUENT pairs (support ≥
+    ``TRIPLE3_MIN_SUPPORT``, downward closure) expand per user, via a
+    semi-join of the per-user pair relation against the frequent-pair
+    table; (2) the third item joins only where BOTH closing pairs
+    (a,c) and (b,c) are frequent — so every candidate counted has all
+    three sub-pairs frequent, and the expansion is bounded by the
+    frequent-pair lattice, not the basket width.  Baskets stay capped
+    at ``USER_ITEM_CAP`` like every consumer of ``_user_items``.
+
+    Exact-integer metrics (the 2-itemset discipline):
+    ``confidence_ppm = n_triple·1e6 DIV n_ant_pair`` and ``lift_ppm =
+    n_triple·n_users·1e6 DIV (n_ant_pair·n_cons)``, DECIMAL(38,0)/
+    HUGEINT-widened.  Each frequent triple emits its 3 pair→item
+    rules; deterministic (lift DESC, ant1, ant2, cons) order.
+    """
+    ui = _user_items(spark, sf_dir)
+    co = _co_counts(ui)
+    fp = co.filter(F.col("n_users") >= TRIPLE3_MIN_SUPPORT).persist()
+    # per-user pairs, pruned to frequent pairs before any extension
+    a = ui.select("user_id", F.col("item").alias("i1"))
+    b = ui.select("user_id", F.col("item").alias("i2"))
+    up = (
+        a.join(b, "user_id")
+        .filter(F.col("i1") < F.col("i2"))
+        .join(fp.select("i1", "i2"), ["i1", "i2"], "left_semi")
+    )
+    c = ui.select("user_id", F.col("item").alias("i3"))
+    ut = (
+        up.join(c, "user_id")
+        .filter(F.col("i3") > F.col("i2"))
+        .join(
+            fp.selectExpr("i1 AS i2", "i2 AS i3").select("i2", "i3"),
+            ["i2", "i3"],
+            "left_semi",
+        )
+        .join(
+            fp.selectExpr("i1", "i2 AS i3").select("i1", "i3"),
+            ["i1", "i3"],
+            "left_semi",
+        )
+    )
+    tr = (
+        ut.groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).alias("n_triple"))
+        .filter(F.col("n_triple") >= TRIPLE3_MIN_SUPPORT)
+    )
+    rules = (
+        tr.selectExpr("i1 AS ant1", "i2 AS ant2", "i3 AS cons", "n_triple")
+        .unionByName(
+            tr.selectExpr(
+                "i1 AS ant1", "i3 AS ant2", "i2 AS cons", "n_triple"
+            )
+        )
+        .unionByName(
+            tr.selectExpr(
+                "i2 AS ant1", "i3 AS ant2", "i1 AS cons", "n_triple"
+            )
+        )
+    )
+    n_users = ui.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    deg = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    out = (
+        rules.join(
+            fp.selectExpr("i1 AS ant1", "i2 AS ant2", "n_users AS n_ant"),
+            ["ant1", "ant2"],
+        )
+        .join(
+            F.broadcast(
+                deg.selectExpr("item AS cons", "n_item AS n_cons")
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ant1",
+            "ant2",
+            "cons",
+            "n_triple",
+            "n_ant",
+            "n_cons",
+            F.expr("CAST(n_triple * 1000000 DIV n_ant AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(CAST(n_triple AS DECIMAL(38,0)) * n_total * 1000000"
+                " DIV (CAST(n_ant AS DECIMAL(38,0)) * n_cons) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(
+            F.desc("lift_ppm"), F.asc("ant1"), F.asc("ant2"), F.asc("cons")
+        )
+        .limit(TOP_N)
+    )
+    return scoped_cache(out, ui, fp)
+
+
+FREQ_TRIPLES_SQL = f"""
+WITH {_BASKET_SQL},
+fp AS (SELECT i1, i2, n_users FROM co
+       WHERE n_users >= {TRIPLE3_MIN_SUPPORT}),
+up AS (
+  SELECT a.user_id, a.item AS i1, b.item AS i2
+  FROM capped a
+  JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+  JOIN fp ON fp.i1 = a.item AND fp.i2 = b.item
+),
+ut AS (
+  SELECT up.i1, up.i2, c.item AS i3
+  FROM up
+  JOIN capped c ON c.user_id = up.user_id AND c.item > up.i2
+  JOIN fp f23 ON f23.i1 = up.i2 AND f23.i2 = c.item
+  JOIN fp f13 ON f13.i1 = up.i1 AND f13.i2 = c.item
+),
+tr AS (
+  SELECT i1, i2, i3, count(*) AS n_triple
+  FROM ut GROUP BY i1, i2, i3
+  HAVING count(*) >= {TRIPLE3_MIN_SUPPORT}
+),
+users AS (SELECT count(DISTINCT user_id) AS n_total FROM capped),
+deg AS (SELECT item, count(*) AS n_item FROM capped GROUP BY item),
+rules AS (
+  SELECT i1 AS ant1, i2 AS ant2, i3 AS cons, n_triple FROM tr
+  UNION ALL
+  SELECT i1 AS ant1, i3 AS ant2, i2 AS cons, n_triple FROM tr
+  UNION ALL
+  SELECT i2 AS ant1, i3 AS ant2, i1 AS cons, n_triple FROM tr
+)
+SELECT r.ant1, r.ant2, r.cons,
+       CAST(r.n_triple AS BIGINT) AS n_triple,
+       CAST(p.n_users AS BIGINT) AS n_ant,
+       CAST(d.n_item AS BIGINT) AS n_cons,
+       CAST(r.n_triple * 1000000 // p.n_users AS BIGINT) AS confidence_ppm,
+       CAST(CAST(r.n_triple AS HUGEINT) * u.n_total * 1000000
+            // (CAST(p.n_users AS HUGEINT) * d.n_item) AS BIGINT)
+         AS lift_ppm
+FROM rules r
+JOIN fp p ON p.i1 = r.ant1 AND p.i2 = r.ant2
+JOIN deg d ON d.item = r.cons
+CROSS JOIN users u
+ORDER BY lift_ppm DESC, ant1 ASC, ant2 ASC, cons ASC
+LIMIT {TOP_N}
+"""
+
+
 #: resource-allocation contributions come only from DISCRIMINATIVE
 #: items: an item clicked by more users than this cap contributes
 #: ≤ 1e6/cap ≈ noise per pair anyway, and excluding it bounds the
@@ -976,6 +1139,7 @@ SPARK_QUERIES = {
     "item_kcore_peel": item_kcore_peel,
     "item_ktruss_edges": item_ktruss_edges,
     "association_rules_lift": association_rules_lift,
+    "frequent_triples_lift": frequent_triples_lift,
     "link_prediction_ra_index": link_prediction_ra_index,
     "clustering_coefficient_bands": clustering_coefficient_bands,
 }
@@ -987,5 +1151,6 @@ ORACLE_SQL = {
     "item_triangle_count": TRIANGLE_SQL,
     "item_ktruss_edges": KTRUSS_SQL,
     "association_rules_lift": ASSOC_RULES_SQL,
+    "frequent_triples_lift": FREQ_TRIPLES_SQL,
     "link_prediction_ra_index": RA_INDEX_SQL,
 }

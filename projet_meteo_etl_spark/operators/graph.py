@@ -192,6 +192,36 @@ N_LPA_ROUNDS = 2
 LPA_TOP = 50
 
 
+def _lpa_label_rounds(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """``N_LPA_ROUNDS`` synchronous, deterministic label-propagation
+    rounds over a symmetrized edge list (initial label = own id, modal
+    neighbor label, min-label ties).  Returns ``(previous, final)``
+    label relations — shared by the community rollup and the modularity
+    score so the two queries are guaranteed to grade the SAME
+    partition."""
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    prev = labels
+    for _ in range(N_LPA_ROUNDS):
+        prev = labels
+        nb = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return prev, labels
+
+
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the symmetrized user–item click graph by
     ``N_LPA_ROUNDS`` synchronous label-propagation rounds (Raghavan et
@@ -219,26 +249,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     result.
     """
     edges = _edges(spark, sf_dir).repartition("dst").cache()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    from pyspark.sql import Window
-
-    prev = labels
-    for _ in range(N_LPA_ROUNDS):
-        prev = labels
-        nb = edges.join(
-            labels.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "label")
-        counts = nb.groupBy("node", "label").agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
-        labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-        )
+    prev, labels = _lpa_label_rounds(edges)
     from projet_meteo_etl_spark.cachescope import scoped_cache
 
     # the final two label relations each feed two consumers (residual
@@ -931,6 +942,148 @@ FROM m
 """
 
 
+#: ppm offset keeping the modularity dividend positive: |numerator·1e6|
+#: ≤ 1e6·denominator, so adding 2e6·denominator guarantees a positive
+#: dividend and Spark DIV (trunc) == DuckDB // (floor)
+_MOD_OFF = 2_000_000
+
+
+def community_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the :func:`label_propagation_communities`
+    partition — the quality score that says whether the LPA labels
+    actually describe community structure (Q ≈ 0: no better than random
+    given the degree sequence; Q ≳ 0.3: strong), completing the graph
+    panel the way ``clustering_coefficient_bands`` completed triangles.
+    Shares :func:`_lpa_label_rounds`, so it grades exactly the
+    partition the LPA query reports.
+
+    **Integer-exact** (the Pregel-as-joins discipline): with ``m2`` the
+    directed edge count (= 2m on the symmetrized list), ``e2_c`` the
+    directed intra-community edge count and ``D_c`` the community
+    degree sum, ``Q·m2² = Σ_c (m2·e2_c − D_c²)`` — all integer in
+    DECIMAL(38,0)/HUGEINT, one ppm division at the end with a
+    positivity offset (Q may be negative; Spark DIV truncates, DuckDB
+    ``//`` floors, they agree only on non-negative dividends).
+
+    Scale: two label joins on the edge list (partitioned once, reused
+    from the LPA rounds), a per-community rollup (bounded by |V|), and
+    1-row global aggregates — no window, no collect.
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    edges = _edges(spark, sf_dir).repartition("dst").cache()
+    labels = _lpa_label_rounds(edges)[1].persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e2 = (
+        edges.join(
+            labels.selectExpr("node AS src", "label AS c_src"), "src"
+        )
+        .join(labels.selectExpr("node AS dst", "label AS c_dst"), "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e2"))
+    )
+    ds = (
+        deg.join(labels.selectExpr("node AS src", "label"), "src")
+        .groupBy("label")
+        .agg(
+            F.sum("deg").alias("d_sum"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    comm = ds.join(e2, "label", "left").na.fill(0, ["e2"])
+    m2row = edges.agg(F.count(F.lit(1)).alias("m2"))
+    glob = (
+        comm.crossJoin(F.broadcast(m2row))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(
+                F.expr(
+                    "CAST(m2 AS DECIMAL(38,0)) * e2"
+                    " - CAST(d_sum AS DECIMAL(38,0)) * d_sum"
+                )
+            ).alias("num"),
+            F.max("m2").alias("m2"),
+        )
+        .withColumn(
+            "den", F.expr("CAST(m2 AS DECIMAL(38,0)) * m2")
+        )
+    )
+    out = (
+        comm.crossJoin(F.broadcast(glob))
+        .select(
+            "label",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("d_sum").cast("long").alias("deg_sum"),
+            F.expr("CAST(e2 DIV 2 AS BIGINT)").alias("e_in"),
+            F.expr(
+                "CAST(((CAST(m2 AS DECIMAL(38,0)) * e2"
+                " - CAST(d_sum AS DECIMAL(38,0)) * d_sum) * 1000000"
+                f" + {_MOD_OFF} * den) DIV den - {_MOD_OFF} AS BIGINT)"
+            ).alias("contrib_ppm"),
+            F.expr(
+                f"CAST((num * 1000000 + {_MOD_OFF} * den) DIV den"
+                f" - {_MOD_OFF} AS BIGINT)"
+            ).alias("modularity_ppm"),
+            F.expr("CAST(m2 DIV 2 AS BIGINT)").alias("n_edges"),
+            F.col("n_communities").cast("long").alias("n_communities"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("label"))
+        .limit(LPA_TOP)
+    )
+    return scoped_cache(out, edges, labels)
+
+
+MODULARITY_SQL = f"""
+{_EDGES_SQL}
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{_lpa_iter_sql('l0', 'l1')},
+{_lpa_iter_sql('l1', 'l2')},
+lab AS (SELECT node, label FROM l{N_LPA_ROUNDS}),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+m2t AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM edges),
+e2t AS (
+  SELECT a.label, CAST(count(*) AS HUGEINT) AS e2
+  FROM edges e
+  JOIN lab a ON a.node = e.src
+  JOIN lab b ON b.node = e.dst
+  WHERE a.label = b.label
+  GROUP BY a.label
+),
+ds AS (
+  SELECT l.label, CAST(sum(d.deg) AS HUGEINT) AS d_sum,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM lab l JOIN deg d ON d.node = l.node
+  GROUP BY l.label
+),
+comm AS (
+  SELECT ds.label, ds.n_members, ds.d_sum,
+         coalesce(e2t.e2, 0) AS e2
+  FROM ds LEFT JOIN e2t ON e2t.label = ds.label
+),
+gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         sum(m2t.m2 * comm.e2 - comm.d_sum * comm.d_sum) AS num,
+         max(m2t.m2) AS m2,
+         max(m2t.m2) * max(m2t.m2) AS den
+  FROM comm, m2t
+)
+SELECT c.label, c.n_members,
+       CAST(c.d_sum AS BIGINT) AS deg_sum,
+       CAST(c.e2 // 2 AS BIGINT) AS e_in,
+       CAST(((g.m2 * c.e2 - c.d_sum * c.d_sum) * 1000000
+             + {_MOD_OFF} * g.den) // g.den - {_MOD_OFF} AS BIGINT)
+         AS contrib_ppm,
+       CAST((g.num * 1000000 + {_MOD_OFF} * g.den) // g.den
+            - {_MOD_OFF} AS BIGINT) AS modularity_ppm,
+       CAST(g.m2 // 2 AS BIGINT) AS n_edges,
+       g.n_communities
+FROM comm c, gtot g
+ORDER BY c.n_members DESC, c.label ASC
+LIMIT {LPA_TOP}
+"""
+
+
 SPARK_QUERIES = {
     "pagerank_click_graph": pagerank_click_graph,
     "label_propagation_communities": label_propagation_communities,
@@ -939,6 +1092,7 @@ SPARK_QUERIES = {
     "personalized_pagerank_seeds": personalized_pagerank_seeds,
     "cheapest_path_bellman_ford": cheapest_path_bellman_ford,
     "degree_assortativity": degree_assortativity,
+    "community_modularity_score": community_modularity_score,
 }
 ORACLE_SQL = {
     "pagerank_click_graph": PAGERANK_SQL,
@@ -948,4 +1102,5 @@ ORACLE_SQL = {
     "personalized_pagerank_seeds": PPR_SQL,
     "cheapest_path_bellman_ford": BELLMAN_FORD_SQL,
     "degree_assortativity": ASSORTATIVITY_SQL,
+    "community_modularity_score": MODULARITY_SQL,
 }

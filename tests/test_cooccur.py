@@ -329,3 +329,58 @@ def test_clustering_coefficient_identities(spark):
     for r in list(rows.values()) + [alln]:
         assert 0 <= r["transitivity_ppm"] <= 1_000_000
         assert 0 <= r["mean_local_cc_ppm"] <= 1_000_000
+
+
+def test_frequent_triples_apriori_consistency(spark):
+    """Downward closure + metric identities: every reported rule's
+    triple support must not exceed its antecedent pair support or its
+    consequent item support; confidence = n_triple*1e6 DIV n_ant; and
+    the result is partition-independent."""
+    from projet_meteo_etl_spark.operators.cooccur import (
+        TRIPLE3_MIN_SUPPORT,
+        frequent_triples_lift,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = frequent_triples_lift(spark, SF_ORACLE).collect()
+    assert rows, "sf0.01 has support>=2 triples"
+    for r in rows:
+        assert r["ant1"] < r["ant2"] and r["cons"] not in (r["ant1"], r["ant2"])
+        assert TRIPLE3_MIN_SUPPORT <= r["n_triple"] <= min(r["n_ant"], r["n_cons"])
+        assert r["confidence_ppm"] == r["n_triple"] * 1_000_000 // r["n_ant"]
+        assert 0 < r["confidence_ppm"] <= 1_000_000
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows2 = frequent_triples_lift(spark, SF_ORACLE).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_frequent_triples_match_python_replay(spark):
+    """Triple supports must equal a brute-force Python count over the
+    capped baskets (smoke SF is small enough to enumerate)."""
+    from itertools import combinations
+
+    from projet_meteo_etl_spark.operators.cooccur import (
+        TRIPLE3_MIN_SUPPORT,
+        _user_items,
+        frequent_triples_lift,
+    )
+    from tests.conftest import SF_SMOKE
+
+    baskets = {}
+    for r in _user_items(spark, SF_SMOKE).collect():
+        baskets.setdefault(r["user_id"], set()).add(r["item"])
+    support = {}
+    for items in baskets.values():
+        for t in combinations(sorted(items), 3):
+            support[t] = support.get(t, 0) + 1
+    expect = {t: n for t, n in support.items() if n >= TRIPLE3_MIN_SUPPORT}
+
+    got_rows = frequent_triples_lift(spark, SF_SMOKE).collect()
+    for r in got_rows:
+        # reconstruct the sorted triple this rule came from
+        t = tuple(sorted((r["ant1"], r["ant2"], r["cons"])))
+        assert expect.get(t) == r["n_triple"], (t, r)

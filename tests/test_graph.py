@@ -283,3 +283,46 @@ def test_assortativity_degenerate_graph_emits_null(spark, tmp_path):
     )
     o = con.execute(ASSORTATIVITY_SQL).fetchone()
     assert o[0] == 2 and o[2] is None
+
+
+def test_modularity_contract_and_replay(spark):
+    """Modularity bounds + internal identities: Q in [-1e6, 1e6] ppm,
+    per-community e_in <= (deg_sum)/2, edges total consistent, and the
+    global score equals a Python replay over the same LPA labels."""
+    from projet_meteo_etl_spark.operators.graph import (
+        _edges,
+        _lpa_label_rounds,
+        community_modularity_score,
+    )
+
+    rows = community_modularity_score(spark, SF_SMOKE).collect()
+    assert rows
+    q = rows[0]["modularity_ppm"]
+    assert -1_000_000 <= q <= 1_000_000
+    for r in rows:
+        assert r["modularity_ppm"] == q and r["n_edges"] == rows[0]["n_edges"]
+        assert 0 <= r["e_in"] <= r["deg_sum"] // 2
+        assert -1_000_000 <= r["contrib_ppm"] <= 1_000_000
+
+    edges = [(r["src"], r["dst"]) for r in _edges(spark, SF_SMOKE).collect()]
+    lab = {
+        r["node"]: r["label"]
+        for r in _lpa_label_rounds(
+            _edges(spark, SF_SMOKE)
+        )[1].collect()
+    }
+    m2 = len(edges)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    e2 = {}
+    dsum = {}
+    for s, d in edges:
+        if lab[s] == lab[d]:
+            e2[lab[s]] = e2.get(lab[s], 0) + 1
+    for n, dg in deg.items():
+        dsum[lab[n]] = dsum.get(lab[n], 0) + dg
+    num = sum(m2 * e2.get(c, 0) - dsum[c] * dsum[c] for c in dsum)
+    den = m2 * m2
+    expect_q = (num * 1_000_000 + 2_000_000 * den) // den - 2_000_000
+    assert q == expect_q

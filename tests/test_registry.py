@@ -275,6 +275,8 @@ EXPECTED_QUERIES = {
     # (operators/quantiles.py + the sketch-as-state streaming twin)
     "portable_quantile_sketch", "quantile_adaptive_range_audit",
     "stream_quantile_sketch_state",
+    # round-9: Apriori 3-itemset rules + LPA partition quality
+    "frequent_triples_lift", "community_modularity_score",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -443,6 +443,10 @@ def main() -> int:
                 "quantile_adaptive_range_audit": (
                     quantiles.quantile_adaptive_range_audit
                 ),
+                # Apriori triple lattice (frequent-pair-bounded expansion)
+                # and the LPA modularity rollup (two edge-label joins)
+                "frequent_triples_lift": cooccur.frequent_triples_lift,
+                "community_modularity_score": gr.community_modularity_score,
             }
         )
         timings = {}
