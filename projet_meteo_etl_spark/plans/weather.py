@@ -227,11 +227,154 @@ def weather_anomaly_rate_by_station(
     ).orderBy("id_station")
 
 
+#: deterministic holdout: observations whose md5(station:epoch_us)
+#: lands on residue 0 mod this are masked and re-predicted (~10%)
+WX_HOLDOUT_MOD = 10
+
+
+def weather_impute_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-station regression imputation of ``temperature_c`` —
+    the audit-to-REPAIR step the reference can only flag
+    (``/root/reference/quality_audit.py:42-58`` counts nulls and
+    out-of-range values; a production weather pipeline then FILLS the
+    gap from a co-located station's same-hour reading).  Run as a
+    cross-validated audit so it is verifiable without real gaps: a
+    deterministic ~10% holdout (md5 residue) is masked, each masked
+    reading is re-predicted from every other station's unmasked
+    same-timestamp reading via per-station-pair OLS fit on the unmasked
+    co-observations, and the per-pair MAE / max error / slope are the
+    result — the table that says WHICH neighbor is a trustworthy donor
+    before any real gap appears.
+
+    Exact integers end-to-end: temps in centi-°C; the OLS prediction is
+    one rational ``(Σy·βden + βnum·(n·x − Σx)) / (n·βden)`` evaluated
+    in DECIMAL(38,0)/HUGEINT with trunc-toward-zero division on both
+    engines (Spark ``DIV``; sign-split ``//`` in the oracle — they
+    agree only on non-negative dividends otherwise).  Headroom: the
+    widened triple product stays inside DECIMAL(38,0) for per-pair
+    co-observation counts up to ~10⁸.
+
+    Scale: the co-observation join keys on timestamp, whose fan-out is
+    the CO-LOCATED station group size (bounded — a deployment buckets
+    by region first), and the pair-stats relation (≤ stations² rows)
+    broadcasts onto the holdout join.  The oracle recomputes everything
+    from the independently-staged ground-truth parquet, extending the
+    pipeline-vs-ground-truth contract to the repair math.
+    """
+    u = weather_etl_unified(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("st"), F.col("us").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    t = (
+        u.filter(F.col("temperature_c").isNotNull())
+        .select(
+            F.col("id_station").alias("st"),
+            F.unix_micros(F.col("date_heure_utc")).alias("us"),
+            F.expr(
+                "CAST(floor(temperature_c * 100.0 + 0.5) AS BIGINT)"
+            ).alias("tc"),
+        )
+        .withColumn(
+            "held", (h % WX_HOLDOUT_MOD == 0).cast("int")
+        )
+        # consumed by the training join (both sides), the holdout side,
+        # and the donor side: persist so the 15-source ETL runs once
+        .persist()
+    )
+    tr_a = t.filter(F.col("held") == 0).select(
+        F.col("st").alias("tgt"), "us", F.col("tc").alias("y")
+    )
+    tr_b = t.filter(F.col("held") == 0).select(
+        F.col("st").alias("src"), "us", F.col("tc").alias("x")
+    )
+    stats = (
+        tr_a.join(tr_b, "us")
+        .filter(F.col("tgt") != F.col("src"))
+        .groupBy("tgt", "src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        )
+        .withColumn(
+            "bnum",
+            F.expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy"),
+        )
+        .withColumn(
+            "bden",
+            F.expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx"),
+        )
+        .filter(F.col("bden") > 0)  # degenerate (constant-x) pairs skip
+        .withColumn(
+            "slope_ppm",
+            F.expr("CAST(bnum * 1000000 DIV bden AS BIGINT)"),
+        )
+        .withColumn("n_train", F.col("n").cast("long"))
+    )
+    held_rows = t.filter(F.col("held") == 1).select(
+        F.col("st").alias("tgt"), "us", F.col("tc").alias("true_tc")
+    )
+    src_rows = t.filter(F.col("held") == 0).select(
+        F.col("st").alias("src"), "us", F.col("tc").alias("x")
+    )
+    imp = (
+        held_rows.join(src_rows, "us")
+        .join(F.broadcast(stats), ["tgt", "src"])
+        .withColumn(
+            "pred",
+            F.expr(
+                "CAST((sy * bden + bnum * (CAST(n AS DECIMAL(38,0)) * x"
+                " - sx)) DIV (CAST(n AS DECIMAL(38,0)) * bden) AS BIGINT)"
+            ),
+        )
+    )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
+        imp.groupBy("tgt", "src")
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.max("slope_ppm").alias("slope_ppm"),
+            F.count(F.lit(1)).alias("n_imputed"),
+            F.expr(
+                "CAST(sum(abs(pred - true_tc)) DIV count(1) AS BIGINT)"
+            ).alias("mae_centi"),
+            F.expr("CAST(max(abs(pred - true_tc)) AS BIGINT)").alias(
+                "max_abs_err_centi"
+            ),
+        )
+        .select(
+            F.col("tgt").alias("id_station"),
+            F.col("src").alias("src_station"),
+            "n_train",
+            "slope_ppm",
+            "n_imputed",
+            "mae_centi",
+            "max_abs_err_centi",
+        )
+        .orderBy("id_station", "src_station")
+    )
+    return scoped_cache(out, t)
+
+
 SPARK_QUERIES = {
     "weather_etl_unified": weather_etl_unified,
     "weather_quality_report": weather_quality_report,
     "weather_station_daily_rollup": weather_station_daily_rollup,
     "weather_anomaly_rate_by_station": weather_anomaly_rate_by_station,
+    "weather_impute_temperature": weather_impute_temperature,
 }
 
 WEATHER_UNIFIED_SQL = f"""
@@ -331,9 +474,69 @@ SELECT id_station, n_obs, oor_temp, oor_hum, oor_press, oor_wind,
 FROM per ORDER BY id_station
 """
 
+WEATHER_IMPUTE_SQL = f"""
+WITH t AS (
+  SELECT id_station AS st, epoch_us(date_heure_utc) AS us,
+         CAST(floor(temperature_c * 100.0 + 0.5) AS BIGINT) AS tc,
+         CASE WHEN ('0x' || substr(md5(id_station || ':'
+                      || CAST(epoch_us(date_heure_utc) AS VARCHAR)),
+                    1, 15))::BIGINT % {WX_HOLDOUT_MOD} = 0
+              THEN 1 ELSE 0 END AS held
+  FROM read_parquet('{{expected}}')
+  WHERE temperature_c IS NOT NULL
+),
+co AS (
+  SELECT a.st AS tgt, b.st AS src,
+         CAST(a.tc AS HUGEINT) AS y, CAST(b.tc AS HUGEINT) AS x
+  FROM t a JOIN t b ON a.us = b.us AND a.st <> b.st
+  WHERE a.held = 0 AND b.held = 0
+),
+stats AS (
+  SELECT tgt, src, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM co GROUP BY tgt, src
+),
+fit AS (
+  SELECT tgt, src, n, sx, sy,
+         n * sxy - sx * sy AS bnum,
+         n * sxx - sx * sx AS bden
+  FROM stats WHERE n * sxx - sx * sx > 0
+),
+imp AS (
+  SELECT h.tgt, f.src,
+         CAST(f.n AS BIGINT) AS n_train,
+         CASE WHEN f.bnum >= 0
+              THEN CAST(f.bnum * 1000000 // f.bden AS BIGINT)
+              ELSE -CAST((-f.bnum) * 1000000 // f.bden AS BIGINT)
+         END AS slope_ppm,
+         h.true_tc,
+         CASE WHEN f.sy * f.bden + f.bnum * (f.n * s.x - f.sx) >= 0
+              THEN CAST((f.sy * f.bden + f.bnum * (f.n * s.x - f.sx))
+                        // (f.n * f.bden) AS BIGINT)
+              ELSE -CAST((-(f.sy * f.bden + f.bnum * (f.n * s.x - f.sx)))
+                         // (f.n * f.bden) AS BIGINT)
+         END AS pred
+  FROM (SELECT st AS tgt, us, tc AS true_tc FROM t WHERE held = 1) h
+  JOIN (SELECT st AS src, us, CAST(tc AS HUGEINT) AS x FROM t
+        WHERE held = 0) s ON s.us = h.us
+  JOIN fit f ON f.tgt = h.tgt AND f.src = s.src
+)
+SELECT tgt AS id_station, src AS src_station,
+       max(n_train) AS n_train,
+       max(slope_ppm) AS slope_ppm,
+       CAST(count(*) AS BIGINT) AS n_imputed,
+       CAST(sum(abs(pred - true_tc)) // count(*) AS BIGINT) AS mae_centi,
+       CAST(max(abs(pred - true_tc)) AS BIGINT) AS max_abs_err_centi
+FROM imp GROUP BY tgt, src
+ORDER BY id_station, src_station
+""".replace("{expected}", _EXPECTED_PARQUET)
+
+
 ORACLE_SQL: dict[str, str] = {
     "weather_etl_unified": WEATHER_UNIFIED_SQL,
     "weather_quality_report": WEATHER_QUALITY_SQL,
     "weather_station_daily_rollup": WEATHER_DAILY_SQL,
     "weather_anomaly_rate_by_station": WEATHER_ANOMALY_SQL,
+    "weather_impute_temperature": WEATHER_IMPUTE_SQL,
 }

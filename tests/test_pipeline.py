@@ -145,3 +145,36 @@ def test_all_missing_manifest_flows_through_clean(spark):
     out = clean_weather_csv(raw)
     assert out.count() == 0
     assert out.columns[0] == "date_heure_utc"
+
+
+def test_weather_imputation_contract(spark):
+    """Cross-validated neighbor imputation: every ordered pair of
+    distinct stations present, MAE bounded by the max error, the fit
+    trained on strictly more rows than it predicts, and the whole
+    result partition-independent."""
+    from projet_meteo_etl_spark.plans.weather import (
+        weather_etl_unified,
+        weather_impute_temperature,
+    )
+
+    rows = weather_impute_temperature(spark, "/root/testdata/sf0.001").collect()
+    n_st = (
+        weather_etl_unified(spark, "/root/testdata/sf0.001")
+        .select("id_station")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_st * (n_st - 1)
+    for r in rows:
+        assert r["id_station"] != r["src_station"]
+        assert r["n_train"] > r["n_imputed"] > 0
+        assert 0 <= r["mae_centi"] <= r["max_abs_err_centi"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows2 = weather_impute_temperature(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]

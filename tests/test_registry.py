@@ -277,6 +277,9 @@ EXPECTED_QUERIES = {
     "stream_quantile_sketch_state",
     # round-9: Apriori 3-itemset rules + LPA partition quality
     "frequent_triples_lift", "community_modularity_score",
+    # round-9: weather capstone — cross-validated neighbor-station
+    # regression imputation over the S1-S4 path
+    "weather_impute_temperature",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.
