@@ -470,12 +470,166 @@ ORDER BY r.measure
 ADAPTIVE_RANGE_SQL = _adaptive_range_sql()
 
 
+#: trailing window width (days) for the sliding quantile rollup
+QSK_WINDOW_DAYS = 7
+#: percentiles reported by the sliding rollup
+QSK_SLIDING_QS = (50, 99)
+
+
+def quantile_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day p50/p99 purchase value per day from DAILY
+    bottom-k partials — the rollup-table pattern for sliding quantiles
+    (the ``hll_sliding_distinct_users`` analogue,
+    ``operators/sketches.py:717``): raw events aggregate once into a
+    days×k partial table, and every window answer is a
+    union→re-prune merge of 7 daily partials.  The alternative
+    re-scans W× the data per window; at 100 TB the partial table is
+    the only thing the window ever touches, and the same partials
+    serve any trailing width — bottom-k's semilattice merge is what
+    makes the daily partials composable at all.
+
+    Same portable md5 priorities as :func:`portable_quantile_sketch`,
+    so the sliding ESTIMATES hash-check against DuckDB; the exact
+    window row count rides along.  Every relation after the daily
+    build is days×k — date-domain bounded.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    rows = e.select(
+        F.to_date("ts").alias("day"),
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+        _priority(F.col("event_id").cast("string")).alias("h"),
+    )
+    ng = rows.groupBy("day").agg(F.count(F.lit(1)).alias("n_g"))
+    surv = rows.join(F.broadcast(ng), "day").filter(F.expr(_surv_filter()))
+    w_d = Window.partitionBy("day").orderBy("h", "event_id")
+    daily = (
+        surv.withColumn("rk", F.row_number().over(w_d))
+        .filter(F.col("rk") <= QSK_K)
+        .select("day", "event_id", "cents", "h")
+    )
+    offs = spark.range(QSK_WINDOW_DAYS).select(
+        F.col("id").cast("int").alias("off")
+    )
+    # each daily partial feeds the windows ending on day .. day+6;
+    # windows are anchored at OBSERVED days (semi-join on the day spine)
+    spread = (
+        daily.crossJoin(F.broadcast(offs))
+        .withColumn("wday", F.date_add("day", F.col("off")))
+        .join(ng.select(F.col("day").alias("wday")), "wday", "left_semi")
+    )
+    w_w = Window.partitionBy("wday").orderBy("h", "event_id")
+    merged = (
+        spread.withColumn("rk", F.row_number().over(w_w))
+        .filter(F.col("rk") <= QSK_K)
+    )
+    w_v = Window.partitionBy("wday").orderBy("cents", "event_id")
+    s = merged.withColumn("vr", F.row_number().over(w_v))
+    m = s.groupBy("wday").agg(F.count(F.lit(1)).alias("m"))
+    # exact trailing row count from the daily count rollup
+    nwin = (
+        ng.crossJoin(F.broadcast(offs))
+        .withColumn("wday", F.date_add("day", F.col("off")))
+        .join(ng.select(F.col("day").alias("wday")), "wday", "left_semi")
+        .groupBy("wday")
+        .agg(
+            F.sum("n_g").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    picks = None
+    for q in QSK_SLIDING_QS:
+        p = (
+            s.join(F.broadcast(m), "wday")
+            .filter(F.col("vr") == F.expr(f"({q} * (m - 1)) div 100 + 1"))
+            .select("wday", F.col("cents").alias(f"p{q}_cents"))
+        )
+        picks = p if picks is None else picks.join(p, "wday")
+    return (
+        nwin.join(picks, "wday")
+        .select(
+            F.col("wday").alias("day"),
+            F.col("n_days").cast("int").alias("n_days"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            *[F.col(f"p{q}_cents") for q in QSK_SLIDING_QS],
+        )
+        .orderBy("day")
+    )
+
+
+SLIDING_QUANTILE_SQL = f"""
+WITH rows_ AS (
+  SELECT CAST(ts AS DATE) AS day, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+ng AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_g FROM rows_ GROUP BY day
+),
+surv AS (
+  SELECT r.* FROM rows_ r JOIN ng USING (day)
+  WHERE CAST(h AS HUGEINT) * n_g
+        < CAST({H60} AS HUGEINT) * {QSK_OVER * QSK_K}
+),
+daily AS (
+  SELECT day, event_id, cents, h FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY day ORDER BY h, event_id) AS rk
+    FROM surv) WHERE rk <= {QSK_K}
+),
+offs AS (SELECT CAST(unnest(range(0, {QSK_WINDOW_DAYS})) AS INTEGER) AS off),
+spread AS (
+  SELECT d.day + o.off AS wday, d.event_id, d.cents, d.h
+  FROM daily d CROSS JOIN offs o
+  WHERE d.day + o.off IN (SELECT day FROM ng)
+),
+merged AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY wday ORDER BY h, event_id) AS rk
+    FROM spread) WHERE rk <= {QSK_K}
+),
+s_v AS (
+  SELECT wday, cents,
+         row_number() OVER (
+           PARTITION BY wday ORDER BY cents, event_id) AS vr,
+         count(*) OVER (PARTITION BY wday) AS m
+  FROM merged
+),
+nwin AS (
+  SELECT g.day + o.off AS wday,
+         CAST(sum(g.n_g) AS BIGINT) AS n_rows,
+         CAST(count(*) AS INTEGER) AS n_days
+  FROM ng g CROSS JOIN offs o
+  WHERE g.day + o.off IN (SELECT day FROM ng)
+  GROUP BY g.day + o.off
+)
+SELECT n.wday AS day, n.n_days, n.n_rows,
+       {", ".join(
+           f"max(CASE WHEN vr = ({q} * (m - 1)) // 100 + 1"
+           f" THEN cents END) AS p{q}_cents"
+           for q in QSK_SLIDING_QS
+       )}
+FROM nwin n JOIN s_v ON s_v.wday = n.wday
+GROUP BY n.wday, n.n_days, n.n_rows
+ORDER BY day
+"""
+
+
 SPARK_QUERIES = {
     "portable_quantile_sketch": portable_quantile_sketch,
     "quantile_adaptive_range_audit": quantile_adaptive_range_audit,
+    "quantile_sliding_daily": quantile_sliding_daily,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "portable_quantile_sketch": PORTABLE_QUANTILE_SQL,
     "quantile_adaptive_range_audit": ADAPTIVE_RANGE_SQL,
+    "quantile_sliding_daily": SLIDING_QUANTILE_SQL,
 }

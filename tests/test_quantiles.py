@@ -94,3 +94,43 @@ def test_stream_quantile_state_matches_batch_sketch(spark):
         for r in portable_quantile_sketch(spark, SF_SMOKE).collect()
     }
     assert streamed == batch
+
+
+def test_sliding_quantiles_window_identities(spark):
+    """Trailing-window identities: n_days ramps 1..7 then stays 7 (no
+    day gaps in the generator), p50 <= p99, and the window row count
+    equals the sum of the member days' counts recomputed directly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.operators.quantiles import (
+        QSK_WINDOW_DAYS,
+        quantile_sliding_daily,
+    )
+
+    rows = quantile_sliding_daily(spark, SF_SMOKE).collect()
+    assert rows
+    daily = {
+        r["day"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert 1 <= r["n_days"] <= QSK_WINDOW_DAYS
+        assert r["p50_cents"] <= r["p99_cents"]
+        member_days = [
+            d
+            for d in daily
+            if dt.timedelta(0)
+            <= r["day"] - d
+            < dt.timedelta(days=QSK_WINDOW_DAYS)
+        ]
+        assert r["n_days"] == len(member_days)
+        assert r["n_rows"] == sum(daily[d] for d in member_days)

@@ -280,6 +280,8 @@ EXPECTED_QUERIES = {
     # round-9: weather capstone — cross-validated neighbor-station
     # regression imputation over the S1-S4 path
     "weather_impute_temperature",
+    # round-9: sliding quantiles from mergeable daily bottom-k partials
+    "quantile_sliding_daily",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -447,6 +447,8 @@ def main() -> int:
                 # and the LPA modularity rollup (two edge-label joins)
                 "frequent_triples_lift": cooccur.frequent_triples_lift,
                 "community_modularity_score": gr.community_modularity_score,
+                # days×k partial-merge sliding quantiles
+                "quantile_sliding_daily": quantiles.quantile_sliding_daily,
             }
         )
         timings = {}
