@@ -1317,6 +1317,313 @@ FROM blocks, cagg, truth
 """
 
 
+#: match-truth proxy for FS parameter estimation: pairs sharing this
+#: text prefix (the corpus has no byte-identical dups; a long shared
+#: prefix is the deterministic near-dup truth the generator plants)
+FS_PREFIX_CHARS = 48
+#: doc-length agreement band width (chars)
+FS_LEN_BAND = 16
+#: fixed-point scale for the log-weights (milli-nats)
+FS_LOG_SCALE = 1000
+
+
+def fs_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage parameter estimation (Fellegi &
+    Sunter 1969) — the probabilistic-scoring half of the linkage
+    family whose blocking half is :func:`sorted_neighborhood_pairs`:
+    per comparison field, estimate ``m = P(agree | match)`` and ``u =
+    P(agree | non-match)``, and emit the log-weights a scorer adds per
+    agreeing/disagreeing field.
+
+    **No pair expansion anywhere** — the scale story: both probability
+    estimates reduce to value rollups, because pair counts inside
+    groups are ``Σ C(n,2)``:
+
+    * match-agree pairs = Σ over (truth-group, field value) of C(n,2);
+      match pairs = Σ over truth-group of C(n,2) — one groupBy each;
+    * u-agree pairs = Σ over field value of C(n,2); total pairs =
+      C(N,2) — the classic "random-pair agreement = collision
+      probability of the value distribution" identity.
+
+    Truth groups are shared-``FS_PREFIX_CHARS``-prefix clusters (the
+    corpus plants near-dups, not byte dups).  Probabilities are
+    Laplace-smoothed ppm integers (``(k+1)·1e6 DIV (n+2)``) so both
+    weights are always finite — no ln(0) branch to guard — and the
+    weights are milli-nat fixed point, ``floor(1000·ln(ppm))`` per
+    term, the ``retention_halflife_fit`` log discipline.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.substring("text", 1, FS_PREFIX_CHARS).alias("h"),
+        F.expr(
+            f"stack(3, 'lang', lang, 'source', source,"
+            f" 'len_band', CAST(n_chars div {FS_LEN_BAND} AS STRING))"
+            " AS (field, val)"
+        ),
+    )
+    pairs = "CAST(n * (n - 1) DIV 2 AS DECIMAL(38,0))"
+    mt = (
+        base.groupBy("field", "h", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("field")
+        .agg(F.sum(F.expr(pairs)).alias("agree_m"))
+    )
+    mtot = (
+        d.groupBy(F.substring("text", 1, FS_PREFIX_CHARS).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr(pairs)).alias("m_pairs"))
+    )
+    ut = (
+        base.groupBy("field", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("field")
+        .agg(
+            F.sum(F.expr(pairs)).alias("agree_u"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+        )
+    )
+    ttot = d.agg(
+        F.expr(
+            "CAST(count(1) * (count(1) - 1) DIV 2 AS DECIMAL(38,0))"
+        ).alias("t_pairs")
+    )
+    lg = f"floor({FS_LOG_SCALE}.0 * ln(CAST({{x}} AS DOUBLE)))"
+    out = (
+        mt.join(ut, "field")
+        .crossJoin(F.broadcast(mtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "field",
+            "n_values",
+            F.col("m_pairs").cast("long").alias("n_match_pairs"),
+            F.col("t_pairs").cast("long").alias("n_total_pairs"),
+            F.expr(
+                "CAST((agree_m + 1) * 1000000 DIV (m_pairs + 2) AS BIGINT)"
+            ).alias("m_ppm"),
+            F.expr(
+                "CAST((agree_u + 1) * 1000000 DIV (t_pairs + 2) AS BIGINT)"
+            ).alias("u_ppm"),
+        )
+        .select(
+            "field",
+            "n_values",
+            "n_match_pairs",
+            "n_total_pairs",
+            "m_ppm",
+            "u_ppm",
+            (
+                F.expr(lg.format(x="m_ppm")) - F.expr(lg.format(x="u_ppm"))
+            )
+            .cast("long")
+            .alias("w_agree_mnat"),
+            (
+                F.expr(lg.format(x="1000000 - m_ppm"))
+                - F.expr(lg.format(x="1000000 - u_ppm"))
+            )
+            .cast("long")
+            .alias("w_disagree_mnat"),
+        )
+        .orderBy("field")
+    )
+    return out
+
+
+_FS_CTES = f"""base AS (
+  SELECT substring(text, 1, {FS_PREFIX_CHARS}) AS h, f.field, f.val
+  FROM documents,
+  LATERAL (VALUES ('lang', lang), ('source', source),
+                  ('len_band', CAST(n_chars // {FS_LEN_BAND} AS VARCHAR)))
+    AS f(field, val)
+),
+mt AS (
+  SELECT field, CAST(sum(n * (n - 1) // 2) AS HUGEINT) AS agree_m
+  FROM (SELECT field, h, val, count(*) AS n FROM base GROUP BY 1, 2, 3)
+  GROUP BY field
+),
+mtot AS (
+  SELECT CAST(sum(n * (n - 1) // 2) AS HUGEINT) AS m_pairs
+  FROM (SELECT substring(text, 1, {FS_PREFIX_CHARS}), count(*) AS n
+        FROM documents GROUP BY 1)
+),
+ut AS (
+  SELECT field, CAST(sum(n * (n - 1) // 2) AS HUGEINT) AS agree_u,
+         CAST(count(*) AS BIGINT) AS n_values
+  FROM (SELECT field, val, count(*) AS n FROM base GROUP BY 1, 2)
+  GROUP BY field
+),
+ttot AS (
+  SELECT CAST(count(*) * (count(*) - 1) // 2 AS HUGEINT) AS t_pairs
+  FROM documents
+),
+probs AS (
+  SELECT field, n_values,
+         CAST(m_pairs AS BIGINT) AS n_match_pairs,
+         CAST(t_pairs AS BIGINT) AS n_total_pairs,
+         CAST((agree_m + 1) * 1000000 // (m_pairs + 2) AS BIGINT) AS m_ppm,
+         CAST((agree_u + 1) * 1000000 // (t_pairs + 2) AS BIGINT) AS u_ppm
+  FROM mt JOIN ut USING (field), mtot, ttot
+),
+wts AS (
+  SELECT field, n_values, n_match_pairs, n_total_pairs, m_ppm, u_ppm,
+         CAST(floor({FS_LOG_SCALE}.0 * ln(CAST(m_ppm AS DOUBLE)))
+              - floor({FS_LOG_SCALE}.0 * ln(CAST(u_ppm AS DOUBLE)))
+           AS BIGINT) AS w_agree_mnat,
+         CAST(floor({FS_LOG_SCALE}.0 * ln(CAST(1000000 - m_ppm AS DOUBLE)))
+              - floor({FS_LOG_SCALE}.0
+                      * ln(CAST(1000000 - u_ppm AS DOUBLE)))
+           AS BIGINT) AS w_disagree_mnat
+  FROM probs
+)"""
+
+
+FS_WEIGHTS_SQL = f"""
+WITH {_FS_CTES}
+SELECT field, n_values, n_match_pairs, n_total_pairs, m_ppm, u_ppm,
+       w_agree_mnat, w_disagree_mnat
+FROM wts
+ORDER BY field
+"""
+
+
+#: pairs reported by the FS scorer
+FS_TOP_PAIRS = 25
+
+
+def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoring half of Fellegi–Sunter linkage: the
+    :func:`sorted_neighborhood_pairs` blocking generates candidates,
+    and each candidate's match score is the SUM of the per-field
+    log-weights from :func:`fs_linkage_weights` — agreeing fields add
+    ``w_agree``, disagreeing fields add ``w_disagree`` (negative) —
+    the top-``FS_TOP_PAIRS`` scored pairs with their agreement pattern
+    and the prefix-truth flag.
+
+    Scale: candidates are the SNM w·n blocked pairs (never n²); the
+    6-weight relation is ONE broadcast row (pivoted from the 3-field
+    estimate); scoring is a per-row integer sum.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"n_chars div {FS_LEN_BAND}").alias("lenb"),
+        F.substring("text", 1, FS_PREFIX_CHARS).alias("h48"),
+        F.substring(
+            F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", "")),
+            1,
+            SNM_KEY_CHARS,
+        ).alias("k"),
+    ).withColumn("blk", F.substring("k", 1, SNM_BLOCK_CHARS))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("blk").orderBy("k", "doc_id")
+    )
+    ranked = keyed.withColumn("rn", rn)
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("b.rn") > F.col("a.rn"))
+        & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (F.col("a.lang") == F.col("b.lang")).cast("int").alias("ag_lang"),
+        (F.col("a.source") == F.col("b.source"))
+        .cast("int")
+        .alias("ag_source"),
+        (F.col("a.lenb") == F.col("b.lenb")).cast("int").alias("ag_len"),
+        (F.col("a.h48") == F.col("b.h48")).cast("int").alias("is_match"),
+    )
+    w = fs_linkage_weights(spark, sf_dir)
+    wrow = w.agg(
+        *[
+            agg
+            for f in ("lang", "source", "len_band")
+            for agg in (
+                F.max(
+                    F.when(F.col("field") == f, F.col("w_agree_mnat"))
+                ).alias(f"wa_{f}"),
+                F.max(
+                    F.when(F.col("field") == f, F.col("w_disagree_mnat"))
+                ).alias(f"wd_{f}"),
+            )
+        ]
+    )
+    return (
+        cands.crossJoin(F.broadcast(wrow))
+        .select(
+            "doc_a",
+            "doc_b",
+            "ag_lang",
+            "ag_source",
+            "ag_len",
+            "is_match",
+            (
+                F.expr("IF(ag_lang = 1, wa_lang, wd_lang)")
+                + F.expr("IF(ag_source = 1, wa_source, wd_source)")
+                + F.expr("IF(ag_len = 1, wa_len_band, wd_len_band)")
+            )
+            .cast("long")
+            .alias("score_mnat"),
+        )
+        .orderBy(F.desc("score_mnat"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(FS_TOP_PAIRS)
+    )
+
+
+FS_SCORES_SQL = f"""
+WITH {_FS_CTES},
+w AS (
+  SELECT
+    max(CASE WHEN field = 'lang' THEN w_agree_mnat END) AS wa_lang,
+    max(CASE WHEN field = 'lang' THEN w_disagree_mnat END) AS wd_lang,
+    max(CASE WHEN field = 'source' THEN w_agree_mnat END) AS wa_source,
+    max(CASE WHEN field = 'source' THEN w_disagree_mnat END) AS wd_source,
+    max(CASE WHEN field = 'len_band' THEN w_agree_mnat END) AS wa_len,
+    max(CASE WHEN field = 'len_band' THEN w_disagree_mnat END) AS wd_len
+  FROM wts
+),
+keyed AS (
+  SELECT doc_id, lang, source, n_chars // {FS_LEN_BAND} AS lenb,
+         substring(text, 1, {FS_PREFIX_CHARS}) AS h48,
+         substring(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')),
+                   1, {SNM_KEY_CHARS}) AS k
+  FROM documents
+),
+ranked AS (
+  SELECT *, substring(k, 1, {SNM_BLOCK_CHARS}) AS blk,
+         row_number() OVER (
+           PARTITION BY substring(k, 1, {SNM_BLOCK_CHARS})
+           ORDER BY k, doc_id) AS rn
+  FROM keyed
+),
+cands AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS INTEGER)
+           AS ag_lang,
+         CAST(CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS INTEGER)
+           AS ag_source,
+         CAST(CASE WHEN a.lenb = b.lenb THEN 1 ELSE 0 END AS INTEGER)
+           AS ag_len,
+         CAST(CASE WHEN a.h48 = b.h48 THEN 1 ELSE 0 END AS INTEGER)
+           AS is_match
+  FROM ranked a JOIN ranked b
+    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+)
+SELECT doc_a, doc_b, ag_lang, ag_source, ag_len, is_match,
+       CAST((CASE WHEN ag_lang = 1 THEN w.wa_lang ELSE w.wd_lang END)
+            + (CASE WHEN ag_source = 1 THEN w.wa_source ELSE w.wd_source END)
+            + (CASE WHEN ag_len = 1 THEN w.wa_len ELSE w.wd_len END)
+         AS BIGINT) AS score_mnat
+FROM cands, w
+ORDER BY score_mnat DESC, doc_a ASC, doc_b ASC
+LIMIT {FS_TOP_PAIRS}
+"""
+
+
 def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-weighted exact-dedup accounting per source — the number a
     training-data budget actually cares about: doc-level dup counts
@@ -1653,6 +1960,8 @@ SPARK_QUERIES = {
     "source_contamination_matrix": source_contamination_matrix,
     "dedup_token_savings": dedup_token_savings,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
+    "fs_linkage_weights": fs_linkage_weights,
+    "fs_linkage_scores": fs_linkage_scores,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -1670,6 +1979,8 @@ ORACLE_SQL = {
     "source_contamination_matrix": SOURCE_CONTAMINATION_SQL,
     "dedup_token_savings": DEDUP_TOKEN_SAVINGS_SQL,
     "sorted_neighborhood_pairs": SNM_SQL,
+    "fs_linkage_weights": FS_WEIGHTS_SQL,
+    "fs_linkage_scores": FS_SCORES_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint_groups": DEDUP_FINGERPRINT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

@@ -290,3 +290,62 @@ def test_source_contamination_matrix_matches_python_replay(spark):
         for r in rows
     }
     assert got == expect
+
+
+def test_fs_weights_identities(spark):
+    """FS estimate identities: m/u are Laplace-smoothed ppm in (0, 1e6);
+    agreeing on a field must be evidence FOR a match only when m > u
+    (w_agree > 0 iff ln m > ln u at the fixed-point scale); and the u
+    probability must equal the value-distribution collision rate
+    recomputed directly."""
+    from projet_meteo_etl_spark.operators.dedup import (
+        FS_LEN_BAND,
+        fs_linkage_weights,
+    )
+    from projet_meteo_etl_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["field"]: r for r in fs_linkage_weights(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"lang", "source", "len_band"}
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    n = len(docs)
+    t_pairs = n * (n - 1) // 2
+    for field, getter in (
+        ("lang", lambda d: d["lang"]),
+        ("source", lambda d: d["source"]),
+        ("len_band", lambda d: d["n_chars"] // FS_LEN_BAND),
+    ):
+        counts: dict = {}
+        for d in docs:
+            v = getter(d)
+            counts[v] = counts.get(v, 0) + 1
+        agree_u = sum(c * (c - 1) // 2 for c in counts.values())
+        r = rows[field]
+        assert r["n_total_pairs"] == t_pairs
+        assert r["u_ppm"] == (agree_u + 1) * 1_000_000 // (t_pairs + 2)
+        assert 0 < r["m_ppm"] < 1_000_000
+        assert 0 < r["u_ppm"] < 1_000_000
+        assert (r["w_agree_mnat"] > 0) == (r["m_ppm"] > r["u_ppm"])
+
+
+def test_fs_scores_rank_matches_weight_sum(spark):
+    """Each reported pair's score must equal the sum of its per-field
+    weights chosen by the agreement flags, and matches (shared-prefix
+    pairs) must score at least as high on average as non-matches."""
+    from projet_meteo_etl_spark.operators.dedup import (
+        fs_linkage_scores,
+        fs_linkage_weights,
+    )
+    from tests.conftest import SF_SMOKE
+
+    w = {r["field"]: r for r in fs_linkage_weights(spark, SF_SMOKE).collect()}
+    rows = fs_linkage_scores(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        expect = (
+            (w["lang"]["w_agree_mnat"] if r["ag_lang"] else w["lang"]["w_disagree_mnat"])
+            + (w["source"]["w_agree_mnat"] if r["ag_source"] else w["source"]["w_disagree_mnat"])
+            + (w["len_band"]["w_agree_mnat"] if r["ag_len"] else w["len_band"]["w_disagree_mnat"])
+        )
+        assert r["score_mnat"] == expect

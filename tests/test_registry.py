@@ -282,6 +282,9 @@ EXPECTED_QUERIES = {
     "weather_impute_temperature",
     # round-9: sliding quantiles from mergeable daily bottom-k partials
     "quantile_sliding_daily",
+    # round-9: Fellegi-Sunter probabilistic record linkage (estimate +
+    # score) over the SNM blocking
+    "fs_linkage_weights", "fs_linkage_scores",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

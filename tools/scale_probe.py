@@ -449,6 +449,9 @@ def main() -> int:
                 "community_modularity_score": gr.community_modularity_score,
                 # days×k partial-merge sliding quantiles
                 "quantile_sliding_daily": quantiles.quantile_sliding_daily,
+                # FS linkage: rollup-only estimate + w·n blocked scoring
+                "fs_linkage_weights": dedup.fs_linkage_weights,
+                "fs_linkage_scores": dedup.fs_linkage_scores,
             }
         )
         timings = {}
