@@ -318,13 +318,27 @@ def quantile_adaptive_range_audit(
     ``expect_in_range`` count of rows outside the band, per measure in
     one unpivoted pass.
 
-    The 4-row bounds relation broadcasts back onto the audit scan — the
-    sketch build and the audit are the only two passes over the data
-    (the classic two-pass profile; no global sort, no collect).  Rows
-    keyed by ``measure:orderkey:linenumber`` so each measure's sample
-    draws independent priorities from the same md5 stream.
+    Two scans, and only the SKETCH scan pays the unpivot + row hash:
+    the per-measure counts come from one wide aggregate (``count(col)``
+    per column), and the audit is a second wide aggregate with the
+    pivoted 1-row bounds broadcast on — CASE sums per measure, no
+    explode, no md5.  Rows keyed by ``measure:orderkey:linenumber`` so
+    each measure's sample draws independent priorities from the same
+    md5 stream.  (No global sort, no collect anywhere.)
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # per-measure non-null counts: one wide agg, then unpivot the 1-row
+    # result (4 values — no data-sized explode)
+    ng = li.agg(
+        *[F.count(m).alias(f"n__{m}") for m in QSK_MEASURES]
+    ).select(
+        F.expr(
+            "stack({n}, {args}) as (measure, n_g)".format(
+                n=len(QSK_MEASURES),
+                args=", ".join(f"'{m}', n__{m}" for m in QSK_MEASURES),
+            )
+        )
+    )
     stack_expr = "stack({n}, {args}) as (measure, x)".format(
         n=len(QSK_MEASURES),
         args=", ".join(f"'{m}', {m}" for m in QSK_MEASURES),
@@ -347,7 +361,6 @@ def quantile_adaptive_range_audit(
         F.col("l_orderkey").alias("k1"),
         F.col("l_linenumber").alias("k2"),
     )
-    ng = rows.groupBy("measure").agg(F.count(F.lit(1)).alias("n_g"))
     surv = rows.join(F.broadcast(ng), "measure").filter(F.expr(_surv_filter()))
     w_g = Window.partitionBy("measure").orderBy("h", "k1", "k2")
     sample = surv.withColumn("rk", F.row_number().over(w_g)).filter(
@@ -374,20 +387,58 @@ def quantile_adaptive_range_audit(
             ),
         )
     )
+    # pivot the 4-row bounds to ONE broadcast row, then audit in one
+    # wide aggregate over the raw columns (CASE sums; NULL measure
+    # values drop out of count/sum naturally)
+    brow = bounds.agg(
+        *[
+            agg
+            for mname in QSK_MEASURES
+            for agg in (
+                F.max(
+                    F.when(F.col("measure") == mname, F.col("lo_cents"))
+                ).alias(f"lo__{mname}"),
+                F.max(
+                    F.when(F.col("measure") == mname, F.col("hi_cents"))
+                ).alias(f"hi__{mname}"),
+            )
+        ]
+    )
+    cexp = {
+        mname: f"CAST(floor({mname} * 100.0 + 0.5) AS BIGINT)"
+        for mname in QSK_MEASURES
+    }
+    audit_row = li.crossJoin(F.broadcast(brow)).agg(
+        *[
+            agg
+            for mname in QSK_MEASURES
+            for agg in (
+                F.count(mname).alias(f"n__{mname}"),
+                F.sum(
+                    F.expr(
+                        f"CAST({cexp[mname]} < lo__{mname} AS BIGINT)"
+                    )
+                ).alias(f"b__{mname}"),
+                F.sum(
+                    F.expr(
+                        f"CAST({cexp[mname]} > hi__{mname} AS BIGINT)"
+                    )
+                ).alias(f"a__{mname}"),
+                F.max(f"lo__{mname}").alias(f"l__{mname}"),
+                F.max(f"hi__{mname}").alias(f"h__{mname}"),
+            )
+        ]
+    )
+    unstack = "stack({n}, {args}) as (measure, n_rows, lo_cents, hi_cents, n_below, n_above)".format(
+        n=len(QSK_MEASURES),
+        args=", ".join(
+            f"'{mname}', n__{mname}, l__{mname}, h__{mname},"
+            f" b__{mname}, a__{mname}"
+            for mname in QSK_MEASURES
+        ),
+    )
     return (
-        rows.join(F.broadcast(bounds), "measure")
-        .groupBy("measure")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.max("lo_cents").alias("lo_cents"),
-            F.max("hi_cents").alias("hi_cents"),
-            F.sum((F.col("cents") < F.col("lo_cents")).cast("long")).alias(
-                "n_below"
-            ),
-            F.sum((F.col("cents") > F.col("hi_cents")).cast("long")).alias(
-                "n_above"
-            ),
-        )
+        audit_row.select(F.expr(unstack))
         .select(
             "measure",
             "n_rows",
