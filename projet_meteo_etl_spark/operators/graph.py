@@ -942,6 +942,167 @@ FROM m
 """
 
 
+#: temporal reachability: seeds and bounded hop unroll
+TR_SEEDS = 5
+TR_HOPS = 3
+
+
+def temporal_reachability_items(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-RESPECTING reachability over the item click sequence — the
+    temporal-network operator the static BFS
+    (:func:`click_graph_bfs_reach`) cannot express: an edge A→B exists
+    when some user clicked A then B (consecutively), stamped with the
+    second click's time, and a path is valid only if its edge times are
+    non-decreasing FROM the seed's first appearance (Holme & Saramäki
+    2012 — "influence can only flow forward in time").  Earliest-
+    arrival semantics: ``arrival(dst) = min t over edges (src→dst, t ≥
+    arrival(src))``, refined each round; the static BFS would count
+    paths that go backwards in time.
+
+    Seeds are the ``TR_SEEDS`` most-clicked items (deg DESC, item ASC),
+    their own first-click time as the start; ``TR_HOPS`` rounds; output
+    is the per-hop histogram with final arrival bounds, hop −1
+    collecting items the bounded unroll did not reach (truncation
+    explicit, the BFS convention).
+
+    Determinism: integer microsecond times, min-merges only.  Scale:
+    the edge list is one lag-window pass over the click log (then
+    distinct), partitioned once and reused per round; the arrival
+    relation is |items| rows; each round is one join + min rollup —
+    the Pregel-as-joins layout with a 3-round static DAG and
+    ``localCheckpoint`` round truncation.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    clicks = e.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    ).filter(F.col("item").isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = clicks.select(
+        "item", "t", F.lag("item").over(w).alias("prev")
+    )
+    edges = (
+        seq.filter(
+            F.col("prev").isNotNull() & (F.col("prev") != F.col("item"))
+        )
+        .select(
+            F.col("prev").alias("src"), F.col("item").alias("dst"), "t"
+        )
+        .distinct()
+        .repartition("src")
+        .cache()
+    )
+    fs = clicks.groupBy("item").agg(
+        F.min("t").alias("t0"), F.count(F.lit(1)).alias("deg")
+    ).persist()
+    seeds = (
+        fs.orderBy(F.desc("deg"), F.asc("item"))
+        .limit(TR_SEEDS)
+        .select(F.col("item").alias("node"), F.col("t0").alias("arr"))
+    )
+    arrivals = seeds.withColumn("hop", F.lit(0)).localCheckpoint(
+        eager=True
+    )
+    for k in range(1, TR_HOPS + 1):
+        cand = (
+            arrivals.select(F.col("node").alias("src"), "arr")
+            .join(edges, "src")
+            .filter(F.col("t") >= F.col("arr"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("t").alias("new_arr"))
+        )
+        arrivals = (
+            arrivals.join(cand, "node", "full_outer")
+            .select(
+                "node",
+                F.when(
+                    F.col("arr").isNull(), F.col("new_arr")
+                )
+                .when(F.col("new_arr").isNull(), F.col("arr"))
+                .otherwise(F.least("arr", "new_arr"))
+                .alias("arr"),
+                F.coalesce("hop", F.lit(k)).alias("hop"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
+        fs.select(F.col("item").alias("node"))
+        .join(arrivals, "node", "left")
+        .groupBy(F.coalesce("hop", F.lit(-1)).alias("hop"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.min("arr").alias("min_arrival_us"),
+            F.max("arr").alias("max_arrival_us"),
+        )
+        .orderBy("hop")
+    )
+    return scoped_cache(out, edges, fs)
+
+
+def _tr_round_sql(prev: str, cand: str, this: str, k: int) -> str:
+    return f"""
+{cand} AS (
+  SELECT e.dst AS node, min(e.t) AS new_arr
+  FROM {prev} a JOIN tedges e ON e.src = a.node AND e.t >= a.arr
+  GROUP BY e.dst
+),
+{this} AS (
+  SELECT coalesce(a.node, c.node) AS node,
+         CASE WHEN a.arr IS NULL THEN c.new_arr
+              WHEN c.new_arr IS NULL THEN a.arr
+              ELSE least(a.arr, c.new_arr) END AS arr,
+         coalesce(a.hop, {k}) AS hop
+  FROM {prev} a FULL JOIN {cand} c ON c.node = a.node
+)"""
+
+
+TEMPORAL_REACH_SQL = f"""
+WITH tclicks AS (
+  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item,
+         epoch_us(ts) AS t, event_id
+  FROM events
+  WHERE event_type = 'click'
+    AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+),
+seq AS (
+  SELECT item, t,
+         lag(item) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS prev
+  FROM tclicks
+),
+tedges AS (
+  SELECT DISTINCT prev AS src, item AS dst, t
+  FROM seq WHERE prev IS NOT NULL AND prev <> item
+),
+fs AS (
+  SELECT item, min(t) AS t0, count(*) AS deg FROM tclicks GROUP BY item
+),
+a0 AS (
+  SELECT item AS node, t0 AS arr, 0 AS hop
+  FROM fs ORDER BY deg DESC, item ASC LIMIT {TR_SEEDS}
+),
+{",".join(_tr_round_sql(f"a{k - 1}", f"c{k}", f"a{k}", k)
+          for k in range(1, TR_HOPS + 1)).lstrip(",")}
+SELECT coalesce(a.hop, -1) AS hop,
+       CAST(count(*) AS BIGINT) AS n_items,
+       min(a.arr) AS min_arrival_us,
+       max(a.arr) AS max_arrival_us
+FROM fs LEFT JOIN a{TR_HOPS} a ON a.node = fs.item
+GROUP BY coalesce(a.hop, -1)
+ORDER BY hop
+"""
+
+
 #: ppm offset keeping the modularity dividend positive: |numerator·1e6|
 #: ≤ 1e6·denominator, so adding 2e6·denominator guarantees a positive
 #: dividend and Spark DIV (trunc) == DuckDB // (floor)
@@ -1093,6 +1254,7 @@ SPARK_QUERIES = {
     "cheapest_path_bellman_ford": cheapest_path_bellman_ford,
     "degree_assortativity": degree_assortativity,
     "community_modularity_score": community_modularity_score,
+    "temporal_reachability_items": temporal_reachability_items,
 }
 ORACLE_SQL = {
     "pagerank_click_graph": PAGERANK_SQL,
@@ -1103,4 +1265,5 @@ ORACLE_SQL = {
     "cheapest_path_bellman_ford": BELLMAN_FORD_SQL,
     "degree_assortativity": ASSORTATIVITY_SQL,
     "community_modularity_score": MODULARITY_SQL,
+    "temporal_reachability_items": TEMPORAL_REACH_SQL,
 }

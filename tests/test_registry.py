@@ -285,6 +285,8 @@ EXPECTED_QUERIES = {
     # round-9: Fellegi-Sunter probabilistic record linkage (estimate +
     # score) over the SNM blocking
     "fs_linkage_weights", "fs_linkage_scores",
+    # round-9: time-respecting earliest-arrival reachability
+    "temporal_reachability_items",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

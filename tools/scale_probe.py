@@ -452,6 +452,10 @@ def main() -> int:
                 # FS linkage: rollup-only estimate + w·n blocked scoring
                 "fs_linkage_weights": dedup.fs_linkage_weights,
                 "fs_linkage_scores": dedup.fs_linkage_scores,
+                # time-respecting earliest-arrival, Pregel-as-joins
+                "temporal_reachability_items": (
+                    gr.temporal_reachability_items
+                ),
             }
         )
         timings = {}
