@@ -1681,6 +1681,162 @@ FROM tot t
 """
 
 
+#: prediction list width for the next-click hit-rate eval
+NEXT_CLICK_K = 3
+
+
+def markov_next_click_hitrate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hit@1 / hit@``NEXT_CLICK_K`` of the first-order next-click
+    predictor — the EVALUATION the transition matrix
+    (:func:`event_transition_matrix`) feeds but never grades: train
+    per-item transition counts on the chronological FIRST HALF of the
+    click log (midpoint-time split, the ``diff_in_diff_lift``
+    convention), predict the top-k next items per source item
+    (count DESC, item ASC — deterministic), and score the SECOND
+    half's actual transitions.  Cold transitions (source item unseen
+    in training) are counted explicitly, never silently dropped —
+    they are exactly the cold-start rate a session recommender must
+    budget for.
+
+    Exact integers: the split point is ``(min_us + max_us) DIV 2``;
+    hit rates are ppm over ALL eval transitions (cold ones count as
+    misses).  Scale: one lag-window pass over the click log → train
+    counts (map-combinable) → a per-source top-k window over the
+    TRANSITION-PAIR rollup (pair-domain bounded, not row bounded);
+    scoring is one join of the eval half against the k·|items| pick
+    relation.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    clicks = e.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    ).filter(F.col("item").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    trans = (
+        clicks.select(
+            "item", "t", F.lag("item").over(w).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("item")))
+        .select(F.col("prev").alias("src"), F.col("item").alias("dst"), "t")
+    )
+    mid = clicks.agg(
+        F.expr("CAST((min(t) + max(t)) DIV 2 AS BIGINT)").alias("mid")
+    )
+    # transitions assigned by the SECOND click's time; persist: the
+    # split feeds both halves (released via scoped_cache)
+    tr = trans.crossJoin(F.broadcast(mid)).persist()
+    train = (
+        tr.filter(F.col("t") < F.col("mid"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_p = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    pred = (
+        train.withColumn("rk", F.row_number().over(w_p))
+        .filter(F.col("rk") <= NEXT_CLICK_K)
+        .select("src", "dst", "rk")
+    )
+    train_srcs = train.select("src").distinct()
+    ev = (
+        tr.filter(F.col("t") >= F.col("mid"))
+        .join(pred, ["src", "dst"], "left")
+        .join(
+            train_srcs.withColumn("seen", F.lit(1)), "src", "left"
+        )
+    )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(
+            F.when(F.col("seen").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_cold"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit1"),
+        F.sum(
+            F.when(F.col("rk") <= NEXT_CLICK_K, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hitk"),
+    ).select(
+        "n_eval",
+        "n_cold",
+        "n_hit1",
+        "n_hitk",
+        F.expr(
+            "CAST(n_hit1 * 1000000 DIV greatest(n_eval, 1) AS BIGINT)"
+        ).alias("hit1_ppm"),
+        F.expr(
+            "CAST(n_hitk * 1000000 DIV greatest(n_eval, 1) AS BIGINT)"
+        ).alias("hitk_ppm"),
+    )
+    return scoped_cache(out, tr)
+
+
+NEXT_CLICK_SQL = f"""
+WITH nclicks AS (
+  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item,
+         epoch_us(ts) AS t, event_id
+  FROM events
+  WHERE event_type = 'click'
+    AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+),
+trans AS (
+  SELECT prev AS src, item AS dst, t FROM (
+    SELECT item, t,
+           lag(item) OVER (PARTITION BY user_id ORDER BY t, event_id)
+             AS prev
+    FROM nclicks
+  ) WHERE prev IS NOT NULL AND prev <> item
+),
+mid AS (
+  SELECT CAST((min(t) + max(t)) // 2 AS BIGINT) AS mid FROM nclicks
+),
+train AS (
+  SELECT src, dst, count(*) AS n
+  FROM trans, mid WHERE t < mid GROUP BY src, dst
+),
+pred AS (
+  SELECT src, dst, rk FROM (
+    SELECT src, dst,
+           row_number() OVER (
+             PARTITION BY src ORDER BY n DESC, dst ASC) AS rk
+    FROM train
+  ) WHERE rk <= {NEXT_CLICK_K}
+),
+train_srcs AS (SELECT DISTINCT src FROM train),
+ev_base AS (
+  SELECT t.src, t.dst FROM trans t, mid WHERE t.t >= mid
+),
+ev AS (
+  SELECT b.src, b.dst, p.rk,
+         CASE WHEN s.src IS NULL THEN 1 ELSE 0 END AS cold
+  FROM ev_base b
+  LEFT JOIN pred p ON p.src = b.src AND p.dst = b.dst
+  LEFT JOIN train_srcs s ON s.src = b.src
+)
+SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(cold) AS BIGINT) AS n_cold,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+       CAST(sum(CASE WHEN rk <= {NEXT_CLICK_K} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hitk,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) * 1000000
+            // greatest(count(*), 1) AS BIGINT) AS hit1_ppm,
+       CAST(sum(CASE WHEN rk <= {NEXT_CLICK_K} THEN 1 ELSE 0 END)
+            * 1000000 // greatest(count(*), 1) AS BIGINT) AS hitk_ppm
+FROM ev
+"""
+
+
 #: absorbing-chain power iterations for the Markov attribution kernel —
 #: enough that truncated micro-unit mass movement has converged to the
 #: fixpoint for any journey graph with Σp ≤ 1 per state (each round
@@ -2091,6 +2247,7 @@ SPARK_QUERIES = {
     "retention_halflife_fit": retention_halflife_fit,
     "shapley_attribution_channels": shapley_attribution_channels,
     "markov_attribution_removal": markov_attribution_removal,
+    "markov_next_click_hitrate": markov_next_click_hitrate,
     "session_duration_percentiles": session_duration_percentiles,
     "linear_attribution_credit": linear_attribution_credit,
     "cold_start_coverage": cold_start_coverage,
@@ -2112,6 +2269,7 @@ ORACLE_SQL = {
     "retention_halflife_fit": RETENTION_HALFLIFE_SQL,
     "shapley_attribution_channels": SHAPLEY_SQL,
     "markov_attribution_removal": MARKOV_ATTR_SQL,
+    "markov_next_click_hitrate": NEXT_CLICK_SQL,
     "session_duration_percentiles": SESSION_DURATION_SQL,
     "linear_attribution_credit": LINEAR_ATTR_SQL,
     "cold_start_coverage": COLD_START_SQL,

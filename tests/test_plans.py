@@ -430,3 +430,25 @@ def test_range_join_binned_is_equi_join(spark):
         .toString()
     )
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_next_click_hitrate_identities(spark):
+    """Eval identities: hit1 <= hitk <= n_eval - n_cold (a cold
+    transition can never hit), rates are exact integer ppm, and the
+    result is partition-independent."""
+    from projet_meteo_etl_spark.plans.temporal import (
+        markov_next_click_hitrate,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = markov_next_click_hitrate(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r["n_hit1"] <= r["n_hitk"] <= r["n_eval"] - r["n_cold"]
+    assert r["hit1_ppm"] == r["n_hit1"] * 1_000_000 // max(r["n_eval"], 1)
+    assert r["hitk_ppm"] == r["n_hitk"] * 1_000_000 // max(r["n_eval"], 1)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r2 = markov_next_click_hitrate(spark, SF_SMOKE).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert r.asDict() == r2.asDict()

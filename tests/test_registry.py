@@ -287,6 +287,8 @@ EXPECTED_QUERIES = {
     "fs_linkage_weights", "fs_linkage_scores",
     # round-9: time-respecting earliest-arrival reachability
     "temporal_reachability_items",
+    # round-9: next-click predictor eval (time-split hit-rate)
+    "markov_next_click_hitrate",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

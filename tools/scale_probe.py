@@ -456,6 +456,10 @@ def main() -> int:
                 "temporal_reachability_items": (
                     gr.temporal_reachability_items
                 ),
+                # lag-pass + pair-rollup top-k + one eval join
+                "markov_next_click_hitrate": (
+                    temporal.markov_next_click_hitrate
+                ),
             }
         )
         timings = {}
