@@ -924,6 +924,204 @@ LIMIT {TOP_N}
 """
 
 
+#: recommendation list width for the beyond-accuracy panel
+REC_K = 5
+
+
+def rec_list_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy evaluation of an item-item CF recommender —
+    catalog COVERAGE, intra-list DIVERSITY, and POPULARITY BIAS — the
+    three list-quality dimensions the accuracy evals
+    (``ndcg_at_k_eval`` / ``mrr_hit_rate_eval``) do not grade, and the
+    standard reason a high-nDCG recommender still ships badly (it
+    recommends the same head items to everyone).
+
+    The recommender is the deterministic co-click CF: each user's
+    candidate score is the summed co-click support between the
+    candidate and the user's basket (already-clicked items excluded),
+    top-``REC_K`` per user (score DESC, item ASC).  Metrics, all exact
+    integer ppm:
+
+    * coverage = distinct recommended items / catalog;
+    * popularity lift = mean degree of recommended instances over the
+      catalog mean degree (DECIMAL-widened cross-multiplication);
+    * intra-list diversity = mean pairwise (1 − Jaccard) inside each
+      user's list — pairs are k²-bounded per user, Jaccard from the
+      shared co/degree rollups, never from user sets.
+
+    Scale: baskets capped (``USER_ITEM_CAP``), the scoring join runs
+    basket × support-floored co-pair fan-out (the same bound as the
+    pair miner), and every downstream relation is users×k or smaller.
+    """
+    ui = _user_items(spark, sf_dir)
+    co = _co_counts(ui).filter(F.col("n_users") >= MIN_SUPPORT).persist()
+    sym = co.selectExpr(
+        "i1 AS i", "i2 AS cand", "n_users AS w"
+    ).unionByName(co.selectExpr("i2 AS i", "i1 AS cand", "n_users AS w"))
+    scored = (
+        ui.selectExpr("user_id", "item AS i")
+        .join(sym, "i")
+        .groupBy("user_id", "cand")
+        .agg(F.sum("w").alias("score"))
+        .join(
+            ui.selectExpr("user_id", "item AS cand"),
+            ["user_id", "cand"],
+            "left_anti",
+        )
+    )
+    w_r = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("cand")
+    )
+    top = (
+        scored.withColumn("rk", F.row_number().over(w_r))
+        .filter(F.col("rk") <= REC_K)
+        .select("user_id", "cand")
+        .persist()
+    )
+    deg = ui.groupBy("item").agg(F.count(F.lit(1)).alias("deg"))
+    cat = deg.agg(
+        F.count(F.lit(1)).alias("catalog_n"),
+        F.sum("deg").alias("deg_cat"),
+    )
+    recagg = (
+        top.join(
+            F.broadcast(deg.selectExpr("item AS cand", "deg")), "cand"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rec_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("cand").alias("n_rec_distinct"),
+            F.sum("deg").alias("deg_rec"),
+        )
+    )
+    # intra-list pairs: k²-bounded self-join per user, Jaccard from the
+    # shared rollups (left join — a pair with no frequent co-edge has
+    # co = 0, distance 1)
+    ta = top.selectExpr("user_id", "cand AS i1")
+    tb = top.selectExpr("user_id", "cand AS i2")
+    pairs = (
+        ta.join(tb, "user_id")
+        .filter(F.col("i1") < F.col("i2"))
+        .join(co.select("i1", "i2", "n_users"), ["i1", "i2"], "left")
+        .join(
+            F.broadcast(deg.selectExpr("item AS i1", "deg AS deg1")), "i1"
+        )
+        .join(
+            F.broadcast(deg.selectExpr("item AS i2", "deg AS deg2")), "i2"
+        )
+        .select(
+            F.coalesce("n_users", F.lit(0)).alias("co"),
+            "deg1",
+            "deg2",
+        )
+    )
+    ild = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        # coalesce: zero pairs (every user got a 1-item list) must read
+        # as distance 0, like the oracle's coalesce — not NULL
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "1000000 - CAST(co * 1000000"
+                    " DIV (deg1 + deg2 - co) AS BIGINT)"
+                )
+            ),
+            F.lit(0),
+        ).alias("dist_sum"),
+    )
+    out = (
+        recagg.crossJoin(F.broadcast(cat))
+        .crossJoin(F.broadcast(ild))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_rec_rows").cast("long").alias("n_rec_rows"),
+            F.col("n_rec_distinct").cast("long").alias("n_rec_distinct"),
+            F.col("catalog_n").cast("long").alias("catalog_n"),
+            F.expr(
+                "CAST(n_rec_distinct * 1000000 DIV catalog_n AS BIGINT)"
+            ).alias("coverage_ppm"),
+            F.expr(
+                "CAST(CAST(deg_rec AS DECIMAL(38,0)) * catalog_n"
+                " * 1000000 DIV (CAST(n_rec_rows AS DECIMAL(38,0))"
+                " * deg_cat) AS BIGINT)"
+            ).alias("pop_lift_ppm"),
+            F.expr(
+                "CAST(dist_sum DIV greatest(n_pairs, 1) AS BIGINT)"
+            ).alias("ild_ppm"),
+        )
+    )
+    return scoped_cache(out, ui, co, top)
+
+
+REC_QUALITY_SQL = f"""
+WITH {_BASKET_SQL},
+fco AS (SELECT i1, i2, n_users FROM co WHERE n_users >= {MIN_SUPPORT}),
+sym AS (
+  SELECT i1 AS i, i2 AS cand, n_users AS w FROM fco
+  UNION ALL
+  SELECT i2 AS i, i1 AS cand, n_users AS w FROM fco
+),
+scored AS (
+  SELECT c.user_id, s.cand, sum(s.w) AS score
+  FROM capped c JOIN sym s ON s.i = c.item
+  GROUP BY c.user_id, s.cand
+),
+fresh AS (
+  SELECT sc.user_id, sc.cand, sc.score
+  FROM scored sc
+  WHERE NOT EXISTS (
+    SELECT 1 FROM capped c2
+    WHERE c2.user_id = sc.user_id AND c2.item = sc.cand
+  )
+),
+top AS (
+  SELECT user_id, cand FROM (
+    SELECT user_id, cand,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY score DESC, cand ASC) AS rk
+    FROM fresh
+  ) WHERE rk <= {REC_K}
+),
+deg AS (SELECT item, count(*) AS deg FROM capped GROUP BY item),
+cat AS (
+  SELECT CAST(count(*) AS HUGEINT) AS catalog_n,
+         CAST(sum(deg) AS HUGEINT) AS deg_cat
+  FROM deg
+),
+recagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rec_rows,
+         CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users,
+         CAST(count(DISTINCT t.cand) AS BIGINT) AS n_rec_distinct,
+         CAST(sum(d.deg) AS HUGEINT) AS deg_rec
+  FROM top t JOIN deg d ON d.item = t.cand
+),
+pairs AS (
+  SELECT coalesce(f.n_users, 0) AS co, d1.deg AS deg1, d2.deg AS deg2
+  FROM top a
+  JOIN top b ON b.user_id = a.user_id AND a.cand < b.cand
+  LEFT JOIN fco f ON f.i1 = a.cand AND f.i2 = b.cand
+  JOIN deg d1 ON d1.item = a.cand
+  JOIN deg d2 ON d2.item = b.cand
+),
+ild AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(coalesce(sum(1000000
+               - CAST(co * 1000000 // (deg1 + deg2 - co) AS BIGINT)), 0)
+           AS BIGINT) AS dist_sum
+  FROM pairs
+)
+SELECT n_users, n_rec_rows, n_rec_distinct,
+       CAST(catalog_n AS BIGINT) AS catalog_n,
+       CAST(n_rec_distinct * 1000000 // catalog_n AS BIGINT)
+         AS coverage_ppm,
+       CAST(deg_rec * catalog_n * 1000000
+            // (CAST(n_rec_rows AS HUGEINT) * deg_cat) AS BIGINT)
+         AS pop_lift_ppm,
+       CAST(dist_sum // greatest(n_pairs, 1) AS BIGINT) AS ild_ppm
+FROM recagg, cat, ild
+"""
+
+
 #: resource-allocation contributions come only from DISCRIMINATIVE
 #: items: an item clicked by more users than this cap contributes
 #: ≤ 1e6/cap ≈ noise per pair anyway, and excluding it bounds the
@@ -1140,6 +1338,7 @@ SPARK_QUERIES = {
     "item_ktruss_edges": item_ktruss_edges,
     "association_rules_lift": association_rules_lift,
     "frequent_triples_lift": frequent_triples_lift,
+    "rec_list_quality": rec_list_quality,
     "link_prediction_ra_index": link_prediction_ra_index,
     "clustering_coefficient_bands": clustering_coefficient_bands,
 }
@@ -1152,5 +1351,6 @@ ORACLE_SQL = {
     "item_ktruss_edges": KTRUSS_SQL,
     "association_rules_lift": ASSOC_RULES_SQL,
     "frequent_triples_lift": FREQ_TRIPLES_SQL,
+    "rec_list_quality": REC_QUALITY_SQL,
     "link_prediction_ra_index": RA_INDEX_SQL,
 }

@@ -384,3 +384,29 @@ def test_frequent_triples_match_python_replay(spark):
         # reconstruct the sorted triple this rule came from
         t = tuple(sorted((r["ant1"], r["ant2"], r["cons"])))
         assert expect.get(t) == r["n_triple"], (t, r)
+
+
+def test_rec_list_quality_identities(spark):
+    """Panel identities: coverage counts distinct recommended items
+    against the catalog; ILD is a mean pairwise distance in [0, 1e6];
+    every user gets at most REC_K recommendations; and the one-row
+    result is partition-independent."""
+    from projet_meteo_etl_spark.operators.cooccur import (
+        REC_K,
+        rec_list_quality,
+    )
+    from tests.conftest import SF_ORACLE
+
+    r = rec_list_quality(spark, SF_ORACLE).collect()[0]
+    assert 0 < r["n_rec_distinct"] <= r["catalog_n"]
+    assert r["n_rec_rows"] <= r["n_users"] * REC_K
+    assert r["coverage_ppm"] == r["n_rec_distinct"] * 1_000_000 // r["catalog_n"]
+    assert 0 <= r["ild_ppm"] <= 1_000_000
+    assert r["pop_lift_ppm"] > 0
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r2 = rec_list_quality(spark, SF_ORACLE).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert r.asDict() == r2.asDict()

@@ -289,6 +289,8 @@ EXPECTED_QUERIES = {
     "temporal_reachability_items",
     # round-9: next-click predictor eval (time-split hit-rate)
     "markov_next_click_hitrate",
+    # round-9: beyond-accuracy recommender panel (coverage/ILD/pop-bias)
+    "rec_list_quality",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

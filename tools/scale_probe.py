@@ -460,6 +460,8 @@ def main() -> int:
                 "markov_next_click_hitrate": (
                     temporal.markov_next_click_hitrate
                 ),
+                # CF scoring join + users×k list relations
+                "rec_list_quality": cooccur.rec_list_quality,
             }
         )
         timings = {}
