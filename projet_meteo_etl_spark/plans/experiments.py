@@ -1570,3 +1570,143 @@ ORDER BY 1, 2, 3
 
 SPARK_QUERIES["customer_rfm_segments"] = customer_rfm_segments
 ORACLE_SQL["customer_rfm_segments"] = RFM_SQL
+
+
+#: fixed-point scale for the elasticity logs (milli-nats)
+ELAST_LOG_SCALE = 1000
+
+
+def price_elasticity_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-log price elasticity of demand per part brand — the classic
+    retail econometric read (slope of ``ln(quantity)`` on
+    ``ln(price)`` across a brand's parts; ≈ −1 means unit-elastic),
+    joining the causal family (DiD, CUPED, uplift) with the
+    cross-sectional regression none of them covers.
+
+    Exact fixed point end-to-end (the ``retention_halflife_fit``
+    discipline): per part, quantity integrates as per-row integer
+    cents (never a float sum), both variables enter as
+    ``floor(1000·ln(integer))`` milli-nats, the per-brand OLS moments
+    are DECIMAL(38,0)/HUGEINT sums, the slope is one trunc-toward-zero
+    milli division (sign-split ``//`` in the oracle — elasticities are
+    negative), and r² guards its zero-variance denominator with the
+    NULL-in-both-engines convention.
+
+    Scale: one lineitem scan → per-part quantity rollup
+    (map-combinable), broadcast-joined to the part catalog; everything
+    after is |parts|- then |brands|-bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_part = (
+        li.select(
+            "l_partkey",
+            F.expr(
+                "CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)"
+            ).alias("qc"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("qc").alias("qty_cents"))
+    )
+    lg = f"floor({ELAST_LOG_SCALE}.0 * ln(CAST({{x}} AS DOUBLE)))"
+    pts = (
+        p.select(
+            "p_brand",
+            F.col("p_partkey").alias("l_partkey"),
+            F.expr(
+                "CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("price_cents"),
+        )
+        .join(per_part, "l_partkey")
+        .filter((F.col("price_cents") > 0) & (F.col("qty_cents") > 0))
+        .select(
+            "p_brand",
+            F.expr(lg.format(x="price_cents")).cast("long").alias("lx"),
+            F.expr(lg.format(x="qty_cents")).cast("long").alias("ly"),
+        )
+    )
+    m = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("lx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("ly").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * lx")).alias("sxx"),
+        F.sum(F.expr("CAST(ly AS DECIMAL(38,0)) * ly")).alias("syy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * ly")).alias("sxy"),
+    )
+    return (
+        m.withColumn(
+            "bnum", F.expr("CAST(n_parts AS DECIMAL(38,0)) * sxy - sx * sy")
+        )
+        .withColumn(
+            "bden", F.expr("CAST(n_parts AS DECIMAL(38,0)) * sxx - sx * sx")
+        )
+        .withColumn(
+            "bdey", F.expr("CAST(n_parts AS DECIMAL(38,0)) * syy - sy * sy")
+        )
+        .select(
+            "p_brand",
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.expr(
+                "CASE WHEN bden > 0"
+                " THEN CAST(bnum * 1000 DIV bden AS BIGINT) END"
+            ).alias("elasticity_milli"),
+            F.expr(
+                "CASE WHEN bden * bdey > 0"
+                " THEN CAST(bnum * bnum * 1000000"
+                " DIV (bden * bdey) AS BIGINT) END"
+            ).alias("r2_ppm"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ELASTICITY_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS qty_cents
+  FROM lineitem GROUP BY l_partkey
+),
+pts AS (
+  SELECT p.p_brand,
+         CAST(floor({ELAST_LOG_SCALE}.0
+              * ln(CAST(CAST(floor(p.p_retailprice * 100.0 + 0.5)
+                             AS BIGINT) AS DOUBLE))) AS BIGINT) AS lx,
+         CAST(floor({ELAST_LOG_SCALE}.0
+              * ln(CAST(q.qty_cents AS DOUBLE))) AS BIGINT) AS ly
+  FROM part p JOIN per_part q ON q.l_partkey = p.p_partkey
+  WHERE CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT) > 0
+    AND q.qty_cents > 0
+),
+m AS (
+  SELECT p_brand, CAST(count(*) AS HUGEINT) AS n_parts,
+         CAST(sum(lx) AS HUGEINT) AS sx, CAST(sum(ly) AS HUGEINT) AS sy,
+         CAST(sum(lx * lx) AS HUGEINT) AS sxx,
+         CAST(sum(ly * ly) AS HUGEINT) AS syy,
+         CAST(sum(lx * ly) AS HUGEINT) AS sxy
+  FROM pts GROUP BY p_brand
+),
+fit AS (
+  SELECT p_brand, n_parts,
+         n_parts * sxy - sx * sy AS bnum,
+         n_parts * sxx - sx * sx AS bden,
+         n_parts * syy - sy * sy AS bdey
+  FROM m
+)
+SELECT p_brand, CAST(n_parts AS BIGINT) AS n_parts,
+       CASE WHEN bden > 0 THEN
+         CASE WHEN bnum >= 0
+              THEN CAST(bnum * 1000 // bden AS BIGINT)
+              ELSE -CAST((-bnum) * 1000 // bden AS BIGINT) END
+       END AS elasticity_milli,
+       CASE WHEN bden * bdey > 0
+            THEN CAST(bnum * bnum * 1000000 // (bden * bdey) AS BIGINT)
+       END AS r2_ppm
+FROM fit
+ORDER BY p_brand
+"""
+
+
+SPARK_QUERIES["price_elasticity_by_brand"] = price_elasticity_by_brand
+ORACLE_SQL["price_elasticity_by_brand"] = ELASTICITY_SQL

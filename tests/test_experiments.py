@@ -633,3 +633,61 @@ def test_eb_shrunk_ctr_moves_toward_pool(spark):
         lo, hi = sorted((r["raw_ppm"], m_ppm))
         assert lo - 1 <= r["shrunk_ppm"] <= hi + 1
         assert r["shift_ppm"] == r["shrunk_ppm"] - r["raw_ppm"]
+
+
+def test_price_elasticity_matches_python_replay(spark):
+    """The fixed-point OLS must equal a Python replay computing the
+    same milli-nat logs and integer moments."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.plans.experiments import (
+        ELAST_LOG_SCALE,
+        price_elasticity_by_brand,
+    )
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    qty = {
+        r["l_partkey"]: r["q"]
+        for r in li.select(
+            "l_partkey",
+            F.expr("CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)").alias(
+                "qc"
+            ),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("qc").alias("q"))
+        .collect()
+    }
+    parts = load_table(spark, SF_SMOKE, "part").collect()
+    pts = {}
+    for p in parts:
+        pc = math.floor(p["p_retailprice"] * 100.0 + 0.5)
+        q = qty.get(p["p_partkey"])
+        if q and pc > 0:
+            lx = math.floor(ELAST_LOG_SCALE * math.log(pc))
+            ly = math.floor(ELAST_LOG_SCALE * math.log(q))
+            pts.setdefault(p["p_brand"], []).append((lx, ly))
+    expect = {}
+    for b, xs in pts.items():
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        sy = sum(y for _, y in xs)
+        sxx = sum(x * x for x, _ in xs)
+        syy = sum(y * y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        bnum, bden, bdey = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        tdiv = lambda a, d: -((-a) // d) if a < 0 else a // d
+        expect[b] = (
+            n,
+            tdiv(bnum * 1000, bden) if bden > 0 else None,
+            bnum * bnum * 1_000_000 // (bden * bdey) if bden * bdey > 0 else None,
+        )
+    got = {
+        r["p_brand"]: (r["n_parts"], r["elasticity_milli"], r["r2_ppm"])
+        for r in price_elasticity_by_brand(spark, SF_SMOKE).collect()
+    }
+    assert got == expect

@@ -291,6 +291,8 @@ EXPECTED_QUERIES = {
     "markov_next_click_hitrate",
     # round-9: beyond-accuracy recommender panel (coverage/ILD/pop-bias)
     "rec_list_quality",
+    # round-9: log-log cross-sectional regression (econometrics family)
+    "price_elasticity_by_brand",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -462,6 +462,10 @@ def main() -> int:
                 ),
                 # CF scoring join + users×k list relations
                 "rec_list_quality": cooccur.rec_list_quality,
+                # one lineitem rollup + |parts|-bounded OLS
+                "price_elasticity_by_brand": (
+                    experiments.price_elasticity_by_brand
+                ),
             }
         )
         timings = {}
