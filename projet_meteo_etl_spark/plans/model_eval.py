@@ -1662,3 +1662,169 @@ ORACLE_SQL = {
     "nelson_aalen_cum_hazard": NELSON_AALEN_SQL,
     "propensity_forecast_brier": PROPENSITY_BRIER_SQL,
 }
+
+
+def bandit_replay_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation by the REPLAY estimator (Li et al.
+    2011) — the unbiased way to grade a recommendation POLICY from
+    logged traffic without an online test, the family the per-model
+    evals here (AUC, Brier, nDCG) do not cover: a greedy policy picks
+    one item per day (argmax Laplace-smoothed CTR over all history
+    strictly BEFORE that day — no peeking), and only logged events
+    that happen to match the policy's choice score it; matched clicks
+    over matched views estimate the policy's online CTR.
+
+    Deterministic end-to-end: day-1 history is empty so every item
+    ties at the smoothed prior and the argmax tie-break (ctr DESC,
+    item ASC) picks the smallest item; all rates are exact integer ppm
+    and the lift is a DECIMAL/HUGEINT cross-multiplication.
+
+    Scale: one event scan → (day, item) rollup; the exclusive
+    cumulative window runs over the days×items relation (date- and
+    catalog-bounded, never row-bounded); the replay join matches the
+    1-row-per-day pick table back to the same rollup.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        "event_type",
+    ).filter(
+        F.col("item").isNotNull()
+        & F.col("event_type").isin("view", "click")
+    )
+    daily = e.groupBy("day", "item").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
+        .alias("v"),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .alias("c"),
+    )
+    # every (day, item) cell must exist for the argmax — an item with
+    # no traffic yet still competes at the prior: day spine × item
+    # catalog (date×catalog bounded)
+    days = daily.select("day").distinct()
+    items = daily.select("item").distinct()
+    grid = days.crossJoin(items)
+    full = grid.join(daily, ["day", "item"], "left").na.fill(
+        0, ["v", "c"]
+    )
+    w_c = (
+        Window.partitionBy("item")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = full.select(
+        "day",
+        "item",
+        "v",
+        "c",
+        F.coalesce(F.sum("v").over(w_c), F.lit(0)).alias("cv"),
+        F.coalesce(F.sum("c").over(w_c), F.lit(0)).alias("cc"),
+    ).withColumn(
+        "ctr_ppm", F.expr("CAST((cc + 1) * 1000000 DIV (cv + 2) AS BIGINT)")
+    )
+    w_p = Window.partitionBy("day").orderBy(
+        F.desc("ctr_ppm"), F.asc("item")
+    )
+    picks = (
+        hist.withColumn("rk", F.row_number().over(w_p))
+        .filter(F.col("rk") == 1)
+        .select("day", "item", "v", "c")
+    )
+    glob = e.agg(
+        F.sum(F.expr("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END"))
+        .alias("gv"),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .alias("gc"),
+    )
+    return (
+        picks.agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("v").cast("long").alias("matched_views"),
+            F.sum("c").cast("long").alias("matched_clicks"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "n_days",
+            "matched_views",
+            "matched_clicks",
+            F.expr(
+                "CAST(matched_clicks * 1000000"
+                " DIV greatest(matched_views, 1) AS BIGINT)"
+            ).alias("replay_ctr_ppm"),
+            F.expr(
+                "CAST(gc * 1000000 DIV greatest(gv, 1) AS BIGINT)"
+            ).alias("global_ctr_ppm"),
+            F.expr(
+                "CASE WHEN matched_views > 0 AND gc > 0 THEN"
+                " CAST(CAST(matched_clicks AS DECIMAL(38,0)) * gv"
+                " * 1000000 DIV (CAST(matched_views AS DECIMAL(38,0))"
+                " * gc) AS BIGINT) END"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+BANDIT_REPLAY_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         TRY_CAST(props->>'k' AS BIGINT) AS item, event_type
+  FROM events
+  WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+    AND event_type IN ('view', 'click')
+),
+daily AS (
+  SELECT day, item,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+  FROM ev GROUP BY day, item
+),
+grid AS (
+  SELECT d.day, i.item
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT DISTINCT item FROM daily) i
+),
+full_ AS (
+  SELECT g.day, g.item, coalesce(daily.v, 0) AS v, coalesce(daily.c, 0) AS c
+  FROM grid g LEFT JOIN daily ON daily.day = g.day AND daily.item = g.item
+),
+hist AS (
+  SELECT day, item, v, c,
+         CAST((coalesce(sum(c) OVER (PARTITION BY item ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + 1) * 1000000
+              // (coalesce(sum(v) OVER (PARTITION BY item ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + 2) AS BIGINT) AS ctr_ppm
+  FROM full_
+),
+picks AS (
+  SELECT day, item, v, c FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY day ORDER BY ctr_ppm DESC, item ASC) AS rk
+    FROM hist
+  ) WHERE rk = 1
+),
+gtot AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           AS HUGEINT) AS gv,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS HUGEINT) AS gc
+  FROM ev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(v) AS BIGINT) AS matched_views,
+       CAST(sum(c) AS BIGINT) AS matched_clicks,
+       CAST(sum(c) * 1000000 // greatest(sum(v), 1) AS BIGINT)
+         AS replay_ctr_ppm,
+       CAST(gc * 1000000 // greatest(gv, 1) AS BIGINT) AS global_ctr_ppm,
+       CASE WHEN sum(v) > 0 AND gc > 0 THEN
+         CAST(CAST(sum(c) AS HUGEINT) * gv * 1000000
+              // (CAST(sum(v) AS HUGEINT) * gc) AS BIGINT)
+       END AS lift_ppm
+FROM picks, gtot
+GROUP BY gv, gc
+"""
+
+
+SPARK_QUERIES["bandit_replay_ctr"] = bandit_replay_ctr
+ORACLE_SQL["bandit_replay_ctr"] = BANDIT_REPLAY_SQL

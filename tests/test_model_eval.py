@@ -377,3 +377,52 @@ def test_propensity_brier_matches_python_replay(spark):
     assert r["brier_ppm2"] == werr // tv2
     assert r["brier_baseline_ppm2"] == werr_base // tv2
     assert r["skill_ppm"] == 1_000_000 - werr * 1_000_000 // max(werr_base, 1)
+
+
+def test_bandit_replay_matches_python_replay(spark):
+    """The day-granular replay estimator must equal a Python replay of
+    the no-peeking greedy policy (smoothed-CTR argmax with min-item
+    tie-break over strictly-prior history)."""
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.plans.model_eval import bandit_replay_ctr
+    from tests.conftest import SF_SMOKE
+
+    e = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            "event_type",
+        )
+        .filter(
+            F.col("item").isNotNull()
+            & F.col("event_type").isin("view", "click")
+        )
+        .collect()
+    )
+    daily = {}
+    for r in e:
+        cell = daily.setdefault((r["day"], r["item"]), [0, 0])
+        cell[0 if r["event_type"] == "view" else 1] += 1
+    days = sorted({d for d, _ in daily})
+    items = sorted({i for _, i in daily})
+    cum = {i: [0, 0] for i in items}
+    mv = mc = 0
+    for d in days:
+        pick = max(
+            items,
+            key=lambda i: ((cum[i][1] + 1) * 1_000_000 // (cum[i][0] + 2), -i),
+        )
+        v, c = daily.get((d, pick), (0, 0))
+        mv += v
+        mc += c
+        for i in items:
+            dv, dc = daily.get((d, i), (0, 0))
+            cum[i][0] += dv
+            cum[i][1] += dc
+    r = bandit_replay_ctr(spark, SF_SMOKE).collect()[0]
+    assert r["n_days"] == len(days)
+    assert (r["matched_views"], r["matched_clicks"]) == (mv, mc)
+    assert r["replay_ctr_ppm"] == mc * 1_000_000 // max(mv, 1)

@@ -293,6 +293,8 @@ EXPECTED_QUERIES = {
     "rec_list_quality",
     # round-9: log-log cross-sectional regression (econometrics family)
     "price_elasticity_by_brand",
+    # round-9: offline policy eval (replay estimator)
+    "bandit_replay_ctr",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -466,6 +466,8 @@ def main() -> int:
                 "price_elasticity_by_brand": (
                     experiments.price_elasticity_by_brand
                 ),
+                # (day,item) rollup + date×catalog cumulative grid
+                "bandit_replay_ctr": model_eval.bandit_replay_ctr,
             }
         )
         timings = {}
