@@ -426,10 +426,16 @@ def main() -> int:
                 s, seam_dir or d
             )
 
+        def quantile_state_probe(s, d):
+            return structured.stream_quantile_sketch_state(
+                s, seam_dir or d
+            )
+
         probes.update(
             {
                 "item_kcore_peel": cooccur.item_kcore_peel,
                 "stream_session_custom_timeout": custom_timeout_probe,
+                "stream_quantile_sketch_state": quantile_state_probe,
             }
         )
         # round-9 additions: the portable bottom-k quantile sketch pair
