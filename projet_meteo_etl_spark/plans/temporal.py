@@ -2286,3 +2286,155 @@ ORACLE_SQL = {
     "position_based_attribution": POSITION_ATTR_SQL,
     "funnel_stage_latency": FUNNEL_LATENCY_SQL,
 }
+
+
+#: fixed-point scale for the entropy logs (milli-nats)
+ENTROPY_LOG_SCALE = 1000
+
+
+def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order entropy rate of the click sequence — the
+    information-theoretic CEILING for any next-click predictor
+    (:func:`markov_next_click_hitrate` measures one predictor;
+    ``H(next | current)`` bounds them all, Song et al. 2010's
+    predictability framing): conditional entropy of the transition
+    distribution, the unconditional next-item entropy, and the
+    predictability gain ``1 − H_cond/H_marg`` — how much of the
+    sequence's uncertainty the one-step memory removes.
+
+    Fixed point end-to-end (the ``retention_halflife_fit`` log
+    discipline): probabilities enter as exact ppm integers,
+    ``ln`` terms as ``floor(1000·ln(ppm))`` milli-nats, and both
+    entropies are count-weighted integer sums with ONE trunc division
+    — identical in both engines, no float accumulation anywhere.
+
+    Scale: one lag-window pass → (src, dst) count rollup
+    (pair-domain bounded); everything downstream is rollup-sized.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    clicks = e.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    ).filter(F.col("item").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    trans = (
+        clicks.select("item", F.lag("item").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("item")))
+        .selectExpr("prev AS src", "item AS dst")
+    )
+    pair = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("c_sd")
+    ).persist()
+    src_tot = pair.groupBy("src").agg(F.sum("c_sd").alias("c_s"))
+    dst_tot = pair.groupBy("dst").agg(F.sum("c_sd").alias("c_d"))
+    n_tot = pair.agg(
+        F.sum("c_sd").alias("n"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("src").alias("n_states"),
+    )
+    lg = f"floor({ENTROPY_LOG_SCALE}.0 * ln(CAST({{x}} AS DOUBLE)))"
+    ln_e6 = f"floor({ENTROPY_LOG_SCALE}.0 * ln(1000000.0))"
+    # conditional: Σ_sd c_sd · (L(1e6) − L(p_sd|s ppm)), one DIV by N
+    cond = (
+        pair.join(src_tot, "src")
+        .select(
+            "c_sd",
+            F.expr(
+                f"CAST(c_sd AS DECIMAL(38,0)) * ({ln_e6}"
+                f" - {lg.format(x='CAST(c_sd * 1000000 DIV c_s AS BIGINT)')})"
+            ).alias("term"),
+        )
+        .agg(F.sum("term").alias("h_num"))
+    )
+    marg = (
+        dst_tot.crossJoin(F.broadcast(n_tot.select("n")))
+        .select(
+            F.expr(
+                f"CAST(c_d AS DECIMAL(38,0)) * ({ln_e6}"
+                f" - {lg.format(x='CAST(c_d * 1000000 DIV n AS BIGINT)')})"
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("m_num"))
+    )
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    out = (
+        n_tot.crossJoin(F.broadcast(cond))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").cast("long").alias("n_transitions"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_states").cast("long").alias("n_states"),
+            F.expr("CAST(h_num DIV n AS BIGINT)").alias("h_cond_mnat"),
+            F.expr("CAST(m_num DIV n AS BIGINT)").alias("h_marg_mnat"),
+            F.expr(
+                "CASE WHEN m_num > 0 THEN CAST((m_num - h_num) * 1000000"
+                " DIV m_num AS BIGINT) END"
+            ).alias("pred_gain_ppm"),
+        )
+    )
+    return scoped_cache(out, pair)
+
+
+ENTROPY_RATE_SQL = f"""
+WITH eclicks AS (
+  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item,
+         epoch_us(ts) AS t, event_id
+  FROM events
+  WHERE event_type = 'click'
+    AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+),
+trans AS (
+  SELECT prev AS src, item AS dst FROM (
+    SELECT item,
+           lag(item) OVER (PARTITION BY user_id ORDER BY t, event_id)
+             AS prev
+    FROM eclicks
+  ) WHERE prev IS NOT NULL AND prev <> item
+),
+pair AS (
+  SELECT src, dst, CAST(count(*) AS HUGEINT) AS c_sd
+  FROM trans GROUP BY src, dst
+),
+src_tot AS (SELECT src, sum(c_sd) AS c_s FROM pair GROUP BY src),
+dst_tot AS (SELECT dst, sum(c_sd) AS c_d FROM pair GROUP BY dst),
+n_tot AS (
+  SELECT sum(c_sd) AS n, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT src) AS BIGINT) AS n_states
+  FROM pair
+),
+cond AS (
+  -- floor() is DOUBLE in DuckDB and DOUBLE // BIGINT does NOT floor
+  -- (and CAST double->BIGINT rounds): force the log terms integral so
+  -- the sums stay HUGEINT and // truncates like Spark DIV
+  SELECT sum(p.c_sd * (CAST(floor({ENTROPY_LOG_SCALE}.0
+                              * ln(1000000.0)) AS BIGINT)
+           - CAST(floor({ENTROPY_LOG_SCALE}.0
+                   * ln(CAST(CAST(p.c_sd * 1000000 // s.c_s AS BIGINT)
+                             AS DOUBLE))) AS BIGINT))) AS h_num
+  FROM pair p JOIN src_tot s ON s.src = p.src
+),
+marg AS (
+  SELECT sum(d.c_d * (CAST(floor({ENTROPY_LOG_SCALE}.0
+                              * ln(1000000.0)) AS BIGINT)
+           - CAST(floor({ENTROPY_LOG_SCALE}.0
+                   * ln(CAST(CAST(d.c_d * 1000000 // t.n AS BIGINT)
+                             AS DOUBLE))) AS BIGINT))) AS m_num
+  FROM dst_tot d, n_tot t
+)
+SELECT CAST(t.n AS BIGINT) AS n_transitions, t.n_pairs, t.n_states,
+       CAST(c.h_num // t.n AS BIGINT) AS h_cond_mnat,
+       CAST(m.m_num // t.n AS BIGINT) AS h_marg_mnat,
+       CASE WHEN m.m_num > 0
+            THEN CAST((m.m_num - c.h_num) * 1000000 // m.m_num AS BIGINT)
+       END AS pred_gain_ppm
+FROM n_tot t, cond c, marg m
+"""
+
+
+SPARK_QUERIES["transition_entropy_rate"] = transition_entropy_rate
+ORACLE_SQL["transition_entropy_rate"] = ENTROPY_RATE_SQL

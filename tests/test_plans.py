@@ -452,3 +452,59 @@ def test_next_click_hitrate_identities(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert r.asDict() == r2.asDict()
+
+
+def test_entropy_rate_bounds_and_replay(spark):
+    """Information-theoretic sanity: 0 <= H(next|cur) <= H(next)
+    (conditioning never increases entropy), and the fixed-point sums
+    equal a Python replay of the same milli-nat quantization."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.plans.temporal import (
+        ENTROPY_LOG_SCALE,
+        transition_entropy_rate,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = transition_entropy_rate(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r["h_cond_mnat"] <= r["h_marg_mnat"]
+    assert 0 <= r["pred_gain_ppm"] <= 1_000_000
+
+    e = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("event_type") == "click"
+    )
+    clicks = e.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    ).filter(F.col("item").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    trans = [
+        (t["prev"], t["item"])
+        for t in clicks.select(
+            "item", F.lag("item").over(w).alias("prev")
+        ).collect()
+        if t["prev"] is not None and t["prev"] != t["item"]
+    ]
+    pair, src_tot, dst_tot = {}, {}, {}
+    for s_, d_ in trans:
+        pair[(s_, d_)] = pair.get((s_, d_), 0) + 1
+    for (s_, d_), c in pair.items():
+        src_tot[s_] = src_tot.get(s_, 0) + c
+        dst_tot[d_] = dst_tot.get(d_, 0) + c
+    n = sum(pair.values())
+    L = lambda x: math.floor(ENTROPY_LOG_SCALE * math.log(float(x)))
+    l6 = L(1_000_000)
+    h_num = sum(
+        c * (l6 - L(c * 1_000_000 // src_tot[s_]))
+        for (s_, d_), c in pair.items()
+    )
+    m_num = sum(c * (l6 - L(c * 1_000_000 // n)) for c in dst_tot.values())
+    assert r["n_transitions"] == n
+    assert r["h_cond_mnat"] == h_num // n
+    assert r["h_marg_mnat"] == m_num // n

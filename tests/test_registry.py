@@ -295,6 +295,8 @@ EXPECTED_QUERIES = {
     "price_elasticity_by_brand",
     # round-9: offline policy eval (replay estimator)
     "bandit_replay_ctr",
+    # round-9: first-order entropy rate (predictability ceiling)
+    "transition_entropy_rate",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

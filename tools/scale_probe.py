@@ -474,6 +474,10 @@ def main() -> int:
                 ),
                 # (day,item) rollup + date×catalog cumulative grid
                 "bandit_replay_ctr": model_eval.bandit_replay_ctr,
+                # lag pass + pair-domain entropy sums
+                "transition_entropy_rate": (
+                    temporal.transition_entropy_rate
+                ),
             }
         )
         timings = {}
