@@ -439,6 +439,12 @@ def quantile_adaptive_range_audit(
     )
     return (
         audit_row.select(F.expr(unstack))
+        # empty-input parity: the oracle's bounds join drops a measure
+        # with zero non-null rows, while the pivoted 1-row aggregate
+        # always exists — filter so both engines omit it (no-op on any
+        # real lineitem); DECIMAL-widen the ppm product (the eb_shrunk
+        # overflow discipline: counts past ~9.2e12 would wrap a long)
+        .filter(F.col("n_rows") > 0)
         .select(
             "measure",
             "n_rows",
@@ -447,7 +453,8 @@ def quantile_adaptive_range_audit(
             "n_below",
             "n_above",
             F.expr(
-                "CAST((n_below + n_above) * 1000000 DIV n_rows AS BIGINT)"
+                "CAST(CAST(n_below + n_above AS DECIMAL(38,0)) * 1000000"
+                " DIV n_rows AS BIGINT)"
             ).alias("out_ppm"),
         )
         .orderBy("measure")

@@ -1743,16 +1743,23 @@ def bandit_replay_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("matched_clicks"),
         )
         .crossJoin(F.broadcast(glob))
+        # empty-input parity: the oracle's GROUP BY over zero picks
+        # emits no row, while the driver-side aggregate always exists —
+        # filter so both engines omit it (no-op on any real log);
+        # DECIMAL-widen the ppm products (the eb_shrunk overflow
+        # discipline — gc/matched counts past ~9.2e12 would wrap)
+        .filter(F.col("n_days") > 0)
         .select(
             "n_days",
             "matched_views",
             "matched_clicks",
             F.expr(
-                "CAST(matched_clicks * 1000000"
+                "CAST(CAST(matched_clicks AS DECIMAL(38,0)) * 1000000"
                 " DIV greatest(matched_views, 1) AS BIGINT)"
             ).alias("replay_ctr_ppm"),
             F.expr(
-                "CAST(gc * 1000000 DIV greatest(gv, 1) AS BIGINT)"
+                "CAST(CAST(gc AS DECIMAL(38,0)) * 1000000"
+                " DIV greatest(gv, 1) AS BIGINT)"
             ).alias("global_ctr_ppm"),
             F.expr(
                 "CASE WHEN matched_views > 0 AND gc > 0 THEN"

@@ -1772,11 +1772,15 @@ def markov_next_click_hitrate(
         "n_cold",
         "n_hit1",
         "n_hitk",
+        # DECIMAL-widened ×1e6 (the eb_shrunk overflow discipline:
+        # a 100 TB log's eval-half transition count clears 9.2e12)
         F.expr(
-            "CAST(n_hit1 * 1000000 DIV greatest(n_eval, 1) AS BIGINT)"
+            "CAST(CAST(n_hit1 AS DECIMAL(38,0)) * 1000000"
+            " DIV greatest(n_eval, 1) AS BIGINT)"
         ).alias("hit1_ppm"),
         F.expr(
-            "CAST(n_hitk * 1000000 DIV greatest(n_eval, 1) AS BIGINT)"
+            "CAST(CAST(n_hitk AS DECIMAL(38,0)) * 1000000"
+            " DIV greatest(n_eval, 1) AS BIGINT)"
         ).alias("hitk_ppm"),
     )
     return scoped_cache(out, tr)

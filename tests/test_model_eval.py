@@ -426,3 +426,27 @@ def test_bandit_replay_matches_python_replay(spark):
     assert r["n_days"] == len(days)
     assert (r["matched_views"], r["matched_clicks"]) == (mv, mc)
     assert r["replay_ctr_ppm"] == mc * 1_000_000 // max(mv, 1)
+
+
+def test_bandit_replay_empty_input_parity(spark, tmp_path):
+    """An empty event log must yield an EMPTY replay report in both
+    engines — the oracle's GROUP BY over zero picks emits no row."""
+    import duckdb
+
+    from projet_meteo_etl_spark.plans.model_eval import (
+        BANDIT_REPLAY_SQL,
+        bandit_replay_ctr,
+    )
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    ).write.parquet(d + "/events.parquet")
+    assert bandit_replay_ctr(spark, d).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    assert con.execute(BANDIT_REPLAY_SQL).fetchall() == []

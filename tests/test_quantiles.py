@@ -134,3 +134,29 @@ def test_sliding_quantiles_window_identities(spark):
         ]
         assert r["n_days"] == len(member_days)
         assert r["n_rows"] == sum(daily[d] for d in member_days)
+
+
+def test_adaptive_audit_empty_input_parity(spark, tmp_path):
+    """An empty lineitem must yield an EMPTY report in both engines —
+    the oracle's bounds join drops measures with no rows, so the
+    pivoted aggregate side must too."""
+    import duckdb
+
+    from projet_meteo_etl_spark.operators.quantiles import (
+        ADAPTIVE_RANGE_SQL,
+        quantile_adaptive_range_audit,
+    )
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_linenumber int, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double",
+    ).write.parquet(d + "/lineitem.parquet")
+    assert quantile_adaptive_range_audit(spark, d).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM"
+        f" read_parquet('{d}/lineitem.parquet/*.parquet')"
+    )
+    assert con.execute(ADAPTIVE_RANGE_SQL).fetchall() == []
