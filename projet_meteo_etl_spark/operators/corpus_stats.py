@@ -1225,3 +1225,116 @@ ORACLE_SQL = {
     "corpus_token_gini": CORPUS_GINI_SQL,
     "token_pmi_topk": _pmi_sql(),
 }
+
+
+#: terms graded by the dispersion audit (by corpus tf, ties token asc)
+DISP_TOP_K = 25
+
+
+def term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP dispersion for the top-``DISP_TOP_K`` corpus terms —
+    the "is this term EVERYWHERE or bursty in one source" statistic the
+    frequency panel (Zipf/Heaps/Gini/PMI) lacks: ``DP = ½ Σ_s |v_s −
+    p_s|``, where ``v_s`` is the share of the term's occurrences in
+    source s and ``p_s`` is source s's share of all tokens.  DP ≈ 0:
+    the term is distributed exactly like the corpus (a true stopword);
+    DP → 1: concentrated in one source — exactly the distinction a
+    mixture tuner or stopword-list builder needs beyond raw tf.
+
+    Exact integer ppm shares (DECIMAL/HUGEINT-widened ×1e6 — corpus tf
+    clears 9.2e12 at 100 TB), one trunc division per cell, and the
+    term×source grid carries EXPLICIT zero cells (an absent source
+    contributes its full ``p_s`` to the sum — the spine-join
+    discipline of ``t_closeness_audit``).
+
+    Scale: one tokenize pass → (term, source) rollup (map-combinable);
+    everything after is top-k×|sources| — constant-bounded.
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.repartition("doc_id").select(
+        "source", F.explode(F.split(F.trim("text"), _WS)).alias("tok")
+    )
+    ts = toks.groupBy("tok", "source").agg(
+        F.count(F.lit(1)).alias("tf_ts")
+    ).persist()
+    tf_t = ts.groupBy("tok").agg(F.sum("tf_ts").alias("tf"))
+    top = tf_t.orderBy(F.desc("tf"), F.asc("tok")).limit(DISP_TOP_K)
+    src_tok = ts.groupBy("source").agg(F.sum("tf_ts").alias("tok_s"))
+    total = src_tok.agg(F.sum("tok_s").alias("tok_total"))
+    grid = (
+        top.crossJoin(F.broadcast(src_tok))
+        .join(ts, ["tok", "source"], "left")
+        .na.fill(0, ["tf_ts"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "tf",
+            "tf_ts",
+            F.expr(
+                "CAST(CAST(tf_ts AS DECIMAL(38,0)) * 1000000"
+                " DIV tf AS BIGINT)"
+            ).alias("v_ppm"),
+            F.expr(
+                "CAST(CAST(tok_s AS DECIMAL(38,0)) * 1000000"
+                " DIV tok_total AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+    )
+    out = (
+        grid.groupBy("tok", "tf")
+        .agg(
+            F.sum((F.col("tf_ts") > 0).cast("long")).alias("n_sources"),
+            F.expr(
+                "CAST(sum(abs(v_ppm - p_ppm)) DIV 2 AS BIGINT)"
+            ).alias("dp_ppm"),
+        )
+        .select(
+            F.col("tok").alias("token"),
+            F.col("tf").cast("long").alias("tf"),
+            "n_sources",
+            "dp_ppm",
+        )
+        .orderBy(F.desc("dp_ppm"), F.asc("token"))
+    )
+    return scoped_cache(out, ts)
+
+
+TERM_DISPERSION_SQL = rf"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+ts AS (
+  SELECT tok, source, CAST(count(*) AS HUGEINT) AS tf_ts
+  FROM toks GROUP BY tok, source
+),
+tf_t AS (SELECT tok, sum(tf_ts) AS tf FROM ts GROUP BY tok),
+top AS (
+  SELECT tok, tf FROM tf_t ORDER BY tf DESC, tok ASC LIMIT {DISP_TOP_K}
+),
+src_tok AS (SELECT source, sum(tf_ts) AS tok_s FROM ts GROUP BY source),
+total AS (SELECT sum(tok_s) AS tok_total FROM src_tok),
+grid AS (
+  SELECT t.tok, t.tf, coalesce(ts.tf_ts, 0) AS tf_ts,
+         CAST(coalesce(ts.tf_ts, 0) * 1000000 // t.tf AS BIGINT) AS v_ppm,
+         CAST(s.tok_s * 1000000 // x.tok_total AS BIGINT) AS p_ppm
+  FROM top t
+  CROSS JOIN src_tok s
+  LEFT JOIN ts ON ts.tok = t.tok AND ts.source = s.source
+  CROSS JOIN total x
+)
+SELECT tok AS token, CAST(tf AS BIGINT) AS tf,
+       CAST(sum(CASE WHEN tf_ts > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sources,
+       CAST(sum(abs(v_ppm - p_ppm)) // 2 AS BIGINT) AS dp_ppm
+FROM grid
+GROUP BY tok, tf
+ORDER BY dp_ppm DESC, token ASC
+"""
+
+
+SPARK_QUERIES["term_dispersion_dp"] = term_dispersion_dp
+ORACLE_SQL["term_dispersion_dp"] = TERM_DISPERSION_SQL

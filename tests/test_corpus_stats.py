@@ -300,3 +300,54 @@ def test_quantile_alignment_matches_python_replay(spark):
             got[(s, q)]["n_below"] for s in by_src
         )
         assert tot_below >= (q * n + 9) // 10
+
+
+def test_term_dispersion_bounds_and_replay(spark):
+    """DP in [0, 1e6]; a term present in every source with shares equal
+    to the corpus shares would score 0; values equal a Python replay of
+    the same ppm quantization."""
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        DISP_TOP_K,
+        _WS,
+        term_dispersion_dp,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = term_dispersion_dp(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= DISP_TOP_K
+    for r in rows:
+        assert 0 <= r["dp_ppm"] <= 1_000_000
+
+    toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("source", F.explode(F.split(F.trim("text"), _WS)).alias("tok"))
+        .collect()
+    )
+    ts, src_tok = {}, {}
+    for t in toks:
+        ts[(t["tok"], t["source"])] = ts.get((t["tok"], t["source"]), 0) + 1
+        src_tok[t["source"]] = src_tok.get(t["source"], 0) + 1
+    tf = {}
+    for (tok, _), c in ts.items():
+        tf[tok] = tf.get(tok, 0) + c
+    total = sum(src_tok.values())
+    top = sorted(tf, key=lambda t: (-tf[t], t))[:DISP_TOP_K]
+    expect = {}
+    for tok in top:
+        s_ = sum(
+            abs(
+                ts.get((tok, src), 0) * 1_000_000 // tf[tok]
+                - src_tok[src] * 1_000_000 // total
+            )
+            for src in src_tok
+        )
+        expect[tok] = (
+            tf[tok],
+            sum(1 for src in src_tok if ts.get((tok, src), 0) > 0),
+            s_ // 2,
+        )
+    got = {r["token"]: (r["tf"], r["n_sources"], r["dp_ppm"]) for r in rows}
+    assert got == expect

@@ -297,6 +297,8 @@ EXPECTED_QUERIES = {
     "bandit_replay_ctr",
     # round-9: first-order entropy rate (predictability ceiling)
     "transition_entropy_rate",
+    # round-9: Gries DP term dispersion (corpus-linguistics panel)
+    "term_dispersion_dp",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -478,6 +478,8 @@ def main() -> int:
                 "transition_entropy_rate": (
                     temporal.transition_entropy_rate
                 ),
+                # one tokenize rollup + top-k×sources grid
+                "term_dispersion_dp": corpus_stats.term_dispersion_dp,
             }
         )
         timings = {}
