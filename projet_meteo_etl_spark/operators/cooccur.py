@@ -720,9 +720,10 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_co",
             "n_ant",
             "n_cons",
-            F.expr("CAST(n_co * 1000000 DIV n_ant AS BIGINT)").alias(
-                "confidence_ppm"
-            ),
+            F.expr(
+                "CAST(CAST(n_co AS DECIMAL(38,0)) * 1000000 DIV n_ant"
+                " AS BIGINT)"
+            ).alias("confidence_ppm"),
             F.expr(
                 "CAST(CAST(n_co AS DECIMAL(38,0)) * n_total * 1000000"
                 " DIV (CAST(n_ant AS DECIMAL(38,0)) * n_cons) AS BIGINT)"
@@ -748,7 +749,8 @@ directed AS (
 SELECT d.ant, d.cons, CAST(d.n_co AS BIGINT) AS n_co,
        CAST(a.n_item AS BIGINT) AS n_ant,
        CAST(c.n_item AS BIGINT) AS n_cons,
-       CAST(d.n_co * 1000000 // a.n_item AS BIGINT) AS confidence_ppm,
+       CAST(CAST(d.n_co AS HUGEINT) * 1000000 // a.n_item AS BIGINT)
+         AS confidence_ppm,
        CAST(CAST(d.n_co AS HUGEINT) * u.n_total * 1000000
             // (CAST(a.n_item AS HUGEINT) * c.n_item) AS BIGINT)
          AS lift_ppm
@@ -860,9 +862,10 @@ def frequent_triples_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_triple",
             "n_ant",
             "n_cons",
-            F.expr("CAST(n_triple * 1000000 DIV n_ant AS BIGINT)").alias(
-                "confidence_ppm"
-            ),
+            F.expr(
+                "CAST(CAST(n_triple AS DECIMAL(38,0)) * 1000000"
+                " DIV n_ant AS BIGINT)"
+            ).alias("confidence_ppm"),
             F.expr(
                 "CAST(CAST(n_triple AS DECIMAL(38,0)) * n_total * 1000000"
                 " DIV (CAST(n_ant AS DECIMAL(38,0)) * n_cons) AS BIGINT)"
@@ -911,7 +914,8 @@ SELECT r.ant1, r.ant2, r.cons,
        CAST(r.n_triple AS BIGINT) AS n_triple,
        CAST(p.n_users AS BIGINT) AS n_ant,
        CAST(d.n_item AS BIGINT) AS n_cons,
-       CAST(r.n_triple * 1000000 // p.n_users AS BIGINT) AS confidence_ppm,
+       CAST(CAST(r.n_triple AS HUGEINT) * 1000000 // p.n_users AS BIGINT)
+         AS confidence_ppm,
        CAST(CAST(r.n_triple AS HUGEINT) * u.n_total * 1000000
             // (CAST(p.n_users AS HUGEINT) * d.n_item) AS BIGINT)
          AS lift_ppm

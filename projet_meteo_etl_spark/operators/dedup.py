@@ -1361,7 +1361,9 @@ def fs_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (field, val)"
         ),
     )
-    pairs = "CAST(n * (n - 1) DIV 2 AS DECIMAL(38,0))"
+    # widen BEFORE the multiply: n·(n−1) in LongType wraps silently
+    # past ~3e9-row groups; DECIMAL(38,0) first keeps it exact
+    pairs = "CAST(n AS DECIMAL(38,0)) * (n - 1) DIV 2"
     mt = (
         base.groupBy("field", "h", "val")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1436,17 +1438,17 @@ _FS_CTES = f"""base AS (
     AS f(field, val)
 ),
 mt AS (
-  SELECT field, CAST(sum(n * (n - 1) // 2) AS HUGEINT) AS agree_m
+  SELECT field, CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS HUGEINT) AS agree_m
   FROM (SELECT field, h, val, count(*) AS n FROM base GROUP BY 1, 2, 3)
   GROUP BY field
 ),
 mtot AS (
-  SELECT CAST(sum(n * (n - 1) // 2) AS HUGEINT) AS m_pairs
+  SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS HUGEINT) AS m_pairs
   FROM (SELECT substring(text, 1, {FS_PREFIX_CHARS}), count(*) AS n
         FROM documents GROUP BY 1)
 ),
 ut AS (
-  SELECT field, CAST(sum(n * (n - 1) // 2) AS HUGEINT) AS agree_u,
+  SELECT field, CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS HUGEINT) AS agree_u,
          CAST(count(*) AS BIGINT) AS n_values
   FROM (SELECT field, val, count(*) AS n FROM base GROUP BY 1, 2)
   GROUP BY field
@@ -1530,12 +1532,25 @@ def fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        (F.col("a.lang") == F.col("b.lang")).cast("int").alias("ag_lang"),
-        (F.col("a.source") == F.col("b.source"))
+        # NULL-safe agreement: a plain == yields NULL when either side
+        # is NULL, which would diverge from the oracle's IS NOT
+        # DISTINCT FROM on data with NULL lang/source/n_chars
+        F.col("a.lang")
+        .eqNullSafe(F.col("b.lang"))
+        .cast("int")
+        .alias("ag_lang"),
+        F.col("a.source")
+        .eqNullSafe(F.col("b.source"))
         .cast("int")
         .alias("ag_source"),
-        (F.col("a.lenb") == F.col("b.lenb")).cast("int").alias("ag_len"),
-        (F.col("a.h48") == F.col("b.h48")).cast("int").alias("is_match"),
+        F.col("a.lenb")
+        .eqNullSafe(F.col("b.lenb"))
+        .cast("int")
+        .alias("ag_len"),
+        F.col("a.h48")
+        .eqNullSafe(F.col("b.h48"))
+        .cast("int")
+        .alias("is_match"),
     )
     w = fs_linkage_weights(spark, sf_dir)
     wrow = w.agg(
@@ -1602,14 +1617,14 @@ ranked AS (
 ),
 cands AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS INTEGER)
-           AS ag_lang,
-         CAST(CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS INTEGER)
-           AS ag_source,
-         CAST(CASE WHEN a.lenb = b.lenb THEN 1 ELSE 0 END AS INTEGER)
-           AS ag_len,
-         CAST(CASE WHEN a.h48 = b.h48 THEN 1 ELSE 0 END AS INTEGER)
-           AS is_match
+         CAST(CASE WHEN a.lang IS NOT DISTINCT FROM b.lang
+              THEN 1 ELSE 0 END AS INTEGER) AS ag_lang,
+         CAST(CASE WHEN a.source IS NOT DISTINCT FROM b.source
+              THEN 1 ELSE 0 END AS INTEGER) AS ag_source,
+         CAST(CASE WHEN a.lenb IS NOT DISTINCT FROM b.lenb
+              THEN 1 ELSE 0 END AS INTEGER) AS ag_len,
+         CAST(CASE WHEN a.h48 IS NOT DISTINCT FROM b.h48
+              THEN 1 ELSE 0 END AS INTEGER) AS is_match
   FROM ranked a JOIN ranked b
     ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
 )

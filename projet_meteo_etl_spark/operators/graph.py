@@ -1105,7 +1105,11 @@ ORDER BY hop
 
 #: ppm offset keeping the modularity dividend positive: |numerator·1e6|
 #: ≤ 1e6·denominator, so adding 2e6·denominator guarantees a positive
-#: dividend and Spark DIV (trunc) == DuckDB // (floor)
+#: dividend offset — defensive only: Spark DIV and DuckDB // both
+#: truncate toward zero (verified: -7//2 = -3 in DuckDB, incl. HUGEINT),
+#: so they agree on every sign; the offset keeps the dividend positive
+#: so the result is also floor==trunc if a kernel ever moves to Python
+#: (// floors there)
 _MOD_OFF = 2_000_000
 
 
@@ -1123,8 +1127,11 @@ def community_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed intra-community edge count and ``D_c`` the community
     degree sum, ``Q·m2² = Σ_c (m2·e2_c − D_c²)`` — all integer in
     DECIMAL(38,0)/HUGEINT, one ppm division at the end with a
-    positivity offset (Q may be negative; Spark DIV truncates, DuckDB
-    ``//`` floors, they agree only on non-negative dividends).
+    positivity offset (Q may be negative; Spark DIV and DuckDB ``//``
+    both truncate toward zero so they already agree on every sign — the
+    offset is defensive, keeping the dividend positive so floor and
+    trunc coincide should a kernel ever move to Python's flooring
+    ``//``).
 
     Scale: two label joins on the edge list (partitioned once, reused
     from the LPA rounds), a per-community rollup (bounded by |V|), and

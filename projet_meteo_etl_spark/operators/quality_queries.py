@@ -334,9 +334,11 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = c.select(
         "c_nationkey",
         "c_mktsegment",
-        # +1000-band offset keeps the dividend positive: Spark DIV
-        # truncates, DuckDB // floors — they agree only on non-negative
-        # dividends, and acctbal can be negative
+        # +1000-band offset keeps the dividend positive: Spark DIV and
+        # DuckDB // both truncate toward zero so they agree on every
+        # sign already — but acctbal can be negative, and a positive
+        # dividend makes the band a true floor (trunc==floor), which is
+        # the intended bucketing semantics
         F.expr(
             "(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000000)"
             " DIV 100000 - 1000"

@@ -442,9 +442,19 @@ def quantile_adaptive_range_audit(
         # empty-input parity: the oracle's bounds join drops a measure
         # with zero non-null rows, while the pivoted 1-row aggregate
         # always exists — filter so both engines omit it (no-op on any
-        # real lineitem); DECIMAL-widen the ppm product (the eb_shrunk
-        # overflow discipline: counts past ~9.2e12 would wrap a long)
-        .filter(F.col("n_rows") > 0)
+        # real lineitem).  The NULL-bounds guard covers the other
+        # asymmetry: n_rows > 0 with zero threshold survivors (prob
+        # ~e^-1024 per the sketch bound, but deterministic per dataset)
+        # leaves lo/hi NULL here while the oracle's inner join on
+        # `bounds` drops the measure — filter those too so the
+        # zero-survivor behavior is engine-identical.  DECIMAL-widen
+        # the ppm product (the eb_shrunk overflow discipline: counts
+        # past ~9.2e12 would wrap a long)
+        .filter(
+            (F.col("n_rows") > 0)
+            & F.col("lo_cents").isNotNull()
+            & F.col("hi_cents").isNotNull()
+        )
         .select(
             "measure",
             "n_rows",

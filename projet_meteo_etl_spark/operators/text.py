@@ -879,8 +879,10 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the 2×2 confusion counts,
     ``κ = (N·(n11+n00) − (a1·b1 + a0·b0)) / (N² − (a1·b1 + a0·b0))``.
     Numerator may be negative, so the truncating division runs on
-    ``abs`` with the sign applied outside (Spark ``DIV`` / DuckDB
-    ``//`` agree only on non-negative dividends).  All products widen
+    ``abs`` with the sign applied outside (Spark ``DIV`` and DuckDB
+    ``//`` both truncate toward zero, so the sign-split is defensive —
+    it also pins the floor==trunc equivalence if a kernel ever moves to
+    Python's flooring ``//``).  All products widen
     to DECIMAL(38,0)/HUGEINT — N² passes BIGINT at ~3e9 docs.
 
     Scale: one map-combinable aggregate over the corpus; the κ

@@ -285,8 +285,10 @@ def revenue_delta_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # half-up cents from the exact ×10⁴ integer delta, in PURE integer
     # arithmetic (a float round-trip here tie-fuzzed to a 1-ulp flip at
-    # an exact half-cent).  The +OFFSET keeps the dividend positive so
-    # Spark's truncating DIV and DuckDB's flooring // agree.
+    # an exact half-cent).  Spark DIV and DuckDB // both truncate
+    # toward zero, so they agree on every sign; the +OFFSET keeps the
+    # dividend positive so the half-up rounding step is a true floor
+    # (trunc==floor) as the rounding identity requires.
     off = 10**12
     per = per.select(
         "n_name",

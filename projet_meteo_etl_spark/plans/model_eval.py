@@ -1720,7 +1720,11 @@ def bandit_replay_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("v").over(w_c), F.lit(0)).alias("cv"),
         F.coalesce(F.sum("c").over(w_c), F.lit(0)).alias("cc"),
     ).withColumn(
-        "ctr_ppm", F.expr("CAST((cc + 1) * 1000000 DIV (cv + 2) AS BIGINT)")
+        "ctr_ppm",
+        F.expr(
+            "CAST(CAST(cc + 1 AS DECIMAL(38,0)) * 1000000"
+            " DIV (cv + 2) AS BIGINT)"
+        ),
     )
     w_p = Window.partitionBy("day").orderBy(
         F.desc("ctr_ppm"), F.asc("item")
@@ -1796,9 +1800,9 @@ full_ AS (
 ),
 hist AS (
   SELECT day, item, v, c,
-         CAST((coalesce(sum(c) OVER (PARTITION BY item ORDER BY day
+         CAST(CAST(coalesce(sum(c) OVER (PARTITION BY item ORDER BY day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               + 1) * 1000000
+               + 1 AS HUGEINT) * 1000000
               // (coalesce(sum(v) OVER (PARTITION BY item ORDER BY day
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   + 2) AS BIGINT) AS ctr_ppm
@@ -1821,8 +1825,8 @@ gtot AS (
 SELECT CAST(count(*) AS BIGINT) AS n_days,
        CAST(sum(v) AS BIGINT) AS matched_views,
        CAST(sum(c) AS BIGINT) AS matched_clicks,
-       CAST(sum(c) * 1000000 // greatest(sum(v), 1) AS BIGINT)
-         AS replay_ctr_ppm,
+       CAST(CAST(sum(c) AS HUGEINT) * 1000000 // greatest(sum(v), 1)
+         AS BIGINT) AS replay_ctr_ppm,
        CAST(gc * 1000000 // greatest(gv, 1) AS BIGINT) AS global_ctr_ppm,
        CASE WHEN sum(v) > 0 AND gc > 0 THEN
          CAST(CAST(sum(c) AS HUGEINT) * gv * 1000000

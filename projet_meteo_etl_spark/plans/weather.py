@@ -249,8 +249,9 @@ def weather_impute_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integers end-to-end: temps in centi-°C; the OLS prediction is
     one rational ``(Σy·βden + βnum·(n·x − Σx)) / (n·βden)`` evaluated
     in DECIMAL(38,0)/HUGEINT with trunc-toward-zero division on both
-    engines (Spark ``DIV``; sign-split ``//`` in the oracle — they
-    agree only on non-negative dividends otherwise).  Headroom: the
+    engines (Spark ``DIV`` and DuckDB ``//`` both truncate toward zero
+    on every sign; the oracle's sign-split is defensive, pinning the
+    same result under a flooring ``//`` as well).  Headroom: the
     widened triple product stays inside DECIMAL(38,0) for per-pair
     co-observation counts up to ~10⁸.
 
