@@ -201,6 +201,12 @@ STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
 #: with |groups| like any shuffle.
 GROUP_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_GROUP_STATE_PARTITIONS", "16")
 
+#: key-group shard count for stream_tws_user_totals — bounds TWS
+#: state-server round-trips per micro-batch to O(shards); sized so a
+#: 32-core local run still parallelizes (2 groups/core) while the
+#: per-shard packed state stays tiny
+TWS_SHARDS = 64
+
 #: key-group shard count for the sharded stateful streams
 #: (stream_pit_features): the GroupState key is user_id % N_PIT_SHARDS,
 #: so per-(key × batch) serializer overhead amortizes over
@@ -1639,14 +1645,15 @@ ORDER BY window_start
 
 def has_tws_runtime() -> bool:
     """``transformWithStateInPandas`` ships its own Python driver worker
-    that requires ``google.protobuf`` (state-server wire protocol); gate
-    on it so environments without protobuf degrade explicitly."""
-    try:
-        import google.protobuf  # noqa: F401
+    that requires ``google.protobuf`` (state-server wire protocol).
+    A real runtime qualifies; where none is installed, the vendored
+    pure-Python shim (:mod:`projet_meteo_etl_spark.protoshim_install`)
+    is put on the driver path and qualifies too — workers get it via
+    ``addPyFile`` at query time.  False only if neither is available,
+    so the query degrades explicitly instead of crashing mid-stream."""
+    from projet_meteo_etl_spark.protoshim_install import driver_install
 
-        return True
-    except ImportError:
-        return False
+    return driver_install()
 
 
 def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1659,41 +1666,86 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`stream_user_running_totals`, same oracle.  Integer-cent
     accumulation keeps the float sum independent of merge order.
 
-    Requires the protobuf runtime (:func:`has_tws_runtime`); raises
-    ``NotImplementedError`` where it is absent rather than crashing
-    mid-stream.
+    **Key-group sharded** (user_id % 64, the
+    ``stream_session_custom_timeout`` discipline): the TWS state
+    client pays socket round-trips to the JVM state server PER KEY
+    PER BATCH (exists/get/update + implicit-key set/remove), so
+    keying the processor by raw user would cost O(|users|)
+    round-trips per micro-batch — the exact overhead to shard away on
+    an unbounded keyspace.  Each shard keeps one packed value state
+    (sorted ``(user, n, cents)`` int64 triples via ``struct`` —
+    engine-portable bytes, no pickle) and emits merged totals for the
+    users present in the batch; update-mode last-emission-per-user is
+    then the user's final total, which the terminal fold selects.
+    Round-trips drop to O(64) per batch while the per-user answer is
+    unchanged.
+
+    ``files_per_trigger=2``: registered result is a final-state fold
+    over an update sink (slicing-invariant class, see
+    :func:`_read_events_stream`).
+
+    Requires the protobuf runtime (:func:`has_tws_runtime`) — a real
+    install or the vendored pure-Python shim
+    (:mod:`projet_meteo_etl_spark.protoshim_install`), which
+    ``ensure_on_executors`` ships to worker processes; raises
+    ``NotImplementedError`` only where neither is available.
     """
     if not has_tws_runtime():
         raise NotImplementedError(
             "transformWithStateInPandas needs the google.protobuf runtime, "
-            "which is not installed in this environment"
+            "and neither a real install nor the vendored shim is available"
         )
+    from projet_meteo_etl_spark.protoshim_install import ensure_on_executors
+
+    ensure_on_executors(spark)
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    e = _read_events_stream(spark, sf_dir).select(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
         "user_id",
+        (F.col("user_id") % F.lit(TWS_SHARDS)).alias("shard"),
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
     )
 
-    class UserTotals(StatefulProcessor):
+    class ShardTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._st = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+            self._st = handle.getValueState("totals", "packed BINARY")
 
         def handleInputRows(self, key, rows, timerValues):
-            n, cents = self._st.get() if self._st.exists() else (0, 0)
+            # self-contained closure (driver-session workers can't
+            # import this package from a foreign cwd)
+            import struct as _struct
+
+            totals = {}
+            if self._st.exists():
+                (blob,) = self._st.get()
+                for off in range(0, len(blob), 24):
+                    u, n, c = _struct.unpack_from("<qqq", blob, off)
+                    totals[u] = (n, c)
+            touched = {}
             for pdf in rows:
-                n += len(pdf)
-                cents += int(pdf["cents"].sum())
-            self._st.update((n, cents))
+                g = pdf.groupby("user_id")["cents"].agg(["count", "sum"])
+                for u, n_new, c_new in zip(
+                    g.index, g["count"].values, g["sum"].values
+                ):
+                    u = int(u)
+                    n0, c0 = totals.get(u, (0, 0))
+                    totals[u] = (n0 + int(n_new), c0 + int(c_new))
+                    touched[u] = totals[u]
+            blob = b"".join(
+                _struct.pack("<qqq", u, n, c)
+                for u, (n, c) in sorted(totals.items())
+            )
+            self._st.update((blob,))
+            users = sorted(touched)
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "total_value": [cents / 100.0],
+                    "user_id": users,
+                    "n_events": [touched[u][0] for u in users],
+                    "total_value": [touched[u][1] / 100.0 for u in users],
                 }
             )
 
@@ -1708,8 +1760,8 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        updates = e.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=UserTotals(),
+        updates = e.groupBy("shard").transformWithStateInPandas(
+            statefulProcessor=ShardTotals(),
             outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
             outputMode="Update",
             timeMode="None",

@@ -81,13 +81,25 @@ def test_observed_metrics_match_direct_aggregate(spark):
     assert out["n_purchases"] <= out["n_events"]
 
 
-def test_tws_gate_degrades_explicitly(spark):
-    if structured.has_tws_runtime():
-        out = structured.stream_tws_user_totals(spark, SF_SMOKE)
-        base = structured.stream_user_running_totals(spark, SF_SMOKE)
-        assert [tuple(r) for r in out.collect()] == [
-            tuple(r) for r in base.collect()
-        ]
-    else:
-        with pytest.raises(NotImplementedError, match="protobuf"):
-            structured.stream_tws_user_totals(spark, SF_SMOKE)
+def test_tws_runs_and_matches_twin(spark):
+    # the vendored protobuf shim guarantees the runtime everywhere, so
+    # the gate is now always-on; equality against the
+    # applyInPandasWithState twin is the semantic pin
+    assert structured.has_tws_runtime()
+    out = structured.stream_tws_user_totals(spark, SF_SMOKE)
+    base = structured.stream_user_running_totals(spark, SF_SMOKE)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in base.collect()
+    ]
+
+
+def test_tws_gate_degrades_explicitly(spark, monkeypatch):
+    # simulate an environment where neither the real runtime nor the
+    # shim can be made importable: the query must refuse up front, not
+    # crash mid-stream
+    monkeypatch.setattr(
+        "projet_meteo_etl_spark.protoshim_install.driver_install",
+        lambda: False,
+    )
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        structured.stream_tws_user_totals(spark, SF_SMOKE)
