@@ -766,6 +766,320 @@ ORDER BY d.doc_id
 """
 
 
+#: DoReMi reweighting step: excess loss is quantized to 1/40-nat
+#: units and applied as a base-2 multiplicative boost (2^k with k
+#: integer — exact in int64, no exp()), capped so one hot domain
+#: cannot overflow the weight pool
+DOREMI_STEP_MICRONATS = 25_000
+DOREMI_K_CAP = 30
+#: uniform-smoothing mass, DoReMi's (1−s)·w + s·u with s = 1e-3
+DOREMI_SMOOTH_PPM = 1_000
+
+
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): per training domain (= ``source``), compare the
+    held-out loss of the MIXTURE-trained model against a
+    DOMAIN-specialized reference; domains the mixture model underfits
+    (positive excess loss) get multiplicatively up-weighted, then the
+    weights are uniform-smoothed — the Group-DRO update that produces
+    the sampling mixture for the next training round.
+
+    Relational instantiation with the :func:`lm_holdout_nll`
+    machinery: the proxy is the Laplace-smoothed bigram LM trained on
+    the hash-deterministic 90% train split over ALL sources; the
+    per-domain reference is the same LM trained on the domain's own
+    train split.  gap_i = NLL_mix,i − NLL_dom,i in integer micronats.
+    Because softmax is shift-invariant — w ∝ u·exp(η·(x−c)) equals
+    w ∝ u·exp(η·x) for any constant c — the update uses excess_i =
+    gap_i − min_j gap_j, which is EXACTLY the unclipped DoReMi step
+    (the clip at 0 never binds after the shift) and stays
+    signal-bearing even when the reference's smaller training split
+    makes every raw gap negative, the smoothing artifact a literal
+    max(0, gap) would collapse to all-zeros on.  Domains with no
+    held-out bigrams sit at excess 0 and are excluded from the min.
+
+    **No-transcendental update** (the ``mixture_temperature_weights``
+    discipline): instead of exp(η·excess) — whose cross-engine
+    rounding is not guaranteed — the exponentiated-gradient step is
+    parameterized base-2 with a quantized exponent: boost_i =
+    2^min(excess_i DIV 250000 µn, 30), an exact int64.  raw_i =
+    token-share_ppm,i · boost_i in DECIMAL(38,0)/HUGEINT, normalized
+    by truncating division, then smoothed:
+    ((1e6−s)·w + s·(1e6 DIV n_domains)) DIV 1e6 with s = 1000 ppm.
+
+    Scale: two bigram-type-keyed model aggregates (vocab²-bounded,
+    corpus-independent), one scoring pass over held-out bigrams with
+    the domain model joined on (source, w1, w2), and a |domains|-row
+    weight computation.  The corpus is scanned once into the persisted
+    bigram relation.
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    big = (
+        d.repartition("doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split(F.trim("text"), _WS)).alias("pos", "tok"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .withColumn("is_train", (h % 100) < LM_TRAIN_PCT)
+        .persist()
+    )
+    train = big.filter("is_train")
+    cb_g = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    cu_g = train.groupBy("w1").agg(F.count(F.lit(1)).alias("cug"))
+    v_g = train.agg(F.count_distinct("w2").alias("vg"))
+    cb_d = train.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cbd")
+    )
+    cu_d = train.groupBy("source", "w1").agg(F.count(F.lit(1)).alias("cud"))
+    v_d = train.groupBy("source").agg(F.count_distinct("w2").alias("vd"))
+
+    lp = lambda c_big, c_uni, v: F.floor(  # noqa: E731
+        F.log(
+            (F.coalesce(c_big, F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(c_uni, F.lit(0)) + F.col(v))
+        )
+        * DSIR_LIKE_SCALE
+    ).cast("long")
+
+    scored = (
+        big.filter(~F.col("is_train"))
+        .select("source", "w1", "w2")
+        .join(cb_g, ["w1", "w2"], "left")
+        .join(F.broadcast(cu_g), "w1", "left")
+        .crossJoin(F.broadcast(v_g))
+        .join(cb_d, ["source", "w1", "w2"], "left")
+        .join(F.broadcast(cu_d), ["source", "w1"], "left")
+        .join(F.broadcast(v_d), "source")
+        .select(
+            "source",
+            lp(F.col("cbg"), F.col("cug"), "vg").alias("lp_mix"),
+            lp(F.col("cbd"), F.col("cud"), "vd").alias("lp_dom"),
+        )
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_bigrams"),
+        F.sum("lp_mix").cast("long").alias("s_mix"),
+        F.sum("lp_dom").cast("long").alias("s_dom"),
+    )
+    share = big.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams")
+    )
+    tot = share.agg(F.sum("n_bigrams").alias("n_total"))
+    stage = (
+        share.join(per_src, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_bigrams",
+            F.coalesce("n_test_bigrams", F.lit(0)).alias("n_test_bigrams"),
+            F.expr(
+                "CAST(CAST(n_bigrams AS DECIMAL(38,0)) * 1000000"
+                " DIV n_total AS BIGINT)"
+            ).alias("baseline_ppm"),
+            F.expr(
+                "CASE WHEN coalesce(n_test_bigrams, 0) = 0 THEN 0"
+                " ELSE (-s_mix) DIV n_test_bigrams END"
+            ).alias("mix_nll_micronats"),
+            F.expr(
+                "CASE WHEN coalesce(n_test_bigrams, 0) = 0 THEN 0"
+                " ELSE (-s_dom) DIV n_test_bigrams END"
+            ).alias("dom_nll_micronats"),
+        )
+        .withColumn(
+            "gap_micronats",
+            F.expr("mix_nll_micronats - dom_nll_micronats"),
+        )
+        .persist()
+    )
+    mins = stage.agg(
+        F.min(
+            F.expr(
+                "CASE WHEN n_test_bigrams > 0 THEN gap_micronats END"
+            )
+        ).alias("min_gap")
+    )
+    boosted = (
+        stage.crossJoin(F.broadcast(mins))
+        .withColumn(
+            "excess_micronats",
+            F.expr(
+                "CASE WHEN n_test_bigrams = 0 OR min_gap IS NULL THEN 0"
+                " ELSE gap_micronats - min_gap END"
+            ),
+        )
+        .withColumn(
+            "boost_k",
+            F.expr(
+                f"least(excess_micronats DIV {DOREMI_STEP_MICRONATS},"
+                f" {DOREMI_K_CAP})"
+            ),
+        )
+        .withColumn(
+            "raw",
+            F.expr(
+                "CAST(baseline_ppm AS DECIMAL(38,0))"
+                " * shiftleft(CAST(1 AS BIGINT), CAST(boost_k AS INT))"
+            ),
+        )
+        .persist()
+    )
+    tot2 = boosted.agg(
+        F.sum("raw").alias("raw_sum"),
+        F.count(F.lit(1)).alias("n_domains"),
+    )
+    out = (
+        boosted.crossJoin(F.broadcast(tot2))
+        .select(
+            "source",
+            "n_bigrams",
+            "n_test_bigrams",
+            "baseline_ppm",
+            "mix_nll_micronats",
+            "dom_nll_micronats",
+            "gap_micronats",
+            "excess_micronats",
+            "boost_k",
+            F.expr("CAST(raw * 1000000 DIV raw_sum AS BIGINT)").alias(
+                "dro_weight_ppm"
+            ),
+            F.expr(
+                f"CAST(((1000000 - {DOREMI_SMOOTH_PPM})"
+                f" * (raw * 1000000 DIV raw_sum)"
+                f" + {DOREMI_SMOOTH_PPM} * (1000000 DIV n_domains))"
+                f" DIV 1000000 AS BIGINT)"
+            ).alias("doremi_weight_ppm"),
+        )
+        .orderBy("source")
+    )
+    return scoped_cache(out, big, stage, boosted)
+
+
+DOREMI_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+           AS pos
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, source, w1, w2,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100)
+           < {LM_TRAIN_PCT} AS is_train
+  FROM (
+    SELECT doc_id, source, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+),
+cbg AS (SELECT w1, w2, count(*) AS cbg FROM bg WHERE is_train GROUP BY 1, 2),
+cug AS (SELECT w1, count(*) AS cug FROM bg WHERE is_train GROUP BY 1),
+vg AS (SELECT count(DISTINCT w2) AS vg FROM bg WHERE is_train),
+cbd AS (SELECT source, w1, w2, count(*) AS cbd FROM bg WHERE is_train
+        GROUP BY 1, 2, 3),
+cud AS (SELECT source, w1, count(*) AS cud FROM bg WHERE is_train
+        GROUP BY 1, 2),
+vd AS (SELECT source, count(DISTINCT w2) AS vd FROM bg WHERE is_train
+       GROUP BY 1),
+scored AS (
+  SELECT t.source,
+         CAST(floor(ln((coalesce(cbg.cbg, 0) + 1.0)
+                       / (coalesce(cug.cug, 0) + vg.vg))
+                    * 1000000) AS BIGINT) AS lp_mix,
+         CAST(floor(ln((coalesce(cbd.cbd, 0) + 1.0)
+                       / (coalesce(cud.cud, 0) + vd.vd))
+                    * 1000000) AS BIGINT) AS lp_dom
+  FROM bg t
+  LEFT JOIN cbg ON t.w1 = cbg.w1 AND t.w2 = cbg.w2
+  LEFT JOIN cug ON t.w1 = cug.w1
+  CROSS JOIN vg
+  LEFT JOIN cbd ON t.source = cbd.source AND t.w1 = cbd.w1
+               AND t.w2 = cbd.w2
+  LEFT JOIN cud ON t.source = cud.source AND t.w1 = cud.w1
+  JOIN vd ON t.source = vd.source
+  WHERE NOT t.is_train
+),
+per_src AS (
+  SELECT source, count(*) AS n_test_bigrams,
+         sum(lp_mix) AS s_mix, sum(lp_dom) AS s_dom
+  FROM scored GROUP BY 1
+),
+share AS (SELECT source, count(*) AS n_bigrams FROM bg GROUP BY 1),
+tot AS (SELECT sum(n_bigrams) AS n_total FROM share),
+stage AS (
+  SELECT s.source, s.n_bigrams,
+         coalesce(p.n_test_bigrams, 0) AS n_test_bigrams,
+         CAST(CAST(s.n_bigrams AS HUGEINT) * 1000000 // t.n_total
+           AS BIGINT) AS baseline_ppm,
+         CASE WHEN coalesce(p.n_test_bigrams, 0) = 0 THEN 0
+              ELSE (-p.s_mix) // p.n_test_bigrams END AS mix_nll_micronats,
+         CASE WHEN coalesce(p.n_test_bigrams, 0) = 0 THEN 0
+              ELSE (-p.s_dom) // p.n_test_bigrams END AS dom_nll_micronats
+  FROM share s LEFT JOIN per_src p ON s.source = p.source
+  CROSS JOIN tot t
+),
+gapped AS (
+  SELECT *, mix_nll_micronats - dom_nll_micronats AS gap_micronats
+  FROM stage
+),
+mins AS (
+  SELECT min(CASE WHEN n_test_bigrams > 0 THEN gap_micronats END)
+           AS min_gap
+  FROM gapped
+),
+boosted AS (
+  SELECT g.*,
+         CASE WHEN g.n_test_bigrams = 0 OR m.min_gap IS NULL THEN 0
+              ELSE g.gap_micronats - m.min_gap END AS excess_micronats,
+         least((CASE WHEN g.n_test_bigrams = 0 OR m.min_gap IS NULL
+                     THEN 0
+                     ELSE g.gap_micronats - m.min_gap END)
+                 // {DOREMI_STEP_MICRONATS}, {DOREMI_K_CAP}) AS boost_k,
+         CAST(g.baseline_ppm AS HUGEINT)
+           * (CAST(1 AS BIGINT)
+              << CAST(least((CASE WHEN g.n_test_bigrams = 0
+                                   OR m.min_gap IS NULL THEN 0
+                             ELSE g.gap_micronats - m.min_gap END)
+                              // {DOREMI_STEP_MICRONATS},
+                            {DOREMI_K_CAP}) AS INT)) AS raw
+  FROM gapped g CROSS JOIN mins m
+),
+tot2 AS (SELECT sum(raw) AS raw_sum, count(*) AS n_domains FROM boosted)
+SELECT b.source,
+       CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(b.n_test_bigrams AS BIGINT) AS n_test_bigrams,
+       CAST(b.baseline_ppm AS BIGINT) AS baseline_ppm,
+       CAST(b.mix_nll_micronats AS BIGINT) AS mix_nll_micronats,
+       CAST(b.dom_nll_micronats AS BIGINT) AS dom_nll_micronats,
+       CAST(b.gap_micronats AS BIGINT) AS gap_micronats,
+       CAST(b.excess_micronats AS BIGINT) AS excess_micronats,
+       CAST(b.boost_k AS BIGINT) AS boost_k,
+       CAST(b.raw * 1000000 // t.raw_sum AS BIGINT) AS dro_weight_ppm,
+       CAST(((1000000 - {DOREMI_SMOOTH_PPM})
+             * (b.raw * 1000000 // t.raw_sum)
+             + {DOREMI_SMOOTH_PPM} * (1000000 // t.n_domains))
+            // 1000000 AS BIGINT) AS doremi_weight_ppm
+FROM boosted b CROSS JOIN tot2 t
+ORDER BY b.source
+"""
+
+
 #: top-K vocabulary for the OOV-coverage audit — deliberately SMALLER
 #: than the corpus vocabulary (31 distinct tokens in the driver data)
 #: so the out-of-vocabulary tail is non-empty and the audit has signal
@@ -1207,12 +1521,14 @@ SPARK_QUERIES = {
     "corpus_vocab_topk": corpus_vocab_topk,
     "bigram_lm_doc_scores": bigram_lm_doc_scores,
     "lm_holdout_nll": lm_holdout_nll,
+    "doremi_mixture_weights": doremi_mixture_weights,
     "vocab_zipf_fit": vocab_zipf_fit,
     "corpus_token_gini": corpus_token_gini,
     "token_pmi_topk": token_pmi_topk,
 }
 
 ORACLE_SQL = {
+    "doremi_mixture_weights": DOREMI_SQL,
     "vocab_coverage_curve": VOCAB_COVERAGE_SQL,
     "heaps_vocab_growth": HEAPS_GROWTH_SQL,
     "source_quantile_alignment": QUANTILE_ALIGN_SQL,

@@ -426,14 +426,281 @@ seg0 AS (
 )
 
 
+#: Lee et al. 2022 trim threshold: spans of ≥ LEE_T tokens occurring
+#: twice anywhere in the corpus are dedup-trimmed.  Factored as
+#: LEE_BLOCK·LEE_BLOCKS so the window hash is built hierarchically.
+LEE_BLOCK = 5
+LEE_BLOCKS = 10
+LEE_T = LEE_BLOCK * LEE_BLOCKS
+
+
+def exact_substring_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, Lee et al. 2022 style: the per-document
+    TRIM REPORT for "remove every substring of ≥ ``LEE_T`` (=50)
+    tokens that occurs at least twice in the corpus".
+
+    A position is trimmable iff some duplicated ≥50-token span covers
+    it, iff some duplicated exact 50-token *window* covers it (a longer
+    duplicated span contains a duplicated 50-window over every interior
+    position; a duplicated 50-window IS such a span) — so exact
+    fixed-width windows give exact coverage, and the maximal trim spans
+    are the interval union of the duplicated windows (gaps-and-islands,
+    break when the next duplicated start exceeds the previous by more
+    than 50).  Reported per doc: token count, window/duplicated-window
+    counts, number of maximal trim spans, tokens covered, the longest
+    trim span, and the trimmed ppm.  Duplication counts ANY second
+    occurrence (same doc included), the Lee et al. criterion —
+    ``repeated_ngram_spans`` is the cross-doc-only sibling at width
+    ``SPAN``.
+
+    **Hierarchical window hash** (the scale trick): hashing 50 tokens
+    per position via 49 ``lead``s costs O(n·50) state and compute.
+    Instead level 1 hashes ``LEE_BLOCK`` =5 tokens (4 leads); level 2
+    hashes the 10 level-1 values at offsets 0,5,…,45 (9 leads) — an
+    exact function of the full 50-token window at O(n·15), one
+    doc-partitioned sort shared by every window stage.  Spans are
+    bucketed by 60-bit md5-prefix keys (fixed-width shuffle rows, the
+    ``repeated_ngram_spans`` discipline) and "extended" only through
+    the integer gaps-and-islands merge — never a doc-pair join: a
+    boilerplate block shared by 10⁶ docs contributes 10⁶ window rows,
+    never 10¹² pairs.
+
+    Scale: tokenize (one shuffle to doc partitioning) → two window
+    passes on the same partitioning → hash aggregate on the window key
+    → equi-join back → per-doc rollup.  All integer arithmetic;
+    trim_ppm DECIMAL-widened (a 10M-token doc would overflow a long at
+    ×1e6).
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.repartition("doc_id").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), _WS)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_toks = [
+        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, LEE_BLOCK)
+    ]
+    blk = toks.select("doc_id", "pos", "tok", *lead_toks).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col(f"t{LEE_BLOCK - 1}").isNotNull(),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            "tok",
+                            *[f"t{i}" for i in range(1, LEE_BLOCK)],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ).alias("b"),
+    )
+    lead_blks = [
+        F.lead("b", i * LEE_BLOCK).over(w).alias(f"b{i}")
+        for i in range(1, LEE_BLOCKS)
+    ]
+    wins = (
+        blk.select("doc_id", "pos", "b", *lead_blks)
+        .filter(
+            F.col("b").isNotNull()
+            & F.col(f"b{LEE_BLOCKS - 1}").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            "b",
+                            *[f"b{i}" for i in range(1, LEE_BLOCKS)],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .persist()
+    )
+    occ2 = wins.groupBy("h").agg(F.count(F.lit(1)).alias("occ")).filter(
+        F.col("occ") >= 2
+    )
+    dup = wins.join(occ2.select("h"), "h").select("doc_id", "pos")
+    brk = dup.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > LEE_T, 1
+        )
+        .otherwise(F.when(F.lag("pos").over(w).isNull(), 1).otherwise(0))
+        .alias("brk"),
+    )
+    isl = brk.withColumn(
+        "grp",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trim_spans"),
+        F.sum(F.col("e") - F.col("s") + LEE_T)
+        .cast("long")
+        .alias("covered_tokens"),
+        F.max(F.col("e") - F.col("s") + LEE_T)
+        .cast("long")
+        .alias("longest_span_tokens"),
+    )
+    nwin = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    ndup = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_windows")
+    )
+    out = (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim("text"), _WS))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .join(nwin, "doc_id", "left")
+        .join(ndup, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.coalesce("n_trim_spans", F.lit(0)).alias("n_trim_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.coalesce("longest_span_tokens", F.lit(0)).alias(
+                "longest_span_tokens"
+            ),
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) ELSE"
+                " CAST(CAST(coalesce(covered_tokens, 0) AS DECIMAL(38,0))"
+                " * 1000000 DIV n_tokens AS BIGINT) END"
+            ).alias("trim_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+    return scoped_cache(out, wins)
+
+
+_B_CAT = " || ' ' || ".join(
+    ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, LEE_BLOCK)]
+)
+_H_CAT = " || ' ' || ".join(
+    ["CAST(b AS VARCHAR)"]
+    + [
+        f"CAST(lead(b, {i * LEE_BLOCK}) OVER w AS VARCHAR)"
+        for i in range(1, LEE_BLOCKS)
+    ]
+)
+
+EXACT_TRIM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+           AS pos
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lead(tok, {LEE_BLOCK - 1}) OVER w IS NOT NULL THEN
+           ('0x' || substr(md5({_B_CAT}), 1, 15))::BIGINT
+         END AS b
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+wins AS (
+  SELECT doc_id, pos, h FROM (
+    SELECT doc_id, pos,
+           CASE WHEN b IS NOT NULL
+                 AND lead(b, {(LEE_BLOCKS - 1) * LEE_BLOCK}) OVER w
+                     IS NOT NULL THEN
+             ('0x' || substr(md5({_H_CAT}), 1, 15))::BIGINT
+           END AS h
+    FROM blk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE h IS NOT NULL
+),
+occ2 AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN occ2 USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {LEE_T}
+              THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
+),
+spans AS (
+  SELECT doc_id, grp, min(pos) AS s, max(pos) AS e
+  FROM isl GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_trim_spans,
+         sum(e - s + {LEE_T}) AS covered_tokens,
+         max(e - s + {LEE_T}) AS longest_span_tokens
+  FROM spans GROUP BY 1
+),
+nwin AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY 1),
+ndup AS (SELECT doc_id, count(*) AS dup_windows FROM dup GROUP BY 1)
+SELECT d.doc_id, d.source,
+       CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT)
+         AS n_tokens,
+       CAST(coalesce(nwin.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(ndup.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(coalesce(p.n_trim_spans, 0) AS BIGINT) AS n_trim_spans,
+       CAST(coalesce(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(coalesce(p.longest_span_tokens, 0) AS BIGINT)
+         AS longest_span_tokens,
+       CASE WHEN len(regexp_split_to_array(trim(d.text), '\s+')) = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(CAST(coalesce(p.covered_tokens, 0) AS HUGEINT)
+                      * 1000000
+                      // len(regexp_split_to_array(trim(d.text), '\s+'))
+                   AS BIGINT) END AS trim_ppm
+FROM documents d
+LEFT JOIN nwin ON nwin.doc_id = d.doc_id
+LEFT JOIN ndup ON ndup.doc_id = d.doc_id
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 SPARK_QUERIES = {
     "bpe_merge_topk": bpe_merge_topk,
     "bpe_train_merges": bpe_train_merges,
     "repeated_ngram_spans": repeated_ngram_spans,
+    "exact_substring_trim_spans": exact_substring_trim_spans,
 }
 
 ORACLE_SQL = {
     "bpe_merge_topk": BPE_MERGE_SQL,
     "bpe_train_merges": BPE_TRAIN_SQL,
     "repeated_ngram_spans": REPEATED_SPANS_SQL,
+    "exact_substring_trim_spans": EXACT_TRIM_SQL,
 }

@@ -351,3 +351,105 @@ def test_term_dispersion_bounds_and_replay(spark):
         )
     got = {r["token"]: (r["tf"], r["n_sources"], r["dp_ppm"]) for r in rows}
     assert got == expect
+
+
+def test_doremi_weights_against_python_oracle(spark):
+    """Full Python replay of the one-step DoReMi update: both bigram
+    models, per-domain held-out NLLs, min-shifted excess, base-2
+    boosts, normalized + smoothed weights."""
+    import math
+    import re
+    from collections import Counter
+    from hashlib import md5
+
+    from projet_meteo_etl_spark.operators.corpus_stats import (
+        DOREMI_K_CAP,
+        DOREMI_SMOOTH_PPM,
+        DOREMI_STEP_MICRONATS,
+        LM_TRAIN_PCT,
+        doremi_mixture_weights,
+    )
+
+    docs = {
+        r["doc_id"]: (r["source"], r["text"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def is_train(doc_id):
+        h = int(md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % 100 < LM_TRAIN_PCT
+
+    cbg, cug, vg = Counter(), Counter(), set()
+    cbd, cud, vd = Counter(), Counter(), {}
+    share = Counter()
+    test_bg = []
+    for did, (src, t) in docs.items():
+        toks = re.split(r"\s+", t.strip())
+        bg = list(zip(toks, toks[1:]))
+        share[src] += len(bg)
+        if is_train(did):
+            for p in bg:
+                cbg[p] += 1
+                cug[p[0]] += 1
+                vg.add(p[1])
+                cbd[(src,) + p] += 1
+                cud[(src, p[0])] += 1
+                vd.setdefault(src, set()).add(p[1])
+        else:
+            test_bg.extend((src,) + p for p in bg)
+    V = len(vg)
+    smix, sdom, ntest = Counter(), Counter(), Counter()
+    for src, w1, w2 in test_bg:
+        ntest[src] += 1
+        smix[src] += math.floor(
+            math.log((cbg.get((w1, w2), 0) + 1.0) / (cug.get(w1, 0) + V))
+            * 1e6
+        )
+        dv = len(vd.get(src, set()))
+        sdom[src] += math.floor(
+            math.log(
+                (cbd.get((src, w1, w2), 0) + 1.0)
+                / (cud.get((src, w1), 0) + dv)
+            )
+            * 1e6
+        )
+    total = sum(share.values())
+    gap, nll = {}, {}
+    for src in share:
+        if ntest[src] == 0:
+            nll[src] = (0, 0)
+            gap[src] = 0
+        else:
+            m = (-smix[src]) // ntest[src]
+            d_ = (-sdom[src]) // ntest[src]
+            nll[src] = (m, d_)
+            gap[src] = m - d_
+    with_test = [gap[s] for s in share if ntest[s] > 0]
+    min_gap = min(with_test) if with_test else None
+    raw, base = {}, {}
+    for src in share:
+        base[src] = share[src] * 1_000_000 // total
+        exc = (
+            0
+            if (ntest[src] == 0 or min_gap is None)
+            else gap[src] - min_gap
+        )
+        k = min(exc // DOREMI_STEP_MICRONATS, DOREMI_K_CAP)
+        raw[src] = base[src] * (1 << k)
+    raw_sum = sum(raw.values())
+    n_dom = len(share)
+    rows = doremi_mixture_weights(spark, SF).collect()
+    assert [r["source"] for r in rows] == sorted(share)
+    for r in rows:
+        src = r["source"]
+        assert r["n_bigrams"] == share[src]
+        assert r["n_test_bigrams"] == ntest[src]
+        assert r["baseline_ppm"] == base[src]
+        assert (r["mix_nll_micronats"], r["dom_nll_micronats"]) == nll[src]
+        w = raw[src] * 1_000_000 // raw_sum
+        assert r["dro_weight_ppm"] == w
+        want = (
+            (1_000_000 - DOREMI_SMOOTH_PPM) * w
+            + DOREMI_SMOOTH_PPM * (1_000_000 // n_dom)
+        ) // 1_000_000
+        assert r["doremi_weight_ppm"] == want

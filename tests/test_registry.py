@@ -299,6 +299,11 @@ EXPECTED_QUERIES = {
     "transition_entropy_rate",
     # round-9: Gries DP term dispersion (corpus-linguistics panel)
     "term_dispersion_dp",
+    # round-10: Lee et al. exact substring trim report (hierarchical
+    # 50-token window hash + gaps-and-islands maximal spans)
+    "exact_substring_trim_spans",
+    # round-10: DoReMi one-step Group-DRO domain reweighting
+    "doremi_mixture_weights",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -172,3 +172,74 @@ def test_bpe_greedy_overlap_semantics(spark):
     # round 2: after greedy merge each word is (aa)(aa) → pair (aa,aa)
     # twice; the overlapping third pair must NOT have survived
     assert (rows[1]["merge_pair"], rows[1]["n_occurrences"]) == ("aa+aa", 2)
+
+
+def test_exact_substring_trim_against_python_oracle(spark):
+    """Interval-union trim report must match a direct Python replay:
+    duplicated 50-token windows (ANY second occurrence), merged into
+    maximal spans, coverage / longest / ppm per doc."""
+    from projet_meteo_etl_spark.operators.tokenizer import (
+        LEE_T,
+        exact_substring_trim_spans,
+    )
+
+    texts = _texts(spark)
+    win_occ: Counter[tuple] = Counter()
+    doc_wins: dict[int, list[tuple[int, tuple]]] = {}
+    n_tokens: dict[int, int] = {}
+    for did, t in texts.items():
+        toks = re.split(r"\s+", t.strip())
+        n_tokens[did] = len(toks)
+        wins = [
+            (i, tuple(toks[i : i + LEE_T]))
+            for i in range(len(toks) - LEE_T + 1)
+        ]
+        doc_wins[did] = wins
+        for _i, w in wins:
+            win_occ[w] += 1
+    rows = exact_substring_trim_spans(spark, SF_SMOKE).collect()
+    assert [r["doc_id"] for r in rows] == sorted(texts)
+    for r in rows:
+        did = r["doc_id"]
+        wins = doc_wins[did]
+        dup_pos = [i for i, w in wins if win_occ[w] >= 2]
+        # interval union of [p, p+LEE_T)
+        spans = []
+        for p in dup_pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + LEE_T)
+            else:
+                spans.append([p, p + LEE_T])
+        covered = sum(e - s for s, e in spans)
+        assert r["n_tokens"] == n_tokens[did]
+        assert r["n_windows"] == len(wins)
+        assert r["dup_windows"] == len(dup_pos)
+        assert r["n_trim_spans"] == len(spans)
+        assert r["covered_tokens"] == covered
+        assert r["longest_span_tokens"] == (
+            max((e - s for s, e in spans), default=0)
+        )
+        want_ppm = (
+            0 if n_tokens[did] == 0 else covered * 1_000_000 // n_tokens[did]
+        )
+        assert r["trim_ppm"] == want_ppm
+
+
+def test_exact_substring_trim_nontrivial():
+    """sf0.01 must contain real >=50-token duplicated spans (the
+    fixture's boilerplate blocks), or the trim report is vacuous."""
+    import duckdb
+
+    from projet_meteo_etl_spark.operators.tokenizer import EXACT_TRIM_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    tot = con.execute(
+        f"SELECT sum(n_trim_spans), max(longest_span_tokens) "
+        f"FROM ({EXACT_TRIM_SQL})"
+    ).fetchone()
+    assert tot[0] and tot[0] > 0
+    assert tot[1] >= 50

@@ -482,6 +482,16 @@ def main() -> int:
                 "term_dispersion_dp": corpus_stats.term_dispersion_dp,
             }
         )
+        # round-10: Lee-et-al exact substring trim (hierarchical window
+        # hash + occurrence bucketing + gaps-and-islands — the one new
+        # corpus-linear pass of the round)
+        probes.update(
+            {
+                "exact_substring_trim_spans": (
+                    tokenizer.exact_substring_trim_spans
+                ),
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
