@@ -1664,6 +1664,12 @@ ORACLE_SQL = {
 }
 
 
+#: defensive bound on the replay grid's item dimension: the spine is
+#: |days| × min(|items with traffic|, this).  Orders of magnitude above
+#: the fixtures' item count, so it never binds there.
+BANDIT_CATALOG_CAP = 100_000
+
+
 def bandit_replay_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline policy evaluation by the REPLAY estimator (Li et al.
     2011) — the unbiased way to grade a recommendation POLICY from
@@ -1682,7 +1688,14 @@ def bandit_replay_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one event scan → (day, item) rollup; the exclusive
     cumulative window runs over the days×items relation (date- and
     catalog-bounded, never row-bounded); the replay join matches the
-    1-row-per-day pick table back to the same rollup.
+    1-row-per-day pick table back to the same rollup.  The item
+    dimension is ALREADY bounded by observed traffic (it comes from
+    the rollup, so zero-event catalog entries never join the grid) and
+    is additionally capped at the ``BANDIT_CATALOG_CAP`` highest-
+    traffic items (deterministic tie-break: events DESC, item ASC) so
+    a corpus-sized catalog cannot inflate the date×catalog spine —
+    the cap is far above any realistic competing set and does not
+    bind on the test fixtures (hash-invariant there by construction).
     """
     e = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"),
@@ -1700,9 +1713,15 @@ def bandit_replay_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # every (day, item) cell must exist for the argmax — an item with
     # no traffic yet still competes at the prior: day spine × item
-    # catalog (date×catalog bounded)
+    # catalog (date×catalog bounded, catalog capped defensively)
     days = daily.select("day").distinct()
-    items = daily.select("item").distinct()
+    items = (
+        daily.groupBy("item")
+        .agg(F.sum(F.col("v") + F.col("c")).alias("n_ev"))
+        .orderBy(F.desc("n_ev"), F.asc("item"))
+        .limit(BANDIT_CATALOG_CAP)
+        .select("item")
+    )
     grid = days.crossJoin(items)
     full = grid.join(daily, ["day", "item"], "left").na.fill(
         0, ["v", "c"]
@@ -1775,7 +1794,7 @@ def bandit_replay_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BANDIT_REPLAY_SQL = """
+BANDIT_REPLAY_SQL = f"""
 WITH ev AS (
   SELECT CAST(ts AS DATE) AS day,
          TRY_CAST(props->>'k' AS BIGINT) AS item, event_type
@@ -1792,7 +1811,9 @@ daily AS (
 grid AS (
   SELECT d.day, i.item
   FROM (SELECT DISTINCT day FROM daily) d
-  CROSS JOIN (SELECT DISTINCT item FROM daily) i
+  CROSS JOIN (SELECT item FROM (
+                SELECT item, sum(v + c) AS n_ev FROM daily GROUP BY 1
+                ORDER BY n_ev DESC, item ASC LIMIT {BANDIT_CATALOG_CAP})) i
 ),
 full_ AS (
   SELECT g.day, g.item, coalesce(daily.v, 0) AS v, coalesce(daily.c, 0) AS c

@@ -484,12 +484,26 @@ def main() -> int:
         )
         # round-10: Lee-et-al exact substring trim (hierarchical window
         # hash + occurrence bucketing + gaps-and-islands — the one new
-        # corpus-linear pass of the round)
+        # corpus-linear pass of the round), the DoReMi reweighting step
+        # (two vocab²-bounded LM aggregates + one held-out scoring
+        # pass), and the two heavy per-user streaming state machines
+        # (staged-replicated events dir, like the seam probe)
+        def user_totals_probe(s, d):
+            return structured.stream_user_running_totals(s, seam_dir or d)
+
+        def tws_totals_probe(s, d):
+            return structured.stream_tws_user_totals(s, seam_dir or d)
+
         probes.update(
             {
                 "exact_substring_trim_spans": (
                     tokenizer.exact_substring_trim_spans
                 ),
+                "doremi_mixture_weights": (
+                    corpus_stats.doremi_mixture_weights
+                ),
+                "stream_user_running_totals": user_totals_probe,
+                "stream_tws_user_totals": tws_totals_probe,
             }
         )
         timings = {}
