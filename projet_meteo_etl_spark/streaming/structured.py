@@ -1787,6 +1787,198 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization on ``transformWithStateInPandas`` with
+    **MapState + event-time TIMERS** — the remaining Spark-4
+    StatefulProcessor surface :func:`stream_tws_user_totals` (ValueState
+    only, ``timeMode="None"``) does not touch: ``getMapState`` with
+    per-user composite values (``updateValue`` / ``iterator`` /
+    ``removeKey``), ``registerTimer`` / ``deleteTimer`` /
+    ``listTimers``, and the ``handleExpiredTimer`` callback closing
+    sessions when the WATERMARK — not a data row — passes their
+    deadline.  Third physical strategy for the sessionization contract:
+    same 30-min gap rule, same emission-set invariance argument, same
+    gaps-and-islands oracle as :func:`stream_session_custom_timeout`
+    (``applyInPandasWithState`` + EventTimeTimeout) and
+    :func:`stream_session_windows` (built-in ``session_window``) —
+    three engines, one answer.
+
+    Key-group sharded like the GroupState twin (user %
+    ``N_PIT_SHARDS``): MapState holds one entry per OPEN session in
+    the shard (user → start/last/n/cents), read and written per batch
+    — bounded by concurrently-open sessions, not by stream length; at
+    most ONE live timer per shard key (delete-all-then-register), set
+    to the earliest open deadline clamped above the current watermark.
+    A shard receiving rows runs the watermark sweep inline; a silent
+    shard is closed by the timer callback — together they reproduce
+    the twin's hasTimedOut semantics exactly.
+
+    Requires the protobuf runtime (real or vendored shim), like the
+    ValueState twin; the timer wire paths (RegisterTimer, ListTimers,
+    ExpiryTimerRequest) are exactly the shim surface
+    ``tests/test_protoshim.py`` pins.
+    """
+    if not has_tws_runtime():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf runtime, "
+            "and neither a real install nor the vendored shim is available"
+        )
+    from projet_meteo_etl_spark.protoshim_install import ensure_on_executors
+
+    ensure_on_executors(spark)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    e = _read_events_stream_hb(spark, sf_dir)
+    e = e.withWatermark("ts", "10 minutes").select(
+        F.pmod(F.col("user_id"), F.lit(N_PIT_SHARDS)).alias("shard"),
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("tus"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+    class SessionTimers(StatefulProcessor):
+        GAP_US, GAP_MS = 1_800_000_000, 1_800_000
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._m = handle.getMapState(
+                "sessions",
+                "uid BIGINT",
+                "start_us BIGINT, last_us BIGINT, n BIGINT, cents BIGINT",
+            )
+
+        def _load(self):
+            return {
+                int(k[0]): [int(v[0]), int(v[1]), int(v[2]), int(v[3])]
+                for k, v in self._m.iterator()
+            }
+
+        def _sweep_store_emit(self, open_map, wm, closed, changed):
+            # close everything the watermark passed; write back ONLY
+            # sessions this batch changed (untouched ones are already
+            # in the map byte-identical — skipping them keeps
+            # state-server round-trips O(touched), not O(open));
+            # keep exactly one timer at the earliest open deadline
+            import pandas as pd
+
+            still = {}
+            for uid, cur in open_map.items():
+                if cur[1] // 1000 + self.GAP_MS <= wm:
+                    closed.append((uid, cur[0], cur[2], cur[3]))
+                    if self._m.containsKey((uid,)):
+                        self._m.removeKey((uid,))
+                else:
+                    still[uid] = cur
+            for uid in changed:
+                if uid in still:
+                    self._m.updateValue((uid,), tuple(still[uid]))
+            old_timers = list(self._h.listTimers())
+            if still:
+                nxt = (
+                    min(v[1] for v in still.values()) // 1000 + self.GAP_MS
+                )
+                want = max(nxt, wm + 1)
+                if old_timers != [want]:
+                    for t in old_timers:
+                        self._h.deleteTimer(t)
+                    self._h.registerTimer(want)
+            else:
+                for t in old_timers:
+                    self._h.deleteTimer(t)
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=["user_id", "start_us", "n_events", "cents"],
+                )
+
+        def handleInputRows(self, key, rows, timerValues):
+            open_map = self._load()
+            closed = []
+            changed = set()
+            chunks = [p for p in rows if len(p)]
+            if chunks:
+                pdf = (
+                    chunks[0]
+                    if len(chunks) == 1
+                    else pd.concat(chunks, ignore_index=True)
+                ).sort_values(["user_id", "tus", "event_id"])
+                for uid, g in pdf.groupby("user_id", sort=False):
+                    uid = int(uid)
+                    cur = open_map.get(uid)
+                    for tus, cents in zip(g["tus"], g["cents"]):
+                        tus, cents = int(tus), int(cents)
+                        if cur is None:
+                            cur = [tus, tus, 1, cents]
+                        elif tus - cur[1] > self.GAP_US:
+                            closed.append((uid, cur[0], cur[2], cur[3]))
+                            if self._m.containsKey((uid,)):
+                                self._m.removeKey((uid,))
+                            cur = [tus, tus, 1, cents]
+                        else:
+                            cur[1], cur[2], cur[3] = (
+                                tus,
+                                cur[2] + 1,
+                                cur[3] + cents,
+                            )
+                    open_map[uid] = cur
+                    changed.add(uid)
+            wm = timerValues.getCurrentWatermarkInMs()
+            yield from self._sweep_store_emit(open_map, wm, closed, changed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            wm = timerValues.getCurrentWatermarkInMs()
+            yield from self._sweep_store_emit(
+                self._load(), wm, [], set()
+            )
+
+        def close(self) -> None:
+            pass
+
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sessions = e.groupBy("shard").transformWithStateInPandas(
+            statefulProcessor=SessionTimers(),
+            outputStructType=(
+                "user_id BIGINT, start_us BIGINT,"
+                " n_events BIGINT, cents BIGINT"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+        sink = _run_to_memory(
+            sessions, "append", partitions=PIT_STATE_PARTITIONS
+        )
+    finally:
+        if old_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return (
+        sink.filter(F.col("user_id") >= 0)  # drop the heartbeat session
+        .select(
+            "user_id",
+            F.timestamp_micros("start_us").alias("session_start"),
+            "n_events",
+            (F.col("cents") / F.lit(100.0)).alias("session_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def stream_dedup_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication with ``dropDuplicatesWithinWatermark``:
     keep one event per (user_id, day) key, state expired by a 48 h
@@ -2411,6 +2603,7 @@ SPARK_QUERIES = {
 
 if has_tws_runtime():  # environment-gated: needs google.protobuf
     SPARK_QUERIES["stream_tws_user_totals"] = stream_tws_user_totals
+    SPARK_QUERIES["stream_tws_session_timers"] = stream_tws_session_timers
 
 from projet_meteo_etl_spark.plans.timeseries import CUSUM_SQL as _CUSUM_SQL
 
@@ -2452,3 +2645,6 @@ ORACLE_SQL = {
 
 if has_tws_runtime():
     ORACLE_SQL["stream_tws_user_totals"] = STREAM_USER_TOTALS_SQL
+    # third physical strategy for the sessionization contract — the
+    # same gaps-and-islands oracle as both existing session twins
+    ORACLE_SQL["stream_tws_session_timers"] = STREAM_SESSION_SQL

@@ -93,6 +93,17 @@ def test_tws_runs_and_matches_twin(spark):
     ]
 
 
+def test_tws_session_timers_matches_groupstate_twin(spark):
+    # MapState + event-time timers must reproduce the GroupState
+    # EventTimeTimeout sessionizer bit-for-bit (same gap rule, same
+    # watermark-closure invariant, third physical strategy)
+    out = structured.stream_tws_session_timers(spark, SF_SMOKE)
+    base = structured.stream_session_custom_timeout(spark, SF_SMOKE)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in base.collect()
+    ]
+
+
 def test_tws_gate_degrades_explicitly(spark, monkeypatch):
     # simulate an environment where neither the real runtime nor the
     # shim can be made importable: the query must refuse up front, not
