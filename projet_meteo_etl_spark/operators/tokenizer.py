@@ -691,11 +691,215 @@ ORDER BY d.doc_id
 """
 
 
+#: WordPiece-style piece inventory: the top-K multi-char substrings by
+#: corpus-weighted occurrence, plus EVERY corpus character (so greedy
+#: segmentation never needs an UNK branch)
+WP_MIN_LEN = 2
+WP_MAX_LEN = 6
+WP_VOCAB_K = 24
+
+
+def wordpiece_greedy_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale tokenizer INFERENCE, WordPiece-style: build a piece
+    inventory (top-``WP_VOCAB_K`` substrings of length 2–6 by
+    corpus-weighted occurrence + all corpus characters), then segment
+    the vocabulary by greedy longest-match-first — the deterministic
+    algorithm BERT-family tokenizers run at serving time — and report
+    per-piece usage: words using it, corpus-weighted total uses, and
+    the usage share.  Complements ``bpe_merge_topk``/
+    ``bpe_train_merges`` (tokenizer TRAINING) with the inference pass a
+    pipeline runs over every shard once a vocabulary is frozen.
+
+    Exactness: greedy longest-match is uniquely determined position by
+    position (two matching pieces of equal length are the same
+    string), so the segmentation — unlike Viterbi with float scores —
+    is engine-exact by construction; the inventory cut is pinned by
+    (count DESC, piece ASC).  The DuckDB oracle replays the greedy
+    walk as a recursive CTE whose longest-match step is an anti-join
+    (no aggregate in the recursive term), one row per (word,
+    position).
+
+    Scale (the BPE discipline): the corpus collapses to the word→count
+    vocabulary first — the only corpus-sized pass is that one
+    aggregation; candidate generation, the inventory cut, and the
+    greedy walk are all vocabulary-sized.  The segmentation kernel is
+    a self-contained ``mapInPandas`` whose closure carries the
+    inventory (k-bounded driver collect, the codebook precedent).
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .persist()
+    )
+    cands = None
+    for ln in range(WP_MIN_LEN, WP_MAX_LEN + 1):
+        c = vocab.filter(F.length("word") >= ln).select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(word) - {ln} + 1),"
+                    f" i -> substring(word, i, {ln}))"
+                )
+            ).alias("piece"),
+            "wc",
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    top = (
+        cands.groupBy("piece")
+        .agg(F.sum("wc").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(WP_VOCAB_K)
+        .select("piece")
+    )
+    chars = (
+        vocab.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))"
+                )
+            ).alias("piece")
+        )
+        .distinct()
+    )
+    inv = sorted(
+        r["piece"] for r in top.unionByName(chars).collect()
+    )  # k-bounded (WP_VOCAB_K + |alphabet|)
+    pset = frozenset(inv)
+    maxlen = max(len(p) for p in inv)
+
+    def segment(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            words, wcs, pcs, occs = [], [], [], []
+            for word, wc in zip(pdf["word"], pdf["wc"]):
+                i, counts = 0, {}
+                n = len(word)
+                while i < n:
+                    for ln in range(min(maxlen, n - i), 0, -1):
+                        p = word[i : i + ln]
+                        if p in pset:
+                            counts[p] = counts.get(p, 0) + 1
+                            i += ln
+                            break
+                    else:  # unreachable: every char is in the inventory
+                        counts[word[i]] = counts.get(word[i], 0) + 1
+                        i += 1
+                for p, c in counts.items():
+                    words.append(word)
+                    wcs.append(int(wc))
+                    pcs.append(p)
+                    occs.append(c)
+            yield pd.DataFrame(
+                {"word": words, "wc": wcs, "piece": pcs, "occ": occs}
+            )
+
+    usage = vocab.mapInPandas(
+        segment, "word string, wc long, piece string, occ long"
+    )
+    per_piece = usage.groupBy("piece").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.col("wc") * F.col("occ")).cast("long").alias("total_uses"),
+    )
+    tot = per_piece.agg(F.sum("total_uses").alias("all_uses"))
+    out = (
+        per_piece.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            "n_words",
+            "total_uses",
+            F.expr(
+                "CAST(CAST(total_uses AS DECIMAL(38,0)) * 1000000"
+                " DIV all_uses AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy(F.desc("total_uses"), F.asc("piece"))
+    )
+    return scoped_cache(out, vocab)
+
+
+_WP_LENS = ", ".join(
+    f"({ln})" for ln in range(WP_MIN_LEN, WP_MAX_LEN + 1)
+)
+
+WORDPIECE_SQL = rf"""
+WITH RECURSIVE
+vocab AS (
+  SELECT word, count(*) AS wc
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents)
+  WHERE length(word) >= 1 GROUP BY 1
+),
+cand AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM (
+    SELECT v.wc,
+           unnest(list_transform(
+             range(1, length(v.word) - ls.L + 2),
+             i -> substr(v.word, CAST(i AS INT), ls.L))) AS piece
+    FROM vocab v, (VALUES {_WP_LENS}) ls(L)
+    WHERE length(v.word) >= ls.L
+  )
+  GROUP BY 1
+),
+topk AS (
+  SELECT piece FROM cand ORDER BY cnt DESC, piece LIMIT {WP_VOCAB_K}
+),
+chars AS (
+  SELECT DISTINCT unnest(list_transform(
+           range(1, length(word) + 1),
+           i -> substr(word, CAST(i AS INT), 1))) AS piece
+  FROM vocab
+),
+pieces AS (SELECT piece FROM topk UNION ALL SELECT piece FROM chars),
+seg AS (
+  SELECT word, 0 AS pos, CAST(NULL AS VARCHAR) AS piece
+  FROM vocab
+  UNION ALL
+  SELECT s.word, s.pos + length(m.piece), m.piece
+  FROM seg s
+  JOIN pieces m
+    ON substr(s.word, s.pos + 1, length(m.piece)) = m.piece
+  LEFT JOIN pieces m2
+    ON substr(s.word, s.pos + 1, length(m2.piece)) = m2.piece
+   AND length(m2.piece) > length(m.piece)
+  WHERE s.pos < length(s.word) AND m2.piece IS NULL
+),
+usage AS (
+  SELECT word, piece, count(*) AS occ
+  FROM seg WHERE piece IS NOT NULL GROUP BY 1, 2
+),
+per_piece AS (
+  SELECT u.piece,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(u.occ * v.wc) AS BIGINT) AS total_uses
+  FROM usage u JOIN vocab v ON u.word = v.word
+  GROUP BY 1
+),
+tot AS (SELECT sum(total_uses) AS all_uses FROM per_piece)
+SELECT p.piece,
+       CAST(length(p.piece) AS BIGINT) AS piece_len,
+       p.n_words,
+       p.total_uses,
+       CAST(CAST(p.total_uses AS HUGEINT) * 1000000 // t.all_uses
+         AS BIGINT) AS share_ppm
+FROM per_piece p CROSS JOIN tot t
+ORDER BY p.total_uses DESC, p.piece
+"""
+
+
 SPARK_QUERIES = {
     "bpe_merge_topk": bpe_merge_topk,
     "bpe_train_merges": bpe_train_merges,
     "repeated_ngram_spans": repeated_ngram_spans,
     "exact_substring_trim_spans": exact_substring_trim_spans,
+    "wordpiece_greedy_segment": wordpiece_greedy_segment,
 }
 
 ORACLE_SQL = {
@@ -703,4 +907,5 @@ ORACLE_SQL = {
     "bpe_train_merges": BPE_TRAIN_SQL,
     "repeated_ngram_spans": REPEATED_SPANS_SQL,
     "exact_substring_trim_spans": EXACT_TRIM_SQL,
+    "wordpiece_greedy_segment": WORDPIECE_SQL,
 }

@@ -304,6 +304,8 @@ EXPECTED_QUERIES = {
     "exact_substring_trim_spans",
     # round-10: DoReMi one-step Group-DRO domain reweighting
     "doremi_mixture_weights",
+    # round-10: WordPiece greedy longest-match tokenizer inference
+    "wordpiece_greedy_segment",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

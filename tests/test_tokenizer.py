@@ -243,3 +243,60 @@ def test_exact_substring_trim_nontrivial():
     ).fetchone()
     assert tot[0] and tot[0] > 0
     assert tot[1] >= 50
+
+
+def test_wordpiece_greedy_against_python_oracle(spark):
+    """Inventory cut + greedy longest-match segmentation + usage
+    rollup must match a direct Python replay."""
+    from collections import Counter
+
+    from projet_meteo_etl_spark.operators.tokenizer import (
+        WP_MAX_LEN,
+        WP_MIN_LEN,
+        WP_VOCAB_K,
+        wordpiece_greedy_segment,
+    )
+
+    texts = _texts(spark)
+    vocab: Counter[str] = Counter()
+    for t in texts.values():
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                vocab[w] += 1
+    cand: Counter[str] = Counter()
+    for w, wc in vocab.items():
+        for ln in range(WP_MIN_LEN, WP_MAX_LEN + 1):
+            for i in range(len(w) - ln + 1):
+                cand[w[i : i + ln]] += wc
+    top = [
+        p
+        for p, _ in sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :WP_VOCAB_K
+        ]
+    ]
+    chars = {c for w in vocab for c in w}
+    pset = set(top) | chars
+    maxlen = max(len(p) for p in pset)
+    n_words: Counter[str] = Counter()
+    uses: Counter[str] = Counter()
+    for w, wc in vocab.items():
+        i, counts = 0, Counter()
+        while i < len(w):
+            for ln in range(min(maxlen, len(w) - i), 0, -1):
+                if w[i : i + ln] in pset:
+                    counts[w[i : i + ln]] += 1
+                    i += ln
+                    break
+        for p, c in counts.items():
+            n_words[p] += 1
+            uses[p] += wc * c
+    all_uses = sum(uses.values())
+    rows = wordpiece_greedy_segment(spark, SF_SMOKE).collect()
+    assert len(rows) == len(uses)
+    want = sorted(uses.items(), key=lambda kv: (-kv[1], kv[0]))
+    for r, (p, u) in zip(rows, want):
+        assert r["piece"] == p
+        assert r["piece_len"] == len(p)
+        assert r["n_words"] == n_words[p]
+        assert r["total_uses"] == u
+        assert r["share_ppm"] == u * 1_000_000 // all_uses
