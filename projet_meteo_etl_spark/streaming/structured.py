@@ -1787,6 +1787,179 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: last-K window for the TWS ListState query
+TWS_LASTK = 5
+
+
+def stream_tws_user_lastk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user LAST-``TWS_LASTK`` events via ``transformWithStateInPandas``
+    **ListState** — the third and final TWS state type
+    (:func:`stream_tws_user_totals` covers ValueState,
+    :func:`stream_tws_session_timers` MapState + timers): the
+    feature-store "recent events per entity" shape, maintained
+    incrementally so serving never scans history.
+
+    ListState is the BULK state type, and that is the scale argument:
+    ``get()`` pages the whole list in batched fetches and ``put()``
+    ships the replacement in one request, so a shard pays **O(1)
+    state-server round-trips per micro-batch** regardless of how many
+    users it holds — vs MapState's per-touched-key round-trips
+    (:func:`stream_tws_session_timers`'s documented cost).  State per
+    shard is ≤ K·|users in shard| rows forever (the last-K truncation
+    runs inside the processor), so an unbounded feed holds bounded
+    state.
+
+    Update-mode emissions carry ``n_seen`` (the user's lifetime event
+    count, monotone), so the terminal fold — keep each (user, rk) row
+    from the emission with the highest ``n_seen`` — reconstructs every
+    user's FINAL last-K; ordering is the total (tus, event_id) order,
+    ties impossible.  Oracle: plain ``row_number() OVER (PARTITION BY
+    user ORDER BY ts DESC, event_id DESC) <= K``.
+
+    ``files_per_trigger=2``: final-state fold over an update sink, the
+    slicing-invariant class (each user's highest-``n_seen`` emission is
+    the same whatever the batch boundaries, because the merged last-K
+    after the final event is batching-independent).
+    """
+    if not has_tws_runtime():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf runtime, "
+            "and neither a real install nor the vendored shim is available"
+        )
+    from projet_meteo_etl_spark.protoshim_install import ensure_on_executors
+
+    ensure_on_executors(spark)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
+        (F.col("user_id") % F.lit(TWS_SHARDS)).alias("shard"),
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    K = TWS_LASTK
+
+    class UserLastK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ls = handle.getListState(
+                "lastk",
+                "user_id BIGINT, tus BIGINT, event_id BIGINT,"
+                " cents BIGINT, n_seen BIGINT",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            per_user = {}
+            n_seen = {}
+            if self._ls.exists():
+                for u, tus, eid, cents, ns in self._ls.get():
+                    u = int(u)
+                    per_user.setdefault(u, []).append(
+                        (int(tus), int(eid), int(cents))
+                    )
+                    n_seen[u] = int(ns)
+            touched = set()
+            for pdf in rows:
+                for u, eid, tus, cents in zip(
+                    pdf["user_id"], pdf["event_id"], pdf["tus"], pdf["cents"]
+                ):
+                    u = int(u)
+                    per_user.setdefault(u, []).append(
+                        (int(tus), int(eid), int(cents))
+                    )
+                    n_seen[u] = n_seen.get(u, 0) + 1
+                    touched.add(u)
+            flat = []
+            for u in sorted(per_user):
+                keep = sorted(per_user[u], reverse=True)[:K]
+                per_user[u] = keep
+                flat.extend(
+                    (u, t, eid, c, n_seen[u]) for t, eid, c in keep
+                )
+            if flat:
+                self._ls.put(flat)  # one bulk round-trip
+            out = [
+                (u, rk + 1, eid, c, n_seen[u])
+                for u in sorted(touched)
+                for rk, (t, eid, c) in enumerate(per_user[u])
+            ]
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "user_id",
+                        "rk",
+                        "event_id",
+                        "cents",
+                        "n_seen",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        lastk = e.groupBy("shard").transformWithStateInPandas(
+            statefulProcessor=UserLastK(),
+            outputStructType=(
+                "user_id BIGINT, rk BIGINT, event_id BIGINT,"
+                " cents BIGINT, n_seen BIGINT"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = _run_to_memory(
+            lastk, "update", partitions=GROUP_STATE_PARTITIONS
+        )
+    finally:
+        if old_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "rk").orderBy(F.desc("n_seen"))
+    return (
+        sink.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            "rk",
+            "event_id",
+            (F.col("cents") / F.lit(100.0)).alias("value"),
+        )
+        .orderBy("user_id", "rk")
+    )
+
+
+STREAM_TWS_LASTK_SQL = f"""
+SELECT user_id, rk, event_id, value
+FROM (
+  SELECT user_id, event_id,
+         -- same int64-cents / 100.0 double both engines produce
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) / 100.0 AS value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+WHERE rk <= {TWS_LASTK}
+ORDER BY user_id, rk
+"""
+
+
 def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom sessionization on ``transformWithStateInPandas`` with
     **MapState + event-time TIMERS** — the remaining Spark-4
@@ -2604,6 +2777,7 @@ SPARK_QUERIES = {
 if has_tws_runtime():  # environment-gated: needs google.protobuf
     SPARK_QUERIES["stream_tws_user_totals"] = stream_tws_user_totals
     SPARK_QUERIES["stream_tws_session_timers"] = stream_tws_session_timers
+    SPARK_QUERIES["stream_tws_user_lastk"] = stream_tws_user_lastk
 
 from projet_meteo_etl_spark.plans.timeseries import CUSUM_SQL as _CUSUM_SQL
 
@@ -2648,3 +2822,4 @@ if has_tws_runtime():
     # third physical strategy for the sessionization contract — the
     # same gaps-and-islands oracle as both existing session twins
     ORACLE_SQL["stream_tws_session_timers"] = STREAM_SESSION_SQL
+    ORACLE_SQL["stream_tws_user_lastk"] = STREAM_TWS_LASTK_SQL

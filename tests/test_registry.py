@@ -324,6 +324,7 @@ def test_registry_complete_and_consistent():
     if has_tws_runtime():  # environment-gated registration
         expected.add("stream_tws_user_totals")
         expected.add("stream_tws_session_timers")
+        expected.add("stream_tws_user_lastk")
     queries, oracles = registry.collect()
     # name the drift explicitly: "registered but not pinned" means a new
     # query needs its EXPECTED_QUERIES line; "pinned but not registered"

@@ -104,6 +104,37 @@ def test_tws_session_timers_matches_groupstate_twin(spark):
     ]
 
 
+def test_tws_user_lastk_matches_batch(spark):
+    # ListState last-K must equal the batch window computation
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.streaming.structured import TWS_LASTK
+
+    out = structured.stream_tws_user_lastk(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = (
+        e.select(
+            "user_id",
+            "event_id",
+            (
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+                / F.lit(100.0)
+            ).alias("value"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= TWS_LASTK)
+        .select("user_id", "rk", "event_id", "value")
+        .orderBy("user_id", "rk")
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in want]
+
+
 def test_tws_gate_degrades_explicitly(spark, monkeypatch):
     # simulate an environment where neither the real runtime nor the
     # shim can be made importable: the query must refuse up front, not
