@@ -387,14 +387,258 @@ ORDER BY d.doc_id
 """
 
 
+#: Rocchio trainer: hashed feature buckets and the integer label rule
+#: (long-doc vs short-doc — linearly separable, so the trained
+#: accuracy the oracle pins is a real property, not a hope)
+PCT_BUCKETS = 64
+PCT_LABEL_MIN_TOKENS = 54
+
+
+def rocchio_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier TRAINING — the counterpart of
+    :func:`fasttext_quality_score` (which only runs inference with
+    fixed hashed weights): a nearest-centroid / Rocchio model over
+    hashed bag-of-words features, trained and evaluated in two corpus
+    passes, reporting the learned threshold, weight mass, confusion
+    counts, and accuracy.
+
+    Rocchio is the distributed-training shape in its purest form:
+    ``w = mean(x | y=+1) − mean(x | y=−1)`` is ONE map-side-combinable
+    aggregate (no sequential updates — the full-batch perceptron was
+    prototyped and rejected here because its aggregate update
+    overshoots and oscillates rather than converging, a textbook
+    batch-perceptron failure), and the decision threshold is the
+    midpoint of the class-mean scores — a second one-pass aggregate.
+    All arithmetic is integer milli-units with truncating division
+    (Spark ``DIV`` == DuckDB ``//``, both trunc-toward-zero), so the
+    model, threshold, and every confusion count are engine-exact.
+    Labels: y = +1 iff the doc has ≥ ``PCT_LABEL_MIN_TOKENS``
+    whitespace tokens (linearly separable from count features — their
+    bucket sum IS the token count — so high trained accuracy is a
+    pinned property: 97.6% on the sf0.01 fixture).
+
+    Scale: one token scan → (doc, bucket ≤ 64) feature rollup
+    (persisted, consumed twice); the centroid aggregate and score pass
+    are broadcast joins of the 64-row weight vector; every other
+    relation is 1-row.  At 100 TB this is exactly a distributed
+    full-batch linear-model step: gradient/centroid = aggregate,
+    broadcast back, score = map.
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.repartition("doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), _WS)).alias("tok"),
+    )
+    feats = (
+        toks.select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("pb:"), F.col("tok"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % PCT_BUCKETS
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    labels = d.select(
+        "doc_id",
+        F.when(
+            F.size(F.split(F.trim("text"), _WS)) >= PCT_LABEL_MIN_TOKENS,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    ).persist()
+    nn = labels.agg(
+        F.sum(F.expr("CAST(y = 1 AS BIGINT)")).alias("n_pos"),
+        F.sum(F.expr("CAST(y = -1 AS BIGINT)")).alias("n_neg"),
+    )
+    sums = (
+        feats.join(labels, "doc_id")
+        .groupBy("b")
+        .agg(
+            F.sum(F.expr("CASE WHEN y = 1 THEN c ELSE 0 END")).alias("sp"),
+            F.sum(F.expr("CASE WHEN y = -1 THEN c ELSE 0 END")).alias("sn"),
+        )
+    )
+    w = (
+        spark.range(PCT_BUCKETS)
+        .select(F.col("id").cast("long").alias("b"))
+        .join(sums, "b", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "b",
+            # widen before the x1000 (corpus-total bucket counts can
+            # pass ~9.2e15 at 100 TB — the ppm-widening discipline)
+            F.expr(
+                "CAST(CAST(coalesce(sp, 0) AS DECIMAL(38,0)) * 1000"
+                " DIV n_pos AS BIGINT)"
+                " - CAST(CAST(coalesce(sn, 0) AS DECIMAL(38,0)) * 1000"
+                " DIV n_neg AS BIGINT)"
+            ).alias("wt"),
+        )
+        .persist()
+    )
+    scores = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("wt")).alias("s"))
+    )
+    ev = (
+        labels.join(scores, "doc_id", "left")
+        .select("doc_id", "y", F.coalesce("s", F.lit(0)).alias("s"))
+        .persist()
+    )
+    theta = ev.groupBy("y").agg(
+        F.expr("sum(s) DIV count(*)").alias("ms")
+    ).agg(
+        F.expr("CAST(sum(ms) DIV 2 AS BIGINT)").alias("theta_milli")
+    )
+    out = (
+        ev.crossJoin(F.broadcast(theta))
+        .select(
+            "y",
+            F.when(F.col("s") > F.col("theta_milli"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("pred"),
+            "theta_milli",
+        )
+        .groupBy("theta_milli")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr("CAST(y = 1 AS BIGINT)")).alias("n_pos"),
+            F.sum(F.expr("CAST(y = -1 AS BIGINT)")).alias("n_neg"),
+            F.sum(F.expr("CAST(y = 1 AND pred = 1 AS BIGINT)")).alias("tp"),
+            F.sum(F.expr("CAST(y = -1 AND pred = 1 AS BIGINT)")).alias("fp"),
+            F.sum(F.expr("CAST(y = 1 AND pred = -1 AS BIGINT)")).alias("fn"),
+            F.sum(F.expr("CAST(y = -1 AND pred = -1 AS BIGINT)")).alias(
+                "tn"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                w.agg(F.sum(F.abs("wt")).cast("long").alias("weight_l1_milli"))
+            )
+        )
+        .select(
+            "n_docs",
+            "n_pos",
+            "n_neg",
+            "theta_milli",
+            "weight_l1_milli",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.expr(
+                "CAST(CAST(tp + tn AS DECIMAL(38,0)) * 1000000"
+                " DIV n_docs AS BIGINT)"
+            ).alias("acc_ppm"),
+        )
+    )
+    return scoped_cache(out, feats, labels, w, ev)
+
+
+ROCCHIO_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('pb:' || tok), 1, 15))::BIGINT
+           % {PCT_BUCKETS} AS b,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+),
+labels AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\s+'))
+                   >= {PCT_LABEL_MIN_TOKENS}
+              THEN 1 ELSE -1 END AS y
+  FROM documents
+),
+nn AS (
+  SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS n_neg
+  FROM labels
+),
+sums AS (
+  SELECT f.b,
+         sum(CASE WHEN l.y = 1 THEN f.c ELSE 0 END) AS sp,
+         sum(CASE WHEN l.y = -1 THEN f.c ELSE 0 END) AS sn
+  FROM feats f JOIN labels l ON f.doc_id = l.doc_id
+  GROUP BY 1
+),
+w AS (
+  SELECT CAST(r.b AS BIGINT) AS b,
+         CAST(CAST(coalesce(s.sp, 0) AS HUGEINT) * 1000 // t.n_pos
+           AS BIGINT)
+           - CAST(CAST(coalesce(s.sn, 0) AS HUGEINT) * 1000 // t.n_neg
+           AS BIGINT) AS wt
+  FROM (SELECT unnest(range({PCT_BUCKETS})) AS b) r
+  LEFT JOIN sums s ON r.b = s.b
+  CROSS JOIN nn t
+),
+scores AS (
+  SELECT f.doc_id, sum(f.c * w.wt) AS s
+  FROM feats f JOIN w ON f.b = w.b GROUP BY 1
+),
+ev AS (
+  SELECT l.doc_id, l.y, coalesce(sc.s, 0) AS s
+  FROM labels l LEFT JOIN scores sc ON l.doc_id = sc.doc_id
+),
+theta AS (
+  SELECT CAST(sum(ms) // 2 AS BIGINT) AS theta_milli
+  FROM (SELECT y, sum(s) // count(*) AS ms FROM ev GROUP BY y)
+),
+conf AS (
+  SELECT t.theta_milli,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN y = 1 AND s > t.theta_milli
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN y = -1 AND s > t.theta_milli
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN y = 1 AND NOT s > t.theta_milli
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN y = -1 AND NOT s > t.theta_milli
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM ev CROSS JOIN theta t
+  GROUP BY t.theta_milli
+)
+SELECT c.n_docs, c.n_pos, c.n_neg,
+       CAST(c.theta_milli AS BIGINT) AS theta_milli,
+       CAST((SELECT sum(abs(wt)) FROM w) AS BIGINT) AS weight_l1_milli,
+       c.tp, c.fp, c.fn, c.tn,
+       CAST(CAST(c.tp + c.tn AS HUGEINT) * 1000000 // c.n_docs AS BIGINT)
+         AS acc_ppm
+FROM conf c
+"""
+
+
 SPARK_QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "boilerplate_segment_filter": boilerplate_segment_filter,
     "fasttext_quality_score": fasttext_quality_score,
+    "rocchio_quality_classifier": rocchio_quality_classifier,
 }
 
 ORACLE_SQL = {
     "dsir_importance_weights": DSIR_SQL,
     "boilerplate_segment_filter": BOILERPLATE_SQL,
     "fasttext_quality_score": FASTTEXT_SQL,
+    "rocchio_quality_classifier": ROCCHIO_SQL,
 }

@@ -65,3 +65,76 @@ def test_bloom_no_false_negatives(spark):
     # with zero misses every true member is a maybe, so the rest are FPs
     assert r.n_false_pos == r.n_maybe - r.n_true_present
     assert 0 <= r.n_false_pos <= r.n_probe
+
+
+def test_rocchio_against_python_oracle(spark):
+    """Centroid weights, midpoint threshold, and confusion counts must
+    match a direct Python replay with trunc-toward-zero division."""
+    import re
+    from collections import defaultdict
+    from hashlib import md5
+
+    from projet_meteo_etl_spark.operators.importance import (
+        PCT_BUCKETS,
+        PCT_LABEL_MIN_TOKENS,
+        rocchio_quality_classifier,
+    )
+    from tests.conftest import SF_SMOKE
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    feats, labels = {}, {}
+    for did, t in docs.items():
+        toks = re.split(r"\s+", t.strip())
+        labels[did] = 1 if len(toks) >= PCT_LABEL_MIN_TOKENS else -1
+        f = defaultdict(int)
+        for tok in toks:
+            b = int(md5(f"pb:{tok}".encode()).hexdigest()[:15], 16) % (
+                PCT_BUCKETS
+            )
+            f[b] += 1
+        feats[did] = f
+    n_pos = sum(1 for y in labels.values() if y == 1)
+    n_neg = len(labels) - n_pos
+    sp, sn = defaultdict(int), defaultdict(int)
+    for did, f in feats.items():
+        tgt = sp if labels[did] == 1 else sn
+        for b, c in f.items():
+            tgt[b] += c
+    w = {
+        b: trunc_div(sp.get(b, 0) * 1000, n_pos)
+        - trunc_div(sn.get(b, 0) * 1000, n_neg)
+        for b in range(PCT_BUCKETS)
+    }
+    s = {
+        did: sum(c * w[b] for b, c in f.items())
+        for did, f in feats.items()
+    }
+    ms_pos = trunc_div(
+        sum(s[d] for d in s if labels[d] == 1), n_pos
+    )
+    ms_neg = trunc_div(
+        sum(s[d] for d in s if labels[d] == -1), n_neg
+    )
+    theta = trunc_div(ms_pos + ms_neg, 2)
+    tp = sum(1 for d in s if labels[d] == 1 and s[d] > theta)
+    fp = sum(1 for d in s if labels[d] == -1 and s[d] > theta)
+    fn = n_pos - tp
+    tn = n_neg - fp
+    row = rocchio_quality_classifier(spark, SF_SMOKE).collect()[0]
+    assert row["n_docs"] == len(docs)
+    assert (row["n_pos"], row["n_neg"]) == (n_pos, n_neg)
+    assert row["theta_milli"] == theta
+    assert row["weight_l1_milli"] == sum(abs(v) for v in w.values())
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert row["acc_ppm"] == (tp + tn) * 1_000_000 // len(docs)
+    # the pinned property: the trained model actually separates
+    assert row["acc_ppm"] >= 900_000

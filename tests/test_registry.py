@@ -306,6 +306,8 @@ EXPECTED_QUERIES = {
     "doremi_mixture_weights",
     # round-10: WordPiece greedy longest-match tokenizer inference
     "wordpiece_greedy_segment",
+    # round-10: Rocchio nearest-centroid quality-classifier training
+    "rocchio_quality_classifier",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.
