@@ -504,6 +504,14 @@ def main() -> int:
                 ),
                 "stream_user_running_totals": user_totals_probe,
                 "stream_tws_user_totals": tws_totals_probe,
+                # vocab-collapsed pair: all post-wordcount work is
+                # vocabulary-sized, so replication should read ~flat
+                "wordpiece_greedy_segment": (
+                    tokenizer.wordpiece_greedy_segment
+                ),
+                "rocchio_quality_classifier": (
+                    importance.rocchio_quality_classifier
+                ),
             }
         )
         timings = {}
