@@ -638,8 +638,15 @@ def lsh_candidate_precision(
             "n_candidates",
             "n_true_pairs",
             "n_hits",
-            F.expr("n_hits * 1000000 DIV n_candidates").alias("precision_ppm"),
-            F.expr("n_hits * 1000000 DIV n_true_pairs").alias("recall_ppm"),
+            # pair counts are unbounded at web scale: widen before ×1e6
+            F.expr(
+                "CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000"
+                " DIV n_candidates AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000"
+                " DIV n_true_pairs AS BIGINT)"
+            ).alias("recall_ppm"),
         )
     )
     return scoped_cache(out, sh_cached)
@@ -666,8 +673,10 @@ counts AS (
          (SELECT count(*) FROM cands JOIN truth USING (doc_a, doc_b)) AS n_hits
 )
 SELECT n_candidates, n_true_pairs, n_hits,
-       n_hits * 1000000 // n_candidates AS precision_ppm,
-       n_hits * 1000000 // n_true_pairs AS recall_ppm
+       CAST(CAST(n_hits AS HUGEINT) * 1000000 // n_candidates AS BIGINT)
+         AS precision_ppm,
+       CAST(CAST(n_hits AS HUGEINT) * 1000000 // n_true_pairs AS BIGINT)
+         AS recall_ppm
 FROM counts
 """
 
