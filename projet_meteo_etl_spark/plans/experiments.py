@@ -313,7 +313,8 @@ def revenue_delta_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_cents",
             (F.col("delta_cents") / 100.0).alias("delta"),
             F.expr(
-                "CAST(abs(delta_cents) * 1000000 DIV total_move_cents AS BIGINT)"
+                "CAST(CAST(abs(delta_cents) AS DECIMAL(38,0)) * 1000000"
+                " DIV total_move_cents AS BIGINT)"
             ).alias("move_share_ppm"),
         )
         .withColumn("rk", F.row_number().over(w))
@@ -352,8 +353,8 @@ cents AS (
 tot AS (SELECT CAST(sum(abs(delta_cents)) AS BIGINT) AS total_move_cents FROM cents)
 SELECT n_name, rev_a, rev_b,
        delta_cents / 100.0 AS delta,
-       CAST(abs(delta_cents) * 1000000 // total_move_cents AS BIGINT)
-         AS move_share_ppm,
+       CAST(CAST(abs(delta_cents) AS HUGEINT) * 1000000
+         // total_move_cents AS BIGINT) AS move_share_ppm,
        CAST(row_number() OVER (ORDER BY abs(delta_cents) DESC, n_name ASC)
             AS INTEGER) AS rk
 FROM cents CROSS JOIN tot
@@ -386,7 +387,10 @@ def bootstrap_ci_purchase_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
     )
     full = e.agg(
-        F.expr("sum(cents) * 1000000 DIV count(*)").alias("point_micro")
+        F.expr(
+            "CAST(CAST(sum(cents) AS DECIMAL(38,0)) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("point_micro")
     )
     reps = e.select(
         "event_id",
@@ -403,7 +407,12 @@ def bootstrap_ci_purchase_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         reps.filter(F.pmod(h, F.lit(2)) == 0)
         .groupBy("b")
-        .agg(F.expr("sum(cents) * 1000000 DIV count(*)").alias("mean_micro"))
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(cents) AS DECIMAL(38,0)) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("mean_micro")
+        )
     )
     from pyspark.sql import Window
 
@@ -428,7 +437,8 @@ WITH p AS (
   FROM events WHERE event_type = 'purchase'
 ),
 full_mean AS (
-  SELECT CAST(sum(cents) AS BIGINT) * 1000000 // count(*) AS point_micro FROM p
+  SELECT CAST(CAST(sum(cents) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+    AS point_micro FROM p
 ),
 reps AS (
   SELECT p.event_id, p.cents, b.b
@@ -436,7 +446,8 @@ reps AS (
   WHERE ('0x' || substr(md5(p.event_id || ':' || b.b), 1, 15))::BIGINT % 2 = 0
 ),
 per AS (
-  SELECT b, CAST(sum(cents) AS BIGINT) * 1000000 // count(*) AS mean_micro
+  SELECT b, CAST(CAST(sum(cents) AS HUGEINT) * 1000000 // count(*)
+           AS BIGINT) AS mean_micro
   FROM reps GROUP BY b
 ),
 ranked AS (

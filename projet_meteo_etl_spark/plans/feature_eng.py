@@ -675,11 +675,13 @@ def eb_shrunk_item_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "views",
             "clicks",
             "m_ppm",
-            F.expr("CAST(clicks * 1000000 DIV views AS BIGINT)").alias(
-                "raw_ppm"
-            ),
             F.expr(
-                f"CAST((clicks * 1000000 + {EB_PRIOR_K} * m_ppm)"
+                "CAST(CAST(clicks AS DECIMAL(38,0)) * 1000000"
+                " DIV views AS BIGINT)"
+            ).alias("raw_ppm"),
+            F.expr(
+                f"CAST((CAST(clicks AS DECIMAL(38,0)) * 1000000"
+                f" + {EB_PRIOR_K} * m_ppm)"
                 f" DIV (views + {EB_PRIOR_K}) AS BIGINT)"
             ).alias("shrunk_ppm"),
         )
@@ -713,14 +715,16 @@ WITH per AS (
   HAVING sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
 ),
 pooled AS (
-  SELECT CAST(sum(clicks) * 1000000 // sum(views) AS BIGINT) AS m_ppm
+  SELECT CAST(CAST(sum(clicks) AS HUGEINT) * 1000000 // sum(views)
+           AS BIGINT) AS m_ppm
   FROM per
 ),
 scored AS (
   SELECT item, CAST(views AS BIGINT) AS views,
          CAST(clicks AS BIGINT) AS clicks,
-         CAST(clicks * 1000000 // views AS BIGINT) AS raw_ppm,
-         CAST((clicks * 1000000 + {EB_PRIOR_K} * m_ppm)
+         CAST(CAST(clicks AS HUGEINT) * 1000000 // views AS BIGINT)
+           AS raw_ppm,
+         CAST((CAST(clicks AS HUGEINT) * 1000000 + {EB_PRIOR_K} * m_ppm)
               // (views + {EB_PRIOR_K}) AS BIGINT) AS shrunk_ppm
   FROM per, pooled
 )

@@ -295,8 +295,10 @@ def small_files_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "fill_ppm",
+            # bytes × 1e6 overflows a long at ~9.2 PB-days: widen first
             F.expr(
-                f"total_bytes * 1000000 DIV (n_output_files * {TARGET_FILE_BYTES})"
+                "CAST(CAST(total_bytes AS DECIMAL(38,0)) * 1000000"
+                f" DIV (n_output_files * {TARGET_FILE_BYTES}) AS BIGINT)"
             ),
         )
         .orderBy("day")
@@ -326,8 +328,8 @@ SELECT day,
        CAST(sum(out_bytes) AS BIGINT) AS total_bytes,
        CAST(count(*) AS BIGINT) AS n_output_files,
        CAST(max(out_bytes) AS BIGINT) AS max_output_bytes,
-       CAST(sum(out_bytes) AS BIGINT) * 1000000
-         // (count(*) * {TARGET_FILE_BYTES}) AS fill_ppm
+       CAST(CAST(sum(out_bytes) AS HUGEINT) * 1000000
+         // (count(*) * {TARGET_FILE_BYTES}) AS BIGINT) AS fill_ppm
 FROM per_out
 GROUP BY day
 ORDER BY day
@@ -367,7 +369,13 @@ def deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("forget").cast("long").alias("n_deleted"),
         )
-        .withColumn("deleted_ppm", F.expr("n_deleted * 1000000 DIV n_rows"))
+        .withColumn(
+            "deleted_ppm",
+            F.expr(
+                "CAST(CAST(n_deleted AS DECIMAL(38,0)) * 1000000"
+                " DIV n_rows AS BIGINT)"
+            ),
+        )
         .withColumn(
             "plan",
             F.when(F.col("n_deleted") == 0, F.lit("noop"))
@@ -391,9 +399,11 @@ per AS (
   FROM flagged GROUP BY day
 )
 SELECT day, n_rows, n_deleted,
-       n_deleted * 1000000 // n_rows AS deleted_ppm,
+       CAST(CAST(n_deleted AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+         AS deleted_ppm,
        CASE WHEN n_deleted = 0 THEN 'noop'
-            WHEN n_deleted * 1000000 // n_rows > {DV_REWRITE_PPM} THEN 'rewrite'
+            WHEN CAST(n_deleted AS HUGEINT) * 1000000 // n_rows
+                 > {DV_REWRITE_PPM} THEN 'rewrite'
             ELSE 'deletion_vector' END AS plan
 FROM per
 ORDER BY day

@@ -1848,7 +1848,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_days,
        CAST(sum(c) AS BIGINT) AS matched_clicks,
        CAST(CAST(sum(c) AS HUGEINT) * 1000000 // greatest(sum(v), 1)
          AS BIGINT) AS replay_ctr_ppm,
-       CAST(gc * 1000000 // greatest(gv, 1) AS BIGINT) AS global_ctr_ppm,
+       CAST(CAST(gc AS HUGEINT) * 1000000 // greatest(gv, 1) AS BIGINT)
+         AS global_ctr_ppm,
        CASE WHEN sum(v) > 0 AND gc > 0 THEN
          CAST(CAST(sum(c) AS HUGEINT) * gv * 1000000
               // (CAST(sum(v) AS HUGEINT) * gc) AS BIGINT)

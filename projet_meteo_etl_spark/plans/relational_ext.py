@@ -704,7 +704,10 @@ def salt_factor_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_rows",
-            F.expr("n_rows * 1000000 DIV total_rows").alias("share_ppm"),
+            F.expr(
+                "CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000000"
+                " DIV total_rows AS BIGINT)"
+            ).alias("share_ppm"),
             F.least(
                 F.lit(SALT_MAX),
                 F.expr(f"(n_rows + {SALT_TARGET_ROWS} - 1) DIV {SALT_TARGET_ROWS}"),
@@ -729,7 +732,8 @@ tot AS (
   FROM per
 )
 SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
-       n_rows * 1000000 // total_rows AS share_ppm,
+       CAST(CAST(n_rows AS HUGEINT) * 1000000 // total_rows AS BIGINT)
+         AS share_ppm,
        least({SALT_MAX}, (n_rows + {SALT_TARGET_ROWS} - 1) // {SALT_TARGET_ROWS})
          AS salt_factor,
        n_rows * n_keys > total_rows * 4 AS is_skewed

@@ -1126,7 +1126,10 @@ def events_hour_of_week_seasonality(spark: SparkSession, sf_dir: str) -> DataFra
             "dow_iso",
             "hour",
             "n_events",
-            F.expr("n_events * 1000000 DIV total").alias("share_ppm"),
+            F.expr(
+                "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000"
+                " DIV total AS BIGINT)"
+            ).alias("share_ppm"),
         )
         .orderBy("dow_iso", "hour")
     )
@@ -1144,7 +1147,8 @@ per AS (
 ),
 tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM per)
 SELECT dow_iso, hour, n_events,
-       n_events * 1000000 // total AS share_ppm
+       CAST(CAST(n_events AS HUGEINT) * 1000000 // total AS BIGINT)
+         AS share_ppm
 FROM per, tot
 ORDER BY dow_iso, hour
 """
