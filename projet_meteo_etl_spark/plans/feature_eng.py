@@ -290,10 +290,16 @@ def propensity_ipw_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item",
             "n_views",
             "n_purchases",
-            F.expr("n_purchases * 1000000 DIV n_views").alias("propensity_ppm"),
+            F.expr(
+                "CAST(CAST(n_purchases AS DECIMAL(38,0)) * 1000000"
+                " DIV n_views AS BIGINT)"
+            ).alias("propensity_ppm"),
             F.when(
                 F.col("n_purchases") > 0,
-                F.expr("n_views * 1000000 DIV n_purchases"),
+                F.expr(
+                    "CAST(CAST(n_views AS DECIMAL(38,0)) * 1000000"
+                    " DIV n_purchases AS BIGINT)"
+                ),
             ).alias("ipw_micro"),
         )
         .orderBy("item")
@@ -315,9 +321,11 @@ per AS (
   FROM base GROUP BY item
 )
 SELECT item, n_views, n_purchases,
-       n_purchases * 1000000 // n_views AS propensity_ppm,
+       CAST(CAST(n_purchases AS HUGEINT) * 1000000 // n_views AS BIGINT)
+         AS propensity_ppm,
        CASE WHEN n_purchases > 0
-            THEN n_views * 1000000 // n_purchases END AS ipw_micro
+            THEN CAST(CAST(n_views AS HUGEINT) * 1000000 // n_purchases
+                   AS BIGINT) END AS ipw_micro
 FROM per
 WHERE n_views > 0
 ORDER BY item

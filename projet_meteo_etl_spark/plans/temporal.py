@@ -872,7 +872,10 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "attribution_ppm",
-            F.expr("CAST(n_attributed * 1000000 DIV n_purchases AS BIGINT)"),
+            F.expr(
+                "CAST(CAST(n_attributed AS DECIMAL(38,0)) * 1000000"
+                " DIV n_purchases AS BIGINT)"
+            ),
         )
         .orderBy("day")
     )
@@ -905,7 +908,7 @@ SELECT day,
        CAST(sum(attributed) AS BIGINT) AS n_attributed,
        CAST(sum(attributed * cents) AS BIGINT) AS attributed_cents,
        CAST(sum((1 - attributed) * cents) AS BIGINT) AS organic_cents,
-       CAST(CAST(sum(attributed) AS BIGINT) * 1000000
+       CAST(CAST(sum(attributed) AS HUGEINT) * 1000000
             // CAST(count(*) AS BIGINT) AS BIGINT) AS attribution_ppm
 FROM purchases
 GROUP BY day
@@ -1915,7 +1918,11 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
     p = cnt.join(tot, "src").select(
-        "src", "dst", F.expr("CAST(c * 1000000 DIV t AS BIGINT)").alias("pm")
+        "src",
+        "dst",
+        F.expr(
+            "CAST(CAST(c AS DECIMAL(38,0)) * 1000000 DIV t AS BIGINT)"
+        ).alias("pm"),
     )
 
     def chain_kernel(batches, _iters=MARKOV_ITERS):
@@ -2028,7 +2035,8 @@ tot AS (SELECT src, sum(c) AS t FROM cnt GROUP BY 1),
 -- and re-runs the whole per-user journey pipeline once per iteration
 -- (32x the corpus scan — measured 17 s at sf0.001 vs 0.1 s materialized)
 p AS MATERIALIZED (
-  SELECT c.src, c.dst, CAST(c.c * 1000000 // t.t AS BIGINT) AS pm
+  SELECT c.src, c.dst,
+         CAST(CAST(c.c AS HUGEINT) * 1000000 // t.t AS BIGINT) AS pm
   FROM cnt c JOIN tot t USING (src)
 ),
 scen AS (
