@@ -1271,13 +1271,14 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_truth_pairs",
             "n_hits",
+            # pair counts are unbounded at web scale: widen before ×1e6
             F.expr(
-                "CAST(n_hits * 1000000 DIV greatest(n_truth_pairs, 1)"
-                " AS BIGINT)"
+                "CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000"
+                " DIV greatest(n_truth_pairs, 1) AS BIGINT)"
             ).alias("recall_ppm"),
             F.expr(
-                "CAST(n_hits * 1000000 DIV greatest(n_candidates, 1)"
-                " AS BIGINT)"
+                "CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000"
+                " DIV greatest(n_candidates, 1) AS BIGINT)"
             ).alias("precision_ppm"),
         )
     )
@@ -1318,10 +1319,10 @@ cagg AS (
   FROM cands
 )
 SELECT n_docs, n_blocks, n_candidates, n_truth_pairs, n_hits,
-       CAST(n_hits * 1000000 // greatest(n_truth_pairs, 1) AS BIGINT)
-         AS recall_ppm,
-       CAST(n_hits * 1000000 // greatest(n_candidates, 1) AS BIGINT)
-         AS precision_ppm
+       CAST(CAST(n_hits AS HUGEINT) * 1000000
+            // greatest(n_truth_pairs, 1) AS BIGINT) AS recall_ppm,
+       CAST(CAST(n_hits AS HUGEINT) * 1000000
+            // greatest(n_candidates, 1) AS BIGINT) AS precision_ppm
 FROM blocks, cagg, truth
 """
 
@@ -1805,12 +1806,13 @@ def ngram_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_contaminated"),
             F.expr(
                 "CAST(CASE WHEN coalesce(n_ngrams, 0) = 0 THEN 0"
-                " ELSE n_contaminated * 1000000 DIV n_ngrams END"
-                " AS BIGINT)"
+                " ELSE CAST(n_contaminated AS DECIMAL(38,0)) * 1000000"
+                " DIV n_ngrams END AS BIGINT)"
             ).alias("contamination_ppm"),
             F.expr(
                 "CAST(CASE WHEN coalesce(n_ngrams, 0) > 0 AND"
-                f" n_contaminated * 1000000 DIV n_ngrams >= {CONTAM_FLAG_PPM}"
+                " CAST(n_contaminated AS DECIMAL(38,0)) * 1000000"
+                f" DIV n_ngrams >= {CONTAM_FLAG_PPM}"
                 " THEN 1 ELSE 0 END AS INT)"
             ).alias("flagged"),
         )
@@ -1850,10 +1852,11 @@ SELECT d.doc_id,
        CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
        CAST(coalesce(p.n_cont, 0) AS BIGINT) AS n_contaminated,
        CAST(CASE WHEN coalesce(p.n_ngrams, 0) = 0 THEN 0
-            ELSE p.n_cont * 1000000 // p.n_ngrams END AS BIGINT)
-         AS contamination_ppm,
+            ELSE CAST(p.n_cont AS HUGEINT) * 1000000 // p.n_ngrams END
+         AS BIGINT) AS contamination_ppm,
        CAST(CASE WHEN coalesce(p.n_ngrams, 0) > 0
-                  AND p.n_cont * 1000000 // p.n_ngrams >= {CONTAM_FLAG_PPM}
+                  AND CAST(p.n_cont AS HUGEINT) * 1000000 // p.n_ngrams
+                      >= {CONTAM_FLAG_PPM}
             THEN 1 ELSE 0 END AS INTEGER) AS flagged
 FROM (SELECT doc_id FROM documents, mx
       WHERE least(9, doc_id * 10 // (mx + 1)) = 9) d
@@ -1932,8 +1935,8 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             # containment of the smaller set in the overlap; a pair row
             # exists ⇒ both sides have ≥ 1 gram, so no zero guard needed
             F.expr(
-                "CAST(n_shared * 1000000 DIV least(grams_a, grams_b)"
-                " AS BIGINT)"
+                "CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000"
+                " DIV least(grams_a, grams_b) AS BIGINT)"
             ).alias("containment_ppm"),
         )
         .orderBy("src_a", "src_b")
@@ -1970,8 +1973,9 @@ shared AS (
 )
 SELECT s.src_a, s.src_b, s.n_shared,
        pa.n_grams AS grams_a, pb.n_grams AS grams_b,
-       CAST(s.n_shared * 1000000 // least(pa.n_grams, pb.n_grams)
-            AS BIGINT) AS containment_ppm
+       CAST(CAST(s.n_shared AS HUGEINT) * 1000000
+            // least(pa.n_grams, pb.n_grams) AS BIGINT)
+         AS containment_ppm
 FROM shared s
 JOIN per_src pa ON pa.source = s.src_a
 JOIN per_src pb ON pb.source = s.src_b

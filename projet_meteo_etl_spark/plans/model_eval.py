@@ -437,15 +437,18 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_g",
         "s_g",
         "q_g",
+        # widen BEFORE the square: s_g² in LongType wraps past ~3e9
+        # cents of group revenue — the oracle side is already HUGEINT
         F.expr(
-            "CAST(s_g * s_g * 1000000 DIV n_g AS DECIMAL(38,0))"
+            "CAST(CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000"
+            " DIV n_g AS DECIMAL(38,0))"
         ).alias("t_g"),
     )
     agg = terms.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n_g").cast("long").alias("n"),
-        F.sum("s_g").alias("s"),
-        F.sum("q_g").alias("q"),
+        F.sum(F.col("s_g").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("q_g").cast("decimal(38,0)")).alias("q"),
         F.sum("t_g").alias("t_sum"),
     )
     return agg.select(
@@ -826,12 +829,17 @@ def propensity_forecast_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rates = per.select(
         "v2",
-        F.expr("p1 * 1000000 DIV v1").alias("pred_ppm"),
-        F.expr("p2 * 1000000 DIV v2").alias("real_ppm"),
+        F.expr(
+            "CAST(CAST(p1 AS DECIMAL(38,0)) * 1000000 DIV v1 AS BIGINT)"
+        ).alias("pred_ppm"),
+        F.expr(
+            "CAST(CAST(p2 AS DECIMAL(38,0)) * 1000000 DIV v2 AS BIGINT)"
+        ).alias("real_ppm"),
     )
     glob = per.agg(
         F.expr(
-            "CAST(sum(p1) * 1000000 DIV sum(v1) AS BIGINT)"
+            "CAST(CAST(sum(p1) AS DECIMAL(38,0)) * 1000000"
+            " DIV sum(v1) AS BIGINT)"
         ).alias("global_ppm")
     )
     agg = rates.crossJoin(F.broadcast(glob)).agg(
@@ -892,12 +900,14 @@ per AS (
 ),
 kept AS (SELECT * FROM per WHERE v1 > 0 AND v2 > 0),
 gl AS (
-  SELECT CAST(sum(p1) * 1000000 // sum(v1) AS BIGINT) AS global_ppm
+  SELECT CAST(CAST(sum(p1) AS HUGEINT) * 1000000 // sum(v1) AS BIGINT)
+    AS global_ppm
   FROM kept
 ),
 rates AS (
-  SELECT v2, p1 * 1000000 // v1 AS pred_ppm,
-         p2 * 1000000 // v2 AS real_ppm
+  SELECT v2,
+         CAST(CAST(p1 AS HUGEINT) * 1000000 // v1 AS BIGINT) AS pred_ppm,
+         CAST(CAST(p2 AS HUGEINT) * 1000000 // v2 AS BIGINT) AS real_ppm
   FROM kept
 ),
 agg AS (
