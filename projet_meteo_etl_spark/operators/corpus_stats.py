@@ -1123,7 +1123,13 @@ def oov_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_oov"),
         )
-        .withColumn("oov_ppm", F.expr("n_oov * 1000000 DIV n_tokens"))
+        .withColumn(
+            "oov_ppm",
+            F.expr(
+                "CAST(CAST(n_oov AS DECIMAL(38,0)) * 1000000"
+                " DIV n_tokens AS BIGINT)"
+            ),
+        )
         .orderBy("source")
     )
     return scoped_cache(out, toks)
@@ -1144,8 +1150,8 @@ vocab AS (
 SELECT d.source,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         * 1000000 // count(*) AS oov_ppm
+       CAST(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS HUGEINT)
+         * 1000000 // count(*) AS BIGINT) AS oov_ppm
 FROM toksf t
 LEFT JOIN vocab v USING (tok)
 JOIN documents d USING (doc_id)
@@ -1635,8 +1641,10 @@ src_tok AS (SELECT source, sum(tf_ts) AS tok_s FROM ts GROUP BY source),
 total AS (SELECT sum(tok_s) AS tok_total FROM src_tok),
 grid AS (
   SELECT t.tok, t.tf, coalesce(ts.tf_ts, 0) AS tf_ts,
-         CAST(coalesce(ts.tf_ts, 0) * 1000000 // t.tf AS BIGINT) AS v_ppm,
-         CAST(s.tok_s * 1000000 // x.tok_total AS BIGINT) AS p_ppm
+         CAST(CAST(coalesce(ts.tf_ts, 0) AS HUGEINT) * 1000000 // t.tf
+           AS BIGINT) AS v_ppm,
+         CAST(CAST(s.tok_s AS HUGEINT) * 1000000 // x.tok_total
+           AS BIGINT) AS p_ppm
   FROM top t
   CROSS JOIN src_tok s
   LEFT JOIN ts ON ts.tok = t.tok AND ts.source = s.source

@@ -600,7 +600,8 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_det_values",
                 "n_violating",
                 F.expr(
-                    "CAST(n_violating * 1000000 DIV n_det_values AS BIGINT)"
+                    "CAST(CAST(n_violating AS DECIMAL(38,0)) * 1000000"
+                    " DIV n_det_values AS BIGINT)"
                 ).alias("violation_ppm"),
                 (F.col("n_violating") == 0).cast("int").alias("fd_holds"),
             )
@@ -617,8 +618,8 @@ SELECT '{table}.{det}->{dep}' AS fd,
        CAST(count(*) AS BIGINT) AS n_det_values,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_violating,
-       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
-            // count(*) AS BIGINT) AS violation_ppm,
+       CAST(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS HUGEINT)
+            * 1000000 // count(*) AS BIGINT) AS violation_ppm,
        CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
             THEN 1 ELSE 0 END AS INTEGER) AS fd_holds
 FROM (SELECT {det}, count(DISTINCT {dep}) AS nd FROM {table} GROUP BY 1)

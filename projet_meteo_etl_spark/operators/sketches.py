@@ -917,7 +917,8 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_join_rows",
             "exact_join_rows",
             F.expr(
-                "CAST((est_join_rows - exact_join_rows) * 1000000"
+                "CAST(CAST(est_join_rows - exact_join_rows AS DECIMAL(38,0))"
+                " * 1000000"
                 " DIV exact_join_rows AS BIGINT)"
             ).alias("over_ppm"),
         )
@@ -947,8 +948,8 @@ exact AS (
   SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_rows FROM deg
 )
 SELECT CAST(row_i AS INTEGER) AS row_i, est_join_rows, exact_join_rows,
-       CAST((est_join_rows - exact_join_rows) * 1000000 // exact_join_rows
-            AS BIGINT) AS over_ppm
+       CAST(CAST(est_join_rows - exact_join_rows AS HUGEINT) * 1000000
+            // exact_join_rows AS BIGINT) AS over_ppm
 FROM est CROSS JOIN exact
 ORDER BY row_i
 """
@@ -1237,7 +1238,8 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_rows",
             "exact_rows",
             F.expr(
-                "CAST((est_rows - exact_rows) * 1000000 DIV exact_rows AS BIGINT)"
+                "CAST(CAST(est_rows - exact_rows AS DECIMAL(38,0)) * 1000000"
+                " DIV exact_rows AS BIGINT)"
             ).alias("over_ppm"),
             (F.col("pick") == 1).cast("int").alias("run_first"),
         )
@@ -1291,8 +1293,8 @@ exact AS (
   FROM deg_oc a JOIN deg_c b ON a.k = b.k
 )
 SELECT e.candidate, e.est_rows, x.exact_rows,
-       CAST((e.est_rows - x.exact_rows) * 1000000 // x.exact_rows AS BIGINT)
-         AS over_ppm,
+       CAST(CAST(e.est_rows - x.exact_rows AS HUGEINT) * 1000000
+            // x.exact_rows AS BIGINT) AS over_ppm,
        CAST(CASE WHEN row_number() OVER (ORDER BY e.est_rows, e.candidate) = 1
             THEN 1 ELSE 0 END AS INTEGER) AS run_first
 FROM est e JOIN exact x ON x.candidate = e.candidate

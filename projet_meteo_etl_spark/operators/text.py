@@ -143,11 +143,17 @@ def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .withColumn(
             "fertility_ppm",
-            F.expr("n_subwords * 1000000 DIV greatest(n_words, 1)"),
+            F.expr(
+                "CAST(CAST(n_subwords AS DECIMAL(38,0)) * 1000000"
+                " DIV greatest(n_words, 1) AS BIGINT)"
+            ),
         )
         .withColumn(
             "chars_per_subword_ppm",
-            F.expr("n_chars * 1000000 DIV greatest(n_subwords, 1)"),
+            F.expr(
+                "CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000"
+                " DIV greatest(n_subwords, 1) AS BIGINT)"
+            ),
         )
         .orderBy("source")
     )
@@ -168,10 +174,12 @@ SELECT source,
        CAST(sum(n_words) AS BIGINT) AS n_words,
        CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
        CAST(sum(n_chars_nospace) AS BIGINT) AS n_chars,
-       CAST(sum(n_subwords) AS BIGINT) * 1000000
-         // greatest(CAST(sum(n_words) AS BIGINT), 1) AS fertility_ppm,
-       CAST(sum(n_chars_nospace) AS BIGINT) * 1000000
-         // greatest(CAST(sum(n_subwords) AS BIGINT), 1) AS chars_per_subword_ppm
+       CAST(CAST(sum(n_subwords) AS HUGEINT) * 1000000
+         // greatest(CAST(sum(n_words) AS BIGINT), 1) AS BIGINT)
+         AS fertility_ppm,
+       CAST(CAST(sum(n_chars_nospace) AS HUGEINT) * 1000000
+         // greatest(CAST(sum(n_subwords) AS BIGINT), 1) AS BIGINT)
+         AS chars_per_subword_ppm
 FROM per_doc
 GROUP BY source
 ORDER BY source

@@ -757,7 +757,10 @@ def shard_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard",
             "n_docs",
             "total_chars",
-            F.expr("total_chars * 1000000 div grand").cast("long").alias(
+            F.expr(
+                "CAST(CAST(total_chars AS DECIMAL(38,0)) * 1000000"
+                " div grand AS BIGINT)"
+            ).alias(
                 "share_ppm"
             ),
         )
@@ -778,8 +781,8 @@ per AS (
   FROM assigned GROUP BY shard
 )
 SELECT shard, n_docs, total_chars,
-       CAST(total_chars * 1000000 // (SELECT sum(total_chars) FROM per)
-            AS BIGINT) AS share_ppm
+       CAST(CAST(total_chars AS HUGEINT) * 1000000
+            // (SELECT sum(total_chars) FROM per) AS BIGINT) AS share_ppm
 FROM per
 ORDER BY shard
 """

@@ -775,7 +775,10 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares = supp_rev.join(F.broadcast(totals), "n_name").select(
         "n_name",
         "n_suppliers",
-        F.expr("CAST(rev * 1000000 DIV total AS DECIMAL(38,0))").alias(
+        F.expr(
+            "CAST(CAST(rev AS DECIMAL(38,0)) * 1000000"
+            " DIV total AS DECIMAL(38,0))"
+        ).alias(
             "share_ppm"
         ),
     )
@@ -810,7 +813,8 @@ totals AS (
 ),
 shares AS (
   SELECT s.n_name, t.n_suppliers,
-         s.rev * 1000000 // t.total AS share_ppm
+         CAST(CAST(s.rev AS HUGEINT) * 1000000 // t.total AS BIGINT)
+           AS share_ppm
   FROM supp_rev s JOIN totals t USING (n_name)
 )
 SELECT n_name, max(n_suppliers) AS n_suppliers,
@@ -864,7 +868,8 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_parts"),
             F.expr("CAST(sum(rev) AS BIGINT)").alias("rev_centpct"),
             F.expr(
-                "CAST(sum(rev) * 1000000 DIV max(total) AS BIGINT)"
+                "CAST(CAST(sum(rev) AS DECIMAL(38,0)) * 1000000"
+                " DIV max(total) AS BIGINT)"
             ).alias("share_ppm"),
         )
         .orderBy("abc_class")
@@ -893,7 +898,8 @@ classed AS (
 )
 SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
        CAST(sum(rev) AS BIGINT) AS rev_centpct,
-       CAST(sum(rev) * 1000000 // max(total) AS BIGINT) AS share_ppm
+       CAST(CAST(sum(rev) AS HUGEINT) * 1000000 // max(total) AS BIGINT)
+         AS share_ppm
 FROM classed
 GROUP BY abc_class
 ORDER BY abc_class
