@@ -480,11 +480,14 @@ def rocchio_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
             # widen before the x1000 (corpus-total bucket counts can
             # pass ~9.2e15 at 100 TB — the ppm-widening discipline)
+            # greatest(·,1): a degenerate corpus with an empty label
+            # class must yield 0-weight terms in BOTH engines, not
+            # Spark-NULL vs DuckDB-error (engine-divergent failure)
             F.expr(
                 "CAST(CAST(coalesce(sp, 0) AS DECIMAL(38,0)) * 1000"
-                " DIV n_pos AS BIGINT)"
+                " DIV greatest(n_pos, 1) AS BIGINT)"
                 " - CAST(CAST(coalesce(sn, 0) AS DECIMAL(38,0)) * 1000"
-                " DIV n_neg AS BIGINT)"
+                " DIV greatest(n_neg, 1) AS BIGINT)"
             ).alias("wt"),
         )
         .persist()
@@ -583,10 +586,10 @@ sums AS (
 ),
 w AS (
   SELECT CAST(r.b AS BIGINT) AS b,
-         CAST(CAST(coalesce(s.sp, 0) AS HUGEINT) * 1000 // t.n_pos
-           AS BIGINT)
-           - CAST(CAST(coalesce(s.sn, 0) AS HUGEINT) * 1000 // t.n_neg
-           AS BIGINT) AS wt
+         CAST(CAST(coalesce(s.sp, 0) AS HUGEINT) * 1000
+             // greatest(t.n_pos, 1) AS BIGINT)
+           - CAST(CAST(coalesce(s.sn, 0) AS HUGEINT) * 1000
+             // greatest(t.n_neg, 1) AS BIGINT) AS wt
   FROM (SELECT unnest(range({PCT_BUCKETS})) AS b) r
   LEFT JOIN sums s ON r.b = s.b
   CROSS JOIN nn t

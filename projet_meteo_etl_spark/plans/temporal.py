@@ -2357,7 +2357,7 @@ def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_sd",
             F.expr(
                 f"CAST(c_sd AS DECIMAL(38,0)) * ({ln_e6}"
-                f" - {lg.format(x='CAST(c_sd * 1000000 DIV c_s AS BIGINT)')})"
+                f" - {lg.format(x='CAST(CAST(c_sd AS DECIMAL(38,0)) * 1000000 DIV c_s AS BIGINT)')})"
             ).alias("term"),
         )
         .agg(F.sum("term").alias("h_num"))
@@ -2367,7 +2367,7 @@ def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.expr(
                 f"CAST(c_d AS DECIMAL(38,0)) * ({ln_e6}"
-                f" - {lg.format(x='CAST(c_d * 1000000 DIV n AS BIGINT)')})"
+                f" - {lg.format(x='CAST(CAST(c_d AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)')})"
             ).alias("term")
         )
         .agg(F.sum("term").alias("m_num"))
@@ -2426,7 +2426,7 @@ cond AS (
   SELECT sum(p.c_sd * (CAST(floor({ENTROPY_LOG_SCALE}.0
                               * ln(1000000.0)) AS BIGINT)
            - CAST(floor({ENTROPY_LOG_SCALE}.0
-                   * ln(CAST(CAST(p.c_sd * 1000000 // s.c_s AS BIGINT)
+                   * ln(CAST(CAST(p.c_sd::HUGEINT * 1000000 // s.c_s AS BIGINT)
                              AS DOUBLE))) AS BIGINT))) AS h_num
   FROM pair p JOIN src_tot s ON s.src = p.src
 ),
@@ -2434,7 +2434,7 @@ marg AS (
   SELECT sum(d.c_d * (CAST(floor({ENTROPY_LOG_SCALE}.0
                               * ln(1000000.0)) AS BIGINT)
            - CAST(floor({ENTROPY_LOG_SCALE}.0
-                   * ln(CAST(CAST(d.c_d * 1000000 // t.n AS BIGINT)
+                   * ln(CAST(CAST(d.c_d::HUGEINT * 1000000 // t.n AS BIGINT)
                              AS DOUBLE))) AS BIGINT))) AS m_num
   FROM dst_tot d, n_tot t
 )

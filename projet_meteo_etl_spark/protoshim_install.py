@@ -83,7 +83,10 @@ def _shim_zip() -> str:
     h = hashlib.sha256()
     for p in files:
         with open(p, "rb") as f:
-            h.update(p.encode())
+            # archive-relative path, not absolute: identical shim
+            # content must produce the same content-hashed zip name
+            # regardless of install location
+            h.update(os.path.relpath(p, _SHIM_DIR).encode())
             h.update(f.read())
     zpath = os.path.join(
         tempfile.gettempdir(), f"protoshim-{h.hexdigest()[:16]}.zip"

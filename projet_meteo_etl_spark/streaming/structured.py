@@ -1706,7 +1706,10 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
         "user_id",
-        (F.col("user_id") % F.lit(TWS_SHARDS)).alias("shard"),
+        # pmod (not %): a negative user_id must not mint extra
+        # negative shard groups — keeps all three TWS queries on the
+        # same non-negative shard key space
+        F.pmod(F.col("user_id"), F.lit(TWS_SHARDS)).alias("shard"),
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
     )
 
@@ -1836,7 +1839,7 @@ def stream_tws_user_lastk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
-        (F.col("user_id") % F.lit(TWS_SHARDS)).alias("shard"),
+        F.pmod(F.col("user_id"), F.lit(TWS_SHARDS)).alias("shard"),
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("tus"),

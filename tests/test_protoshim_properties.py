@@ -196,3 +196,53 @@ def test_malformed_input_raises():
     with pytest.raises(DecodeError):
         # field 9 (string), length 10, only 2 bytes of payload
         p.ParseFromString(W.enc_tag(9, 2) + W.enc_varint(10) + b"ab")
+
+
+def test_unsupported_field_type_rejected_loudly():
+    """Upgrade tripwire: a descriptor carrying a field type the wire
+    codec has no entry for (TYPE_GROUP here; a future protobuf release's
+    new type hits the same path) must raise at descriptor-BUILD time —
+    the shim may never silently mis-decode state-server bytes.  If a
+    PySpark upgrade regenerates StateMessage_pb2 with such a type, this
+    is the loud failure the builder sees."""
+    from google.protobuf.message import DecodeError
+
+    nb = b"synthetic_group.proto"
+    mnb = b"HasGroup"
+    fields = _field("g", 1, 10)  # TYPE_GROUP — unsupported by design
+    msg = W.enc_tag(1, 2) + W.enc_varint(len(mnb)) + mnb + fields
+    msg = W.enc_tag(4, 2) + W.enc_varint(len(msg)) + msg
+    fdp = (
+        W.enc_tag(1, 2)
+        + W.enc_varint(len(nb))
+        + nb
+        + W.enc_tag(2, 2)
+        + W.enc_varint(1)
+        + b"g"
+        + msg
+        + W.enc_tag(12, 2)
+        + W.enc_varint(6)
+        + b"proto3"
+    )
+    with pytest.raises(DecodeError, match="unsupported field type 10"):
+        descriptor_pool.Default().AddSerializedFile(fdp)
+
+
+def test_packed_repeated_numeric_emit_pin():
+    """proto3 default: repeated numeric fields serialize PACKED (one
+    LEN record), byte-identical to the real runtime; repeated strings
+    stay unpacked per spec.  Round-trips through the shim's own packed
+    decoder."""
+    m = AllTypes(r_i64=[1, 2, 300], r_str=["a", "b"])
+    raw = m.SerializeToString()
+    # field 21 packed: tag(21,LEN) + len(4) + varints 1,2,300(2 bytes)
+    packed = W.enc_tag(21, 2) + W.enc_varint(4) + b"\x01\x02" + b"\xac\x02"
+    assert packed in raw
+    # no per-element varint tag for field 21 anywhere
+    assert raw.count(bytes(W.enc_tag(21, 0))) == 0
+    # strings: one LEN record per element, not packed
+    assert raw.count(bytes(W.enc_tag(22, 2))) == 2
+    p = AllTypes()
+    p.ParseFromString(raw)
+    assert list(p.r_i64) == [1, 2, 300]
+    assert list(p.r_str) == ["a", "b"]
