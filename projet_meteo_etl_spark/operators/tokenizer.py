@@ -894,12 +894,356 @@ ORDER BY p.total_uses DESC, p.piece
 """
 
 
+
+
+# ------------------------- unigram-LM (SentencePiece-style) EM round
+
+#: unigram-LM inventory sizing: seed pieces are every corpus substring
+#: of length 1..UNI_MAX_LEN; the top UNI_VOCAB_K multi-char pieces (by
+#: corpus-weighted occurrence) plus the full alphabet form the model.
+UNI_MAX_LEN = 6
+UNI_MIN_LEN = 2
+UNI_VOCAB_K = 24
+#: M-step pruning: keep the UNI_KEEP_K best multi-char pieces by
+#: Viterbi expected count (chars are never pruned — the model must
+#: always be able to segment every string), the SentencePiece
+#: shrink-per-round discipline.
+UNI_KEEP_K = 16
+#: integer log-prob fixed point (milli-nats), the
+#: ``transition_entropy_rate`` / ``fs_linkage`` floor-log discipline.
+UNI_LOG_SCALE = 1000
+#: long tokens are pre-split into fixed blocks before the lattice —
+#: bounds the oracle's path enumeration (compositions of 12 with parts
+#: <= 6) and is the public max-piece-length normalization step.
+UNI_BLOCK = 12
+
+
+def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unigram-LM (SentencePiece-style) EM + pruning round — the
+    third public tokenizer-training algorithm next to BPE training
+    (``bpe_train_merges``) and WordPiece inference
+    (``wordpiece_greedy_segment``).
+
+    The round, exactly as published (Kudo 2018), hard-EM variant:
+
+    1. **Seed**: piece inventory = top-``UNI_VOCAB_K`` multi-char
+       substrings (length 2..6, corpus-weighted occurrence) + the full
+       alphabet; seed probability ∝ occurrence count.
+    2. **E-step**: segment the corpus under the current model.  We run
+       the *Viterbi* (hard) E-step — the max-probability segmentation
+       per word — because it is expressible in exact integer
+       arithmetic: piece cost = ``floor(1000·ln(1e6)) −
+       floor(1000·ln(seed_ppm))`` milli-nats (integer-valued DOUBLE
+       into a correctly-floored ln, the ``transition_entropy_rate``
+       discipline), ties broken by the lexicographically smallest
+       piece-path (separator ``chr(31)`` sorts below every printable
+       char, so more-segmented-earlier wins deterministically in BOTH
+       engines — UTF-8 memcmp and Python code-point order agree).
+       Soft-EM's lattice posteriors are float-only and engine-divergent
+       by construction; the hard variant is the standard integer-exact
+       counterpart.
+    3. **M-step**: re-estimate piece weights from Viterbi counts
+       (``em_weight_ppm``) and prune: drop multi-char pieces ranked
+       below ``UNI_KEEP_K`` by expected count (chars never pruned).
+
+    Scale (the BPE/WordPiece discipline): the only corpus-sized pass is
+    the word→count vocabulary aggregate; everything downstream —
+    candidate generation, the inventory cut, block splitting, the
+    Viterbi kernel — is vocabulary-sized (Heaps' law: sublinear in
+    corpus).  The kernel is a self-contained ``mapInPandas`` whose
+    closure carries the (UNI_VOCAB_K + |alphabet|)-bounded costed
+    inventory; the DP is O(len·UNI_MAX_LEN) per distinct block.  Words
+    are pre-split into ``UNI_BLOCK``-char blocks and deduped, so the
+    oracle's recursive-CTE path enumeration is bounded by compositions
+    of 12 with parts ≤ 6 per distinct block.
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .persist()
+    )
+    cands = None
+    for ln in range(1, UNI_MAX_LEN + 1):
+        c = vocab.filter(F.length("word") >= ln).select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(word) - {ln} + 1),"
+                    f" i -> substring(word, i, {ln}))"
+                )
+            ).alias("piece"),
+            "wc",
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    seed_all = cands.groupBy("piece").agg(
+        F.sum("wc").cast("long").alias("seed_cnt")
+    )
+    multi = (
+        seed_all.filter(F.length("piece") >= UNI_MIN_LEN)
+        .orderBy(F.desc("seed_cnt"), F.asc("piece"))
+        .limit(UNI_VOCAB_K)
+    )
+    chars = seed_all.filter(F.length("piece") == 1)
+    inv0 = multi.unionByName(chars)
+    stot = inv0.agg(
+        # DECIMAL: corpus-total substring occurrences pass 9.2e18 chars
+        # at 100 TB (the shard_assignment_audit precedent)
+        F.sum(F.col("seed_cnt").cast("decimal(38,0)")).alias("seed_tot")
+    )
+    ln_e6 = f"CAST(floor({UNI_LOG_SCALE}.0 * ln(1000000.0)) AS BIGINT)"
+    inv = (
+        inv0.crossJoin(F.broadcast(stot))
+        .select(
+            "piece",
+            "seed_cnt",
+            F.expr(
+                f"{ln_e6} - CAST(floor({UNI_LOG_SCALE}.0 * ln(CAST("
+                "greatest(CAST(CAST(seed_cnt AS DECIMAL(38,0)) * 1000000"
+                " DIV seed_tot AS BIGINT), 1) AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("cost_mnat"),
+        )
+        .persist()
+    )
+    # k-bounded driver collect (UNI_VOCAB_K + |alphabet|), the
+    # wordpiece_greedy_segment / codebook precedent
+    costed = sorted(
+        (r["piece"], int(r["cost_mnat"])) for r in inv.collect()
+    )
+    blocks = (
+        vocab.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST((length(word) - 1)"
+                    f" DIV {UNI_BLOCK} AS INT)),"
+                    f" i -> substring(word, i * {UNI_BLOCK} + 1,"
+                    f" {UNI_BLOCK}))"
+                )
+            ).alias("b"),
+            "wc",
+        )
+        .groupBy("b")
+        .agg(F.sum("wc").cast("long").alias("bwc"))
+    )
+
+    def segment(batches):
+        # self-contained closure: only `costed` (a plain list) rides in
+        import pandas as pd
+
+        pc = dict(costed)
+        ml = max(len(p) for p in pc)
+        sep = "\x1f"
+        for pdf in batches:
+            rb, rw, rp, ro = [], [], [], []
+            for b, bwc in zip(pdf["b"], pdf["bwc"]):
+                n = len(b)
+                # backward Viterbi: best[i] = (cost, path) over b[i:],
+                # min by (cost, path) — suffix-optimal substructure
+                # holds because the prefix piece is fixed per candidate
+                best = [None] * (n + 1)
+                best[n] = (0, "")
+                for i in range(n - 1, -1, -1):
+                    cand = None
+                    for l in range(1, min(ml, n - i) + 1):
+                        c = pc.get(b[i : i + l])
+                        if c is None or best[i + l] is None:
+                            continue
+                        key = (
+                            c + best[i + l][0],
+                            sep + b[i : i + l] + best[i + l][1],
+                        )
+                        if cand is None or key < cand:
+                            cand = key
+                    best[i] = cand
+                counts = {}
+                for p in best[0][1].split(sep)[1:]:
+                    counts[p] = counts.get(p, 0) + 1
+                for p, c in counts.items():
+                    rb.append(b)
+                    rw.append(int(bwc))
+                    rp.append(p)
+                    ro.append(c)
+            yield pd.DataFrame(
+                {"b": rb, "bwc": rw, "piece": rp, "occ": ro}
+            )
+
+    usage = blocks.mapInPandas(
+        segment, "b string, bwc long, piece string, occ long"
+    )
+    per_piece = usage.groupBy("piece").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("bwc") * F.col("occ")).cast("long").alias(
+            "viterbi_uses"
+        ),
+    )
+    tot = per_piece.agg(
+        F.sum("viterbi_uses").cast("long").alias("all_uses")
+    )
+    scored = (
+        inv.join(per_piece, "piece", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            (F.length("piece") == 1).cast("int").alias("is_char"),
+            "seed_cnt",
+            F.col("cost_mnat").alias("seed_cost_mnat"),
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias(
+                "n_blocks"
+            ),
+            F.coalesce("viterbi_uses", F.lit(0)).cast("long").alias(
+                "viterbi_uses"
+            ),
+            F.expr(
+                "CAST(CAST(coalesce(viterbi_uses, 0) AS DECIMAL(38,0))"
+                " * 1000000 DIV greatest(all_uses, 1) AS BIGINT)"
+            ).alias("em_weight_ppm"),
+        )
+    )
+    w = Window.partitionBy("is_char").orderBy(
+        F.desc("viterbi_uses"), F.asc("piece")
+    )
+    out = (
+        scored.withColumn(
+            "keep_rank",
+            F.when(F.col("is_char") == 1, F.lit(0))
+            .otherwise(F.row_number().over(w))
+            .cast("long"),
+        )
+        .withColumn(
+            "pruned",
+            (
+                (F.col("is_char") == 0)
+                & (F.col("keep_rank") > UNI_KEEP_K)
+            ).cast("int"),
+        )
+        .orderBy(F.desc("viterbi_uses"), F.asc("piece"))
+    )
+    return scoped_cache(out, vocab, inv)
+
+
+_UNI_LENS = ", ".join(f"({ln})" for ln in range(1, UNI_MAX_LEN + 1))
+
+UNIGRAM_SQL = rf"""
+WITH RECURSIVE
+vocab AS (
+  SELECT word, count(*) AS wc
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents)
+  WHERE length(word) >= 1 GROUP BY 1
+),
+cand AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS seed_cnt
+  FROM (
+    SELECT v.wc,
+           unnest(list_transform(
+             range(1, length(v.word) - ls.L + 2),
+             i -> substr(v.word, CAST(i AS INT), ls.L))) AS piece
+    FROM vocab v, (VALUES {_UNI_LENS}) ls(L)
+    WHERE length(v.word) >= ls.L
+  )
+  GROUP BY 1
+),
+multi AS (
+  SELECT piece, seed_cnt FROM cand WHERE length(piece) >= {UNI_MIN_LEN}
+  ORDER BY seed_cnt DESC, piece LIMIT {UNI_VOCAB_K}
+),
+inv0 AS (
+  SELECT piece, seed_cnt FROM multi
+  UNION ALL
+  SELECT piece, seed_cnt FROM cand WHERE length(piece) = 1
+),
+stot AS (SELECT sum(seed_cnt::HUGEINT) AS seed_tot FROM inv0),
+inv AS (
+  SELECT piece, seed_cnt,
+         CAST(floor({UNI_LOG_SCALE}.0 * ln(1000000.0)) AS BIGINT)
+           - CAST(floor({UNI_LOG_SCALE}.0 * ln(CAST(greatest(
+               CAST(seed_cnt::HUGEINT * 1000000 // t.seed_tot AS BIGINT),
+               1) AS DOUBLE))) AS BIGINT) AS cost_mnat
+  FROM inv0, stot t
+),
+blocks AS (
+  SELECT b, CAST(sum(wc) AS BIGINT) AS bwc FROM (
+    SELECT v.wc,
+           unnest(list_transform(
+             range(0, (length(v.word) - 1) // {UNI_BLOCK} + 1),
+             i -> substr(v.word, CAST(i * {UNI_BLOCK} + 1 AS INT),
+                         {UNI_BLOCK}))) AS b
+    FROM vocab v
+  ) GROUP BY 1
+),
+seg AS (
+  SELECT b AS w, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+         CAST('' AS VARCHAR) AS path
+  FROM blocks
+  UNION ALL
+  SELECT s.w, s.pos + length(p.piece), s.cost + p.cost_mnat,
+         s.path || chr(31) || p.piece
+  FROM seg s
+  JOIN inv p ON substr(s.w, s.pos + 1, length(p.piece)) = p.piece
+  WHERE s.pos < length(s.w)
+),
+best AS (
+  SELECT w, path FROM (
+    SELECT w, path,
+           row_number() OVER (PARTITION BY w ORDER BY cost, path) AS rn
+    FROM seg WHERE pos = length(w)
+  ) WHERE rn = 1
+),
+usage AS (
+  SELECT w, piece, count(*) AS occ FROM (
+    SELECT w, unnest(string_split(path, chr(31))) AS piece FROM best
+  ) WHERE piece <> '' GROUP BY 1, 2
+),
+per_piece AS (
+  SELECT u.piece, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(u.occ * b.bwc) AS BIGINT) AS viterbi_uses
+  FROM usage u JOIN blocks b ON u.w = b.b GROUP BY 1
+),
+tot AS (SELECT CAST(sum(viterbi_uses) AS BIGINT) AS all_uses
+        FROM per_piece),
+scored AS (
+  SELECT i.piece,
+         CAST(length(i.piece) AS BIGINT) AS piece_len,
+         CAST(CASE WHEN length(i.piece) = 1 THEN 1 ELSE 0 END
+           AS INTEGER) AS is_char,
+         i.seed_cnt,
+         i.cost_mnat AS seed_cost_mnat,
+         CAST(coalesce(p.n_blocks, 0) AS BIGINT) AS n_blocks,
+         CAST(coalesce(p.viterbi_uses, 0) AS BIGINT) AS viterbi_uses,
+         CAST(coalesce(p.viterbi_uses, 0)::HUGEINT * 1000000
+              // greatest(t.all_uses, 1) AS BIGINT) AS em_weight_ppm
+  FROM inv i LEFT JOIN per_piece p ON i.piece = p.piece
+  CROSS JOIN tot t
+),
+ranked AS (
+  SELECT *,
+         CAST(CASE WHEN is_char = 1 THEN 0 ELSE
+           row_number() OVER (PARTITION BY is_char
+                              ORDER BY viterbi_uses DESC, piece)
+         END AS BIGINT) AS keep_rank
+  FROM scored
+)
+SELECT piece, piece_len, is_char, seed_cnt, seed_cost_mnat, n_blocks,
+       viterbi_uses, em_weight_ppm, keep_rank,
+       CAST(CASE WHEN is_char = 0 AND keep_rank > {UNI_KEEP_K}
+            THEN 1 ELSE 0 END AS INTEGER) AS pruned
+FROM ranked
+ORDER BY viterbi_uses DESC, piece
+"""
+
+
 SPARK_QUERIES = {
     "bpe_merge_topk": bpe_merge_topk,
     "bpe_train_merges": bpe_train_merges,
     "repeated_ngram_spans": repeated_ngram_spans,
     "exact_substring_trim_spans": exact_substring_trim_spans,
     "wordpiece_greedy_segment": wordpiece_greedy_segment,
+    "unigram_lm_em_step": unigram_lm_em_step,
 }
 
 ORACLE_SQL = {
@@ -908,4 +1252,5 @@ ORACLE_SQL = {
     "repeated_ngram_spans": REPEATED_SPANS_SQL,
     "exact_substring_trim_spans": EXACT_TRIM_SQL,
     "wordpiece_greedy_segment": WORDPIECE_SQL,
+    "unigram_lm_em_step": UNIGRAM_SQL,
 }

@@ -154,8 +154,17 @@ def test_decode_media_real_header_path():
         + b"data" + struct.pack("<I", 0)
     )
     assert mm.decode_media(wav, "audio")["sample_rate"] == 16000
+    # PNG: real decode of a valid file, LOUD ValueError on a corrupt
+    # one (data error, not env gate); JPEG stays honestly env-gated
+    build, _ = mm._png_codec()
+    png = build(2, 1, [[1, 2, 3, 4, 5, 6]], [0])
+    dec = mm.decode_media(png, "image")
+    assert dec["format"] == "png" and (dec["width"], dec["height"]) == (2, 1)
+    assert dec["pixels"] == bytes([1, 2, 3, 4, 5, 6])
+    with pytest.raises(ValueError):
+        mm.decode_media(b"\x89PNG\r\n\x1a\n" + b"junk", "image")
     with pytest.raises(NotImplementedError):
-        mm.decode_media(b"\x89PNG\r\n\x1a\n", "image")
+        mm.decode_media(b"\xff\xd8\xff\xe0jfif", "image")
 
 
 def test_header_decode_rollup(spark):
@@ -167,3 +176,160 @@ def test_header_decode_rollup(spark):
     assert rows["audio"]["n_meta_match"] == rows["audio"]["n_assets"]
     assert rows["audio"]["max_sample_rate"] == 16000
     assert rows["video"]["n_decoded"] == 0
+
+
+# --------------------------------------------- PNG codec (round 11)
+
+
+def test_png_decoder_spec_unfiltering():
+    """Decode a PNG whose filtered scanlines are written BY HAND from
+    the published filter definitions (PNG spec §9 / RFC 2083) — the
+    decoder is tested independently of the builder's encode path."""
+    import struct
+    import zlib
+
+    build, decode = mm._png_codec()
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 2x2 RGB image, raw rows:
+    #   row0: (10,20,30) (40,50,60)
+    #   row1: (11,22,33) (44,55,66)
+    # row0 uses Sub (filt = x - left):  10,20,30, 30,30,30
+    # row1 uses Up  (filt = x - up):     1, 2, 3, 4, 5, 6
+    raw = bytes([1, 10, 20, 30, 30, 30, 30, 2, 1, 2, 3, 4, 5, 6])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, px = decode(png)
+    assert (w, h) == (2, 2)
+    assert px == bytes([10, 20, 30, 40, 50, 60, 11, 22, 33, 44, 55, 66])
+
+
+def test_png_decoder_paeth_and_average():
+    """Average and Paeth filters against hand-computed predictions."""
+    import struct
+    import zlib
+
+    _b, decode = mm._png_codec()
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 2x2 RGB; row0 Average with no prior (pred = left//2):
+    #   raw (8,10,12)(20,30,40) -> filt 8,10,12, 20-4,30-5,40-6
+    # row1 Paeth: pred = paeth(left, up, upleft); first pixel pred=up
+    #   raw (9,11,13)(25,35,45); paeth for 2nd px: a=9/11/13 (left),
+    #   b=20/30/40 (up), c=8/10/12 (upleft) -> p=a+b-c=21/31/41,
+    #   |p-a|=12/20/28, |p-b|=1/1/1, |p-c|=13/21/29 -> pred=b=20/30/40
+    raw = bytes(
+        [3, 8, 10, 12, 16, 25, 34]
+        + [4, 9 - 8, 11 - 10, 13 - 12, 25 - 20, 35 - 30, 45 - 40]
+    )
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    _w, _h, px = decode(png)
+    assert px == bytes([8, 10, 12, 20, 30, 40, 9, 11, 13, 25, 35, 45])
+
+
+def test_png_builder_golden_bytes_and_roundtrip():
+    """Pin the builder's full output for a fixed image (keeps the
+    encode path honest) and round-trip every filter type."""
+    build, decode = mm._png_codec()
+    w, h = 3, 5
+    rows = [
+        [(x * 7 + y * 13 + c * 5) % 256 for x in range(w) for c in range(3)]
+        for y in range(h)
+    ]
+    png = build(w, h, rows, [0, 1, 2, 3, 4])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR golden: 3x5, depth 8, color type 2, non-interlaced + CRC
+    # len=13, "IHDR", w=3, h=5, depth 8, type 2, 0/0/0, then CRC32
+    assert png[8:33].hex() == (
+        "0000000d49484452000000030000000508020000000f13c1f5"
+    )
+    dw, dh, px = decode(png)
+    assert (dw, dh) == (w, h)
+    assert px == b"".join(bytes(r) for r in rows)
+
+
+def test_png_decoder_rejects_loudly():
+    """Bad CRC, unsupported variants, truncation: ValueError, never a
+    silent wrong answer."""
+    build, decode = mm._png_codec()
+    png = bytearray(build(2, 2, [[0] * 6, [0] * 6], [0, 0]))
+    bad = bytearray(png)
+    bad[20] ^= 0x01  # flip a bit inside IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        decode(b"not a png at all")
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode(bytes(png[: len(png) - 8]))
+    # 16-bit / interlaced variants must be rejected, not mis-decoded
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        decode(png16)
+
+
+def test_png_pixel_stats_rollup(spark):
+    """Every image asset decodes; pixel totals match the arithmetic
+    ground truth recomputed here in plain Python."""
+    rows = mm.png_pixel_stats(spark, SF).collect()
+    assert rows, "no image assets"
+    got = {r["w"]: r for r in rows}
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{SF}/documents.parquet')"
+        " WHERE doc_id % 3 = 0"
+    ).fetchall()
+    exp: dict[int, list[int]] = {}
+    for (did,) in docs:
+        w = mm.PNG_W_BASE + did % mm.PNG_W_MOD
+        h = mm.PNG_H_BASE + did % mm.PNG_H_MOD
+        s = sum(
+            (did * 31 + x * 7 + y * 13 + c * 5) % 256
+            for x in range(w)
+            for y in range(h)
+            for c in range(3)
+        )
+        e = exp.setdefault(w, [0, 0, 0])
+        e[0] += 1
+        e[1] += w * h * 3
+        e[2] += s
+    for w, (n, npx, psum) in exp.items():
+        r = got[w]
+        assert r["n_images"] == n
+        assert r["n_decoded"] == n  # every PNG must really decode
+        assert r["n_px_total"] == npx
+        assert r["pixel_sum"] == psum

@@ -308,6 +308,10 @@ EXPECTED_QUERIES = {
     "wordpiece_greedy_segment",
     # round-10: Rocchio nearest-centroid quality-classifier training
     "rocchio_quality_classifier",
+    # round-11: unigram-LM (SentencePiece-style) hard-EM + pruning round
+    "unigram_lm_em_step",
+    # round-11: real stdlib-only PNG pixel decode (inflate + unfilter)
+    "png_pixel_stats",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -300,3 +300,97 @@ def test_wordpiece_greedy_against_python_oracle(spark):
         assert r["n_words"] == n_words[p]
         assert r["total_uses"] == u
         assert r["share_ppm"] == u * 1_000_000 // all_uses
+
+
+def test_unigram_em_against_python_oracle(spark):
+    """Seed inventory, integer milli-nat costs, Viterbi segmentation
+    with the (cost, path) tie-break, M-step reweighting and pruning
+    must all match a direct Python replay."""
+    import math
+    from collections import Counter
+
+    from projet_meteo_etl_spark.operators.tokenizer import (
+        UNI_BLOCK,
+        UNI_KEEP_K,
+        UNI_LOG_SCALE,
+        UNI_MAX_LEN,
+        UNI_MIN_LEN,
+        UNI_VOCAB_K,
+        unigram_lm_em_step,
+    )
+
+    texts = _texts(spark)
+    vocab: Counter[str] = Counter()
+    for t in texts.values():
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                vocab[w] += 1
+    cand: Counter[str] = Counter()
+    for w, wc in vocab.items():
+        for ln in range(1, UNI_MAX_LEN + 1):
+            for i in range(len(w) - ln + 1):
+                cand[w[i : i + ln]] += wc
+    multi = sorted(
+        ((p, c) for p, c in cand.items() if len(p) >= UNI_MIN_LEN),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:UNI_VOCAB_K]
+    inv = dict(multi) | {p: c for p, c in cand.items() if len(p) == 1}
+    seed_tot = sum(inv.values())
+    ln1e6 = math.floor(UNI_LOG_SCALE * math.log(1_000_000.0))
+    cost = {
+        p: ln1e6
+        - math.floor(
+            UNI_LOG_SCALE
+            * math.log(float(max(c * 1_000_000 // seed_tot, 1)))
+        )
+        for p, c in inv.items()
+    }
+    blocks: Counter[str] = Counter()
+    for w, wc in vocab.items():
+        for i in range(0, len(w), UNI_BLOCK):
+            blocks[w[i : i + UNI_BLOCK]] += wc
+    ml = max(len(p) for p in cost)
+    n_blocks: Counter[str] = Counter()
+    uses: Counter[str] = Counter()
+    for b, bwc in blocks.items():
+        n = len(b)
+        best = [None] * (n + 1)
+        best[n] = (0, "")
+        for i in range(n - 1, -1, -1):
+            c0 = None
+            for l in range(1, min(ml, n - i) + 1):
+                pc = cost.get(b[i : i + l])
+                if pc is None:
+                    continue
+                key = (pc + best[i + l][0], "\x1f" + b[i : i + l] + best[i + l][1])
+                if c0 is None or key < c0:
+                    c0 = key
+            best[i] = c0
+        counts = Counter(best[0][1].split("\x1f")[1:])
+        for p, c in counts.items():
+            n_blocks[p] += 1
+            uses[p] += bwc * c
+    all_uses = sum(uses.values())
+    rows = unigram_lm_em_step(spark, SF_SMOKE).collect()
+    assert len(rows) == len(inv)
+    # multi-char pruning: keep the UNI_KEEP_K best by Viterbi count
+    mrank = sorted(
+        (p for p in inv if len(p) > 1),
+        key=lambda p: (-uses.get(p, 0), p),
+    )
+    pruned = set(mrank[UNI_KEEP_K:])
+    for r in rows:
+        p = r["piece"]
+        assert r["seed_cnt"] == inv[p]
+        assert r["seed_cost_mnat"] == cost[p]
+        assert r["n_blocks"] == n_blocks.get(p, 0)
+        assert r["viterbi_uses"] == uses.get(p, 0)
+        assert r["em_weight_ppm"] == uses.get(p, 0) * 1_000_000 // all_uses
+        assert r["is_char"] == (1 if len(p) == 1 else 0)
+        assert r["pruned"] == (1 if p in pruned else 0)
+        if len(p) == 1:
+            assert r["keep_rank"] == 0 and r["pruned"] == 0
+    # the EM weights of kept pieces must dominate: no pruned piece may
+    # out-count a kept multi-char piece
+    kept = [uses.get(p, 0) for p in mrank[:UNI_KEEP_K]]
+    assert not pruned or max(uses.get(p, 0) for p in pruned) <= min(kept)

@@ -514,6 +514,24 @@ def main() -> int:
                 ),
             }
         )
+
+        # round-11: unigram-LM EM round (vocab-collapsed like
+        # WordPiece — expect ~flat) and the two remaining TWS state
+        # types (MapState+timers / ListState), staged-replicated
+        # events like the seam probe
+        def tws_timers_probe(s, d):
+            return structured.stream_tws_session_timers(s, seam_dir or d)
+
+        def tws_lastk_probe(s, d):
+            return structured.stream_tws_user_lastk(s, seam_dir or d)
+
+        probes.update(
+            {
+                "unigram_lm_em_step": tokenizer.unigram_lm_em_step,
+                "stream_tws_session_timers": tws_timers_probe,
+                "stream_tws_user_lastk": tws_lastk_probe,
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
