@@ -1983,6 +1983,219 @@ ORDER BY s.src_a, s.src_b
 """
 
 
+
+
+# ------------------- incremental near-dup against a persisted index
+
+#: deterministic "new arrivals" split for the incremental dedup demo:
+#: doc_id % INC_BATCH_MOD == 0 is the incoming batch (~10%), the rest is
+#: the already-indexed corpus (non-trivial cross-split pairs at every
+#: fixture SF).
+INC_BATCH_MOD = 10
+
+
+def dedup_minhash_incremental(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.04
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup: sign the NEW BATCH only and
+    probe a PERSISTED banded index of the corpus, emitting only
+    new-vs-corpus candidate pairs — how 100-TB ingestion dedup actually
+    runs (never re-shingle the corpus per batch).
+
+    Index build (runs once here, amortized at ingest in a deployment —
+    the ``ann_ivf_persisted_index`` contract): corpus shingles are
+    df-capped by a PERSISTED stop set (the cap must be frozen with the
+    index — recomputing it per batch would silently shift which
+    shingles exist), signatures banded, and the band table written to
+    parquet partitioned by ``(band_idx, key_pfx)`` — 8 bands × 16
+    hex-prefix buckets — alongside the shingle store, sizes, and stop
+    set.
+
+    Probe phase (everything below the build reads ONLY stored files +
+    the batch): batch shingles are filtered by the stored stop set,
+    signed, banded, and the index scan is PARTITION-PRUNED to the
+    batch's (band_idx, key_pfx) list (a ≤128-value, k-bounded driver
+    collect — physically only the probed buckets' files are opened;
+    ``PartitionFilters`` in explain).  Exact-Jaccard verify joins batch
+    shingles against the shingle STORE restricted to candidate corpus
+    docs.  Per batch the cost is O(batch shingles + candidate pairs):
+    index size enters only through pruned bucket reads.
+
+    Same verify semantics as :func:`dedup_minhash_lsh` (same banding,
+    same df cap, same rounded-Jaccard threshold), restricted to
+    new-vs-corpus pairs.
+    """
+    import os
+
+    from projet_meteo_etl_spark.sources.sinks import staging_root
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % INC_BATCH_MOD != 0)
+    batch = d.filter(F.col("doc_id") % INC_BATCH_MOD == 0)
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        r = ROWS_PER_BAND
+        arr = F.expr(
+            f"transform(sequence(0, {BANDS - 1}), "
+            f"b -> struct(b as band_idx, "
+            f"md5(concat_ws('-', transform(slice(sig, b * {r} + 1, {r}), "
+            f"x -> cast(x as string)))) as band_key))"
+        )
+        return (
+            sigs.select("doc_id", F.explode(arr).alias("band"))
+            .select("doc_id", "band.band_idx", "band.band_key")
+            .withColumn("key_pfx", F.substring("band_key", 1, 1))
+        )
+
+    # ---- index build (ingest-time work; see docstring)
+    c_sh_raw = word_shingle_hashes(corpus).persist()
+    stop = (
+        c_sh_raw.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_MAX_DF)
+        .select("h")
+    )
+    c_sh = c_sh_raw.join(F.broadcast(stop), "h", "left_anti")
+    root = os.path.join(staging_root(sf_dir), "minhash_index")
+    banded(minhash_signatures(c_sh)).write.partitionBy(
+        "band_idx", "key_pfx"
+    ).mode("overwrite").parquet(os.path.join(root, "bands"))
+    c_sh.write.mode("overwrite").parquet(os.path.join(root, "shingles"))
+    c_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    ).write.mode("overwrite").parquet(os.path.join(root, "sizes"))
+    stop.write.mode("overwrite").parquet(os.path.join(root, "stop"))
+    c_sh_raw.unpersist()
+
+    # ---- probe phase: stored index + the new batch only
+    stop_idx = spark.read.parquet(os.path.join(root, "stop"))
+    b_sh = (
+        word_shingle_hashes(batch)
+        .join(F.broadcast(stop_idx), "h", "left_anti")
+        .persist()
+    )
+    b_bands = banded(minhash_signatures(b_sh)).persist()
+    # k-bounded collect (<= BANDS x 16 hex prefixes = 128 values):
+    # turns "probe the index" into partition-pruned file reads
+    probed = sorted(
+        (r["band_idx"], r["key_pfx"])
+        for r in b_bands.select("band_idx", "key_pfx").distinct().collect()
+    )
+    idx_bands = spark.read.parquet(os.path.join(root, "bands")).filter(
+        F.concat_ws("/", F.col("band_idx"), F.col("key_pfx")).isin(
+            [f"{bi}/{px}" for bi, px in probed]
+        )
+    )
+    cands = (
+        idx_bands.alias("i")
+        .join(
+            F.broadcast(b_bands.alias("n")),
+            (F.col("i.band_idx") == F.col("n.band_idx"))
+            & (F.col("i.band_key") == F.col("n.band_key")),
+        )
+        .select(
+            F.col("i.doc_id").alias("corpus_doc"),
+            F.col("n.doc_id").alias("new_doc"),
+        )
+        .distinct()
+    )
+    # verify: shingle store restricted to candidate corpus docs
+    c_store = spark.read.parquet(os.path.join(root, "shingles"))
+    inter = (
+        cands.join(
+            c_store.alias("a"), F.col("corpus_doc") == F.col("a.doc_id")
+        )
+        .join(
+            b_sh.alias("b"),
+            (F.col("new_doc") == F.col("b.doc_id"))
+            & (F.col("a.h") == F.col("b.h")),
+        )
+        .groupBy("corpus_doc", "new_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = spark.read.parquet(os.path.join(root, "sizes")).select(
+        F.col("doc_id").alias("corpus_doc"), F.col("n_sh").alias("n_a")
+    )
+    sb = b_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b")).select(
+        F.col("doc_id").alias("new_doc"), "n_b"
+    )
+    out = (
+        inter.join(sa, "corpus_doc")
+        .join(sb, "new_doc")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "corpus_doc", "jaccard")
+        .orderBy("new_doc", "corpus_doc")
+    )
+    return scoped_cache(out, b_sh, b_bands)
+
+
+MINHASH_INCREMENTAL_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh_all AS (SELECT doc_id, {_SHINGLE_HASH_SQL} AS h
+           FROM tri WHERE shingle IS NOT NULL),
+-- the stop set is computed over the CORPUS ONLY and frozen with the
+-- index; the batch is filtered by the same stored set
+stop AS (
+  SELECT h FROM sh_all WHERE doc_id % {INC_BATCH_MOD} <> 0
+  GROUP BY h HAVING count(*) > {NGRAM_MAX_DF}
+),
+sh AS (
+  SELECT s.doc_id, s.h FROM sh_all s
+  LEFT JOIN stop ON s.h = stop.h WHERE stop.h IS NULL
+),
+shm AS (SELECT doc_id, h, h % {_MH_P} AS hm FROM sh),
+sigs AS (
+  SELECT doc_id, {', '.join(_mh_perm_sql(i) for i in range(NUM_PERM))}
+  FROM shm GROUP BY doc_id
+),
+bands AS (
+  {' UNION ALL '.join(_mh_band_key_sql(b) for b in range(BANDS))}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS corpus_doc, n.doc_id AS new_doc
+  FROM bands a JOIN bands n
+    ON a.band_idx = n.band_idx AND a.band_key = n.band_key
+  WHERE a.doc_id % {INC_BATCH_MOD} <> 0
+    AND n.doc_id % {INC_BATCH_MOD} = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.corpus_doc, c.new_doc, count(*) AS n_inter
+  FROM cands c
+  JOIN sh a ON c.corpus_doc = a.doc_id
+  JOIN sh b ON c.new_doc = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+)
+SELECT new_doc, corpus_doc,
+       floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5)
+         / 1000000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = corpus_doc
+JOIN sizes sb ON sb.doc_id = new_doc
+WHERE floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5)
+        / 1000000.0 >= 0.04
+ORDER BY new_doc, corpus_doc
+"""
+
+
 SPARK_QUERIES = {
     "ngram_contamination_audit": ngram_contamination_audit,
     "source_contamination_matrix": source_contamination_matrix,
@@ -1994,6 +2207,7 @@ SPARK_QUERIES = {
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_connected_components": dedup_connected_components,
@@ -2013,6 +2227,7 @@ ORACLE_SQL = {
     "dedup_fingerprint_groups": DEDUP_FINGERPRINT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
+    "dedup_minhash_incremental": MINHASH_INCREMENTAL_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_connected_components": DEDUP_CC_SQL,

@@ -349,3 +349,74 @@ def test_fs_scores_rank_matches_weight_sum(spark):
             + (w["len_band"]["w_agree_mnat"] if r["ag_len"] else w["len_band"]["w_disagree_mnat"])
         )
         assert r["score_mnat"] == expect
+
+
+def test_incremental_minhash_split_and_pruning(spark):
+    """Incremental probe: every emitted pair is new-vs-corpus, the
+    result is non-trivial, jaccard respects the threshold, and the
+    stored-index scan is physically partition-pruned (the
+    PartitionFilters INSET over (band_idx, key_pfx))."""
+    import re
+
+    df = dedup.dedup_minhash_incremental(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[concat_ws", plan), (
+        "index scan is not partition-pruned"
+    )
+    rows = df.collect()
+    assert rows, "no cross-split near-dup pairs at sf0.01"
+    for r in rows:
+        assert r["new_doc"] % dedup.INC_BATCH_MOD == 0
+        assert r["corpus_doc"] % dedup.INC_BATCH_MOD != 0
+        assert r["jaccard"] >= 0.04
+
+
+def test_incremental_minhash_agrees_with_batch_lsh_on_cross_pairs(spark):
+    """Where the corpus-frozen stop set equals the full-corpus stop set
+    (true at this SF — assert it), the incremental result must be
+    EXACTLY the batch LSH result restricted to cross-split pairs."""
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.operators.dedup import (
+        INC_BATCH_MOD,
+        NGRAM_MAX_DF,
+        word_shingle_hashes,
+    )
+
+    d = load_table(spark, SF, "documents")
+    full_stop = {
+        r["h"]
+        for r in word_shingle_hashes(d)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_MAX_DF)
+        .collect()
+    }
+    corpus_stop = {
+        r["h"]
+        for r in word_shingle_hashes(
+            d.filter(F.col("doc_id") % INC_BATCH_MOD != 0)
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_MAX_DF)
+        .collect()
+    }
+    if full_stop != corpus_stop:  # fixture drift: comparison is moot
+        import pytest
+
+        pytest.skip("stop sets diverge at this SF; subset check only")
+    inc = {
+        (r["new_doc"], r["corpus_doc"], r["jaccard"])
+        for r in dedup.dedup_minhash_incremental(spark, SF).collect()
+    }
+    full = dedup.dedup_minhash_lsh(spark, SF).collect()
+    cross = set()
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if a % INC_BATCH_MOD == 0 and b % INC_BATCH_MOD != 0:
+            cross.add((a, b, r["jaccard"]))
+        elif b % INC_BATCH_MOD == 0 and a % INC_BATCH_MOD != 0:
+            cross.add((b, a, r["jaccard"]))
+    assert inc == cross
