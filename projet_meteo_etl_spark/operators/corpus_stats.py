@@ -1518,6 +1518,216 @@ ORDER BY b.k_budget
 """
 
 
+
+def perplexity_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the train-split bigram LM and split each
+    source into head / middle / tail by per-source perplexity-value
+    terciles — the curation primitive that keeps the "head" (most
+    LM-like) slice of a crawl and drops or down-samples the tail.
+
+    Buckets are VALUE cutoffs, CCNet's own semantics (a document
+    belongs to head iff its perplexity ≤ the source's 33% cutoff), not
+    exact rank terciles: the cutoffs come from a cumulative window
+    over the per-(source, score)-VALUE rollup, so the only window runs
+    over the score value domain — never a doc-count-sized sort (the
+    ``user_value_deciles`` two-pass discipline).  Scoring reuses the
+    :func:`lm_holdout_nll` model shape: Laplace-smoothed bigram LM on
+    the hash-deterministic {LM_TRAIN_PCT}% train split, per-bigram
+    log-probs quantized to integer micronats BEFORE the per-doc sum, so
+    every downstream number is an exact integer.
+
+    Scale: the LM is a bigram-type-keyed aggregate (vocab²-bounded,
+    corpus-independent); scoring is one equi-join of the bigram stream
+    against it; the rollup/cutoff pass is value-domain-bounded; bucket
+    assignment is a |sources|-row broadcast join.
+    """
+    from projet_meteo_etl_spark.cachescope import scoped_cache
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    big = (
+        _doc_tokens(d)
+        .select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .withColumn("is_train", (h % 100) < LM_TRAIN_PCT)
+        .persist()
+    )
+    train = big.filter("is_train")
+    cb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    cu = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = train.agg(F.count_distinct("w2").alias("v"))
+    scored = (
+        big.select("doc_id", "w1", "w2")
+        .join(cb, ["w1", "w2"], "left")
+        .join(F.broadcast(cu), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.coalesce("c_big", F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce("c_uni", F.lit(0)) + F.col("v"))
+                )
+                * DSIR_LIKE_SCALE
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp").cast("long").alias("sum_lp"),
+    )
+    docs = (
+        d.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("(-sum_lp) div n_bigrams"))
+            .cast("long")
+            .alias("nll"),
+        )
+        .persist()
+    )
+    roll = docs.groupBy("source", "nll").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("source").orderBy("nll").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = roll.withColumn("cum", F.sum("n").over(wv))
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    cuts = (
+        cum.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.min(F.when(F.col("cum") * 3 >= F.col("n_src"), F.col("nll")))
+            .cast("long")
+            .alias("cut33"),
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("n_src"), F.col("nll"))
+            )
+            .cast("long")
+            .alias("cut66"),
+        )
+    )
+    bucketed = docs.join(F.broadcast(cuts), "source").withColumn(
+        "bucket",
+        F.when(F.col("nll") <= F.col("cut33"), F.lit("head"))
+        .when(F.col("nll") <= F.col("cut66"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    out = (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            # per-doc NLLs are micronat-bounded, but the SUM is
+            # doc-count-scaled: widen before the mean division
+            F.expr(
+                "CAST(sum(CAST(nll AS DECIMAL(38,0))) DIV count(1)"
+                " AS BIGINT)"
+            ).alias("mean_nll_micronats"),
+            F.min("nll").cast("long").alias("min_nll_micronats"),
+            F.max("nll").cast("long").alias("max_nll_micronats"),
+            F.max("cut33").cast("long").alias("cut33_micronats"),
+            F.max("cut66").cast("long").alias("cut66_micronats"),
+        )
+        .orderBy("source", "bucket")
+    )
+    return scoped_cache(out, big, docs)
+
+
+PERPLEXITY_BUCKET_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, w1, w2,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100)
+           < {LM_TRAIN_PCT} AS is_train
+  FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+),
+cb AS (SELECT w1, w2, count(*) AS c_big FROM bg WHERE is_train GROUP BY 1, 2),
+cu AS (SELECT w1, count(*) AS c_uni FROM bg WHERE is_train GROUP BY 1),
+voc AS (SELECT count(DISTINCT w2) AS v FROM bg WHERE is_train),
+scored AS (
+  SELECT t.doc_id,
+         CAST(floor(ln((coalesce(cb.c_big, 0) + 1.0)
+                       / (coalesce(cu.c_uni, 0) + voc.v))
+                    * 1000000) AS BIGINT) AS lp
+  FROM bg t
+  LEFT JOIN cb ON t.w1 = cb.w1 AND t.w2 = cb.w2
+  LEFT JOIN cu ON t.w1 = cu.w1
+  CROSS JOIN voc
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS sum_lp
+  FROM scored GROUP BY 1
+),
+docs AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0
+              ELSE (-p.sum_lp) // p.n_bigrams END AS BIGINT) AS nll
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+),
+roll AS (SELECT source, nll, count(*) AS n FROM docs GROUP BY 1, 2),
+cum AS (
+  SELECT source, nll, sum(n) OVER (PARTITION BY source ORDER BY nll
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM roll
+),
+tot AS (SELECT source, count(*) AS n_src FROM docs GROUP BY 1),
+cuts AS (
+  SELECT c.source,
+         CAST(min(CASE WHEN c.cum * 3 >= t.n_src THEN c.nll END)
+           AS BIGINT) AS cut33,
+         CAST(min(CASE WHEN c.cum * 3 >= 2 * t.n_src THEN c.nll END)
+           AS BIGINT) AS cut66
+  FROM cum c JOIN tot t ON c.source = t.source
+  GROUP BY 1
+),
+bucketed AS (
+  SELECT d.source,
+         CASE WHEN d.nll <= k.cut33 THEN 'head'
+              WHEN d.nll <= k.cut66 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         d.n_bigrams, d.nll, k.cut33, k.cut66
+  FROM docs d JOIN cuts k ON d.source = k.source
+)
+SELECT source, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll::HUGEINT) // count(*) AS BIGINT) AS mean_nll_micronats,
+       CAST(min(nll) AS BIGINT) AS min_nll_micronats,
+       CAST(max(nll) AS BIGINT) AS max_nll_micronats,
+       CAST(max(cut33) AS BIGINT) AS cut33_micronats,
+       CAST(max(cut66) AS BIGINT) AS cut66_micronats
+FROM bucketed
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
 SPARK_QUERIES = {
     "vocab_coverage_curve": vocab_coverage_curve,
     "heaps_vocab_growth": heaps_vocab_growth,
@@ -1527,6 +1737,7 @@ SPARK_QUERIES = {
     "corpus_vocab_topk": corpus_vocab_topk,
     "bigram_lm_doc_scores": bigram_lm_doc_scores,
     "lm_holdout_nll": lm_holdout_nll,
+    "perplexity_bucket_filter": perplexity_bucket_filter,
     "doremi_mixture_weights": doremi_mixture_weights,
     "vocab_zipf_fit": vocab_zipf_fit,
     "corpus_token_gini": corpus_token_gini,
@@ -1543,6 +1754,7 @@ ORACLE_SQL = {
     "corpus_vocab_topk": CORPUS_VOCAB_SQL,
     "bigram_lm_doc_scores": BIGRAM_LM_SQL,
     "lm_holdout_nll": LM_HOLDOUT_SQL,
+    "perplexity_bucket_filter": PERPLEXITY_BUCKET_SQL,
     "vocab_zipf_fit": VOCAB_ZIPF_SQL,
     "corpus_token_gini": CORPUS_GINI_SQL,
     "token_pmi_topk": _pmi_sql(),

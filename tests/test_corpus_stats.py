@@ -453,3 +453,39 @@ def test_doremi_weights_against_python_oracle(spark):
             + DOREMI_SMOOTH_PPM * (1_000_000 // n_dom)
         ) // 1_000_000
         assert r["doremi_weight_ppm"] == want
+
+
+def test_perplexity_buckets_ccnet_invariants(spark):
+    """CCNet bucket semantics: per source the three buckets partition
+    the docs, head/middle/tail are ordered by NLL (head = most
+    LM-like), value-cutoff membership holds exactly, and each cutoff
+    covers >= a third of the source (the defining property of the 33%
+    value cut)."""
+    rows = corpus_stats.perplexity_bucket_filter(spark, SF_SMOKE).collect()
+    by_src: dict[str, dict[str, dict]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["bucket"]] = r
+    assert by_src, "no sources"
+    for src, bks in by_src.items():
+        assert set(bks) <= {"head", "middle", "tail"}
+        assert "head" in bks  # the 33% cut always captures something
+        n = sum(b["n_docs"] for b in bks.values())
+        h = bks["head"]
+        # cutoff semantics: every head doc <= cut33 < any tail doc
+        assert h["max_nll_micronats"] <= h["cut33_micronats"]
+        if "middle" in bks:
+            m = bks["middle"]
+            assert m["min_nll_micronats"] > h["cut33_micronats"]
+            assert m["max_nll_micronats"] <= m["cut66_micronats"]
+        if "tail" in bks:
+            t = bks["tail"]
+            assert t["min_nll_micronats"] > t["cut66_micronats"]
+        # the 33% value cut covers at least a third of the source
+        assert 3 * h["n_docs"] >= n
+        # bucket means are ordered (head most LM-like)
+        means = [
+            bks[b]["mean_nll_micronats"]
+            for b in ("head", "middle", "tail")
+            if b in bks
+        ]
+        assert means == sorted(means)

@@ -315,6 +315,8 @@ EXPECTED_QUERIES = {
     # round-11: incremental near-dup — batch signatures probed against
     # a persisted partition-pruned banded index
     "dedup_minhash_incremental",
+    # round-11: CCNet-style per-source perplexity head/middle/tail split
+    "perplexity_bucket_filter",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.
