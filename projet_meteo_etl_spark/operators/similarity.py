@@ -1726,6 +1726,158 @@ ORDER BY va, vb
 """
 
 
+
+# ----------------- incremental embedding dedup vs a persisted index
+
+#: deterministic "new arrivals" split for incremental embedding dedup
+EMB_INC_BATCH_MOD = 10
+#: near-dup cosine threshold (matches dedup_embedding_cosine's regime;
+#: non-trivial cross-split pairs at every fixture SF)
+EMB_INC_THRESHOLD = 0.3
+
+
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup: probe a persisted IVF index with
+    the new batch only, emitting new-vs-corpus cosine pairs — the
+    embedding twin of ``dedup_minhash_incremental``, and how semantic
+    ingestion dedup runs at 100 TB (never re-embed or re-index the
+    corpus per batch; SemDeDup-style pipelines check arrivals against
+    the standing index).
+
+    Index build (once here; ingest-amortized in a deployment — the
+    ``ann_ivf_persisted_index`` contract): corpus-only coarse centroids
+    (label means), nearest-cell assignment by rounded cosine (ties to
+    the lower cell), written partitioned by ``cell`` with the centroid
+    table alongside — the quantizer is FROZEN with the index, like the
+    incremental MinHash stop set.
+
+    Probe phase (reads only stored files + the batch): each batch
+    vector picks its ``IVF_NPROBE`` nearest stored centroids, the index
+    scan is partition-pruned to the probed cell list (k-bounded driver
+    collect, ≤ |cells|), and exact cosine is scored only inside probed
+    cells.  Cost per batch: O(batch·cells) centroid scores + the pruned
+    cells' rows — corpus size enters only through cell width.
+    Approximate by design: a true near-dup assigned to an unprobed cell
+    is missed (the documented IVF recall trade; the exact sibling is
+    ``dedup_embedding_cosine``).
+    """
+    import os
+
+    from projet_meteo_etl_spark.sources.sinks import staging_root
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % EMB_INC_BATCH_MOD != 0)
+    batch = e.filter(F.col("vec_id") % EMB_INC_BATCH_MOD == 0)
+
+    cents = _label_centroids_df(corpus).select(
+        F.col("label").alias("cell_id"), "centroid"
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cell")
+    )
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("cell_id").alias("cell"),
+            pround(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
+                "csim"
+            ),
+        )
+        .withColumn("r", F.row_number().over(assign_w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    root = os.path.join(staging_root(sf_dir), "emb_inc_index")
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(root, "assigned")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+
+    # probe phase: everything below reads ONLY the stored index
+    cts = spark.read.parquet(os.path.join(root, "centroids"))
+    probe_w = Window.partitionBy("new_vec").orderBy(
+        F.desc("qsim"), F.asc("cell")
+    )
+    probes = (
+        batch.join(F.broadcast(cts))
+        .select(
+            F.col("vec_id").alias("new_vec"),
+            F.col("embedding").alias("qv"),
+            F.col("cell_id").alias("cell"),
+            pround(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
+                "qsim"
+            ),
+        )
+        .withColumn("r", F.row_number().over(probe_w))
+        .filter(F.col("r") <= IVF_NPROBE)
+        .select("new_vec", "qv", "cell")
+        .persist()
+    )
+    # k-bounded collect (≤ |cells|): physically prune the index read
+    cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    idx = spark.read.parquet(os.path.join(root, "assigned")).filter(
+        F.col("cell").isin(cells)
+    )
+    out = (
+        idx.join(F.broadcast(probes), "cell")
+        .withColumn(
+            "cosine", pround(cosine(F.col("qv"), F.col("embedding")), 6)
+        )
+        .filter(F.col("cosine") >= EMB_INC_THRESHOLD)
+        .select(
+            "new_vec", F.col("vec_id").alias("corpus_vec"), "cosine"
+        )
+        .orderBy("new_vec", "corpus_vec")
+    )
+    return scoped_cache(out, probes)
+
+
+DEDUP_EMB_INC_SQL = f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (SELECT * FROM emb WHERE vec_id % {EMB_INC_BATCH_MOD} <> 0),
+batch  AS (SELECT * FROM emb WHERE vec_id % {EMB_INC_BATCH_MOD} = 0),
+per_dim AS (
+  SELECT label, pos, avg(val) AS c FROM (
+    SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+    FROM corpus
+  ) GROUP BY label, pos
+),
+cents AS (
+  SELECT label AS cell_id, list(c ORDER BY pos) AS centroid
+  FROM per_dim GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS6_SQL.format(a='e.v', b='c.centroid')} DESC,
+                      c.cell_id ASC) AS r
+    FROM corpus e, cents c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT new_vec, qv, cell FROM (
+    SELECT b.vec_id AS new_vec, b.v AS qv, c.cell_id AS cell,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_COS6_SQL.format(a='b.v', b='c.centroid')} DESC,
+                      c.cell_id ASC) AS r
+    FROM batch b, cents c
+  ) WHERE r <= {IVF_NPROBE}
+)
+SELECT p.new_vec, a.vec_id AS corpus_vec,
+       {_COS6_SQL.format(a='p.qv', b='a.v')} AS cosine
+FROM assigned a JOIN probes p ON a.cell = p.cell
+WHERE {_COS6_SQL.format(a='p.qv', b='a.v')} >= {EMB_INC_THRESHOLD}
+ORDER BY p.new_vec, corpus_vec
+"""
+
+
 SPARK_QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "jl_projection_distortion": jl_projection_distortion,
@@ -1737,6 +1889,7 @@ SPARK_QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivf_recall_curve": ann_ivf_recall_curve,
     "ann_ivf_persisted_index": ann_ivf_persisted_index,
+    "dedup_embedding_incremental": dedup_embedding_incremental,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_int8_quantize": embedding_int8_quantize,
     "embedding_matryoshka_quality": embedding_matryoshka_quality,
@@ -1755,6 +1908,7 @@ ORACLE_SQL = {
     # persistence is a physical strategy: stored-index answers must
     # equal the direct plan's, so the oracle is the SAME SQL
     "ann_ivf_persisted_index": ANN_IVF_SQL,
+    "dedup_embedding_incremental": DEDUP_EMB_INC_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     "embedding_int8_quantize": EMBEDDING_INT8_SQL,
     "embedding_matryoshka_quality": EMBEDDING_MRL_SQL,

@@ -317,6 +317,9 @@ EXPECTED_QUERIES = {
     "dedup_minhash_incremental",
     # round-11: CCNet-style per-source perplexity head/middle/tail split
     "perplexity_bucket_filter",
+    # round-11: embedding twin of the incremental dedup — batch probes
+    # a persisted cell-partitioned IVF index
+    "dedup_embedding_incremental",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

@@ -519,6 +519,8 @@ def main() -> int:
         # WordPiece — expect ~flat) and the two remaining TWS state
         # types (MapState+timers / ListState), staged-replicated
         # events like the seam probe
+        from projet_meteo_etl_spark.operators import multimodal as mm
+
         def tws_timers_probe(s, d):
             return structured.stream_tws_session_timers(s, seam_dir or d)
 
@@ -530,6 +532,14 @@ def main() -> int:
                 "unigram_lm_em_step": tokenizer.unigram_lm_em_step,
                 "stream_tws_session_timers": tws_timers_probe,
                 "stream_tws_user_lastk": tws_lastk_probe,
+                "dedup_minhash_incremental": dedup.dedup_minhash_incremental,
+                "dedup_embedding_incremental": (
+                    similarity.dedup_embedding_incremental
+                ),
+                "perplexity_bucket_filter": (
+                    corpus_stats.perplexity_bucket_filter
+                ),
+                "png_pixel_stats": mm.png_pixel_stats,
             }
         )
         timings = {}
