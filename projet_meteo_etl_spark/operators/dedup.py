@@ -2057,9 +2057,14 @@ def dedup_minhash_incremental(
     )
     c_sh = c_sh_raw.join(F.broadcast(stop), "h", "left_anti")
     root = os.path.join(staging_root(sf_dir), "minhash_index")
-    banded(minhash_signatures(c_sh)).write.partitionBy(
+    # co-partition on the partition columns before the partitioned
+    # write: one file per (band_idx, key_pfx) bucket instead of one per
+    # task per bucket — the small-files guard for a 128-bucket layout
+    banded(minhash_signatures(c_sh)).repartition(
         "band_idx", "key_pfx"
-    ).mode("overwrite").parquet(os.path.join(root, "bands"))
+    ).write.partitionBy("band_idx", "key_pfx").mode("overwrite").parquet(
+        os.path.join(root, "bands")
+    )
     c_sh.write.mode("overwrite").parquet(os.path.join(root, "shingles"))
     c_sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh")

@@ -1790,9 +1790,11 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "cell")
     )
     root = os.path.join(staging_root(sf_dir), "emb_inc_index")
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(
-        os.path.join(root, "assigned")
-    )
+    # co-partition on cell first: one file per cell, not one per task
+    # per cell (small-files guard, as in dedup_minhash_incremental)
+    assigned.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "assigned"))
     cents.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
 
     # probe phase: everything below reads ONLY the stored index
