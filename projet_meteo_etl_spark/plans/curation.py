@@ -1143,8 +1143,316 @@ ORDER BY r.src_rank
 """
 
 
+
+#: best-fit packing: bin capacity (tokens) and shard fan-out.  Shards
+#: decorrelate the greedy state so packing parallelizes; capacity is
+#: sized to the fixture's doc-length distribution so bins carry real
+#: multi-doc structure.
+BFP_BUDGET = 300
+BFP_SHARDS = 4
+
+
+def best_fit_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document best-fit-decreasing packing — the NO-SPLIT
+    sequence-packing variant (docs are never cut across bins; the
+    published alternative to :func:`pack_sequences`' contiguous fill,
+    used when attention must not cross document halves): docs sorted by
+    (tokens DESC, doc_id) are each placed into the FULLEST existing bin
+    they fit (ties to the lowest bin id), else open a new bin.
+    Oversized docs are clamped to the budget (truncation semantics) so
+    every doc packs.
+
+    Greedy bin-state is inherently sequential, so the stream is
+    sharded first — ``(source, md5-hash(doc_id) % BFP_SHARDS)`` — and
+    BFD runs independently per shard inside an ``applyInPandas``
+    kernel: deterministic, parallel, and near-optimal (bins ≫ shards,
+    so per-shard fragmentation stays ~one tail bin per shard).  At
+    100 TB raise BFP_SHARDS with the cluster; the kernel's memory is
+    one shard's doc list.  The DuckDB oracle replays the EXACT greedy —
+    the bin-load vector rides the recursive CTE as a LIST, best-fit =
+    ``list_position(loads, list_max(list_filter(...)))`` — so a
+    tie-break or update-order divergence is a hash mismatch.
+
+    Output: per-bin occupancy + waste — the fragmentation metric BFD
+    exists to minimize (compare `fill_ppm` against
+    ``pack_sequences``' contiguous fill to price the no-split
+    constraint).
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.least(
+            ws_token_count(F.col("text")), F.lit(BFP_BUDGET)
+        ).alias("t"),
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(BFP_SHARDS),
+        ).alias("shard"),
+    )
+
+    budget = BFP_BUDGET
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            zip(pdf["doc_id"], pdf["t"]), key=lambda r: (-r[1], r[0])
+        )
+        loads: list[int] = []
+        bins = []
+        for doc_id, t in rows:
+            t = int(t)
+            fitting = [l for l in loads if l + t <= budget]
+            if fitting:
+                # first occurrence of the max fitting load — the exact
+                # list_position semantics the oracle replays
+                idx = loads.index(max(fitting))
+                loads[idx] += t
+                bins.append(idx + 1)
+            else:
+                loads.append(t)
+                bins.append(len(loads))
+        return pd.DataFrame(
+            {
+                "source": pdf["source"].iloc[:1].repeat(len(rows)).values,
+                "shard": pdf["shard"].iloc[:1].repeat(len(rows)).values,
+                "bin_id": pd.Series(bins, dtype="int64"),
+                "t": pd.Series([int(t) for _, t in rows], dtype="int64"),
+            }
+        )
+
+    packed = d.groupBy("source", "shard").applyInPandas(
+        pack, "source string, shard long, bin_id long, t long"
+    )
+    return (
+        packed.groupBy("source", "shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("bin_tokens"),
+        )
+        .withColumn(
+            "waste_tokens", (F.lit(BFP_BUDGET) - F.col("bin_tokens")).cast("long")
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr(
+                f"CAST(CAST(bin_tokens AS DECIMAL(38,0)) * 1000000"
+                f" DIV {BFP_BUDGET} AS BIGINT)"
+            ),
+        )
+        .orderBy("source", "shard", "bin_id")
+    )
+
+
+BEST_FIT_PACKING_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source,
+         least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS BIGINT), {BFP_BUDGET}) AS t,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+           % {BFP_SHARDS} AS shard
+  FROM documents
+),
+shards AS (
+  SELECT source, shard, doc_id, t,
+         row_number() OVER (PARTITION BY source, shard
+                            ORDER BY t DESC, doc_id) AS rk
+  FROM d
+),
+packed AS (
+  SELECT s.source, s.shard, s.rk, s.t,
+         [s.t]::BIGINT[] AS loads,
+         CAST(1 AS BIGINT) AS bin_id
+  FROM shards s WHERE s.rk = 1
+  UNION ALL
+  SELECT s.source, s.shard, s.rk, s.t,
+         CASE WHEN mx.m IS NULL THEN list_append(p.loads, s.t)
+              ELSE list_transform(range(1, len(p.loads) + 1),
+                     i -> CASE WHEN i = list_position(p.loads, mx.m)
+                               THEN p.loads[CAST(i AS INT)] + s.t
+                               ELSE p.loads[CAST(i AS INT)] END)
+         END AS loads,
+         CAST(coalesce(list_position(p.loads, mx.m), len(p.loads) + 1)
+           AS BIGINT) AS bin_id
+  FROM packed p
+  JOIN shards s ON s.source = p.source AND s.shard = p.shard
+               AND s.rk = p.rk + 1
+  LEFT JOIN LATERAL (
+    SELECT list_max(list_filter(p.loads, l -> l + s.t <= {BFP_BUDGET}))
+      AS m
+  ) mx ON true
+)
+SELECT source, CAST(shard AS BIGINT) AS shard, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS bin_tokens,
+       CAST({BFP_BUDGET} - sum(t) AS BIGINT) AS waste_tokens,
+       CAST(sum(t)::HUGEINT * 1000000 // {BFP_BUDGET} AS BIGINT)
+         AS fill_ppm
+FROM packed
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+
+#: span corruption: ~1/SPAN_EVERY of token positions seed a mask span
+#: of SPAN_LEN tokens (T5's ~15% corruption at mean span 3)
+SPAN_EVERY = 20
+SPAN_LEN = 3
+
+
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption mask PLANNING: deterministically
+    choose masking spans per document (a token position seeds a span
+    iff ``md5(doc_id:pos) % SPAN_EVERY == 0``; each span covers
+    ``SPAN_LEN`` positions; overlapping spans merge), then report the
+    per-source corruption profile — tokens masked, maximal mask
+    islands (= sentinel count in the T5 encoding), and the realized
+    corruption rate.  This is the plan a denoising-objective data
+    writer executes per shard; hash-seeded selection makes it
+    reproducible across runs and engines, the
+    ``train_test_split_report`` discipline.
+
+    Relational shape: tokenize → hash-filter span seeds → explode each
+    seed into its covered positions → DISTINCT → gaps-and-islands
+    (pos − rank) to count maximal islands — all built-ins, one shuffle
+    per aggregate, no Python.  The oracle replays the identical md5
+    arithmetic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    )
+    n_tok = toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    seeds = toks.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("doc_id"), F.col("pos"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SPAN_EVERY
+        == 0
+    ).select("doc_id", "pos")
+    covered = (
+        seeds.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"), F.col("pos") + F.lit(SPAN_LEN - 1)
+                )
+            ).alias("mpos"),
+        )
+        .join(
+            n_tok.select("doc_id", "n_tokens"), "doc_id"
+        )
+        .filter(F.col("mpos") < F.col("n_tokens"))  # clip at doc end
+        .select("doc_id", "mpos")
+        .distinct()
+    )
+    wi = Window.partitionBy("doc_id").orderBy("mpos")
+    islands = (
+        covered.withColumn(
+            "grp", F.col("mpos") - F.row_number().over(wi)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_masked"),
+            F.countDistinct("grp").cast("long").alias("n_islands"),
+        )
+    )
+    per_doc = n_tok.join(islands, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+        F.coalesce("n_islands", F.lit(0)).cast("long").alias("n_islands"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_masked").cast("long").alias("total_masked"),
+            F.sum("n_islands").cast("long").alias("total_islands"),
+            F.expr(
+                "CAST(sum(CAST(n_masked AS DECIMAL(38,0))) * 1000000"
+                " DIV greatest(sum(n_tokens), 1) AS BIGINT)"
+            ).alias("corruption_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+SPAN_CORRUPTION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1)
+           - 1 AS pos
+  FROM documents
+),
+n_tok AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1, 2
+),
+seeds AS (
+  SELECT doc_id, pos FROM toks
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR),
+                        1, 15))::BIGINT % {SPAN_EVERY} = 0
+),
+covered AS (
+  SELECT DISTINCT s.doc_id, s.pos + o.i AS mpos
+  FROM seeds s, (SELECT unnest(range({SPAN_LEN})) AS i) o
+  JOIN n_tok n ON n.doc_id = s.doc_id
+  WHERE s.pos + o.i < n.n_tokens
+),
+islands AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_masked,
+         CAST(count(DISTINCT mpos - rk) AS BIGINT) AS n_islands
+  FROM (
+    SELECT doc_id, mpos,
+           row_number() OVER (PARTITION BY doc_id ORDER BY mpos) AS rk
+    FROM covered
+  ) GROUP BY 1
+),
+per_doc AS (
+  SELECT n.source, n.n_tokens,
+         coalesce(i.n_masked, 0) AS n_masked,
+         coalesce(i.n_islands, 0) AS n_islands
+  FROM n_tok n LEFT JOIN islands i ON n.doc_id = i.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_masked) AS BIGINT) AS total_masked,
+       CAST(sum(n_islands) AS BIGINT) AS total_islands,
+       CAST(sum(n_masked::HUGEINT) * 1000000
+            // greatest(sum(n_tokens), 1) AS BIGINT) AS corruption_ppm
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 SPARK_QUERIES = {
     "pack_sequences": pack_sequences,
+    "best_fit_packing": best_fit_packing,
+    "span_corruption_plan": span_corruption_plan,
     "chunk_documents": chunk_documents,
     "per_group_sample": per_group_sample,
     "stratified_sample_mix": stratified_sample_mix,
@@ -1164,6 +1472,8 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "source_novelty_curve": SOURCE_NOVELTY_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "best_fit_packing": BEST_FIT_PACKING_SQL,
+    "span_corruption_plan": SPAN_CORRUPTION_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "per_group_sample": PER_GROUP_SAMPLE_SQL,
     "stratified_sample_mix": STRATIFIED_MIX_SQL,

@@ -320,6 +320,10 @@ EXPECTED_QUERIES = {
     # round-11: embedding twin of the incremental dedup — batch probes
     # a persisted cell-partitioned IVF index
     "dedup_embedding_incremental",
+    # round-11: whole-doc best-fit-decreasing packing (no-split variant)
+    "best_fit_packing",
+    # round-11: T5/UL2 span-corruption mask planning (hash-seeded spans)
+    "span_corruption_plan",
 }
 
 # rows-only by necessity: engine-specific hashing/sketches/batching.

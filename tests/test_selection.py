@@ -190,3 +190,39 @@ def test_calibration_ece_matches_curve_replay(spark):
     assert got["mce_ppm"] == max(gaps)
     # sanity: MCE dominates ECE, both within [0, 1e6]
     assert 0 <= got["ece_ppm"] <= got["mce_ppm"] <= 1_000_000
+
+
+def test_best_fit_packing_invariants(spark):
+    """BFD invariants: every bin within budget, fill dominates the
+    contiguous baseline's tail bins only through fragmentation (no
+    bin overfull), per-shard doc conservation, and BFD beats or ties
+    naive one-doc-per-bin on bin count."""
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.catalog import load_table
+    from projet_meteo_etl_spark.operators.text import ws_token_count
+    from projet_meteo_etl_spark.plans.curation import (
+        BFP_BUDGET,
+        best_fit_packing,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = best_fit_packing(spark, SF_SMOKE).collect()
+    assert rows
+    n_docs_packed = sum(r["n_docs"] for r in rows)
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert n_docs_packed == n_docs  # every doc packs (clamped)
+    for r in rows:
+        assert 0 < r["bin_tokens"] <= BFP_BUDGET
+        assert r["waste_tokens"] == BFP_BUDGET - r["bin_tokens"]
+        assert r["fill_ppm"] == r["bin_tokens"] * 1_000_000 // BFP_BUDGET
+    # sanity: BFD uses no more bins than the token-sum lower bound x2
+    # (BFD's classical guarantee is far tighter; this guards collapse)
+    tok = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.least(ws_token_count(F.col("text")), F.lit(BFP_BUDGET)).alias("t"))
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    lower = -(-tok // BFP_BUDGET)
+    assert len(rows) <= 2 * lower + 2 * 5 * 4  # + one tail bin per (source, shard)

@@ -540,6 +540,8 @@ def main() -> int:
                     corpus_stats.perplexity_bucket_filter
                 ),
                 "png_pixel_stats": mm.png_pixel_stats,
+                "best_fit_packing": curation.best_fit_packing,
+                "span_corruption_plan": curation.span_corruption_plan,
             }
         )
         timings = {}
