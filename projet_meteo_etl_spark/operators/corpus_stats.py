@@ -629,6 +629,62 @@ LIMIT {PMI_TOP_N}
 LM_TRAIN_PCT = 90
 
 
+def _train_split_bigram_lp(d):
+    """Shared hash-split Laplace bigram LM (the perplexity-filter
+    model): returns ``(big, score)`` where ``big`` is the persisted
+    (doc_id, w1, w2, is_train) bigram stream and ``score(t)`` attaches
+    the integer-micronat log-prob column ``lp`` to any (doc_id, w1, w2)
+    relation.  Single source of truth for :func:`lm_holdout_nll` and
+    :func:`perplexity_bucket_filter` — model changes (smoothing, the
+    empty-train-split guard) apply to both or neither."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    big = (
+        _doc_tokens(d)
+        .select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .withColumn("is_train", (h % 100) < LM_TRAIN_PCT)
+        .persist()
+    )
+    train = big.filter("is_train")
+    cb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    cu = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = train.agg(F.count_distinct("w2").alias("v"))
+
+    def score(t):
+        return (
+            t.join(cb, ["w1", "w2"], "left")
+            .join(F.broadcast(cu), "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "doc_id",
+                # greatest(·,1): an empty train split (v = 0) must yield the
+                # same explicit finite score in BOTH engines, not
+                # Spark-Infinity vs DuckDB-divergence (the rocchio
+                # zero-guard discipline)
+                F.floor(
+                    F.log(
+                        (F.coalesce("c_big", F.lit(0)) + F.lit(1.0))
+                        / (F.coalesce("c_uni", F.lit(0))
+                           + F.greatest(F.col("v"), F.lit(1)))
+                    )
+                    * DSIR_LIKE_SCALE
+                )
+                .cast("long")
+                .alias("lp"),
+            )
+        )
+
+    return big, score
+
+
+
 def lm_holdout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out language-model evaluation: train a Laplace-smoothed
     bigram LM on the hash-deterministic 90% train split, score every
@@ -650,43 +706,12 @@ def lm_holdout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     split is a pure hash of doc_id — no shuffle to assign it.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    big, score = _train_split_bigram_lp(d)
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
-    big = (
-        _doc_tokens(d)
-        .select(
-            "doc_id",
-            F.col("tok").alias("w1"),
-            F.lead("tok").over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-        .withColumn("is_train", (h % 100) < LM_TRAIN_PCT)
-        .persist()
-    )
-    train = big.filter("is_train")
-    cb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
-    cu = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
-    vocab = train.agg(F.count_distinct("w2").alias("v"))
-
-    test = big.filter(~F.col("is_train")).select("doc_id", "w1", "w2")
-    scored = (
-        test.join(cb, ["w1", "w2"], "left")
-        .join(F.broadcast(cu), "w1", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            F.floor(
-                F.log(
-                    (F.coalesce("c_big", F.lit(0)) + F.lit(1.0))
-                    / (F.coalesce("c_uni", F.lit(0)) + F.col("v"))
-                )
-                * DSIR_LIKE_SCALE
-            )
-            .cast("long")
-            .alias("lp"),
-        )
+    scored = score(
+        big.filter(~F.col("is_train")).select("doc_id", "w1", "w2")
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
@@ -718,8 +743,11 @@ def lm_holdout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_LIKE_SCALE = 1_000_000
 
 
-LM_HOLDOUT_SQL = rf"""
-WITH toks AS (
+#: shared oracle CTE chain for the hash-split Laplace bigram LM — the
+#: DuckDB twin of _train_split_bigram_lp; `{test_filter}` restricts the
+#: scored stream ('WHERE NOT t.is_train' for held-out eval, '' for
+#: score-everything).  Keep in lockstep with the Spark helper.
+_LM_SCORED_CTE = rf"""toks AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
          generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
@@ -741,18 +769,22 @@ voc AS (SELECT count(DISTINCT w2) AS v FROM bg WHERE is_train),
 scored AS (
   SELECT t.doc_id,
          CAST(floor(ln((coalesce(cb.c_big, 0) + 1.0)
-                       / (coalesce(cu.c_uni, 0) + voc.v))
+                       / (coalesce(cu.c_uni, 0) + greatest(voc.v, 1)))
                     * 1000000) AS BIGINT) AS lp
   FROM bg t
   LEFT JOIN cb ON t.w1 = cb.w1 AND t.w2 = cb.w2
   LEFT JOIN cu ON t.w1 = cu.w1
   CROSS JOIN voc
-  WHERE NOT t.is_train
+  {{test_filter}}
 ),
 per_doc AS (
   SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS sum_lp
   FROM scored GROUP BY 1
-)
+)"""
+
+
+LM_HOLDOUT_SQL = rf"""
+WITH {_LM_SCORED_CTE.format(test_filter="WHERE NOT t.is_train")}
 SELECT d.doc_id, d.lang,
        CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        CAST(coalesce(p.sum_lp, 0) AS BIGINT) AS sum_lp_micronats,
@@ -1545,43 +1577,8 @@ def perplexity_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_meteo_etl_spark.cachescope import scoped_cache
 
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    big = (
-        _doc_tokens(d)
-        .select(
-            "doc_id",
-            F.col("tok").alias("w1"),
-            F.lead("tok").over(w).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-        .withColumn("is_train", (h % 100) < LM_TRAIN_PCT)
-        .persist()
-    )
-    train = big.filter("is_train")
-    cb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
-    cu = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
-    vocab = train.agg(F.count_distinct("w2").alias("v"))
-    scored = (
-        big.select("doc_id", "w1", "w2")
-        .join(cb, ["w1", "w2"], "left")
-        .join(F.broadcast(cu), "w1", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            F.floor(
-                F.log(
-                    (F.coalesce("c_big", F.lit(0)) + F.lit(1.0))
-                    / (F.coalesce("c_uni", F.lit(0)) + F.col("v"))
-                )
-                * DSIR_LIKE_SCALE
-            )
-            .cast("long")
-            .alias("lp"),
-        )
-    )
+    big, score = _train_split_bigram_lp(d)
+    scored = score(big.select("doc_id", "w1", "w2"))
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("lp").cast("long").alias("sum_lp"),
@@ -1650,39 +1647,7 @@ def perplexity_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PERPLEXITY_BUCKET_SQL = rf"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
-         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
-  FROM documents
-),
-bg AS (
-  SELECT doc_id, w1, w2,
-         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100)
-           < {LM_TRAIN_PCT} AS is_train
-  FROM (
-    SELECT doc_id, tok AS w1,
-           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-    FROM toks
-  ) WHERE w2 IS NOT NULL
-),
-cb AS (SELECT w1, w2, count(*) AS c_big FROM bg WHERE is_train GROUP BY 1, 2),
-cu AS (SELECT w1, count(*) AS c_uni FROM bg WHERE is_train GROUP BY 1),
-voc AS (SELECT count(DISTINCT w2) AS v FROM bg WHERE is_train),
-scored AS (
-  SELECT t.doc_id,
-         CAST(floor(ln((coalesce(cb.c_big, 0) + 1.0)
-                       / (coalesce(cu.c_uni, 0) + voc.v))
-                    * 1000000) AS BIGINT) AS lp
-  FROM bg t
-  LEFT JOIN cb ON t.w1 = cb.w1 AND t.w2 = cb.w2
-  LEFT JOIN cu ON t.w1 = cu.w1
-  CROSS JOIN voc
-),
-per_doc AS (
-  SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS sum_lp
-  FROM scored GROUP BY 1
-),
+WITH {_LM_SCORED_CTE.format(test_filter="")},
 docs AS (
   SELECT d.doc_id, d.source,
          CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,

@@ -414,13 +414,13 @@ def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS) -> DataFrame:
-    """Banded LSH: docs agreeing on any full band become candidates.
-
-    Band key = md5 of the '-'-joined band slice (portable across
-    engines); the equality join on (band_idx, band_key) is a plain
-    shuffle join — no n² anywhere.
-    """
+def banded_signatures(sigs: DataFrame, bands: int = BANDS) -> DataFrame:
+    """(doc_id, band_idx, band_key) — banded LSH keys from a (doc_id,
+    sig) relation.  Band key = md5 of the '-'-joined band slice
+    (portable across engines).  SINGLE SOURCE OF TRUTH for the band-key
+    format: :func:`lsh_candidate_pairs` joins on it in-query and
+    :func:`dedup_minhash_incremental` freezes it INTO A PERSISTED
+    INDEX — a derivation change here is an index format change."""
     r = NUM_PERM // bands
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), "
@@ -428,9 +428,18 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS) -> DataFrame:
         f"md5(concat_ws('-', transform(slice(sig, b * {r} + 1, {r}), "
         f"x -> cast(x as string)))) as band_key))"
     )
-    banded = sigs.select("doc_id", F.explode(band_arr).alias("band")).select(
+    return sigs.select("doc_id", F.explode(band_arr).alias("band")).select(
         "doc_id", "band.band_idx", "band.band_key"
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = BANDS) -> DataFrame:
+    """Banded LSH: docs agreeing on any full band become candidates.
+
+    The equality join on (band_idx, band_key) is a plain shuffle join
+    — no n² anywhere.
+    """
+    banded = banded_signatures(sigs, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -1992,6 +2001,10 @@ ORDER BY s.src_a, s.src_b
 #: the already-indexed corpus (non-trivial cross-split pairs at every
 #: fixture SF).
 INC_BATCH_MOD = 10
+#: shingle-store doc buckets — the verify-phase pruning grain; a
+#: deployment raises this with the corpus (candidate reads stay
+#: candidate-proportional while buckets >> batch)
+INC_DOC_BUCKETS = 64
 
 
 def dedup_minhash_incremental(
@@ -2016,10 +2029,17 @@ def dedup_minhash_incremental(
     signed, banded, and the index scan is PARTITION-PRUNED to the
     batch's (band_idx, key_pfx) list (a ≤128-value, k-bounded driver
     collect — physically only the probed buckets' files are opened;
-    ``PartitionFilters`` in explain).  Exact-Jaccard verify joins batch
-    shingles against the shingle STORE restricted to candidate corpus
-    docs.  Per batch the cost is O(batch shingles + candidate pairs):
-    index size enters only through pruned bucket reads.
+    ``PartitionFilters`` in explain).  Exact-Jaccard verify reads the
+    shingle STORE — persisted partitioned by ``doc_id % INC_DOC_BUCKETS``
+    — pruned to the CANDIDATE docs' buckets (another k-bounded collect),
+    and candidate sizes come from the same pruned read, so no
+    corpus-wide scan exists anywhere in the probe.  Per batch the cost
+    is O(batch shingles + probed band buckets + candidate doc buckets);
+    both bucket counts are deployment knobs raised with the corpus so
+    pruned reads stay candidate-proportional.  Joins against the batch
+    side carry no broadcast hint: an ingestion batch is bounded by the
+    operator (AQE broadcasts it when small), never assumed
+    corpus-proportional.
 
     Same verify semantics as :func:`dedup_minhash_lsh` (same banding,
     same df cap, same rounded-Jaccard threshold), restricted to
@@ -2034,17 +2054,9 @@ def dedup_minhash_incremental(
     batch = d.filter(F.col("doc_id") % INC_BATCH_MOD == 0)
 
     def banded(sigs: DataFrame) -> DataFrame:
-        r = ROWS_PER_BAND
-        arr = F.expr(
-            f"transform(sequence(0, {BANDS - 1}), "
-            f"b -> struct(b as band_idx, "
-            f"md5(concat_ws('-', transform(slice(sig, b * {r} + 1, {r}), "
-            f"x -> cast(x as string)))) as band_key))"
-        )
-        return (
-            sigs.select("doc_id", F.explode(arr).alias("band"))
-            .select("doc_id", "band.band_idx", "band.band_key")
-            .withColumn("key_pfx", F.substring("band_key", 1, 1))
+        # the shared band-key derivation + the on-disk bucket prefix
+        return banded_signatures(sigs).withColumn(
+            "key_pfx", F.substring("band_key", 1, 1)
         )
 
     # ---- index build (ingest-time work; see docstring)
@@ -2065,10 +2077,11 @@ def dedup_minhash_incremental(
     ).write.partitionBy("band_idx", "key_pfx").mode("overwrite").parquet(
         os.path.join(root, "bands")
     )
-    c_sh.write.mode("overwrite").parquet(os.path.join(root, "shingles"))
-    c_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh")
-    ).write.mode("overwrite").parquet(os.path.join(root, "sizes"))
+    c_sh.withColumn(
+        "doc_bkt", F.pmod(F.col("doc_id"), F.lit(INC_DOC_BUCKETS))
+    ).repartition("doc_bkt").write.partitionBy("doc_bkt").mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "shingles"))
     stop.write.mode("overwrite").parquet(os.path.join(root, "stop"))
     c_sh_raw.unpersist()
 
@@ -2094,7 +2107,9 @@ def dedup_minhash_incremental(
     cands = (
         idx_bands.alias("i")
         .join(
-            F.broadcast(b_bands.alias("n")),
+            # no broadcast hint: the batch is operator-bounded, not
+            # corpus-proportional — AQE broadcasts it when small
+            b_bands.alias("n"),
             (F.col("i.band_idx") == F.col("n.band_idx"))
             & (F.col("i.band_key") == F.col("n.band_key")),
         )
@@ -2103,9 +2118,21 @@ def dedup_minhash_incremental(
             F.col("n.doc_id").alias("new_doc"),
         )
         .distinct()
+        .persist()
     )
-    # verify: shingle store restricted to candidate corpus docs
-    c_store = spark.read.parquet(os.path.join(root, "shingles"))
+    # verify: prune the doc-bucketed shingle store to the CANDIDATE
+    # docs' buckets (k-bounded collect, ≤ INC_DOC_BUCKETS values)
+    cand_bkts = sorted(
+        r["b"]
+        for r in cands.select(
+            F.pmod(F.col("corpus_doc"), F.lit(INC_DOC_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    c_store = spark.read.parquet(os.path.join(root, "shingles")).filter(
+        F.col("doc_bkt").isin(cand_bkts)
+    )
     inter = (
         cands.join(
             c_store.alias("a"), F.col("corpus_doc") == F.col("a.doc_id")
@@ -2118,8 +2145,15 @@ def dedup_minhash_incremental(
         .groupBy("corpus_doc", "new_doc")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = spark.read.parquet(os.path.join(root, "sizes")).select(
-        F.col("doc_id").alias("corpus_doc"), F.col("n_sh").alias("n_a")
+    # candidate sizes from the SAME pruned read (buckets are doc-keyed,
+    # so a pruned bucket holds every shingle of its docs — exact)
+    sa = (
+        c_store.join(
+            cands.select("corpus_doc").distinct(),
+            F.col("doc_id") == F.col("corpus_doc"),
+        )
+        .groupBy("corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_a"))
     )
     sb = b_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b")).select(
         F.col("doc_id").alias("new_doc"), "n_b"
@@ -2139,7 +2173,7 @@ def dedup_minhash_incremental(
         .select("new_doc", "corpus_doc", "jaccard")
         .orderBy("new_doc", "corpus_doc")
     )
-    return scoped_cache(out, b_sh, b_bands)
+    return scoped_cache(out, b_sh, b_bands, cands)
 
 
 MINHASH_INCREMENTAL_SQL = rf"""

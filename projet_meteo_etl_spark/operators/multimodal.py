@@ -713,7 +713,9 @@ def _png_codec():
             (ln,) = struct.unpack_from(">I", data, pos)
             tag = data[pos + 4 : pos + 8]
             body = data[pos + 8 : pos + 8 + ln]
-            if len(body) != ln:
+            if len(body) != ln or pos + 12 + ln > len(data):
+                # second clause: input cut inside the trailing CRC —
+                # must be the documented ValueError, not struct.error
                 raise ValueError("truncated chunk")
             (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
             if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:

@@ -1825,7 +1825,10 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").isin(cells)
     )
     out = (
-        idx.join(F.broadcast(probes), "cell")
+        # no broadcast hint on the batch side: an ingestion batch is
+        # operator-bounded, not corpus-proportional — AQE broadcasts
+        # it when small
+        idx.join(probes, "cell")
         .withColumn(
             "cosine", pround(cosine(F.col("qv"), F.col("embedding")), 6)
         )

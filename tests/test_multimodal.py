@@ -282,6 +282,10 @@ def test_png_decoder_rejects_loudly():
         decode(b"not a png at all")
     with pytest.raises(ValueError, match="truncated|missing"):
         decode(bytes(png[: len(png) - 8]))
+    # cut INSIDE a trailing CRC word (1-7 bytes short): still ValueError,
+    # never a leaking struct.error
+    with pytest.raises(ValueError, match="truncated"):
+        decode(bytes(png[: len(png) - 2]))
     # 16-bit / interlaced variants must be rejected, not mis-decoded
     import struct
     import zlib
