@@ -1,0 +1,196 @@
+"""Adversarial-fixture cross-engine check: stage a PATHOLOGICAL
+documents/embeddings pair (empty/whitespace/single-token/oversized-word/
+unicode/identical-dup/zero-vector rows — shapes tie_fuzz's row SUBSETS of
+the well-formed fixture can never produce) and run the same
+Spark-vs-DuckDB comparison as ``tools/oracle_check.py`` over every
+registered query that reads only those two tables.
+
+This is the degenerate-input gate: a query that silently diverges
+between engines on an empty train split, a word longer than a block, a
+doc with no bigrams, or an all-identical batch fails HERE even though
+the driver's well-formed fixture never exercises it.
+
+Usage:
+    python tools/adversarial_check.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+#: queries whose only inputs are documents/embeddings — the surface this
+#: fixture can exercise.  Streaming and multi-table queries are out of
+#: scope here (they have their own staged-fixture tests).
+DOC_QUERIES = [
+    # round-11 additions
+    "unigram_lm_em_step",
+    "png_pixel_stats",
+    "dedup_minhash_incremental",
+    "perplexity_bucket_filter",
+    "dedup_embedding_incremental",
+    "best_fit_packing",
+    "span_corruption_plan",
+    # the long-standing documents family most exposed to degenerate text
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "wordpiece_greedy_segment",
+    "bpe_merge_topk",
+    "lm_holdout_nll",
+    "rocchio_quality_classifier",
+    "text_langid",
+    "gopher_quality_rules",
+]
+
+
+def _adversarial_docs() -> pa.Table:
+    rows = []
+
+    def add(doc_id, text, lang="en", source=None):
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "text": text,
+                "lang": lang,
+                "source": source or f"src{doc_id % 3}",
+                "n_chars": len(text),
+            }
+        )
+
+    add(0, "")  # empty text
+    add(1, "   \t \n ")  # whitespace only
+    add(2, "solo")  # single token (no bigrams)
+    add(3, "a a a a a a a a a a a a a a a a")  # one repeated token
+    add(4, "x" * 40)  # single word longer than UNI_BLOCK / WP_MAX_LEN
+    add(5, "héllo wörld hällo wörld héllo wörld naïve café")  # unicode
+    add(6, "the quick brown fox jumps over the lazy dog again and again")
+    # identical near-dup pair straddling the %10 batch boundary
+    add(7, "common shingle text shared across batch and corpus alike ok")
+    add(10, "common shingle text shared across batch and corpus alike ok")
+    # a second dup family with a 1-token edit
+    add(8, "another duplicated passage with many overlapping word grams")
+    add(20, "another duplicated passage with many overlapping word grams!")
+    add(9, "π ≈ 3.14159 and Σ sums — punctuation, em—dash, “quotes” ok")
+    # enough plain rows that per-source terciles/k-cuts are non-empty
+    for i in range(11, 40):
+        if i in (20,):
+            continue
+        add(i, f"filler row {i} with some shared words table scan row value sort {i % 7}")
+    return pa.Table.from_pylist(rows)
+
+
+def _adversarial_embeddings() -> pa.Table:
+    rows = []
+    for vec_id in range(40):
+        if vec_id == 0:
+            emb = [0.0] * 8  # zero vector (cosine denominators!)
+        elif vec_id == 1:
+            emb = [1e-30] * 8  # denormal-ish magnitude
+        elif vec_id in (7, 10):
+            emb = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]  # exact dup pair
+        else:
+            emb = [float((vec_id * 7 + d * 13) % 11 - 5) for d in range(8)]
+        rows.append(
+            {
+                "vec_id": vec_id,
+                "embedding": [float(x) for x in emb],
+                "label": vec_id % 4,
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+    )
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    sf_dir = tempfile.mkdtemp(prefix="spark_graft_adversarial_")
+    pq.write_table(_adversarial_docs(), os.path.join(sf_dir, "documents.parquet"))
+    pq.write_table(
+        _adversarial_embeddings(), os.path.join(sf_dir, "embeddings.parquet")
+    )
+
+    import __spark_entry__ as entrymod
+    from oracle_check import canon_rows, type_mismatches
+    from projet_meteo_etl_spark.session import get_spark
+
+    spark = get_spark("adversarial-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = n_ok = 0
+    for name in DOC_QUERIES:
+        if only and name not in only:
+            continue
+        if name not in qs:
+            print(f"SKIP  {name}: not registered")
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            sdtypes = [t for _, t in sdf.dtypes]
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        sql = oracles.get(name)
+        try:
+            rel = con.sql(sql)
+            dcols = list(rel.columns)
+            ddtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        else:
+            tdiffs = type_mismatches(scols, sdtypes, dcols, ddtypes)
+            if tdiffs:
+                problems.append(f"types differ: {tdiffs}")
+        if not problems:
+            a, b = canon_rows(scols, srows), canon_rows(dcols, drows)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{time.time() - t0:.1f}s]")
+            n_ok += 1
+    verdict = "ALL OK" if failures == 0 else f"{failures} FAILURES"
+    print(f"\n{verdict} — {n_ok} ok / {failures} fail (adversarial fixture)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
