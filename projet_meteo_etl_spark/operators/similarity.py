@@ -837,11 +837,17 @@ def triplet_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
-    a_rows = (
-        e.filter(F.col("vec_id") < TRIPLET_ANCHORS)
+    a_rows = [
+        r
+        for r in e.filter(F.col("vec_id") < TRIPLET_ANCHORS)
         .select("vec_id", "embedding", "label")
         .collect()
-    )
+        # zero-norm guard: a vector with no direction has no cosine;
+        # the oracle drops it with list_dot_product(v, v) > 0 — without
+        # this, numpy NaN->int64 poisons vs DuckDB NULL (found by the
+        # adversarial-fixture gate)
+        if any(x != 0.0 for x in r.embedding)
+    ]
     a_ids = np.array([r.vec_id for r in a_rows], dtype=np.int64)
     A = np.asarray([list(r.embedding) for r in a_rows], dtype=np.float64)
     a_lab = np.array([r.label for r in a_rows], dtype=np.int32)
@@ -858,6 +864,11 @@ def triplet_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             lab = pdf["label"].to_numpy(dtype=np.int32)
             B = np.asarray(list(pdf["embedding"]), dtype=np.float64)
             nb = np.sqrt((B * B).sum(axis=1))
+            live = nb > 0.0  # zero-norm guard, mirrors the oracle
+            if not live.all():
+                ids, lab, B, nb = ids[live], lab[live], B[live], nb[live]
+                if len(ids) == 0:
+                    continue
             # dot / (nb * na): same operation order as the oracle SQL
             S = (B @ A.T) / np.outer(nb, na)
             Sr = np.floor(S * 1e6 + 0.5) / 1e6
@@ -923,6 +934,7 @@ TRIPLET_SQL = f"""
 WITH a AS (
   SELECT vec_id AS anchor_id, embedding AS av, label AS a_label
   FROM embeddings WHERE vec_id < {TRIPLET_ANCHORS}
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0  -- zero-norm guard
 ),
 scored AS (
   SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
@@ -931,7 +943,8 @@ scored AS (
                   * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))))
                * 1000000.0 + 0.5) / 1000000.0 AS cosine,
          CASE WHEN e.label = a.a_label THEN 1 ELSE 0 END AS is_pos
-  FROM embeddings e, a WHERE e.vec_id <> a.anchor_id
+  FROM embeddings e, a WHERE e.vec_id <> a.anchor_id AND
+    list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
 ),
 best AS (
   SELECT *, row_number() OVER (PARTITION BY anchor_id, is_pos
@@ -977,11 +990,17 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
-    a_rows = (
-        e.filter(F.col("vec_id") < KNN_ANCHORS)
+    a_rows = [
+        r
+        for r in e.filter(F.col("vec_id") < KNN_ANCHORS)
         .select("vec_id", "embedding", "label")
         .collect()
-    )
+        # zero-norm guard: a vector with no direction has no cosine;
+        # the oracle drops it with list_dot_product(v, v) > 0 — without
+        # this, numpy NaN->int64 poisons vs DuckDB NULL (found by the
+        # adversarial-fixture gate)
+        if any(x != 0.0 for x in r.embedding)
+    ]
     a_ids = np.array([r.vec_id for r in a_rows], dtype=np.int64)
     A = np.asarray([list(r.embedding) for r in a_rows], dtype=np.float64)
     a_lab = np.array([r.label for r in a_rows], dtype=np.int32)
@@ -999,6 +1018,11 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             lab = pdf["label"].to_numpy(dtype=np.int32)
             B = np.asarray(list(pdf["embedding"]), dtype=np.float64)
             nb = np.sqrt((B * B).sum(axis=1))
+            live = nb > 0.0  # zero-norm guard, mirrors the oracle
+            if not live.all():
+                ids, lab, B, nb = ids[live], lab[live], B[live], nb[live]
+                if len(ids) == 0:
+                    continue
             # dot / (nb * na): same operation order as the oracle SQL
             S = (B @ A.T) / np.outer(nb, na)
             Sr = np.floor(S * 1e6 + 0.5) / 1e6
@@ -1069,6 +1093,7 @@ KNN_ACCURACY_SQL = f"""
 WITH a AS (
   SELECT vec_id AS anchor_id, embedding AS av, label AS a_label
   FROM embeddings WHERE vec_id < {KNN_ANCHORS}
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0  -- zero-norm guard
 ),
 scored AS (
   SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
@@ -1076,7 +1101,8 @@ scored AS (
                / (sqrt(list_dot_product(a.av::DOUBLE[], a.av::DOUBLE[]))
                   * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))))
                * 1000000.0 + 0.5) / 1000000.0 AS cosine
-  FROM embeddings e, a WHERE e.vec_id <> a.anchor_id
+  FROM embeddings e, a WHERE e.vec_id <> a.anchor_id AND
+    list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
 ),
 topk AS (
   SELECT * FROM (
@@ -1134,11 +1160,14 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
-    a_rows = (
-        e.filter(F.col("vec_id") < N_QUERIES)
+    a_rows = [
+        r
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
         .collect()
-    )
+        # zero-norm guard — see knn_label_accuracy
+        if any(x != 0.0 for x in r.embedding)
+    ]
     a_ids = np.array([r.vec_id for r in a_rows], dtype=np.int64)
     A = np.asarray([list(r.embedding) for r in a_rows], dtype=np.float64)
     na = np.sqrt((A * A).sum(axis=1))
@@ -1160,6 +1189,12 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             B = np.asarray(list(pdf["embedding"]), dtype=np.float64)
             nb = np.sqrt((B * B).sum(axis=1))
+            live = nb > 0.0  # zero-norm guard, mirrors the oracle
+            if not live.all():
+                ids, B, nb = ids[live], B[live], nb[live]
+                pdf = pdf[live]
+                if len(ids) == 0:
+                    continue
             # dot / (nb * na): same operation order as the oracle SQL
             S = (B @ A.T) / np.outer(nb, na)
             Ri = np.floor(S * 1e6 + 0.5).astype(np.int64)
@@ -1314,6 +1349,7 @@ MMR_SQL = (
 WITH a AS (
   SELECT vec_id AS anchor_id, embedding AS av FROM embeddings
   WHERE vec_id < {N_QUERIES}
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0  -- zero-norm guard
 ),
 scored AS (
   SELECT a.anchor_id, e.vec_id, e.embedding,
@@ -1321,7 +1357,8 @@ scored AS (
                / (sqrt(list_dot_product(a.av::DOUBLE[], a.av::DOUBLE[]))
                   * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))))
                * 1000000.0 + 0.5) AS BIGINT) AS rel_i
-  FROM embeddings e, a WHERE e.vec_id <> a.anchor_id
+  FROM embeddings e, a WHERE e.vec_id <> a.anchor_id AND
+    list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
 ),
 pool AS (
   SELECT anchor_id, vec_id, rel_i, embedding FROM (

@@ -12,6 +12,9 @@ the driver's well-formed fixture never exercises it.
 
 Usage:
     python tools/adversarial_check.py [query ...]
+    python tools/adversarial_check.py --all   # every registered query;
+        # queries needing tables the fixture lacks auto-SKIP (their
+        # Spark plan or oracle references a missing parquet/view)
 """
 
 from __future__ import annotations
@@ -87,17 +90,19 @@ def _adversarial_docs() -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
-def _adversarial_embeddings() -> pa.Table:
+def _adversarial_embeddings(dim: int = 64) -> pa.Table:
+    """dim must match the real fixture's (64): the PQ/LSH queries bake
+    subvector splits and hyperplane tables for that width."""
     rows = []
     for vec_id in range(40):
         if vec_id == 0:
-            emb = [0.0] * 8  # zero vector (cosine denominators!)
+            emb = [0.0] * dim  # zero vector (cosine denominators!)
         elif vec_id == 1:
-            emb = [1e-30] * 8  # denormal-ish magnitude
+            emb = [1e-30] * dim  # denormal-ish magnitude
         elif vec_id in (7, 10):
-            emb = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]  # exact dup pair
+            emb = [float(d % 9 - 4) for d in range(dim)]  # exact dup pair
         else:
-            emb = [float((vec_id * 7 + d * 13) % 11 - 5) for d in range(8)]
+            emb = [float((vec_id * 7 + d * 13) % 11 - 5) for d in range(dim)]
         rows.append(
             {
                 "vec_id": vec_id,
@@ -117,8 +122,22 @@ def _adversarial_embeddings() -> pa.Table:
     )
 
 
+def _is_missing_table(exc: Exception) -> bool:
+    m = str(exc)
+    return (
+        "PATH_NOT_FOUND" in m
+        or "does not exist" in m
+        or "Table with name" in m
+        or "Failed to open local file" in m
+        or "No such file or directory" in m
+        or "No files found" in m
+        or "unable to infer schema" in m.lower()
+    )
+
+
 def main() -> int:
-    only = set(sys.argv[1:])
+    run_all = "--all" in sys.argv[1:]
+    only = set(a for a in sys.argv[1:] if a != "--all")
     sf_dir = tempfile.mkdtemp(prefix="spark_graft_adversarial_")
     pq.write_table(_adversarial_docs(), os.path.join(sf_dir, "documents.parquet"))
     pq.write_table(
@@ -140,8 +159,9 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures = n_ok = 0
-    for name in DOC_QUERIES:
+    names = list(qs) if (run_all or only) else DOC_QUERIES
+    failures = n_ok = n_skip = 0
+    for name in names:
         if only and name not in only:
             continue
         if name not in qs:
@@ -154,16 +174,25 @@ def main() -> int:
             sdtypes = [t for _, t in sdf.dtypes]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
+            if run_all and _is_missing_table(exc):
+                n_skip += 1
+                continue
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
             continue
         sql = oracles.get(name)
+        if sql is None:
+            n_skip += 1
+            continue
         try:
             rel = con.sql(sql)
             dcols = list(rel.columns)
             ddtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
+            if run_all and _is_missing_table(exc):
+                n_skip += 1
+                continue
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
             continue
@@ -188,7 +217,10 @@ def main() -> int:
             print(f"OK    {name}: {len(srows)} rows [{time.time() - t0:.1f}s]")
             n_ok += 1
     verdict = "ALL OK" if failures == 0 else f"{failures} FAILURES"
-    print(f"\n{verdict} — {n_ok} ok / {failures} fail (adversarial fixture)")
+    print(
+        f"\n{verdict} — {n_ok} ok / {failures} fail / {n_skip} skipped "
+        "(adversarial fixture)"
+    )
     return 1 if failures else 0
 
 
