@@ -31,3 +31,28 @@ def pround_sql(expr: str, n: int) -> str:
     """The identical formula as SQL text (DuckDB/ANSI)."""
     s = 10**n
     return f"floor(({expr}) * {s}.0 + 0.5) / {s}.0"
+
+
+def pround_total(col: Column | str, n: int) -> Column:
+    """``pround`` made TOTAL over the double range: identical for every
+    ``|x·10^n| < 2^63`` input (all domain-bounded metrics), but floors
+    in DOUBLE — Spark's ``F.floor`` returns LongType, which silently
+    WRAPS past ±9.2e18 while DuckDB's ``floor`` stays double (an
+    engine divergence the adversarial-fixture gate surfaced on an
+    unbounded regression intercept).  Use for ratio-derived metrics
+    whose magnitude is not bounded by the source domain; the SQL twin
+    is still :func:`pround_sql` (already a double floor).
+
+    Double floor via remainder: ``frac = x % 1.0`` carries the sign of
+    x (Java/Spark semantics), so ``x - frac`` truncates toward zero and
+    the ``frac < 0`` branch subtracts the extra 1; ``-0.0 < 0`` is
+    false, so exact negative integers pass through; NaN propagates
+    (matching DuckDB's floor(NaN) = NaN); values ≥ 2^53 are already
+    integral so ``frac = 0`` returns them unchanged.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = float(10**n)
+    x = c * F.lit(s) + F.lit(0.5)
+    frac = x % F.lit(1.0)
+    fl = F.when(frac < 0, x - frac - 1).otherwise(x - frac)
+    return fl / F.lit(s)

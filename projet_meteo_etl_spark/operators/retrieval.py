@@ -495,8 +495,8 @@ def _ndcg_disc_case(rank_col: str) -> str:
 
 NDCG_EVAL_SQL = f"""
 WITH base AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, event_type
-  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, event_type
+  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 ),
 per AS (
   SELECT item,
@@ -622,9 +622,9 @@ def _mrr_recip_case(rank_col: str) -> str:
 MRR_EVAL_SQL = f"""
 WITH base AS (
   SELECT user_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
          event_type
-  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 ),
 per AS (
   SELECT item,

@@ -960,8 +960,10 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("cents").alias("s1"),
-        F.sum(F.expr("cents * cents")).alias("s2"),
+        # widen BEFORE the square/products: a 9.9e10-cent row wraps
+        # cents*cents (and s1*s1) in LongType silently
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("s2"),
     )
     per = per.withColumn(
         "weight",
@@ -990,8 +992,8 @@ NEYMAN_ALLOCATION_SQL = f"""
 WITH per AS (
   SELECT event_type,
          count(*) AS n_rows,
-         sum(cents) AS s1,
-         sum(cents * cents) AS s2
+         sum(cents::HUGEINT) AS s1,
+         sum(cents::HUGEINT * cents) AS s2
   FROM (SELECT event_type,
                CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
         FROM events)

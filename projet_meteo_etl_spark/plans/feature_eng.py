@@ -105,11 +105,11 @@ def kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KFOLD_TARGET_ENCODING_SQL = f"""
 WITH base AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
          CAST(user_id % {N_FOLDS} AS INTEGER) AS fold,
          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
   FROM events
-  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 ),
 per AS (
   SELECT item, fold, count(*) AS n_in_fold, sum(cents) AS sum_in_fold
@@ -185,9 +185,9 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEGATIVE_SAMPLING_SQL = f"""
 WITH base AS (
   SELECT event_id, event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
   FROM events
-  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 ),
 vocab AS (
   SELECT item, row_number() OVER (ORDER BY item) - 1 AS idx
@@ -244,11 +244,11 @@ def coclick_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 COCLICK_POSITIVE_SQL = f"""
 WITH clicks AS (
   SELECT user_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
          epoch_us(ts) AS t
   FROM events
   WHERE event_type = 'click'
-    AND json_extract_string(props, '$.k') IS NOT NULL
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 ),
 pairs AS (
   SELECT DISTINCT a.user_id, a.item AS i1, b.item AS i2
@@ -308,9 +308,9 @@ def propensity_ipw_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPENSITY_IPW_SQL = """
 WITH base AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, event_type
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, event_type
   FROM events
-  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 ),
 per AS (
   SELECT item,
@@ -481,8 +481,8 @@ def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FEATURE_HASH_SQL = f"""
 WITH vocab AS (
-  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+  SELECT DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 ),
 hashed AS (
   SELECT v.item, d.n_buckets,

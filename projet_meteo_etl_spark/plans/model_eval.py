@@ -474,7 +474,9 @@ per AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n_g,
          CAST(sum(cents) AS BIGINT) AS s_g,
-         CAST(sum(cents * cents) AS BIGINT) AS q_g
+         -- widen BEFORE the square (the Spark side already does): a
+         -- single 9.9e10-cent row wraps cents*cents in INT64
+         CAST(sum(cents::HUGEINT * cents) AS HUGEINT) AS q_g
   FROM base GROUP BY 1
 ),
 terms AS (
@@ -876,9 +878,9 @@ def propensity_forecast_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPENSITY_BRIER_SQL = """
 WITH base AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
          event_type, epoch_us(ts) // 86400000000 AS eday
-  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 ),
 bounds AS (SELECT min(eday) AS d0, max(eday) AS d1 FROM base),
 per AS (

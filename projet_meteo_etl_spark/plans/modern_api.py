@@ -466,7 +466,7 @@ SELECT event_type, count(*) AS n_events,
        count(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k,
        CAST(sum(k) AS BIGINT) AS sum_k
 FROM (
-  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  SELECT event_type, TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
   FROM events
 )
 GROUP BY event_type

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.portable import pround, pround_total
 
 
 def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,8 +68,10 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "user_id",
         F.col("n").alias("n_purchases"),
-        pround(F.expr("(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 36000000.0)"), 6).alias("slope"),
-        pround(F.expr("((CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) - (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 36000000.0) * ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) + CAST(x0 AS DOUBLE)) / 3600000000.0))"), 4).alias("intercept"),
+        # slope/intercept magnitudes are NOT domain-bounded (ratio of
+        # moments x an epoch-scale origin): total floor, see pround_total
+        pround_total(F.expr("(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 36000000.0)"), 6).alias("slope"),
+        pround_total(F.expr("((CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) - (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 36000000.0) * ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) + CAST(x0 AS DOUBLE)) / 3600000000.0))"), 4).alias("intercept"),
         pround(F.expr("((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"), 6).alias("correlation"),
     ).orderBy("user_id")
 
@@ -261,7 +263,10 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum(dec).over(w).cast("double").alias("s1"),
-        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        # widen BEFORE the square: the long*long product wraps at
+        # |c| > ~3e9 cents before the decimal cast can save it (the
+        # oracle already multiplies in HUGEINT)
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c"))
         .over(w)
         .cast("double")
         .alias("s2"),

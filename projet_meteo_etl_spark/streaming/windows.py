@@ -168,8 +168,8 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_PROPS_SQL = r"""
 SELECT event_type,
        count(*) AS n,
-       floor((avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
-       max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+       floor((avg(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+       max(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -243,10 +243,10 @@ def events_json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_TYPED_SQL = """
 SELECT event_type,
-       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
