@@ -46,13 +46,52 @@ def pround_total(col: Column | str, n: int) -> Column:
     Double floor via remainder: ``frac = x % 1.0`` carries the sign of
     x (Java/Spark semantics), so ``x - frac`` truncates toward zero and
     the ``frac < 0`` branch subtracts the extra 1; ``-0.0 < 0`` is
-    false, so exact negative integers pass through; NaN propagates
-    (matching DuckDB's floor(NaN) = NaN); values ≥ 2^53 are already
-    integral so ``frac = 0`` returns them unchanged.
+    false, so exact negative integers pass through; values ≥ 2^53 are
+    already integral so ``frac = 0`` returns them unchanged.
+
+    Non-finite inputs pass through UNCHANGED: ``±inf % 1.0`` and
+    ``NaN % 1.0`` are both NaN in Spark, so without the guard ``+inf``
+    would map to NaN while DuckDB's ``floor(inf)`` stays ``inf`` —
+    the exact cross-engine divergence class this helper exists to
+    close.  ``frac`` is NaN iff x is non-finite (finite x % 1.0 is
+    always finite), so one ``isnan(frac)`` branch restores
+    floor(±inf) = ±inf and floor(NaN) = NaN on both engines.
     """
     c = F.col(col) if isinstance(col, str) else col
     s = float(10**n)
     x = c * F.lit(s) + F.lit(0.5)
     frac = x % F.lit(1.0)
-    fl = F.when(frac < 0, x - frac - 1).otherwise(x - frac)
+    fl = F.when(F.isnan(frac), x).when(frac < 0, x - frac - 1).otherwise(
+        x - frac
+    )
     return fl / F.lit(s)
+
+
+#: integer-token guard for JSON property extraction.  Spark's non-ANSI
+#: ``CAST('12.5' AS LONG)`` truncates to 12 and ``CAST('1e3' AS LONG)``
+#: is NULL, while DuckDB's ``TRY_CAST`` rounds '12.5' to 13 and parses
+#: '1e3' as 1000 — so a decimal or scientific numeric STRING in props.k
+#: diverges across the whole json-props query family (found by the
+#: round-12 adversarial-events rows).  Both engines extract the same
+#: token text (JSON numbers are normalized identically, e.g. number
+#: 1e3 -> '1000.0' on both; string "1e3" stays raw on both), so gating
+#: the cast on a pure-integer regex makes every non-integer token NULL
+#: on BOTH engines.  Overflowing integer tokens (>19 digits) are NULL
+#: on both (Spark non-ANSI cast / DuckDB TRY_CAST).
+JSON_INT_RE = "^[+-]?[0-9]+$"
+
+
+def json_long(path: str = "$.k", col: str = "props") -> Column:
+    """Extract a JSON property and cast to long iff it is a pure
+    integer token — the portable twin of :func:`json_long_sql`."""
+    s = F.trim(F.get_json_object(col, path))
+    return F.when(s.rlike(JSON_INT_RE), s.cast("long"))
+
+
+def json_long_sql(path: str = "$.k", col: str = "props") -> str:
+    """DuckDB SQL computing the identical guarded extraction."""
+    tok = f"trim(json_extract_string({col}, '{path}'))"
+    return (
+        f"TRY_CAST(CASE WHEN regexp_matches({tok}, "
+        f"'{JSON_INT_RE}') THEN {tok} END AS BIGINT)"
+    )

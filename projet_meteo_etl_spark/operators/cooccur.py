@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.cachescope import scoped_cache
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround, pround_sql
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql, json_long
 
 USER_ITEM_CAP = 1000
 TOP_N = 25
@@ -55,7 +55,7 @@ def _user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = (
         e.select(
             "user_id",
-            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            json_long().alias("item"),
         )
         .filter(F.col("item").isNotNull())
         .distinct()
@@ -125,9 +125,9 @@ def item_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BASKET_SQL = f"""
 clicked AS (
-  SELECT DISTINCT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item
+  SELECT DISTINCT user_id, TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS item
   FROM events
-  WHERE event_type = 'click' AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  WHERE event_type = 'click' AND TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
 ),
 capped AS (
   SELECT user_id, item FROM (

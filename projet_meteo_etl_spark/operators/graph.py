@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround, pround_sql
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql, json_long
 
 N_ITER = 3
 DAMP = 0.85
@@ -48,7 +48,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = e.select(
         F.concat(F.lit("u:"), F.col("user_id")).alias("u"),
         F.concat(
-            F.lit("i:"), F.get_json_object("props", "$.k").cast("long")
+            F.lit("i:"), json_long()
         ).alias("i"),
     ).filter(
         # a NULL item (missing props / $.k) would become a rank sink and
@@ -130,10 +130,10 @@ def pagerank_click_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event filter) can never desynchronize one oracle from the others.
 _EDGES_SQL = """WITH pairs AS (
   SELECT DISTINCT 'u:' || user_id AS u,
-         'i:' || TRY_CAST(props->>'k' AS BIGINT) AS i
+         'i:' || TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS i
   FROM events
   WHERE event_type = 'click'
-    AND 'i:' || TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+    AND 'i:' || TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
 ),
 edges AS (
   SELECT u AS src, i AS dst FROM pairs
@@ -550,7 +550,7 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         e.select(
             F.col("user_id").alias("u"),
-            F.get_json_object("props", "$.k").cast("long").alias("i"),
+            json_long().alias("i"),
         )
         .filter(F.col("i").isNotNull())
         .distinct()
@@ -651,9 +651,9 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HITS_SQL = f"""
 WITH pairs AS (
-  SELECT DISTINCT user_id AS u, TRY_CAST(props->>'k' AS BIGINT) AS i
+  SELECT DISTINCT user_id AS u, TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS i
   FROM events
-  WHERE event_type = 'click' AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  WHERE event_type = 'click' AND TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
 ),
 a1r AS (SELECT i, count(*)::HUGEINT * {SCALE} AS raw FROM pairs GROUP BY i),
 a1 AS (
@@ -745,7 +745,7 @@ def cheapest_path_bellman_ford(
         e.select(
             F.concat(F.lit("u:"), F.col("user_id")).alias("u"),
             F.concat(
-                F.lit("i:"), F.get_json_object("props", "$.k").cast("long")
+                F.lit("i:"), json_long()
             ).alias("i"),
         )
         .filter(F.col("i").isNotNull())
@@ -806,11 +806,11 @@ def _bf_iter_sql(prev: str, this: str) -> str:
 BELLMAN_FORD_SQL = f"""
 WITH pc AS (
   SELECT 'u:' || user_id AS u,
-         'i:' || TRY_CAST(props->>'k' AS BIGINT) AS i,
+         'i:' || TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS i,
          count(*) AS c
   FROM events
   WHERE event_type = 'click'
-    AND 'i:' || TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+    AND 'i:' || TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
   GROUP BY 1, 2
 ),
 wedges AS (
@@ -979,7 +979,7 @@ def temporal_reachability_items(
     )
     clicks = e.select(
         "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        json_long().alias("item"),
         F.unix_micros("ts").alias("t"),
         "event_id",
     ).filter(F.col("item").isNotNull())
@@ -1068,11 +1068,11 @@ def _tr_round_sql(prev: str, cand: str, this: str, k: int) -> str:
 
 TEMPORAL_REACH_SQL = f"""
 WITH tclicks AS (
-  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item,
+  SELECT user_id, TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS item,
          epoch_us(ts) AS t, event_id
   FROM events
   WHERE event_type = 'click'
-    AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+    AND TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
 ),
 seq AS (
   SELECT item, t,

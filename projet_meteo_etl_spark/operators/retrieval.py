@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.cachescope import scoped_cache
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.portable import pround, json_long
 
 #: every doc_id ≡ 0 (mod 100) is a "query" document: 5 queries per 500
 #: docs at the small SFs, 50 at sf0.1 — scales with the corpus.
@@ -437,7 +437,7 @@ def ndcg_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, not the fact table — and a 1-row reduction.
     """
     e = load_table(spark, sf_dir, "events").select(
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        json_long().alias("item"),
         "event_type",
     ).filter(F.col("item").isNotNull())
     per = e.groupBy("item").agg(
@@ -495,8 +495,8 @@ def _ndcg_disc_case(rank_col: str) -> str:
 
 NDCG_EVAL_SQL = f"""
 WITH base AS (
-  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, event_type
-  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+  SELECT TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) AS item, event_type
+  FROM events WHERE TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) IS NOT NULL
 ),
 per AS (
   SELECT item,
@@ -557,7 +557,7 @@ def mrr_hit_rate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(
             "user_id",
-            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            json_long().alias("item"),
             "event_type",
         )
         .filter(F.col("item").isNotNull())
@@ -622,9 +622,9 @@ def _mrr_recip_case(rank_col: str) -> str:
 MRR_EVAL_SQL = f"""
 WITH base AS (
   SELECT user_id,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) AS item,
          event_type
-  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+  FROM events WHERE TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) IS NOT NULL
 ),
 per AS (
   SELECT item,

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_meteo_etl_spark.functions.portable import json_long
+
 from projet_meteo_etl_spark.catalog import load_table
 
 #: number of folds for out-of-fold target encoding
@@ -53,7 +55,7 @@ def _events_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        json_long().alias("item"),
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
     ).filter(F.col("item").isNotNull())
 
@@ -105,11 +107,11 @@ def kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KFOLD_TARGET_ENCODING_SQL = f"""
 WITH base AS (
-  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+  SELECT TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) AS item,
          CAST(user_id % {N_FOLDS} AS INTEGER) AS fold,
          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
   FROM events
-  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+  WHERE TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) IS NOT NULL
 ),
 per AS (
   SELECT item, fold, count(*) AS n_in_fold, sum(cents) AS sum_in_fold
@@ -185,9 +187,9 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEGATIVE_SAMPLING_SQL = f"""
 WITH base AS (
   SELECT event_id, event_type,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+         TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) AS item
   FROM events
-  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+  WHERE TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) IS NOT NULL
 ),
 vocab AS (
   SELECT item, row_number() OVER (ORDER BY item) - 1 AS idx
@@ -244,11 +246,11 @@ def coclick_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 COCLICK_POSITIVE_SQL = f"""
 WITH clicks AS (
   SELECT user_id,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) AS item,
          epoch_us(ts) AS t
   FROM events
   WHERE event_type = 'click'
-    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    AND TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) IS NOT NULL
 ),
 pairs AS (
   SELECT DISTINCT a.user_id, a.item AS i1, b.item AS i2
@@ -308,9 +310,9 @@ def propensity_ipw_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPENSITY_IPW_SQL = """
 WITH base AS (
-  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, event_type
+  SELECT TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) AS item, event_type
   FROM events
-  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+  WHERE TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) IS NOT NULL
 ),
 per AS (
   SELECT item,
@@ -481,8 +483,8 @@ def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FEATURE_HASH_SQL = f"""
 WITH vocab AS (
-  SELECT DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+  SELECT DISTINCT TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) AS item
+  FROM events WHERE TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) IS NOT NULL
 ),
 hashed AS (
   SELECT v.item, d.n_buckets,
@@ -653,7 +655,7 @@ def eb_shrunk_item_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     movers panel is a top-k window over the item catalog.
     """
     e = load_table(spark, sf_dir, "events").select(
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        json_long().alias("item"),
         "event_type",
     ).filter(F.col("item").isNotNull())
     per = e.groupBy("item").agg(
@@ -714,11 +716,11 @@ def eb_shrunk_item_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EB_SHRUNK_CTR_SQL = f"""
 WITH per AS (
-  SELECT TRY_CAST(props->>'k' AS BIGINT) AS item,
+  SELECT TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS item,
          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
   FROM events
-  WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  WHERE TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
   GROUP BY 1
   HAVING sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
 ),

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projet_meteo_etl_spark.functions.portable import json_long
+
 from projet_meteo_etl_spark.catalog import load_table
 
 #: negative classes scored against the purchase positives
@@ -781,7 +783,7 @@ def propensity_forecast_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is item-catalog-sized.
     """
     e = load_table(spark, sf_dir, "events").select(
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        json_long().alias("item"),
         "event_type",
         F.expr("unix_micros(ts) DIV 86400000000").alias("eday"),
     ).filter(F.col("item").isNotNull())
@@ -878,9 +880,9 @@ def propensity_forecast_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPENSITY_BRIER_SQL = """
 WITH base AS (
-  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+  SELECT TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) AS item,
          event_type, epoch_us(ts) // 86400000000 AS eday
-  FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+  FROM events WHERE TRY_CAST(CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$') THEN trim(json_extract_string(props, '$.k')) END AS BIGINT) IS NOT NULL
 ),
 bounds AS (SELECT min(eday) AS d0, max(eday) AS d1 FROM base),
 per AS (
@@ -1711,7 +1713,7 @@ def bandit_replay_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"),
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        json_long().alias("item"),
         "event_type",
     ).filter(
         F.col("item").isNotNull()
@@ -1809,9 +1811,9 @@ def bandit_replay_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
 BANDIT_REPLAY_SQL = f"""
 WITH ev AS (
   SELECT CAST(ts AS DATE) AS day,
-         TRY_CAST(props->>'k' AS BIGINT) AS item, event_type
+         TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS item, event_type
   FROM events
-  WHERE TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  WHERE TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
     AND event_type IN ('view', 'click')
 ),
 daily AS (

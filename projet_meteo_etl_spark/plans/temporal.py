@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.catalog import load_table
-from projet_meteo_etl_spark.functions.portable import pround, pround_sql
+from projet_meteo_etl_spark.functions.portable import pround, pround_sql, json_long
 from projet_meteo_etl_spark.functions.twopass import bucket_prefix, exact_ntile
 
 
@@ -1276,7 +1276,7 @@ def cold_start_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     eday = F.expr("unix_micros(ts) DIV 86400000000")
     users = e.select(F.col("user_id").alias("ent"), eday.alias("eday"))
     items = e.filter(F.col("event_type") == "click").select(
-        F.get_json_object("props", "$.k").cast("long").alias("ent"),
+        json_long().alias("ent"),
         eday.alias("eday"),
     ).filter(F.col("ent").isNotNull())
 
@@ -1342,10 +1342,10 @@ i AS (
   -- TRY_CAST + post-cast filter mirrors the Spark side's
   -- get_json_object(...).cast('long') null-on-non-numeric semantics
   -- (a plain CAST would raise where Spark silently drops the row)
-  SELECT TRY_CAST(props->>'k' AS BIGINT) AS ent,
+  SELECT TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS ent,
          epoch_us(ts) // 86400000000 AS eday
   FROM events
-  WHERE event_type = 'click' AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  WHERE event_type = 'click' AND TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
 ),
 ip AS (
   SELECT ent, min(eday) AS first_day, max(eday) AS last_day
@@ -1716,7 +1716,7 @@ def markov_next_click_hitrate(
     )
     clicks = e.select(
         "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        json_long().alias("item"),
         F.unix_micros("ts").alias("t"),
         "event_id",
     ).filter(F.col("item").isNotNull())
@@ -1791,11 +1791,11 @@ def markov_next_click_hitrate(
 
 NEXT_CLICK_SQL = f"""
 WITH nclicks AS (
-  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item,
+  SELECT user_id, TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS item,
          epoch_us(ts) AS t, event_id
   FROM events
   WHERE event_type = 'click'
-    AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+    AND TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
 ),
 trans AS (
   SELECT prev AS src, item AS dst, t FROM (
@@ -2328,7 +2328,7 @@ def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = e.select(
         "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        json_long().alias("item"),
         F.unix_micros("ts").alias("t"),
         "event_id",
     ).filter(F.col("item").isNotNull())
@@ -2394,11 +2394,11 @@ def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ENTROPY_RATE_SQL = f"""
 WITH eclicks AS (
-  SELECT user_id, TRY_CAST(props->>'k' AS BIGINT) AS item,
+  SELECT user_id, TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS item,
          epoch_us(ts) AS t, event_id
   FROM events
   WHERE event_type = 'click'
-    AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+    AND TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
 ),
 trans AS (
   SELECT prev AS src, item AS dst FROM (

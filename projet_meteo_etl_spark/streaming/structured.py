@@ -48,7 +48,7 @@ from pyspark.sql.types import (
 )
 
 from projet_meteo_etl_spark.catalog import table_path
-from projet_meteo_etl_spark.functions.portable import pround
+from projet_meteo_etl_spark.functions.portable import pround, json_long
 from projet_meteo_etl_spark.plans.temporal import PIT_ASSEMBLY_SQL as _PIT_SQL
 
 _COUNTER = itertools.count()
@@ -1057,7 +1057,7 @@ def stream_cms_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "click"
     )
     items = e.select(
-        F.get_json_object("props", "$.k").cast("long").alias("item")
+        json_long().alias("item")
     ).filter(F.col("item").isNotNull())
     cells = items.select(
         F.explode(
@@ -1080,7 +1080,7 @@ def stream_cms_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "click"
     )
     true_counts = (
-        be.select(F.get_json_object("props", "$.k").cast("long").alias("item"))
+        be.select(json_long().alias("item"))
         .filter(F.col("item").isNotNull())
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("true_clicks"))
@@ -1121,9 +1121,9 @@ def _stream_cms_sql() -> str:
 
     return f"""
 WITH items AS (
-  SELECT TRY_CAST(props->>'k' AS BIGINT) AS item
+  SELECT TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS item
   FROM events
-  WHERE event_type = 'click' AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  WHERE event_type = 'click' AND TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
 ),
 cells AS (
   SELECT r.row_i,
@@ -1523,7 +1523,7 @@ def stream_sliding_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read_events_stream(spark, sf_dir, files_per_trigger=2).filter(
         F.col("event_type") == "click"
     )
-    item = F.get_json_object("props", "$.k").cast("long")
+    item = json_long()
     agg = (
         e.select("ts", item.alias("item"))
         .filter(F.col("item").isNotNull())
@@ -1548,9 +1548,9 @@ def stream_sliding_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_TOPK_ITEMS_SQL = f"""
 WITH clicks AS (
-  SELECT ts, TRY_CAST(props->>'k' AS BIGINT) AS item
+  SELECT ts, TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) AS item
   FROM events
-  WHERE event_type = 'click' AND TRY_CAST(props->>'k' AS BIGINT) IS NOT NULL
+  WHERE event_type = 'click' AND TRY_CAST(CASE WHEN regexp_matches(trim(props->>'k'), '^[+-]?[0-9]+$') THEN trim(props->>'k') END AS BIGINT) IS NOT NULL
 ),
 expanded AS (
   SELECT time_bucket(INTERVAL '3 hours', ts) AS window_start, item FROM clicks

@@ -241,13 +241,25 @@ def events_json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ``from_json('k BIGINT')`` accepts ONLY integral JSON NUMBER tokens
+#: that fit int64 (probed: strings "12"/"12.5", decimals 12.5/2.0,
+#: scientific 1e3, booleans, arrays, and the uint64 2^63 all parse to
+#: NULL) — so the oracle guards on DuckDB's ``json_type`` being an
+#: integer number class; TRY_CAST then nulls the >int64 UBIGINT edge.
 EVENTS_JSON_TYPED_SQL = """
+WITH k AS (
+  SELECT event_type,
+         CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
 SELECT event_type,
-       count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM k
 GROUP BY event_type
 ORDER BY event_type
 """

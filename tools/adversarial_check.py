@@ -136,10 +136,24 @@ XFAIL = {
 
 
 def _is_missing_table(exc: Exception) -> bool:
+    """True only for a genuinely ABSENT input (missing parquet file or
+    unregistered view) — NOT for any error whose message happens to
+    contain 'does not exist'.  DuckDB binder errors for a misspelled
+    column or function also say '... does not exist', and a bare
+    substring match would silently count a broken oracle as a SKIP
+    instead of a FAIL, weakening the gate.  Patterns are pinned to the
+    table/file-level error shapes of both engines:
+
+    - Spark: ``[PATH_NOT_FOUND]``, ``[TABLE_OR_VIEW_NOT_FOUND]``,
+      ``unable to infer schema`` (empty staged dir)
+    - DuckDB: ``Table with name X does not exist`` (catalog),
+      ``No files found that match the pattern`` (read_parquet glob)
+    - either: OS-level missing-file text
+    """
     m = str(exc)
     return (
         "PATH_NOT_FOUND" in m
-        or "does not exist" in m
+        or "TABLE_OR_VIEW_NOT_FOUND" in m
         or "Table with name" in m
         or "Failed to open local file" in m
         or "No such file or directory" in m
@@ -196,6 +210,18 @@ def _adversarial_events() -> pa.Table:
     add(eid, 400, 3, "view", 1.0, "{}"); eid += 1          # missing key
     add(eid, 401, 3, "view", 1.0, '{"k": null}'); eid += 1  # null key
     add(eid, 402, 3, "view", 1.0, '{"k": "str"}'); eid += 1  # type surprise
+    # numeric-LOOKING strings and non-integral numbers: Spark CAST
+    # truncates '12.5'->12 / NULLs '1e3' while DuckDB TRY_CAST rounds
+    # '12.5'->13 / parses '1e3'->1000 — the divergence the shared
+    # json_long/json_long_sql integer-token guard closes (round 12)
+    add(eid, 403, 3, "view", 1.0, '{"k": "12.5"}'); eid += 1
+    add(eid, 404, 3, "view", 1.0, '{"k": "1e3"}'); eid += 1
+    add(eid, 405, 3, "view", 1.0, '{"k": 12.5}'); eid += 1   # number, not str
+    add(eid, 406, 3, "view", 1.0, '{"k": 1e3}'); eid += 1    # sci number
+    add(eid, 407, 3, "view", 1.0, '{"k": "042"}'); eid += 1  # leading zeros
+    add(eid, 408, 3, "view", 1.0, '{"k": 9223372036854775808}'); eid += 1  # >int64
+    add(eid, 409, 3, "view", 1.0, '{"k": true}'); eid += 1
+    add(eid, 410, 3, "view", 1.0, '{"k": [1]}'); eid += 1
     # single-event user
     add(eid, 500, 99, "signup", 1.0); eid += 1
     # heavy-skew user: most of the log
