@@ -340,7 +340,13 @@ def profile_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     wn = Window.partitionBy("l_returnflag")
     r = (
+        # NULL prices are excluded from the ranked set on BOTH engines:
+        # a ranked NULL would sit at rn=1 on Spark (ASC defaults to
+        # NULLS FIRST) but rn=n on DuckDB (NULLS LAST), shifting every
+        # element pick by one (adversarial TPC-H fixture, round 12) —
+        # and a percentile OF null has no meaning anyway
         d.select("l_returnflag", "l_extendedprice")
+        .filter(F.col("l_extendedprice").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(wn))
     )
@@ -371,6 +377,7 @@ WITH r AS (
          row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
          count(*) OVER (PARTITION BY l_returnflag) AS n
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
 )
 SELECT l_returnflag, {", ".join(picks)}
 FROM r GROUP BY l_returnflag ORDER BY l_returnflag

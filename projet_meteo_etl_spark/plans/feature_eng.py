@@ -538,6 +538,13 @@ def regression_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") + F.lit(0.5))
         .cast("long")
         .alias("dollars"),
+    ).filter(
+        # rows with an unknown feature or target are excluded from the
+        # stump's training set on BOTH engines: a NULL q would land at
+        # opposite ends of the cumulative-prefix window (Spark NULLS
+        # FIRST vs DuckDB NULLS LAST — adversarial TPC-H fixture,
+        # round 12), and a NULL-q threshold is unsplittable anyway
+        F.col("q").isNotNull() & F.col("dollars").isNotNull()
     )
     roll = base.groupBy("q").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
@@ -591,6 +598,7 @@ WITH base AS (
   SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
          CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS dollars
   FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
 ),
 roll AS (
   SELECT q, CAST(count(*) AS BIGINT) AS cnt,

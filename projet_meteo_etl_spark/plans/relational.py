@@ -495,7 +495,13 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.col("o_orderpriority")).cast("long").alias("prio_len"),
             F.year("o_orderdate").cast("long").alias("order_year"),
             F.month("o_orderdate").cast("long").alias("order_month"),
-            pround(F.sqrt(F.col("o_totalprice")), 4).alias("price_sqrt"),
+            # sqrt guarded on sign: Spark sqrt(negative) is NaN while
+            # DuckDB raises Out of Range — NULL on both instead
+            # (adversarial TPC-H fixture, round 12)
+            F.when(
+                F.col("o_totalprice") >= 0,
+                pround(F.sqrt(F.col("o_totalprice")), 4),
+            ).alias("price_sqrt"),
             F.when(F.col("o_totalprice") > 200000, F.lit("high"))
             .when(F.col("o_totalprice") > 100000, F.lit("mid"))
             .otherwise(F.lit("low"))
@@ -517,7 +523,9 @@ SELECT
   CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
   CAST(year(o_orderdate) AS BIGINT)    AS order_year,
   CAST(month(o_orderdate) AS BIGINT)   AS order_month,
-  floor((sqrt(o_totalprice)) * 10000.0 + 0.5) / 10000.0         AS price_sqrt,
+  CASE WHEN o_totalprice >= 0
+       THEN floor((sqrt(o_totalprice)) * 10000.0 + 0.5) / 10000.0
+  END                                  AS price_sqrt,
   CASE WHEN o_totalprice > 200000 THEN 'high'
        WHEN o_totalprice > 100000 THEN 'mid'
        ELSE 'low' END                  AS price_band,

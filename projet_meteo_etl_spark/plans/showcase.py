@@ -283,17 +283,25 @@ def collation_segment_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: two-level shape mirroring the Spark plan: the oracle's old
+#: ``count(DISTINCT seg)`` ignored a NULL spelling while Spark's
+#: per-spelling rollup counts the NULL group's row — a NULL
+#: c_mktsegment made n_spellings diverge 0 vs 1 (adversarial TPC-H
+#: fixture, round 12)
 COLLATION_RECONCILE_SQL = """
 WITH u AS (
   SELECT c_mktsegment AS seg FROM customer
   UNION ALL
   SELECT upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
   FROM customer
+),
+per_spelling AS (
+  SELECT seg, count(*) AS n FROM u GROUP BY seg
 )
 SELECT lower(seg) AS segment,
-       count(*) AS n_rows,
-       CAST(count(DISTINCT seg) AS BIGINT) AS n_spellings
-FROM u GROUP BY 1 ORDER BY 1
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_spellings
+FROM per_spelling GROUP BY 1 ORDER BY 1
 """
 
 

@@ -553,28 +553,15 @@ def stream_tumbling_counts_update(
     ).orderBy("window_start", "event_type")
 
 
-def stream_user_running_totals(
-    spark: SparkSession, sf_dir: str, sink: str = "memory"
-) -> DataFrame:
-    """Arbitrary stateful op: per-user event count + value total kept in
-    explicit GroupState via ``applyInPandasWithState``, update mode.
-
-    Each micro-batch emits the group's running totals; the final row per
-    user (max n_events — monotone per emission) equals the global
-    aggregate, which is what the oracle checks.  Values accumulate in
-    integer cents so state-merge order is irrelevant to the float sum.
-
-    ``sink="files"`` routes the emission log through the parquet file
-    sink (:func:`_run_to_files`) instead of driver memory — the
-    100 TB-credible path; the downstream fold is identical, so both
-    sinks hash-match the same oracle.
-    """
+def _user_totals_updates(e: DataFrame, output_mode: str) -> DataFrame:
+    """The per-user GroupState totals plan over a prepared
+    ``(user_id, cents)`` stream — shared by
+    :func:`stream_user_running_totals` (memory + files sinks) and the
+    checkpoint-restart query :func:`stream_user_totals_restart`, so the
+    restart proof exercises the REAL operator, not a test twin.  The
+    ``update`` closure stays LOCAL (self-contained): driver-session
+    Python workers can't import this package from a foreign cwd."""
     import pandas as pd
-
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
-        "user_id",
-        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
-    )
 
     out_schema = "user_id bigint, n_events bigint, total_value double"
     state_schema = "n bigint, cents bigint"
@@ -591,12 +578,51 @@ def stream_user_running_totals(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    updates = e.groupBy("user_id").applyInPandasWithState(
+    return e.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
-        outputMode="append" if sink == "files" else "update",
+        outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _user_totals_fold(out: DataFrame) -> DataFrame:
+    """Terminal fold over the emission log: each user's final totals =
+    the emission with the largest (monotone) running count."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )
+
+
+def stream_user_running_totals(
+    spark: SparkSession, sf_dir: str, sink: str = "memory"
+) -> DataFrame:
+    """Arbitrary stateful op: per-user event count + value total kept in
+    explicit GroupState via ``applyInPandasWithState``, update mode.
+
+    Each micro-batch emits the group's running totals; the final row per
+    user (max n_events — monotone per emission) equals the global
+    aggregate, which is what the oracle checks.  Values accumulate in
+    integer cents so state-merge order is irrelevant to the float sum.
+
+    ``sink="files"`` routes the emission log through the parquet file
+    sink (:func:`_run_to_files`) instead of driver memory — the
+    100 TB-credible path; the downstream fold is identical, so both
+    sinks hash-match the same oracle.
+    """
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    updates = _user_totals_updates(
+        e, "append" if sink == "files" else "update"
     )
     out_dir = None
     if sink == "files":
@@ -606,16 +632,7 @@ def stream_user_running_totals(
             updates, "update", partitions=GROUP_STATE_PARTITIONS
         )
     # final emission per user = the row with the largest running count
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    result = (
-        out.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", "total_value")
-        .orderBy("user_id")
-    )
-    return _scoped_rmtree(result, out_dir)
+    return _scoped_rmtree(_user_totals_fold(out), out_dir)
 
 
 def stream_pit_features(
@@ -805,6 +822,134 @@ def stream_pit_features_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_user_totals_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-sink twin of :func:`stream_user_running_totals`."""
     return stream_user_running_totals(spark, sf_dir, sink="files")
+
+
+def _run_with_restart(
+    spark: SparkSession,
+    sf_dir: str,
+    plan_builder,
+    partitions: str,
+    rocksdb: bool = False,
+) -> tuple[DataFrame, str]:
+    """Drive a stateful streaming plan across a CHECKPOINT RESTART:
+    stage the first half of the canonical 4-file events staging, run
+    the plan to completion into a parquet file sink with a checkpoint,
+    STOP, stage the second half, and restart the same plan from the
+    same checkpoint/sink pair.  Returns the combined emission log.
+
+    This is the 100 TB failure mode the single-run gates can't see: a
+    restarted query must (a) resume source offsets — phase 2 processes
+    ONLY the new files, (b) recover operator state — a user counted in
+    phase 1 continues from their phase-1 totals, not from zero, and
+    (c) keep the file sink exactly-once via its checkpoint-tied
+    ``_spark_metadata`` transaction log.  If state recovery breaks,
+    every user spanning both halves folds to wrong totals and the
+    oracle hash (the plain whole-log batch aggregate) catches it.
+
+    ``plan_builder(stream_df) -> DataFrame`` builds the stateful plan
+    from the raw normalized events stream; it runs once per phase —
+    the two plan instances share nothing in-process, only the
+    checkpoint, exactly like a real restart after a crash or deploy.
+    """
+    import shutil as _shutil
+    import tempfile
+
+    staged = _staged_events_dir(sf_dir)
+    files = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    run_dir = tempfile.mkdtemp(prefix="spark_graft_restart_")
+    _FILESINK_DIRS.add(run_dir)
+    src = os.path.join(run_dir, "src")
+    os.makedirs(src, exist_ok=True)
+    out_path = os.path.join(run_dir, "data")
+    ckpt = os.path.join(run_dir, "chk")
+    half = max(1, len(files) // 2)
+    schema = None
+    for phase_files in (files[:half], files[half:]):
+        for f in phase_files:
+            _shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+        stream = _read_events_stream(
+            spark, sf_dir, files_per_trigger=1, staging=lambda _sf: src
+        )
+        updates = plan_builder(stream)
+        schema = updates.schema
+        old = _pin_stream_confs(spark, partitions)
+        old_provider = None
+        if rocksdb:
+            old_provider = spark.conf.get(_PROVIDER_KEY, None)
+            spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+        try:
+            q = (
+                updates.writeStream.format("parquet")
+                .option("path", out_path)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            _restore_stream_confs(spark, old)
+            if rocksdb:
+                if old_provider:
+                    spark.conf.set(_PROVIDER_KEY, old_provider)
+                elif spark.conf.get(_PROVIDER_KEY, None):
+                    spark.conf.unset(_PROVIDER_KEY)
+    batch = spark.read.schema(schema).parquet(out_path)
+    return batch, run_dir
+
+
+def stream_user_totals_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint STOP/RESTART recovery for the GroupState totals
+    operator (:func:`_user_totals_updates` — the same plan
+    :func:`stream_user_running_totals` runs): half the staged files,
+    stop, append the rest, restart from the same checkpoint, fold the
+    combined emission log.  Hash-oracled against the SAME whole-log
+    batch aggregate as the single-run query — the hash matches only if
+    phase 2 resumed offsets AND recovered every user's phase-1 state
+    (a state loss would fold boundary-spanning users to half-log
+    totals).  Exactly-once restart semantics, the 100 TB operational
+    contract (ref analogue: per-file fault isolation,
+    /root/reference/etl_meteo.py:173-176, scaled to streaming)."""
+
+    def build(stream: DataFrame) -> DataFrame:
+        e = stream.select(
+            "user_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        return _user_totals_updates(e, "append")
+
+    out, run_dir = _run_with_restart(
+        spark, sf_dir, build, GROUP_STATE_PARTITIONS
+    )
+    return _scoped_rmtree(_user_totals_fold(out), run_dir)
+
+
+def stream_tws_user_totals_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint STOP/RESTART recovery for the TWS ValueState totals
+    operator (:func:`_tws_totals_updates` — the same sharded plan
+    :func:`stream_tws_user_totals` runs), RocksDB state store: the
+    restart must reload each shard's packed state blob from the
+    checkpointed store.  Same oracle and same state-loss detection
+    logic as :func:`stream_user_totals_restart`."""
+    if not has_tws_runtime():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf runtime, "
+            "and neither a real install nor the vendored shim is available"
+        )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return _tws_totals_updates(spark, stream, "Append")
+
+    out, run_dir = _run_with_restart(
+        spark, sf_dir, build, GROUP_STATE_PARTITIONS, rocksdb=True
+    )
+    return _scoped_rmtree(_user_totals_fold(out), run_dir)
 
 
 STREAM_USER_TOTALS_SQL = """
@@ -1695,6 +1840,38 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transformWithStateInPandas needs the google.protobuf runtime, "
             "and neither a real install nor the vendored shim is available"
         )
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
+    updates = _tws_totals_updates(spark, e, "Update")
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sink = _run_to_memory(
+            updates, "update", partitions=GROUP_STATE_PARTITIONS
+        )
+    finally:
+        if old_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return _user_totals_fold(sink)
+
+
+def _tws_totals_updates(
+    spark: SparkSession, raw: DataFrame, output_mode: str
+) -> DataFrame:
+    """The key-group-sharded TWS ValueState totals plan over the raw
+    events stream — shared by :func:`stream_tws_user_totals` and the
+    checkpoint-restart query :func:`stream_tws_user_totals_restart`
+    (same restart-proof-uses-the-real-operator discipline as
+    :func:`_user_totals_updates`).  Caller pins the RocksDB provider
+    conf around the actual run (TWS requires it)."""
     from projet_meteo_etl_spark.protoshim_install import ensure_on_executors
 
     ensure_on_executors(spark)
@@ -1704,7 +1881,7 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
+    e = raw.select(
         "user_id",
         # pmod (not %): a negative user_id must not mint extra
         # negative shard groups — keeps all three TWS queries on the
@@ -1755,38 +1932,11 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    old_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        updates = e.groupBy("shard").transformWithStateInPandas(
-            statefulProcessor=ShardTotals(),
-            outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
-            outputMode="Update",
-            timeMode="None",
-        )
-        sink = _run_to_memory(
-            updates, "update", partitions=GROUP_STATE_PARTITIONS
-        )
-    finally:
-        if old_provider:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", old_provider
-            )
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        sink.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", "total_value")
-        .orderBy("user_id")
+    return e.groupBy("shard").transformWithStateInPandas(
+        statefulProcessor=ShardTotals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        outputMode=output_mode,
+        timeMode="None",
     )
 
 
@@ -2764,6 +2914,7 @@ SPARK_QUERIES = {
     "stream_chained_dedup_dau": stream_chained_dedup_dau,
     "stream_user_running_totals": stream_user_running_totals,
     "stream_user_totals_files": stream_user_totals_files,
+    "stream_user_totals_restart": stream_user_totals_restart,
     "stream_late_event_dropper": stream_late_event_dropper,
     "stream_static_segment_counts": stream_static_segment_counts,
     "stream_stream_purchase_click_join": stream_stream_purchase_click_join,
@@ -2781,6 +2932,9 @@ if has_tws_runtime():  # environment-gated: needs google.protobuf
     SPARK_QUERIES["stream_tws_user_totals"] = stream_tws_user_totals
     SPARK_QUERIES["stream_tws_session_timers"] = stream_tws_session_timers
     SPARK_QUERIES["stream_tws_user_lastk"] = stream_tws_user_lastk
+    SPARK_QUERIES["stream_tws_user_totals_restart"] = (
+        stream_tws_user_totals_restart
+    )
 
 from projet_meteo_etl_spark.plans.timeseries import CUSUM_SQL as _CUSUM_SQL
 
@@ -2807,6 +2961,8 @@ ORACLE_SQL = {
     "stream_late_event_dropper": STREAM_LATE_DROP_SQL,
     "stream_user_running_totals": STREAM_USER_TOTALS_SQL,
     "stream_user_totals_files": STREAM_USER_TOTALS_SQL,
+    # a restart that loses state folds to half-log totals — same oracle
+    "stream_user_totals_restart": STREAM_USER_TOTALS_SQL,
     "stream_static_segment_counts": STREAM_STATIC_SQL,
     "stream_stream_purchase_click_join": STREAM_STREAM_JOIN_SQL,
     "stream_left_outer_lonely_purchases": STREAM_LEFT_OUTER_SQL,
@@ -2822,6 +2978,7 @@ ORACLE_SQL = {
 
 if has_tws_runtime():
     ORACLE_SQL["stream_tws_user_totals"] = STREAM_USER_TOTALS_SQL
+    ORACLE_SQL["stream_tws_user_totals_restart"] = STREAM_USER_TOTALS_SQL
     # third physical strategy for the sessionization contract — the
     # same gaps-and-islands oracle as both existing session twins
     ORACLE_SQL["stream_tws_session_timers"] = STREAM_SESSION_SQL

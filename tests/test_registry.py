@@ -103,6 +103,7 @@ EXPECTED_QUERIES = {
     "stream_backfill_seam",
     "stream_user_running_totals", "stream_pit_features",
     "stream_pit_features_files", "stream_user_totals_files",
+    "stream_user_totals_restart",
     "stream_late_event_dropper", "stream_static_segment_counts",
     "stream_stream_purchase_click_join", "stream_session_windows",
     "stream_sliding_avg",
@@ -343,6 +344,7 @@ def test_registry_complete_and_consistent():
         expected.add("stream_tws_user_totals")
         expected.add("stream_tws_session_timers")
         expected.add("stream_tws_user_lastk")
+        expected.add("stream_tws_user_totals_restart")
     queries, oracles = registry.collect()
     # name the drift explicitly: "registered but not pinned" means a new
     # query needs its EXPECTED_QUERIES line; "pinned but not registered"

@@ -1,9 +1,12 @@
-"""Adversarial-fixture cross-engine check: stage a PATHOLOGICAL
-documents/embeddings pair (empty/whitespace/single-token/oversized-word/
-unicode/identical-dup/zero-vector rows — shapes tie_fuzz's row SUBSETS of
-the well-formed fixture can never produce) and run the same
-Spark-vs-DuckDB comparison as ``tools/oracle_check.py`` over every
-registered query that reads only those two tables.
+"""Adversarial-fixture cross-engine check: stage PATHOLOGICAL versions
+of ALL ten oracle tables (documents/embeddings/events since round 11;
+the seven TPC-H tables since round 12) — empty/whitespace/oversized-word
+texts, zero/denormal/duplicate vectors, tied timestamps, referential
+holes in both directions, NULL and duplicate dimension names, zero /
+negative / sub-cent / $990M measures, 100% discounts, NULL dates —
+shapes tie_fuzz's row SUBSETS of the well-formed fixture can never
+produce — and run the same Spark-vs-DuckDB comparison as
+``tools/oracle_check.py`` over every registered query.
 
 This is the degenerate-input gate: a query that silently diverges
 between engines on an empty train split, a word longer than a block, a
@@ -247,6 +250,279 @@ def _adversarial_events() -> pa.Table:
     )
 
 
+def _adversarial_tpch() -> dict[str, pa.Table]:
+    """Pathological TPC-H micro-tables (round 12): referential holes in
+    BOTH directions (customer with no orders / order with no lineitems /
+    orphan foreign keys pointing at absent parents), duplicate and
+    empty-string and NULL dimension names, all-tied join and order keys,
+    zero / negative / sub-cent / $990M measures, 100% discounts, NULL
+    measures and NULL dates, and dates far outside the 1992–1998 TPC-H
+    window (including pre-epoch).  Primary keys stay UNIQUE — that is
+    part of the tables' contract (as-of joins and dedup-by-key queries
+    assume it), like events' ts-monotone-in-event_id contract.
+
+    Magnitude bound: measures stay ≤ 9.9e8 (the events fixture's $990M
+    precedent) so cent-scaled intermediates fit int64; queries that
+    square cent values are DECIMAL(38,0)-widened (round-11 discipline)
+    and anything with a genuinely bounded input domain belongs in XFAIL
+    with a stated reason, not a bigger fixture value."""
+    import datetime as dt
+
+    def d(y, m, dy):
+        return dt.datetime(y, m, dy)
+
+    region = pa.Table.from_pylist(
+        [
+            {"r_regionkey": 0, "r_name": "AMERICA"},
+            {"r_regionkey": 1, "r_name": "EUROPE"},
+            {"r_regionkey": 2, "r_name": ""},  # empty-string name
+            {"r_regionkey": 3, "r_name": None},  # NULL name
+            {"r_regionkey": 9, "r_name": "NOWHERE"},  # no nations
+        ],
+        schema=pa.schema(
+            [("r_regionkey", pa.int32()), ("r_name", pa.string())]
+        ),
+    )
+    nation = pa.Table.from_pylist(
+        [
+            {"n_nationkey": 0, "n_name": "FRANCE", "n_regionkey": 0},
+            {"n_nationkey": 1, "n_name": "GERMANY", "n_regionkey": 1},
+            # duplicate nation NAME in a different region
+            {"n_nationkey": 2, "n_name": "FRANCE", "n_regionkey": 1},
+            {"n_nationkey": 3, "n_name": "", "n_regionkey": 2},
+            {"n_nationkey": 4, "n_name": None, "n_regionkey": 3},
+            # orphan regionkey (no such region)
+            {"n_nationkey": 5, "n_name": "ORPHAN", "n_regionkey": 42},
+        ],
+        schema=pa.schema(
+            [
+                ("n_nationkey", pa.int32()),
+                ("n_name", pa.string()),
+                ("n_regionkey", pa.int32()),
+            ]
+        ),
+    )
+    segs = ["BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE"]
+    customers = [
+        # no orders at all
+        {"c_custkey": 0, "c_name": "Customer#0", "c_nationkey": 0,
+         "c_acctbal": 0.0, "c_mktsegment": "BUILDING"},
+        # heavy customer: most of the order file
+        {"c_custkey": 1, "c_name": "Customer#1", "c_nationkey": 1,
+         "c_acctbal": -999.99, "c_mktsegment": "MACHINERY"},
+        # exact acctbal TIE pair on a sub-cent half boundary
+        {"c_custkey": 2, "c_name": "Customer#same", "c_nationkey": 2,
+         "c_acctbal": 100.005, "c_mktsegment": None},
+        {"c_custkey": 3, "c_name": "Customer#same", "c_nationkey": 2,
+         "c_acctbal": 100.005, "c_mktsegment": ""},
+        # orphan nationkey + $990M balance
+        {"c_custkey": 4, "c_name": None, "c_nationkey": 99,
+         "c_acctbal": 9.9e8, "c_mktsegment": "AUTOMOBILE"},
+    ] + [
+        {"c_custkey": k, "c_name": f"Customer#{k}",
+         "c_nationkey": k % 5, "c_acctbal": float(k * 7 % 13) - 6.0,
+         "c_mktsegment": segs[k % 5]}
+        for k in range(5, 12)
+    ]
+    customer = pa.Table.from_pylist(
+        customers,
+        schema=pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("c_nationkey", pa.int32()),
+                ("c_acctbal", pa.float64()),
+                ("c_mktsegment", pa.string()),
+            ]
+        ),
+    )
+    supplier = pa.Table.from_pylist(
+        [
+            # no lineitems
+            {"s_suppkey": 0, "s_name": "Supplier#0", "s_nationkey": 0,
+             "s_acctbal": 0.0},
+            # negative-balance exact tie pair
+            {"s_suppkey": 1, "s_name": "Supplier#tie", "s_nationkey": 1,
+             "s_acctbal": -42.425},
+            {"s_suppkey": 2, "s_name": "Supplier#tie", "s_nationkey": 2,
+             "s_acctbal": -42.425},
+            # orphan nationkey
+            {"s_suppkey": 3, "s_name": None, "s_nationkey": 77,
+             "s_acctbal": 9.9e8},
+            {"s_suppkey": 4, "s_name": "Supplier#4", "s_nationkey": 4,
+             "s_acctbal": 0.005},
+            {"s_suppkey": 5, "s_name": "Supplier#5", "s_nationkey": 5,
+             "s_acctbal": 17.5},
+        ],
+        schema=pa.schema(
+            [
+                ("s_suppkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("s_nationkey", pa.int32()),
+                ("s_acctbal", pa.float64()),
+            ]
+        ),
+    )
+    part = pa.Table.from_pylist(
+        [
+            # never ordered
+            {"p_partkey": 0, "p_name": "ghost part", "p_brand": "Brand#0",
+             "p_type": "STANDARD BRUSHED TIN", "p_size": 1,
+             "p_retailprice": 901.0},
+            # duplicate p_name pair
+            {"p_partkey": 1, "p_name": "twin widget", "p_brand": "Brand#1",
+             "p_type": "SMALL PLATED COPPER", "p_size": 5,
+             "p_retailprice": 100.005},
+            {"p_partkey": 2, "p_name": "twin widget", "p_brand": "Brand#2",
+             "p_type": "SMALL PLATED COPPER", "p_size": 5,
+             "p_retailprice": 100.005},
+            {"p_partkey": 3, "p_name": "free part", "p_brand": "Brand#3",
+             "p_type": None, "p_size": 0, "p_retailprice": 0.0},
+            {"p_partkey": 4, "p_name": None, "p_brand": None,
+             "p_type": "LARGE BURNISHED STEEL", "p_size": 50,
+             "p_retailprice": 0.005},
+            {"p_partkey": 5, "p_name": "bulk part", "p_brand": "Brand#5",
+             "p_type": "ECONOMY ANODIZED BRASS", "p_size": 50,
+             "p_retailprice": 9.9e8},
+            {"p_partkey": 6, "p_name": "refund part", "p_brand": "Brand#1",
+             "p_type": "PROMO POLISHED NICKEL", "p_size": 13,
+             "p_retailprice": -5.0},
+            {"p_partkey": 7, "p_name": "plain part", "p_brand": "Brand#2",
+             "p_type": "MEDIUM BRUSHED COPPER", "p_size": 23,
+             "p_retailprice": 55.55},
+        ],
+        schema=pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_name", pa.string()),
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+                ("p_size", pa.int32()),
+                ("p_retailprice", pa.float64()),
+            ]
+        ),
+    )
+    tied_date = d(1995, 6, 15)
+    orders_rows = [
+        # order with NO lineitems
+        {"o_orderkey": 100, "o_custkey": 1, "o_orderstatus": "O",
+         "o_totalprice": 0.0, "o_orderdate": tied_date,
+         "o_orderpriority": "1-URGENT"},
+        # orphan custkey
+        {"o_orderkey": 101, "o_custkey": 999, "o_orderstatus": "F",
+         "o_totalprice": -12.34, "o_orderdate": tied_date,
+         "o_orderpriority": "5-LOW"},
+        # NULL orderdate + NULL priority
+        {"o_orderkey": 102, "o_custkey": 2, "o_orderstatus": "F",
+         "o_totalprice": 9.9e8, "o_orderdate": None,
+         "o_orderpriority": None},
+        # pre-epoch and far-future dates
+        {"o_orderkey": 103, "o_custkey": 3, "o_orderstatus": "P",
+         "o_totalprice": 0.005, "o_orderdate": d(1960, 1, 1),
+         "o_orderpriority": "2-HIGH"},
+        {"o_orderkey": 104, "o_custkey": 4, "o_orderstatus": "O",
+         "o_totalprice": 0.015, "o_orderdate": d(2099, 12, 31),
+         "o_orderpriority": "3-MEDIUM"},
+    ] + [
+        # the heavy customer: a tied-date stretch, all same status
+        {"o_orderkey": 200 + i, "o_custkey": 1, "o_orderstatus": "F",
+         "o_totalprice": float(i * 11 % 7) * 100.0 + 0.005,
+         "o_orderdate": tied_date if i < 6 else d(1997, 3, 1 + i),
+         "o_orderpriority": ["1-URGENT", "4-NOT SPECIFIED"][i % 2]}
+        for i in range(10)
+    ] + [
+        {"o_orderkey": 300 + i, "o_custkey": 5 + (i % 7),
+         "o_orderstatus": "O", "o_totalprice": 1000.0 + i,
+         "o_orderdate": d(1996, 1 + i % 12, 1 + i % 28),
+         "o_orderpriority": "3-MEDIUM"}
+        for i in range(8)
+    ]
+    orders = pa.Table.from_pylist(
+        orders_rows,
+        schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("o_totalprice", pa.float64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+    li_rows = []
+
+    def li(ok, ln, pk, sk, qty, price, disc, tax, rf, ls, ship):
+        li_rows.append(
+            {"l_orderkey": ok, "l_partkey": pk, "l_suppkey": sk,
+             "l_linenumber": ln, "l_quantity": qty,
+             "l_extendedprice": price, "l_discount": disc, "l_tax": tax,
+             "l_returnflag": rf, "l_linestatus": ls, "l_shipdate": ship}
+        )
+
+    # orphan orderkey (no such order)
+    li(999, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", tied_date)
+    # zero / negative / huge / sub-cent quantities and prices
+    li(201, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, "A", "F", tied_date)
+    li(201, 2, 2, 2, -3.0, -99.99, 0.0, 0.08, "R", "F", tied_date)
+    # 9.9e5, not 9.9e8: lineitem price is SQUARED by the profiler's
+    # exact power sums (x^4 in cents^4, documented domain <= 1e7 cents,
+    # profiling.py) and by the stump split's mean^2-scaled score
+    # (documented "~TPC-H price domain", feature_eng.py) — 9.9e5 is
+    # still ~9x past the real TPC-H price ceiling while every
+    # documented intermediate stays in DECIMAL38/HUGEINT.  The $990M
+    # stress rows live on o_totalprice / acctbal, which nothing squares.
+    li(201, 3, 5, 1, 50.0, 9.9e5, 0.05, 0.08, "A", "F", tied_date)
+    li(201, 4, 4, 4, 1.0, 0.005, 0.0, 0.0, "N", "F", tied_date)
+    # 100% and 50% discounts; NULL discount and NULL tax
+    li(202, 1, 1, 1, 7.0, 700.0, 1.0, 0.0, "A", "F", tied_date)
+    li(202, 2, 2, 2, 7.0, 700.0, 0.5, 0.04, "A", "F", tied_date)
+    li(202, 3, 7, 5, 7.0, 700.0, None, None, "A", "F", tied_date)
+    # NULL shipdate + pre-epoch shipdate
+    li(203, 1, 1, 1, 2.0, 20.0, 0.1, 0.02, "R", "O", None)
+    li(203, 2, 2, 2, 2.0, 20.0, 0.1, 0.02, "R", "O", d(1960, 1, 1))
+    # NULL measures
+    li(204, 1, 5, 1, None, 100.0, 0.0, 0.0, "N", "O", tied_date)
+    li(204, 2, 6, 2, 3.0, None, 0.0, 0.0, "N", "O", tied_date)
+    # an all-tied stretch: same part+supp+price across orders (join fanout)
+    for i in range(12):
+        li(205 + (i % 5), 3 + i // 5, 7, 5, 5.0, 555.55, 0.25, 0.06,
+           "N", "O", tied_date)
+    # plain rows over the later orders
+    for i in range(8):
+        li(300 + i, 1 + (i * 3) % 4, 1 + i % 8, 1 + i % 6,
+           float(1 + i % 9), 100.0 + 7.0 * i, 0.01 * (i % 5),
+           0.01 * (i % 3), ["N", "R", "A"][i % 3], ["O", "F"][i % 2],
+           d(1996, 1 + i % 12, 3 + i))
+    lineitem = pa.Table.from_pylist(
+        li_rows,
+        schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+                ("l_tax", pa.float64()),
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+    )
+    return {
+        "region": region,
+        "nation": nation,
+        "customer": customer,
+        "supplier": supplier,
+        "part": part,
+        "orders": orders,
+        "lineitem": lineitem,
+    }
+
+
 def main() -> int:
     run_all = "--all" in sys.argv[1:]
     only = set(a for a in sys.argv[1:] if a != "--all")
@@ -258,6 +534,8 @@ def main() -> int:
     pq.write_table(
         _adversarial_events(), os.path.join(sf_dir, "events.parquet")
     )
+    for tname, tbl in _adversarial_tpch().items():
+        pq.write_table(tbl, os.path.join(sf_dir, tname + ".parquet"))
 
     import __spark_entry__ as entrymod
     from oracle_check import canon_rows, type_mismatches
@@ -266,7 +544,18 @@ def main() -> int:
     spark = get_spark("adversarial-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "events"):
+    for t in (
+        "documents",
+        "embeddings",
+        "events",
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
