@@ -461,12 +461,25 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: probed try_variant_get('$.k','long') semantics (round 12): JSON
+#: numbers truncate (12.5→12, 1e3→1000, 2^63 →NULL), booleans→0/1,
+#: arrays/objects→NULL — all matched by DuckDB's JSON→BIGINT cast —
+#: but Spark ALSO accepts any parseable-integer STRING ("042"→42)
+#: where DuckDB's JSON cast requires canonical number grammar, hence
+#: the integer-token-guarded fallback on the extracted raw string
 VARIANT_PROPS_SQL = """
 SELECT event_type, count(*) AS n_events,
        count(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k,
        CAST(sum(k) AS BIGINT) AS sum_k
 FROM (
-  SELECT event_type, TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  SELECT event_type,
+         COALESCE(
+           TRY_CAST(json_extract(props, '$.k') AS BIGINT),
+           TRY_CAST(CASE WHEN regexp_matches(
+                           trim(json_extract_string(props, '$.k')),
+                           '^[+-]?[0-9]+$')
+                    THEN trim(json_extract_string(props, '$.k')) END
+                    AS BIGINT)) AS k
   FROM events
 )
 GROUP BY event_type

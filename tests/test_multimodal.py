@@ -337,3 +337,66 @@ def test_png_pixel_stats_rollup(spark):
         assert r["n_decoded"] == n  # every PNG must really decode
         assert r["n_px_total"] == npx
         assert r["pixel_sum"] == psum
+
+
+def test_jpeg_block_constant_round_trip_exact():
+    """DC-exact construction: per-8x8-block-constant gray images with
+    DC quant step 8 must round-trip bit-exactly (the property the
+    jpeg_pixel_stats oracle depends on)."""
+    build, decode = mm._jpeg_codec()
+    for did in (0, 1, 7, 23, 255):
+        bw = 1 + (did // 3) % mm.JPEG_BW_MOD
+        bh = 1 + (did // 3) % mm.JPEG_BH_MOD
+        w, h = bw * 8, bh * 8
+        pixels = [
+            (did * 31 + (x // 8) * 7 + (y // 8) * 13) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+        dw, dh, px = decode(build(w, h, pixels, mm.JPEG_QTABLE))
+        assert (dw, dh) == (w, h)
+        assert px == bytes(pixels)
+
+
+def test_jpeg_gradient_ac_path_pinned():
+    """Non-constant image: exercises magnitude categories, run/size AC
+    codes, EOB, DC prediction with sign changes.  Decoded pixels are
+    pinned (determinism) and bounded by the quantization error."""
+    build, decode = mm._jpeg_codec()
+    w = h = 16
+    grad = [(3 * x + 5 * y + (x * y) // 4) % 256 for y in range(h) for x in range(w)]
+    dw, dh, px = decode(build(w, h, grad, mm.JPEG_QTABLE))
+    assert (dw, dh) == (w, h)
+    err = max(abs(a - b) for a, b in zip(px, grad))
+    assert err <= 8  # AC step 16 -> per-coefficient error <= 8
+    assert sum(px) == 18959  # golden: any codec change must re-derive
+
+
+def test_jpeg_zrl_long_zero_runs():
+    """A single hot pixel per block yields >15-zero AC runs — the ZRL
+    (0xF0) encode/decode path must agree with itself."""
+    build, decode = mm._jpeg_codec()
+    w = h = 8
+    img = [0] * 64
+    img[63] = 255  # bottom-right: last zigzag positions, max run
+    dw, dh, px = decode(build(w, h, img, mm.JPEG_QTABLE))
+    assert (dw, dh) == (w, h)
+    # lossy, but the hot corner must stay the brightest pixel
+    assert max(px) == px[63] or px[63] >= 128
+
+
+def test_jpeg_error_contracts():
+    """Truncation / garbage / non-baseline input is a loud ValueError,
+    never a silent wrong answer (the decode_media discipline)."""
+    import pytest
+
+    build, decode = mm._jpeg_codec()
+    data = build(8, 8, list(range(64)), mm.JPEG_QTABLE)
+    with pytest.raises(ValueError):
+        decode(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        decode(data[:40])
+    with pytest.raises(ValueError):
+        decode(data[:-2])  # EOI stripped
+    with pytest.raises(ValueError):
+        build(9, 8, [0] * 72, mm.JPEG_QTABLE)  # non-multiple-of-8

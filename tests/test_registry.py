@@ -313,6 +313,7 @@ EXPECTED_QUERIES = {
     "unigram_lm_em_step",
     # round-11: real stdlib-only PNG pixel decode (inflate + unfilter)
     "png_pixel_stats",
+    "jpeg_pixel_stats",
     # round-11: incremental near-dup — batch signatures probed against
     # a persisted partition-pruned banded index
     "dedup_minhash_incremental",
