@@ -314,6 +314,8 @@ EXPECTED_QUERIES = {
     # round-11: real stdlib-only PNG pixel decode (inflate + unfilter)
     "png_pixel_stats",
     "jpeg_pixel_stats",
+    "unigram_lm_prune_round",
+    "dedup_substring_incremental",
     # round-11: incremental near-dup — batch signatures probed against
     # a persisted partition-pruned banded index
     "dedup_minhash_incremental",
