@@ -544,6 +544,30 @@ def main() -> int:
                 "span_corruption_plan": curation.span_corruption_plan,
             }
         )
+        # round-12: the JPEG sibling (decode rides the scan like PNG),
+        # the unigram prune round (vocab-collapsed — expect ~flat),
+        # the third incremental dedup (probe cost scales with the
+        # batch), and the two checkpoint-restart recovery queries
+        # (staged-replicated events like the other streaming probes)
+        def gs_restart_probe(s, d):
+            return structured.stream_user_totals_restart(s, seam_dir or d)
+
+        def tws_restart_probe(s, d):
+            return structured.stream_tws_user_totals_restart(
+                s, seam_dir or d
+            )
+
+        probes.update(
+            {
+                "jpeg_pixel_stats": mm.jpeg_pixel_stats,
+                "unigram_lm_prune_round": tokenizer.unigram_lm_prune_round,
+                "dedup_substring_incremental": (
+                    tokenizer.dedup_substring_incremental
+                ),
+                "stream_user_totals_restart": gs_restart_probe,
+                "stream_tws_user_totals_restart": tws_restart_probe,
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
