@@ -275,6 +275,100 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_pair_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair BUDGET pre-flight for the exact-pair dedup family
+    (``ngram_jaccard_pairs`` / ``containment_pairs`` / everything built
+    on them): per document-frequency band, how many shingles, postings,
+    and inverted-index join rows (``Σ df·(df−1)/2``) the corpus would
+    generate — computed from ONE linear pass over the posting list,
+    BEFORE committing to the quadratic join.
+
+    Why this is a first-class operator: the sf1.0 key-cardinality tier
+    (BASELINE.md r12) measured candidate pairs growing **111×** for 10×
+    docs on a saturated shingle space — exact pair enumeration is
+    Θ(Σ df²), and whether that is affordable is a property of the DATA,
+    not the plan.  A production pipeline runs this audit first and
+    routes dense corpora to the LSH/incremental variants (measured ~4×
+    at the same 10×).  The ``kept`` flag splits each band at the
+    ``NGRAM_MAX_DF`` stop-shingle cap, so the audit also shows exactly
+    how much of the budget the cap removes.
+
+    Exact-integer output: per-shingle pair counts are widened to
+    DECIMAL(38,0) before the multiply (df² clears int64 past ~4.3e9
+    docs sharing one shingle; the mann_whitney overflow discipline) and
+    the summed budget is returned as BIGINT — valid while the TOTAL
+    budget is < 2^63, i.e. precisely the regime where running the exact
+    join is even conceivable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dfh = word_shingle_hashes(d, n=3).groupBy("h").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    band = F.expr(
+        "CASE WHEN df >= 512 THEN 512 WHEN df >= 256 THEN 256 "
+        "WHEN df >= 128 THEN 128 WHEN df >= 64 THEN 64 "
+        "WHEN df >= 32 THEN 32 WHEN df >= 16 THEN 16 "
+        "WHEN df >= 8 THEN 8 WHEN df >= 4 THEN 4 "
+        "WHEN df >= 2 THEN 2 ELSE 1 END"
+    ).cast("long")
+    kept = (
+        F.when(F.col("df") <= F.lit(NGRAM_MAX_DF), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        dfh.select(
+            band.alias("df_band_lo"),
+            kept.alias("kept"),
+            F.col("df"),
+            F.expr(
+                "CAST(CAST(df AS DECIMAL(38,0)) * (df - 1) DIV 2 AS DECIMAL(38,0))"
+            ).alias("pairs1"),
+        )
+        .groupBy("df_band_lo", "kept")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("pairs1").cast("long").alias("cand_pairs"),
+        )
+        .orderBy("df_band_lo", "kept")
+    )
+
+
+DEDUP_PAIR_DENSITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+dfh AS (
+  SELECT {_SHINGLE_HASH_SQL} AS h, count(*) AS df
+  FROM tri WHERE shingle IS NOT NULL GROUP BY 1
+),
+banded AS (
+  SELECT df,
+         CAST(CASE WHEN df >= 512 THEN 512 WHEN df >= 256 THEN 256
+                   WHEN df >= 128 THEN 128 WHEN df >= 64 THEN 64
+                   WHEN df >= 32 THEN 32 WHEN df >= 16 THEN 16
+                   WHEN df >= 8 THEN 8 WHEN df >= 4 THEN 4
+                   WHEN df >= 2 THEN 2 ELSE 1 END AS BIGINT) AS df_band_lo,
+         CAST(CASE WHEN df <= {NGRAM_MAX_DF} THEN 1 ELSE 0 END AS BIGINT) AS kept
+  FROM dfh
+)
+SELECT df_band_lo, kept,
+       count(*) AS n_shingles,
+       CAST(sum(df) AS BIGINT) AS n_postings,
+       CAST(sum(df::DECIMAL(38,0) * (df - 1) // 2) AS BIGINT) AS cand_pairs
+FROM banded GROUP BY df_band_lo, kept ORDER BY df_band_lo, kept
+"""
+
+
 #: containment keep-rule: 100·|A∩B| ≥ CONTAIN_PCT·min(|A|,|B|)
 CONTAIN_PCT = 15
 
@@ -910,6 +1004,7 @@ def winnow_fingerprint_pairs(
     k: int = 8,
     w: int = 4,
     min_common: int = 40,
+    max_df: int | None = NGRAM_MAX_DF,
 ) -> DataFrame:
     """Rolling-hash winnowing (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): character ``k``-gram hashes per document, the minimum
@@ -937,6 +1032,18 @@ def winnow_fingerprint_pairs(
     SLOWER: Spark evaluates higher-order-function lambdas interpreted,
     outside codegen, so per-element lambda overhead dwarfs the saved
     exchange.)
+
+    ``max_df`` stop-fingerprint cap (round-12 sf1.0 key-cardinality
+    tier finding): the fingerprint self-join is Σ df² exactly like the
+    shingle join in :func:`ngram_jaccard_pairs`, and on a saturated
+    fingerprint space it was the ONLY query in the family to exhaust
+    the JVM heap at 10× key cardinality (50k docs; GCLocker retry
+    storm → SparkContext shutdown) — every capped sibling completed.
+    Same convention as round 1's ``NGRAM_MAX_DF`` fix: fingerprints
+    shared by more than ``max_df`` docs are boilerplate, not evidence
+    of pairwise duplication, and are dropped from BOTH the pair
+    generation and the ``n_common`` count (mirrored in ``WINNOW_SQL``
+    so the oracle stays bit-exact).
     """
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
@@ -969,8 +1076,13 @@ def winnow_fingerprint_pairs(
         # trailing partial windows — filtering first truncates the frame
         grams.withColumn("minh", F.min("h").over(win))
         .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
-        .select("doc_id", "minh")
+        .select("doc_id", F.col("minh").alias("h"))
         .distinct()
+    )
+    if max_df is not None:
+        fps = stop_shingle_filter(fps, max_df)
+    fps = (
+        fps.select("doc_id", F.col("h").alias("minh"))
         .persist()  # feeds both sides of the overlap self-join
     )
     a, b = fps.alias("a"), fps.alias("b")
@@ -1006,13 +1118,18 @@ grams AS (
     FROM base
   )
 ),
-fps AS (
+fps_all AS (
   SELECT DISTINCT doc_id, minh FROM (
     SELECT doc_id, pos, n_grams,
            min(h) OVER (PARTITION BY doc_id ORDER BY pos
                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
     FROM grams
   ) WHERE pos <= n_grams - 3
+),
+-- stop-fingerprint cap: mirror of stop_shingle_filter(max_df=NGRAM_MAX_DF)
+fps AS (
+  SELECT doc_id, minh FROM fps_all
+  QUALIFY count(*) OVER (PARTITION BY minh) <= 256
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
 FROM fps a JOIN fps b ON a.minh = b.minh AND a.doc_id < b.doc_id
@@ -2245,6 +2362,7 @@ SPARK_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint_groups": dedup_fingerprint_groups,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_pair_density_audit": dedup_pair_density_audit,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_simhash": dedup_simhash,
@@ -2265,6 +2383,7 @@ ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_fingerprint_groups": DEDUP_FINGERPRINT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "dedup_pair_density_audit": DEDUP_PAIR_DENSITY_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
     "dedup_minhash_incremental": MINHASH_INCREMENTAL_SQL,
     "dedup_simhash": SIMHASH_SQL,

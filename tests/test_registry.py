@@ -48,6 +48,7 @@ EXPECTED_QUERIES = {
     "sink_text_formats_roundtrip",
     # dedup
     "dedup_exact", "dedup_fingerprint_groups", "ngram_jaccard_pairs",
+    "dedup_pair_density_audit",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_connected_components", "winnow_fingerprint_pairs",
     "containment_pairs", "dedup_token_savings",
