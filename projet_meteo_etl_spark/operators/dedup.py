@@ -784,6 +784,146 @@ FROM counts
 """
 
 
+#: deterministic truth-stratum modulus for the sampled LSH eval.  4 keeps
+#: the stratum non-vacuous at the driver's sf0.01 gate (full-eval truth is
+#: only 34 pairs there); a 100-TB deployment raises it — the quadratic
+#: truth work drops by exactly this factor.
+LSH_SAMPLE_MOD = 4
+
+
+def lsh_precision_sampled(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.04
+) -> DataFrame:
+    """The 100-TB form of :func:`lsh_candidate_precision`: the same
+    precision/recall eval with the QUADRATIC ground-truth join
+    restricted to a deterministic 1/``LSH_SAMPLE_MOD`` stratum of
+    pairs — those whose ``doc_a % LSH_SAMPLE_MOD == 0``.
+
+    Why this is the production path: the full eval's truth side is the
+    exact inverted-index self-join — Θ(Σ df²), measured 232 s at the
+    sf1.0 key-cardinality tier (BASELINE.md r12) because candidate
+    pairs grow quadratically on a dense corpus.  Restricting ONE side
+    of the self-join to the stratum cuts the join work by the modulus
+    while leaving the estimator unbiased over pair strata: every pair
+    lands in exactly one ``doc_a % mod`` stratum (``doc_a`` is the
+    smaller id on both the candidate and truth sides, so membership is
+    identical), and band/row tuning decisions read the ppm ratios, not
+    the absolute counts.  The LSH candidate generation itself stays
+    the full production banding — only the EVAL's truth is sampled.
+
+    Deterministic (id-modulus, not random), so it hash-checks exactly;
+    ``%`` agrees across engines on the non-negative doc_id domain.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh_cached = word_shingle_hashes(d).persist()
+    sh = stop_shingle_filter(sh_cached, NGRAM_MAX_DF)
+    in_stratum = F.col("doc_a") % LSH_SAMPLE_MOD == 0
+    cands = lsh_candidate_pairs(minhash_signatures(sh)).filter(in_stratum)
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # truth self-join with the LEFT side pre-restricted to the stratum:
+    # the a-side posting list shrinks by the modulus BEFORE the join,
+    # which is where the quadratic work actually drops
+    a = sh.filter(F.col("doc_id") % LSH_SAMPLE_MOD == 0).alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            pround(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            )
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+    c = cands.withColumn("is_cand", F.lit(1))
+    t = truth.withColumn("is_true", F.lit(1))
+    out = (
+        c.join(t, ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            # coalesce: a fully-empty stratum (degenerate corpora — the
+            # adversarial fixture) makes the join 0-row, and Spark's
+            # global-agg sum over 0 rows is NULL where DuckDB's scalar
+            # count(*) subqueries are 0
+            F.coalesce(F.sum("is_cand"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.sum("is_true"), F.lit(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("is_cand").isNotNull()
+                        & F.col("is_true").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_hits",
+            F.expr(
+                "CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000"
+                " DIV n_candidates AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000"
+                " DIV n_true_pairs AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+    return scoped_cache(out, sh_cached)
+
+
+LSH_PRECISION_SAMPLED_SQL = rf"""{_LSH_CANDS_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {LSH_SAMPLE_MOD} = 0
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE floor((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5)
+          / 1000000.0 >= 0.04
+),
+scands AS (SELECT doc_a, doc_b FROM cands WHERE doc_a % {LSH_SAMPLE_MOD} = 0),
+counts AS (
+  SELECT (SELECT count(*) FROM scands) AS n_candidates,
+         (SELECT count(*) FROM truth) AS n_true_pairs,
+         (SELECT count(*) FROM scands JOIN truth USING (doc_a, doc_b)) AS n_hits
+)
+SELECT n_candidates, n_true_pairs, n_hits,
+       CAST(CAST(n_hits AS HUGEINT) * 1000000 // n_candidates AS BIGINT)
+         AS precision_ppm,
+       CAST(CAST(n_hits AS HUGEINT) * 1000000 // n_true_pairs AS BIGINT)
+         AS recall_ppm
+FROM counts
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash (portable 60-bit signatures — oracle-checked end to end)
 # ---------------------------------------------------------------------------
@@ -2371,6 +2511,7 @@ SPARK_QUERIES = {
     "winnow_fingerprint_pairs": winnow_fingerprint_pairs,
     "containment_pairs": containment_pairs,
     "lsh_candidate_precision": lsh_candidate_precision,
+    "lsh_precision_sampled": lsh_precision_sampled,
 }
 
 ORACLE_SQL = {
@@ -2392,4 +2533,5 @@ ORACLE_SQL = {
     "winnow_fingerprint_pairs": WINNOW_SQL,
     "containment_pairs": CONTAINMENT_SQL,
     "lsh_candidate_precision": LSH_PRECISION_SQL,
+    "lsh_precision_sampled": LSH_PRECISION_SAMPLED_SQL,
 }

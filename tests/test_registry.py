@@ -143,6 +143,7 @@ EXPECTED_QUERIES = {
     "mixture_temperature_weights", "curriculum_quality_buckets",
     # LSH index-quality eval (operators/dedup.py)
     "lsh_candidate_precision",
+    "lsh_precision_sampled",
     # chained stateful streaming (streaming/structured.py)
     "stream_chained_dedup_dau",
     # compaction planner (plans/layout.py) + OOV audit (corpus_stats.py)
