@@ -86,6 +86,14 @@ def isolate(names: list[str], reps: int, settle: float) -> int:
     for name in names:
         samples: list[float] = []
         for _ in range(reps):
+            # a prior query can take the whole JVM down (executor heap
+            # exhaustion shuts the SparkContext); without a restart every
+            # remaining query cascade-fails with misleading analysis
+            # errors — observed masking 13 queries in the r12 sf1.0 tier
+            if spark.sparkContext._jsc is None or spark.sparkContext._jsc.sc().isStopped():
+                print(f"[bench] SparkContext dead before {name}; restarting", file=sys.stderr)
+                spark = get_spark("bench-isolate-restarted")
+                spark.sparkContext.setLogLevel("ERROR")
             t0 = time.perf_counter()
             try:
                 run_query(queries[name](spark, SF_DIR))
@@ -93,7 +101,10 @@ def isolate(names: list[str], reps: int, settle: float) -> int:
             except Exception as exc:  # noqa: BLE001 — report, keep going
                 print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             finally:
-                spark.catalog.clearCache()
+                try:
+                    spark.catalog.clearCache()
+                except Exception:  # noqa: BLE001 — context died mid-query
+                    pass
         out[name] = {
             "reps": len(samples),
             "min": min(samples) if samples else -1.0,

@@ -568,6 +568,16 @@ def main() -> int:
                 "stream_tws_user_totals_restart": tws_restart_probe,
             }
         )
+        # round-12b: the winnow df-cap refit (re-probed after the sf1.0
+        # tier's OOM fix), the linear pair-budget pre-flight, and the
+        # stratum-sampled LSH eval (quadratic truth cut by the modulus)
+        probes.update(
+            {
+                "winnow_fingerprint_pairs": dedup.winnow_fingerprint_pairs,
+                "dedup_pair_density_audit": dedup.dedup_pair_density_audit,
+                "lsh_precision_sampled": dedup.lsh_precision_sampled,
+            }
+        )
         timings = {}
         # warmup
         relational.revenue_by_nation(spark, sf_dir).write.format("noop").mode(
