@@ -893,11 +893,14 @@ ORDER BY w
 
 
 def _jpeg_codec():
-    """Factory returning ``(build, decode)`` — a from-scratch,
-    stdlib-only BASELINE GRAYSCALE JPEG codec (ITU-T T.81: SOI/DQT/
-    SOF0/DHT/SOS/EOI markers, Annex K.3/K.5 luminance Huffman tables,
-    zigzag, DC prediction, byte stuffing, float FDCT/IDCT with final
-    integer rounding).  Closes the second of the two codec env-gates
+    """Factory returning ``(build, decode)`` — a from-scratch BASELINE
+    GRAYSCALE JPEG codec (ITU-T T.81: SOI/DQT/SOF0/DHT/SOS/EOI markers,
+    Annex K.3/K.5 luminance Huffman tables, zigzag, DC prediction, byte
+    stuffing, float FDCT/IDCT with final integer rounding).  No external
+    codec library — markers, Huffman and bit I/O are stdlib; the
+    FDCT/IDCT transform arithmetic is vectorized with numpy (already a
+    hard dependency of every pandas-kernel worker), batched over all
+    blocks of an image.  Closes the second of the two codec env-gates
     the round-11 verdict left (PNG closed first, :func:`_png_codec`);
     MP4 stays honestly gated in :func:`decode_media`.
 
@@ -917,6 +920,8 @@ def _jpeg_codec():
     """
     import math
     import struct
+
+    import numpy as np
 
     # ITU-T T.81 Annex K: standard luminance Huffman tables (public)
     DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
@@ -973,29 +978,29 @@ def _jpeg_codec():
     DC_DEC = {(ln, c): v for v, (c, ln) in DC_ENC.items()}
     AC_DEC = {(ln, c): v for v, (c, ln) in AC_ENC.items()}
 
-    def _fdct(block):
-        """block: 64 level-shifted ints (raster) → 64 float coeffs."""
-        out = [0.0] * 64
-        for u in range(8):
-            for v in range(8):
-                s = 0.0
-                for y in range(8):
-                    for x in range(8):
-                        s += block[y * 8 + x] * COS[v][x] * COS[u][y]
-                out[u * 8 + v] = 0.25 * C[u] * C[v] * s
-        return out
+    # DCT-II basis with the normalization folded in: A[u, y] =
+    # 0.5·C[u]·cos((2y+1)uπ/16), so the separable matrix forms below
+    # compute EXACTLY the spec sums (0.25·C[u]·C[v]·ΣΣ …) — the
+    # quadruple Python loop this replaces was the whole-query hotspot
+    # (guide §4.2: per-batch numpy instead of per-element Python;
+    # isolated 10.4 s → see OPTIMIZATION_r12.md).  Float reassociation
+    # vs the old loop is ~1 ulp, far under the 0.5 rounding margin the
+    # block-constant oracle construction guarantees (docstring above);
+    # the gradient golden test pins that the decoded bytes are in fact
+    # unchanged.
+    A_BASIS = 0.5 * np.asarray(C)[:, None] * np.asarray(COS, dtype=np.float64)
 
-    def _idct(coef):
-        out = [0] * 64
-        for y in range(8):
-            for x in range(8):
-                s = 0.0
-                for u in range(8):
-                    for v in range(8):
-                        s += C[u] * C[v] * coef[u * 8 + v] * COS[v][x] * COS[u][y]
-                px = round(0.25 * s) + 128
-                out[y * 8 + x] = 0 if px < 0 else (255 if px > 255 else px)
-        return out
+    def _fdct_blocks(blocks):
+        """(nb, 8, 8) level-shifted float array → (nb, 8, 8) coeffs."""
+        return A_BASIS @ blocks @ A_BASIS.T
+
+    def _idct_blocks(coefs):
+        """(nb, 8, 8) dequantized coeffs → (nb, 8, 8) uint8 pixels.
+
+        np.rint rounds half-to-even exactly like the Python round()
+        call it replaces."""
+        p = np.rint(A_BASIS.T @ coefs @ A_BASIS) + 128.0
+        return np.clip(p, 0.0, 255.0).astype(np.uint8)
 
     def _seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -1045,19 +1050,20 @@ def _jpeg_codec():
             + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
         )
         sos = bytes([1, 1, 0x00, 0, 63, 0])
+        # all blocks at once: (h//8, w//8, 8, 8) level-shifted, FDCT'd
+        # and quantized in three vectorized ops (was a 4-deep Python
+        # loop per block); np.rint = round-half-even, matching the
+        # int(round(...)) it replaces
+        arr = (
+            np.asarray(pixels, dtype=np.float64).reshape(h, w) - 128.0
+        ).reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        coefs = _fdct_blocks(arr.reshape(-1, 8, 8))
+        qarr = np.asarray(qtable, dtype=np.float64).reshape(1, 8, 8)
+        qall = np.rint(coefs / qarr).astype(np.int64).reshape(-1, 64)
         bw = _BitWriter()
         prev_dc = 0
-        for by in range(h // 8):
-            for bx in range(w // 8):
-                block = [
-                    pixels[(by * 8 + y) * w + bx * 8 + x] - 128
-                    for y in range(8)
-                    for x in range(8)
-                ]
-                coef = _fdct(block)
-                q = [
-                    int(round(coef[i] / qtable[i])) for i in range(64)
-                ]
+        for bi in range(qall.shape[0]):
+                q = qall[bi].tolist()
                 zz = [q[ZIGZAG[i]] for i in range(64)]
                 size, bits = _mag(zz[0] - prev_dc)
                 prev_dc = zz[0]
@@ -1201,41 +1207,49 @@ def _jpeg_codec():
         if w % 8 or h % 8:
             raise ValueError("dimensions must be multiples of 8")
         br = _BitReader(data, pos)
-        out = bytearray(w * h)
         prev_dc = 0
-        for by in range(h // 8):
-            for bx in range(w // 8):
-                size = br.huff(dc_tab)
-                dc = prev_dc + br.recv_extend(size)
-                prev_dc = dc
-                zz = [0] * 64
-                zz[0] = dc
-                i = 1
-                while i < 64:
-                    rs = br.huff(ac_tab)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    i += rs >> 4
-                    if i > 63:
-                        raise ValueError("AC run past block end")
-                    zz[i] = br.recv_extend(rs & 0x0F)
-                    i += 1
-                coef = [0] * 64
-                for i in range(64):
-                    coef[ZIGZAG[i]] = zz[i] * qt[ZIGZAG[i]]
-                px = _idct(coef)
-                for y in range(8):
-                    row = (by * 8 + y) * w + bx * 8
-                    for x in range(8):
-                        out[row + x] = px[y * 8 + x]
+        nb = (h // 8) * (w // 8)
+        # entropy scan stays sequential (Huffman codes chain through the
+        # bitstream); the dequant + IDCT + raster scatter run once over
+        # ALL blocks as numpy batch ops afterwards (guide §4.2)
+        zz_all = []
+        for _bi in range(nb):
+            size = br.huff(dc_tab)
+            dc = prev_dc + br.recv_extend(size)
+            prev_dc = dc
+            zz = [0] * 64
+            zz[0] = dc
+            i = 1
+            while i < 64:
+                rs = br.huff(ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += rs >> 4
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                zz[i] = br.recv_extend(rs & 0x0F)
+                i += 1
+            zz_all.append(zz)
         # skip pad bits, then require EOI
         tail = data[br.pos :]
         if not tail.startswith(b"\xff\xd9"):
             raise ValueError("missing EOI after entropy data")
-        return w, h, bytes(out)
+        if nb == 0:
+            return w, h, b""
+        qt_arr = np.asarray(qt, dtype=np.float64)
+        coefs = np.zeros((nb, 64), dtype=np.float64)
+        # scatter zigzag→raster and dequantize: coef[ZIGZAG[i]] = zz[i]·qt[ZIGZAG[i]]
+        coefs[:, ZIGZAG] = np.asarray(zz_all, dtype=np.float64) * qt_arr[ZIGZAG]
+        px = _idct_blocks(coefs.reshape(-1, 8, 8))
+        out = (
+            px.reshape(h // 8, w // 8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(h, w)
+        )
+        return w, h, out.tobytes()
 
     return build, decode
 
