@@ -169,7 +169,7 @@ def _read_events_stream(
 
 
 def _read_events_stream_hb(
-    spark: SparkSession, sf_dir: str, files_per_trigger: int = 2
+    spark: SparkSession, sf_dir: str, files_per_trigger: int = 5
 ) -> DataFrame:
     """:func:`_read_events_stream` over the HEARTBEAT staging
     (:func:`_staged_events_dir_with_heartbeat`) — the DELEGATING
@@ -177,7 +177,19 @@ def _read_events_stream_hb(
     one definition and can never drift between the two stagings.
     Callers must let the sentinel rows FLOW THROUGH (filtering them
     here would push down to the scan and prune the heartbeat file) and
-    drop their aggregated output instead."""
+    drop their aggregated output instead.
+
+    Default ``files_per_trigger=5`` = all 4 data files + the heartbeat
+    in ONE micro-batch.  Every heartbeat caller's registered result is
+    the watermark-flushed FINAL emission set, and the heartbeat +
+    terminal no-data micro-batch flush the same final set under ANY
+    slicing (the invariance argument each caller's docstring makes);
+    batching is therefore purely the bounded-replay cost knob — one
+    data batch pays the per-(partition × batch) state-store commit and
+    per-shard state round-trips once instead of three times (measured
+    on the TWS timer query, OPTIMIZATION_r12.md).  A live deployment
+    processes whatever each trigger delivers; nothing here is
+    semantics."""
     return _read_events_stream(
         spark,
         sf_dir,
@@ -394,7 +406,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     output mode.  For the bounded input the materialized result is
     exactly the batch answer — hash-checked against the same oracle.
     """
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -529,7 +541,7 @@ def stream_tumbling_counts_update(
     ``LAST_STATE_METRICS`` records the eviction
     (``tests/test_streaming.py`` asserts ``numRowsRemoved > 0``).
     """
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -617,7 +629,7 @@ def stream_user_running_totals(
     100 TB-credible path; the downstream fold is identical, so both
     sinks hash-match the same oracle.
     """
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4).select(
         "user_id",
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
     )
@@ -677,7 +689,7 @@ def stream_pit_features(
     """
     import pandas as pd
 
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4).select(
         F.pmod(F.col("user_id"), F.lit(N_PIT_SHARDS)).alias("shard"),
         "user_id",
         "event_id",
@@ -869,8 +881,14 @@ def _run_with_restart(
     for phase_files in (files[:half], files[half:]):
         for f in phase_files:
             _shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+        # files_per_trigger=2: one micro-batch per phase.  The restart
+        # contract is phase-granular (offset resume + state recovery at
+        # the STOP boundary), not batch-granular, and both restart
+        # oracles are final-state folds — the documented
+        # slicing-invariant class — so intra-phase batching only sets
+        # the per-trigger replay constant (2 batches instead of 4).
         stream = _read_events_stream(
-            spark, sf_dir, files_per_trigger=1, staging=lambda _sf: src
+            spark, sf_dir, files_per_trigger=2, staging=lambda _sf: src
         )
         updates = plan_builder(stream)
         schema = updates.schema
@@ -1043,7 +1061,7 @@ def stream_static_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from projet_meteo_etl_spark.catalog import load_table
 
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4)
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -1088,7 +1106,7 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HLL_ALPHA_EXPR,
     )
 
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select("event_type", "user_id")
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4).select("event_type", "user_id")
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -1198,7 +1216,7 @@ def stream_cms_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             % CMS_W
         )
 
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).filter(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4).filter(
         F.col("event_type") == "click"
     )
     items = e.select(
@@ -1327,7 +1345,7 @@ def stream_quantile_sketch_state(
     from projet_meteo_etl_spark.operators.quantiles import QSK_K, QSK_QS
 
     k_keep = int(QSK_K)
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).filter(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4).filter(
         F.col("value").isNotNull()
     )
     h = F.conv(
@@ -1511,7 +1529,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded input reproduces the batch answer; hash-checked against the
     same oracle as :func:`streaming.windows.events_session_windows`.
     """
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4)
     agg = (
         e.withWatermark("ts", "30 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -1568,7 +1586,7 @@ def stream_stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataF
     in-range pair is emitted before its state expires, so the appended
     result equals the batch range join — hash-checked against it.
     """
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4)
     p = (
         e.filter(F.col("event_type") == "purchase")
         .select("user_id", F.col("ts").alias("p_ts"))
@@ -1612,7 +1630,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in two windows, expanded at scan time inside the stream.
     Complete mode; integer-cent averaging; same oracle as the batch
     query."""
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).filter(F.col("event_type") == "purchase")
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4).filter(F.col("event_type") == "purchase")
     cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
     agg = (
         e.withWatermark("ts", "1 hour")
@@ -1665,7 +1683,7 @@ def stream_sliding_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     then smaller item id.  Same two-window-per-event expansion oracle
     as :func:`stream_sliding_avg`.
     """
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).filter(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4).filter(
         F.col("event_type") == "click"
     )
     item = json_long()
@@ -1737,7 +1755,7 @@ def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only windows with a full 3-window lookback report — an alert
     against a partial baseline is noise, not signal.
     """
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -1825,7 +1843,7 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-trips drop to O(64) per batch while the per-user answer is
     unchanged.
 
-    ``files_per_trigger=2``: registered result is a final-state fold
+    ``files_per_trigger=4``: registered result is a final-state fold
     over an update sink (slicing-invariant class, see
     :func:`_read_events_stream`).
 
@@ -1840,7 +1858,7 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transformWithStateInPandas needs the google.protobuf runtime, "
             "and neither a real install nor the vendored shim is available"
         )
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4)
     updates = _tws_totals_updates(spark, e, "Update")
     old_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
@@ -1969,7 +1987,7 @@ def stream_tws_user_lastk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties impossible.  Oracle: plain ``row_number() OVER (PARTITION BY
     user ORDER BY ts DESC, event_id DESC) <= K``.
 
-    ``files_per_trigger=2``: final-state fold over an update sink, the
+    ``files_per_trigger=4``: final-state fold over an update sink, the
     slicing-invariant class (each user's highest-``n_seen`` emission is
     the same whatever the batch boundaries, because the merged last-K
     after the final event is batching-independent).
@@ -1988,7 +2006,7 @@ def stream_tws_user_lastk(spark: SparkSession, sf_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).select(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4).select(
         F.pmod(F.col("user_id"), F.lit(TWS_SHARDS)).alias("shard"),
         "user_id",
         "event_id",
@@ -2318,7 +2336,7 @@ def stream_dedup_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that makes streaming dedup viable on an unbounded 100 TB
     feed where batch ``dropDuplicates`` could not even start.
     """
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2)
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4)
     dd = (
         e.withColumn("day", F.to_date("ts"))
         .withWatermark("ts", "48 hours")
@@ -2583,7 +2601,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    e = _read_events_stream(spark, sf_dir, files_per_trigger=2).filter(
+    e = _read_events_stream(spark, sf_dir, files_per_trigger=4).filter(
         F.col("event_type") == "purchase"
     )
     rows = e.select(
