@@ -97,6 +97,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
+def spread_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a freshly-scanned (or narrowly-derived)
+    DataFrame up to the session's default parallelism — but ONLY when
+    the source actually under-partitions.
+
+    Why: the guide's "input skew" remedy (one unsplittable file → the
+    whole scan stage runs on one task).  The test fixtures are
+    single-row-group parquet files, so every scan yields ONE partition
+    and all CPU-heavy scan-stage work (md5 priorities, shingling,
+    regex tokenization, codec kernels) serializes on one core of 32.
+    One round-robin exchange of the (small) scan output unlocks the
+    machine.
+
+    Scale-adaptive by construction: the guard compares the plan's
+    actual partition count against the session default parallelism, so
+    on a cluster reading a real multi-file table (thousands of splits)
+    this is a NO-OP — no shuffle is added at 100 TB.  The partition
+    count read is driver-side plan inspection only (no job runs; same
+    mechanism as the jdbc writer guard).
+    """
+    spark = df.sparkSession
+    want = parts or spark.sparkContext.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning quirk: keep the plan as-is
+        return df
+    if have * 2 <= want:
+        return df.repartition(want)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.cachescope import scoped_cache
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, spread_scan
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 from projet_meteo_etl_spark.functions.twopass import bucket_prefix
 
@@ -1434,7 +1434,8 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blank documents split to one '' token — exclude it from the
     # vocabulary and the token mass (same convention as ws_token_count)
     tf = (
-        d.select(F.explode(F.split(F.trim("text"), _WS)).alias("tok"))
+        spread_scan(d.select("text"))
+        .select(F.explode(F.split(F.trim("text"), _WS)).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.cachescope import scoped_cache
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, spread_scan
 from projet_meteo_etl_spark.functions.portable import pround
 from projet_meteo_etl_spark.operators.text import NGRAM_MAX_DF, fingerprint
 
@@ -76,8 +76,12 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
         f"i -> concat_ws(' ', slice(tk, i + 1, {n}))) "
         f"else array() end"
     )
+    # spread the projected scan BEFORE the shingle transform+explode:
+    # on single-row-group inputs the whole tokenize/shingle/md5 stage
+    # otherwise runs as one task (guide §2.5 unsplittable-input remedy;
+    # no-op on a well-split table — see catalog.spread_scan)
     return (
-        df.select("doc_id", F.split(F.trim(text_col), r"\s+").alias("tk"))
+        spread_scan(df.select("doc_id", F.split(F.trim(text_col), r"\s+").alias("tk")))
         .select("doc_id", F.explode(F.array_distinct(gram)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
@@ -939,7 +943,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives the identical signature and the whole family oracle-checks.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = spread_scan(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.trim("text"), _WS)).alias("tok")
     ).filter(F.length("tok") > 0)
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, spread_scan
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
 _WS = r"\s+"
@@ -63,7 +63,8 @@ def _hashed_tokens(d: DataFrame) -> DataFrame:
     """(doc_id, b) — one row per token instance, bucketed by the
     portable 60-bit md5-prefix hash mod ``DSIR_BUCKETS``."""
     return (
-        d.select("doc_id", F.explode(F.split(F.trim("text"), _WS)).alias("tok"))
+        spread_scan(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split(F.trim("text"), _WS)).alias("tok"))
         .filter(F.length("tok") > 0)
         .select(
             "doc_id",
@@ -202,7 +203,7 @@ def boilerplate_segment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"else array() end"
     )
     segs = (
-        d.select("doc_id", F.split(F.trim("text"), _WS).alias("tk"))
+        spread_scan(d.select("doc_id", F.split(F.trim("text"), _WS).alias("tk")))
         .select("doc_id", F.explode(seg_expr).alias("seg"))
         .select(
             "doc_id",

@@ -39,7 +39,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, spread_scan
 from projet_meteo_etl_spark.functions.portable import pround
 
 # magic-byte prefixes (hex) per media kind — real file signatures
@@ -74,7 +74,11 @@ def with_media_payload(d: DataFrame) -> DataFrame:
         F.when(kind == "audio", F.lit(16000)).otherwise(F.lit(0)).cast("int").alias("sample_rate"),
         (F.col("doc_id") % 30 * 1000).cast("int").alias("duration_ms"),
     )
-    return d.select(
+    # spread BEFORE the payload assembly + downstream Python kernels:
+    # a single-row-group source otherwise funnels every mapInPandas
+    # decode through one task (catalog.spread_scan; no-op on a
+    # well-split table)
+    return spread_scan(d.select("doc_id", "text")).select(
         "doc_id",
         kind.alias("kind"),
         F.concat(magic, F.encode("text", "UTF-8")).alias("payload"),
@@ -801,7 +805,7 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     build, decode = _png_codec()
-    imgs = (
+    imgs = spread_scan(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 0)
         .select("doc_id")
@@ -1285,7 +1289,7 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     build, decode = _jpeg_codec()
-    imgs = (
+    imgs = spread_scan(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 0)
         .select("doc_id")

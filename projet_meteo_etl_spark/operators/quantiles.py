@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, spread_scan
 from projet_meteo_etl_spark.functions.twopass import bucket_prefix
 
 #: sketch size: k smallest md5 priorities per group (rank error ~1/√k)
@@ -74,10 +74,33 @@ def _priority(key) -> F.Column:
 def _surv_filter() -> str:
     """Survivor predicate ``h·n_g < 2^60·(OVER·k)`` with the product
     DECIMAL(38,0)-widened (h is up to 2^60; ×n_g overflows a long at
-    any real scale — DuckDB is HUGEINT natively)."""
+    any real scale — DuckDB is HUGEINT natively).  Kept as the
+    oracle-side form; the Spark plans use :func:`_thr_col` (same
+    survivor set, per-GROUP decimal work instead of per-row)."""
     return (
         f"CAST(h AS DECIMAL(38,0)) * n_g"
         f" < CAST({H60} AS DECIMAL(38,0)) * {QSK_OVER * QSK_K}"
+    )
+
+
+def _thr_col() -> F.Column:
+    """Per-GROUP survivor threshold equivalent to :func:`_surv_filter`:
+    ``h·n_g < C`` (C = 2^60·OVER·k) ⟺ ``h ≤ floor((C−1)/n_g)`` for
+    integer h ≥ 0, n_g ≥ 1.  Evaluating the DECIMAL division once per
+    group and comparing plain longs per row removes the per-row
+    DECIMAL(38,0) multiply, which profiled at ~3 s of the adaptive
+    audit's wall at sf0.1 (OPTIMIZATION_r12.md).  When
+    ``n_g ≤ OVER·k`` the quotient ≥ 2^60 > any h, i.e. every row
+    survives — returned as the 2^60 cap so the long cast can never
+    overflow; otherwise the quotient < 2^60 and fits a long exactly."""
+    c1 = H60 * QSK_OVER * QSK_K - 1
+    return (
+        F.expr(
+            f"CASE WHEN n_g <= {QSK_OVER * QSK_K} THEN {H60} "
+            f"ELSE CAST(CAST({c1} AS DECIMAL(38,0)) DIV n_g AS BIGINT) END"
+        )
+        .cast("long")
+        .alias("thr")
     )
 
 
@@ -136,8 +159,8 @@ def portable_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors feed the direct AND sharded paths: persist the ~OVER·k-
     # per-group relation (released via scoped_cache)
     surv = (
-        rows.join(F.broadcast(ng), "event_type")
-        .filter(F.expr(_surv_filter()))
+        rows.join(F.broadcast(ng.select("event_type", _thr_col())), "event_type")
+        .filter(F.col("h") <= F.col("thr"))
         .select("event_type", "event_id", "cents", "h")
         .persist()
     )
@@ -343,7 +366,13 @@ def quantile_adaptive_range_audit(
         n=len(QSK_MEASURES),
         args=", ".join(f"'{m}', {m}" for m in QSK_MEASURES),
     )
-    rows = li.select(
+    # the md5-priority pass is the only corpus×4 compute in the plan;
+    # spread the (projected) scan first so it parallelizes on
+    # single-row-group inputs (no-op on a well-split table)
+    li_rows = spread_scan(
+        li.select(*QSK_MEASURES, "l_orderkey", "l_linenumber")
+    )
+    rows = li_rows.select(
         F.expr(stack_expr),
         "l_orderkey",
         "l_linenumber",
@@ -361,7 +390,9 @@ def quantile_adaptive_range_audit(
         F.col("l_orderkey").alias("k1"),
         F.col("l_linenumber").alias("k2"),
     )
-    surv = rows.join(F.broadcast(ng), "measure").filter(F.expr(_surv_filter()))
+    surv = rows.join(
+        F.broadcast(ng.select("measure", _thr_col())), "measure"
+    ).filter(F.col("h") <= F.col("thr"))
     w_g = Window.partitionBy("measure").orderBy("h", "k1", "k2")
     sample = surv.withColumn("rk", F.row_number().over(w_g)).filter(
         F.col("rk") <= QSK_K

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.cachescope import scoped_cache
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, spread_scan
 from projet_meteo_etl_spark.functions.portable import pround, json_long
 
 #: every doc_id ≡ 0 (mod 100) is a "query" document: 5 queries per 500
@@ -58,7 +58,7 @@ def _term_stats(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(tf, dfreq, nd): term frequencies per document, document
     frequencies per term, and the 1-row corpus size — the inverted
     -index statistics every sparse scorer consumes."""
-    toks = docs.select(
+    toks = spread_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
     # tf is the inverted index; every downstream statistic reads it

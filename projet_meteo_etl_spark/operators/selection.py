@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_meteo_etl_spark.cachescope import scoped_cache
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, spread_scan
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 from projet_meteo_etl_spark.functions.twopass import bucket_prefix
 
@@ -283,7 +283,8 @@ def vocab_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = (
-        d.select("source", F.explode(F.split(F.trim("text"), _WS)).alias("tok"))
+        spread_scan(d.select("source", "text"))
+        .select("source", F.explode(F.split(F.trim("text"), _WS)).alias("tok"))
         .filter(F.length("tok") > 0)
         .select(
             "source",

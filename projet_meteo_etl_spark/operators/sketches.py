@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, spread_scan
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
 
@@ -292,7 +292,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_meteo_etl_spark.cachescope import scoped_cache
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = spread_scan(docs.select("text")).select(
         F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
 

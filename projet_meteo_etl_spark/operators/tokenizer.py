@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, spread_scan
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
 _WS = r"\s+"
@@ -76,7 +76,8 @@ def bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     vocab = (
-        d.select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
+        spread_scan(d.select("text"))
+        .select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
         .filter(F.length("word") >= 2)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -730,7 +731,8 @@ def wordpiece_greedy_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     vocab = (
-        d.select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
+        spread_scan(d.select("text"))
+        .select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
         .filter(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -961,7 +963,8 @@ def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     vocab = (
-        d.select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
+        spread_scan(d.select("text"))
+        .select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
         .filter(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -1267,7 +1270,8 @@ def unigram_lm_prune_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     vocab = (
-        d.select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
+        spread_scan(d.select("text"))
+        .select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
         .filter(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
