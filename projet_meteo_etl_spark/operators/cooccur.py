@@ -52,12 +52,25 @@ def _user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "click"
     )
+    # ONE exchange for the whole prep chain (guide §2.4): hash-
+    # partitioning on user_id satisfies the clustered distribution of
+    # BOTH the (user_id, item) distinct (subset of the grouping keys)
+    # and the per-user cap window, so distinct and window add no
+    # further shuffle — previously each introduced its own.  The
+    # repartition also spreads the JSON extraction off the
+    # single-row-group scan (catalog.spread_scan rationale).  Width 8,
+    # not default parallelism: this persisted base feeds ITERATIVE
+    # consumers (k-core peel rounds, LPA, triangle joins) whose
+    # per-stage task overhead scales with the cached partition count —
+    # A/B at matched regime: 8-wide beats both no-repartition AND
+    # 32-wide on every family member (OPTIMIZATION_r12.md).
     basket = (
         e.select(
             "user_id",
             json_long().alias("item"),
         )
         .filter(F.col("item").isNotNull())
+        .repartition(8, "user_id")
         .distinct()
     )
     w = Window.partitionBy("user_id").orderBy("item")

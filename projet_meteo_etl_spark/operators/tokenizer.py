@@ -1269,9 +1269,14 @@ def unigram_lm_prune_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projet_meteo_etl_spark.cachescope import scoped_cache
 
     d = load_table(spark, sf_dir, "documents")
+    # deliberately NOT spread_scan'd: this query runs ~2× more
+    # vocabulary-sized stages over the persisted vocab than its
+    # em_step sibling, and widening the cached vocab to default
+    # parallelism costs more in per-stage task overhead than the
+    # one-time tokenize parallelization buys (A/B measured 3.80 s vs
+    # 4.64 s isolated min at matched regime, OPTIMIZATION_r12.md)
     vocab = (
-        spread_scan(d.select("text"))
-        .select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
+        d.select(F.explode(F.split(F.trim("text"), _WS)).alias("word"))
         .filter(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))

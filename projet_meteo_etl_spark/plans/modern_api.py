@@ -512,32 +512,45 @@ def cogroup_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge(key, clicks, purchases):  # self-contained for the gate
         import pandas as pd
 
-        left = clicks[["event_id", "ts"]].sort_values("ts", kind="stable")
+        # ONE vectorized merge_asof per SHARD with by="user_id" — the
+        # per-user asof semantics are identical (merge_asof partitions
+        # by the `by` key), but Python is entered once per shard
+        # instead of once per user (~1.5 K near-empty calls at sf0.1,
+        # profiled as the query's dominant cost — guide §4.1 per-call
+        # overhead).  merge_asof requires the on-key sorted; the `by`
+        # grouping is extracted by pandas itself.
+        left = clicks[["user_id", "event_id", "ts"]].sort_values(
+            "ts", kind="stable"
+        )
         right = (
-            purchases[["ts", "p_value"]]
+            purchases[["user_id", "ts", "p_value"]]
             .assign(p_ts=lambda d: d["ts"])
             .sort_values("ts", kind="stable")
         )
         out = pd.merge_asof(
-            left, right, on="ts", direction="backward",
+            left, right, on="ts", by="user_id", direction="backward",
             allow_exact_matches=True,
         )
-        out["user_id"] = key[0]
         micros = (out["ts"] - out["p_ts"]) // pd.Timedelta(microseconds=1)
         out["micros_since_purchase"] = micros.astype("Int64")
         return out[
             ["user_id", "event_id", "ts", "p_value", "micros_since_purchase"]
         ]
 
-    # pre-partition both sides on the group key: cogroup reuses the
-    # hash distribution, so the Python stage runs 8 tasks instead of
-    # spark.sql.shuffle.partitions (same ≈6× wall win as the EWMA
-    # stage, timeseries.py).  At real scale size this to group bytes /
-    # executor memory, not 8.
+    # key-group sharding (the TWS/PIT discipline): cogroup on
+    # user_id % 64 so each Python call sees a shard's users at once;
+    # pre-partitioning on the shard key keeps the Python stage at 8
+    # tasks (same ≈6× wall win as the EWMA stage, timeseries.py).  At
+    # real scale shards rise with the cluster so per-shard group bytes
+    # stay bounded by executor memory.
+    shard = F.pmod(F.col("user_id"), F.lit(64)).alias("shard")
     out = (
-        c.repartition(8, "user_id")
-        .groupBy("user_id")
-        .cogroup(p.repartition(8, "user_id").groupBy("user_id"))
+        c.select(shard, "*")
+        .repartition(8, "shard")
+        .groupBy("shard")
+        .cogroup(
+            p.select(shard, "*").repartition(8, "shard").groupBy("shard")
+        )
         .applyInPandas(
             merge,
             "user_id long, event_id long, ts timestamp, p_value double, "
