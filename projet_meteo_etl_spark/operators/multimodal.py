@@ -74,11 +74,13 @@ def with_media_payload(d: DataFrame) -> DataFrame:
         F.when(kind == "audio", F.lit(16000)).otherwise(F.lit(0)).cast("int").alias("sample_rate"),
         (F.col("doc_id") % 30 * 1000).cast("int").alias("duration_ms"),
     )
-    # spread BEFORE the payload assembly + downstream Python kernels:
-    # a single-row-group source otherwise funnels every mapInPandas
-    # decode through one task (catalog.spread_scan; no-op on a
-    # well-split table)
-    return spread_scan(d.select("doc_id", "text")).select(
+    # deliberately NOT spread_scan'd: the six consumers' fake-codec
+    # kernels are light (<0.5 s each at sf0.1), so the extra exchange
+    # costs more than the kernel parallelism buys (measured ~2× on
+    # multimodal_frame_sample/metadata in the post-batch bench); the
+    # REAL codec kernels (png/jpeg pixel stats) spread their own
+    # doc_id-only input instead
+    return d.select(
         "doc_id",
         kind.alias("kind"),
         F.concat(magic, F.encode("text", "UTF-8")).alias("payload"),
