@@ -2203,20 +2203,24 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for k, v in self._m.iterator()
             }
 
-        def _sweep_store_emit(self, open_map, wm, closed, changed):
+        def _sweep_store_emit(self, open_map, wm, closed, changed, stored):
             # close everything the watermark passed; write back ONLY
             # sessions this batch changed (untouched ones are already
             # in the map byte-identical — skipping them keeps
             # state-server round-trips O(touched), not O(open));
-            # keep exactly one timer at the earliest open deadline
+            # keep exactly one timer at the earliest open deadline.
+            # ``stored`` is the snapshot of keys KNOWN to be in the map
+            # (taken at _load) so each close costs one removeKey RPC,
+            # not a containsKey+removeKey pair.
             import pandas as pd
 
             still = {}
             for uid, cur in open_map.items():
                 if cur[1] // 1000 + self.GAP_MS <= wm:
                     closed.append((uid, cur[0], cur[2], cur[3]))
-                    if self._m.containsKey((uid,)):
+                    if uid in stored:
                         self._m.removeKey((uid,))
+                        stored.discard(uid)
                 else:
                     still[uid] = cur
             for uid in changed:
@@ -2243,6 +2247,7 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def handleInputRows(self, key, rows, timerValues):
             open_map = self._load()
+            stored = set(open_map)
             closed = []
             changed = set()
             chunks = [p for p in rows if len(p)]
@@ -2261,8 +2266,9 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
                             cur = [tus, tus, 1, cents]
                         elif tus - cur[1] > self.GAP_US:
                             closed.append((uid, cur[0], cur[2], cur[3]))
-                            if self._m.containsKey((uid,)):
+                            if uid in stored:
                                 self._m.removeKey((uid,))
+                                stored.discard(uid)
                             cur = [tus, tus, 1, cents]
                         else:
                             cur[1], cur[2], cur[3] = (
@@ -2273,12 +2279,15 @@ def stream_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     open_map[uid] = cur
                     changed.add(uid)
             wm = timerValues.getCurrentWatermarkInMs()
-            yield from self._sweep_store_emit(open_map, wm, closed, changed)
+            yield from self._sweep_store_emit(
+                open_map, wm, closed, changed, stored
+            )
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             wm = timerValues.getCurrentWatermarkInMs()
+            open_map = self._load()
             yield from self._sweep_store_emit(
-                self._load(), wm, [], set()
+                open_map, wm, [], set(), set(open_map)
             )
 
         def close(self) -> None:
