@@ -160,3 +160,62 @@ def test_adaptive_audit_empty_input_parity(spark, tmp_path):
         f" read_parquet('{d}/lineitem.parquet/*.parquet')"
     )
     assert con.execute(ADAPTIVE_RANGE_SQL).fetchall() == []
+
+
+def test_thr_col_equals_decimal_survivor_filter(spark):
+    """The r12 per-group threshold rewrite (`_thr_col`) must select the
+    EXACT survivor set of the per-row DECIMAL predicate it replaced
+    (`_surv_filter`), including the small-group all-survive cap."""
+    from pyspark.sql import functions as F
+
+    from projet_meteo_etl_spark.operators.quantiles import (
+        H60,
+        QSK_K,
+        QSK_OVER,
+        _surv_filter,
+        _thr_col,
+    )
+
+    # groups spanning the cap boundary: tiny (n_g << OVER·k, every row
+    # survives), exactly at the boundary, and large (selective)
+    rows = []
+    for g, n_g in (("tiny", 7), ("edge", QSK_OVER * QSK_K), ("big", 500_000)):
+        # priorities straddling the threshold C/n_g for each group
+        c = H60 * QSK_OVER * QSK_K
+        for off in (-2, -1, 0, 1, 2):
+            h = max(0, min(H60 - 1, c // n_g + off))
+            rows.append((g, n_g, h))
+        rows.append((g, n_g, 0))
+        rows.append((g, n_g, H60 - 1))
+    df = spark.createDataFrame(rows, "g string, n_g long, h long")
+    old = set(
+        (r["g"], r["h"])
+        for r in df.filter(F.expr(_surv_filter())).collect()
+    )
+    new = set(
+        (r["g"], r["h"])
+        for r in df.withColumn("thr", _thr_col())
+        .filter(F.col("h") <= F.col("thr"))
+        .collect()
+    )
+    assert old == new and len(old) > 0
+
+
+def test_spread_scan_guard_and_noop(spark, tmp_path):
+    """catalog.spread_scan: repartitions an under-partitioned scan up
+    to default parallelism, and is a NO-OP (same plan object) when the
+    input already has enough partitions."""
+    from projet_meteo_etl_spark.catalog import spread_scan
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 10_000, 1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    want = spark.sparkContext.defaultParallelism
+    out = spread_scan(scan)
+    assert out.rdd.getNumPartitions() >= min(
+        want, 2
+    ), "under-partitioned scan must be spread"
+    # rows unchanged by the round-robin exchange
+    assert out.count() == 10_000
+    wide = scan.repartition(want * 2)
+    assert spread_scan(wide) is wide, "well-partitioned input must pass through"
