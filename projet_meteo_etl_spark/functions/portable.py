@@ -83,9 +83,28 @@ JSON_INT_RE = "^[+-]?[0-9]+$"
 
 def json_long(path: str = "$.k", col: str = "props") -> Column:
     """Extract a JSON property and cast to long iff it is a pure
-    integer token — the portable twin of :func:`json_long_sql`."""
+    integer token — the portable twin of :func:`json_long_sql`.
+
+    Shape: ``cast(s) + CASE WHEN s RLIKE int THEN 0 END`` instead of
+    ``CASE WHEN s RLIKE int THEN cast(s) END``.  Identical value for
+    every input — an invalid token makes the guard NULL and
+    ``anything + NULL`` is NULL; a valid-but-overflowing token makes
+    the cast NULL either way — but the branchy form re-evaluates
+    ``s = trim(get_json_object(...))`` inside the THEN branch, which
+    Spark's subexpression elimination cannot share with the condition
+    (conditional branches are excluded from CSE), so every row paid
+    the JSON parse twice *per operator*, and four times total once the
+    ``isNotNull`` filter is pushed below the projection.  With both
+    references unconditional the parse CSEs to one per operator:
+    measured 0.92 s → 0.69 s for the select+filter pass over events at
+    sf0.1 (plain unguarded cast = 0.48 s floor).  A regex-free
+    translate/substring guard was also measured and is 2× SLOWER than
+    the regex (1.6 s) — RLIKE with a foldable pattern is compiled once
+    and cheap; keep the regex, which also stays textually identical to
+    the oracle's.
+    """
     s = F.trim(F.get_json_object(col, path))
-    return F.when(s.rlike(JSON_INT_RE), s.cast("long"))
+    return s.cast("long") + F.when(s.rlike(JSON_INT_RE), F.lit(0).cast("long"))
 
 
 def json_long_sql(path: str = "$.k", col: str = "props") -> str:
