@@ -1215,14 +1215,21 @@ def winnow_fingerprint_pairs(
     win = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     )
-    fps = (
+    fps_all = (
         # min must see the tail rows, so compute BEFORE dropping the
         # trailing partial windows — filtering first truncates the frame
         grams.withColumn("minh", F.min("h").over(win))
         .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
         .select("doc_id", F.col("minh").alias("h"))
         .distinct()
+        # the stop-fingerprint df aggregation AND the capped relation
+        # both consume this — without the persist the whole explode +
+        # sliding-min + distinct pipeline ran TWICE (once to find the
+        # stop set, once to build the join input), which was the
+        # round-12 ×1.6 regression when the df cap was added
+        .persist()
     )
+    fps = fps_all
     if max_df is not None:
         fps = stop_shingle_filter(fps, max_df)
     fps = (
@@ -1243,7 +1250,7 @@ def winnow_fingerprint_pairs(
         .filter(F.col("n_common") >= min_common)
         .orderBy("doc_a", "doc_b")
     )
-    return scoped_cache(out, fps)
+    return scoped_cache(out, fps, fps_all)
 
 
 WINNOW_SQL = r"""
@@ -1378,30 +1385,33 @@ def dedup_connected_components(
         hop = labels.join(neigh, labels.node == F.col("n2"), "left").select(
             "node",
             F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+            # carry the round's starting label so convergence can be
+            # read off the checkpointed result below instead of joining
+            # new labels back against old ones (one fewer shuffle join +
+            # driver action per round)
+            F.col("comp").alias("oc"),
         )
         # step 2: pointer jumping — follow comp's own label (label-of-
         # label), halving chain depth each round: O(log diameter)
         # rounds instead of O(diameter) (a 600-node chainy cluster needs
         # >15 one-hop rounds; with jumping it converges in ~6)
         ptr = hop.select(F.col("node").alias("jnode"), F.col("comp").alias("jcomp"))
-        new_labels = (
+        new_full = (
             hop.join(ptr, hop.comp == F.col("jnode"), "left")
             .select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce("jcomp", F.col("comp"))
                 ).alias("comp"),
+                "oc",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # convergence is read from the SAME checkpointed rows (comp vs
+        # the carried-through oc) — the previous join of new labels
+        # against old labels re-shuffled both relations every round
+        changed = new_full.filter(F.col("comp") != F.col("oc")).limit(1).count()
+        labels = new_full.drop("oc")
         if changed == 0:
             break
     out = (
