@@ -264,7 +264,15 @@ def collation_segment_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collated groupBy probed 22× at 10× rows, this shape 1.6×
     per_spelling = u.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
     return (
-        per_spelling.groupBy(
+        # |spellings| rows ≈ 2×|distinct segments| — a low-cardinality
+        # rollup by construction (market segments), so run the collated
+        # re-group + canonicalization single-partition: the collated key
+        # plans as SortAggregate (collations are not hash-aggregable),
+        # and spreading a handful of rows over 32-partition exchanges
+        # paid 3 shuffle stages of pure scheduling latency (measured
+        # 0.37 → 0.16 s warm; the fact-table rollup above is unchanged)
+        per_spelling.coalesce(1)
+        .groupBy(
             F.collate(F.col("seg"), "UTF8_LCASE").alias("k")
         )
         .agg(
