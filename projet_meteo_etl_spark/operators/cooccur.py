@@ -58,19 +58,23 @@ def _user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the per-user cap window, so distinct and window add no
     # further shuffle — previously each introduced its own.  The
     # repartition also spreads the JSON extraction off the
-    # single-row-group scan (catalog.spread_scan rationale).  Width 8,
-    # not default parallelism: this persisted base feeds ITERATIVE
-    # consumers (k-core peel rounds, LPA, triangle joins) whose
-    # per-stage task overhead scales with the cached partition count —
-    # A/B at matched regime: 8-wide beats both no-repartition AND
-    # 32-wide on every family member (OPTIMIZATION_r12.md).
+    # single-row-group scan (catalog.spread_scan rationale).  Width is
+    # a QUARTER of default parallelism (floor 8), not full parallelism:
+    # this persisted base feeds ITERATIVE consumers (k-core peel
+    # rounds, LPA, triangle joins) whose per-stage task overhead scales
+    # with the cached partition count — A/B at matched regime: 8-wide
+    # beats both no-repartition AND 32-wide on every family member at
+    # local[32] (OPTIMIZATION_r12.md), and deriving the width from the
+    # session keeps it growing with a real cluster instead of pinning
+    # the basket base to 8 partitions at 100 TB.
+    width = max(8, spark.sparkContext.defaultParallelism // 4)
     basket = (
         e.select(
             "user_id",
             json_long().alias("item"),
         )
         .filter(F.col("item").isNotNull())
-        .repartition(8, "user_id")
+        .repartition(width, "user_id")
         .distinct()
     )
     w = Window.partitionBy("user_id").orderBy("item")

@@ -538,18 +538,25 @@ def cogroup_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     # key-group sharding (the TWS/PIT discipline): cogroup on
-    # user_id % 64 so each Python call sees a shard's users at once;
-    # pre-partitioning on the shard key keeps the Python stage at 8
-    # tasks (same ≈6× wall win as the EWMA stage, timeseries.py).  At
-    # real scale shards rise with the cluster so per-shard group bytes
-    # stay bounded by executor memory.
-    shard = F.pmod(F.col("user_id"), F.lit(64)).alias("shard")
+    # user_id % n_shards so each Python call sees a shard's users at
+    # once; pre-partitioning on the shard key bounds the Python stage's
+    # task count (same ≈6× wall win as the EWMA stage, timeseries.py).
+    # Both constants DERIVE from the session's parallelism — 2× cores
+    # worth of shards over a quarter of cores worth of tasks (floors 64
+    # and 8 reproduce the round-12 A/B winners at local[32]) — so on a
+    # real cluster shards rise with the executor count and per-shard
+    # group bytes stay bounded by executor memory instead of being
+    # pinned to the local bench's constants.
+    dp = spark.sparkContext.defaultParallelism
+    n_shards = max(64, 2 * dp)
+    n_tasks = max(8, dp // 4)
+    shard = F.pmod(F.col("user_id"), F.lit(n_shards)).alias("shard")
     out = (
         c.select(shard, "*")
-        .repartition(8, "shard")
+        .repartition(n_tasks, "shard")
         .groupBy("shard")
         .cogroup(
-            p.select(shard, "*").repartition(8, "shard").groupBy("shard")
+            p.select(shard, "*").repartition(n_tasks, "shard").groupBy("shard")
         )
         .applyInPandas(
             merge,
