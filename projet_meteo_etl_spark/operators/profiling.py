@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, spread_scan
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
 #: numeric lineitem measures profiled (all exact-cent doubles)
@@ -66,6 +66,9 @@ def _stats(d: DataFrame) -> DataFrame:
 def profile_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile: counts, nulls, exact distincts, min/max, and
     the mean reconstructed from the exact integer-cent sum."""
+    # spread_scan measured FLAT here (ABBA isolates, r13): the wall is
+    # the countDistinct exchange by (col_name, val), which the spread
+    # does not touch — deliberately left unspread
     d = load_table(spark, sf_dir, "lineitem")
     s = _stats(d)
     mean = (F.col("sum_cents").cast("double") / 100.0) / (
@@ -119,6 +122,8 @@ def profile_numeric_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max (broadcast back onto the value stream — in-plan, no
     driver collect), ``N_BUCKETS`` buckets, max value clamped into the
     last bucket."""
+    # spread_scan measured flat-to-negative here (ABBA isolates, r13) —
+    # the bucket rollup exchange dominates; deliberately left unspread
     d = load_table(spark, sf_dir, "lineitem")
     vals = _long_values(d).filter(F.col("val").isNotNull())
     edges = _stats(d).select("col_name", "min_val", "max_val")
@@ -206,7 +211,13 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     that Spark and DuckDB evaluate bit-identically.  The 6 pair rows
     come from an in-plan explode of the 1-row aggregate.
     """
-    d = load_table(spark, sf_dir, "lineitem")
+    # 36 DECIMAL(38,0) partial sums per row all run in the scan stage
+    # (below the single-row agg exchange): a single-row-group input
+    # serializes the whole 128-bit-arithmetic pass on one core — spread
+    # the 4 profiled columns first (guide §2.5; no-op on a split table)
+    d = spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    )
     cents = {
         c: F.floor(F.col(c) * 100 + 0.5).cast("decimal(38,0)")
         for c in PROFILE_COLS
@@ -464,6 +475,9 @@ def profile_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     to whole units (×10^-8 per x⁴ term) before summing; at test SFs
     cents are exact and comfortable.
     """
+    # spread_scan measured FLAT here in ABBA isolates (r13) despite the
+    # 16 power sums — unlike profile_correlations' 36 masked sums, this
+    # pass is not scan-stage-bound; deliberately left unspread
     d = load_table(spark, sf_dir, "lineitem")
     # per-column NON-NULL count: sums skip nulls, so dividing by
     # count(*) would skew every central moment on dirty data

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projet_meteo_etl_spark.catalog import load_table
+from projet_meteo_etl_spark.catalog import load_table, spread_scan
 from projet_meteo_etl_spark.functions.portable import pround, pround_sql
 
 
@@ -1150,12 +1150,19 @@ def permutation_test_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    p = e.select(
-        "event_id",
-        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias(
-            "cents"
-        ),
-        (F.expr("weekday(ts)") >= 5).alias("wk"),
+    # the ×N_PERM explode and its 128 md5 labelings per purchase run in
+    # the SCAN stage (Generate + partial agg sit below the exchange), so
+    # a single-row-group input serializes ~3.2M md5 calls on one core —
+    # spread the narrow purchase slice first (guide §2.5 input skew;
+    # no-op on a well-split table, same guard as every spread_scan site)
+    p = spread_scan(
+        e.select(
+            "event_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias(
+                "cents"
+            ),
+            (F.expr("weekday(ts)") >= 5).alias("wk"),
+        )
     )
     # cent sums widen to DECIMAL(38,0) BEFORE the ·1e6: a LongType sum
     # wraps at ~9.2e12 cents of group revenue (the mann_whitney
