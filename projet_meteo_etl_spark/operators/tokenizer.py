@@ -982,9 +982,15 @@ def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wc",
         )
         cands = c if cands is None else cands.unionByName(c)
+    # the seed table is consumed FOUR times (multi + chars, then inv0
+    # again under stot and inv) — without a persist the whole
+    # union-of-substring-explodes + groupBy chain re-runs for each,
+    # which at 32 tasks/stage is pure scheduling latency on an
+    # inventory-sized relation (r13 phase decomposition: the seed/inv
+    # phase was 3.7 s of the 5.4 s wall)
     seed_all = cands.groupBy("piece").agg(
         F.sum("wc").cast("long").alias("seed_cnt")
-    )
+    ).persist()
     multi = (
         seed_all.filter(F.length("piece") >= UNI_MIN_LEN)
         .orderBy(F.desc("seed_cnt"), F.asc("piece"))
@@ -1126,7 +1132,7 @@ def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("viterbi_uses"), F.asc("piece"))
     )
-    return scoped_cache(out, vocab, inv)
+    return scoped_cache(out, vocab, inv, seed_all)
 
 
 _UNI_LENS = ", ".join(f"({ln})" for ln in range(1, UNI_MAX_LEN + 1))
@@ -1294,9 +1300,15 @@ def unigram_lm_prune_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wc",
         )
         cands = c if cands is None else cands.unionByName(c)
+    # the seed table is consumed FOUR times (multi + chars, then inv0
+    # again under stot and inv) — without a persist the whole
+    # union-of-substring-explodes + groupBy chain re-runs for each,
+    # which at 32 tasks/stage is pure scheduling latency on an
+    # inventory-sized relation (r13 phase decomposition: the seed/inv
+    # phase was 3.7 s of the 5.4 s wall)
     seed_all = cands.groupBy("piece").agg(
         F.sum("wc").cast("long").alias("seed_cnt")
-    )
+    ).persist()
     multi = (
         seed_all.filter(F.length("piece") >= UNI_MIN_LEN)
         .orderBy(F.desc("seed_cnt"), F.asc("piece"))
@@ -1445,7 +1457,7 @@ def unigram_lm_prune_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("uses_r2"), F.asc("piece"))
     )
-    return scoped_cache(out, vocab, inv, blocks, per1)
+    return scoped_cache(out, vocab, inv, blocks, per1, seed_all)
 
 
 UNIGRAM_PRUNE_SQL = rf"""
